@@ -1,44 +1,150 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
-
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+``entry()`` runs the flagship CDC replay on sf0.001; ``queries()`` exposes
+each implemented operator/pipeline; ``oracle_sql()`` gives the DuckDB
+equivalent (views: region nation customer supplier part orders lineitem
+events documents embeddings).  Ray is initialised by the driver before this
+module is imported — nothing here calls ray.init()/shutdown().
 """
 
 from __future__ import annotations
 
+import os
+import shutil
+import tempfile
 from collections.abc import Callable
 from typing import Any
 
+# ---------------------------------------------------------------------------
+# entry
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline: derive the transcript changelog from sf0.001 events,
+    replay it exactly-once into a partitioned Parquet lake under /tmp, and
+    return the materialized live state as a Dataset."""
+    from raycdc.changelog import changelog_from_events
+    from raycdc.engine import read_lake, replay
+    from raycdc.schema import TableSpec
+
+    sf_dir = "/root/testdata/sf0.001"
+    lake = os.path.join(tempfile.gettempdir(), "raycdc_entry_lake")
+    shutil.rmtree(lake, ignore_errors=True)
+    spec = TableSpec(num_partitions=16)
+    replay(changelog_from_events(sf_dir), lake, spec)
+    return read_lake(lake, spec)
+
+
+# ---------------------------------------------------------------------------
+# queries — one per implemented operator/pipeline (SURVEY.md §2)
+
+
+def _q_cdc_replay(sf_dir: str):
+    """LWW merged final state of the events-derived changelog (in-flight,
+    no lake): the generalized load path of the reference
+    (/root/reference/handler.go:100-131 → loader.go:33-60)."""
+    from raycdc.changelog import changelog_from_events
+    from raycdc.engine import merged_state
+    from raycdc.schema import TableSpec
+
+    ds = merged_state(changelog_from_events(sf_dir), TableSpec(num_partitions=16))
+    return ds.select_columns(["conv_id", "turn_idx", "role", "text", "tool", "ts"])
+
+
+def _q_cdc_replay_lake(sf_dir: str):
+    """Full exactly-once path: replay into a lake, then read back the live
+    rows — exercises the atomic sink + checkpoints + tombstone storage."""
+    from raycdc.changelog import changelog_from_events
+    from raycdc.engine import read_lake, replay
+    from raycdc.schema import TableSpec
+
+    lake = os.path.join(tempfile.gettempdir(), "raycdc_q_lake")
+    shutil.rmtree(lake, ignore_errors=True)
+    spec = TableSpec(num_partitions=16)
+    replay(changelog_from_events(sf_dir), lake, spec)
+    # replay the same changelog again: must be a no-op (exactly-once)
+    replay(changelog_from_events(sf_dir), lake, spec)
+    return read_lake(lake, spec).select_columns(
+        ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    )
+
+
+def _q_cdc_lineage(sf_dir: str):
+    """Per-segment changelog metrics (the Notifier/lineage analog,
+    /root/reference/notifier.go:69-80): rows and deletes per WAL segment."""
+    import pyarrow as pa
+
+    from ray.data.aggregate import Count, Max, Sum
+
+    from raycdc.changelog import changelog_from_events
+
+    ds = changelog_from_events(sf_dir)
+
+    def flags(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.append_column(
+            "is_delete", pc.cast(pc.equal(t["op"], "delete"), pa.int64())
+        )
+
+    out = (
+        ds.map_batches(flags, batch_format="pyarrow")
+        .groupby("seg_id")
+        .aggregate(
+            Count(alias_name="n_events"),
+            Sum("is_delete", alias_name="n_deletes"),
+            Max("lsn", alias_name="max_lsn"),
+        )
+    )
+
+    def align(t: pa.Table) -> pa.Table:
+        # Ray's groupby widens the key; cast back to the input's int32 so the
+        # result schema matches the DuckDB oracle's INTEGER.
+        idx = t.schema.get_field_index("seg_id")
+        return t.set_column(idx, "seg_id", t["seg_id"].cast(pa.int32()))
+
+    return out.map_batches(align, batch_format="pyarrow")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    return {
+        "cdc_replay": _q_cdc_replay,
+        "cdc_replay_lake": _q_cdc_replay_lake,
+        "cdc_lineage": _q_cdc_lineage,
+    }
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# oracle SQL (DuckDB), aligned column-for-column with queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from raycdc.changelog import CHANGELOG_SQL
+
+    lww_final = f"""
+WITH {CHANGELOG_SQL.strip()},
+ranked AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY conv_id, turn_idx
+        ORDER BY ts DESC, lsn DESC
+    ) AS rn
+    FROM changelog
+)
+SELECT conv_id, turn_idx, role, text, tool, ts
+FROM ranked
+WHERE rn = 1 AND op <> 'delete'
+"""
+    lineage = f"""
+WITH {CHANGELOG_SQL.strip()}
+SELECT seg_id,
+       COUNT(*) AS n_events,
+       CAST(SUM(CASE WHEN op = 'delete' THEN 1 ELSE 0 END) AS BIGINT) AS n_deletes,
+       MAX(lsn) AS max_lsn
+FROM changelog
+GROUP BY seg_id
+"""
+    return {
+        "cdc_replay": lww_final,
+        "cdc_replay_lake": lww_final,
+        "cdc_lineage": lineage,
+    }

@@ -1,0 +1,232 @@
+"""Pipeline assembly: changelog Dataset → merged state / exactly-once lake.
+
+The Ray-Data-native generalization of the reference's dataflow spine
+``Handler.process`` (``/root/reference/handler.go:100-131``):
+
+    read_parquet (segments → Arrow blocks, streaming)
+      → map_batches: project / schema-evolve            (stateless tasks)
+      → map_batches: part_key + within-batch LWW combine (the scale lever:
+        shrinks the shuffle when keys repeat)
+      → [optional salted pre-merge for hot keys]
+      → groupby(part_key).map_groups: final LWW merge    (the ONE shuffle)
+      → per-partition atomic rewrite + checkpoint + lineage
+
+No stage materializes the full dataset on the driver; the final merge work
+AND the lake writes run inside distributed group tasks.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+from raycdc import merge as M
+from raycdc import sink as S
+from raycdc.partition import PART_KEY, SALT_KEY, add_part_key, add_salt_key
+from raycdc.schema import TableSpec, evolve_batch, merge_schemas
+
+_ENVELOPE = ("op", "lsn", "seg_id", PART_KEY, SALT_KEY)
+
+
+def prepare(
+    ds: "ray.data.Dataset",
+    spec: TableSpec,
+    projector: Callable[[pa.Table], pa.Table] | None = None,
+) -> "ray.data.Dataset":
+    """Stateless front half: optional projector, part_key, per-batch combine."""
+
+    key_cols, version_cols, op_col = spec.key_cols, spec.version_cols, spec.op_col
+    pkey, nparts = spec.partition_key, spec.num_partitions
+
+    def _prep(batch: pa.Table) -> pa.Table:
+        if projector is not None:
+            batch = projector(batch)
+        batch = add_part_key(batch, key_col=pkey, num_partitions=nparts)
+        return M.combine_batch(batch, key_cols, version_cols, op_col)
+
+    return ds.map_batches(_prep, batch_format="pyarrow")
+
+
+def _strip(table: pa.Table, keep_envelope: bool) -> pa.Table:
+    if keep_envelope:
+        drop = [c for c in (PART_KEY, SALT_KEY) if c in table.column_names]
+    else:
+        drop = [c for c in _ENVELOPE if c in table.column_names]
+    return table.drop_columns(drop) if drop else table
+
+
+def merged_state(
+    ds: "ray.data.Dataset",
+    spec: TableSpec | None = None,
+    projector: Callable[[pa.Table], pa.Table] | None = None,
+    salted: bool = False,
+    num_salts: int = 8,
+    keep_envelope: bool = False,
+) -> "ray.data.Dataset":
+    """Materializable final state of the changelog (no lake, no checkpoint).
+
+    The pure-transform core used by the DuckDB-oracle queries: equivalent to
+    ``SELECT * EXCLUDE(rn) FROM (SELECT *, row_number() OVER (PARTITION BY
+    key ORDER BY version DESC) rn) WHERE rn = 1 AND op <> 'delete'``.
+    """
+    spec = spec or TableSpec()
+    ds = prepare(ds, spec, projector)
+    key_cols, version_cols, op_col = spec.key_cols, spec.version_cols, spec.op_col
+
+    if salted:
+        ds = ds.map_batches(
+            lambda t: add_salt_key(t, salt_col=spec.key_cols[-1], num_salts=num_salts),
+            batch_format="pyarrow",
+        )
+        ds = ds.groupby(SALT_KEY).map_groups(
+            lambda g: M.merge_group(g, key_cols, version_cols, op_col, drop_deletes=False),
+            batch_format="pyarrow",
+        )
+
+    ds = ds.groupby(PART_KEY).map_groups(
+        lambda g: M.merge_group(g, key_cols, version_cols, op_col, drop_deletes=True),
+        batch_format="pyarrow",
+    )
+    return ds.map_batches(
+        lambda t: _strip(t, keep_envelope), batch_format="pyarrow"
+    )
+
+
+def _make_apply_fn(lake_dir: str, spec: TableSpec):
+    """Build the per-partition merge-apply fn (runs inside map_groups tasks).
+
+    Folds the incoming deduped group with the existing lake partition,
+    schema-evolving both sides; keeps tombstones in the stored file; writes
+    atomically; advances the checkpoint; returns ONE lineage row.
+    """
+    key_cols, version_cols, op_col = spec.key_cols, spec.version_cols, spec.op_col
+
+    def apply_group(group: pa.Table) -> pa.Table:
+        part = int(group[PART_KEY][0].as_py())
+        group = group.drop_columns([c for c in (PART_KEY, SALT_KEY) if c in group.column_names])
+        rows_in = len(group)
+
+        ckpt = S.read_checkpoint(lake_dir, part)
+        max_applied = ckpt["max_lsn"] if ckpt else -1
+        new_max = max(max_applied, int(pc.max(group["lsn"]).as_py()) if rows_in else -1)
+
+        # exactly-once: drop rows already folded into this partition
+        fresh = group.filter(pc.greater(group["lsn"], max_applied))
+        skipped = rows_in - len(fresh)
+
+        existing = S.read_partition(lake_dir, part)
+        if len(fresh) == 0 and existing is not None:
+            # pure redelivery — partition untouched
+            total = len(existing)
+            tomb = int(
+                pc.sum(pc.equal(existing[op_col], M.DELETE)).as_py() or 0
+            ) if op_col in existing.column_names else 0
+            return pa.table(
+                {
+                    "part": [part],
+                    "rows_in": [rows_in],
+                    "rows_applied": [0],
+                    "rows_skipped_ckpt": [skipped],
+                    "rows_total": [total],
+                    "tombstones": [tomb],
+                    "max_lsn": [ckpt["max_lsn"] if ckpt else -1],
+                    "content_hash": [ckpt["content_hash"] if ckpt else 0],
+                    "status": ["noop"],
+                }
+            ).cast(S.LINEAGE_SCHEMA)
+
+        if existing is not None:
+            target = merge_schemas(existing.schema, fresh.schema)
+            existing = evolve_batch(existing, target, spec.defaults)
+            fresh = evolve_batch(fresh, target, spec.defaults)
+            folded = pa.concat_tables([existing, fresh], promote_options="default")
+        else:
+            folded = fresh
+        merged = M.lww_dedup(folded, key_cols, version_cols, op_col, drop_deletes=False)
+
+        S.write_partition_atomic(merged, lake_dir, part)
+        chash = S.content_hash(merged)
+        tomb = int(pc.sum(pc.equal(merged[op_col], M.DELETE)).as_py() or 0)
+        S.write_checkpoint(
+            lake_dir,
+            part,
+            {"max_lsn": new_max, "row_count": len(merged), "content_hash": chash},
+        )
+        return pa.table(
+            {
+                "part": [part],
+                "rows_in": [rows_in],
+                "rows_applied": [len(fresh)],
+                "rows_skipped_ckpt": [skipped],
+                "rows_total": [len(merged)],
+                "tombstones": [tomb],
+                "max_lsn": [new_max],
+                "content_hash": [chash],
+                "status": ["applied"],
+            }
+        ).cast(S.LINEAGE_SCHEMA)
+
+    return apply_group
+
+
+def replay(
+    ds: "ray.data.Dataset",
+    lake_dir: str,
+    spec: TableSpec | None = None,
+    projector: Callable[[pa.Table], pa.Table] | None = None,
+    salted: bool = False,
+    num_salts: int = 8,
+) -> pa.Table:
+    """Apply a changelog Dataset into the lake, exactly-once; returns lineage.
+
+    Safe to call repeatedly with overlapping / duplicate segments: the
+    per-partition checkpoint filter plus LWW idempotence make re-applies
+    no-ops (``status='noop'``).  The returned lineage table is small (one row
+    per partition) — the only thing the driver materializes.
+    """
+    spec = spec or TableSpec()
+    ds = prepare(ds, spec, projector)
+    if salted:
+        key_cols, version_cols, op_col = spec.key_cols, spec.version_cols, spec.op_col
+        ds = ds.map_batches(
+            lambda t: add_salt_key(t, salt_col=spec.key_cols[-1], num_salts=num_salts),
+            batch_format="pyarrow",
+        )
+        ds = ds.groupby(SALT_KEY).map_groups(
+            lambda g: M.merge_group(g, key_cols, version_cols, op_col, drop_deletes=False),
+            batch_format="pyarrow",
+        )
+    lineage_ds = ds.groupby(PART_KEY).map_groups(
+        _make_apply_fn(lake_dir, spec), batch_format="pyarrow"
+    )
+    pdf = lineage_ds.to_pandas()
+    if len(pdf) == 0:
+        return S.LINEAGE_SCHEMA.empty_table()
+    lineage = pa.Table.from_pandas(pdf, schema=S.LINEAGE_SCHEMA, preserve_index=False)
+    S.write_lineage(lake_dir, lineage)
+    return lineage
+
+
+def read_lake(
+    lake_dir: str, spec: TableSpec | None = None, with_tombstones: bool = False
+) -> "ray.data.Dataset":
+    """Stream the materialized lake state (tombstones filtered by default)."""
+    import glob
+
+    spec = spec or TableSpec()
+    paths = sorted(glob.glob(f"{lake_dir}/part=*/data.parquet"))
+    if not paths:
+        raise FileNotFoundError(f"no lake partitions under {lake_dir}")
+    # partitioning=None: the part=K dir name is layout, not a data column
+    ds = ray.data.read_parquet(paths, partitioning=None)
+    if not with_tombstones:
+        op_col = spec.op_col
+        ds = ds.map_batches(
+            lambda t: t.filter(pc.not_equal(t[op_col], M.DELETE)),
+            batch_format="pyarrow",
+        )
+    return ds

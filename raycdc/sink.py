@@ -1,0 +1,147 @@
+"""Exactly-once lake sink: atomic partition rewrite + checkpoints + lineage.
+
+The reference's loader buffers the whole projected file to CSV in memory and
+submits one BigQuery load job, blocking on completion
+(``/root/reference/loader.go:33-60``); re-delivery double-appends (no
+idempotence, SURVEY.md §2.6).  Here the sink is a *pure function of state*:
+
+* lake layout ``<lake>/part=<K>/data.parquet`` — one deterministic file per
+  hash partition, holding the merged rows INCLUDING tombstones (op='delete'),
+  so LWW replay of stale segments can never resurrect deleted keys;
+* writes go to a temp file then ``os.replace`` (atomic on POSIX) — a failed
+  or retried Ray task can only ever leave a complete old or complete new
+  partition file, never a torn one;
+* per-partition checkpoint ``<lake>/_ckpt/part-<K>.json``
+  ``{max_lsn, row_count, content_hash}`` — replays filter ``lsn > max_lsn``
+  per partition, so redelivered segments are no-ops (exactly-once effect);
+* per-apply lineage rows (the Notifier analog,
+  ``/root/reference/notifier.go:17-26``) appended under ``<lake>/_lineage/``.
+
+All functions are callable from inside distributed ``map_groups`` tasks; the
+driver never holds partition data.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from raycdc.partition import hash_strings
+
+LINEAGE_SCHEMA = pa.schema(
+    [
+        pa.field("part", pa.int32()),
+        pa.field("rows_in", pa.int64()),
+        pa.field("rows_applied", pa.int64()),
+        pa.field("rows_skipped_ckpt", pa.int64()),
+        pa.field("rows_total", pa.int64()),
+        pa.field("tombstones", pa.int64()),
+        pa.field("max_lsn", pa.int64()),
+        pa.field("content_hash", pa.int64()),
+        pa.field("status", pa.string()),
+    ]
+)
+
+
+def part_dir(lake_dir: str, part: int) -> str:
+    return os.path.join(lake_dir, f"part={part:05d}")
+
+
+def part_file(lake_dir: str, part: int) -> str:
+    return os.path.join(part_dir(lake_dir, part), "data.parquet")
+
+
+def ckpt_file(lake_dir: str, part: int) -> str:
+    return os.path.join(lake_dir, "_ckpt", f"part-{part:05d}.json")
+
+
+def read_partition(lake_dir: str, part: int) -> pa.Table | None:
+    path = part_file(lake_dir, part)
+    if not os.path.exists(path):
+        return None
+    return pq.read_table(path)
+
+
+def read_checkpoint(lake_dir: str, part: int) -> dict | None:
+    path = ckpt_file(lake_dir, part)
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        return json.load(f)
+
+
+def read_all_checkpoints(lake_dir: str) -> dict[int, dict]:
+    d = os.path.join(lake_dir, "_ckpt")
+    out: dict[int, dict] = {}
+    if not os.path.isdir(d):
+        return out
+    for name in os.listdir(d):
+        if name.startswith("part-") and name.endswith(".json"):
+            with open(os.path.join(d, name)) as f:
+                out[int(name[5:-5])] = json.load(f)
+    return out
+
+
+def _atomic_replace(tmp: str, dst: str) -> None:
+    os.replace(tmp, dst)
+
+
+def write_partition_atomic(table: pa.Table, lake_dir: str, part: int) -> str:
+    """Write one partition file via temp + rename; returns final path.
+
+    Deterministic writer options (fixed compression, no nondeterministic
+    metadata beyond parquet's created_by) so identical state produces
+    identical files — the idempotent-rewrite invariant.
+    """
+    d = part_dir(lake_dir, part)
+    os.makedirs(d, exist_ok=True)
+    dst = part_file(lake_dir, part)
+    tmp = os.path.join(d, f".tmp-{uuid.uuid4().hex}.parquet")
+    pq.write_table(table, tmp, compression="zstd", write_statistics=True)
+    _atomic_replace(tmp, dst)
+    return dst
+
+
+def write_checkpoint(lake_dir: str, part: int, payload: dict) -> None:
+    d = os.path.join(lake_dir, "_ckpt")
+    os.makedirs(d, exist_ok=True)
+    dst = ckpt_file(lake_dir, part)
+    tmp = os.path.join(d, f".tmp-{uuid.uuid4().hex}.json")
+    with open(tmp, "w") as f:
+        json.dump(payload, f, sort_keys=True)
+    _atomic_replace(tmp, dst)
+
+
+def content_hash(table: pa.Table, key_cols=("conv_id", "turn_idx", "lsn")) -> int:
+    """Order-insensitive deterministic int64 digest of a partition's rows."""
+    if len(table) == 0:
+        return 0
+    with np.errstate(over="ignore"):  # uint64 wraparound is the point
+        acc = np.uint64(0xCBF29CE484222325)
+        total = np.uint64(0)
+        for c in key_cols:
+            if c not in table.column_names:
+                continue
+            col = table[c]
+            if pa.types.is_string(col.type):
+                h = hash_strings(col)
+            else:
+                vals = col.cast(pa.int64()).to_numpy(zero_copy_only=False).astype(np.int64)
+                h = vals.view(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+            acc = acc * np.uint64(1099511628211)
+            total = total + h.sum(dtype=np.uint64)
+    return int((acc + total) & np.uint64(0x7FFFFFFFFFFFFFFF))
+
+
+def write_lineage(lake_dir: str, rows: pa.Table) -> str:
+    """Append a lineage parquet under <lake>/_lineage/ (one file per apply)."""
+    d = os.path.join(lake_dir, "_lineage")
+    os.makedirs(d, exist_ok=True)
+    dst = os.path.join(d, f"apply-{uuid.uuid4().hex}.parquet")
+    pq.write_table(rows, dst)
+    return dst
