@@ -121,6 +121,46 @@ def changelog_from_events(sf_dir: str) -> "ray.data.Dataset":
     return ds.map_batches(derive_changelog_batch, batch_format="pyarrow")
 
 
+def amplified_changelog(sf_dir: str, factor: int) -> "ray.data.Dataset":
+    """Bench-scale changelog: the events-derived log replicated ``factor``
+    times with disjoint lsn ranges and shifted versions.
+
+    Each replica is one independent task that reads the events file and
+    derives its segment of the log — the shape of a real WAL tail, where
+    every segment is a separate file and the read stage is embarrassingly
+    parallel.  Later replicas carry later (ts, lsn) so they win LWW; the
+    merge therefore does real dedup work at every amplification level.
+    Deterministic: no RNG.
+    """
+    import pyarrow.parquet as pq_
+
+    path = f"{sf_dir}/events.parquet"
+    lsn_stride = pq_.read_metadata(path).num_rows
+
+    def _derive_rep(batch: pa.Table) -> pa.Table:
+        reps = []
+        for r in batch["id"].to_pylist():
+            src = pq_.read_table(
+                path, columns=["event_id", "ts", "user_id", "event_type", "props"]
+            )
+            t = derive_changelog_batch(src)
+            if r:
+                t = t.set_column(
+                    t.schema.get_field_index("lsn"),
+                    "lsn",
+                    pc.add(t["lsn"], pa.scalar(r * lsn_stride, pa.int64())),
+                )
+                shifted = pc.add(
+                    t["ts"].cast(pa.int64()), pa.scalar(r * 1_000_000, pa.int64())
+                ).cast(pa.timestamp("us"))
+                t = t.set_column(t.schema.get_field_index("ts"), "ts", shifted)
+            reps.append(t)
+        return pa.concat_tables(reps)
+
+    ds = ray.data.range(factor, override_num_blocks=factor)
+    return ds.map_batches(_derive_rep, batch_size=1, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # synthetic seeded generator (pytest fixtures; FIXTURES.md §2 variants)
 

@@ -32,6 +32,28 @@ from raycdc.schema import TableSpec, evolve_batch, merge_schemas
 _ENVELOPE = ("op", "lsn", "seg_id", PART_KEY, SALT_KEY)
 
 
+def _configure_shuffle() -> None:
+    """Pick the push-based sort shuffle for the merge exchange.
+
+    Measured on this sandbox (12.8M events, 64 lake partitions): pull-based
+    sort 13.5s/6.3s at 8/32 CPUs, push-based 14.5s/4.7s — push-based wins at
+    scale (fewer small-object pulls in the reduce phase) and is the strategy
+    built for multi-node pipelined exchange.
+    """
+    try:
+        from ray.data.context import DataContext, ShuffleStrategy
+
+        DataContext.get_current().shuffle_strategy = (
+            ShuffleStrategy.SORT_SHUFFLE_PUSH_BASED
+        )
+    except Exception:
+        pass  # older/newer Ray: keep the default
+
+
+def _shuffle_parts(spec: TableSpec) -> int:
+    return spec.shuffle_partitions or 2 * spec.num_partitions
+
+
 def prepare(
     ds: "ray.data.Dataset",
     spec: TableSpec,
@@ -48,7 +70,7 @@ def prepare(
         batch = add_part_key(batch, key_col=pkey, num_partitions=nparts)
         return M.combine_batch(batch, key_cols, version_cols, op_col)
 
-    return ds.map_batches(_prep, batch_format="pyarrow")
+    return ds.map_batches(_prep, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def _strip(table: pa.Table, keep_envelope: bool) -> pa.Table:
@@ -74,6 +96,7 @@ def merged_state(
     key ORDER BY version DESC) rn) WHERE rn = 1 AND op <> 'delete'``.
     """
     spec = spec or TableSpec()
+    _configure_shuffle()
     ds = prepare(ds, spec, projector)
     key_cols, version_cols, op_col = spec.key_cols, spec.version_cols, spec.op_col
 
@@ -81,13 +104,14 @@ def merged_state(
         ds = ds.map_batches(
             lambda t: add_salt_key(t, salt_col=spec.key_cols[-1], num_salts=num_salts),
             batch_format="pyarrow",
+            zero_copy_batch=True,
         )
-        ds = ds.groupby(SALT_KEY).map_groups(
+        ds = ds.groupby(SALT_KEY, num_partitions=_shuffle_parts(spec)).map_groups(
             lambda g: M.merge_group(g, key_cols, version_cols, op_col, drop_deletes=False),
             batch_format="pyarrow",
         )
 
-    ds = ds.groupby(PART_KEY).map_groups(
+    ds = ds.groupby(PART_KEY, num_partitions=_shuffle_parts(spec)).map_groups(
         lambda g: M.merge_group(g, key_cols, version_cols, op_col, drop_deletes=True),
         batch_format="pyarrow",
     )
@@ -189,18 +213,20 @@ def replay(
     per partition) — the only thing the driver materializes.
     """
     spec = spec or TableSpec()
+    _configure_shuffle()
     ds = prepare(ds, spec, projector)
     if salted:
         key_cols, version_cols, op_col = spec.key_cols, spec.version_cols, spec.op_col
         ds = ds.map_batches(
             lambda t: add_salt_key(t, salt_col=spec.key_cols[-1], num_salts=num_salts),
             batch_format="pyarrow",
+            zero_copy_batch=True,
         )
-        ds = ds.groupby(SALT_KEY).map_groups(
+        ds = ds.groupby(SALT_KEY, num_partitions=_shuffle_parts(spec)).map_groups(
             lambda g: M.merge_group(g, key_cols, version_cols, op_col, drop_deletes=False),
             batch_format="pyarrow",
         )
-    lineage_ds = ds.groupby(PART_KEY).map_groups(
+    lineage_ds = ds.groupby(PART_KEY, num_partitions=_shuffle_parts(spec)).map_groups(
         _make_apply_fn(lake_dir, spec), batch_format="pyarrow"
     )
     pdf = lineage_ds.to_pandas()

@@ -1,0 +1,200 @@
+"""Projector operator library — vectorized Arrow batch transforms.
+
+The generalized, columnar analogs of the reference's per-row ``Projector``
+closures (``/root/reference/handler.go:51,141-186`` and the ``contrib``
+handler bodies).  Every function here is a pure ``pyarrow`` kernel suitable
+as (part of) a ``map_batches`` body — no Python row loops.
+
+Reference parity map (SURVEY.md §2.3):
+
+* :func:`clean_number`        — ``CleanNumber`` (contrib/handlers/handlers.go:36-51)
+* :func:`parse_date_multi`    — T1/T3/T4/T5 date normalizers
+  (examples/quickstart/bqload.go:37-49, contrib/handlers/sony_bank.go:15-29,
+  rakuten_bank.go:15-24)
+* :func:`parse_wareki_date`   — T6 era fallback (contrib/handlers/smbc.go:15-41)
+* :func:`filter_nonempty`     — T7/T8/T9 empty-row drop
+  (contrib/handlers/smbc_card.go:62-64)
+* :func:`append_constant`     — T7/M1-M4 metadata-broadcast column append
+  (contrib/handlers/smbc_card.go:79)
+* :func:`project`             — T10/T11 reorder/rename/computed reprojection
+  (contrib/handlers/sbi_securities.go:15-41, amex_csv.go:32-68)
+* :class:`RowErrorPolicy` semantics — projector error-with-provenance vs
+  drop (handler.go:163-169): see :func:`checked`.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Mapping, Sequence
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# ---------------------------------------------------------------------------
+# numeric cleaning (T2)
+
+
+def clean_number(arr: pa.ChunkedArray | pa.Array) -> pa.ChunkedArray | pa.Array:
+    """Strip currency marks / grouping commas from a string column.
+
+    Keeps digits and ``.``; keeps a ``-`` only when it occurs before any
+    digit (a trailing ``-`` as in ``"¥12345-"`` is bank notation, dropped);
+    a value with no digits at all (e.g. ``"-"``) becomes ``""``.
+
+    Cell-for-cell equal to the reference's ``CleanNumber``
+    (``/root/reference/contrib/handlers/handlers.go:36-51``; cases
+    ``handlers_test.go:80-90``): ``"12,345"→"12345"``,
+    ``"306.4800USD"→"306.4800"``, ``"257,345円"→"257345"``,
+    ``"-12,345"→"-12345"``, ``"¥12345-"→"12345"``, ``"-"→""``.
+    """
+    body = pc.replace_substring_regex(arr, pattern=r"[^0-9.]", replacement="")
+    negative = pc.match_substring_regex(arr, r"^[^0-9.]*-")
+    has_digits = pc.match_substring_regex(body, r"[0-9]")
+    signed = pc.binary_join_element_wise(pa.scalar("-"), body, pa.scalar(""))
+    out = pc.if_else(negative, signed, body)
+    return pc.if_else(has_digits, out, pa.scalar(""))
+
+
+# ---------------------------------------------------------------------------
+# date parsing / normalization (T1, T4, T5)
+
+
+def parse_date_multi(
+    arr: pa.ChunkedArray | pa.Array,
+    formats: Sequence[str] = ("%Y/%m/%d",),
+    *,
+    out_format: str = "%Y-%m-%d",
+    error_ok: bool = True,
+) -> pa.ChunkedArray | pa.Array:
+    """Parse a string date column trying ``formats`` in order; re-emit as
+    ``out_format`` strings (null where nothing matched).
+
+    Covers the reference's per-format patterns: ``%Y/%m/%d`` (quickstart/SBI/
+    AMEX), ``%Y%m%d`` (rakuten_bank.go:17), ``%Y年%m月%d日``
+    (sony_bank.go:16).
+    """
+    parsed: pa.ChunkedArray | None = None
+    for fmt in formats:
+        attempt = pc.strptime(arr, format=fmt, unit="us", error_is_null=True)
+        parsed = attempt if parsed is None else pc.coalesce(parsed, attempt)
+    if not error_ok:
+        n_bad = len(arr) - len(pc.drop_null(parsed)) - arr.null_count
+        if n_bad:
+            bad = pc.filter(arr, pc.and_(pc.is_null(parsed), pc.is_valid(arr)))
+            raise ValueError(
+                f"{n_bad} unparseable date cells, first: {bad[0].as_py()!r}"
+            )
+    return pc.strftime(parsed, format=out_format)
+
+
+_ERA_BASE = {"H": 1988, "R": 2018}  # Heisei, Reiwa (smbc.go:18-24)
+
+
+def parse_wareki_date(
+    arr: pa.ChunkedArray | pa.Array,
+    *,
+    fallback_formats: Sequence[str] = ("%Y/%m/%d",),
+    out_format: str = "%Y-%m-%d",
+) -> pa.ChunkedArray | pa.Array:
+    """T6: try plain formats first, then Japanese-era notation ``R01.12.04``
+    (era letter + 2-digit era-year + .MM.DD) — ``R01.12.04 → 2019-12-04``,
+    ``H31.04.30 → 2019-04-30``.  Unknown eras (e.g. ``S64.01.07``) and
+    malformed era strings (``R1.5.2``) yield null, matching the reference's
+    error cases (``/root/reference/contrib/handlers/smbc_test.go:12-51``).
+    """
+    plain = None
+    for fmt in fallback_formats:
+        attempt = pc.strptime(arr, format=fmt, unit="us", error_is_null=True)
+        plain = attempt if plain is None else pc.coalesce(plain, attempt)
+    plain_str = pc.strftime(plain, format=out_format)
+
+    groups = pc.extract_regex(arr, r"^(?P<era>[A-Z])(?P<yy>\d\d)\.(?P<mm>\d\d)\.(?P<dd>\d\d)$")
+    era = pc.struct_field(groups, "era")
+    yy = pc.cast(pc.struct_field(groups, "yy"), pa.int32())
+    # era base lookup (vectorized): index_in against the known-era list
+    known = pa.array(list(_ERA_BASE))
+    bases = pa.array(list(_ERA_BASE.values()), pa.int32())
+    idx = pc.index_in(era, value_set=known)
+    base = pc.take(bases, idx)  # null for unknown era
+    year = pc.add(base, yy)
+    wareki_str = pc.binary_join_element_wise(
+        pc.cast(year, pa.string()),
+        pc.struct_field(groups, "mm"),
+        pc.struct_field(groups, "dd"),
+        "-",
+    )
+    # round-trip through strptime so impossible dates (e.g. 02-30) null out
+    wareki_norm = pc.strftime(
+        pc.strptime(wareki_str, format="%Y-%m-%d", unit="us", error_is_null=True),
+        format=out_format,
+    )
+    return pc.coalesce(plain_str, wareki_norm)
+
+
+# ---------------------------------------------------------------------------
+# filters / appends / projection (T7-T11, M1-M4)
+
+
+def filter_nonempty(batch: pa.Table, col: str) -> pa.Table:
+    """Drop rows whose ``col`` is null or ``""`` — the projector
+    ``return nil, nil`` row-skip (handler.go:167-169, smbc_card.go:62-64)."""
+    c = batch[col]
+    keep = pc.and_kleene(pc.is_valid(c), pc.not_equal(c, ""))
+    return batch.filter(pc.fill_null(keep, False))
+
+
+def append_constant(batch: pa.Table, name: str, value, dtype=None) -> pa.Table:
+    """Broadcast one scalar (segment metadata) to every row of the batch —
+    the Preprocessor→context→Projector flow (smbc_card.go:46-59,79)."""
+    scalar = pa.scalar(value, dtype) if dtype is not None else pa.scalar(value)
+    return batch.append_column(name, pa.repeat(scalar, len(batch)))
+
+
+def project(
+    batch: pa.Table,
+    columns: Mapping[str, str | Callable[[pa.Table], pa.Array]],
+) -> pa.Table:
+    """Build a new table from selected / renamed / computed columns, in the
+    mapping's order — the generalized reprojection operator
+    (sbi_securities.go:15-41 reorder, amex_csv.go:52-66 shift).
+
+    ``columns`` maps output name → input column name, or output name → a
+    callable ``table -> array`` for computed columns.
+    """
+    arrays, names = [], []
+    for out_name, src in columns.items():
+        arrays.append(batch[src] if isinstance(src, str) else src(batch))
+        names.append(out_name)
+    return pa.table(arrays, names=names)
+
+
+# ---------------------------------------------------------------------------
+# error policy (handler.go:163-169 analog)
+
+
+def checked(
+    fn: Callable[[pa.Table], pa.Table],
+    *,
+    dead_letter: Callable[[pa.Table, Exception], None] | None = None,
+    provenance_cols: Sequence[str] = ("seg_id", "lsn"),
+) -> Callable[[pa.Table], pa.Table]:
+    """Wrap a batch transform with the reference's error policy: by default
+    an error fails the job annotated with row provenance (the analog of
+    "record error at line N", handler.go:163-165); with ``dead_letter`` set,
+    the failing batch is handed to the dead-letter callback and dropped
+    instead (the policy the reference lacks, SURVEY.md §2.3)."""
+
+    def wrapped(batch: pa.Table) -> pa.Table:
+        try:
+            return fn(batch)
+        except Exception as e:  # noqa: BLE001 - policy boundary
+            if dead_letter is not None:
+                dead_letter(batch, e)
+                return batch.schema.empty_table() if len(batch) else batch
+            prov = {
+                c: (batch[c][0].as_py(), batch[c][len(batch) - 1].as_py())
+                for c in provenance_cols
+                if c in batch.column_names and len(batch)
+            }
+            raise RuntimeError(f"projector failed on batch {prov}: {e}") from e
+
+    return wrapped

@@ -59,6 +59,9 @@ class TableSpec:
     op_col: str = "op"
     partition_key: str = "conv_id"
     num_partitions: int = 32
+    # reduce-task parallelism for the merge shuffle; None → 2 × num_partitions
+    # (groups stay intact — this only controls exchange granularity)
+    shuffle_partitions: int | None = None
     sort_cols: tuple[str, ...] = ("conv_id", "turn_idx")
     defaults: dict = field(default_factory=dict)  # col -> fill value for additive cols
 
