@@ -107,10 +107,13 @@ def _q_cdc_lineage(sf_dir: str):
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
+    from raycdc.pipelines import QUERIES as pipeline_queries
+
     return {
         "cdc_replay": _q_cdc_replay,
         "cdc_replay_lake": _q_cdc_replay_lake,
         "cdc_lineage": _q_cdc_lineage,
+        **pipeline_queries,
     }
 
 
@@ -143,8 +146,11 @@ SELECT seg_id,
 FROM changelog
 GROUP BY seg_id
 """
+    from raycdc.pipelines import ORACLES as pipeline_oracles
+
     return {
         "cdc_replay": lww_final,
         "cdc_replay_lake": lww_final,
         "cdc_lineage": lineage,
+        **pipeline_oracles,
     }

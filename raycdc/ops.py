@@ -122,10 +122,14 @@ def parse_wareki_date(
         pc.struct_field(groups, "dd"),
         "-",
     )
-    # round-trip through strptime so impossible dates (e.g. 02-30) null out
-    wareki_norm = pc.strftime(
-        pc.strptime(wareki_str, format="%Y-%m-%d", unit="us", error_is_null=True),
-        format=out_format,
+    # strict round-trip: C strptime normalizes impossible dates (02-30 →
+    # 03-02), so re-format and require equality with the constructed string
+    parsed_ts = pc.strptime(wareki_str, format="%Y-%m-%d", unit="us", error_is_null=True)
+    valid = pc.equal(pc.strftime(parsed_ts, format="%Y-%m-%d"), wareki_str)
+    wareki_norm = pc.if_else(
+        pc.fill_null(valid, False),
+        pc.strftime(parsed_ts, format=out_format),
+        pa.scalar(None, pa.string()),
     )
     return pc.coalesce(plain_str, wareki_norm)
 

@@ -1,0 +1,195 @@
+"""Per-file (per-segment) decode stack — sources for ragged real-world files.
+
+The generalized analog of the reference's extract→decode→parse front half
+(``/root/reference/handler.go:106-121``):
+
+* segment read   — ``read_segments``: one file = one row (bytes + path), the
+  per-file granularity ``Event`` gives the reference (``event.go:12-24``);
+* encoding decode — Shift-JIS etc. → UTF-8 (``handler.go:112-114``);
+* physical-line surgery — head/tail preamble drop (``PartialCSVParser``,
+  ``contrib/handlers/handlers.go:61-77``), line filters
+  (``contrib/handlers/smbc_card.go:23-44``);
+* CSV parse — quoted fields/newlines (``parser.go:15-23``,
+  ``loader.go:40`` AllowQuotedNewlines) via Arrow CSV; lazy-quote fallback
+  (``contrib/handlers/rakuten_card.go:55-65``) via python csv;
+* header skip — ``SkipLeadingRows`` (``handler.go:29,121``);
+* path metadata — preprocessor analog (``contrib/handlers/smbc_card.go:46-59``):
+  regex over the segment path broadcast to every row.
+
+Parsing is one ``map_batches`` stage over the segment Dataset: stateless,
+vectorized where the format allows, one task per bundle of files — the
+non-splittable-segment decoder pattern (SURVEY.md §2.2 P5).
+"""
+
+from __future__ import annotations
+
+import csv as _csv
+import io
+import re
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+import pyarrow as pa
+import pyarrow.csv as pacsv
+
+import ray.data
+
+SEG_PATH = "seg_path"
+
+
+@dataclass(frozen=True)
+class DecodeSpec:
+    """Declarative per-segment decode recipe (the ``Handler`` config fields
+    ``Encoding`` / ``SkipLeadingRows`` / parser choice,
+    ``/root/reference/handler.go:20-48``, as data)."""
+
+    encoding: str = "utf-8"
+    skip_head_lines: int = 0  # physical lines before CSV parse (P3)
+    skip_tail_lines: int = 0
+    line_filter: str | None = None  # keep only physical lines matching regex (P4)
+    skip_leading_rows: int = 0  # records after parse (P8)
+    delimiter: str = ","
+    lazy_quotes: bool = False  # malformed quoting (P6)
+    column_names: tuple[str, ...] | None = None
+    path_meta: tuple[tuple[str, str], ...] = ()  # (col, regex-with-1-group) (M1-M4)
+
+
+def split_physical_lines(text: str) -> list[str]:
+    """Split on newlines the way line-oriented bank exports mean it —
+    NOT csv-aware (matches the reference's PartialCSVParser semantics of
+    "physical lines", handlers.go:64-71)."""
+    return text.split("\n")
+
+
+def decode_segment(data: bytes, path: str, spec: DecodeSpec) -> pa.Table:
+    """bytes → Arrow table for ONE segment file."""
+    text = data.decode(spec.encoding)
+    if spec.skip_head_lines or spec.skip_tail_lines or spec.line_filter:
+        lines = split_physical_lines(text)
+        if lines and lines[-1] == "":  # trailing newline artifact
+            lines = lines[:-1]
+        end = len(lines) - spec.skip_tail_lines
+        lines = lines[spec.skip_head_lines : max(spec.skip_head_lines, end)]
+        if spec.line_filter:
+            pat = re.compile(spec.line_filter)
+            lines = [ln for ln in lines if pat.search(ln)]
+        text = "\n".join(lines)
+
+    if not text.strip():
+        cols = spec.column_names or ()
+        table = pa.table({c: pa.array([], pa.string()) for c in cols})
+    elif spec.lazy_quotes:
+        # python csv in permissive mode — the LazyQuotes analog
+        rows = list(
+            _csv.reader(io.StringIO(text), delimiter=spec.delimiter, strict=False)
+        )
+        rows = rows[spec.skip_leading_rows :]
+        width = max(len(r) for r in rows)
+        names = spec.column_names or tuple(f"f{i}" for i in range(width))
+        arrays = [
+            pa.array([r[i] if i < len(r) else None for r in rows], pa.string())
+            for i in range(len(names))
+        ]
+        table = pa.table(arrays, names=list(names))
+    else:
+        read_opts = pacsv.ReadOptions(
+            column_names=list(spec.column_names) if spec.column_names else None,
+            autogenerate_column_names=spec.column_names is None,
+            skip_rows=spec.skip_leading_rows,
+        )
+        parse_opts = pacsv.ParseOptions(
+            delimiter=spec.delimiter, newlines_in_values=True
+        )
+        conv_opts = pacsv.ConvertOptions(
+            column_types=(
+                {c: pa.string() for c in spec.column_names}
+                if spec.column_names
+                else None
+            )
+        )
+        table = pacsv.read_csv(
+            io.BytesIO(text.encode()), read_opts, parse_opts, conv_opts
+        )
+        if spec.column_names is None:
+            # positional untyped records, like the reference's [][]string
+            table = table.rename_columns([f"f{i}" for i in range(table.num_columns)])
+            table = pa.table(
+                {c: table[c].cast(pa.string()) for c in table.column_names}
+            )
+
+    n = len(table)
+    table = table.append_column(SEG_PATH, pa.repeat(pa.scalar(path), n))
+    for col, pattern in spec.path_meta:
+        m = re.search(pattern, path)
+        val = m.group(1) if m else None
+        table = table.append_column(col, pa.repeat(pa.scalar(val, pa.string()), n))
+    return table
+
+
+def read_segments(paths: list[str] | str) -> "ray.data.Dataset":
+    """One row per file: ``{bytes, path}`` — Ray's binary reader keeps file
+    granularity, the unit the per-segment decoders need."""
+    return ray.data.read_binary_files(paths, include_paths=True)
+
+
+def parse_segments(
+    segments: "ray.data.Dataset", spec: DecodeSpec
+) -> "ray.data.Dataset":
+    """Decode a segment Dataset into records, one ``map_batches`` stage.
+
+    Each task decodes its bundle of whole files; outputs are unioned record
+    tables with ``seg_path`` + path-meta columns attached.
+    """
+
+    def fn(batch: pa.Table) -> pa.Table:
+        tables = []
+        paths = batch["path"].to_pylist()
+        datas = batch["bytes"].to_pylist()
+        for path, data in zip(paths, datas):
+            tables.append(decode_segment(data, path, spec))
+        tables = [t for t in tables if len(t)]
+        if not tables:
+            return decode_segment(b"", "", spec).slice(0, 0)
+        return pa.concat_tables(tables, promote_options="default")
+
+    return segments.map_batches(fn, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# binary (non-splittable) segment decoder — P5 (AMEX .xls) generalized
+
+
+class BinarySegmentDecoder:
+    """Actor-pool decode stage for opaque binary segments (legacy ``.xls``,
+    images, audio): ``map_batches(BinarySegmentDecoder(decode_fn),
+    concurrency=N)``.  The reference's xls path
+    (``/root/reference/contrib/handlers/amex.go:36-69``) opens a workbook per
+    file; here ``decode_fn(data, path) -> pa.Table`` plays that role and any
+    heavyweight codec setup belongs in ``__init__`` (once per actor).
+
+    The sandbox has no xls/image codecs, so the default decoder raises
+    ``NotImplementedError`` — the Ray plumbing (schema, per-file granularity,
+    actor signature) is real and tested with fake decoders.
+    """
+
+    def __init__(
+        self,
+        decode_fn: Callable[[bytes, str], pa.Table] | None = None,
+    ):
+        self.decode_fn = decode_fn or self._unsupported
+
+    @staticmethod
+    def _unsupported(data: bytes, path: str) -> pa.Table:
+        raise NotImplementedError(
+            "no binary codec registered; pass decode_fn=... "
+            "(xls/image/audio libraries are not available in this environment)"
+        )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        tables = []
+        for path, data in zip(batch["path"].to_pylist(), batch["bytes"].to_pylist()):
+            t = self.decode_fn(data, path)
+            tables.append(
+                t.append_column(SEG_PATH, pa.repeat(pa.scalar(path), len(t)))
+            )
+        return pa.concat_tables(tables, promote_options="default")

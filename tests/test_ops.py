@@ -1,0 +1,130 @@
+"""Unit tests for the projector operator library (pure Arrow, no Ray).
+
+Mirrors the reference's table-driven scalar tests (SURVEY.md §5):
+CleanNumber cases /root/reference/contrib/handlers/handlers_test.go:77-103,
+wareki era cases smbc_test.go:12-51, row-skip handler_test.go:11-82.
+"""
+
+import pyarrow as pa
+import pytest
+
+from raycdc import ops
+
+
+# --- clean_number (FIXTURES.md §3.4 matrix) --------------------------------
+
+CLEAN_CASES = [
+    ("12,345", "12345"),
+    ("306.4800USD", "306.4800"),
+    ("257,345円", "257345"),
+    ("-12,345", "-12345"),
+    ("¥12345-", "12345"),
+    ("-", ""),
+    ("", ""),
+    ("abc", ""),
+    ("1,091", "1091"),
+]
+
+
+def test_clean_number_matrix():
+    src = pa.array([c for c, _ in CLEAN_CASES])
+    got = ops.clean_number(src).to_pylist()
+    assert got == [e for _, e in CLEAN_CASES]
+
+
+def test_clean_number_nulls_pass_through():
+    got = ops.clean_number(pa.array(["1", None])).to_pylist()
+    assert got == ["1", None]
+
+
+# --- date parsing ----------------------------------------------------------
+
+
+def test_parse_date_multi_formats():
+    src = pa.array(["2006/01/02", "2006/1/2", "20060102", "2006年01月02日", "junk"])
+    got = ops.parse_date_multi(
+        src, formats=("%Y/%m/%d", "%Y%m%d", "%Y年%m月%d日")
+    ).to_pylist()
+    assert got == ["2006-01-02"] * 4 + [None]
+
+
+def test_parse_date_multi_error_policy():
+    src = pa.array(["2006/01/02", "junk"])
+    with pytest.raises(ValueError, match="junk"):
+        ops.parse_date_multi(src, error_ok=False)
+
+
+def test_wareki_era_cases():
+    # smbc_test.go:12-51: plain fallback, H/R conversion, invalid eras
+    src = pa.array(
+        ["2019/12/04", "R01.12.04", "H31.04.30", "S64.01.07", "R1.5.2", "R01.02.30"]
+    )
+    got = ops.parse_wareki_date(src).to_pylist()
+    assert got == [
+        "2019-12-04",
+        "2019-12-04",  # Reiwa 1 = 2019
+        "2019-04-30",  # Heisei 31 = 2019
+        None,  # Showa unsupported
+        None,  # era-year must be two digits
+        None,  # impossible calendar date
+    ]
+
+
+# --- filter / append / project --------------------------------------------
+
+
+def _t(**cols):
+    return pa.table(cols)
+
+
+def test_filter_nonempty_drops_empty_and_null():
+    t = _t(a=pa.array(["x", "", None, "y"]), b=pa.array([1, 2, 3, 4]))
+    out = ops.filter_nonempty(t, "a")
+    assert out["b"].to_pylist() == [1, 4]
+
+
+def test_append_constant_broadcasts():
+    t = _t(a=pa.array([1, 2]))
+    out = ops.append_constant(t, "payment_month", "2020-09-01")
+    assert out["payment_month"].to_pylist() == ["2020-09-01"] * 2
+
+
+def test_project_reorder_rename_computed():
+    # sbi_securities.go:16-40-style reprojection: reorder + computed col
+    t = _t(c0=pa.array(["a"]), c1=pa.array(["b"]), c2=pa.array(["1,0"]))
+    out = ops.project(
+        t,
+        {
+            "second": "c1",
+            "first": "c0",
+            "amount": lambda tb: ops.clean_number(tb["c2"]),
+        },
+    )
+    assert out.column_names == ["second", "first", "amount"]
+    assert out["amount"].to_pylist() == ["10"]
+
+
+# --- error policy ----------------------------------------------------------
+
+
+def test_checked_fail_with_provenance():
+    t = _t(seg_id=pa.array([3, 3]), lsn=pa.array([10, 11]), x=pa.array([1, 2]))
+
+    def boom(_):
+        raise ValueError("bad cell")
+
+    with pytest.raises(RuntimeError, match="seg_id"):
+        ops.checked(boom)(t)
+
+
+def test_checked_dead_letter_drops_batch():
+    captured = []
+
+    def boom(_):
+        raise ValueError("bad cell")
+
+    out = ops.checked(boom, dead_letter=lambda b, e: captured.append((len(b), str(e))))(
+        _t(x=pa.array([1, 2]))
+    )
+    assert len(out) == 0
+    assert captured == [(2, "bad cell")]

@@ -1,0 +1,153 @@
+"""Golden-file tests for the per-segment decode stack.
+
+Mirrors the reference's golden-test pattern (SURVEY.md §5: synthetic
+fixtures shaped like contrib/handlers/testdata, asserted cell-for-cell via
+contrib/handlers/handlers_test.go:33-51) — fixtures are generated here, not
+copied.
+"""
+
+import pyarrow as pa
+import pytest
+
+import ray.data
+
+from raycdc.parsers import (
+    SEG_PATH,
+    BinarySegmentDecoder,
+    DecodeSpec,
+    decode_segment,
+    parse_segments,
+    read_segments,
+)
+
+# --- decode_segment unit level --------------------------------------------
+
+
+def test_plain_csv_positional_strings():
+    data = b'a,1\n"b,x",2\n'
+    t = decode_segment(data, "p.csv", DecodeSpec())
+    assert t.column_names == ["f0", "f1", SEG_PATH]
+    assert t["f0"].to_pylist() == ["a", "b,x"]
+    assert t["f1"].to_pylist() == ["1", "2"]  # untyped positional strings
+
+
+def test_quoted_newline_inside_field():
+    # loader.go:40 AllowQuotedNewlines
+    data = b'"line1\nline2",x\n'
+    t = decode_segment(data, "p.csv", DecodeSpec())
+    assert t["f0"].to_pylist() == ["line1\nline2"]
+
+
+def test_partial_csv_head_tail_skip():
+    # PartialCSVParser matrix (handlers_test.go:105-164): 2 head + 1 tail
+    data = b"garbage\npreamble\na,1\nb,2\nfooter total\n"
+    spec = DecodeSpec(skip_head_lines=2, skip_tail_lines=1)
+    t = decode_segment(data, "p.csv", spec)
+    assert t["f0"].to_pylist() == ["a", "b"]
+
+
+def test_line_filter_fifth_char_slash():
+    # smbc_card.go:23-44: keep only lines whose 5th char is '/'
+    data = b"header row\n2020/01/02,x,100\nsummary,9\n2020/02/03,y,200\n"
+    spec = DecodeSpec(line_filter=r"^.{4}/")
+    t = decode_segment(data, "p.csv", spec)
+    assert t["f0"].to_pylist() == ["2020/01/02", "2020/02/03"]
+
+
+def test_skip_leading_rows_after_parse():
+    # handler.go:29,121: header skip AFTER parse
+    data = b"date,desc\n2020/01/02,x\n"
+    t = decode_segment(data, "p.csv", DecodeSpec(skip_leading_rows=1))
+    assert t["f0"].to_pylist() == ["2020/01/02"]
+
+
+def test_shift_jis_decode():
+    # handler.go:112-114 / sony_bank.go:36: Shift-JIS → UTF-8
+    data = "日付,金額\n2020/01/02,257円\n".encode("shift_jis")
+    t = decode_segment(data, "p.csv", DecodeSpec(encoding="shift_jis"))
+    assert t["f0"].to_pylist() == ["日付", "2020/01/02"]
+    assert t["f1"].to_pylist() == ["金額", "257円"]
+
+
+def test_lazy_quotes_malformed():
+    # rakuten_card.go:55-65 LazyQuotes: stray quote inside unquoted field
+    data = b'ab"cd,1\nef,2\n'
+    t = decode_segment(data, "p.csv", DecodeSpec(lazy_quotes=True))
+    assert t["f0"].to_pylist() == ['ab"cd', "ef"]
+
+
+def test_named_columns():
+    data = b"2020/01/02,x\n"
+    t = decode_segment(data, "p.csv", DecodeSpec(column_names=("date", "desc")))
+    assert t.column_names == ["date", "desc", SEG_PATH]
+
+
+def test_path_meta_preprocessor_analog():
+    # smbc_card.go:46-59: payment month from filename, broadcast to rows
+    data = b"a,1\nb,2\n"
+    spec = DecodeSpec(path_meta=(("payment_month", r"/(\d{6})\.csv$"),))
+    t = decode_segment(data, "/x/202001.csv", spec)
+    assert t["payment_month"].to_pylist() == ["202001", "202001"]
+    # non-matching path → nulls, not an error
+    t2 = decode_segment(data, "/x/other.csv", spec)
+    assert t2["payment_month"].to_pylist() == [None, None]
+
+
+def test_empty_segment():
+    t = decode_segment(b"", "p.csv", DecodeSpec(column_names=("a", "b")))
+    assert len(t) == 0
+    assert t.column_names == ["a", "b", SEG_PATH]
+
+
+# --- Dataset level ---------------------------------------------------------
+
+
+@pytest.fixture
+def segment_dir(tmp_path):
+    enc = "shift_jis"
+    for i, name in enumerate(["202001.csv", "202002.csv"]):
+        body = "ヘッダ\n" + "\n".join(
+            f"2020/0{i+1}/0{j+1},desc{i}{j},1,23{j}円" for j in range(3)
+        ) + "\nフッタ合計\n"
+        (tmp_path / name).write_bytes(body.encode(enc))
+    return str(tmp_path)
+
+
+def test_parse_segments_end_to_end(ray_session, segment_dir):
+    spec = DecodeSpec(
+        encoding="shift_jis",
+        skip_head_lines=1,
+        skip_tail_lines=1,
+        column_names=("date", "desc", "n", "amount"),
+        path_meta=(("payment_month", r"/(\d{6})\.csv$"),),
+    )
+    ds = parse_segments(read_segments(segment_dir), spec)
+    t = ds.to_pandas().sort_values(["payment_month", "date"]).reset_index(drop=True)
+    assert len(t) == 6
+    assert set(t["payment_month"]) == {"202001", "202002"}
+    assert t.loc[0, "date"] == "2020/01/01"
+    assert t.loc[0, "amount"] == "230円"
+    assert t.loc[0, SEG_PATH].endswith("202001.csv")
+
+
+def test_binary_decoder_default_raises(ray_session, tmp_path):
+    (tmp_path / "x.xls").write_bytes(b"\x00\x01binary")
+    ds = read_segments(str(tmp_path)).map_batches(
+        BinarySegmentDecoder(), batch_format="pyarrow", concurrency=1
+    )
+    with pytest.raises(Exception, match="no binary codec"):
+        ds.take_all()
+
+
+def test_binary_decoder_with_fake_codec(ray_session, tmp_path):
+    (tmp_path / "a.xls").write_bytes(b"\x05")
+    (tmp_path / "b.xls").write_bytes(b"\x07")
+
+    def fake_decode(data: bytes, path: str) -> pa.Table:
+        return pa.table({"v": pa.array([int(data[0])], pa.int64())})
+
+    ds = read_segments(str(tmp_path)).map_batches(
+        BinarySegmentDecoder(fake_decode), batch_format="pyarrow", concurrency=1
+    )
+    rows = sorted(r["v"] for r in ds.take_all())
+    assert rows == [5, 7]
