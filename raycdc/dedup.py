@@ -1,0 +1,420 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+The scale-shaped dedup family for training-data pipelines (not in the
+reference — SURVEY.md §2.6 lists dedup among the gaps this engine fills):
+
+* :func:`exact_dedup` — hash-partition + first-per-group.  ONE shuffle on a
+  64-bit text hash; full-text compare inside the group guards collisions.
+* :func:`minhash_signatures` / :func:`lsh_candidate_pairs` — shingle →
+  minhash → band → bucket-groupby.  The shuffle carries only
+  ``(band_key, doc_id)`` pairs — never document text.
+* :func:`simhash_signatures` / :func:`simhash_candidate_pairs` — 64-bit
+  SimHash (Charikar), candidates via 16-bit chunk banding (Hamming ≤ 3
+  guarantees a matching chunk by pigeonhole).
+* :func:`verify_jaccard_pairs` — exact word-shingle Jaccard on candidate
+  pairs; the small corpus side is broadcast via ``ray.put`` once (at lake
+  scale this becomes a hash-join against the partitioned corpus — the
+  partitioning assumption is documented on the function).
+
+All kernels are numpy/Arrow vectorized; per-K loops run over 64-128
+permutations, not over rows.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas.util
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+
+from raycdc.partition import hash_strings
+
+# deterministic permutation parameters (SplitMix-style odd constants)
+_PERM_SEED = 0x9E3779B97F4A7C15
+
+
+def _perm_params(k: int) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.default_rng(42)
+    a = rng.integers(1, 2**63, k, dtype=np.uint64) | np.uint64(1)  # odd
+    b = rng.integers(0, 2**63, k, dtype=np.uint64)
+    return a, b
+
+
+def word_shingle_hashes(
+    texts: pa.Array | pa.ChunkedArray, k: int = 3
+) -> tuple[np.ndarray, np.ndarray]:
+    """Per-doc k-token shingle hash sets.
+
+    Returns ``(flat_hashes, offsets)``: distinct shingle hashes of doc ``i``
+    are ``flat[offsets[i]:offsets[i+1]]``.  Vectorized: one pass of string
+    splitting (Arrow), one pandas SipHash over the flattened token array,
+    one polynomial combine per k (numpy), per-doc dedup via a sorted mask.
+    """
+    tok = pc.split_pattern(texts, " ")
+    la = tok.combine_chunks() if isinstance(tok, pa.ChunkedArray) else tok
+    flat_tokens = la.flatten()
+    toff = la.offsets.to_numpy().astype(np.int64)
+    toff = toff - toff[0]
+    th = hash_strings(flat_tokens)
+
+    n_docs = len(la)
+    counts = np.diff(toff)
+    sh_counts = np.maximum(counts - k + 1, 0)
+    out_off = np.concatenate([[0], np.cumsum(sh_counts)])
+    total = int(out_off[-1])
+    sh = np.zeros(total, dtype=np.uint64)
+    # flat index of the first token of each shingle
+    starts = np.repeat(toff[:-1], sh_counts) + (
+        np.arange(total) - np.repeat(out_off[:-1], sh_counts)
+    )
+    with np.errstate(over="ignore"):
+        for j in range(k):
+            sh = sh * np.uint64(1099511628211) + th[starts + j]
+
+    # per-doc distinct: sort within docs (stable key = doc_id major) and mask
+    doc_ids = np.repeat(np.arange(n_docs, dtype=np.int64), sh_counts)
+    order = np.lexsort((sh, doc_ids))
+    sh_sorted = sh[order]
+    doc_sorted = doc_ids[order]
+    keep = np.ones(total, dtype=bool)
+    if total > 1:
+        keep[1:] = (sh_sorted[1:] != sh_sorted[:-1]) | (
+            doc_sorted[1:] != doc_sorted[:-1]
+        )
+    sh_u = sh_sorted[keep]
+    doc_u = doc_sorted[keep]
+    new_counts = np.bincount(doc_u, minlength=n_docs)
+    new_off = np.concatenate([[0], np.cumsum(new_counts)])
+    return sh_u, new_off.astype(np.int64)
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+
+
+def exact_dedup(
+    ds: "ray.data.Dataset",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_partitions: int = 64,
+) -> "ray.data.Dataset":
+    """Keep, per distinct ``text_col`` value, the row with the smallest
+    ``id_col``.  Shuffle key is the 64-bit text hash (collisions resolved by
+    exact text compare within the group)."""
+
+    def add_hash(t: pa.Table) -> pa.Table:
+        h = (hash_strings(t[text_col]) % np.uint64(2**63)).astype(np.int64)
+        return t.append_column("__th", pa.array(h))
+
+    def first_per_text(g: pa.Table) -> pa.Table:
+        g = g.sort_by([(text_col, "ascending"), (id_col, "ascending")])
+        col = g[text_col].combine_chunks()
+        n = len(g)
+        keep = np.ones(n, dtype=bool)
+        if n > 1:
+            neq = pc.not_equal(col.slice(1), col.slice(0, n - 1))
+            keep[1:] = pc.fill_null(neq, True).to_numpy(zero_copy_only=False)
+        return g.filter(pa.array(keep)).drop_columns(["__th"])
+
+    return (
+        ds.map_batches(add_hash, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__th", num_partitions=num_partitions)
+        .map_groups(first_per_text, batch_format="pyarrow")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+
+
+def minhash_signatures(
+    batch: pa.Table,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 128,
+    shingle_k: int = 3,
+) -> pa.Table:
+    """Per-doc minhash signature (fixed-size list<uint64>)."""
+    sh, off = word_shingle_hashes(batch[text_col], k=shingle_k)
+    a, b = _perm_params(num_perm)
+    n = len(batch)
+    sigs = np.full((n, num_perm), np.iinfo(np.uint64).max, dtype=np.uint64)
+    nonempty = np.diff(off) > 0
+    with np.errstate(over="ignore"):
+        for j in range(num_perm):
+            v = sh * a[j] + b[j]
+            if len(v):
+                mins = np.minimum.reduceat(v, off[:-1][nonempty])
+                sigs[nonempty, j] = mins
+    return pa.table(
+        {
+            id_col: batch[id_col],
+            "sig": pa.FixedSizeListArray.from_arrays(
+                pa.array(sigs.reshape(-1).view(np.int64)), num_perm
+            ),
+        }
+    )
+
+
+def lsh_band_rows(
+    sig_batch: pa.Table,
+    bands: int = 32,
+    id_col: str = "doc_id",
+) -> pa.Table:
+    """Explode signatures into (band_key, doc_id) rows — the ONLY data the
+    LSH shuffle moves."""
+    sig_col = sig_batch["sig"].combine_chunks()
+    n = len(sig_batch)
+    num_perm = sig_col.type.list_size
+    rows = sig_col.flatten().to_numpy(zero_copy_only=False).view(np.uint64).reshape(n, num_perm)
+    r = num_perm // bands
+    ids = sig_batch[id_col].to_numpy(zero_copy_only=False)
+    band_keys = np.zeros((n, bands), dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for bi in range(bands):
+            chunk = rows[:, bi * r : (bi + 1) * r]
+            acc = np.full(n, np.uint64(bi) * np.uint64(0x9E3779B97F4A7C15), np.uint64)
+            for c in range(r):
+                acc = (acc ^ chunk[:, c]) * np.uint64(1099511628211)
+            band_keys[:, bi] = acc
+    return pa.table(
+        {
+            "band_key": pa.array(
+                (band_keys.reshape(-1) % np.uint64(2**63)).astype(np.int64)
+            ),
+            id_col: pa.array(np.repeat(ids, bands)),
+        }
+    )
+
+
+def bucket_pairs(group: pa.Table, id_col: str = "doc_id", max_bucket: int = 512) -> pa.Table:
+    """All (a<b) pairs within one band bucket; oversized buckets are capped
+    (logged via the lineage of the calling pipeline) to bound the quadratic
+    blowup of degenerate buckets."""
+    ids = np.unique(group[id_col].to_numpy(zero_copy_only=False))
+    if len(ids) < 2:
+        return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
+    if len(ids) > max_bucket:
+        ids = ids[:max_bucket]
+    ai, bi = np.triu_indices(len(ids), k=1)
+    return pa.table({"a": pa.array(ids[ai]), "b": pa.array(ids[bi])})
+
+
+def lsh_candidate_pairs(
+    sigs: "ray.data.Dataset",
+    bands: int = 32,
+    id_col: str = "doc_id",
+    num_partitions: int = 64,
+) -> "ray.data.Dataset":
+    """sig Dataset → distinct candidate (a, b) pairs."""
+    band_ds = sigs.map_batches(
+        lambda t: lsh_band_rows(t, bands=bands, id_col=id_col),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    pairs = band_ds.groupby("band_key", num_partitions=num_partitions).map_groups(
+        lambda g: bucket_pairs(g, id_col=id_col), batch_format="pyarrow"
+    )
+
+    def pair_key(t: pa.Table) -> pa.Table:
+        a = t["a"].to_numpy(zero_copy_only=False)
+        b = t["b"].to_numpy(zero_copy_only=False)
+        with np.errstate(over="ignore"):
+            k = (a.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) ^ b.astype(
+                np.uint64
+            )
+        return t.append_column("__pk", pa.array((k % np.uint64(2**63)).astype(np.int64)))
+
+    def distinct_pairs(g: pa.Table) -> pa.Table:
+        arr = np.stack(
+            [
+                g["a"].to_numpy(zero_copy_only=False),
+                g["b"].to_numpy(zero_copy_only=False),
+            ],
+            axis=1,
+        )
+        u = np.unique(arr, axis=0)
+        return pa.table({"a": pa.array(u[:, 0]), "b": pa.array(u[:, 1])})
+
+    return (
+        pairs.map_batches(pair_key, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__pk", num_partitions=num_partitions)
+        .map_groups(distinct_pairs, batch_format="pyarrow")
+    )
+
+
+def verify_jaccard_pairs(
+    pairs: "ray.data.Dataset",
+    corpus: pa.Table,
+    threshold: float = 0.5,
+    shingle_k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> "ray.data.Dataset":
+    """Exact word-shingle Jaccard over candidate pairs.
+
+    The corpus's shingle sets are computed ONCE, broadcast via ``ray.put``,
+    and read zero-copy in every verify task (small-side broadcast — valid
+    while the deduped id->shingles index fits a node; beyond that, partition
+    pairs by ``hash(a)`` and hash-join against the corpus partition).
+    """
+    sh, off = word_shingle_hashes(corpus[text_col], k=shingle_k)
+    ids = corpus[id_col].to_numpy(zero_copy_only=False)
+    id_to_pos = {int(i): p for p, i in enumerate(ids)}
+    ref = ray.put((sh, off, id_to_pos))
+
+    def verify(t: pa.Table) -> pa.Table:
+        sh_, off_, pos_ = ray.get(ref)
+        a = t["a"].to_numpy(zero_copy_only=False)
+        b = t["b"].to_numpy(zero_copy_only=False)
+        jac = np.zeros(len(t))
+        for i in range(len(t)):
+            pa_, pb_ = pos_.get(int(a[i])), pos_.get(int(b[i]))
+            if pa_ is None or pb_ is None:
+                continue
+            sa = sh_[off_[pa_] : off_[pa_ + 1]]
+            sb = sh_[off_[pb_] : off_[pb_ + 1]]
+            inter = np.intersect1d(sa, sb, assume_unique=True).size
+            union = sa.size + sb.size - inter
+            jac[i] = inter / union if union else 0.0
+        # floor-quantize (not round): round-half ties break differently in
+        # numpy (half-even) vs SQL engines (half-away) — floor is identical
+        out = t.append_column("jaccard", pa.array(np.floor(jac * 1e6) / 1e6))
+        return out.filter(pc.greater_equal(out["jaccard"], threshold))
+
+    return pairs.map_batches(verify, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+
+
+def simhash_signatures(
+    batch: pa.Table,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 2,
+) -> pa.Table:
+    """64-bit Charikar SimHash over word shingles (vectorized bit-vote)."""
+    sh, off = word_shingle_hashes(batch[text_col], k=shingle_k)
+    n = len(batch)
+    # bits (total, 64) as ±1 votes, segment-summed per doc
+    bits = ((sh[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(
+        np.int64
+    ) * 2 - 1
+    votes = np.zeros((n, 64), dtype=np.int64)
+    nonempty = np.diff(off) > 0
+    if len(sh):
+        votes[nonempty] = np.add.reduceat(bits, off[:-1][nonempty], axis=0)[
+            : nonempty.sum()
+        ]
+    sig = (votes > 0).astype(np.uint64) @ (
+        np.uint64(1) << np.arange(64, dtype=np.uint64)
+    )
+    return pa.table(
+        {
+            id_col: batch[id_col],
+            "simhash": pa.array(sig.view(np.int64)),
+        }
+    )
+
+
+def simhash_candidate_pairs(
+    sigs: "ray.data.Dataset",
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    num_partitions: int = 64,
+) -> "ray.data.Dataset":
+    """Candidates via 4×16-bit chunk banding (pigeonhole: hamming ≤ 3 ⇒ at
+    least one identical chunk), then exact Hamming filter."""
+
+    def chunk_rows(t: pa.Table) -> pa.Table:
+        s = t["simhash"].to_numpy(zero_copy_only=False).view(np.uint64)
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        keys, out_ids = [], []
+        for c in range(4):
+            chunk = (s >> np.uint64(16 * c)) & np.uint64(0xFFFF)
+            keys.append(chunk.astype(np.int64) * 4 + c)
+            out_ids.append(ids)
+        return pa.table(
+            {
+                "chunk_key": pa.array(np.concatenate(keys)),
+                id_col: pa.array(np.concatenate(out_ids)),
+                "simhash": pa.array(np.tile(s.view(np.int64), 4)),
+            }
+        )
+
+    def pairs_in_bucket(g: pa.Table) -> pa.Table:
+        ids = g[id_col].to_numpy(zero_copy_only=False)
+        sigs_ = g["simhash"].to_numpy(zero_copy_only=False).view(np.uint64)
+        order = np.argsort(ids)
+        ids, sigs_ = ids[order], sigs_[order]
+        keep = np.ones(len(ids), dtype=bool)
+        keep[1:] = ids[1:] != ids[:-1]
+        ids, sigs_ = ids[keep], sigs_[keep]
+        if len(ids) < 2 or len(ids) > 512:
+            return pa.table(
+                {
+                    "a": pa.array([], pa.int64()),
+                    "b": pa.array([], pa.int64()),
+                    "hamming": pa.array([], pa.int64()),
+                }
+            )
+        ai, bi = np.triu_indices(len(ids), k=1)
+        x = sigs_[ai] ^ sigs_[bi]
+        ham = np.zeros(len(x), dtype=np.int64)
+        v = x.copy()
+        for _ in range(64):
+            ham += (v & np.uint64(1)).astype(np.int64)
+            v >>= np.uint64(1)
+        m = ham <= max_hamming
+        return pa.table(
+            {
+                "a": pa.array(ids[ai][m]),
+                "b": pa.array(ids[bi][m]),
+                "hamming": pa.array(ham[m]),
+            }
+        )
+
+    chunked = sigs.map_batches(chunk_rows, batch_format="pyarrow", zero_copy_batch=True)
+    pairs = chunked.groupby("chunk_key", num_partitions=num_partitions).map_groups(
+        pairs_in_bucket, batch_format="pyarrow"
+    )
+
+    def distinct(g: pa.Table) -> pa.Table:
+        arr = np.stack(
+            [
+                g["a"].to_numpy(zero_copy_only=False),
+                g["b"].to_numpy(zero_copy_only=False),
+                g["hamming"].to_numpy(zero_copy_only=False),
+            ],
+            axis=1,
+        )
+        u = np.unique(arr, axis=0)
+        return pa.table(
+            {
+                "a": pa.array(u[:, 0]),
+                "b": pa.array(u[:, 1]),
+                "hamming": pa.array(u[:, 2]),
+            }
+        )
+
+    def pair_key(t: pa.Table) -> pa.Table:
+        a = t["a"].to_numpy(zero_copy_only=False)
+        b = t["b"].to_numpy(zero_copy_only=False)
+        with np.errstate(over="ignore"):
+            k = (a.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) ^ b.astype(
+                np.uint64
+            )
+        return t.append_column(
+            "__pk", pa.array((k % np.uint64(2**63)).astype(np.int64))
+        )
+
+    return (
+        pairs.map_batches(pair_key, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__pk", num_partitions=num_partitions)
+        .map_groups(distinct, batch_format="pyarrow")
+    )

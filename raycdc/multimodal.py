@@ -1,0 +1,127 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Image/audio/video are carried as ``binary`` columns with a metadata struct;
+decode / feature-extract / resize / frame-sample are actor-pool
+``map_batches`` stages (codec setup once per actor in ``__init__``).  The
+actual codecs (PIL, ffmpeg, torchaudio...) are NOT in this environment —
+decode bodies are stubbed behind ``codec=None`` (deterministic fake) /
+``NotImplementedError`` (real codec names), while the Ray-side plumbing —
+schema, batch sizing, actor signature, output layout — is real and tested.
+
+Batch-size guidance (SURVEY.md §7.3 "wide rows"): binary payloads dominate
+block size; callers should pass ``batch_size`` small enough that
+``batch_size × payload × concurrency`` fits worker heaps, and rely on
+streaming backpressure for the rest.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+MEDIA_SCHEMA = pa.schema(
+    [
+        pa.field("media_id", pa.int64()),
+        pa.field("content", pa.binary()),
+        pa.field("mime", pa.string()),
+        pa.field("meta", pa.struct([("n_bytes", pa.int64()), ("kind", pa.string())])),
+    ]
+)
+
+
+def payload_from_text(batch: pa.Table, id_col: str = "doc_id", text_col: str = "text") -> pa.Table:
+    """Deterministic fake media payloads: the document text's UTF-8 bytes
+    posing as an opaque blob (keeps everything reproducible with no media
+    libs or external data)."""
+    content = pc.cast(batch[text_col], pa.binary())
+    n_bytes = pc.cast(pc.binary_length(content), pa.int64())
+    if isinstance(n_bytes, pa.ChunkedArray):
+        n_bytes = n_bytes.combine_chunks()
+    n = len(batch)
+    meta = pa.StructArray.from_arrays(
+        [n_bytes, pa.array(["text/fake"] * n)],
+        names=["n_bytes", "kind"],
+    )
+    return pa.table(
+        {
+            "media_id": pc.cast(batch[id_col], pa.int64()),
+            "content": content,
+            "mime": pa.array(["application/octet-stream"] * n),
+            "meta": meta,
+        }
+    )
+
+
+class MediaFeatureExtractor:
+    """Actor-pool feature stage: ``map_batches(MediaFeatureExtractor,
+    fn_constructor_kwargs={...}, concurrency=N, batch_size=B)``.
+
+    ``codec=None`` → deterministic byte-histogram "features" (16 buckets,
+    L1-normalized).  Naming a real codec raises ``NotImplementedError`` at
+    actor construction — fail fast, once per actor, not per batch.
+    """
+
+    def __init__(self, codec: str | None = None, n_buckets: int = 16):
+        if codec is not None:
+            raise NotImplementedError(
+                f"codec {codec!r} unavailable in this environment; "
+                "use codec=None for the deterministic stub"
+            )
+        self.n_buckets = n_buckets
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        col = batch["content"].combine_chunks()
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        bufs = col.buffers()
+        raw = np.frombuffer(bufs[2], dtype=np.uint8) if bufs[2] else np.array([], np.uint8)
+        all_off = np.frombuffer(bufs[1], dtype=np.int32)
+        off = all_off[col.offset : col.offset + len(col) + 1].astype(np.int64)
+        data = raw[off[0] : off[-1]]
+        off = off - off[0]
+        row_idx = np.repeat(np.arange(len(col)), np.diff(off))
+        bucket = (data.astype(np.int64) * self.n_buckets) // 256
+        hist = np.zeros((len(col), self.n_buckets))
+        np.add.at(hist, (row_idx, bucket), 1.0)
+        sums = hist.sum(axis=1, keepdims=True)
+        hist = hist / np.where(sums == 0, 1, sums)
+        return pa.table(
+            {
+                "media_id": batch["media_id"],
+                "features": pa.FixedSizeListArray.from_arrays(
+                    pa.array(hist.reshape(-1)), self.n_buckets
+                ),
+            }
+        )
+
+
+class FrameSampler:
+    """Actor-pool frame/segment sampler stub: slices each payload into
+    ``n_frames`` evenly-spaced byte windows (the video-frame-sampling
+    access pattern, minus the codec).  Output: one row per (media, frame)."""
+
+    def __init__(self, n_frames: int = 4, frame_bytes: int = 16, codec: str | None = None):
+        if codec is not None:
+            raise NotImplementedError(f"codec {codec!r} unavailable; stub only")
+        self.n_frames = n_frames
+        self.frame_bytes = frame_bytes
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, frames, blobs = [], [], []
+        for mid, content in zip(
+            batch["media_id"].to_pylist(), batch["content"].to_pylist()
+        ):
+            size = len(content)
+            for f in range(self.n_frames):
+                start = (size * f) // self.n_frames
+                blobs.append(content[start : start + self.frame_bytes])
+                ids.append(mid)
+                frames.append(f)
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "frame_idx": pa.array(frames, pa.int64()),
+                "frame": pa.array(blobs, pa.binary()),
+            }
+        )

@@ -216,6 +216,438 @@ WHERE event_type <> 'click'
 
 
 # ---------------------------------------------------------------------------
+# text analysis (documents table)
+
+
+def q_text_stats(sf_dir: str):
+    """Token counting / quality raw counters (integer, oracle-exact)."""
+    from raycdc.text import token_stats
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return ds.map_batches(token_stats, batch_format="pyarrow", zero_copy_batch=True)
+
+
+SQL_TEXT_STATS = """
+WITH w AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents)
+SELECT doc_id,
+       length(text) AS n_chars,
+       len(toks) AS n_tokens,
+       len(list_distinct(toks)) AS n_uniq_tokens,
+       len(list_filter(toks, x -> x IN ('the', 'a'))) AS n_stopwords,
+       len(regexp_extract_all(text, '[a-zA-Z0-9]+|[^a-zA-Z0-9\\s]')) AS n_bpe_tokens
+FROM w
+"""
+
+
+def q_text_quality(sf_dir: str):
+    """Composite quality score (length band + diversity + stopword signal)."""
+    from raycdc.text import quality_score
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return ds.map_batches(quality_score, batch_format="pyarrow", zero_copy_batch=True)
+
+
+SQL_TEXT_QUALITY = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+c AS (
+    SELECT doc_id,
+           CAST(len(toks) AS DOUBLE) AS n_tok,
+           CAST(len(list_distinct(toks)) AS DOUBLE) AS n_uniq,
+           CAST(len(list_filter(toks, x -> x IN ('the', 'a'))) AS DOUBLE) AS n_stop
+    FROM w
+)
+SELECT doc_id,
+       floor((
+           0.4 * least(greatest((n_tok - 5) / 45.0, 0.0), 1.0)
+         + 0.4 * (CASE WHEN n_tok > 0 THEN n_uniq / n_tok ELSE 0.0 END)
+         + 0.2 * least(
+               (CASE WHEN n_tok > 0 THEN n_stop / n_tok ELSE 0.0 END) * 10, 1.0
+           )) * 1000000
+       ) / 1000000 AS quality
+FROM c
+"""
+
+
+def q_text_langid(sf_dir: str):
+    """Letter-frequency language ID (heuristic; rows-only check)."""
+    from raycdc.text import lang_id
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return ds.map_batches(lang_id, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_text_fingerprints(sf_dir: str):
+    """Winnowing document fingerprints (rows-only check)."""
+    from raycdc.text import fingerprints
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return ds.map_batches(fingerprints, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# dedup (documents table + constructed duplicates)
+
+_DUP_OFFSET = 1_000_000
+
+
+def _corpus_with_exact_copies(sf_dir: str) -> "ray.data.Dataset":
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def dup(t: pa.Table) -> pa.Table:
+        copy = pa.table(
+            {
+                "doc_id": pc.add(t["doc_id"], _DUP_OFFSET),
+                "text": t["text"],
+            }
+        )
+        return pa.concat_tables([t.select(["doc_id", "text"]), copy])
+
+    return ds.map_batches(dup, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _corpus_with_near_copies(sf_dir: str) -> "ray.data.Dataset":
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def dup(t: pa.Table) -> pa.Table:
+        near = pa.table(
+            {
+                "doc_id": pc.add(t["doc_id"], _DUP_OFFSET),
+                "text": pc.binary_join_element_wise(t["text"], " extradup", ""),
+            }
+        )
+        return pa.concat_tables([t.select(["doc_id", "text"]), near])
+
+    return ds.map_batches(dup, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_dedup_exact(sf_dir: str):
+    """Exact dedup: hash-partition on text hash, min doc_id per distinct
+    text, over a corpus where every doc has one exact copy."""
+    from raycdc.dedup import exact_dedup
+
+    return exact_dedup(_corpus_with_exact_copies(sf_dir), num_partitions=32)
+
+
+SQL_DEDUP_EXACT = f"""
+WITH corpus AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + {_DUP_OFFSET}, text FROM documents
+)
+SELECT min(doc_id) AS doc_id, text FROM corpus GROUP BY text
+"""
+
+
+def q_dedup_minhash(sf_dir: str):
+    """MinHash(128) + LSH(32×4) candidates, exact-Jaccard verified ≥ 0.8,
+    over a corpus where every doc has a near copy (one appended token).
+    The ORACLE computes ground-truth all-pairs Jaccard — so this checks
+    LSH recall at the threshold, not just the plumbing."""
+    import pyarrow.parquet as pq
+
+    from raycdc.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+        verify_jaccard_pairs,
+    )
+
+    ds = _corpus_with_near_copies(sf_dir)
+    sigs = ds.map_batches(
+        minhash_signatures, batch_format="pyarrow", zero_copy_batch=True
+    )
+    pairs = lsh_candidate_pairs(sigs, bands=32, num_partitions=32)
+    base = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    corpus = pa.concat_tables(
+        [
+            base,
+            pa.table(
+                {
+                    "doc_id": pc.add(base["doc_id"], _DUP_OFFSET),
+                    "text": pc.binary_join_element_wise(base["text"], " extradup", ""),
+                }
+            ),
+        ]
+    )
+    return verify_jaccard_pairs(pairs, corpus, threshold=0.8)
+
+
+_SQL_SHINGLES = f"""
+corpus AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + {_DUP_OFFSET}, text || ' extradup' FROM documents
+),
+sh AS (
+    SELECT doc_id,
+           list_distinct(
+               list_transform(
+                   range(1, greatest(len(string_split(text, ' ')) - 1, 1)),
+                   i -> string_split(text, ' ')[i] || '|' ||
+                        string_split(text, ' ')[i+1] || '|' ||
+                        string_split(text, ' ')[i+2]
+               )
+           ) AS s
+    FROM corpus
+    WHERE len(string_split(text, ' ')) >= 3
+)
+"""
+
+SQL_DEDUP_MINHASH = f"""
+WITH {_SQL_SHINGLES.strip()},
+pairs AS (
+    SELECT x.doc_id AS a, y.doc_id AS b,
+           floor(
+               CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
+               / CAST(len(list_distinct(list_concat(x.s, y.s))) AS DOUBLE)
+               * 1000000
+           ) / 1000000 AS jaccard
+    FROM sh x JOIN sh y ON x.doc_id < y.doc_id
+)
+SELECT a, b, jaccard FROM pairs WHERE jaccard >= 0.8
+"""
+
+
+def q_dedup_jaccard(sf_dir: str):
+    """Exact n-gram Jaccard on a deterministic pair list (consecutive
+    doc_ids) — the verification kernel, oracle-checked in isolation."""
+    import pyarrow.parquet as pq
+
+    from raycdc.dedup import verify_jaccard_pairs
+
+    corpus = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    n = len(corpus)
+    ids = corpus["doc_id"].to_numpy()
+    import numpy as np
+
+    pairs = pa.table(
+        {
+            "a": pa.array(ids[:-1].astype(np.int64)),
+            "b": pa.array(ids[1:].astype(np.int64)),
+        }
+    )
+    return verify_jaccard_pairs(
+        ray.data.from_arrow(pairs), corpus, threshold=0.0
+    )
+
+
+SQL_DEDUP_JACCARD = """
+WITH sh AS (
+    SELECT doc_id,
+           list_distinct(
+               list_transform(
+                   range(1, greatest(len(string_split(text, ' ')) - 1, 1)),
+                   i -> string_split(text, ' ')[i] || '|' ||
+                        string_split(text, ' ')[i+1] || '|' ||
+                        string_split(text, ' ')[i+2]
+               )
+           ) AS s
+    FROM documents
+    WHERE len(string_split(text, ' ')) >= 3
+)
+SELECT x.doc_id AS a, y.doc_id AS b,
+       floor(
+           CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
+           / CAST(len(list_distinct(list_concat(x.s, y.s))) AS DOUBLE)
+           * 1000000
+       ) / 1000000 AS jaccard
+FROM sh x JOIN sh y ON y.doc_id = x.doc_id + 1
+"""
+
+
+def q_dedup_simhash(sf_dir: str):
+    """SimHash near-dup candidate pairs, Hamming ≤ 3 (rows-only check;
+    properties verified in pytest against exact copies)."""
+    from raycdc.dedup import simhash_candidate_pairs, simhash_signatures
+
+    ds = _corpus_with_exact_copies(sf_dir)
+    sigs = ds.map_batches(
+        simhash_signatures, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return simhash_candidate_pairs(sigs, max_hamming=3, num_partitions=32)
+
+
+# ---------------------------------------------------------------------------
+# similarity search (embeddings table)
+
+_N_QUERIES = 5
+_TOP_K = 5
+
+
+def _query_matrix(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    t = t.filter(pc.less(t["vec_id"], _N_QUERIES))
+    t = t.sort_by("vec_id")
+    from raycdc.similarity import _to_matrix
+
+    return _to_matrix(t["embedding"]), t["vec_id"].to_numpy()
+
+
+def q_sim_knn(sf_dir: str):
+    """Brute-force cosine top-k (k=5) for the first 5 vectors as queries.
+    Scores are excluded from the output (rank is deterministic; float
+    formatting differs between engines)."""
+    from raycdc.similarity import knn_brute_force
+
+    q, qids = _query_matrix(sf_dir)
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    out = knn_brute_force(ds, q, qids, k=_TOP_K)
+    return out.select_columns(["q_id", "vec_id", "rank"])
+
+
+SQL_SIM_KNN = f"""
+WITH q AS (
+    SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id < {_N_QUERIES}
+),
+s AS (
+    SELECT q.q_id, e.vec_id,
+           list_cosine_similarity(q.qe, e.embedding) AS sc
+    FROM q CROSS JOIN embeddings e
+),
+r AS (
+    SELECT q_id, vec_id,
+           row_number() OVER (PARTITION BY q_id ORDER BY sc DESC, vec_id ASC) AS rank
+    FROM s
+)
+SELECT q_id, vec_id, rank FROM r WHERE rank <= {_TOP_K}
+"""
+
+
+def q_sim_knn_lsh(sf_dir: str):
+    """Random-hyperplane LSH approximate top-k (rows-only; recall vs the
+    brute-force baseline is asserted in pytest)."""
+    from raycdc.similarity import knn_lsh
+
+    q, qids = _query_matrix(sf_dir)
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    out = knn_lsh(ds, q, qids, k=_TOP_K, nbits=4, num_partitions=16)
+    return out.select_columns(["q_id", "vec_id", "rank"])
+
+
+def q_embed_near_dup(sf_dir: str):
+    """Embedding-cosine near-duplicate pairs within LSH buckets (rows-only;
+    the base embeddings are near-orthogonal random vectors, so near-dups are
+    constructed: each vector gets one slightly-perturbed copy)."""
+    from raycdc.similarity import embedding_near_dup_pairs
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+
+    def with_copies(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        from raycdc.similarity import _to_matrix
+
+        m = _to_matrix(t["embedding"])
+        perturbed = m * 1.01 + 0.001  # cosine ≈ 0.9999 to the original
+        copy = pa.table(
+            {
+                "vec_id": pc.add(t["vec_id"], _DUP_OFFSET),
+                "embedding": pa.FixedSizeListArray.from_arrays(
+                    pa.array(perturbed.reshape(-1).astype(np.float32)), m.shape[1]
+                ),
+            }
+        )
+        base = pa.table(
+            {
+                "vec_id": t["vec_id"],
+                "embedding": pa.FixedSizeListArray.from_arrays(
+                    pa.array(m.reshape(-1).astype(np.float32)), m.shape[1]
+                ),
+            }
+        )
+        return pa.concat_tables([base, copy])
+
+    corpus = ds.map_batches(with_copies, batch_format="pyarrow", zero_copy_batch=True)
+    return embedding_near_dup_pairs(corpus, threshold=0.99, nbits=4, num_partitions=16)
+
+
+# ---------------------------------------------------------------------------
+# multimodal (binary payload plumbing; codecs stubbed)
+
+
+def q_media_meta(sf_dir: str):
+    """Binary-payload schema + metadata extraction (oracle on byte length)."""
+    from raycdc.multimodal import payload_from_text
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def fn(t: pa.Table) -> pa.Table:
+        m = payload_from_text(t)
+        return pa.table(
+            {
+                "media_id": m["media_id"],
+                "mime": m["mime"],
+                "n_bytes": pc.struct_field(m["meta"], "n_bytes"),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+SQL_MEDIA_META = """
+SELECT doc_id AS media_id,
+       'application/octet-stream' AS mime,
+       octet_length(encode(text)) AS n_bytes
+FROM documents
+"""
+
+
+def q_media_features(sf_dir: str):
+    """Actor-pool feature extraction over binary payloads (stub codec;
+    rows-only): small batches + bounded concurrency, the wide-row pattern."""
+    from raycdc.multimodal import MediaFeatureExtractor, payload_from_text
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    media = ds.map_batches(
+        payload_from_text, batch_format="pyarrow", zero_copy_batch=True
+    )
+    feats = media.map_batches(
+        MediaFeatureExtractor,
+        batch_format="pyarrow",
+        concurrency=2,
+        batch_size=256,
+    )
+
+    def flat(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        f = t["features"].combine_chunks()
+        mat = np.asarray(f.flatten()).reshape(len(t), -1)
+        return pa.table(
+            {
+                "media_id": t["media_id"],
+                "f0": pa.array(np.floor(mat[:, 0] * 1e6) / 1e6),
+                "f_sum": pa.array(np.floor(mat.sum(axis=1) * 1e6) / 1e6),
+            }
+        )
+
+    return feats.map_batches(flat, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
 # registry
 
 
@@ -224,13 +656,36 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "proj_dates": q_proj_dates,
     "proj_wareki": q_proj_wareki,
     "proj_statement": q_proj_statement,
+    "text_stats": q_text_stats,
+    "text_quality": q_text_quality,
+    "text_langid": q_text_langid,
+    "text_fingerprints": q_text_fingerprints,
+    "dedup_exact": q_dedup_exact,
+    "dedup_minhash": q_dedup_minhash,
+    "dedup_jaccard": q_dedup_jaccard,
+    "dedup_simhash": q_dedup_simhash,
+    "sim_knn": q_sim_knn,
+    "sim_knn_lsh": q_sim_knn_lsh,
+    "embed_near_dup": q_embed_near_dup,
+    "media_meta": q_media_meta,
+    "media_features": q_media_features,
 }
 
+# queries without an entry here get the driver's weaker rows-only check
+# (non-SQL-expressible: heuristic language ID, rolling-hash fingerprints,
+# sub-1.0-recall LSH variants)
 ORACLES: dict[str, str] = {
     "proj_clean_number": SQL_PROJ_CLEAN_NUMBER,
     "proj_dates": SQL_PROJ_DATES,
     "proj_wareki": SQL_PROJ_WAREKI,
     "proj_statement": SQL_PROJ_STATEMENT,
+    "text_stats": SQL_TEXT_STATS,
+    "text_quality": SQL_TEXT_QUALITY,
+    "dedup_exact": SQL_DEDUP_EXACT,
+    "dedup_minhash": SQL_DEDUP_MINHASH,
+    "dedup_jaccard": SQL_DEDUP_JACCARD,
+    "sim_knn": SQL_SIM_KNN,
+    "media_meta": SQL_MEDIA_META,
 }
 
 
@@ -238,4 +693,8 @@ def bench_extras() -> dict[str, Callable[[str], Any]]:
     """Heavier pipelines bench.py times (each consumed via count())."""
     return {
         "proj_statement": lambda sf: q_proj_statement(sf).count(),
+        "text_stats": lambda sf: q_text_stats(sf).count(),
+        "dedup_exact": lambda sf: q_dedup_exact(sf).count(),
+        "dedup_minhash": lambda sf: q_dedup_minhash(sf).count(),
+        "sim_knn": lambda sf: q_sim_knn(sf).count(),
     }

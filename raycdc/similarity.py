@@ -1,0 +1,232 @@
+"""Similarity search over embedding columns (``list<float>``).
+
+* :func:`knn_brute_force` — exact cosine top-k: the query matrix is put in
+  the object store ONCE (``ray.put``) and every task does one numpy matmul
+  per batch (never per row), emitting per-batch partial top-k; a final
+  small groupby picks the global top-k per query.  This is the baseline
+  and the verification oracle for the approximate variants.
+* :func:`rp_lsh_buckets` / :func:`knn_lsh` — random-hyperplane LSH (signed
+  random projections): vectors land in sign-pattern buckets; queries probe
+  their own bucket only.  The scale path: bucket groupby is the one
+  shuffle, each bucket search is a tiny matmul.  Recall < 1 by design —
+  measured against the brute-force baseline in tests, not assumed.
+* :func:`embedding_near_dup_pairs` — near-duplicate pairs by cosine ≥
+  threshold within LSH buckets (embedding-space analog of MinHash dedup).
+
+Partitioning assumption (documented per SURVEY.md custom-operator rule):
+bucket keys distribute uniformly for mean-zero data; skewed embedding
+clusters (all-near-identical corpora) degenerate into one bucket — the
+``max_bucket`` cap + multi-table probing bound that case.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data
+
+
+def _to_matrix(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """list<float> column → (n, d) float64 matrix, zero-copy flatten."""
+    la = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    if isinstance(la, pa.ChunkedArray):
+        la = la.combine_chunks()
+    flat = la.flatten().to_numpy(zero_copy_only=False)
+    if isinstance(la, pa.FixedSizeListArray):
+        d = la.type.list_size
+    else:
+        off = la.offsets.to_numpy()
+        d = int(off[1] - off[0]) if len(off) > 1 else 0
+    return flat.reshape(len(la), d).astype(np.float64)
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    return m / np.where(norms == 0, 1, norms)
+
+
+def knn_brute_force(
+    ds: "ray.data.Dataset",
+    queries: np.ndarray,
+    query_ids: np.ndarray,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> "ray.data.Dataset":
+    """Exact cosine top-k for each query row.
+
+    Output: ``(q_id, vec_id, score, rank)`` with rank 1..k, ties broken by
+    ascending ``vec_id`` (deterministic).
+    """
+    qn = _normalize(np.asarray(queries, np.float64))
+    ref = ray.put((qn, np.asarray(query_ids)))
+
+    def partial_topk(t: pa.Table) -> pa.Table:
+        q, qids = ray.get(ref)
+        m = _normalize(_to_matrix(t[vec_col]))
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        scores = q @ m.T  # (nq, nb)
+        kk = min(k, scores.shape[1])
+        # per-query partial top-k (argpartition then exact sort of the head)
+        idx = np.argpartition(-scores, kk - 1, axis=1)[:, :kk]
+        rows = np.repeat(np.arange(len(q)), kk)
+        cols = idx.reshape(-1)
+        return pa.table(
+            {
+                "q_id": pa.array(np.repeat(qids, kk)),
+                id_col: pa.array(ids[cols]),
+                "score": pa.array(scores[rows, cols]),
+            }
+        )
+
+    def final_topk(g: pa.Table) -> pa.Table:
+        g = g.sort_by([("score", "descending"), (id_col, "ascending")])
+        g = g.slice(0, k)
+        return g.append_column("rank", pa.array(np.arange(1, len(g) + 1)))
+
+    return (
+        ds.map_batches(partial_topk, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("q_id")
+        .map_groups(final_topk, batch_format="pyarrow")
+    )
+
+
+# ---------------------------------------------------------------------------
+# random-hyperplane LSH
+
+
+def _planes(dim: int, nbits: int, seed: int = 42) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((nbits, dim))
+
+
+def rp_lsh_buckets(
+    batch: pa.Table,
+    planes: np.ndarray,
+    vec_col: str = "embedding",
+) -> pa.Table:
+    """Append the sign-pattern bucket id (int64) of each vector."""
+    m = _to_matrix(batch[vec_col])
+    signs = (m @ planes.T) > 0  # (n, nbits)
+    weights = (1 << np.arange(planes.shape[0])).astype(np.int64)
+    bucket = signs @ weights
+    return batch.append_column("bucket", pa.array(bucket.astype(np.int64)))
+
+
+def knn_lsh(
+    ds: "ray.data.Dataset",
+    queries: np.ndarray,
+    query_ids: np.ndarray,
+    k: int = 5,
+    nbits: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    num_partitions: int = 32,
+) -> "ray.data.Dataset":
+    """Approximate top-k: probe only the query's own sign bucket.
+
+    One groupby on bucket id; queries are broadcast and re-derived per
+    bucket group (cheap: nq × d matmul).  Recall measured in tests.
+    """
+    qn = _normalize(np.asarray(queries, np.float64))
+    dim = qn.shape[1]
+    planes = _planes(dim, nbits)
+    q_buckets = ((qn @ planes.T) > 0) @ (1 << np.arange(nbits)).astype(np.int64)
+    ref = ray.put((qn, np.asarray(query_ids), q_buckets))
+
+    bucketed = ds.map_batches(
+        lambda t: rp_lsh_buckets(t, planes, vec_col),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+    def search_bucket(g: pa.Table) -> pa.Table:
+        q, qids, qb = ray.get(ref)
+        b = int(g["bucket"][0].as_py())
+        sel = qb == b
+        if not sel.any():
+            return pa.table(
+                {
+                    "q_id": pa.array([], pa.int64()),
+                    id_col: pa.array([], pa.int64()),
+                    "score": pa.array([], pa.float64()),
+                    "rank": pa.array([], pa.int64()),
+                }
+            )
+        m = _normalize(_to_matrix(g[vec_col]))
+        ids = g[id_col].to_numpy(zero_copy_only=False)
+        scores = q[sel] @ m.T
+        out_q, out_id, out_s, out_r = [], [], [], []
+        for qi, qid in enumerate(np.asarray(qids)[sel]):
+            order = np.lexsort((ids, -scores[qi]))[:k]
+            out_q.extend([qid] * len(order))
+            out_id.extend(ids[order])
+            out_s.extend(scores[qi][order])
+            out_r.extend(range(1, len(order) + 1))
+        return pa.table(
+            {
+                "q_id": pa.array(out_q, pa.int64()),
+                id_col: pa.array(out_id, pa.int64()),
+                "score": pa.array(out_s, pa.float64()),
+                "rank": pa.array(out_r, pa.int64()),
+            }
+        )
+
+    return bucketed.groupby("bucket", num_partitions=num_partitions).map_groups(
+        search_bucket, batch_format="pyarrow"
+    )
+
+
+def embedding_near_dup_pairs(
+    ds: "ray.data.Dataset",
+    threshold: float = 0.95,
+    nbits: int = 6,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    num_partitions: int = 32,
+    max_bucket: int = 2048,
+) -> "ray.data.Dataset":
+    """(a<b) pairs with cosine ≥ threshold, candidates restricted to one
+    LSH bucket (near-identical vectors agree on all sign bits with high
+    probability; multi-probe would raise recall further)."""
+    planes_cache: dict[int, np.ndarray] = {}
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        m = _to_matrix(t[vec_col])
+        p = planes_cache.setdefault(m.shape[1], _planes(m.shape[1], nbits))
+        signs = (m @ p.T) > 0
+        bucket = signs @ (1 << np.arange(nbits)).astype(np.int64)
+        return t.append_column("bucket", pa.array(bucket.astype(np.int64)))
+
+    def pairs_in_bucket(g: pa.Table) -> pa.Table:
+        m = _normalize(_to_matrix(g[vec_col]))
+        ids = g[id_col].to_numpy(zero_copy_only=False)
+        if len(ids) > max_bucket:
+            m, ids = m[:max_bucket], ids[:max_bucket]
+        if len(ids) < 2:
+            return pa.table(
+                {
+                    "a": pa.array([], pa.int64()),
+                    "b": pa.array([], pa.int64()),
+                    "cosine": pa.array([], pa.float64()),
+                }
+            )
+        s = m @ m.T
+        ai, bi = np.triu_indices(len(ids), k=1)
+        keep = s[ai, bi] >= threshold
+        a, b = ids[ai[keep]], ids[bi[keep]]
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        return pa.table(
+            {
+                "a": pa.array(lo.astype(np.int64)),
+                "b": pa.array(hi.astype(np.int64)),
+                "cosine": pa.array(np.round(s[ai, bi][keep], 6)),
+            }
+        )
+
+    bucketed = ds.map_batches(bucketize, batch_format="pyarrow", zero_copy_batch=True)
+    return bucketed.groupby("bucket", num_partitions=num_partitions).map_groups(
+        pairs_in_bucket, batch_format="pyarrow"
+    )

@@ -1,0 +1,213 @@
+"""Text-analysis operators for training-data pipelines.
+
+Beyond the reference's scope (SURVEY.md §2.6 — it has no analytics), these
+are the text-quality stages a 100 TB corpus pipeline needs: token counting,
+quality scoring, language ID, and document fingerprinting.  All are pure
+vectorized batch kernels (`map_batches`, Arrow/numpy) — no Python loop over
+rows in any hot path except the documented winnowing kernel, which loops
+over a fixed small window count per batch via numpy strides.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# BPE-ish word/punctuation tokenizer (shared with the DuckDB oracle —
+# RE2-compatible, ASCII-safe)
+TOKEN_REGEX = r"[a-zA-Z0-9]+|[^a-zA-Z0-9\s]"
+
+STOPWORDS = ("the", "a")
+
+
+def token_stats(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Whitespace tokens, regex (BPE-ish) tokens, distinct tokens, stopword
+    count, char count — the quality-signal raw counters, all integers so the
+    DuckDB oracle can match exactly."""
+    import polars as pl
+
+    t = batch[text_col]
+    ws_tokens = pc.split_pattern(t, " ")
+    n_ws = pc.list_value_length(ws_tokens)
+    n_chars = pc.utf8_length(t)
+    # per-row distinct count: polars' Rust list kernel (zero-copy from Arrow)
+    n_uniq = (
+        pl.from_arrow(ws_tokens if isinstance(ws_tokens, pa.Array) else ws_tokens.combine_chunks())
+        .list.n_unique()
+        .to_arrow()
+    )
+    n_stop = _count_in(ws_tokens, STOPWORDS)
+    n_bpe = pc.count_substring_regex(t, pattern=TOKEN_REGEX)
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "n_chars": pc.cast(n_chars, pa.int64()),
+            "n_tokens": pc.cast(n_ws, pa.int64()),
+            "n_uniq_tokens": pc.cast(n_uniq, pa.int64()),
+            "n_stopwords": pc.cast(n_stop, pa.int64()),
+            "n_bpe_tokens": pc.cast(n_bpe, pa.int64()),
+        }
+    )
+
+
+def _count_in(list_arr, vocab: tuple[str, ...]):
+    """Per-row count of list elements found in ``vocab`` (vectorized via
+    flatten + index_in + segmented sum over offsets)."""
+    la = list_arr.combine_chunks() if isinstance(list_arr, pa.ChunkedArray) else list_arr
+    flat = la.flatten()
+    hit = pc.is_in(flat, value_set=pa.array(vocab))
+    hits = pc.cast(hit, pa.int64()).to_numpy(zero_copy_only=False)
+    offsets = la.offsets.to_numpy().astype(np.int64)
+    offsets = offsets - offsets[0]  # normalize in case of a sliced array
+    csum = np.concatenate([[0], np.cumsum(hits)])
+    return pa.array(csum[offsets[1:]] - csum[offsets[:-1]])
+
+
+def quality_score(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Composite quality heuristic in [0,1]: length band + lexical diversity
+    + stopword presence (the Gopher/C4-style cheap filters, integer-free
+    scoring kept float; exposed as a rows-only query)."""
+    stats = token_stats(batch, text_col)
+    n_tok = stats["n_tokens"].to_numpy().astype(np.float64)
+    n_uniq = stats["n_uniq_tokens"].to_numpy().astype(np.float64)
+    n_stop = stats["n_stopwords"].to_numpy().astype(np.float64)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        diversity = np.where(n_tok > 0, n_uniq / n_tok, 0.0)
+        stop_ratio = np.where(n_tok > 0, n_stop / n_tok, 0.0)
+    len_ok = np.clip((n_tok - 5) / 45.0, 0.0, 1.0)
+    score = 0.4 * len_ok + 0.4 * diversity + 0.2 * np.clip(stop_ratio * 10, 0, 1)
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            # floor-quantize: numpy round is half-even, SQL round half-away
+            "quality": pa.array(np.floor(score * 1e6) / 1e6),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# language ID — letter-frequency profile heuristic
+
+
+_LANG_PROFILES = {
+    # coarse letter-frequency profiles (public single-byte frequency tables,
+    # rounded); enough for a deterministic n-gram-style scorer
+    "en": {"e": 12.7, "t": 9.1, "a": 8.2, "o": 7.5, "i": 7.0, "n": 6.7, "s": 6.3, "h": 6.1},
+    "es": {"e": 13.7, "a": 12.5, "o": 8.7, "s": 8.0, "r": 6.9, "n": 6.7, "i": 6.2, "d": 5.9},
+    "de": {"e": 16.4, "n": 9.8, "s": 7.3, "r": 7.0, "i": 6.6, "a": 6.5, "t": 6.2, "d": 5.1},
+    "fr": {"e": 14.7, "s": 7.9, "a": 7.6, "i": 7.5, "t": 7.2, "n": 7.1, "r": 6.6, "u": 6.3},
+    "zh": {"i": 8.0, "n": 7.0, "g": 6.5, "h": 6.0, "a": 5.5, "e": 5.0, "u": 4.5, "z": 4.0},
+}
+_ALPHABET = "abcdefghijklmnopqrstuvwxyz"
+
+
+def _profile_matrix() -> np.ndarray:
+    m = np.zeros((len(_LANG_PROFILES), len(_ALPHABET)))
+    for li, prof in enumerate(_LANG_PROFILES.values()):
+        for ch, w in prof.items():
+            m[li, _ALPHABET.index(ch)] = w
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    return m / np.where(norms == 0, 1, norms)
+
+
+_PROFILES = _profile_matrix()
+_LANGS = np.array(list(_LANG_PROFILES))
+
+
+def lang_id(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Nearest letter-frequency profile (cosine).  Vectorized: one
+    byte-histogram matrix per batch (numpy bincount over a flattened byte
+    view), one matmul against the profile matrix."""
+    texts = batch[text_col]
+    la = texts.combine_chunks() if isinstance(texts, pa.ChunkedArray) else texts
+    if isinstance(la, pa.ChunkedArray):
+        la = la.combine_chunks()
+    # flatten utf8 buffer + offsets → per-row letter histograms
+    bufs = la.buffers()
+    raw = np.frombuffer(bufs[2], dtype=np.uint8) if bufs[2] else np.array([], np.uint8)
+    all_offsets = np.frombuffer(bufs[1], dtype=np.int32)
+    offsets = all_offsets[la.offset : la.offset + len(la) + 1].astype(np.int64)
+    buf = raw[offsets[0] : offsets[-1]]
+    offsets = offsets - offsets[0]
+    lower = np.where((buf >= 65) & (buf <= 90), buf + 32, buf)
+    is_alpha = (lower >= 97) & (lower <= 122)
+    letter_idx = (lower - 97).astype(np.int64)
+    row_idx = np.repeat(
+        np.arange(len(la), dtype=np.int64), np.diff(offsets).astype(np.int64)
+    )
+    sel = is_alpha
+    hist = np.zeros((len(la), 26))
+    np.add.at(hist, (row_idx[sel], letter_idx[sel]), 1.0)
+    norms = np.linalg.norm(hist, axis=1, keepdims=True)
+    hist = hist / np.where(norms == 0, 1, norms)
+    scores = hist @ _PROFILES.T
+    pred = _LANGS[np.argmax(scores, axis=1)]
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "pred_lang": pa.array(pred),
+            "confidence": pa.array(np.round(np.max(scores, axis=1), 6)),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# document fingerprinting — winnowing over token rolling hashes
+
+
+_FP_BASE = np.uint64(1099511628211)
+_FP_MOD_MASK = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+
+def _token_hashes(tokens: list[str]) -> np.ndarray:
+    arr = np.array(tokens, dtype=object)
+    import pandas.util
+
+    return pandas.util.hash_array(arr, categorize=False)
+
+
+def fingerprints(
+    batch: pa.Table,
+    text_col: str = "text",
+    k: int = 3,
+    window: int = 4,
+) -> pa.Table:
+    """Winnowing fingerprints (Schleimer et al., SIGMOD'03): rolling hash of
+    k-token shingles, minimum per sliding window, distinct mins kept.
+
+    Output: one row per doc — fingerprint count + min/max fingerprint — a
+    compact content signature for plagiarism-style matching."""
+    texts = batch[text_col].to_pylist()
+    doc_ids = batch["doc_id"]
+    n_fp, fp_min, fp_max = [], [], []
+    for text in texts:
+        toks = text.split(" ") if text else []
+        if len(toks) < k:
+            n_fp.append(0)
+            fp_min.append(0)
+            fp_max.append(0)
+            continue
+        h = _token_hashes(toks)
+        # k-shingle rolling hash: weighted sum of token hashes (vectorized)
+        sh = np.zeros(len(toks) - k + 1, dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            for j in range(k):
+                sh = sh * _FP_BASE + h[j : j + len(sh)]
+        if len(sh) >= window:
+            win = np.lib.stride_tricks.sliding_window_view(sh, window)
+            mins = win.min(axis=1)
+        else:
+            mins = np.array([sh.min()], dtype=np.uint64)
+        fps = np.unique(mins)
+        n_fp.append(len(fps))
+        fp_min.append(int(fps.min() & np.uint64(0x7FFFFFFFFFFFFFFF)))
+        fp_max.append(int(fps.max() & np.uint64(0x7FFFFFFFFFFFFFFF)))
+    return pa.table(
+        {
+            "doc_id": doc_ids,
+            "n_fingerprints": pa.array(n_fp, pa.int64()),
+            "fp_min": pa.array(fp_min, pa.int64()),
+            "fp_max": pa.array(fp_max, pa.int64()),
+        }
+    )

@@ -1,0 +1,71 @@
+"""Multimodal plumbing tests: binary payload schema, actor-pool feature
+extraction, frame sampling, codec-stub gating."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+import ray.data
+
+from raycdc.multimodal import (
+    FrameSampler,
+    MediaFeatureExtractor,
+    payload_from_text,
+)
+
+DOCS = "/root/testdata/sf0.001/documents.parquet"
+
+
+@pytest.fixture(scope="module")
+def media_table():
+    docs = pq.read_table(DOCS, columns=["doc_id", "text"]).slice(0, 40)
+    return payload_from_text(docs)
+
+
+def test_payload_schema_and_bytes(media_table):
+    assert media_table.column_names == ["media_id", "content", "mime", "meta"]
+    texts = pq.read_table(DOCS, columns=["text"]).slice(0, 40)["text"].to_pylist()
+    got = media_table["content"].to_pylist()
+    assert got[0] == texts[0].encode()
+    meta = media_table["meta"].to_pylist()
+    assert meta[0]["n_bytes"] == len(texts[0].encode())
+
+
+def test_feature_extractor_actor_pool(ray_session, media_table):
+    ds = ray.data.from_arrow(media_table)
+    feats = ds.map_batches(
+        MediaFeatureExtractor,
+        batch_format="pyarrow",
+        concurrency=2,
+        batch_size=8,
+    ).to_pandas()
+    assert len(feats) == 40
+    mat = np.stack(feats["features"].to_numpy())
+    assert mat.shape == (40, 16)
+    # L1-normalized histograms
+    np.testing.assert_allclose(mat.sum(axis=1), 1.0, rtol=1e-9)
+
+
+def test_feature_extractor_deterministic(media_table):
+    ex = MediaFeatureExtractor()
+    a, b = ex(media_table), ex(media_table)
+    assert a.equals(b)
+
+
+def test_real_codec_fails_fast():
+    with pytest.raises(NotImplementedError, match="pillow"):
+        MediaFeatureExtractor(codec="pillow")
+    with pytest.raises(NotImplementedError, match="ffmpeg"):
+        FrameSampler(codec="ffmpeg")
+
+
+def test_frame_sampler_layout(media_table):
+    fs = FrameSampler(n_frames=4, frame_bytes=8)
+    out = fs(media_table.slice(0, 3))
+    assert out.column_names == ["media_id", "frame_idx", "frame"]
+    assert len(out) == 12  # 3 media × 4 frames
+    content = media_table["content"][0].as_py()
+    assert out["frame"][0].as_py() == content[:8]
+    # frame 2 starts at size//2
+    assert out["frame"][2].as_py() == content[len(content) // 2 :][:8]

@@ -1,0 +1,210 @@
+"""Tests for the training-data operator families: text analysis, dedup
+(exact / MinHash-LSH / SimHash / Jaccard), and similarity search."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import pytest
+
+import ray.data
+
+from raycdc import dedup as D
+from raycdc import similarity as S
+from raycdc import text as T
+
+DOCS = "/root/testdata/sf0.001/documents.parquet"
+EMB = "/root/testdata/sf0.001/embeddings.parquet"
+
+
+@pytest.fixture(scope="module")
+def docs():
+    return pq.read_table(DOCS, columns=["doc_id", "text"])
+
+
+# --- text ------------------------------------------------------------------
+
+
+def test_token_stats_vs_python(docs):
+    b = docs.slice(0, 50)
+    out = T.token_stats(b)
+    texts = b["text"].to_pylist()
+    for i in (0, 7, 23):
+        toks = texts[i].split(" ")
+        assert out["n_tokens"][i].as_py() == len(toks)
+        assert out["n_uniq_tokens"][i].as_py() == len(set(toks))
+        assert out["n_stopwords"][i].as_py() == sum(t in ("the", "a") for t in toks)
+        assert out["n_chars"][i].as_py() == len(texts[i])
+
+
+def test_lang_id_deterministic_and_valid(docs):
+    b = docs.slice(0, 30)
+    o1, o2 = T.lang_id(b), T.lang_id(b)
+    assert o1.equals(o2)
+    assert set(o1["pred_lang"].to_pylist()) <= {"en", "es", "de", "fr", "zh"}
+
+
+def test_fingerprints_detect_copy_and_differ(docs):
+    b = docs.slice(0, 10)
+    fp = T.fingerprints(b)
+    fp2 = T.fingerprints(b)  # deterministic
+    assert fp.equals(fp2)
+    # identical text ⇒ identical fingerprints; different text ⇒ different
+    t = pa.table({"doc_id": pa.array([1, 2, 3], pa.int64()),
+                  "text": pa.array([b["text"][0].as_py(), b["text"][0].as_py(),
+                                    b["text"][1].as_py()])})
+    f = T.fingerprints(t)
+    assert f["fp_min"][0].as_py() == f["fp_min"][1].as_py()
+    assert f["fp_max"][0].as_py() == f["fp_max"][1].as_py()
+    assert (
+        f["fp_min"][2].as_py(),
+        f["fp_max"][2].as_py(),
+    ) != (f["fp_min"][0].as_py(), f["fp_max"][0].as_py())
+
+
+def test_shingle_hashes_match_python_sets(docs):
+    texts = docs.slice(0, 5)["text"]
+    sh, off = D.word_shingle_hashes(texts, k=3)
+    for i, text in enumerate(texts.to_pylist()):
+        toks = text.split(" ")
+        n_expected = len({tuple(toks[j : j + 3]) for j in range(len(toks) - 2)})
+        assert off[i + 1] - off[i] == n_expected
+
+
+# --- dedup -----------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def dup_corpus(docs):
+    base = docs.slice(0, 60)
+    exact = pa.table(
+        {"doc_id": pc.add(base["doc_id"], 1000), "text": base["text"]}
+    )
+    near = pa.table(
+        {
+            "doc_id": pc.add(base["doc_id"], 2000),
+            "text": pc.binary_join_element_wise(base["text"], " zzz", ""),
+        }
+    )
+    return pa.concat_tables([base, exact, near])
+
+
+def test_exact_dedup_keeps_min_id(ray_session, dup_corpus):
+    out = D.exact_dedup(
+        ray.data.from_arrow(dup_corpus), num_partitions=8
+    ).to_pandas()
+    # exact copies collapse to the original ids; near copies survive
+    assert len(out) == 120
+    assert out["doc_id"].max() >= 2000
+    assert not set(range(1000, 1060)) & set(out["doc_id"])
+
+
+def test_minhash_lsh_finds_near_dups(ray_session, dup_corpus):
+    ds = ray.data.from_arrow(dup_corpus)
+    sigs = ds.map_batches(D.minhash_signatures, batch_format="pyarrow")
+    pairs = D.lsh_candidate_pairs(sigs, bands=32, num_partitions=8)
+    ver = D.verify_jaccard_pairs(pairs, dup_corpus, threshold=0.8).to_pandas()
+    found = set(zip(ver["a"], ver["b"]))
+    # every exact-copy pair must be found (jaccard 1.0)
+    base_ids = dup_corpus["doc_id"].to_pylist()[:60]
+    for i in base_ids:
+        assert (i, i + 1000) in found, f"missing exact pair {i}"
+    assert (ver["jaccard"] <= 1.0).all() and (ver["jaccard"] >= 0.8).all()
+
+
+def test_minhash_estimates_jaccard():
+    # signature agreement rate ≈ true jaccard
+    a = pa.table({"doc_id": pa.array([0, 1], pa.int64()),
+                  "text": pa.array(["w0 " * 50 + "x y z", "w0 " * 50 + "p q r"])})
+    sig = D.minhash_signatures(a, num_perm=128)
+    s = np.array(sig["sig"].to_pylist())
+    est = (s[0] == s[1]).mean()
+    sh, off = D.word_shingle_hashes(a["text"], k=3)
+    sa, sb = sh[off[0]:off[1]], sh[off[1]:off[2]]
+    true_j = len(np.intersect1d(sa, sb)) / len(np.union1d(sa, sb))
+    assert abs(est - true_j) < 0.15
+
+
+def test_simhash_exact_copy_hamming_zero(ray_session, dup_corpus):
+    ds = ray.data.from_arrow(dup_corpus)
+    sigs = ds.map_batches(D.simhash_signatures, batch_format="pyarrow")
+    pairs = D.simhash_candidate_pairs(sigs, max_hamming=3, num_partitions=8).to_pandas()
+    found = {(r.a, r.b): r.hamming for r in pairs.itertuples()}
+    base_ids = dup_corpus["doc_id"].to_pylist()[:60]
+    for i in base_ids:
+        assert found.get((i, i + 1000)) == 0, f"exact pair {i} not at hamming 0"
+
+
+# --- similarity ------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def emb_table():
+    return pq.read_table(EMB, columns=["vec_id", "embedding"])
+
+
+def _np_topk(m, q, k):
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+    s = qn @ mn.T
+    out = []
+    for row in s:
+        order = np.lexsort((np.arange(len(row)), -row))[:k]
+        out.append(order)
+    return out
+
+
+def test_knn_brute_force_matches_numpy(ray_session, emb_table):
+    m = S._to_matrix(emb_table["embedding"])
+    ids = emb_table["vec_id"].to_numpy()
+    q, qids = m[:3], ids[:3]
+    res = (
+        S.knn_brute_force(ray.data.from_arrow(emb_table), q, qids, k=5)
+        .to_pandas()
+        .sort_values(["q_id", "rank"])
+    )
+    expected = _np_topk(m, q, 5)
+    for qi, qid in enumerate(qids):
+        got = res[res.q_id == qid].sort_values("rank")["vec_id"].tolist()
+        assert got == list(ids[expected[qi]])
+
+
+def test_knn_lsh_recall_measured(ray_session, emb_table):
+    m = S._to_matrix(emb_table["embedding"])
+    ids = emb_table["vec_id"].to_numpy()
+    q, qids = m[:10], ids[:10]
+    ds = ray.data.from_arrow(emb_table)
+    exact = S.knn_brute_force(ds, q, qids, k=5).to_pandas()
+    approx = S.knn_lsh(ds, q, qids, k=5, nbits=4, num_partitions=8).to_pandas()
+    # every query finds ITSELF at rank 1 (same bucket by construction)
+    r1 = approx[approx["rank"] == 1]
+    assert set(r1["q_id"]) == set(qids)
+    assert (r1["q_id"] == r1["vec_id"]).all()
+    # recall vs exact: positive and measured (not asserted to be 1)
+    e = set(zip(exact["q_id"], exact["vec_id"]))
+    a = set(zip(approx["q_id"], approx["vec_id"]))
+    recall = len(e & a) / len(e)
+    assert recall > 0.2
+
+
+def test_embedding_near_dup_finds_perturbed_copies(ray_session, emb_table):
+    m = S._to_matrix(emb_table["embedding"])[:100]
+    ids = np.arange(100, dtype=np.int64)
+    corpus = pa.table(
+        {
+            "vec_id": pa.array(np.concatenate([ids, ids + 1000])),
+            "embedding": pa.FixedSizeListArray.from_arrays(
+                pa.array(
+                    np.concatenate([m, m * 1.01 + 0.001]).reshape(-1).astype(np.float32)
+                ),
+                m.shape[1],
+            ),
+        }
+    )
+    out = S.embedding_near_dup_pairs(
+        ray.data.from_arrow(corpus), threshold=0.99, nbits=4, num_partitions=8
+    ).to_pandas()
+    found = set(zip(out["a"], out["b"]))
+    hits = sum((i, i + 1000) in found for i in ids)
+    assert hits >= 90  # a few pairs may straddle an LSH bucket boundary
+    assert (out["cosine"] >= 0.99).all()
