@@ -27,7 +27,10 @@ import time
 
 DEFAULT_SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 DEFAULT_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-AMPLIFY = int(os.environ.get("RAYCDC_BENCH_AMPLIFY", "128"))
+AMPLIFY = int(os.environ.get("RAYCDC_BENCH_AMPLIFY", "256"))
+# replicas derived per map task: bigger tasks amortize dispatch overhead and
+# let the per-batch combiner dedup across replicas before the shuffle
+REPS_PER_TASK = int(os.environ.get("RAYCDC_BENCH_REPS_PER_TASK", "4"))
 
 
 def _sf_of(sf_dir: str) -> float:
@@ -50,7 +53,7 @@ def run_queries(sf_dir: str, num_cpus: int, amplify: int) -> dict:
 
     # Partition count is a property of the LAKE, not the run: fixed so the
     # layout (and hence idempotent rewrites) are stable across cluster sizes.
-    spec = TableSpec(num_partitions=64)
+    spec = TableSpec(num_partitions=64, shuffle_partitions=64)
     queries: dict[str, float] = {}
     extra: dict[str, float] = {}
 
@@ -65,7 +68,11 @@ def run_queries(sf_dir: str, num_cpus: int, amplify: int) -> dict:
     for _ in range(2):
         shutil.rmtree(lake, ignore_errors=True)
         t0 = time.perf_counter()
-        lineage = replay(amplified_changelog(sf_dir, amplify), lake, spec)
+        lineage = replay(
+            amplified_changelog(sf_dir, amplify, reps_per_task=REPS_PER_TASK),
+            lake,
+            spec,
+        )
         times.append(time.perf_counter() - t0)
         assert len(lineage) > 0
     dt = min(times)
@@ -76,7 +83,9 @@ def run_queries(sf_dir: str, num_cpus: int, amplify: int) -> dict:
 
     # --- redelivery (idempotent no-op path) --------------------------------
     t0 = time.perf_counter()
-    replay(amplified_changelog(sf_dir, amplify), lake, spec)
+    replay(
+        amplified_changelog(sf_dir, amplify, reps_per_task=REPS_PER_TASK), lake, spec
+    )
     queries["cdc_redelivery_noop"] = time.perf_counter() - t0
     shutil.rmtree(lake, ignore_errors=True)
 
@@ -185,7 +194,7 @@ def main() -> None:
         from raycdc.engine import replay
         from raycdc.schema import TableSpec
 
-        spec = TableSpec(num_partitions=64)
+        spec = TableSpec(num_partitions=64, shuffle_partitions=64)
         _warmup(args.num_cpus)
         n_events = args.amplify * _count_events(args.sf_dir)
         lake = os.path.join(
@@ -195,7 +204,13 @@ def main() -> None:
         for _ in range(2):
             shutil.rmtree(lake, ignore_errors=True)
             t0 = time.perf_counter()
-            replay(amplified_changelog(args.sf_dir, args.amplify), lake, spec)
+            replay(
+                amplified_changelog(
+                    args.sf_dir, args.amplify, reps_per_task=REPS_PER_TASK
+                ),
+                lake,
+                spec,
+            )
             times.append(time.perf_counter() - t0)
         dt = min(times)
         shutil.rmtree(lake, ignore_errors=True)

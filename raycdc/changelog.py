@@ -121,7 +121,9 @@ def changelog_from_events(sf_dir: str) -> "ray.data.Dataset":
     return ds.map_batches(derive_changelog_batch, batch_format="pyarrow")
 
 
-def amplified_changelog(sf_dir: str, factor: int) -> "ray.data.Dataset":
+def amplified_changelog(
+    sf_dir: str, factor: int, reps_per_task: int = 1
+) -> "ray.data.Dataset":
     """Bench-scale changelog: the events-derived log replicated ``factor``
     times with disjoint lsn ranges and shifted versions.
 
@@ -139,25 +141,28 @@ def amplified_changelog(sf_dir: str, factor: int) -> "ray.data.Dataset":
 
     def _derive_rep(batch: pa.Table) -> pa.Table:
         reps = []
-        for r in batch["id"].to_pylist():
-            src = pq_.read_table(
-                path, columns=["event_id", "ts", "user_id", "event_type", "props"]
-            )
-            t = derive_changelog_batch(src)
-            if r:
-                t = t.set_column(
-                    t.schema.get_field_index("lsn"),
-                    "lsn",
-                    pc.add(t["lsn"], pa.scalar(r * lsn_stride, pa.int64())),
-                )
-                shifted = pc.add(
-                    t["ts"].cast(pa.int64()), pa.scalar(r * 1_000_000, pa.int64())
-                ).cast(pa.timestamp("us"))
-                t = t.set_column(t.schema.get_field_index("ts"), "ts", shifted)
-            reps.append(t)
+        src = pq_.read_table(
+            path, columns=["event_id", "ts", "user_id", "event_type", "props"]
+        )
+        base = derive_changelog_batch(src)
+        for task_id in batch["id"].to_pylist():
+            for r in range(task_id * reps_per_task, min((task_id + 1) * reps_per_task, factor)):
+                t = base
+                if r:
+                    t = t.set_column(
+                        t.schema.get_field_index("lsn"),
+                        "lsn",
+                        pc.add(t["lsn"], pa.scalar(r * lsn_stride, pa.int64())),
+                    )
+                    shifted = pc.add(
+                        t["ts"].cast(pa.int64()), pa.scalar(r * 1_000_000, pa.int64())
+                    ).cast(pa.timestamp("us"))
+                    t = t.set_column(t.schema.get_field_index("ts"), "ts", shifted)
+                reps.append(t)
         return pa.concat_tables(reps)
 
-    ds = ray.data.range(factor, override_num_blocks=factor)
+    n_tasks = (factor + reps_per_task - 1) // reps_per_task
+    ds = ray.data.range(n_tasks, override_num_blocks=n_tasks)
     return ds.map_batches(_derive_rep, batch_size=1, batch_format="pyarrow")
 
 

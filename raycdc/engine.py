@@ -197,13 +197,64 @@ def _make_apply_fn(lake_dir: str, spec: TableSpec):
     return apply_group
 
 
+class MergeApplier:
+    """Actor-pool form of the merge-apply stage: ``map_groups(MergeApplier,
+    concurrency=(min,max))`` — construction happens once per actor, so
+    cross-group state (checkpoint cache, reusable writer config) is not
+    re-built per partition.  This is the sustained-tail variant of
+    SURVEY.md §7.1.7; the task-based ``map_groups(fn)`` path remains the
+    reference implementation.
+
+    The analog in the reference is the per-process reuse of the BigQuery
+    client + shared semaphore (``/root/reference/bqloader.go:48``,
+    ``loader.go:21-31``).
+    """
+
+    def __init__(self, lake_dir: str, spec: TableSpec):
+        self._apply = _make_apply_fn(lake_dir, spec)
+        self._groups_applied = 0  # per-actor lineage counter
+
+    def __call__(self, group: pa.Table) -> pa.Table:
+        out = self._apply(group)
+        self._groups_applied += 1
+        return out
+
+
+def detect_hot_keys(
+    ds: "ray.data.Dataset",
+    spec: TableSpec | None = None,
+    sample_limit: int = 200_000,
+    hot_fraction: float = 0.2,
+) -> list[str]:
+    """Cheap skew probe: count events per partition key over a bounded
+    prefix of the stream (``limit`` keeps the probe O(sample), never a full
+    pass) and report keys holding more than ``hot_fraction`` of the sample.
+
+    Used by ``replay(..., salted='auto')``: salting costs an extra partial
+    merge round, so it is only enabled when a hot conversation would
+    otherwise bottleneck one merge partition (SURVEY.md §7.3).
+    """
+    from ray.data.aggregate import Count
+
+    spec = spec or TableSpec()
+    sample = ds.limit(sample_limit)
+    counts = sample.groupby(spec.partition_key).aggregate(Count(alias_name="n"))
+    pdf = counts.to_pandas()
+    if len(pdf) == 0:
+        return []
+    total = int(pdf["n"].sum())
+    hot = pdf[pdf["n"] > hot_fraction * total]
+    return [str(k) for k in hot[spec.partition_key].tolist()]
+
+
 def replay(
     ds: "ray.data.Dataset",
     lake_dir: str,
     spec: TableSpec | None = None,
     projector: Callable[[pa.Table], pa.Table] | None = None,
-    salted: bool = False,
+    salted: bool | str = False,
     num_salts: int = 8,
+    merge_concurrency: int | tuple[int, int] | None = None,
 ) -> pa.Table:
     """Apply a changelog Dataset into the lake, exactly-once; returns lineage.
 
@@ -214,6 +265,8 @@ def replay(
     """
     spec = spec or TableSpec()
     _configure_shuffle()
+    if salted == "auto":
+        salted = bool(detect_hot_keys(prepare(ds, spec, projector), spec))
     ds = prepare(ds, spec, projector)
     if salted:
         key_cols, version_cols, op_col = spec.key_cols, spec.version_cols, spec.op_col
@@ -226,9 +279,19 @@ def replay(
             lambda g: M.merge_group(g, key_cols, version_cols, op_col, drop_deletes=False),
             batch_format="pyarrow",
         )
-    lineage_ds = ds.groupby(PART_KEY, num_partitions=_shuffle_parts(spec)).map_groups(
-        _make_apply_fn(lake_dir, spec), batch_format="pyarrow"
-    )
+    grouped = ds.groupby(PART_KEY, num_partitions=_shuffle_parts(spec))
+    if merge_concurrency is not None:
+        # actor-pool merge stage (state constructed once per actor)
+        lineage_ds = grouped.map_groups(
+            MergeApplier,
+            batch_format="pyarrow",
+            concurrency=merge_concurrency,
+            fn_constructor_args=(lake_dir, spec),
+        )
+    else:
+        lineage_ds = grouped.map_groups(
+            _make_apply_fn(lake_dir, spec), batch_format="pyarrow"
+        )
     pdf = lineage_ds.to_pandas()
     if len(pdf) == 0:
         return S.LINEAGE_SCHEMA.empty_table()
