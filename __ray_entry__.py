@@ -151,6 +151,8 @@ GROUP BY seg_id
     return {
         "cdc_replay": lww_final,
         "cdc_replay_lake": lww_final,
+        # CSV round-trip ingestion must land on the same final state
+        "cdc_csv_ingest": lww_final,
         "cdc_lineage": lineage,
         **pipeline_oracles,
     }

@@ -1,0 +1,103 @@
+"""CLI entry points: ``python -m raycdc <cmd>``.
+
+The operational analog of the reference's Cloud Functions entry
+(``/root/reference/examples/quickstart/bqload.go:71-73``) — here a small
+driver around the library.  Owns its own Ray session (the library never
+calls ray.init, per the embedding contract).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def _ray_init(num_cpus: int | None) -> bool:
+    """Init Ray if nobody has; returns True when WE own the session (so we
+    shut down only what we started — embedding-safe, e.g. under pytest)."""
+    import ray
+
+    if not ray.is_initialized():
+        kwargs = {"address": "local", "include_dashboard": False}
+        if num_cpus:
+            kwargs["num_cpus"] = num_cpus
+        ray.init(**kwargs)
+        return True
+    return False
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="raycdc")
+    ap.add_argument("--num-cpus", type=int, default=None)
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p_replay = sub.add_parser("replay", help="apply changelog segments into a lake")
+    p_replay.add_argument("segments", nargs="+", help="parquet segment paths/globs")
+    p_replay.add_argument("--lake", required=True)
+    p_replay.add_argument("--partitions", type=int, default=64)
+    p_replay.add_argument("--salted", action="store_true")
+    p_replay.add_argument("--auto-salt", action="store_true")
+
+    p_compact = sub.add_parser("compact", help="drop applied tombstones")
+    p_compact.add_argument("--lake", required=True)
+    p_compact.add_argument("--partitions", type=int, default=64)
+
+    p_show = sub.add_parser("show", help="print lake state summary")
+    p_show.add_argument("--lake", required=True)
+    p_show.add_argument("--partitions", type=int, default=64)
+
+    args = ap.parse_args(argv)
+    owns_ray = _ray_init(args.num_cpus)
+
+    import ray
+
+    from raycdc.engine import compact, read_lake, replay
+    from raycdc.schema import TableSpec
+
+    if args.cmd == "replay":
+        import glob as _glob
+
+        import ray.data
+
+        paths: list[str] = []
+        for s in args.segments:
+            paths.extend(sorted(_glob.glob(s)) or [s])
+        spec = TableSpec(num_partitions=args.partitions)
+        salted: bool | str = "auto" if args.auto_salt else args.salted
+        lineage = replay(
+            ray.data.read_parquet(paths), args.lake, spec, salted=salted
+        )
+        applied = sum(lineage["rows_applied"].to_pylist())
+        print(
+            json.dumps(
+                {
+                    "partitions": lineage.num_rows,
+                    "rows_applied": applied,
+                    "statuses": sorted(set(lineage["status"].to_pylist())),
+                }
+            )
+        )
+    elif args.cmd == "compact":
+        spec = TableSpec(num_partitions=args.partitions)
+        lineage = compact(args.lake, spec)
+        print(
+            json.dumps(
+                {
+                    "partitions": lineage.num_rows,
+                    "tombstones_dropped": sum(lineage["tombstones"].to_pylist()),
+                }
+            )
+        )
+    elif args.cmd == "show":
+        spec = TableSpec(num_partitions=args.partitions)
+        ds = read_lake(args.lake, spec)
+        print(json.dumps({"live_rows": ds.count(), "schema": ds.schema().names}))
+    if owns_ray:
+        ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

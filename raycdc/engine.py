@@ -300,6 +300,78 @@ def replay(
     return lineage
 
 
+def compact(lake_dir: str, spec: TableSpec | None = None) -> pa.Table:
+    """Tombstone garbage collection: rewrite each partition without
+    ``op='delete'`` rows and refresh its checkpoint digest.
+
+    Safe because the checkpoint filter already guarantees that any segment
+    with ``lsn ≤ max_lsn`` is dropped before merge — a stored tombstone can
+    only ever beat rows the filter would have rejected anyway, so removing
+    applied tombstones cannot change future merge results.  (Consequence of
+    the WAL-tail delivery contract: across ``replay`` calls, segments
+    arrive in non-decreasing lsn order per partition; arbitrary disorder is
+    still fine WITHIN one call.)
+
+    Distributed: one Ray task per partition via a ``map_batches`` over the
+    partition-id range; returns one lineage row per partition.
+    """
+    import ray
+
+    spec = spec or TableSpec()
+    op_col = spec.op_col
+
+    def compact_part(batch: pa.Table) -> pa.Table:
+        rows = []
+        for part in batch["id"].to_pylist():
+            part = int(part)
+            existing = S.read_partition(lake_dir, part)
+            ckpt = S.read_checkpoint(lake_dir, part) or {"max_lsn": -1}
+            if existing is None:
+                continue
+            n_before = len(existing)
+            live = existing.filter(
+                pc.not_equal(pc.fill_null(existing[op_col], ""), M.DELETE)
+            )
+            dropped = n_before - len(live)
+            if dropped:
+                S.write_partition_atomic(live, lake_dir, part)
+                S.write_checkpoint(
+                    lake_dir,
+                    part,
+                    {
+                        "max_lsn": ckpt["max_lsn"],
+                        "row_count": len(live),
+                        "content_hash": S.content_hash(live),
+                    },
+                )
+            rows.append(
+                {
+                    "part": part,
+                    "rows_in": n_before,
+                    "rows_applied": 0,
+                    "rows_skipped_ckpt": 0,
+                    "rows_total": len(live),
+                    "tombstones": dropped,
+                    "max_lsn": ckpt["max_lsn"],
+                    "content_hash": S.content_hash(live),
+                    "status": "compacted" if dropped else "noop",
+                }
+            )
+        if not rows:
+            return S.LINEAGE_SCHEMA.empty_table()
+        return pa.Table.from_pylist(rows, schema=S.LINEAGE_SCHEMA)
+
+    lineage_ds = ray.data.range(
+        spec.num_partitions, override_num_blocks=min(spec.num_partitions, 64)
+    ).map_batches(compact_part, batch_format="pyarrow")
+    pdf = lineage_ds.to_pandas()
+    if len(pdf) == 0:
+        return S.LINEAGE_SCHEMA.empty_table()
+    lineage = pa.Table.from_pandas(pdf, schema=S.LINEAGE_SCHEMA, preserve_index=False)
+    S.write_lineage(lake_dir, lineage)
+    return lineage
+
+
 def read_lake(
     lake_dir: str, spec: TableSpec | None = None, with_tombstones: bool = False
 ) -> "ray.data.Dataset":

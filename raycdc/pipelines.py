@@ -12,6 +12,9 @@ era-date fallback, row filtering, metadata-broadcast appends, reprojection.
 
 from __future__ import annotations
 
+import os
+import shutil
+import tempfile
 from collections.abc import Callable
 from typing import Any
 
@@ -213,6 +216,123 @@ SELECT event_id,
 FROM events
 WHERE event_type <> 'click'
 """
+
+
+# ---------------------------------------------------------------------------
+# end-to-end CSV-segment ingestion — the whole reference pipeline in one
+# query: ragged CSV WAL segments → decode stack → projector → exactly-once
+# lake → read back (handler.go:100-131 generalized)
+
+
+_CSV_COLS = (
+    "conv_id",
+    "turn_idx",
+    "role",
+    "text",
+    "tool",
+    "ts",
+    "op",
+    "lsn",
+    "seg_id",
+)
+
+
+def _write_csv_segments(sf_dir: str) -> str:
+    """Deterministically render the events-derived changelog as 8 CSV WAL
+    segment files (preamble line + header + string rows) under /tmp.
+    Idempotent per sf_dir."""
+    import glob
+    import io
+    import os
+
+    import pyarrow.csv as pacsv
+    import pyarrow.parquet as pq
+
+    from raycdc.changelog import SEGMENTS, derive_changelog_batch
+
+    seg_dir = os.path.join(
+        tempfile.gettempdir(),
+        f"raycdc_csv_segments_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    marker = os.path.join(seg_dir, "_done")
+    if os.path.exists(marker):
+        return seg_dir
+    os.makedirs(seg_dir, exist_ok=True)
+    events = pq.read_table(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type", "props"],
+    )
+    log = derive_changelog_batch(events)
+    as_str = pa.table(
+        {
+            "conv_id": log["conv_id"],
+            "turn_idx": pc.cast(log["turn_idx"], pa.string()),
+            "role": log["role"],
+            "text": log["text"],
+            "tool": log["tool"],
+            # epoch-microsecond integers: lossless string round-trip (Arrow
+            # strftime has no %f directive; %S already embeds the fraction)
+            "ts": pc.cast(pc.cast(log["ts"], pa.int64()), pa.string()),
+            "op": log["op"],
+            "lsn": pc.cast(log["lsn"], pa.string()),
+            "seg_id": pc.cast(log["seg_id"], pa.string()),
+        }
+    )
+    for seg in range(SEGMENTS):
+        part = as_str.filter(pc.equal(log["seg_id"], seg))
+        buf = io.BytesIO()
+        pacsv.write_csv(part, buf)
+        with open(os.path.join(seg_dir, f"seg-{seg:03d}.csv"), "wb") as f:
+            f.write(b"# raycdc WAL segment export\n")  # preamble to skip
+            f.write(buf.getvalue())
+    with open(marker, "w") as f:
+        f.write("ok")
+    return seg_dir
+
+
+def q_cdc_csv_ingest(sf_dir: str):
+    """Full front-to-back path: CSV segments with preamble + header →
+    per-file decode (skip lines, typed re-parse) → projector (string→typed
+    casts, the reference's date-normalize analog) → hash-partitioned
+    exactly-once LWW replay → lake read.  Oracle: the same LWW final state
+    computed by DuckDB straight from events."""
+    import glob
+
+    from raycdc.engine import read_lake, replay
+    from raycdc.parsers import SEG_PATH, DecodeSpec, parse_segments, read_segments
+    from raycdc.schema import TableSpec
+
+    seg_dir = _write_csv_segments(sf_dir)
+    paths = sorted(glob.glob(f"{seg_dir}/seg-*.csv"))
+    spec_decode = DecodeSpec(
+        skip_head_lines=1,  # preamble
+        skip_leading_rows=1,  # header row
+        column_names=_CSV_COLS,
+    )
+    records = parse_segments(read_segments(paths), spec_decode)
+
+    def projector(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "conv_id": t["conv_id"],
+                "turn_idx": pc.cast(t["turn_idx"], pa.int32()),
+                "role": t["role"],
+                "text": t["text"],
+                "tool": pc.fill_null(t["tool"], ""),  # empty CSV cell → ""
+                "ts": pc.cast(t["ts"], pa.int64()).cast(pa.timestamp("us")),
+                "op": t["op"],
+                "lsn": pc.cast(t["lsn"], pa.int64()),
+                "seg_id": pc.cast(t["seg_id"], pa.int32()),
+            }
+        )
+
+    lake = os.path.join(tempfile.gettempdir(), "raycdc_csv_ingest_lake")
+    shutil.rmtree(lake, ignore_errors=True)
+    spec = TableSpec(num_partitions=16)
+    replay(records, lake, spec, projector=projector)
+    return read_lake(lake, spec).select_columns(
+        ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -656,6 +776,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "proj_dates": q_proj_dates,
     "proj_wareki": q_proj_wareki,
     "proj_statement": q_proj_statement,
+    "cdc_csv_ingest": q_cdc_csv_ingest,
     "text_stats": q_text_stats,
     "text_quality": q_text_quality,
     "text_langid": q_text_langid,

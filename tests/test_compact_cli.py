@@ -1,0 +1,96 @@
+"""Compaction semantics + CLI smoke (subprocess-free: calls main())."""
+
+import glob
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray.data
+
+from raycdc.changelog import synthetic_changelog
+from raycdc.engine import compact, read_lake, replay
+from raycdc.schema import TableSpec
+
+from .oracle import python_lww_replay
+
+
+def _live_state(lake_dir, spec):
+    out = {}
+    for p in sorted(glob.glob(f"{lake_dir}/part=*/data.parquet")):
+        t = pq.read_table(p)
+        live = t.filter(pa.compute.not_equal(t["op"], "delete"))
+        for c, i, tx in zip(
+            live["conv_id"].to_pylist(),
+            live["turn_idx"].to_pylist(),
+            live["text"].to_pylist(),
+        ):
+            out[(c, i)] = tx
+    return out
+
+
+def test_compact_drops_tombstones_preserves_state(ray_session, tmp_path):
+    t = synthetic_changelog(n_events=1200, seed=50, p_delete=0.25)
+    lake = str(tmp_path / "lake")
+    spec = TableSpec(num_partitions=4)
+    replay(ray.data.from_arrow(t), lake, spec)
+    before = _live_state(lake, spec)
+    lineage = compact(lake, spec)
+    assert sum(lineage["tombstones"].to_pylist()) > 0
+    assert _live_state(lake, spec) == before
+    # stored files now hold zero tombstones
+    for p in glob.glob(f"{lake}/part=*/data.parquet"):
+        t2 = pq.read_table(p)
+        assert (
+            pa.compute.sum(
+                pa.compute.cast(pa.compute.equal(t2["op"], "delete"), pa.int64())
+            ).as_py()
+            or 0
+        ) == 0
+    # second compact is a noop
+    lineage2 = compact(lake, spec)
+    assert set(lineage2["status"].to_pylist()) == {"noop"}
+
+
+def test_compact_then_future_segments_still_correct(ray_session, tmp_path):
+    """Tombstone GC must not change the outcome of later (higher-lsn)
+    segments — including a re-insert after a compacted delete."""
+    t = synthetic_changelog(n_events=1600, seed=51, p_delete=0.25)
+    first = t.filter(pa.compute.less(t["lsn"], 800))
+    second = t.filter(pa.compute.greater_equal(t["lsn"], 800))
+    spec = TableSpec(num_partitions=4)
+
+    lake_a = str(tmp_path / "compacted")
+    replay(ray.data.from_arrow(first), lake_a, spec)
+    compact(lake_a, spec)
+    replay(ray.data.from_arrow(second), lake_a, spec)
+
+    lake_b = str(tmp_path / "plain")
+    replay(ray.data.from_arrow(first), lake_b, spec)
+    replay(ray.data.from_arrow(second), lake_b, spec)
+
+    assert _live_state(lake_a, spec) == _live_state(lake_b, spec)
+    expect = {k: r["text"] for k, r in python_lww_replay([t]).items()}
+    assert _live_state(lake_a, spec) == expect
+
+
+def test_cli_replay_compact_show(ray_session, tmp_path, capsys):
+    import json
+
+    from raycdc.__main__ import main
+
+    t = synthetic_changelog(n_events=600, seed=52)
+    seg = tmp_path / "seg.parquet"
+    pq.write_table(t, seg)
+    lake = str(tmp_path / "clilake")
+
+    assert main(["replay", str(seg), "--lake", lake, "--partitions", "4"]) == 0
+    out1 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out1["rows_applied"] > 0
+
+    assert main(["compact", "--lake", lake, "--partitions", "4"]) == 0
+    out2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out2["tombstones_dropped"] >= 0
+
+    assert main(["show", "--lake", lake, "--partitions", "4"]) == 0
+    out3 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out3["live_rows"] > 0
+    assert "conv_id" in out3["schema"]
