@@ -89,6 +89,41 @@ def run_queries(sf_dir: str, num_cpus: int, amplify: int) -> dict:
     queries["cdc_redelivery_noop"] = time.perf_counter() - t0
     shutil.rmtree(lake, ignore_errors=True)
 
+    # --- skewed replay: salted vs unsalted (skew handling is measured, not
+    # assumed — SURVEY.md §7.3) ---------------------------------------------
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def skewify(t: pa.Table) -> pa.Table:
+        # ~90% of all events land on ONE conversation with a WIDE turn space
+        # (50k distinct turns) — wide enough that the per-batch combiner
+        # cannot collapse it, so one merge partition takes ~90% of the rows
+        import numpy as np
+
+        hot = pc.not_equal(pc.utf8_slice_codeunits(t["conv_id"], 1, 2), "7")
+        cid = pc.if_else(hot, pa.scalar("hot-conv"), t["conv_id"])
+        wide_turn = pa.array(
+            (t["lsn"].to_numpy(zero_copy_only=False) % 50_000).astype(np.int32)
+        )
+        turn = pc.if_else(hot, wide_turn, t["turn_idx"])
+        t = t.set_column(t.schema.get_field_index("conv_id"), "conv_id", cid)
+        return t.set_column(t.schema.get_field_index("turn_idx"), "turn_idx", turn)
+
+    skew_amp = max(1, amplify // 4)
+    for salted, name in ((False, "cdc_skew_unsalted"), (True, "cdc_skew_salted")):
+        shutil.rmtree(lake, ignore_errors=True)
+        t0 = time.perf_counter()
+        replay(
+            amplified_changelog(sf_dir, skew_amp, reps_per_task=REPS_PER_TASK),
+            lake,
+            spec,
+            projector=skewify,
+            salted=salted,
+            num_salts=16,
+        )
+        queries[name] = time.perf_counter() - t0
+    shutil.rmtree(lake, ignore_errors=True)
+
     # --- in-flight merged state (pure transform, no sink) ------------------
     t0 = time.perf_counter()
     n = merged_state(changelog_from_events(sf_dir), spec).count()

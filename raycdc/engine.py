@@ -255,6 +255,7 @@ def replay(
     salted: bool | str = False,
     num_salts: int = 8,
     merge_concurrency: int | tuple[int, int] | None = None,
+    dead_letter_dir: str | None = None,
 ) -> pa.Table:
     """Apply a changelog Dataset into the lake, exactly-once; returns lineage.
 
@@ -265,6 +266,10 @@ def replay(
     """
     spec = spec or TableSpec()
     _configure_shuffle()
+    if projector is not None and dead_letter_dir is not None:
+        # reference default is fail-the-job with provenance
+        # (handler.go:163-165); dead-letter flips to park-and-continue
+        projector = _with_dead_letter(projector, dead_letter_dir)
     if salted == "auto":
         salted = bool(detect_hot_keys(prepare(ds, spec, projector), spec))
     ds = prepare(ds, spec, projector)
@@ -298,6 +303,41 @@ def replay(
     lineage = pa.Table.from_pandas(pdf, schema=S.LINEAGE_SCHEMA, preserve_index=False)
     S.write_lineage(lake_dir, lineage)
     return lineage
+
+
+def _with_dead_letter(projector, dead_letter_dir: str):
+    """Wrap a projector so a failing batch is parked as parquet under
+    ``dead_letter_dir`` (with the error string as file metadata) and the
+    replay continues — the error policy the reference lacks (SURVEY §2.3)."""
+    import os
+    import uuid
+
+    import pyarrow.parquet as pq_
+
+    from raycdc import ops as _ops
+
+    def park(batch: pa.Table, err: Exception) -> None:
+        os.makedirs(dead_letter_dir, exist_ok=True)
+        dst = os.path.join(dead_letter_dir, f"batch-{uuid.uuid4().hex}.parquet")
+        meta = dict(batch.schema.metadata or {})
+        meta[b"raycdc.error"] = str(err).encode()[:2048]
+        pq_.write_table(batch.replace_schema_metadata(meta), dst)
+
+    return _ops.checked(projector, dead_letter=park)
+
+
+def read_dead_letters(dead_letter_dir: str) -> pa.Table | None:
+    """All parked batches concatenated (None when the queue is empty)."""
+    import glob as _glob
+
+    import pyarrow.parquet as pq_
+
+    paths = sorted(_glob.glob(f"{dead_letter_dir}/batch-*.parquet"))
+    if not paths:
+        return None
+    return pa.concat_tables(
+        [pq_.read_table(p) for p in paths], promote_options="default"
+    )
 
 
 def compact(lake_dir: str, spec: TableSpec | None = None) -> pa.Table:

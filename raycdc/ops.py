@@ -193,7 +193,13 @@ def checked(
         except Exception as e:  # noqa: BLE001 - policy boundary
             if dead_letter is not None:
                 dead_letter(batch, e)
-                return batch.schema.empty_table() if len(batch) else batch
+                # emit a zero-row batch in the PROJECTED schema so the
+                # stream stays schema-homogeneous; data-dependent errors
+                # pass on empty input, else fall back to the input schema
+                try:
+                    return fn(batch.slice(0, 0))
+                except Exception:  # noqa: BLE001
+                    return batch.slice(0, 0)
             prov = {
                 c: (batch[c][0].as_py(), batch[c][len(batch) - 1].as_py())
                 for c in provenance_cols

@@ -1,0 +1,56 @@
+"""Dead-letter error policy: poison batches are parked, replay continues."""
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+from raycdc.changelog import synthetic_changelog
+from raycdc.engine import read_dead_letters, read_lake, replay
+from raycdc.schema import TableSpec
+
+
+def test_dead_letter_parks_poison_and_continues(ray_session, tmp_path):
+    t = synthetic_changelog(n_events=800, seed=60)
+    lake = str(tmp_path / "lake")
+    dlq = str(tmp_path / "dlq")
+    spec = TableSpec(num_partitions=4)
+
+    def poison_projector(batch: pa.Table) -> pa.Table:
+        # data-dependent failure: any batch containing seg_id == 0 is poison
+        if pc.any(pc.equal(batch["seg_id"], 0)).as_py():
+            raise ValueError("poison cell in segment 0")
+        return batch
+
+    # one block per segment so exactly the seg-0 block is poison
+    segs = [t.filter(pc.equal(t["seg_id"], s)) for s in range(8)]
+    ds = ray.data.from_arrow_refs(
+        [ray.put(s) for s in segs]
+    )
+    replay(ds, lake, spec, projector=poison_projector, dead_letter_dir=dlq)
+
+    parked = read_dead_letters(dlq)
+    assert parked is not None
+    assert set(parked["seg_id"].to_pylist()) == {0}
+    assert b"poison" in (parked.schema.metadata or {}).get(b"raycdc.error", b"")
+
+    # everything else was applied
+    live = read_lake(lake, spec).to_pandas()
+    assert len(live) > 0
+    assert 0 not in set(live["seg_id"])
+
+
+def test_default_policy_fails_job(ray_session, tmp_path):
+    import pytest
+
+    t = synthetic_changelog(n_events=200, seed=61)
+
+    def bad(batch: pa.Table) -> pa.Table:
+        raise ValueError("boom")
+
+    with pytest.raises(Exception, match="boom"):
+        replay(
+            ray.data.from_arrow(t),
+            str(tmp_path / "lake"),
+            TableSpec(num_partitions=2),
+            projector=bad,
+        )
