@@ -109,6 +109,10 @@ def exact_dedup(
         h = (hash_strings(t[text_col]) % np.uint64(2**63)).astype(np.int64)
         return t.append_column("__th", pa.array(h))
 
+    from raycdc.engine import _configure_shuffle
+
+    _configure_shuffle()
+
     def first_per_text(g: pa.Table) -> pa.Table:
         g = g.sort_by([(text_col, "ascending"), (id_col, "ascending")])
         col = g[text_col].combine_chunks()
@@ -210,6 +214,9 @@ def lsh_candidate_pairs(
     num_partitions: int = 64,
 ) -> "ray.data.Dataset":
     """sig Dataset → distinct candidate (a, b) pairs."""
+    from raycdc.engine import _configure_shuffle
+
+    _configure_shuffle()
     band_ds = sigs.map_batches(
         lambda t: lsh_band_rows(t, bands=bands, id_col=id_col),
         batch_format="pyarrow",
@@ -330,6 +337,10 @@ def simhash_candidate_pairs(
 ) -> "ray.data.Dataset":
     """Candidates via 4×16-bit chunk banding (pigeonhole: hamming ≤ 3 ⇒ at
     least one identical chunk), then exact Hamming filter."""
+
+    from raycdc.engine import _configure_shuffle
+
+    _configure_shuffle()
 
     def chunk_rows(t: pa.Table) -> pa.Table:
         s = t["simhash"].to_numpy(zero_copy_only=False).view(np.uint64)

@@ -60,6 +60,9 @@ def knn_brute_force(
     Output: ``(q_id, vec_id, score, rank)`` with rank 1..k, ties broken by
     ascending ``vec_id`` (deterministic).
     """
+    from raycdc.engine import _configure_shuffle
+
+    _configure_shuffle()
     qn = _normalize(np.asarray(queries, np.float64))
     ref = ray.put((qn, np.asarray(query_ids)))
 
@@ -130,6 +133,9 @@ def knn_lsh(
     One groupby on bucket id; queries are broadcast and re-derived per
     bucket group (cheap: nq × d matmul).  Recall measured in tests.
     """
+    from raycdc.engine import _configure_shuffle
+
+    _configure_shuffle()
     qn = _normalize(np.asarray(queries, np.float64))
     dim = qn.shape[1]
     planes = _planes(dim, nbits)
@@ -191,6 +197,9 @@ def embedding_near_dup_pairs(
     """(a<b) pairs with cosine ≥ threshold, candidates restricted to one
     LSH bucket (near-identical vectors agree on all sign bits with high
     probability; multi-probe would raise recall further)."""
+    from raycdc.engine import _configure_shuffle
+
+    _configure_shuffle()
     planes_cache: dict[int, np.ndarray] = {}
 
     def bucketize(t: pa.Table) -> pa.Table:
