@@ -142,26 +142,24 @@ def _make_apply_fn(lake_dir: str, spec: TableSpec):
         fresh = group.filter(pc.greater(group["lsn"], max_applied))
         skipped = rows_in - len(fresh)
 
-        existing = S.read_partition(lake_dir, part)
-        if len(fresh) == 0 and existing is not None:
-            # pure redelivery — partition untouched
-            total = len(existing)
-            tomb = int(
-                pc.sum(pc.equal(existing[op_col], M.DELETE)).as_py() or 0
-            ) if op_col in existing.column_names else 0
+        if len(fresh) == 0 and ckpt is not None:
+            # pure redelivery — partition untouched; answer from the
+            # checkpoint alone, never touching the (possibly large) file
             return pa.table(
                 {
                     "part": [part],
                     "rows_in": [rows_in],
                     "rows_applied": [0],
                     "rows_skipped_ckpt": [skipped],
-                    "rows_total": [total],
-                    "tombstones": [tomb],
-                    "max_lsn": [ckpt["max_lsn"] if ckpt else -1],
-                    "content_hash": [ckpt["content_hash"] if ckpt else 0],
+                    "rows_total": [ckpt.get("row_count", -1)],
+                    "tombstones": [-1],  # not recomputed on the noop path
+                    "max_lsn": [ckpt["max_lsn"]],
+                    "content_hash": [ckpt["content_hash"]],
                     "status": ["noop"],
                 }
             ).cast(S.LINEAGE_SCHEMA)
+
+        existing = S.read_partition(lake_dir, part)
 
         if existing is not None:
             target = merge_schemas(existing.schema, fresh.schema)
@@ -413,21 +411,41 @@ def compact(lake_dir: str, spec: TableSpec | None = None) -> pa.Table:
 
 
 def read_lake(
-    lake_dir: str, spec: TableSpec | None = None, with_tombstones: bool = False
+    lake_dir: str,
+    spec: TableSpec | None = None,
+    with_tombstones: bool = False,
+    columns: list[str] | None = None,
 ) -> "ray.data.Dataset":
-    """Stream the materialized lake state (tombstones filtered by default)."""
+    """Stream the materialized lake state (tombstones filtered by default).
+
+    ``columns`` prunes at the read (pass only what the consumer needs — a
+    full-width read for a two-column transform is wrong at lake scale);
+    the op column is added when needed for tombstone filtering and dropped
+    again afterwards.
+    """
     import glob
 
     spec = spec or TableSpec()
     paths = sorted(glob.glob(f"{lake_dir}/part=*/data.parquet"))
     if not paths:
         raise FileNotFoundError(f"no lake partitions under {lake_dir}")
-    # partitioning=None: the part=K dir name is layout, not a data column
-    ds = ray.data.read_parquet(paths, partitioning=None)
+    drop_op_after = False
+    if columns is not None and not with_tombstones and spec.op_col not in columns:
+        columns = [*columns, spec.op_col]
+        drop_op_after = True
+    if columns is not None:
+        # with an explicit column list the hive 'part' dir column is simply
+        # not selected (partitioning=None + columns trips a Ray parquet bug)
+        ds = ray.data.read_parquet(paths, columns=columns)
+    else:
+        # partitioning=None: the part=K dir name is layout, not a data column
+        ds = ray.data.read_parquet(paths, partitioning=None)
     if not with_tombstones:
         op_col = spec.op_col
-        ds = ds.map_batches(
-            lambda t: t.filter(pc.not_equal(t[op_col], M.DELETE)),
-            batch_format="pyarrow",
-        )
+
+        def live(t: pa.Table) -> pa.Table:
+            t = t.filter(pc.not_equal(t[op_col], M.DELETE))
+            return t.drop_columns([op_col]) if drop_op_after else t
+
+        ds = ds.map_batches(live, batch_format="pyarrow", zero_copy_batch=True)
     return ds
