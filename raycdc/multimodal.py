@@ -96,6 +96,41 @@ class MediaFeatureExtractor:
         )
 
 
+class ResizeStub:
+    """Actor-pool resize stage stub: deterministic byte-subsampling of each
+    payload to a fixed ``target_bytes`` "thumbnail" (the image-resize access
+    pattern — read full payload, emit fixed-small payload — minus the
+    codec).  Real codec names fail fast at construction."""
+
+    def __init__(self, target_bytes: int = 64, codec: str | None = None):
+        if codec is not None:
+            raise NotImplementedError(f"codec {codec!r} unavailable; stub only")
+        self.target_bytes = target_bytes
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        col = batch["content"].combine_chunks()
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        out = []
+        tb = self.target_bytes
+        for content in col.to_pylist():
+            n = len(content)
+            if n <= tb:
+                out.append(content)
+            else:
+                # evenly-spaced byte sampling — deterministic "resize"
+                idx = np.linspace(0, n - 1, tb).astype(np.int64)
+                out.append(bytes(np.frombuffer(content, np.uint8)[idx]))
+        return pa.table(
+            {
+                "media_id": batch["media_id"],
+                "content": pa.array(out, pa.binary()),
+                "mime": batch["mime"],
+                "meta": batch["meta"],
+            }
+        )
+
+
 class FrameSampler:
     """Actor-pool frame/segment sampler stub: slices each payload into
     ``n_frames`` evenly-spaced byte windows (the video-frame-sampling

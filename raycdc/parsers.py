@@ -43,6 +43,7 @@ class DecodeSpec:
     ``Encoding`` / ``SkipLeadingRows`` / parser choice,
     ``/root/reference/handler.go:20-48``, as data)."""
 
+    format: str = "csv"  # csv | jsonl
     encoding: str = "utf-8"
     skip_head_lines: int = 0  # physical lines before CSV parse (P3)
     skip_tail_lines: int = 0
@@ -78,6 +79,16 @@ def decode_segment(data: bytes, path: str, spec: DecodeSpec) -> pa.Table:
     if not text.strip():
         cols = spec.column_names or ()
         table = pa.table({c: pa.array([], pa.string()) for c in cols})
+    elif spec.format == "jsonl":
+        # newline-delimited JSON records (Arrow JSON reader: typed columns)
+        import pyarrow.json as pajson
+
+        lines = [
+            ln for ln in split_physical_lines(text) if ln.strip()
+        ][spec.skip_leading_rows :]
+        table = pajson.read_json(io.BytesIO("\n".join(lines).encode()))
+        if spec.column_names:
+            table = table.select(list(spec.column_names))
     elif spec.lazy_quotes:
         # python csv in permissive mode — the LazyQuotes analog
         rows = list(

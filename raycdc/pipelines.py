@@ -661,6 +661,19 @@ def q_sim_knn_lsh(sf_dir: str):
     return out.select_columns(["q_id", "vec_id", "rank"])
 
 
+def q_sim_knn_ivf(sf_dir: str):
+    """IVF approximate top-k (coarse k-means quantizer, nprobe lists;
+    rows-only — recall vs brute force measured in pytest)."""
+    from raycdc.similarity import knn_ivf
+
+    q, qids = _query_matrix(sf_dir)
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    out = knn_ivf(ds, q, qids, k=_TOP_K, n_lists=8, nprobe=3, num_partitions=16)
+    return out.select_columns(["q_id", "vec_id", "rank"])
+
+
 def q_embed_near_dup(sf_dir: str):
     """Embedding-cosine near-duplicate pairs within LSH buckets (rows-only;
     the base embeddings are near-orthogonal random vectors, so near-dups are
@@ -787,6 +800,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "dedup_simhash": q_dedup_simhash,
     "sim_knn": q_sim_knn,
     "sim_knn_lsh": q_sim_knn_lsh,
+    "sim_knn_ivf": q_sim_knn_ivf,
     "embed_near_dup": q_embed_near_dup,
     "media_meta": q_media_meta,
     "media_features": q_media_features,

@@ -185,6 +185,104 @@ def knn_lsh(
     )
 
 
+def _kmeans(sample: np.ndarray, k: int, iters: int = 10, seed: int = 42) -> np.ndarray:
+    """Tiny deterministic Lloyd's k-means for the IVF coarse quantizer."""
+    rng = np.random.default_rng(seed)
+    centroids = sample[rng.choice(len(sample), size=min(k, len(sample)), replace=False)]
+    for _ in range(iters):
+        d = sample @ centroids.T  # cosine on normalized inputs
+        assign = np.argmax(d, axis=1)
+        for c in range(len(centroids)):
+            members = sample[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                n = np.linalg.norm(m)
+                if n > 0:
+                    centroids[c] = m / n
+    return centroids
+
+
+def knn_ivf(
+    ds: "ray.data.Dataset",
+    queries: np.ndarray,
+    query_ids: np.ndarray,
+    k: int = 5,
+    n_lists: int = 16,
+    nprobe: int = 2,
+    train_sample: int = 10_000,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    num_partitions: int = 32,
+) -> "ray.data.Dataset":
+    """IVF approximate top-k — the classic scale path: a coarse k-means
+    quantizer (trained driver-side on a BOUNDED sample, broadcast once)
+    assigns every vector to its nearest centroid list; each query probes its
+    ``nprobe`` nearest lists only.
+
+    One groupby on the list id; search inside each list is a small matmul.
+    Cost vs brute force: ~nprobe/n_lists of the scan.  Recall measured in
+    tests, not assumed.  Skew note: clustered corpora make fat lists — the
+    quantizer adapts (centroids follow density), which is exactly why IVF
+    beats fixed random hyperplanes on clustered data.
+    """
+    from raycdc.engine import _configure_shuffle
+
+    _configure_shuffle()
+    qn = _normalize(np.asarray(queries, np.float64))
+
+    # bounded training sample (never a full pass)
+    sample_tbl = ds.limit(train_sample).select_columns([vec_col]).to_pandas()
+    sample = _normalize(
+        np.stack(sample_tbl[vec_col].to_numpy()).astype(np.float64)
+    )
+    centroids = _kmeans(sample, n_lists)
+
+    q_lists = np.argsort(-(qn @ centroids.T), axis=1)[:, :nprobe]  # (nq, nprobe)
+    ref = ray.put((qn, np.asarray(query_ids), q_lists, centroids))
+
+    def assign(t: pa.Table) -> pa.Table:
+        m = _normalize(_to_matrix(t[vec_col]))
+        lists = np.argmax(m @ centroids.T, axis=1)
+        return t.append_column("ivf_list", pa.array(lists.astype(np.int64)))
+
+    def search_list(g: pa.Table) -> pa.Table:
+        q, qids, ql, _ = ray.get(ref)
+        lid = int(g["ivf_list"][0].as_py())
+        sel = (ql == lid).any(axis=1)
+        if not sel.any():
+            return pa.table(
+                {
+                    "q_id": pa.array([], pa.int64()),
+                    id_col: pa.array([], pa.int64()),
+                    "score": pa.array([], pa.float64()),
+                }
+            )
+        m = _normalize(_to_matrix(g[vec_col]))
+        ids = g[id_col].to_numpy(zero_copy_only=False)
+        scores = q[sel] @ m.T
+        kk = min(k, scores.shape[1])
+        idx = np.argpartition(-scores, kk - 1, axis=1)[:, :kk]
+        rows = np.repeat(np.arange(sel.sum()), kk)
+        return pa.table(
+            {
+                "q_id": pa.array(np.repeat(np.asarray(qids)[sel], kk)),
+                id_col: pa.array(ids[idx.reshape(-1)]),
+                "score": pa.array(scores[rows, idx.reshape(-1)]),
+            }
+        )
+
+    def final_topk(g: pa.Table) -> pa.Table:
+        g = g.sort_by([("score", "descending"), (id_col, "ascending")])
+        g = g.slice(0, k)
+        return g.append_column("rank", pa.array(np.arange(1, len(g) + 1)))
+
+    assigned = ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
+    partial = assigned.groupby("ivf_list", num_partitions=num_partitions).map_groups(
+        search_list, batch_format="pyarrow"
+    )
+    return partial.groupby("q_id").map_groups(final_topk, batch_format="pyarrow")
+
+
 def embedding_near_dup_pairs(
     ds: "ray.data.Dataset",
     threshold: float = 0.95,
