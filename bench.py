@@ -236,7 +236,7 @@ def main() -> None:
             tempfile.gettempdir(), f"raycdc_scaling_lake_{args.num_cpus}"
         )
         times = []
-        for _ in range(2):
+        for _ in range(3):
             shutil.rmtree(lake, ignore_errors=True)
             t0 = time.perf_counter()
             replay(
