@@ -69,6 +69,37 @@ def _q_cdc_replay_lake(sf_dir: str):
     )
 
 
+def _q_cdc_replay_salted(sf_dir: str):
+    """Salted-pre-merge variant of the LWW final state — same oracle as the
+    unsalted path (salting must be semantically invisible)."""
+    from raycdc.changelog import changelog_from_events
+    from raycdc.engine import merged_state
+    from raycdc.schema import TableSpec
+
+    ds = merged_state(
+        changelog_from_events(sf_dir),
+        TableSpec(num_partitions=16),
+        salted=True,
+        num_salts=4,
+    )
+    return ds.select_columns(["conv_id", "turn_idx", "role", "text", "tool", "ts"])
+
+
+def _q_cdc_replay_actors(sf_dir: str):
+    """Actor-pool merge-apply variant (MergeApplier) — same oracle again."""
+    from raycdc.changelog import changelog_from_events
+    from raycdc.engine import read_lake, replay
+    from raycdc.schema import TableSpec
+
+    lake = os.path.join(tempfile.gettempdir(), "raycdc_q_actor_lake")
+    shutil.rmtree(lake, ignore_errors=True)
+    spec = TableSpec(num_partitions=16)
+    replay(changelog_from_events(sf_dir), lake, spec, merge_concurrency=2)
+    return read_lake(lake, spec).select_columns(
+        ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    )
+
+
 def _q_cdc_lineage(sf_dir: str):
     """Per-segment changelog metrics (the Notifier/lineage analog,
     /root/reference/notifier.go:69-80): rows and deletes per WAL segment."""
@@ -112,6 +143,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "cdc_replay": _q_cdc_replay,
         "cdc_replay_lake": _q_cdc_replay_lake,
+        "cdc_replay_salted": _q_cdc_replay_salted,
+        "cdc_replay_actors": _q_cdc_replay_actors,
         "cdc_lineage": _q_cdc_lineage,
         **pipeline_queries,
     }
@@ -151,8 +184,11 @@ GROUP BY seg_id
     return {
         "cdc_replay": lww_final,
         "cdc_replay_lake": lww_final,
-        # CSV round-trip ingestion must land on the same final state
+        # these variants must land on the SAME final state: CSV round-trip
+        # ingestion, salted pre-merge, actor-pool merge
         "cdc_csv_ingest": lww_final,
+        "cdc_replay_salted": lww_final,
+        "cdc_replay_actors": lww_final,
         "cdc_lineage": lineage,
         **pipeline_oracles,
     }

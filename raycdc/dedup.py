@@ -32,10 +32,6 @@ import ray.data
 
 from raycdc.partition import hash_strings
 
-# deterministic permutation parameters (SplitMix-style odd constants)
-_PERM_SEED = 0x9E3779B97F4A7C15
-
-
 def _perm_params(k: int) -> tuple[np.ndarray, np.ndarray]:
     rng = np.random.default_rng(42)
     a = rng.integers(1, 2**63, k, dtype=np.uint64) | np.uint64(1)  # odd
