@@ -714,6 +714,123 @@ def q_embed_near_dup(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# relational: broadcast join, sessionization, pre-aggregated rollup
+
+
+def q_join_orders_customer(sf_dir: str):
+    """Broadcast hash join: orders (probe, streamed) × customer (build,
+    ray.put once) — the small-side-broadcast-instead-of-shuffle pattern."""
+    import pyarrow.parquet as pq
+
+    from raycdc.relational import broadcast_join
+
+    build = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name", "c_nationkey"]
+    )
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_totalprice"],
+    )
+
+    def rename_key(t: pa.Table) -> pa.Table:
+        return t.rename_columns(
+            ["o_orderkey", "c_custkey", "o_totalprice"]
+        )
+
+    ds = ds.map_batches(rename_key, batch_format="pyarrow", zero_copy_batch=True)
+    return broadcast_join(ds, build, "c_custkey", ["c_name", "c_nationkey"])
+
+
+SQL_JOIN_ORDERS_CUSTOMER = """
+SELECT o.o_orderkey,
+       o.o_custkey AS c_custkey,
+       o.o_totalprice,
+       c.c_name,
+       c.c_nationkey
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+"""
+
+
+def q_sessionize_events(sf_dir: str):
+    """Gap-based sessionization of the events stream per user (30-minute
+    gap): one groupby shuffle + vectorized per-group split."""
+    from raycdc.relational import sessionize
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
+    )
+    out = sessionize(ds, entity_col="user_id", ts_col="ts", gap_seconds=1800)
+    return out.select_columns(["event_id", "user_id", "session_idx"])
+
+
+SQL_SESSIONIZE_EVENTS = """
+WITH g AS (
+    SELECT event_id, user_id, ts,
+           CASE WHEN lag(ts) OVER w IS NULL
+                  OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800 * 1000000
+                THEN 1 ELSE 0 END AS new_session
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT event_id, user_id,
+       CAST(SUM(new_session) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS UNBOUNDED PRECEDING
+       ) - 1 AS BIGINT) AS session_idx
+FROM g
+"""
+
+
+def q_rollup_lineitem(sf_dir: str):
+    """TPC-H-Q1-shaped rollup with explicit map-side partial aggregation
+    before the groupby (the combiner pattern as an operator)."""
+    from raycdc.relational import pre_aggregate
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"],
+    )
+
+    def to_cents(t: pa.Table) -> pa.Table:
+        # per-row exact integer conversion BEFORE summing: float sums are
+        # order-dependent across engines, int64 sums are not
+        import numpy as np
+
+        qty = np.rint(t["l_quantity"].to_numpy(zero_copy_only=False)).astype(np.int64)
+        cents = np.rint(
+            t["l_extendedprice"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "l_linestatus": t["l_linestatus"],
+                "sum_qty": pa.array(qty),
+                "sum_base_price_cents": pa.array(cents),
+            }
+        )
+
+    out = pre_aggregate(
+        ds.map_batches(to_cents, batch_format="pyarrow", zero_copy_batch=True),
+        key_cols=["l_returnflag", "l_linestatus"],
+        sum_cols=["sum_qty", "sum_base_price_cents"],
+        count_alias="count_order",
+        num_partitions=8,
+    )
+    return out
+
+
+SQL_ROLLUP_LINEITEM = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(round(l_quantity, 0) AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(SUM(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT)
+           AS sum_base_price_cents,
+       COUNT(*) AS count_order
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# ---------------------------------------------------------------------------
 # multimodal (binary payload plumbing; codecs stubbed)
 
 
@@ -790,6 +907,9 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "proj_wareki": q_proj_wareki,
     "proj_statement": q_proj_statement,
     "cdc_csv_ingest": q_cdc_csv_ingest,
+    "join_orders_customer": q_join_orders_customer,
+    "sessionize_events": q_sessionize_events,
+    "rollup_lineitem": q_rollup_lineitem,
     "text_stats": q_text_stats,
     "text_quality": q_text_quality,
     "text_langid": q_text_langid,
@@ -814,6 +934,9 @@ ORACLES: dict[str, str] = {
     "proj_dates": SQL_PROJ_DATES,
     "proj_wareki": SQL_PROJ_WAREKI,
     "proj_statement": SQL_PROJ_STATEMENT,
+    "join_orders_customer": SQL_JOIN_ORDERS_CUSTOMER,
+    "sessionize_events": SQL_SESSIONIZE_EVENTS,
+    "rollup_lineitem": SQL_ROLLUP_LINEITEM,
     "text_stats": SQL_TEXT_STATS,
     "text_quality": SQL_TEXT_QUALITY,
     "dedup_exact": SQL_DEDUP_EXACT,

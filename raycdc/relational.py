@@ -1,0 +1,166 @@
+"""Relational operators: broadcast hash join, sessionization, pre-aggregated
+rollups.
+
+The reference has no joins/aggregations/windows (SURVEY.md §2.6) — these are
+the query-side operators a lake engine needs, built scale-first:
+
+* :func:`broadcast_join` — the small side is materialized ONCE, put in the
+  object store, and probed per batch with vectorized ``index_in``/``take``
+  (never a shuffle, never re-shipped per batch).  Valid while the build side
+  fits a node; beyond that use a co-partitioned merge (groupby both sides on
+  the key), which `sessionize` demonstrates.
+* :func:`sessionize` — gap-based session assignment per entity: ONE
+  groupby(entity) shuffle, then a vectorized per-group split on time gaps
+  (the windowed/stateful-stream analog, expressed as groupby+map_groups).
+* :func:`pre_aggregate` — map-side partial aggregation before the groupby:
+  each batch collapses to one row per key, the final groupby sums partials.
+  This is the combiner pattern stated explicitly as an operator.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+
+
+def broadcast_join(
+    ds: "ray.data.Dataset",
+    build: pa.Table,
+    key: str,
+    build_cols: Sequence[str],
+    how: str = "inner",
+) -> "ray.data.Dataset":
+    """Probe-side streaming join against a broadcast build table.
+
+    ``build`` must have unique ``key`` values (dimension-table contract).
+    ``how``: 'inner' drops probe rows without a match; 'left' keeps them
+    with nulls.
+    """
+    build = build.combine_chunks()
+    build_ref = ray.put(build)
+
+    def probe(batch: pa.Table) -> pa.Table:
+        b = ray.get(build_ref)
+        idx = pc.index_in(batch[key], value_set=b[key])
+        out = batch
+        for c in build_cols:
+            col = b[c].combine_chunks() if isinstance(b[c], pa.ChunkedArray) else b[c]
+            out = out.append_column(c, pc.take(col, idx))
+        if how == "inner":
+            out = out.filter(pc.is_valid(idx))
+        return out
+
+    return ds.map_batches(probe, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def sessionize(
+    ds: "ray.data.Dataset",
+    entity_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_seconds: int = 1800,
+    num_partitions: int = 64,
+) -> "ray.data.Dataset":
+    """Assign gap-based session ids per entity.
+
+    Output: input columns + ``session_idx`` (0-based per entity, in time
+    order) — a row's session increments whenever the gap to the previous
+    event of the SAME entity exceeds ``gap_seconds``.
+
+    One shuffle (groupby entity); the per-group body is a vectorized diff +
+    cumulative sum, never a Python row loop.
+    """
+    from raycdc.engine import _configure_shuffle
+
+    _configure_shuffle()
+    gap_us = gap_seconds * 1_000_000
+
+    def split_sessions(g: pa.Table) -> pa.Table:
+        # defensive against multi-entity groups: sort by (entity, ts), then
+        # new-session where the entity changes OR the gap exceeds threshold
+        g = g.sort_by([(entity_col, "ascending"), (ts_col, "ascending")])
+        ts = g[ts_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        ent_np = g[entity_col].to_numpy(zero_copy_only=False)
+        n = len(g)
+        if n == 0:
+            return g.append_column("session_idx", pa.array([], pa.int64()))
+        new_entity = np.ones(n, dtype=bool)
+        new_entity[1:] = ent_np[1:] != ent_np[:-1]
+        gap = np.zeros(n, dtype=bool)
+        gap[1:] = (ts[1:] - ts[:-1]) > gap_us
+        new_session = new_entity | gap
+        # session_idx = per-entity running count of new_session, 0-based
+        sess_global = np.cumsum(new_session) - 1
+        entity_first = np.where(new_entity)[0]
+        first_sess_of_entity = sess_global[entity_first]
+        offset = np.repeat(first_sess_of_entity, np.diff(np.append(entity_first, n)))
+        return g.append_column(
+            "session_idx", pa.array((sess_global - offset).astype(np.int64))
+        )
+
+    return ds.groupby(entity_col, num_partitions=num_partitions).map_groups(
+        split_sessions, batch_format="pyarrow"
+    )
+
+
+def pre_aggregate(
+    ds: "ray.data.Dataset",
+    key_cols: Sequence[str],
+    sum_cols: Sequence[str],
+    count_alias: str = "n_rows",
+    num_partitions: int = 64,
+) -> "ray.data.Dataset":
+    """Two-phase aggregation: per-batch partial sums/counts (map-side
+    combine), then a groupby over the already-collapsed partials — the
+    explicit form of "push aggregation before the shuffle".
+    """
+    from raycdc.engine import _configure_shuffle
+
+    _configure_shuffle()
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = pl.from_arrow(batch.select(list(key_cols) + list(sum_cols)))
+        agg = df.group_by(list(key_cols)).agg(
+            [pl.col(c).sum().alias(c) for c in sum_cols] + [pl.len().alias(count_alias)]
+        )
+        out = agg.to_arrow()
+        # polars may emit large_string keys; align to the input schema
+        for k in key_cols:
+            i = out.schema.get_field_index(k)
+            out = out.set_column(i, k, out[k].cast(batch.schema.field(k).type))
+        return out.set_column(
+            out.schema.get_field_index(count_alias),
+            count_alias,
+            out[count_alias].cast(pa.int64()),
+        )
+
+    def final(g: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = pl.from_arrow(g)
+        agg = df.group_by(list(key_cols)).agg(
+            [pl.col(c).sum().alias(c) for c in sum_cols]
+            + [pl.col(count_alias).sum().alias(count_alias)]
+        )
+        out = agg.to_arrow()
+        for k in key_cols:
+            i = out.schema.get_field_index(k)
+            out = out.set_column(i, k, out[k].cast(g.schema.field(k).type))
+        return out.set_column(
+            out.schema.get_field_index(count_alias),
+            count_alias,
+            out[count_alias].cast(pa.int64()),
+        )
+
+    return ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    ).groupby(list(key_cols), num_partitions=num_partitions).map_groups(
+        final, batch_format="pyarrow"
+    )

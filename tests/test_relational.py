@@ -1,0 +1,80 @@
+"""Relational operators: broadcast join, sessionization, pre-aggregation."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray.data
+
+from raycdc.relational import broadcast_join, pre_aggregate, sessionize
+
+
+def test_broadcast_join_inner_and_left(ray_session):
+    probe = pa.table({"k": pa.array([1, 2, 3, 9]), "v": pa.array(list("abcd"))})
+    build = pa.table({"k": pa.array([1, 2, 3]), "name": pa.array(list("xyz"))})
+    inner = (
+        broadcast_join(ray.data.from_arrow(probe), build, "k", ["name"])
+        .to_pandas()
+        .sort_values("k")
+    )
+    assert inner["k"].tolist() == [1, 2, 3]
+    assert inner["name"].tolist() == ["x", "y", "z"]
+    left = (
+        broadcast_join(ray.data.from_arrow(probe), build, "k", ["name"], how="left")
+        .to_pandas()
+        .sort_values("k")
+    )
+    assert len(left) == 4
+    assert left[left.k == 9]["name"].isna().all()
+
+
+def test_sessionize_gap_semantics(ray_session):
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    mins = np.array([0, 5, 70, 75, 200], dtype="timedelta64[m]")
+    t = pa.table(
+        {
+            "user_id": pa.array([7] * 5 + [8], pa.int64()),
+            "ts": pa.array(
+                list(base + mins.astype("timedelta64[us]")) + [base],
+                pa.timestamp("us"),
+            ),
+            "event_id": pa.array(range(6), pa.int64()),
+        }
+    )
+    out = (
+        sessionize(
+            ray.data.from_arrow(t), gap_seconds=1800, num_partitions=2
+        )
+        .to_pandas()
+        .sort_values("event_id")
+    )
+    # gaps >30min at events 2 and 4 → sessions 0,0,1,1,2 for user 7; user 8 → 0
+    assert out["session_idx"].tolist() == [0, 0, 1, 1, 2, 0]
+
+
+def test_pre_aggregate_matches_flat_groupby(ray_session):
+    li = pq.read_table(
+        "/root/testdata/sf0.001/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity"],
+    )
+    out = (
+        pre_aggregate(
+            ray.data.from_arrow(li),
+            key_cols=["l_returnflag", "l_linestatus"],
+            sum_cols=["l_quantity"],
+            num_partitions=4,
+        )
+        .to_pandas()
+        .sort_values(["l_returnflag", "l_linestatus"])
+        .reset_index(drop=True)
+    )
+    import pandas as pd
+
+    expect = (
+        li.to_pandas()
+        .groupby(["l_returnflag", "l_linestatus"], as_index=False)
+        .agg(l_quantity=("l_quantity", "sum"), n_rows=("l_quantity", "size"))
+        .sort_values(["l_returnflag", "l_linestatus"])
+        .reset_index(drop=True)
+    )
+    assert out["n_rows"].tolist() == expect["n_rows"].tolist()
+    assert np.allclose(out["l_quantity"], expect["l_quantity"])
