@@ -751,6 +751,30 @@ FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
 """
 
 
+def q_join_shuffle(sf_dir: str):
+    """Co-partitioned (shuffle) join of orders × customer — the both-sides-
+    large path; must produce the identical result to the broadcast plan
+    (same oracle)."""
+    from raycdc.relational import copartition_join
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_totalprice"],
+    ).map_batches(
+        lambda t: t.rename_columns(["o_orderkey", "c_custkey", "o_totalprice"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    customer = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_name", "c_nationkey"],
+    )
+    out = copartition_join(orders, customer, on=["c_custkey"], num_partitions=16)
+    return out.select_columns(
+        ["o_orderkey", "c_custkey", "o_totalprice", "c_name", "c_nationkey"]
+    )
+
+
 def q_sessionize_events(sf_dir: str):
     """Gap-based sessionization of the events stream per user (30-minute
     gap): one groupby shuffle + vectorized per-group split."""
@@ -908,6 +932,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "proj_statement": q_proj_statement,
     "cdc_csv_ingest": q_cdc_csv_ingest,
     "join_orders_customer": q_join_orders_customer,
+    "join_shuffle": q_join_shuffle,
     "sessionize_events": q_sessionize_events,
     "rollup_lineitem": q_rollup_lineitem,
     "text_stats": q_text_stats,
@@ -935,6 +960,7 @@ ORACLES: dict[str, str] = {
     "proj_wareki": SQL_PROJ_WAREKI,
     "proj_statement": SQL_PROJ_STATEMENT,
     "join_orders_customer": SQL_JOIN_ORDERS_CUSTOMER,
+    "join_shuffle": SQL_JOIN_ORDERS_CUSTOMER,
     "sessionize_events": SQL_SESSIONIZE_EVENTS,
     "rollup_lineitem": SQL_ROLLUP_LINEITEM,
     "text_stats": SQL_TEXT_STATS,
@@ -955,4 +981,7 @@ def bench_extras() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": lambda sf: q_dedup_exact(sf).count(),
         "dedup_minhash": lambda sf: q_dedup_minhash(sf).count(),
         "sim_knn": lambda sf: q_sim_knn(sf).count(),
+        "rollup_lineitem": lambda sf: q_rollup_lineitem(sf).count(),
+        "sessionize_events": lambda sf: q_sessionize_events(sf).count(),
+        "join_orders_customer": lambda sf: q_join_orders_customer(sf).count(),
     }

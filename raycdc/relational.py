@@ -59,6 +59,29 @@ def broadcast_join(
     return ds.map_batches(probe, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def copartition_join(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    on: Sequence[str],
+    join_type: str = "inner",
+    num_partitions: int = 32,
+) -> "ray.data.Dataset":
+    """Shuffle (co-partitioned) join — the scale path when BOTH sides are
+    large and the broadcast contract of :func:`broadcast_join` breaks.
+
+    Thin policy wrapper over Ray Data's native hash join: both sides are
+    hash-partitioned on the key and joined per partition by aggregator
+    actors.  Prefer :func:`broadcast_join` whenever one side fits a node —
+    a broadcast is one object-store put; this is two all-to-all exchanges.
+    """
+    return left.join(
+        right,
+        join_type=join_type,
+        num_partitions=num_partitions,
+        on=tuple(on),
+    )
+
+
 def sessionize(
     ds: "ray.data.Dataset",
     entity_col: str = "user_id",
