@@ -7,9 +7,11 @@ no keyed routing.  Here routing is explicit: every change row gets a stable
 one merge partition, and the lake layout ``part=K`` is a pure function of the
 key — which is what makes partition rewrites idempotent.
 
-Hash: pandas' vectorized SipHash-1-3 (``pandas.util.hash_array`` with its
-fixed default key) — deterministic across processes/machines and C-speed over
-object arrays; NOT Python's seeded ``hash()``.
+Hash: vectorized FNV-1a computed directly over the Arrow string buffers
+(numpy byte-column sweep — no Python-object materialization, deterministic
+across processes/machines/library versions; NOT Python's seeded ``hash()``).
+Version-stability matters: the lake's partition layout is a pure function of
+this hash, so changing it would orphan rows in old partitions.
 
 Salting: a hot conversation (millions of turns) would bottleneck one merge
 partition.  Because the upsert key is ``(conv_id, turn_idx)``, salting by
@@ -29,11 +31,44 @@ PART_KEY = "part_key"
 SALT_KEY = "salt_key"
 
 
+_FNV_OFFSET = np.uint64(0xCBF29CE484222325)
+_FNV_PRIME = np.uint64(0x100000001B3)
+
+
 def hash_strings(arr: pa.ChunkedArray | pa.Array | np.ndarray) -> np.ndarray:
-    """Deterministic uint64 hash of a string column (vectorized SipHash)."""
-    if isinstance(arr, (pa.ChunkedArray, pa.Array)):
-        arr = arr.to_numpy(zero_copy_only=False)
-    return pandas.util.hash_array(np.asarray(arr, dtype=object), categorize=False)
+    """Deterministic uint64 FNV-1a hash of a string column.
+
+    Arrow inputs are hashed straight off the UTF-8 value buffer with one
+    vectorized pass per byte position (strings in one column are short, so
+    the position loop is ~10 iterations) — zero per-row Python objects.
+    numpy object arrays fall back to pandas' SipHash.
+    """
+    if isinstance(arr, np.ndarray):
+        return pandas.util.hash_array(np.asarray(arr, dtype=object), categorize=False)
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if len(arr) == 0:
+        return np.empty(0, np.uint64)
+    bufs = arr.buffers()
+    data = (
+        np.frombuffer(bufs[2], np.uint8).astype(np.uint64)
+        if bufs[2]
+        else np.empty(0, np.uint64)
+    )
+    off = np.frombuffer(bufs[1], np.int32)[arr.offset : arr.offset + len(arr) + 1].astype(
+        np.int64
+    )
+    starts = off[:-1]  # absolute positions into the shared values buffer
+    lens = np.diff(off)
+    h = np.full(len(arr), _FNV_OFFSET, np.uint64)
+    maxlen = int(lens.max())
+    with np.errstate(over="ignore"):
+        for pos in range(maxlen):
+            m = lens > pos
+            h[m] = (h[m] ^ data[starts[m] + pos]) * _FNV_PRIME
+    if arr.null_count:
+        h[~np.asarray(arr.is_valid())] = 0
+    return h
 
 
 def add_part_key(
