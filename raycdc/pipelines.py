@@ -714,6 +714,64 @@ def q_embed_near_dup(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# schema evolution under the oracle gate
+
+
+def q_cdc_evolve(sf_dir: str):
+    """Declarative schema evolution end-to-end: odd-lsn changelog rows carry
+    an additive ``model`` column; the merged state must expose it for every
+    key whose LWW winner was an evolved row and null otherwise, with
+    ``turn_idx`` widened int32→int64 across the heterogeneous segments."""
+    from raycdc.changelog import changelog_from_events
+    from raycdc.engine import merged_state
+    from raycdc.schema import TableSpec, evolve_batch, merge_schemas
+
+    ds = changelog_from_events(sf_dir)
+
+    def evolve_half(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        lsn = t["lsn"].to_numpy(zero_copy_only=False)
+        odd = (lsn % 2).astype(bool)
+        model = pc.if_else(
+            pa.array(odd), pa.scalar("m1"), pa.scalar(None, pa.string())
+        )
+        t = t.append_column("model", model)
+        return t.set_column(
+            t.schema.get_field_index("turn_idx"),
+            "turn_idx",
+            pc.cast(t["turn_idx"], pa.int64()),
+        )
+
+    out = merged_state(
+        ds.map_batches(evolve_half, batch_format="pyarrow", zero_copy_batch=True),
+        TableSpec(num_partitions=16),
+    )
+    return out.select_columns(["conv_id", "turn_idx", "text", "model"])
+
+
+def _sql_cdc_evolve() -> str:
+    from raycdc.changelog import CHANGELOG_SQL
+
+    return f"""
+WITH {CHANGELOG_SQL.strip()},
+ranked AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY conv_id, turn_idx
+        ORDER BY ts DESC, lsn DESC
+    ) AS rn
+    FROM changelog
+)
+SELECT conv_id,
+       CAST(turn_idx AS BIGINT) AS turn_idx,
+       text,
+       CASE WHEN lsn % 2 = 1 THEN 'm1' ELSE NULL END AS model
+FROM ranked
+WHERE rn = 1 AND op <> 'delete'
+"""
+
+
+# ---------------------------------------------------------------------------
 # relational: broadcast join, sessionization, pre-aggregated rollup
 
 
@@ -931,6 +989,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "proj_wareki": q_proj_wareki,
     "proj_statement": q_proj_statement,
     "cdc_csv_ingest": q_cdc_csv_ingest,
+    "cdc_evolve": q_cdc_evolve,
     "join_orders_customer": q_join_orders_customer,
     "join_shuffle": q_join_shuffle,
     "sessionize_events": q_sessionize_events,
@@ -961,6 +1020,7 @@ ORACLES: dict[str, str] = {
     "proj_statement": SQL_PROJ_STATEMENT,
     "join_orders_customer": SQL_JOIN_ORDERS_CUSTOMER,
     "join_shuffle": SQL_JOIN_ORDERS_CUSTOMER,
+    "cdc_evolve": _sql_cdc_evolve(),
     "sessionize_events": SQL_SESSIONIZE_EVENTS,
     "rollup_lineitem": SQL_ROLLUP_LINEITEM,
     "text_stats": SQL_TEXT_STATS,

@@ -128,3 +128,27 @@ def test_checked_dead_letter_drops_batch():
     )
     assert len(out) == 0
     assert captured == [(2, "bad cell")]
+
+
+# --- schema evolution guardrails ------------------------------------------
+
+
+def test_widen_type_rejects_narrowing_and_incompatible():
+    import pyarrow as pa
+    import pytest as _pytest
+
+    from raycdc.schema import merge_schemas, widen_type
+
+    # int widening is directional: result is always the wider type
+    assert widen_type(pa.int32(), pa.int64()) == pa.int64()
+    assert widen_type(pa.int64(), pa.int32()) == pa.int64()
+    assert widen_type(pa.int32(), pa.float32()) == pa.float64()
+    assert widen_type(pa.timestamp("us"), pa.timestamp("ms")) == pa.timestamp("us")
+    # incompatible evolution fails loudly, never silently coerces
+    with _pytest.raises(TypeError, match="incompatible"):
+        widen_type(pa.string(), pa.int64())
+    with _pytest.raises(TypeError):
+        merge_schemas(
+            pa.schema([pa.field("x", pa.string())]),
+            pa.schema([pa.field("x", pa.int32())]),
+        )
