@@ -40,6 +40,13 @@ def main(argv: list[str] | None = None) -> int:
     p_replay.add_argument("--salted", action="store_true")
     p_replay.add_argument("--auto-salt", action="store_true")
 
+    p_tail = sub.add_parser("tail", help="continuously apply new WAL segments")
+    p_tail.add_argument("--watch", required=True, help="directory to poll")
+    p_tail.add_argument("--lake", required=True)
+    p_tail.add_argument("--partitions", type=int, default=64)
+    p_tail.add_argument("--rounds", type=int, default=None)
+    p_tail.add_argument("--interval", type=float, default=5.0)
+
     p_compact = sub.add_parser("compact", help="drop applied tombstones")
     p_compact.add_argument("--lake", required=True)
     p_compact.add_argument("--partitions", type=int, default=64)
@@ -79,6 +86,31 @@ def main(argv: list[str] | None = None) -> int:
                 }
             )
         )
+    elif args.cmd == "tail":
+        from raycdc.engine import tail
+
+        spec = TableSpec(num_partitions=args.partitions)
+
+        def report(i, new, lineage):
+            applied = (
+                sum(lineage["rows_applied"].to_pylist()) if lineage is not None else 0
+            )
+            print(
+                json.dumps(
+                    {"round": i, "new_segments": len(new), "rows_applied": applied}
+                ),
+                flush=True,
+            )
+
+        total = tail(
+            args.watch,
+            args.lake,
+            spec,
+            rounds=args.rounds,
+            interval_s=args.interval,
+            on_round=report,
+        )
+        print(json.dumps({"segments_applied": total}))
     elif args.cmd == "compact":
         spec = TableSpec(num_partitions=args.partitions)
         lineage = compact(args.lake, spec)

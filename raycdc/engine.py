@@ -17,6 +17,7 @@ AND the lake writes run inside distributed group tasks.
 
 from __future__ import annotations
 
+import os
 from typing import Callable
 
 import pyarrow as pa
@@ -336,6 +337,75 @@ def read_dead_letters(dead_letter_dir: str) -> pa.Table | None:
     return pa.concat_tables(
         [pq_.read_table(p) for p in paths], promote_options="default"
     )
+
+
+def tail_once(
+    watch_dir: str,
+    lake_dir: str,
+    spec: TableSpec | None = None,
+    pattern: str = "*.parquet",
+    **replay_kwargs,
+) -> tuple[list[str], pa.Table | None]:
+    """One round of the continuous tail: pick up WAL segment files that
+    appeared under ``watch_dir`` since the last round and replay them.
+
+    The processed-segment manifest (``<lake>/_segments.json``) makes the
+    scan incremental (O(new files) work per round); a crash between replay
+    and manifest write only causes a re-replay, which the per-partition
+    checkpoints turn into a no-op.  This is the reference's
+    object-finalize → load trigger (``/root/reference/event.go:12-24``,
+    ``bqloader.go:105-137``) as a pull loop.
+
+    Returns ``(new_segment_paths, lineage-or-None)``.
+    """
+    import glob as _glob
+    import json
+    import uuid
+
+    spec = spec or TableSpec()
+    manifest_path = os.path.join(lake_dir, "_segments.json")
+    seen: set[str] = set()
+    if os.path.exists(manifest_path):
+        with open(manifest_path) as f:
+            seen = set(json.load(f))
+    paths = sorted(_glob.glob(os.path.join(watch_dir, pattern)))
+    new = [p for p in paths if p not in seen]
+    if not new:
+        return [], None
+    lineage = replay(ray.data.read_parquet(new), lake_dir, spec, **replay_kwargs)
+    os.makedirs(lake_dir, exist_ok=True)
+    tmp = os.path.join(lake_dir, f".tmp-seg-{uuid.uuid4().hex}.json")
+    with open(tmp, "w") as f:
+        json.dump(sorted(seen | set(new)), f)
+    os.replace(tmp, manifest_path)
+    return new, lineage
+
+
+def tail(
+    watch_dir: str,
+    lake_dir: str,
+    spec: TableSpec | None = None,
+    rounds: int | None = None,
+    interval_s: float = 5.0,
+    on_round=None,
+    **replay_kwargs,
+) -> int:
+    """Continuous tailing loop: poll ``watch_dir``, apply new segments,
+    sleep.  ``rounds=None`` runs until interrupted; returns total segments
+    applied."""
+    import time as _time
+
+    total = 0
+    i = 0
+    while rounds is None or i < rounds:
+        new, lineage = tail_once(watch_dir, lake_dir, spec, **replay_kwargs)
+        total += len(new)
+        if on_round is not None:
+            on_round(i, new, lineage)
+        i += 1
+        if rounds is None or i < rounds:
+            _time.sleep(interval_s)
+    return total
 
 
 def compact(lake_dir: str, spec: TableSpec | None = None) -> pa.Table:
