@@ -301,6 +301,7 @@ def replay(
         return S.LINEAGE_SCHEMA.empty_table()
     lineage = pa.Table.from_pandas(pdf, schema=S.LINEAGE_SCHEMA, preserve_index=False)
     S.write_lineage(lake_dir, lineage)
+    S.update_lake_schema(lake_dir, parts=[int(p) for p in pdf["part"].tolist()])
     return lineage
 
 

@@ -138,6 +138,72 @@ def content_hash(table: pa.Table, key_cols=("conv_id", "turn_idx", "lsn")) -> in
     return int((acc + total) & np.uint64(0x7FFFFFFFFFFFFFFF))
 
 
+def update_lake_schema(lake_dir: str, parts: list[int] | None = None) -> pa.Schema | None:
+    """Refresh the lake-level schema registry (``<lake>/_schema.json``).
+
+    The registry is the union of the partition schemas (parquet footers
+    only — no data read), widened via the same evolution lattice the merge
+    uses, persisted atomically.  ``parts`` limits the footer scan to the
+    partitions an apply round touched; the previously registered schema is
+    folded in so untouched partitions keep contributing.
+    """
+    from raycdc.schema import merge_schemas
+
+    merged: pa.Schema | None = read_lake_schema(lake_dir)
+    part_ids = parts
+    if part_ids is None:
+        part_ids = []
+        d = lake_dir
+        if os.path.isdir(d):
+            for name in os.listdir(d):
+                if name.startswith("part="):
+                    part_ids.append(int(name.split("=")[1]))
+    for part in part_ids:
+        path = part_file(lake_dir, part)
+        if not os.path.exists(path):
+            continue
+        s = pq.read_schema(path)
+        merged = s if merged is None else merge_schemas(merged, s)
+    if merged is None:
+        return None
+    dst = os.path.join(lake_dir, "_schema.json")
+    tmp = os.path.join(lake_dir, f".tmp-schema-{uuid.uuid4().hex}.json")
+    with open(tmp, "w") as f:
+        json.dump({"fields": [[fld.name, str(fld.type)] for fld in merged]}, f)
+    _atomic_replace(tmp, dst)
+    return merged
+
+
+def read_lake_schema(lake_dir: str) -> pa.Schema | None:
+    """The registered lake schema, or None when never written."""
+    path = os.path.join(lake_dir, "_schema.json")
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        payload = json.load(f)
+    _TYPES = {
+        "string": pa.string(),
+        "large_string": pa.large_string(),
+        "int8": pa.int8(),
+        "int16": pa.int16(),
+        "int32": pa.int32(),
+        "int64": pa.int64(),
+        "float": pa.float32(),
+        "double": pa.float64(),
+        "bool": pa.bool_(),
+        "timestamp[s]": pa.timestamp("s"),
+        "timestamp[ms]": pa.timestamp("ms"),
+        "timestamp[us]": pa.timestamp("us"),
+        "timestamp[ns]": pa.timestamp("ns"),
+        "binary": pa.binary(),
+    }
+    fields = [
+        pa.field(name, _TYPES.get(tname, pa.string()))
+        for name, tname in payload["fields"]
+    ]
+    return pa.schema(fields)
+
+
 def write_lineage(lake_dir: str, rows: pa.Table) -> str:
     """Append a lineage parquet under <lake>/_lineage/ (one file per apply)."""
     d = os.path.join(lake_dir, "_lineage")

@@ -118,3 +118,29 @@ def test_schema_evolution_across_segments(tmp_path):
         for k, r in python_lww_replay([base, later]).items()
     }
     assert _lake_state(lake) == expect
+
+
+def test_schema_registry_tracks_evolution(tmp_path):
+    """The lake-level schema registry (_schema.json) reflects the widened
+    union of all partition schemas after heterogeneous applies."""
+    import ray.data
+
+    from raycdc.sink import read_lake_schema
+
+    base = synthetic_changelog(n_events=400, seed=26)
+    evolved = synthetic_changelog(n_events=800, seed=26, evolve_from_lsn=400)
+    later = evolved.filter(pa.compute.greater_equal(evolved["lsn"], 400))
+    lake = str(tmp_path / "lake")
+    spec = TableSpec(num_partitions=4)
+
+    replay(ray.data.from_arrow(base), lake, spec)
+    s1 = read_lake_schema(lake)
+    assert s1 is not None
+    assert "model" not in s1.names
+    assert s1.field("turn_idx").type == pa.int32()
+
+    replay(ray.data.from_arrow(later), lake, spec)
+    s2 = read_lake_schema(lake)
+    assert "model" in s2.names
+    assert s2.field("turn_idx").type == pa.int64()
+    assert s2.field("ts").type == pa.timestamp("us")
