@@ -54,6 +54,16 @@ def main(argv: list[str] | None = None) -> int:
     p_show = sub.add_parser("show", help="print lake state summary")
     p_show.add_argument("--lake", required=True)
     p_show.add_argument("--partitions", type=int, default=64)
+    p_show.add_argument("--as-of", type=int, default=None, help="snapshot id")
+
+    p_vacuum = sub.add_parser("vacuum", help="prune old snapshots/versions")
+    p_vacuum.add_argument("--lake", required=True)
+    p_vacuum.add_argument("--keep", type=int, default=1)
+
+    p_lookup = sub.add_parser("lookup", help="point lookup one conversation")
+    p_lookup.add_argument("--lake", required=True)
+    p_lookup.add_argument("--key", required=True)
+    p_lookup.add_argument("--partitions", type=int, default=64)
 
     args = ap.parse_args(argv)
     owns_ray = _ray_init(args.num_cpus)
@@ -124,8 +134,19 @@ def main(argv: list[str] | None = None) -> int:
         )
     elif args.cmd == "show":
         spec = TableSpec(num_partitions=args.partitions)
-        ds = read_lake(args.lake, spec)
+        ds = read_lake(args.lake, spec, as_of=args.as_of)
         print(json.dumps({"live_rows": ds.count(), "schema": ds.schema().names}))
+    elif args.cmd == "vacuum":
+        from raycdc.sink import vacuum
+
+        removed = vacuum(args.lake, keep_snapshots=args.keep)
+        print(json.dumps({"files_removed": removed}))
+    elif args.cmd == "lookup":
+        from raycdc.engine import lookup
+
+        spec = TableSpec(num_partitions=args.partitions)
+        t = lookup(args.lake, args.key, spec)
+        print(json.dumps({"rows": len(t), "columns": t.column_names}))
     if owns_ray:
         ray.shutdown()
     return 0

@@ -171,13 +171,21 @@ def _make_apply_fn(lake_dir: str, spec: TableSpec):
             folded = fresh
         merged = M.lww_dedup(folded, key_cols, version_cols, op_col, drop_deletes=False)
 
-        S.write_partition_atomic(merged, lake_dir, part)
+        # install the next version, then advance the checkpoint to it — a
+        # crash in between leaves readers on the old version (consistent)
+        next_version = (ckpt.get("version", 0) + 1) if ckpt else 0
+        S.write_partition_atomic(merged, lake_dir, part, version=next_version)
         chash = S.content_hash(merged)
         tomb = int(pc.sum(pc.equal(merged[op_col], M.DELETE)).as_py() or 0)
         S.write_checkpoint(
             lake_dir,
             part,
-            {"max_lsn": new_max, "row_count": len(merged), "content_hash": chash},
+            {
+                "max_lsn": new_max,
+                "row_count": len(merged),
+                "content_hash": chash,
+                "version": next_version,
+            },
         )
         return pa.table(
             {
@@ -302,6 +310,7 @@ def replay(
     lineage = pa.Table.from_pandas(pdf, schema=S.LINEAGE_SCHEMA, preserve_index=False)
     S.write_lineage(lake_dir, lineage)
     S.update_lake_schema(lake_dir, parts=[int(p) for p in pdf["part"].tolist()])
+    S.write_snapshot(lake_dir)
     return lineage
 
 
@@ -409,6 +418,43 @@ def tail(
     return total
 
 
+def lookup(
+    lake_dir: str,
+    key_value: str,
+    spec: TableSpec | None = None,
+    turn_idx: int | None = None,
+) -> pa.Table:
+    """Point lookup by partition key: O(one partition file), not a scan.
+
+    The lake layout is a pure function of ``hash(partition_key)`` — the
+    hash routing IS the index, so a conversation lookup reads exactly one
+    partition file regardless of lake size (at 10^10 rows: one file of
+    ~rows/P).  Tombstones are filtered; rows come back in the stored
+    (sorted) order."""
+    spec = spec or TableSpec()
+    part = int(
+        hash_part(key_value, spec.num_partitions)
+    )
+    t = S.read_partition(lake_dir, part)
+    if t is None:
+        return spec.changelog_schema().empty_table()
+    mask = pc.equal(t[spec.partition_key], key_value)
+    if turn_idx is not None:
+        mask = pc.and_(mask, pc.equal(t[spec.key_cols[-1]], turn_idx))
+    t = t.filter(mask)
+    return t.filter(pc.not_equal(t[spec.op_col], M.DELETE))
+
+
+def hash_part(key_value: str, num_partitions: int) -> int:
+    """Partition id of one key (same FNV path as add_part_key)."""
+    import numpy as np
+
+    from raycdc.partition import hash_strings
+
+    h = hash_strings(pa.array([key_value]))
+    return int(h[0] % np.uint64(num_partitions))
+
+
 def compact(lake_dir: str, spec: TableSpec | None = None) -> pa.Table:
     """Tombstone garbage collection: rewrite each partition without
     ``op='delete'`` rows and refresh its checkpoint digest.
@@ -443,7 +489,8 @@ def compact(lake_dir: str, spec: TableSpec | None = None) -> pa.Table:
             )
             dropped = n_before - len(live)
             if dropped:
-                S.write_partition_atomic(live, lake_dir, part)
+                next_version = ckpt.get("version", 0) + 1
+                S.write_partition_atomic(live, lake_dir, part, version=next_version)
                 S.write_checkpoint(
                     lake_dir,
                     part,
@@ -451,6 +498,7 @@ def compact(lake_dir: str, spec: TableSpec | None = None) -> pa.Table:
                         "max_lsn": ckpt["max_lsn"],
                         "row_count": len(live),
                         "content_hash": S.content_hash(live),
+                        "version": next_version,
                     },
                 )
             rows.append(
@@ -486,18 +534,29 @@ def read_lake(
     spec: TableSpec | None = None,
     with_tombstones: bool = False,
     columns: list[str] | None = None,
+    as_of: int | None = None,
 ) -> "ray.data.Dataset":
     """Stream the materialized lake state (tombstones filtered by default).
 
     ``columns`` prunes at the read (pass only what the consumer needs — a
     full-width read for a two-column transform is wrong at lake scale);
     the op column is added when needed for tombstone filtering and dropped
-    again afterwards.
+    again afterwards.  ``as_of`` opens a recorded snapshot id (time
+    travel): the exact per-partition versions of that snapshot are read
+    even if later applies have advanced the lake.
     """
-    import glob
-
     spec = spec or TableSpec()
-    paths = sorted(glob.glob(f"{lake_dir}/part=*/data.parquet"))
+    if as_of is not None:
+        versions = S.read_snapshot(lake_dir, as_of)
+        if versions is None:
+            raise FileNotFoundError(f"no snapshot {as_of} under {lake_dir}")
+        paths = [
+            S.part_file(lake_dir, part, v)
+            for part, v in sorted(versions.items())
+            if os.path.exists(S.part_file(lake_dir, part, v))
+        ]
+    else:
+        paths = S.current_files(lake_dir)
     if not paths:
         raise FileNotFoundError(f"no lake partitions under {lake_dir}")
     drop_op_after = False

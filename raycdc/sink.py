@@ -5,7 +5,7 @@ submits one BigQuery load job, blocking on completion
 (``/root/reference/loader.go:33-60``); re-delivery double-appends (no
 idempotence, SURVEY.md §2.6).  Here the sink is a *pure function of state*:
 
-* lake layout ``<lake>/part=<K>/data.parquet`` — one deterministic file per
+* lake layout ``<lake>/part=<K>/data-v{N}.parquet`` — one deterministic current file per
   hash partition, holding the merged rows INCLUDING tombstones (op='delete'),
   so LWW replay of stale segments can never resurrect deleted keys;
 * writes go to a temp file then ``os.replace`` (atomic on POSIX) — a failed
@@ -52,16 +52,44 @@ def part_dir(lake_dir: str, part: int) -> str:
     return os.path.join(lake_dir, f"part={part:05d}")
 
 
-def part_file(lake_dir: str, part: int) -> str:
-    return os.path.join(part_dir(lake_dir, part), "data.parquet")
+def part_file(lake_dir: str, part: int, version: int | None = None) -> str:
+    """Path of one partition data file.
+
+    ``version=None`` resolves the CURRENT version via the checkpoint
+    (versioned files ``data-v{N}.parquet`` enable snapshots/time travel
+    and give concurrent readers a consistent file while a writer installs
+    the next version; ``vacuum`` prunes old ones).  Falls back to version
+    0 for a never-written partition.
+    """
+    if version is None:
+        ckpt = read_checkpoint(lake_dir, part)
+        version = ckpt.get("version", 0) if ckpt else 0
+    return os.path.join(part_dir(lake_dir, part), f"data-v{version:06d}.parquet")
+
+
+def current_files(lake_dir: str) -> list[str]:
+    """Current-version data file per existing partition (sorted)."""
+    out = []
+    if not os.path.isdir(lake_dir):
+        return out
+    for name in sorted(os.listdir(lake_dir)):
+        if not name.startswith("part="):
+            continue
+        part = int(name.split("=")[1])
+        path = part_file(lake_dir, part)
+        if os.path.exists(path):
+            out.append(path)
+    return out
 
 
 def ckpt_file(lake_dir: str, part: int) -> str:
     return os.path.join(lake_dir, "_ckpt", f"part-{part:05d}.json")
 
 
-def read_partition(lake_dir: str, part: int) -> pa.Table | None:
-    path = part_file(lake_dir, part)
+def read_partition(
+    lake_dir: str, part: int, version: int | None = None
+) -> pa.Table | None:
+    path = part_file(lake_dir, part, version)
     if not os.path.exists(path):
         return None
     return pq.read_table(path)
@@ -91,20 +119,98 @@ def _atomic_replace(tmp: str, dst: str) -> None:
     os.replace(tmp, dst)
 
 
-def write_partition_atomic(table: pa.Table, lake_dir: str, part: int) -> str:
+def write_partition_atomic(
+    table: pa.Table, lake_dir: str, part: int, version: int | None = None
+) -> str:
     """Write one partition file via temp + rename; returns final path.
 
     Deterministic writer options (fixed compression, no nondeterministic
     metadata beyond parquet's created_by) so identical state produces
-    identical files — the idempotent-rewrite invariant.
+    identical files — the idempotent-rewrite invariant.  The version is
+    only visible to readers once the checkpoint advances to it.
     """
     d = part_dir(lake_dir, part)
     os.makedirs(d, exist_ok=True)
-    dst = part_file(lake_dir, part)
+    dst = part_file(lake_dir, part, version)
     tmp = os.path.join(d, f".tmp-{uuid.uuid4().hex}.parquet")
     pq.write_table(table, tmp, compression="zstd", write_statistics=True)
     _atomic_replace(tmp, dst)
     return dst
+
+
+# ---------------------------------------------------------------------------
+# snapshots / time travel
+
+
+def write_snapshot(lake_dir: str) -> int:
+    """Record the current per-partition versions as a snapshot; returns the
+    snapshot id (monotone).  Readers can later open the lake ``as_of`` this
+    id and see exactly this state regardless of later applies."""
+    snaps_dir = os.path.join(lake_dir, "_snapshots")
+    os.makedirs(snaps_dir, exist_ok=True)
+    versions = {
+        str(part): ckpt.get("version", 0)
+        for part, ckpt in read_all_checkpoints(lake_dir).items()
+    }
+    existing = sorted(
+        int(n[5:-5]) for n in os.listdir(snaps_dir)
+        if n.startswith("snap-") and n.endswith(".json")
+    )
+    snap_id = (existing[-1] + 1) if existing else 0
+    tmp = os.path.join(snaps_dir, f".tmp-{uuid.uuid4().hex}.json")
+    with open(tmp, "w") as f:
+        json.dump({"id": snap_id, "versions": versions}, f, sort_keys=True)
+    _atomic_replace(tmp, os.path.join(snaps_dir, f"snap-{snap_id:06d}.json"))
+    return snap_id
+
+
+def read_snapshot(lake_dir: str, snap_id: int) -> dict[int, int] | None:
+    path = os.path.join(lake_dir, "_snapshots", f"snap-{snap_id:06d}.json")
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        payload = json.load(f)
+    return {int(k): int(v) for k, v in payload["versions"].items()}
+
+
+def list_snapshots(lake_dir: str) -> list[int]:
+    d = os.path.join(lake_dir, "_snapshots")
+    if not os.path.isdir(d):
+        return []
+    return sorted(
+        int(n[5:-5]) for n in os.listdir(d)
+        if n.startswith("snap-") and n.endswith(".json")
+    )
+
+
+def vacuum(lake_dir: str, keep_snapshots: int = 1) -> int:
+    """Prune old snapshots and any partition-file version no snapshot (nor
+    the current checkpoint) references; returns files removed."""
+    snaps = list_snapshots(lake_dir)
+    drop_snaps = snaps[:-keep_snapshots] if keep_snapshots > 0 else snaps
+    for sid in drop_snaps:
+        os.remove(os.path.join(lake_dir, "_snapshots", f"snap-{sid:06d}.json"))
+    keep: dict[int, set[int]] = {}
+    for sid in list_snapshots(lake_dir):
+        for part, v in (read_snapshot(lake_dir, sid) or {}).items():
+            keep.setdefault(part, set()).add(v)
+    for part, ckpt in read_all_checkpoints(lake_dir).items():
+        keep.setdefault(part, set()).add(ckpt.get("version", 0))
+    removed = 0
+    if not os.path.isdir(lake_dir):
+        return 0
+    for name in os.listdir(lake_dir):
+        if not name.startswith("part="):
+            continue
+        part = int(name.split("=")[1])
+        pdir = os.path.join(lake_dir, name)
+        for fn in os.listdir(pdir):
+            if fn.startswith("data-v") and fn.endswith(".parquet"):
+                v = int(fn[6:-8])
+                if v not in keep.get(part, set()):
+                    os.remove(os.path.join(pdir, fn))
+                    removed += 1
+    return removed
 
 
 def write_checkpoint(lake_dir: str, part: int, payload: dict) -> None:

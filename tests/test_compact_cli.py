@@ -9,13 +9,14 @@ import ray.data
 from raycdc.changelog import synthetic_changelog
 from raycdc.engine import compact, read_lake, replay
 from raycdc.schema import TableSpec
+from raycdc.sink import current_files
 
 from .oracle import python_lww_replay
 
 
 def _live_state(lake_dir, spec):
     out = {}
-    for p in sorted(glob.glob(f"{lake_dir}/part=*/data.parquet")):
+    for p in current_files(lake_dir):
         t = pq.read_table(p)
         live = t.filter(pa.compute.not_equal(t["op"], "delete"))
         for c, i, tx in zip(
@@ -37,7 +38,7 @@ def test_compact_drops_tombstones_preserves_state(ray_session, tmp_path):
     assert sum(lineage["tombstones"].to_pylist()) > 0
     assert _live_state(lake, spec) == before
     # stored files now hold zero tombstones
-    for p in glob.glob(f"{lake}/part=*/data.parquet"):
+    for p in current_files(lake):
         t2 = pq.read_table(p)
         assert (
             pa.compute.sum(

@@ -14,14 +14,14 @@ import ray.data
 from raycdc.changelog import synthetic_changelog
 from raycdc.engine import read_lake, replay
 from raycdc.schema import TableSpec
-from raycdc.sink import ckpt_file, read_checkpoint, write_checkpoint
+from raycdc.sink import ckpt_file, current_files, read_checkpoint, write_checkpoint
 
 from .oracle import python_lww_replay
 
 
 def _state(lake_dir):
     out = {}
-    for p in sorted(glob.glob(f"{lake_dir}/part=*/data.parquet")):
+    for p in current_files(lake_dir):
         t = pq.read_table(p)
         live = t.filter(pc.not_equal(t["op"], "delete"))
         for c, i, tx in zip(

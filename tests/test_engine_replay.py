@@ -10,14 +10,14 @@ import ray.data
 from raycdc.changelog import synthetic_changelog
 from raycdc.engine import read_lake, replay
 from raycdc.schema import TableSpec
-from raycdc.sink import read_all_checkpoints
+from raycdc.sink import current_files, read_all_checkpoints
 
 from .oracle import python_lww_replay
 
 
 def _lake_state(lake_dir):
     t = pa.concat_tables(
-        [pq.read_table(p) for p in sorted(glob.glob(f"{lake_dir}/part=*/data.parquet"))],
+        [pq.read_table(p) for p in current_files(lake_dir)],
         promote_options="default",
     )
     live = t.filter(pa.compute.not_equal(t["op"], "delete"))
@@ -33,7 +33,7 @@ def _lake_state(lake_dir):
 
 def _lake_bytes(lake_dir):
     out = {}
-    for p in sorted(glob.glob(f"{lake_dir}/part=*/data.parquet")):
+    for p in current_files(lake_dir):
         with open(p, "rb") as f:
             out[os.path.relpath(p, lake_dir)] = f.read()
     return out
@@ -103,7 +103,7 @@ def test_schema_evolution_across_segments(tmp_path):
     replay(ray.data.from_arrow(base), lake, spec)
     replay(ray.data.from_arrow(later), lake, spec)
     merged = pa.concat_tables(
-        [pq.read_table(p) for p in sorted(glob.glob(f"{lake}/part=*/data.parquet"))],
+        [pq.read_table(p) for p in current_files(lake)],
         promote_options="default",
     )
     # additive column present, old rows null-backfilled; turn_idx widened

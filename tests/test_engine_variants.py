@@ -9,13 +9,14 @@ import ray.data
 from raycdc.changelog import synthetic_changelog
 from raycdc.engine import detect_hot_keys, replay
 from raycdc.schema import TableSpec
+from raycdc.sink import current_files
 
 from .oracle import python_lww_replay
 
 
 def _lake_state(lake_dir):
     t = pa.concat_tables(
-        [pq.read_table(p) for p in sorted(glob.glob(f"{lake_dir}/part=*/data.parquet"))],
+        [pq.read_table(p) for p in current_files(lake_dir)],
         promote_options="default",
     )
     live = t.filter(pa.compute.not_equal(t["op"], "delete"))
