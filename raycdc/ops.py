@@ -172,6 +172,63 @@ def project(
 
 
 # ---------------------------------------------------------------------------
+# deterministic sampling / splitting (training-data primitives)
+
+_KNUTH = 2654435761  # Knuth multiplicative hash constant
+_MOD = 1 << 32
+
+
+def hash_bucket(arr: pa.ChunkedArray | pa.Array, buckets: int = 10_000):
+    """Deterministic bucket in [0, buckets) from an INTEGER key column via
+    Knuth multiplicative hashing — reproducible in any engine with 64-bit
+    integer arithmetic (the property that makes the sample auditable:
+    ``(key * 2654435761) % 2^32 * buckets / 2^32``)."""
+    import numpy as np
+
+    k = arr.to_numpy(zero_copy_only=False).astype(np.uint64)
+    h = (k * np.uint64(_KNUTH)) % np.uint64(_MOD)
+    return pa.array(((h * np.uint64(buckets)) // np.uint64(_MOD)).astype(np.int64))
+
+
+def hash_sample(batch: pa.Table, key_col: str, fraction: float) -> pa.Table:
+    """Keep a deterministic ``fraction`` of rows by key hash.
+
+    Never materializes or shuffles anything — a pure per-batch filter, so a
+    10^10-row sample is exactly as streamable as the source.  Same key ⇒
+    same decision across runs/engines (stable experiment membership).
+    """
+    b = hash_bucket(batch[key_col])
+    keep = pc.less(b, int(fraction * 10_000))
+    return batch.filter(keep)
+
+
+def train_split(
+    batch: pa.Table,
+    key_col: str,
+    out_col: str = "split",
+    fractions: Mapping[str, float] = None,
+) -> pa.Table:
+    """Append a deterministic train/val/test split column keyed on
+    ``key_col`` (default 80/10/10).  Keys stay in their split forever —
+    the leakage-safe property entity-level splits need."""
+    fractions = dict(fractions or {"train": 0.8, "val": 0.1, "test": 0.1})
+    b = hash_bucket(batch[key_col])
+    names = list(fractions)
+    bounds = []
+    acc = 0.0
+    for name in names:
+        acc += fractions[name]
+        bounds.append(int(round(acc * 10_000)))
+    out = pa.nulls(len(batch), pa.string())
+    lo = 0
+    for name, hi in zip(names, bounds):
+        mask = pc.and_(pc.greater_equal(b, lo), pc.less(b, hi))
+        out = pc.if_else(mask, pa.scalar(name), out)
+        lo = hi
+    return batch.append_column(out_col, out)
+
+
+# ---------------------------------------------------------------------------
 # error policy (handler.go:163-169 analog)
 
 

@@ -714,6 +714,62 @@ def q_embed_near_dup(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# deterministic sampling / splitting
+
+
+def q_sample_events(sf_dir: str):
+    """Deterministic 10% hash sample of events — a pure streaming filter
+    whose membership any engine can recompute (Knuth multiplicative hash on
+    the integer key)."""
+    from raycdc.ops import hash_sample
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "event_type"]
+    )
+    return ds.map_batches(
+        lambda t: hash_sample(t, "event_id", 0.10),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+SQL_SAMPLE_EVENTS = """
+SELECT event_id, user_id, event_type
+FROM events
+WHERE ((event_id * 2654435761) % 4294967296) * 10000 // 4294967296 < 1000
+"""
+
+
+def q_split_events(sf_dir: str):
+    """Leakage-safe 80/10/10 split keyed on user_id: a user's events all
+    land in one split, deterministically, forever."""
+    from raycdc.ops import train_split
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id"]
+    )
+    return ds.map_batches(
+        lambda t: train_split(t, "user_id"),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+SQL_SPLIT_EVENTS = """
+WITH b AS (
+    SELECT event_id, user_id,
+           ((user_id * 2654435761) % 4294967296) * 10000 // 4294967296 AS bucket
+    FROM events
+)
+SELECT event_id, user_id,
+       CASE WHEN bucket < 8000 THEN 'train'
+            WHEN bucket < 9000 THEN 'val'
+            ELSE 'test' END AS split
+FROM b
+"""
+
+
+# ---------------------------------------------------------------------------
 # schema evolution under the oracle gate
 
 
@@ -990,6 +1046,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "proj_statement": q_proj_statement,
     "cdc_csv_ingest": q_cdc_csv_ingest,
     "cdc_evolve": q_cdc_evolve,
+    "sample_events": q_sample_events,
+    "split_events": q_split_events,
     "join_orders_customer": q_join_orders_customer,
     "join_shuffle": q_join_shuffle,
     "sessionize_events": q_sessionize_events,
@@ -1021,6 +1079,8 @@ ORACLES: dict[str, str] = {
     "join_orders_customer": SQL_JOIN_ORDERS_CUSTOMER,
     "join_shuffle": SQL_JOIN_ORDERS_CUSTOMER,
     "cdc_evolve": _sql_cdc_evolve(),
+    "sample_events": SQL_SAMPLE_EVENTS,
+    "split_events": SQL_SPLIT_EVENTS,
     "sessionize_events": SQL_SESSIONIZE_EVENTS,
     "rollup_lineitem": SQL_ROLLUP_LINEITEM,
     "text_stats": SQL_TEXT_STATS,

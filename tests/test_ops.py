@@ -152,3 +152,38 @@ def test_widen_type_rejects_narrowing_and_incompatible():
             pa.schema([pa.field("x", pa.string())]),
             pa.schema([pa.field("x", pa.int32())]),
         )
+
+
+# --- deterministic sampling / splitting -----------------------------------
+
+
+def test_hash_sample_deterministic_and_proportional():
+    import pyarrow as pa
+
+    t = pa.table({"event_id": pa.array(range(100_000), pa.int64())})
+    a = ops.hash_sample(t, "event_id", 0.10)
+    b = ops.hash_sample(t, "event_id", 0.10)
+    assert a.equals(b)
+    assert abs(len(a) / len(t) - 0.10) < 0.01
+    # nesting property: the 5% sample is a subset of the 10% sample
+    c = ops.hash_sample(t, "event_id", 0.05)
+    assert set(c["event_id"].to_pylist()) <= set(a["event_id"].to_pylist())
+
+
+def test_train_split_entity_stable_and_complete():
+    import pyarrow as pa
+
+    t = pa.table(
+        {
+            "user_id": pa.array([i % 500 for i in range(5000)], pa.int64()),
+            "x": pa.array(range(5000)),
+        }
+    )
+    out = ops.train_split(t, "user_id")
+    assert set(out["split"].to_pylist()) == {"train", "val", "test"}
+    # every key maps to exactly one split (leakage-safe)
+    seen = {}
+    for u, s in zip(out["user_id"].to_pylist(), out["split"].to_pylist()):
+        assert seen.setdefault(u, s) == s
+    frac_train = out["split"].to_pylist().count("train") / len(out)
+    assert 0.7 < frac_train < 0.9
