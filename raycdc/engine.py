@@ -71,7 +71,18 @@ def prepare(
         batch = add_part_key(batch, key_col=pkey, num_partitions=nparts)
         return M.combine_batch(batch, key_cols, version_cols, op_col)
 
-    return ds.map_batches(_prep, batch_format="pyarrow", zero_copy_batch=True)
+    # Retry policy: transient IO faults (OSError — object storage hiccups
+    # while extracting/decoding segments) are retried; data errors
+    # (ValueError etc.) fail fast with provenance or dead-letter, matching
+    # the reference's error semantics (handler.go:163-165).  Retries are
+    # SAFE here because the sink is idempotent (LWW + checkpoints).
+    return ds.map_batches(
+        _prep,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        max_retries=3,
+        retry_exceptions=[OSError],
+    )
 
 
 def _strip(table: pa.Table, keep_envelope: bool) -> pa.Table:
