@@ -12,17 +12,44 @@ Modules
 -------
 schema      TableSpec + declarative Arrow schema evolution (additive / widening)
 changelog   deterministic changelog derivation + seeded synthetic generators
-ops         projector-style vectorized batch transforms (reference §2.3 analogs)
+ops         projector transforms, error policy, deterministic sampling/splits
+parsers     per-file decode stack (encodings, line surgery, CSV/JSONL, binary)
+registry    handler registry, regex routing, fan-out dispatch, notifiers
 partition   hash partitioning + hot-key salting
 merge       vectorized LWW dedup / merge kernels (combiner + final)
-engine      pipeline assembly: merged_state, replay, resume
-sink        atomic partitioned Parquet writes, checkpoints, lineage
+engine      replay / merged_state / tail / compact / lookup / read_lake
+sink        versioned atomic writes, checkpoints, snapshots, lineage, schema registry
+relational  broadcast + shuffle joins, sessionization, two-phase aggregation
 text        text analysis (langid, quality, tokens, fingerprints)
 dedup       exact / MinHash-LSH / SimHash / n-gram / embedding dedup
-similarity  cosine top-k ANN (brute-force + LSH-bucketed)
+similarity  cosine top-k ANN (brute-force, LSH, IVF), embedding near-dup
 multimodal  binary-column plumbing (decode stages stubbed)
 """
 
-from raycdc.schema import TableSpec, TRANSCRIPT_SCHEMA, CHANGELOG_SCHEMA
+from raycdc.engine import (
+    MergeApplier,
+    compact,
+    detect_hot_keys,
+    lookup,
+    merged_state,
+    read_lake,
+    replay,
+    tail,
+    tail_once,
+)
+from raycdc.schema import CHANGELOG_SCHEMA, TRANSCRIPT_SCHEMA, TableSpec
 
-__all__ = ["TableSpec", "TRANSCRIPT_SCHEMA", "CHANGELOG_SCHEMA"]
+__all__ = [
+    "TableSpec",
+    "TRANSCRIPT_SCHEMA",
+    "CHANGELOG_SCHEMA",
+    "replay",
+    "merged_state",
+    "read_lake",
+    "lookup",
+    "tail",
+    "tail_once",
+    "compact",
+    "detect_hot_keys",
+    "MergeApplier",
+]

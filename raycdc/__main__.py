@@ -56,6 +56,9 @@ def main(argv: list[str] | None = None) -> int:
     p_show.add_argument("--partitions", type=int, default=64)
     p_show.add_argument("--as-of", type=int, default=None, help="snapshot id")
 
+    p_hist = sub.add_parser("history", help="apply-history (lineage) summary")
+    p_hist.add_argument("--lake", required=True)
+
     p_vacuum = sub.add_parser("vacuum", help="prune old snapshots/versions")
     p_vacuum.add_argument("--lake", required=True)
     p_vacuum.add_argument("--keep", type=int, default=1)
@@ -136,6 +139,20 @@ def main(argv: list[str] | None = None) -> int:
         spec = TableSpec(num_partitions=args.partitions)
         ds = read_lake(args.lake, spec, as_of=args.as_of)
         print(json.dumps({"live_rows": ds.count(), "schema": ds.schema().names}))
+    elif args.cmd == "history":
+        from raycdc.engine import read_lineage
+
+        pdf = read_lineage(args.lake).to_pandas()
+        print(
+            json.dumps(
+                {
+                    "apply_rounds": int(pdf.groupby("max_lsn").ngroups),
+                    "rows_applied_total": int(pdf["rows_applied"].sum()),
+                    "partitions_touched": int(pdf["part"].nunique()),
+                    "statuses": sorted(pdf["status"].unique().tolist()),
+                }
+            )
+        )
     elif args.cmd == "vacuum":
         from raycdc.sink import vacuum
 

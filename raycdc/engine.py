@@ -142,6 +142,8 @@ def _make_apply_fn(lake_dir: str, spec: TableSpec):
     key_cols, version_cols, op_col = spec.key_cols, spec.version_cols, spec.op_col
 
     def apply_group(group: pa.Table) -> pa.Table:
+        if len(group) == 0:  # defensive: empty reduce slice
+            return S.LINEAGE_SCHEMA.empty_table()
         part = int(group[PART_KEY][0].as_py())
         group = group.drop_columns([c for c in (PART_KEY, SALT_KEY) if c in group.column_names])
         rows_in = len(group)
@@ -427,6 +429,18 @@ def tail(
         if rounds is None or i < rounds:
             _time.sleep(interval_s)
     return total
+
+
+def read_lineage(lake_dir: str) -> "ray.data.Dataset":
+    """Stream the lake's apply history (one row per partition per apply
+    round, the Notifier/audit analog): what replayed, how many rows, which
+    checkpoint it advanced to."""
+    import glob as _glob
+
+    paths = sorted(_glob.glob(os.path.join(lake_dir, "_lineage", "*.parquet")))
+    if not paths:
+        raise FileNotFoundError(f"no lineage under {lake_dir}")
+    return ray.data.read_parquet(paths)
 
 
 def lookup(

@@ -95,3 +95,26 @@ def test_cli_replay_compact_show(ray_session, tmp_path, capsys):
     out3 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out3["live_rows"] > 0
     assert "conv_id" in out3["schema"]
+
+
+def test_cli_history_and_lookup(ray_session, tmp_path, capsys):
+    import json
+
+    from raycdc.__main__ import main
+
+    t = synthetic_changelog(n_events=400, seed=53)
+    seg = tmp_path / "seg.parquet"
+    pq.write_table(t, seg)
+    lake = str(tmp_path / "histlake")
+    main(["replay", str(seg), "--lake", lake, "--partitions", "4"])
+    capsys.readouterr()
+
+    assert main(["history", "--lake", lake]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["rows_applied_total"] > 0
+    assert out["partitions_touched"] >= 1
+
+    conv = t["conv_id"][0].as_py()
+    assert main(["lookup", "--lake", lake, "--key", conv, "--partitions", "4"]) == 0
+    out2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out2["rows"] >= 1
