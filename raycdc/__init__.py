@@ -26,30 +26,30 @@ similarity  cosine top-k ANN (brute-force, LSH, IVF), embedding near-dup
 multimodal  binary-column plumbing (decode stages stubbed)
 """
 
-from raycdc.engine import (
-    MergeApplier,
-    compact,
-    detect_hot_keys,
-    lookup,
-    merged_state,
-    read_lake,
-    replay,
-    tail,
-    tail_once,
-)
+# schema symbols are cheap (pyarrow only) and imported eagerly; the engine
+# surface pulls in ray.data, so it is exported lazily (PEP 562) — `import
+# raycdc` stays fast and ray-free until an engine function is touched
 from raycdc.schema import CHANGELOG_SCHEMA, TRANSCRIPT_SCHEMA, TableSpec
 
-__all__ = [
-    "TableSpec",
-    "TRANSCRIPT_SCHEMA",
-    "CHANGELOG_SCHEMA",
+_ENGINE_EXPORTS = (
     "replay",
     "merged_state",
     "read_lake",
+    "read_lineage",
     "lookup",
     "tail",
     "tail_once",
     "compact",
     "detect_hot_keys",
     "MergeApplier",
-]
+)
+
+__all__ = ["TableSpec", "TRANSCRIPT_SCHEMA", "CHANGELOG_SCHEMA", *_ENGINE_EXPORTS]
+
+
+def __getattr__(name: str):
+    if name in _ENGINE_EXPORTS:
+        from raycdc import engine
+
+        return getattr(engine, name)
+    raise AttributeError(f"module 'raycdc' has no attribute {name!r}")

@@ -141,15 +141,23 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps({"live_rows": ds.count(), "schema": ds.schema().names}))
     elif args.cmd == "history":
         from raycdc.engine import read_lineage
+        from raycdc.sink import lineage_files
 
         pdf = read_lineage(args.lake).to_pandas()
         print(
             json.dumps(
                 {
-                    "apply_rounds": int(pdf.groupby("max_lsn").ngroups),
-                    "rows_applied_total": int(pdf["rows_applied"].sum()),
-                    "partitions_touched": int(pdf["part"].nunique()),
-                    "statuses": sorted(pdf["status"].unique().tolist()),
+                    # one lineage file is written per apply round
+                    "apply_rounds": len(lineage_files(args.lake)),
+                    "rows_applied_total": int(pdf["rows_applied"].sum())
+                    if len(pdf)
+                    else 0,
+                    "partitions_touched": int(pdf["part"].nunique())
+                    if len(pdf)
+                    else 0,
+                    "statuses": sorted(pdf["status"].unique().tolist())
+                    if len(pdf)
+                    else [],
                 }
             )
         )

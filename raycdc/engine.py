@@ -434,12 +434,11 @@ def tail(
 def read_lineage(lake_dir: str) -> "ray.data.Dataset":
     """Stream the lake's apply history (one row per partition per apply
     round, the Notifier/audit analog): what replayed, how many rows, which
-    checkpoint it advanced to."""
-    import glob as _glob
-
-    paths = sorted(_glob.glob(os.path.join(lake_dir, "_lineage", "*.parquet")))
+    checkpoint it advanced to.  A lake with no applies yet yields an empty
+    Dataset (not an error)."""
+    paths = S.lineage_files(lake_dir)
     if not paths:
-        raise FileNotFoundError(f"no lineage under {lake_dir}")
+        return ray.data.from_arrow(S.LINEAGE_SCHEMA.empty_table())
     return ray.data.read_parquet(paths)
 
 

@@ -310,9 +310,21 @@ def read_lake_schema(lake_dir: str) -> pa.Schema | None:
     return pa.schema(fields)
 
 
+def lineage_dir(lake_dir: str) -> str:
+    """The lake's lineage directory (owned here with the rest of the layout)."""
+    return os.path.join(lake_dir, "_lineage")
+
+
+def lineage_files(lake_dir: str) -> list[str]:
+    """One file per apply round, sorted — the round count IS the file count."""
+    import glob as _glob
+
+    return sorted(_glob.glob(os.path.join(lineage_dir(lake_dir), "*.parquet")))
+
+
 def write_lineage(lake_dir: str, rows: pa.Table) -> str:
     """Append a lineage parquet under <lake>/_lineage/ (one file per apply)."""
-    d = os.path.join(lake_dir, "_lineage")
+    d = lineage_dir(lake_dir)
     os.makedirs(d, exist_ok=True)
     dst = os.path.join(d, f"apply-{uuid.uuid4().hex}.parquet")
     pq.write_table(rows, dst)

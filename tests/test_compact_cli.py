@@ -118,3 +118,35 @@ def test_cli_history_and_lookup(ray_session, tmp_path, capsys):
     assert main(["lookup", "--lake", lake, "--key", conv, "--partitions", "4"]) == 0
     out2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out2["rows"] >= 1
+
+
+def test_cli_history_counts_rounds_and_handles_empty(ray_session, tmp_path, capsys):
+    import json
+
+    from raycdc.__main__ import main
+
+    lake = str(tmp_path / "roundslake")
+    # empty lake → empty summary, no crash
+    import os
+
+    os.makedirs(lake, exist_ok=True)
+    assert main(["history", "--lake", lake]) == 0
+    out0 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out0 == {
+        "apply_rounds": 0,
+        "rows_applied_total": 0,
+        "partitions_touched": 0,
+        "statuses": [],
+    }
+
+    t = synthetic_changelog(n_events=400, seed=54)
+    first = t.filter(pa.compute.less(t["lsn"], 200))
+    second = t.filter(pa.compute.greater_equal(t["lsn"], 200))
+    for part in (first, second):
+        seg = tmp_path / "seg_tmp.parquet"
+        pq.write_table(part, seg)
+        main(["replay", str(seg), "--lake", lake, "--partitions", "4"])
+    capsys.readouterr()
+    assert main(["history", "--lake", lake]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["apply_rounds"] == 2  # one lineage file per apply round
