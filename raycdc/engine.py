@@ -148,6 +148,13 @@ def _make_apply_fn(lake_dir: str, spec: TableSpec):
         group = group.drop_columns([c for c in (PART_KEY, SALT_KEY) if c in group.column_names])
         rows_in = len(group)
 
+        if group["lsn"].null_count:
+            # fail fast with provenance: a null lsn would silently fall out
+            # of the checkpoint filter (null comparison) and lose the row
+            raise ValueError(
+                f"partition {part}: {group['lsn'].null_count} row(s) with "
+                "null lsn — version columns must be non-null"
+            )
         ckpt = S.read_checkpoint(lake_dir, part)
         max_applied = ckpt["max_lsn"] if ckpt else -1
         new_max = max(max_applied, int(pc.max(group["lsn"]).as_py()) if rows_in else -1)
@@ -372,10 +379,12 @@ def tail_once(
     """One round of the continuous tail: pick up WAL segment files that
     appeared under ``watch_dir`` since the last round and replay them.
 
-    The processed-segment manifest (``<lake>/_segments.json``) makes the
-    scan incremental (O(new files) work per round); a crash between replay
-    and manifest write only causes a re-replay, which the per-partition
-    checkpoints turn into a no-op.  This is the reference's
+    The processed-segment journal (``<lake>/_segments.jsonl``) is
+    APPEND-only — each round writes only the names it just applied, so the
+    write cost is O(new files) even after millions of rounds (the read is
+    one sequential pass, dominated by the directory glob anyway).  A crash
+    between replay and journal append only causes a re-replay, which the
+    per-partition checkpoints turn into a no-op.  This is the reference's
     object-finalize → load trigger (``/root/reference/event.go:12-24``,
     ``bqloader.go:105-137``) as a pull loop.
 
@@ -383,24 +392,24 @@ def tail_once(
     """
     import glob as _glob
     import json
-    import uuid
 
     spec = spec or TableSpec()
-    manifest_path = os.path.join(lake_dir, "_segments.json")
+    journal_path = os.path.join(lake_dir, "_segments.jsonl")
     seen: set[str] = set()
-    if os.path.exists(manifest_path):
-        with open(manifest_path) as f:
-            seen = set(json.load(f))
+    if os.path.exists(journal_path):
+        with open(journal_path) as f:
+            seen = {json.loads(line) for line in f if line.strip()}
     paths = sorted(_glob.glob(os.path.join(watch_dir, pattern)))
     new = [p for p in paths if p not in seen]
     if not new:
         return [], None
     lineage = replay(ray.data.read_parquet(new), lake_dir, spec, **replay_kwargs)
     os.makedirs(lake_dir, exist_ok=True)
-    tmp = os.path.join(lake_dir, f".tmp-seg-{uuid.uuid4().hex}.json")
-    with open(tmp, "w") as f:
-        json.dump(sorted(seen | set(new)), f)
-    os.replace(tmp, manifest_path)
+    with open(journal_path, "a") as f:
+        for p in new:
+            f.write(json.dumps(p) + "\n")
+        f.flush()
+        os.fsync(f.fileno())
     return new, lineage
 
 
@@ -479,17 +488,24 @@ def hash_part(key_value: str, num_partitions: int) -> int:
     return int(h[0] % np.uint64(num_partitions))
 
 
-def compact(lake_dir: str, spec: TableSpec | None = None) -> pa.Table:
-    """Tombstone garbage collection: rewrite each partition without
-    ``op='delete'`` rows and refresh its checkpoint digest.
+def compact(
+    lake_dir: str,
+    spec: TableSpec | None = None,
+    watermark=None,
+) -> pa.Table:
+    """Tombstone garbage collection: rewrite each partition without applied
+    ``op='delete'`` rows older than ``watermark`` and refresh the digest.
 
-    Safe because the checkpoint filter already guarantees that any segment
-    with ``lsn ≤ max_lsn`` is dropped before merge — a stored tombstone can
-    only ever beat rows the filter would have rejected anyway, so removing
-    applied tombstones cannot change future merge results.  (Consequence of
-    the WAL-tail delivery contract: across ``replay`` calls, segments
-    arrive in non-decreasing lsn order per partition; arbitrary disorder is
-    still fine WITHIN one call.)
+    Why a watermark is needed: LWW versions order by ``(ts, lsn)`` with
+    ``ts`` primary, and lsn delivery order says nothing about ts order — a
+    FUTURE segment (higher lsn, passing the checkpoint filter) may carry a
+    ts OLDER than a stored tombstone's, and that tombstone must still be
+    there to beat it.  Dropping a tombstone is only safe once the ingest
+    guarantees no future row with ``ts <= tombstone.ts`` will arrive; the
+    caller asserts that bound by passing ``watermark`` (a timestamp):
+    tombstones with ``ts <= watermark`` are dropped, newer ones kept.
+    ``watermark=None`` drops ALL tombstones — only valid when event time is
+    aligned with delivery order (or versions lead with ``lsn``).
 
     Distributed: one Ray task per partition via a ``map_batches`` over the
     partition-id range; returns one lineage row per partition.
@@ -498,6 +514,7 @@ def compact(lake_dir: str, spec: TableSpec | None = None) -> pa.Table:
 
     spec = spec or TableSpec()
     op_col = spec.op_col
+    ts_col = spec.version_cols[0]
 
     def compact_part(batch: pa.Table) -> pa.Table:
         rows = []
@@ -508,9 +525,17 @@ def compact(lake_dir: str, spec: TableSpec | None = None) -> pa.Table:
             if existing is None:
                 continue
             n_before = len(existing)
-            live = existing.filter(
-                pc.not_equal(pc.fill_null(existing[op_col], ""), M.DELETE)
-            )
+            is_tomb = pc.equal(pc.fill_null(existing[op_col], ""), M.DELETE)
+            if watermark is not None and ts_col in existing.column_names:
+                droppable = pc.and_(
+                    is_tomb,
+                    pc.less_equal(
+                        existing[ts_col], pa.scalar(watermark, existing[ts_col].type)
+                    ),
+                )
+            else:
+                droppable = is_tomb
+            live = existing.filter(pc.invert(pc.fill_null(droppable, False)))
             dropped = n_before - len(live)
             if dropped:
                 next_version = ckpt.get("version", 0) + 1
@@ -574,11 +599,18 @@ def read_lake(
         versions = S.read_snapshot(lake_dir, as_of)
         if versions is None:
             raise FileNotFoundError(f"no snapshot {as_of} under {lake_dir}")
-        paths = [
-            S.part_file(lake_dir, part, v)
-            for part, v in sorted(versions.items())
-            if os.path.exists(S.part_file(lake_dir, part, v))
-        ]
+        paths = []
+        for part, v in sorted(versions.items()):
+            p = S.part_file(lake_dir, part, v)
+            if not os.path.exists(p):
+                # a snapshot promises EXACTLY this state — a missing file
+                # (over-eager vacuum, partial restore) must not silently
+                # shrink the result
+                raise FileNotFoundError(
+                    f"snapshot {as_of} references missing partition file {p} "
+                    "(vacuumed? restore incomplete?)"
+                )
+            paths.append(p)
     else:
         paths = S.current_files(lake_dir)
     if not paths:

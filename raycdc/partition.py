@@ -49,15 +49,20 @@ def hash_strings(arr: pa.ChunkedArray | pa.Array | np.ndarray) -> np.ndarray:
         arr = arr.combine_chunks()
     if len(arr) == 0:
         return np.empty(0, np.uint64)
+    # offsets width differs: string → int32, large_string → int64
+    if pa.types.is_large_string(arr.type) or pa.types.is_large_binary(arr.type):
+        off_dtype = np.int64
+    elif pa.types.is_string(arr.type) or pa.types.is_binary(arr.type):
+        off_dtype = np.int32
+    else:
+        raise TypeError(f"hash_strings: unsupported type {arr.type}")
     bufs = arr.buffers()
-    data = (
-        np.frombuffer(bufs[2], np.uint8).astype(np.uint64)
-        if bufs[2]
-        else np.empty(0, np.uint64)
-    )
-    off = np.frombuffer(bufs[1], np.int32)[arr.offset : arr.offset + len(arr) + 1].astype(
-        np.int64
-    )
+    # keep the value buffer as uint8 (zero-copy view); only the gathered
+    # per-position slice (len(arr) elements) is widened to uint64
+    data = np.frombuffer(bufs[2], np.uint8) if bufs[2] else np.empty(0, np.uint8)
+    off = np.frombuffer(bufs[1], off_dtype)[
+        arr.offset : arr.offset + len(arr) + 1
+    ].astype(np.int64)
     starts = off[:-1]  # absolute positions into the shared values buffer
     lens = np.diff(off)
     h = np.full(len(arr), _FNV_OFFSET, np.uint64)
@@ -65,7 +70,7 @@ def hash_strings(arr: pa.ChunkedArray | pa.Array | np.ndarray) -> np.ndarray:
     with np.errstate(over="ignore"):
         for pos in range(maxlen):
             m = lens > pos
-            h[m] = (h[m] ^ data[starts[m] + pos]) * _FNV_PRIME
+            h[m] = (h[m] ^ data[starts[m] + pos].astype(np.uint64)) * _FNV_PRIME
     if arr.null_count:
         h[~np.asarray(arr.is_valid())] = 0
     return h
@@ -90,8 +95,18 @@ def add_salt_key(
     col_name: str = SALT_KEY,
 ) -> pa.Table:
     """Append ``salt_key = part_key * S + (salt_col % S)`` for the salted
-    pre-merge round.  Same upsert key ⇒ same salt ⇒ LWW-safe."""
-    salt_vals = batch[salt_col].cast(pa.int64()).to_numpy() % num_salts
-    part_vals = batch[part_col].to_numpy().astype(np.int64)
+    pre-merge round.  Same upsert key ⇒ same salt ⇒ LWW-safe.
+
+    Null key components are a data error and fail fast (a NaN→int cast
+    would otherwise produce platform-dependent salts and break the
+    co-location invariant)."""
+    col = batch[salt_col]
+    if col.null_count:
+        raise ValueError(
+            f"add_salt_key: {col.null_count} null value(s) in key column "
+            f"{salt_col!r} — upsert key components must be non-null"
+        )
+    salt_vals = col.cast(pa.int64()).to_numpy(zero_copy_only=False).astype(np.int64) % num_salts
+    part_vals = batch[part_col].to_numpy(zero_copy_only=False).astype(np.int64)
     sk = (part_vals * num_salts + salt_vals).astype(np.int32)
     return batch.append_column(col_name, pa.array(sk))

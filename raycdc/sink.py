@@ -224,24 +224,38 @@ def write_checkpoint(lake_dir: str, part: int, payload: dict) -> None:
 
 
 def content_hash(table: pa.Table, key_cols=("conv_id", "turn_idx", "lsn")) -> int:
-    """Order-insensitive deterministic int64 digest of a partition's rows."""
+    """Order-insensitive deterministic int64 digest of a partition's rows.
+
+    Row order must not matter (partitions are rewritten sorted), but row
+    CONTENT must: each row's column hashes are combined positionally into
+    one per-row hash (distinct multiplier per column, then an avalanche
+    mix), and only then summed — so swapping values between columns or
+    compensating edits across rows change the digest.
+    """
     if len(table) == 0:
         return 0
+    n = len(table)
     with np.errstate(over="ignore"):  # uint64 wraparound is the point
-        acc = np.uint64(0xCBF29CE484222325)
-        total = np.uint64(0)
-        for c in key_cols:
+        row_h = np.full(n, np.uint64(0xCBF29CE484222325))
+        for ci, c in enumerate(key_cols):
             if c not in table.column_names:
                 continue
             col = table[c]
-            if pa.types.is_string(col.type):
+            if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
                 h = hash_strings(col)
             else:
-                vals = col.cast(pa.int64()).to_numpy(zero_copy_only=False).astype(np.int64)
+                vals = (
+                    col.cast(pa.int64()).to_numpy(zero_copy_only=False).astype(np.int64)
+                )
                 h = vals.view(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
-            acc = acc * np.uint64(1099511628211)
-            total = total + h.sum(dtype=np.uint64)
-    return int((acc + total) & np.uint64(0x7FFFFFFFFFFFFFFF))
+            # positional combine: column index participates in the mix
+            row_h = (row_h ^ h) * np.uint64(1099511628211 + 2 * ci)
+        # avalanche (splitmix64-style) before the commutative row sum
+        row_h = row_h ^ (row_h >> np.uint64(30))
+        row_h = row_h * np.uint64(0xBF58476D1CE4E5B9)
+        row_h = row_h ^ (row_h >> np.uint64(27))
+        total = row_h.sum(dtype=np.uint64)
+    return int(total & np.uint64(0x7FFFFFFFFFFFFFFF))
 
 
 def update_lake_schema(lake_dir: str, parts: list[int] | None = None) -> pa.Schema | None:
@@ -272,42 +286,37 @@ def update_lake_schema(lake_dir: str, parts: list[int] | None = None) -> pa.Sche
         merged = s if merged is None else merge_schemas(merged, s)
     if merged is None:
         return None
+    import base64
+
     dst = os.path.join(lake_dir, "_schema.json")
     tmp = os.path.join(lake_dir, f".tmp-schema-{uuid.uuid4().hex}.json")
     with open(tmp, "w") as f:
-        json.dump({"fields": [[fld.name, str(fld.type)] for fld in merged]}, f)
+        json.dump(
+            {
+                # lossless: Arrow IPC serialization round-trips EVERY type
+                # (tz timestamps, decimals, lists, ...); the readable field
+                # list is informational only
+                "ipc_b64": base64.b64encode(merged.serialize().to_pybytes()).decode(),
+                "fields": [[fld.name, str(fld.type)] for fld in merged],
+            },
+            f,
+        )
     _atomic_replace(tmp, dst)
     return merged
 
 
 def read_lake_schema(lake_dir: str) -> pa.Schema | None:
     """The registered lake schema, or None when never written."""
+    import base64
+
     path = os.path.join(lake_dir, "_schema.json")
     if not os.path.exists(path):
         return None
     with open(path) as f:
         payload = json.load(f)
-    _TYPES = {
-        "string": pa.string(),
-        "large_string": pa.large_string(),
-        "int8": pa.int8(),
-        "int16": pa.int16(),
-        "int32": pa.int32(),
-        "int64": pa.int64(),
-        "float": pa.float32(),
-        "double": pa.float64(),
-        "bool": pa.bool_(),
-        "timestamp[s]": pa.timestamp("s"),
-        "timestamp[ms]": pa.timestamp("ms"),
-        "timestamp[us]": pa.timestamp("us"),
-        "timestamp[ns]": pa.timestamp("ns"),
-        "binary": pa.binary(),
-    }
-    fields = [
-        pa.field(name, _TYPES.get(tname, pa.string()))
-        for name, tname in payload["fields"]
-    ]
-    return pa.schema(fields)
+    return pa.ipc.read_schema(
+        pa.BufferReader(base64.b64decode(payload["ipc_b64"]))
+    )
 
 
 def lineage_dir(lake_dir: str) -> str:

@@ -64,7 +64,7 @@ def test_tail_manifest_crash_window_is_noop(ray_session, tmp_path):
     tail_once(str(watch), lake, spec)
     state = read_lake(lake, spec).to_pandas()
 
-    os.remove(os.path.join(lake, "_segments.json"))  # simulated crash
+    os.remove(os.path.join(lake, "_segments.jsonl"))  # simulated crash
     new, lineage = tail_once(str(watch), lake, spec)
     assert len(new) == 1
     assert set(lineage["status"].to_pylist()) == {"noop"}
