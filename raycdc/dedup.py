@@ -115,8 +115,12 @@ def exact_dedup(
         n = len(g)
         keep = np.ones(n, dtype=bool)
         if n > 1:
-            neq = pc.not_equal(col.slice(1), col.slice(0, n - 1))
-            keep[1:] = pc.fill_null(neq, True).to_numpy(zero_copy_only=False)
+            a, b = col.slice(1), col.slice(0, n - 1)
+            neq = pc.not_equal(a, b)  # null where either side is null
+            # SQL GROUP BY semantics: null == null (dedup), null != value
+            validity_differs = pc.xor(pc.is_valid(a), pc.is_valid(b))
+            changed = pc.or_(pc.fill_null(neq, False), validity_differs)
+            keep[1:] = changed.to_numpy(zero_copy_only=False)
         return g.filter(pa.array(keep)).drop_columns(["__th"])
 
     return (
@@ -362,7 +366,11 @@ def simhash_candidate_pairs(
         keep = np.ones(len(ids), dtype=bool)
         keep[1:] = ids[1:] != ids[:-1]
         ids, sigs_ = ids[keep], sigs_[keep]
-        if len(ids) < 2 or len(ids) > 512:
+        if len(ids) > 512:
+            # cap (like bucket_pairs) rather than drop: partial recall from
+            # a degenerate hot chunk beats zero recall
+            ids, sigs_ = ids[:512], sigs_[:512]
+        if len(ids) < 2:
             return pa.table(
                 {
                     "a": pa.array([], pa.int64()),

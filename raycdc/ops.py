@@ -198,7 +198,9 @@ def hash_sample(batch: pa.Table, key_col: str, fraction: float) -> pa.Table:
     same decision across runs/engines (stable experiment membership).
     """
     b = hash_bucket(batch[key_col])
-    keep = pc.less(b, int(fraction * 10_000))
+    # round (not truncate): float representation error on e.g. 0.043*10000
+    # must not shift the cutoff; keeps hash_sample and train_split aligned
+    keep = pc.less(b, int(round(fraction * 10_000)))
     return batch.filter(keep)
 
 

@@ -76,9 +76,19 @@ def decode_segment(data: bytes, path: str, spec: DecodeSpec) -> pa.Table:
             lines = [ln for ln in lines if pat.search(ln)]
         text = "\n".join(lines)
 
+    def _empty() -> pa.Table:
+        # empty segments need declared column names to keep the record
+        # stream schema-homogeneous across tasks (an unnamed empty file has
+        # no way to know f0..fn) — fail fast rather than emit mixed schemas
+        if not spec.column_names:
+            raise ValueError(
+                f"empty/record-less segment {path!r} requires "
+                "DecodeSpec.column_names for a stable schema"
+            )
+        return pa.table({c: pa.array([], pa.string()) for c in spec.column_names})
+
     if not text.strip():
-        cols = spec.column_names or ()
-        table = pa.table({c: pa.array([], pa.string()) for c in cols})
+        table = _empty()
     elif spec.format == "jsonl":
         # newline-delimited JSON records (Arrow JSON reader: typed columns)
         import pyarrow.json as pajson
@@ -86,22 +96,28 @@ def decode_segment(data: bytes, path: str, spec: DecodeSpec) -> pa.Table:
         lines = [
             ln for ln in split_physical_lines(text) if ln.strip()
         ][spec.skip_leading_rows :]
-        table = pajson.read_json(io.BytesIO("\n".join(lines).encode()))
-        if spec.column_names:
-            table = table.select(list(spec.column_names))
+        if not lines:
+            table = _empty()
+        else:
+            table = pajson.read_json(io.BytesIO("\n".join(lines).encode()))
+            if spec.column_names:
+                table = table.select(list(spec.column_names))
     elif spec.lazy_quotes:
         # python csv in permissive mode — the LazyQuotes analog
         rows = list(
             _csv.reader(io.StringIO(text), delimiter=spec.delimiter, strict=False)
         )
         rows = rows[spec.skip_leading_rows :]
-        width = max(len(r) for r in rows)
-        names = spec.column_names or tuple(f"f{i}" for i in range(width))
-        arrays = [
-            pa.array([r[i] if i < len(r) else None for r in rows], pa.string())
-            for i in range(len(names))
-        ]
-        table = pa.table(arrays, names=list(names))
+        if not rows:
+            table = _empty()
+        else:
+            width = max(len(r) for r in rows)
+            names = spec.column_names or tuple(f"f{i}" for i in range(width))
+            arrays = [
+                pa.array([r[i] if i < len(r) else None for r in rows], pa.string())
+                for i in range(len(names))
+            ]
+            table = pa.table(arrays, names=list(names))
     else:
         read_opts = pacsv.ReadOptions(
             column_names=list(spec.column_names) if spec.column_names else None,
@@ -118,9 +134,13 @@ def decode_segment(data: bytes, path: str, spec: DecodeSpec) -> pa.Table:
                 else None
             )
         )
-        table = pacsv.read_csv(
-            io.BytesIO(text.encode()), read_opts, parse_opts, conv_opts
-        )
+        try:
+            table = pacsv.read_csv(
+                io.BytesIO(text.encode()), read_opts, parse_opts, conv_opts
+            )
+        except pa.ArrowInvalid:
+            # header-only file after skip_rows consumed every record
+            table = _empty()
         if spec.column_names is None:
             # positional untyped records, like the reference's [][]string
             table = table.rename_columns([f"f{i}" for i in range(table.num_columns)])
@@ -203,4 +223,6 @@ class BinarySegmentDecoder:
             tables.append(
                 t.append_column(SEG_PATH, pa.repeat(pa.scalar(path), len(t)))
             )
+        if not tables:  # zero-row input batch
+            return pa.table({SEG_PATH: pa.array([], pa.string())})
         return pa.concat_tables(tables, promote_options="default")

@@ -42,6 +42,8 @@ def broadcast_join(
     ``how``: 'inner' drops probe rows without a match; 'left' keeps them
     with nulls.
     """
+    if how not in ("inner", "left"):
+        raise ValueError(f"broadcast_join: how must be 'inner' or 'left', got {how!r}")
     build = build.combine_chunks()
     build_ref = ray.put(build)
 
@@ -107,7 +109,14 @@ def sessionize(
         # defensive against multi-entity groups: sort by (entity, ts), then
         # new-session where the entity changes OR the gap exceeds threshold
         g = g.sort_by([(entity_col, "ascending"), (ts_col, "ascending")])
-        ts = g[ts_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        # normalize to µs BEFORE int64 — the gap threshold is in µs and the
+        # column may arrive as s/ms/ns depending on the source
+        ts = (
+            g[ts_col]
+            .cast(pa.timestamp("us"))
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
         ent_np = g[entity_col].to_numpy(zero_copy_only=False)
         n = len(g)
         if n == 0:

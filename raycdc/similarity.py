@@ -72,15 +72,23 @@ def knn_brute_force(
         ids = t[id_col].to_numpy(zero_copy_only=False)
         scores = q @ m.T  # (nq, nb)
         kk = min(k, scores.shape[1])
-        # per-query partial top-k (argpartition then exact sort of the head)
-        idx = np.argpartition(-scores, kk - 1, axis=1)[:, :kk]
-        rows = np.repeat(np.arange(len(q)), kk)
-        cols = idx.reshape(-1)
+        out_q, out_id, out_s = [], [], []
+        for qi in range(len(q)):
+            row = scores[qi]
+            part = np.argpartition(-row, kk - 1)[:kk]
+            # tie-correct: include EVERY candidate equal to the k-th score
+            # so the documented vec_id tie-break happens globally, never at
+            # an arbitrary argpartition cutoff
+            kth = row[part].min()
+            cand = np.nonzero(row >= kth)[0]
+            out_q.append(np.full(len(cand), qids[qi]))
+            out_id.append(ids[cand])
+            out_s.append(row[cand])
         return pa.table(
             {
-                "q_id": pa.array(np.repeat(qids, kk)),
-                id_col: pa.array(ids[cols]),
-                "score": pa.array(scores[rows, cols]),
+                "q_id": pa.array(np.concatenate(out_q)),
+                id_col: pa.array(np.concatenate(out_id)),
+                "score": pa.array(np.concatenate(out_s)),
             }
         )
 
@@ -261,13 +269,21 @@ def knn_ivf(
         ids = g[id_col].to_numpy(zero_copy_only=False)
         scores = q[sel] @ m.T
         kk = min(k, scores.shape[1])
-        idx = np.argpartition(-scores, kk - 1, axis=1)[:, :kk]
-        rows = np.repeat(np.arange(sel.sum()), kk)
+        sel_qids = np.asarray(qids)[sel]
+        out_q, out_id, out_s = [], [], []
+        for qi in range(scores.shape[0]):
+            row = scores[qi]
+            part = np.argpartition(-row, kk - 1)[:kk]
+            kth = row[part].min()
+            cand = np.nonzero(row >= kth)[0]  # tie-correct (see brute force)
+            out_q.append(np.full(len(cand), sel_qids[qi]))
+            out_id.append(ids[cand])
+            out_s.append(row[cand])
         return pa.table(
             {
-                "q_id": pa.array(np.repeat(np.asarray(qids)[sel], kk)),
-                id_col: pa.array(ids[idx.reshape(-1)]),
-                "score": pa.array(scores[rows, idx.reshape(-1)]),
+                "q_id": pa.array(np.concatenate(out_q)),
+                id_col: pa.array(np.concatenate(out_id)),
+                "score": pa.array(np.concatenate(out_s)),
             }
         )
 

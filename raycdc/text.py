@@ -115,6 +115,22 @@ _PROFILES = _profile_matrix()
 _LANGS = np.array(list(_LANG_PROFILES))
 
 
+def _utf8_bytes_and_offsets(arr) -> tuple[np.ndarray, np.ndarray]:
+    """(value bytes, row offsets) of a string/large_string array — offsets
+    normalized to start at 0, correct for sliced arrays and both offset
+    widths (string: int32, large_string: int64)."""
+    la = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+    if isinstance(la, pa.ChunkedArray):
+        la = la.combine_chunks()
+    off_dtype = np.int64 if pa.types.is_large_string(la.type) else np.int32
+    bufs = la.buffers()
+    raw = np.frombuffer(bufs[2], dtype=np.uint8) if bufs[2] else np.array([], np.uint8)
+    all_offsets = np.frombuffer(bufs[1], dtype=off_dtype)
+    offsets = all_offsets[la.offset : la.offset + len(la) + 1].astype(np.int64)
+    buf = raw[offsets[0] : offsets[-1]]
+    return buf, offsets - offsets[0]
+
+
 def lang_id(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """Nearest letter-frequency profile (cosine).  Vectorized: one
     byte-histogram matrix per batch (numpy bincount over a flattened byte
@@ -124,12 +140,7 @@ def lang_id(batch: pa.Table, text_col: str = "text") -> pa.Table:
     if isinstance(la, pa.ChunkedArray):
         la = la.combine_chunks()
     # flatten utf8 buffer + offsets → per-row letter histograms
-    bufs = la.buffers()
-    raw = np.frombuffer(bufs[2], dtype=np.uint8) if bufs[2] else np.array([], np.uint8)
-    all_offsets = np.frombuffer(bufs[1], dtype=np.int32)
-    offsets = all_offsets[la.offset : la.offset + len(la) + 1].astype(np.int64)
-    buf = raw[offsets[0] : offsets[-1]]
-    offsets = offsets - offsets[0]
+    buf, offsets = _utf8_bytes_and_offsets(la)
     lower = np.where((buf >= 65) & (buf <= 90), buf + 32, buf)
     is_alpha = (lower >= 97) & (lower <= 122)
     letter_idx = (lower - 97).astype(np.int64)

@@ -166,3 +166,140 @@ def test_schema_registry_roundtrips_exotic_types(tmp_path):
     # second update folds the registered schema back in without error
     s2 = update_lake_schema(lake, parts=[0])
     assert s2.equals(s1)
+
+
+# --- second review round ---------------------------------------------------
+
+
+def test_sessionize_handles_non_us_timestamps(ray_session):
+    import numpy as np
+
+    from raycdc.relational import sessionize
+
+    base = np.datetime64("2024-01-01T00:00:00", "ns")
+    mins = np.array([0, 5, 70], dtype="timedelta64[m]").astype("timedelta64[ns]")
+    t = pa.table(
+        {
+            "user_id": pa.array([1, 1, 1], pa.int64()),
+            "ts": pa.array(base + mins, pa.timestamp("ns")),
+            "event_id": pa.array([0, 1, 2], pa.int64()),
+        }
+    )
+    out = (
+        sessionize(ray.data.from_arrow(t), gap_seconds=1800, num_partitions=2)
+        .to_pandas()
+        .sort_values("event_id")
+    )
+    # 5-min gap same session, 65-min gap splits — regardless of ns unit
+    assert out["session_idx"].tolist() == [0, 0, 1]
+
+
+def test_lang_id_large_string_consistent():
+    from raycdc.text import lang_id
+
+    texts = ["the quick brown fox jumps over the lazy dog", "eeee nnnn ssss"]
+    small = pa.table({"doc_id": pa.array([0, 1], pa.int64()),
+                      "text": pa.array(texts, pa.string())})
+    large = pa.table({"doc_id": pa.array([0, 1], pa.int64()),
+                      "text": pa.array(texts, pa.large_string())})
+    assert lang_id(small).equals(lang_id(large))
+
+
+def test_decode_segment_header_only_files():
+    from raycdc.parsers import DecodeSpec, decode_segment
+
+    spec = DecodeSpec(skip_leading_rows=1, column_names=("a", "b"))
+    # exactly one (header) row in every format → empty, not a crash
+    t1 = decode_segment(b"a,b\n", "p.csv", spec)
+    assert len(t1) == 0 and t1.column_names[:2] == ["a", "b"]
+    t2 = decode_segment(
+        b"x,y\n", "p.csv", DecodeSpec(skip_leading_rows=1, lazy_quotes=True,
+                                      column_names=("a", "b"))
+    )
+    assert len(t2) == 0
+    t3 = decode_segment(
+        b'{"a": 1}\n', "p.jsonl",
+        DecodeSpec(format="jsonl", skip_leading_rows=1, column_names=("a",)),
+    )
+    assert len(t3) == 0
+    # unnamed empty segment fails fast with a clear message
+    with pytest.raises(ValueError, match="column_names"):
+        decode_segment(b"", "p.csv", DecodeSpec())
+
+
+def test_hash_sample_matches_train_split_cutoffs():
+    from raycdc.ops import hash_sample, train_split
+
+    t = pa.table({"k": pa.array(range(50_000), pa.int64())})
+    for frac in (0.043, 0.1, 0.8):
+        sampled = set(hash_sample(t, "k", frac)["k"].to_pylist())
+        split = train_split(t, "k", fractions={"in": frac, "out": 1 - frac})
+        in_keys = {
+            k for k, s in zip(split["k"].to_pylist(), split["split"].to_pylist())
+            if s == "in"
+        }
+        assert sampled == in_keys, f"cutoff drift at fraction {frac}"
+
+
+def test_exact_dedup_null_texts_group(ray_session):
+    from raycdc.dedup import exact_dedup
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "text": pa.array(["x", None, None, "x"]),
+        }
+    )
+    out = exact_dedup(ray.data.from_arrow(t), num_partitions=2).to_pandas()
+    # SQL GROUP BY: one row for 'x' (id 1), one for NULL (id 2)
+    assert sorted(out["doc_id"].tolist()) == [1, 2]
+
+
+def test_knn_ties_broken_by_vec_id(ray_session):
+    import numpy as np
+
+    from raycdc import similarity as S
+
+    # 40 identical vectors with shuffled ids — top-5 must be the 5 SMALLEST
+    # ids regardless of batch/argpartition order
+    rng = np.random.default_rng(7)
+    ids = rng.permutation(40).astype(np.int64)
+    vec = np.ones((40, 8), dtype=np.float32)
+    t = pa.table(
+        {
+            "vec_id": pa.array(ids),
+            "embedding": pa.FixedSizeListArray.from_arrays(
+                pa.array(vec.reshape(-1)), 8
+            ),
+        }
+    )
+    q = np.ones((1, 8))
+    res = (
+        S.knn_brute_force(ray.data.from_arrow(t), q, np.array([99]), k=5)
+        .to_pandas()
+        .sort_values("rank")
+    )
+    assert res["vec_id"].tolist() == [0, 1, 2, 3, 4]
+
+
+def test_simhash_hot_bucket_capped_not_dropped(ray_session):
+    from raycdc import dedup as D
+
+    # >512 identical docs: the hot chunk bucket must still yield pairs
+    texts = ["same words everywhere forever"] * 600
+    t = pa.table(
+        {"doc_id": pa.array(range(600), pa.int64()), "text": pa.array(texts)}
+    )
+    sigs = ray.data.from_arrow(t).map_batches(
+        D.simhash_signatures, batch_format="pyarrow"
+    )
+    pairs = D.simhash_candidate_pairs(sigs, num_partitions=4).to_pandas()
+    assert len(pairs) > 0
+    assert (pairs["hamming"] == 0).all()
+
+
+def test_broadcast_join_rejects_bad_how():
+    from raycdc.relational import broadcast_join
+
+    with pytest.raises(ValueError, match="how"):
+        broadcast_join(None, pa.table({"k": [1]}), "k", [], how="outer")
