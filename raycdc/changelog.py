@@ -208,9 +208,9 @@ def synthetic_changelog(
         np.char.add(" c", conv.astype(str)),
     )
     base_ts = np.datetime64("2024-01-01T00:00:00", "us")
-    # monotone-ish in lsn with deterministic jitter so some ts ties exercise
-    # the lsn tiebreak (SURVEY §7.3: lsn tiebreak is load-bearing)
-    ts = base_ts + (lsn * 1_000_000 // 3).astype("timedelta64[us]")
+    # groups of 3 consecutive lsns share one ts — REAL ties, so the lsn
+    # tiebreak is exercised by every fixture (SURVEY §7.3: load-bearing)
+    ts = base_ts + ((lsn // 3) * 1_000_000).astype("timedelta64[us]")
     seg = (lsn % n_segments).astype(np.int32)
 
     cols = {

@@ -71,15 +71,13 @@ class MediaFeatureExtractor:
         self.n_buckets = n_buckets
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        from raycdc.text import _utf8_bytes_and_offsets
+
         col = batch["content"].combine_chunks()
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
-        bufs = col.buffers()
-        raw = np.frombuffer(bufs[2], dtype=np.uint8) if bufs[2] else np.array([], np.uint8)
-        all_off = np.frombuffer(bufs[1], dtype=np.int32)
-        off = all_off[col.offset : col.offset + len(col) + 1].astype(np.int64)
-        data = raw[off[0] : off[-1]]
-        off = off - off[0]
+        # width-aware offsets: binary AND large_binary columns both valid
+        data, off = _utf8_bytes_and_offsets(col)
         row_idx = np.repeat(np.arange(len(col)), np.diff(off))
         bucket = (data.astype(np.int64) * self.n_buckets) // 256
         hist = np.zeros((len(col), self.n_buckets))
@@ -114,6 +112,8 @@ class ResizeStub:
         out = []
         tb = self.target_bytes
         for content in col.to_pylist():
+            if content is None:
+                content = b""
             n = len(content)
             if n <= tb:
                 out.append(content)
@@ -147,6 +147,7 @@ class FrameSampler:
         for mid, content in zip(
             batch["media_id"].to_pylist(), batch["content"].to_pylist()
         ):
+            content = content if content is not None else b""
             size = len(content)
             for f in range(self.n_frames):
                 start = (size * f) // self.n_frames

@@ -51,6 +51,7 @@ class DecodeSpec:
     skip_leading_rows: int = 0  # records after parse (P8)
     delimiter: str = ","
     lazy_quotes: bool = False  # malformed quoting (P6)
+    strings_can_be_null: bool = False  # empty CSV cell → NULL (else "")
     column_names: tuple[str, ...] | None = None
     path_meta: tuple[tuple[str, str], ...] = ()  # (col, regex-with-1-group) (M1-M4)
 
@@ -132,7 +133,8 @@ def decode_segment(data: bytes, path: str, spec: DecodeSpec) -> pa.Table:
                 {c: pa.string() for c in spec.column_names}
                 if spec.column_names
                 else None
-            )
+            ),
+            strings_can_be_null=spec.strings_can_be_null,
         )
         try:
             table = pacsv.read_csv(

@@ -241,7 +241,6 @@ def _write_csv_segments(sf_dir: str) -> str:
     """Deterministically render the events-derived changelog as 8 CSV WAL
     segment files (preamble line + header + string rows) under /tmp.
     Idempotent per sf_dir."""
-    import glob
     import io
     import os
 
@@ -250,13 +249,19 @@ def _write_csv_segments(sf_dir: str) -> str:
 
     from raycdc.changelog import SEGMENTS, derive_changelog_batch
 
+    src_path = f"{sf_dir}/events.parquet"
+    st = os.stat(src_path)
+    fingerprint = f"{st.st_size}-{st.st_mtime_ns}"
     seg_dir = os.path.join(
         tempfile.gettempdir(),
         f"raycdc_csv_segments_{os.path.basename(os.path.normpath(sf_dir))}",
     )
     marker = os.path.join(seg_dir, "_done")
     if os.path.exists(marker):
-        return seg_dir
+        with open(marker) as f:
+            if f.read() == fingerprint:  # cache valid for THIS events file
+                return seg_dir
+        shutil.rmtree(seg_dir, ignore_errors=True)
     os.makedirs(seg_dir, exist_ok=True)
     events = pq.read_table(
         f"{sf_dir}/events.parquet",
@@ -286,7 +291,7 @@ def _write_csv_segments(sf_dir: str) -> str:
             f.write(b"# raycdc WAL segment export\n")  # preamble to skip
             f.write(buf.getvalue())
     with open(marker, "w") as f:
-        f.write("ok")
+        f.write(fingerprint)
     return seg_dir
 
 
@@ -308,6 +313,7 @@ def q_cdc_csv_ingest(sf_dir: str):
         skip_head_lines=1,  # preamble
         skip_leading_rows=1,  # header row
         column_names=_CSV_COLS,
+        strings_can_be_null=True,  # NULL round-trips (tool '' is refilled)
     )
     records = parse_segments(read_segments(paths), spec_decode)
 
@@ -547,16 +553,17 @@ def q_dedup_jaccard(sf_dir: str):
     from raycdc.dedup import verify_jaccard_pairs
 
     corpus = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    n = len(corpus)
-    ids = corpus["doc_id"].to_numpy()
     import numpy as np
 
-    pairs = pa.table(
-        {
-            "a": pa.array(ids[:-1].astype(np.int64)),
-            "b": pa.array(ids[1:].astype(np.int64)),
-        }
+    # mirror the oracle exactly: pairs are (id, id+1) joins restricted to
+    # docs with >= 3 whitespace tokens (shorter docs have no 3-shingles)
+    n_tok = pc.list_value_length(pc.split_pattern(corpus["text"], " ")).to_numpy(
+        zero_copy_only=False
     )
+    ids = corpus["doc_id"].to_numpy().astype(np.int64)
+    ok = {int(i) for i, nt in zip(ids, n_tok) if nt >= 3}
+    a = np.array(sorted(i for i in ok if i + 1 in ok), dtype=np.int64)
+    pairs = pa.table({"a": pa.array(a), "b": pa.array(a + 1)})
     return verify_jaccard_pairs(
         ray.data.from_arrow(pairs), corpus, threshold=0.0
     )
@@ -780,7 +787,7 @@ def q_cdc_evolve(sf_dir: str):
     ``turn_idx`` widened int32→int64 across the heterogeneous segments."""
     from raycdc.changelog import changelog_from_events
     from raycdc.engine import merged_state
-    from raycdc.schema import TableSpec, evolve_batch, merge_schemas
+    from raycdc.schema import TableSpec
 
     ds = changelog_from_events(sf_dir)
 
@@ -1022,6 +1029,14 @@ def q_media_features(sf_dir: str):
     def flat(t: pa.Table) -> pa.Table:
         import numpy as np
 
+        if len(t) == 0:
+            return pa.table(
+                {
+                    "media_id": pa.array([], pa.int64()),
+                    "f0": pa.array([], pa.float64()),
+                    "f_sum": pa.array([], pa.float64()),
+                }
+            )
         f = t["features"].combine_chunks()
         mat = np.asarray(f.flatten()).reshape(len(t), -1)
         return pa.table(

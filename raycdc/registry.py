@@ -101,8 +101,9 @@ class Router:
         handler; always notify; aggregate errors like the errgroup fan-out
         (first error reported, all handlers attempted)."""
         results: list[Result] = []
+        routed = self.route(paths)
         for h in self.handlers:
-            matched = [p for p in paths if h.matches(p)]
+            matched = routed[h.name]
             if not matched:
                 continue
             res = Result(handler=h.name, paths=matched)

@@ -102,6 +102,14 @@ def widen_type(a: pa.DataType, b: pa.DataType) -> pa.DataType:
     if pa.types.is_timestamp(a) and pa.types.is_timestamp(b) and a.tz == b.tz:
         ua, ub = _TS_ORDER[a.unit], _TS_ORDER[b.unit]
         return a if ua >= ub else b
+    # offset-width widening (large variants appear when data exceeds int32
+    # offsets or passes through engines that emit large types)
+    strings = (pa.string(), pa.large_string())
+    if a in strings and b in strings:
+        return pa.large_string()
+    binaries = (pa.binary(), pa.large_binary())
+    if a in binaries and b in binaries:
+        return pa.large_binary()
     raise TypeError(f"incompatible schema evolution: {a} vs {b}")
 
 

@@ -116,13 +116,17 @@ _LANGS = np.array(list(_LANG_PROFILES))
 
 
 def _utf8_bytes_and_offsets(arr) -> tuple[np.ndarray, np.ndarray]:
-    """(value bytes, row offsets) of a string/large_string array — offsets
-    normalized to start at 0, correct for sliced arrays and both offset
-    widths (string: int32, large_string: int64)."""
+    """(value bytes, row offsets) of a string/binary array (regular or
+    large) — offsets normalized to start at 0, correct for sliced arrays
+    and both offset widths (int32 for string/binary, int64 for large_*)."""
     la = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
     if isinstance(la, pa.ChunkedArray):
         la = la.combine_chunks()
-    off_dtype = np.int64 if pa.types.is_large_string(la.type) else np.int32
+    off_dtype = (
+        np.int64
+        if (pa.types.is_large_string(la.type) or pa.types.is_large_binary(la.type))
+        else np.int32
+    )
     bufs = la.buffers()
     raw = np.frombuffer(bufs[2], dtype=np.uint8) if bufs[2] else np.array([], np.uint8)
     all_offsets = np.frombuffer(bufs[1], dtype=off_dtype)
