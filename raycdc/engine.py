@@ -59,8 +59,12 @@ def prepare(
     ds: "ray.data.Dataset",
     spec: TableSpec,
     projector: Callable[[pa.Table], pa.Table] | None = None,
+    lsn_floor: int = -1,
 ) -> "ray.data.Dataset":
-    """Stateless front half: optional projector, part_key, per-batch combine."""
+    """Stateless front half: optional projector, part_key, per-batch combine.
+
+    ``lsn_floor`` prunes rows already below every partition's checkpoint
+    (fast resume) before keying/combining."""
 
     key_cols, version_cols, op_col = spec.key_cols, spec.version_cols, spec.op_col
     pkey, nparts = spec.partition_key, spec.num_partitions
@@ -68,6 +72,10 @@ def prepare(
     def _prep(batch: pa.Table) -> pa.Table:
         if projector is not None:
             batch = projector(batch)
+        if lsn_floor >= 0:
+            # prune below the floor but KEEP the schema pipeline-identical
+            # (part_key must exist even on fully-pruned batches)
+            batch = batch.filter(pc.greater(batch["lsn"], lsn_floor))
         batch = add_part_key(batch, key_col=pkey, num_partitions=nparts)
         return M.combine_batch(batch, key_cols, version_cols, op_col)
 
@@ -297,9 +305,21 @@ def replay(
         # reference default is fail-the-job with provenance
         # (handler.go:163-165); dead-letter flips to park-and-continue
         projector = _with_dead_letter(projector, dead_letter_dir)
+
+    # fast resume: rows at or below the GLOBAL checkpoint floor (the min of
+    # all per-partition max_lsn) are guaranteed already applied in THEIR
+    # partition too — prune them in the map stage, BEFORE the shuffle, so a
+    # full redelivery ships (almost) nothing through the exchange.  The
+    # per-partition filter inside apply_group remains the exact gate.
+    ckpts = S.read_all_checkpoints(lake_dir)
+    if len(ckpts) >= spec.num_partitions:
+        lsn_floor = min(c["max_lsn"] for c in ckpts.values())
+    else:
+        lsn_floor = -1  # some partition never applied anything: no safe floor
+
     if salted == "auto":
         salted = bool(detect_hot_keys(prepare(ds, spec, projector), spec))
-    ds = prepare(ds, spec, projector)
+    ds = prepare(ds, spec, projector, lsn_floor=lsn_floor)
     if salted:
         key_cols, version_cols, op_col = spec.key_cols, spec.version_cols, spec.op_col
         ds = ds.map_batches(
@@ -325,11 +345,38 @@ def replay(
             _make_apply_fn(lake_dir, spec), batch_format="pyarrow"
         )
     pdf = lineage_ds.to_pandas()
-    if len(pdf) == 0:
+    # partitions fully pruned by the lsn floor produced no group — report
+    # them as checkpoint-backed noops so the lineage stays complete
+    seen_parts = set(int(p) for p in pdf["part"].tolist()) if len(pdf) else set()
+    synth = [
+        {
+            "part": part,
+            "rows_in": 0,
+            "rows_applied": 0,
+            "rows_skipped_ckpt": 0,
+            "rows_total": ckpt.get("row_count", -1),
+            "tombstones": -1,
+            "max_lsn": ckpt["max_lsn"],
+            "content_hash": ckpt["content_hash"],
+            "status": "noop",
+        }
+        for part, ckpt in ckpts.items()
+        if part not in seen_parts
+    ]
+    if len(pdf) == 0 and not synth:
         return S.LINEAGE_SCHEMA.empty_table()
-    lineage = pa.Table.from_pandas(pdf, schema=S.LINEAGE_SCHEMA, preserve_index=False)
+    lineage = (
+        pa.Table.from_pandas(pdf, schema=S.LINEAGE_SCHEMA, preserve_index=False)
+        if len(pdf)
+        else S.LINEAGE_SCHEMA.empty_table()
+    )
+    if synth:
+        lineage = pa.concat_tables(
+            [lineage, pa.Table.from_pylist(synth, schema=S.LINEAGE_SCHEMA)]
+        )
     S.write_lineage(lake_dir, lineage)
-    S.update_lake_schema(lake_dir, parts=[int(p) for p in pdf["part"].tolist()])
+    if seen_parts:
+        S.update_lake_schema(lake_dir, parts=sorted(seen_parts))
     S.write_snapshot(lake_dir)
     return lineage
 
