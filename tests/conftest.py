@@ -4,6 +4,7 @@ import ray
 
 @pytest.fixture(scope="session", autouse=True)
 def ray_session():
+    started_here = False
     if not ray.is_initialized():
         ray.init(
             address="local",
@@ -12,14 +13,11 @@ def ray_session():
             ignore_reinit_error=True,
             logging_level="ERROR",
         )
+        started_here = True
     from ray.data import DataContext
 
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
     yield
-    ray.shutdown()
-
-
-@pytest.fixture()
-def sf_dir():
-    return "/root/testdata/sf0.001"
+    if started_here:  # never tear down an embedding process's session
+        ray.shutdown()

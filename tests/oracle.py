@@ -31,3 +31,24 @@ def python_lww_replay(
 
 def table_state(t: pa.Table, key_cols=("conv_id", "turn_idx")) -> dict[tuple, dict]:
     return {tuple(r[c] for c in key_cols): r for r in t.to_pylist()}
+
+
+def lake_state(lake_dir: str) -> dict[tuple, str]:
+    """Live {(conv_id, turn_idx): text} of a lake's CURRENT partition files
+    — the shared reader every lake-content assertion uses."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from raycdc.sink import current_files
+
+    out: dict[tuple, str] = {}
+    for p in current_files(lake_dir):
+        t = pq.read_table(p)
+        live = t.filter(pc.not_equal(t["op"], "delete"))
+        for c, i, tx in zip(
+            live["conv_id"].to_pylist(),
+            live["turn_idx"].to_pylist(),
+            live["text"].to_pylist(),
+        ):
+            out[(c, i)] = tx
+    return out

@@ -47,7 +47,14 @@ def test_partition_ahead_of_checkpoint_recovers(ray_session, tmp_path):
     ck = read_checkpoint(lake, part)
     assert ck is not None
     write_checkpoint(
-        lake, part, {"max_lsn": ck["max_lsn"] // 2, "row_count": -1, "content_hash": 0}
+        lake,
+        part,
+        {
+            "max_lsn": ck["max_lsn"] // 2,
+            "row_count": -1,
+            "content_hash": 0,
+            "version": ck["version"],  # file version already installed
+        },
     )
 
     # recovery = replay the same segments; rows above the rolled-back ckpt

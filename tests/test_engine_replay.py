@@ -48,8 +48,9 @@ def test_replay_full_and_state_matches_oracle(tmp_path):
     assert set(lineage["status"].to_pylist()) == {"applied"}
     expect = {k: r["text"] for k, r in python_lww_replay([t]).items()}
     assert _lake_state(lake) == expect
-    # checkpoints advanced to the global max lsn seen per partition
+    # checkpoints advanced: the max over partitions equals the log's max lsn
     ckpts = read_all_checkpoints(lake)
+    assert max(v["max_lsn"] for v in ckpts.values()) == 1999
     assert all(v["max_lsn"] >= 0 for v in ckpts.values())
     # read_lake returns the live rows
     n_live = read_lake(lake, spec).count()

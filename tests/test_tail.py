@@ -62,14 +62,15 @@ def test_tail_manifest_crash_window_is_noop(ray_session, tmp_path):
     log = synthetic_changelog(n_events=400, seed=81)
     _write_seg(str(watch), "seg-000.parquet", log)
     tail_once(str(watch), lake, spec)
-    state = read_lake(lake, spec).to_pandas()
+    from .oracle import lake_state
+
+    state = lake_state(lake)
 
     os.remove(os.path.join(lake, "_segments.jsonl"))  # simulated crash
     new, lineage = tail_once(str(watch), lake, spec)
     assert len(new) == 1
     assert set(lineage["status"].to_pylist()) == {"noop"}
-    state2 = read_lake(lake, spec).to_pandas()
-    assert len(state2) == len(state)
+    assert lake_state(lake) == state  # CONTENT identical, not just count
 
 
 def test_tail_loop_rounds(ray_session, tmp_path):
