@@ -11,21 +11,11 @@ from raycdc.engine import compact, read_lake, replay
 from raycdc.schema import TableSpec
 from raycdc.sink import current_files
 
-from .oracle import python_lww_replay
+from .oracle import lake_state, python_lww_replay
 
 
 def _live_state(lake_dir, spec):
-    out = {}
-    for p in current_files(lake_dir):
-        t = pq.read_table(p)
-        live = t.filter(pa.compute.not_equal(t["op"], "delete"))
-        for c, i, tx in zip(
-            live["conv_id"].to_pylist(),
-            live["turn_idx"].to_pylist(),
-            live["text"].to_pylist(),
-        ):
-            out[(c, i)] = tx
-    return out
+    return lake_state(lake_dir)
 
 
 def test_compact_drops_tombstones_preserves_state(ray_session, tmp_path):

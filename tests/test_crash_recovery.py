@@ -16,21 +16,9 @@ from raycdc.engine import read_lake, replay
 from raycdc.schema import TableSpec
 from raycdc.sink import ckpt_file, current_files, read_checkpoint, write_checkpoint
 
-from .oracle import python_lww_replay
+from .oracle import lake_state as _state, python_lww_replay
 
 
-def _state(lake_dir):
-    out = {}
-    for p in current_files(lake_dir):
-        t = pq.read_table(p)
-        live = t.filter(pc.not_equal(t["op"], "delete"))
-        for c, i, tx in zip(
-            live["conv_id"].to_pylist(),
-            live["turn_idx"].to_pylist(),
-            live["text"].to_pylist(),
-        ):
-            out[(c, i)] = tx
-    return out
 
 
 def test_partition_ahead_of_checkpoint_recovers(ray_session, tmp_path):

@@ -11,23 +11,9 @@ from raycdc.engine import detect_hot_keys, replay
 from raycdc.schema import TableSpec
 from raycdc.sink import current_files
 
-from .oracle import python_lww_replay
+from .oracle import lake_state as _lake_state, python_lww_replay
 
 
-def _lake_state(lake_dir):
-    t = pa.concat_tables(
-        [pq.read_table(p) for p in current_files(lake_dir)],
-        promote_options="default",
-    )
-    live = t.filter(pa.compute.not_equal(t["op"], "delete"))
-    return {
-        (c, i): tx
-        for c, i, tx in zip(
-            live["conv_id"].to_pylist(),
-            live["turn_idx"].to_pylist(),
-            live["text"].to_pylist(),
-        )
-    }
 
 
 def test_actor_pool_merge_matches_task_merge(ray_session, tmp_path):
