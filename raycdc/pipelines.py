@@ -975,6 +975,81 @@ GROUP BY l_returnflag, l_linestatus
 """
 
 
+def q_window_hourly(sf_dir: str):
+    """Tumbling-window aggregate: events per (user, hour window) — window
+    assignment is a pure projection, then the two-phase rollup."""
+    from raycdc.relational import pre_aggregate, tumbling_window
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"]
+    )
+    windowed = tumbling_window(ds, ts_col="ts", window_seconds=3600)
+
+    def to_cents(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        cents = np.rint(
+            t["value"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "window_start": t["window_start"],
+                "value_cents": pa.array(cents),
+            }
+        )
+
+    return pre_aggregate(
+        windowed.map_batches(to_cents, batch_format="pyarrow", zero_copy_batch=True),
+        key_cols=["user_id", "window_start"],
+        sum_cols=["value_cents"],
+        count_alias="n_events",
+        num_partitions=16,
+    )
+
+
+SQL_WINDOW_HOURLY = """
+SELECT user_id,
+       make_timestamp((epoch_us(ts) // 3600000000) * 3600000000) AS window_start,
+       CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS value_cents,
+       COUNT(*) AS n_events
+FROM events
+GROUP BY user_id, (epoch_us(ts) // 3600000000)
+"""
+
+
+def q_asof_prev_event(sf_dir: str):
+    """As-of self-join: each event annotated with the user's previous
+    event id and type (null for the first) — sort+shift within one
+    entity groupby, the scalable as-of shape."""
+    from raycdc.relational import asof_previous
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "event_type"],
+    )
+    out = asof_previous(
+        ds,
+        entity_col="user_id",
+        ts_col="ts",
+        order_cols=["event_id"],
+        value_cols=["event_id", "event_type"],
+        num_partitions=16,
+    )
+    return out.select_columns(
+        ["event_id", "user_id", "prev_event_id", "prev_event_type"]
+    )
+
+
+SQL_ASOF_PREV_EVENT = """
+SELECT event_id, user_id,
+       lag(event_id) OVER w AS prev_event_id,
+       lag(event_type) OVER w AS prev_event_type
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
 # ---------------------------------------------------------------------------
 # multimodal (binary payload plumbing; codecs stubbed)
 
@@ -1067,6 +1142,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "join_shuffle": q_join_shuffle,
     "sessionize_events": q_sessionize_events,
     "rollup_lineitem": q_rollup_lineitem,
+    "window_hourly": q_window_hourly,
+    "asof_prev_event": q_asof_prev_event,
     "text_stats": q_text_stats,
     "text_quality": q_text_quality,
     "text_langid": q_text_langid,
@@ -1098,6 +1175,8 @@ ORACLES: dict[str, str] = {
     "split_events": SQL_SPLIT_EVENTS,
     "sessionize_events": SQL_SESSIONIZE_EVENTS,
     "rollup_lineitem": SQL_ROLLUP_LINEITEM,
+    "window_hourly": SQL_WINDOW_HOURLY,
+    "asof_prev_event": SQL_ASOF_PREV_EVENT,
     "text_stats": SQL_TEXT_STATS,
     "text_quality": SQL_TEXT_QUALITY,
     "dedup_exact": SQL_DEDUP_EXACT,

@@ -140,6 +140,78 @@ def sessionize(
     )
 
 
+def tumbling_window(
+    ds: "ray.data.Dataset",
+    ts_col: str = "ts",
+    window_seconds: int = 3600,
+    out_col: str = "window_start",
+) -> "ray.data.Dataset":
+    """Assign each row its tumbling-window start timestamp — a pure
+    map_batches projection (floor-divide on epoch µs), composable with
+    ``pre_aggregate`` for windowed rollups; no shuffle of its own."""
+    win_us = window_seconds * 1_000_000
+
+    def assign(t: pa.Table) -> pa.Table:
+        us = (
+            t[ts_col]
+            .cast(pa.timestamp("us"))
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        start = (us // win_us) * win_us
+        return t.append_column(
+            out_col, pa.array(start).cast(pa.timestamp("us"))
+        )
+
+    return ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def asof_previous(
+    ds: "ray.data.Dataset",
+    entity_col: str = "user_id",
+    ts_col: str = "ts",
+    order_cols: Sequence[str] = (),
+    value_cols: Sequence[str] = (),
+    num_partitions: int = 64,
+) -> "ray.data.Dataset":
+    """As-of self-join: attach, to every row, the latest EARLIER row of the
+    same entity (``prev_<col>`` columns, null for the entity's first row).
+
+    The as-of mechanics at scale: one groupby on the entity, then a
+    vectorized sort + shift inside each group — no quadratic range probe.
+    Cross-TABLE as-of joins follow the same shape (co-partition both sides
+    on the key, merge-sort within the group).
+    """
+    from raycdc.engine import _configure_shuffle
+
+    _configure_shuffle()
+    sort_keys = [(entity_col, "ascending"), (ts_col, "ascending")] + [
+        (c, "ascending") for c in order_cols
+    ]
+
+    def shift_prev(g: pa.Table) -> pa.Table:
+        g = g.sort_by(sort_keys)
+        n = len(g)
+        ent = g[entity_col].to_numpy(zero_copy_only=False)
+        same_prev = np.zeros(n, dtype=bool)
+        if n > 1:
+            same_prev[1:] = ent[1:] == ent[:-1]
+        for c in value_cols:
+            col = g[c].combine_chunks()
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            shifted = pa.concat_arrays(
+                [pa.nulls(1, col.type), col.slice(0, n - 1)]
+            ) if n else pa.nulls(0, col.type)
+            prev = pc.if_else(pa.array(same_prev), shifted, pa.nulls(n, col.type))
+            g = g.append_column(f"prev_{c}", prev)
+        return g
+
+    return ds.groupby(entity_col, num_partitions=num_partitions).map_groups(
+        shift_prev, batch_format="pyarrow"
+    )
+
+
 def pre_aggregate(
     ds: "ray.data.Dataset",
     key_cols: Sequence[str],

@@ -78,3 +78,50 @@ def test_pre_aggregate_matches_flat_groupby(ray_session):
     )
     assert out["n_rows"].tolist() == expect["n_rows"].tolist()
     assert np.allclose(out["l_quantity"], expect["l_quantity"])
+
+
+def test_tumbling_window_boundaries(ray_session):
+    from raycdc.relational import tumbling_window
+
+    base = np.datetime64("2024-01-01T00:59:59", "us")
+    t = pa.table(
+        {
+            "ts": pa.array([base, base + np.timedelta64(1, "s")], pa.timestamp("us")),
+            "x": pa.array([1, 2]),
+        }
+    )
+    out = tumbling_window(ray.data.from_arrow(t), window_seconds=3600).to_pandas()
+    starts = sorted(out["window_start"].astype(str))
+    assert starts == ["2024-01-01 00:00:00", "2024-01-01 01:00:00"]
+
+
+def test_asof_previous_semantics(ray_session):
+    from raycdc.relational import asof_previous
+
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    t = pa.table(
+        {
+            "user_id": pa.array([1, 1, 1, 2], pa.int64()),
+            "ts": pa.array(
+                [base, base + np.timedelta64(10, "s"), base + np.timedelta64(20, "s"), base],
+                pa.timestamp("us"),
+            ),
+            "event_id": pa.array([100, 101, 102, 200], pa.int64()),
+        }
+    )
+    out = (
+        asof_previous(
+            ray.data.from_arrow(t),
+            value_cols=["event_id"],
+            order_cols=["event_id"],
+            num_partitions=2,
+        )
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    prev = out["prev_event_id"].tolist()
+    # first event per user has no predecessor; others chain in ts order
+    assert prev[0] != prev[0] or out["prev_event_id"].isna().iloc[0]
+    assert prev[1] == 100 and prev[2] == 101
+    assert out["prev_event_id"].isna().iloc[3]
