@@ -73,6 +73,14 @@ def prepare(
         if projector is not None:
             batch = projector(batch)
         if lsn_floor >= 0:
+            # null lsn must fail fast HERE: pc.greater(null, floor) is null
+            # and the filter would silently drop the row (the apply-stage
+            # guard never sees it)
+            if batch["lsn"].null_count:
+                raise ValueError(
+                    f"{batch['lsn'].null_count} row(s) with null lsn — "
+                    "version columns must be non-null"
+                )
             # prune below the floor but KEEP the schema pipeline-identical
             # (part_key must exist even on fully-pruned batches)
             batch = batch.filter(pc.greater(batch["lsn"], lsn_floor))
@@ -312,13 +320,19 @@ def replay(
     # full redelivery ships (almost) nothing through the exchange.  The
     # per-partition filter inside apply_group remains the exact gate.
     ckpts = S.read_all_checkpoints(lake_dir)
-    if len(ckpts) >= spec.num_partitions:
-        lsn_floor = min(c["max_lsn"] for c in ckpts.values())
+    if all(p in ckpts for p in range(spec.num_partitions)):
+        # membership, not count: stray/mismatched checkpoint files must not
+        # produce an unsafe floor
+        lsn_floor = min(ckpts[p]["max_lsn"] for p in range(spec.num_partitions))
     else:
         lsn_floor = -1  # some partition never applied anything: no safe floor
 
     if salted == "auto":
-        salted = bool(detect_hot_keys(prepare(ds, spec, projector), spec))
+        # probe the PRUNED stream: salting should reflect the rows that
+        # will actually shuffle, not already-applied history
+        salted = bool(
+            detect_hot_keys(prepare(ds, spec, projector, lsn_floor=lsn_floor), spec)
+        )
     ds = prepare(ds, spec, projector, lsn_floor=lsn_floor)
     if salted:
         key_cols, version_cols, op_col = spec.key_cols, spec.version_cols, spec.op_col
@@ -346,23 +360,29 @@ def replay(
         )
     pdf = lineage_ds.to_pandas()
     # partitions fully pruned by the lsn floor produced no group — report
-    # them as checkpoint-backed noops so the lineage stays complete
+    # them as checkpoint-backed noops so the lineage stays complete.  Only
+    # when pruning actually ran: partitions absent because the SEGMENT had
+    # no rows for them are not redeliveries and get no synthetic row.
     seen_parts = set(int(p) for p in pdf["part"].tolist()) if len(pdf) else set()
-    synth = [
-        {
-            "part": part,
-            "rows_in": 0,
-            "rows_applied": 0,
-            "rows_skipped_ckpt": 0,
-            "rows_total": ckpt.get("row_count", -1),
-            "tombstones": -1,
-            "max_lsn": ckpt["max_lsn"],
-            "content_hash": ckpt["content_hash"],
-            "status": "noop",
-        }
-        for part, ckpt in ckpts.items()
-        if part not in seen_parts
-    ]
+    synth = (
+        [
+            {
+                "part": part,
+                "rows_in": 0,
+                "rows_applied": 0,
+                "rows_skipped_ckpt": 0,
+                "rows_total": ckpt.get("row_count", -1),
+                "tombstones": -1,
+                "max_lsn": ckpt["max_lsn"],
+                "content_hash": ckpt["content_hash"],
+                "status": "noop",
+            }
+            for part, ckpt in ckpts.items()
+            if part not in seen_parts
+        ]
+        if lsn_floor >= 0
+        else []
+    )
     if len(pdf) == 0 and not synth:
         return S.LINEAGE_SCHEMA.empty_table()
     lineage = (

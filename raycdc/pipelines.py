@@ -988,7 +988,9 @@ def q_window_hourly(sf_dir: str):
     def to_cents(t: pa.Table) -> pa.Table:
         import numpy as np
 
-        cents = np.rint(
+        # floor, not round: numpy rounds half-even, SQL half-away
+        # (CLAUDE.md oracle-float rule) — floor is identical in both
+        cents = np.floor(
             t["value"].to_numpy(zero_copy_only=False) * 100
         ).astype(np.int64)
         return pa.table(
@@ -1011,7 +1013,7 @@ def q_window_hourly(sf_dir: str):
 SQL_WINDOW_HOURLY = """
 SELECT user_id,
        make_timestamp((epoch_us(ts) // 3600000000) * 3600000000) AS window_start,
-       CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS value_cents,
+       CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS value_cents,
        COUNT(*) AS n_events
 FROM events
 GROUP BY user_id, (epoch_us(ts) // 3600000000)

@@ -192,14 +192,18 @@ def asof_previous(
     def shift_prev(g: pa.Table) -> pa.Table:
         g = g.sort_by(sort_keys)
         n = len(g)
-        ent = g[entity_col].to_numpy(zero_copy_only=False)
+        # Arrow-native adjacency compare: null-aware (nulls group together,
+        # matching SQL PARTITION BY) and exact for int64 beyond 2^53 — a
+        # numpy round-trip would NaN-ify nulls and lose integer precision
         same_prev = np.zeros(n, dtype=bool)
         if n > 1:
-            same_prev[1:] = ent[1:] == ent[:-1]
+            ecol = g[entity_col].combine_chunks()
+            a, b = ecol.slice(1), ecol.slice(0, n - 1)
+            eq = pc.fill_null(pc.equal(a, b), False)
+            both_null = pc.and_(pc.is_null(a), pc.is_null(b))
+            same_prev[1:] = pc.or_(eq, both_null).to_numpy(zero_copy_only=False)
         for c in value_cols:
             col = g[c].combine_chunks()
-            if isinstance(col, pa.ChunkedArray):
-                col = col.combine_chunks()
             shifted = pa.concat_arrays(
                 [pa.nulls(1, col.type), col.slice(0, n - 1)]
             ) if n else pa.nulls(0, col.type)

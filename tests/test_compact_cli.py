@@ -9,13 +9,11 @@ import ray.data
 from raycdc.changelog import synthetic_changelog
 from raycdc.engine import compact, read_lake, replay
 from raycdc.schema import TableSpec
-from raycdc.sink import current_files
+from raycdc.sink import current_files  # used by tombstone scan below
 
 from .oracle import lake_state, python_lww_replay
 
 
-def _live_state(lake_dir, spec):
-    return lake_state(lake_dir)
 
 
 def test_compact_drops_tombstones_preserves_state(ray_session, tmp_path):
@@ -23,10 +21,10 @@ def test_compact_drops_tombstones_preserves_state(ray_session, tmp_path):
     lake = str(tmp_path / "lake")
     spec = TableSpec(num_partitions=4)
     replay(ray.data.from_arrow(t), lake, spec)
-    before = _live_state(lake, spec)
+    before = lake_state(lake)
     lineage = compact(lake, spec)
     assert sum(lineage["tombstones"].to_pylist()) > 0
-    assert _live_state(lake, spec) == before
+    assert lake_state(lake) == before
     # stored files now hold zero tombstones
     for p in current_files(lake):
         t2 = pq.read_table(p)
@@ -58,9 +56,9 @@ def test_compact_then_future_segments_still_correct(ray_session, tmp_path):
     replay(ray.data.from_arrow(first), lake_b, spec)
     replay(ray.data.from_arrow(second), lake_b, spec)
 
-    assert _live_state(lake_a, spec) == _live_state(lake_b, spec)
+    assert lake_state(lake_a) == lake_state(lake_b)
     expect = {k: r["text"] for k, r in python_lww_replay([t]).items()}
-    assert _live_state(lake_a, spec) == expect
+    assert lake_state(lake_a) == expect
 
 
 def test_cli_replay_compact_show(ray_session, tmp_path, capsys):

@@ -6,15 +6,12 @@ converge to the same state (LWW idempotence), never duplicate or lose rows.
 
 import glob
 
-import pyarrow as pa
-import pyarrow.compute as pc
-import pyarrow.parquet as pq
 import ray.data
 
 from raycdc.changelog import synthetic_changelog
 from raycdc.engine import read_lake, replay
 from raycdc.schema import TableSpec
-from raycdc.sink import ckpt_file, current_files, read_checkpoint, write_checkpoint
+from raycdc.sink import read_checkpoint, write_checkpoint
 
 from .oracle import lake_state as _state, python_lww_replay
 

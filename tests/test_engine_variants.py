@@ -2,14 +2,11 @@
 
 import glob
 
-import pyarrow as pa
-import pyarrow.parquet as pq
 import ray.data
 
 from raycdc.changelog import synthetic_changelog
 from raycdc.engine import detect_hot_keys, replay
 from raycdc.schema import TableSpec
-from raycdc.sink import current_files
 
 from .oracle import lake_state as _lake_state, python_lww_replay
 

@@ -122,6 +122,6 @@ def test_asof_previous_semantics(ray_session):
     )
     prev = out["prev_event_id"].tolist()
     # first event per user has no predecessor; others chain in ts order
-    assert prev[0] != prev[0] or out["prev_event_id"].isna().iloc[0]
+    assert out["prev_event_id"].isna().iloc[0]
     assert prev[1] == 100 and prev[2] == 101
     assert out["prev_event_id"].isna().iloc[3]
