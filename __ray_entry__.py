@@ -120,7 +120,7 @@ def _q_cdc_lineage(sf_dir: str):
 
     out = (
         ds.map_batches(flags, batch_format="pyarrow")
-        .groupby("seg_id")
+        .groupby("seg_id", num_partitions=8)
         .aggregate(
             Count(alias_name="n_events"),
             Sum("is_delete", alias_name="n_deletes"),

@@ -281,7 +281,11 @@ def detect_hot_keys(
 
     spec = spec or TableSpec()
     sample = ds.limit(sample_limit)
-    counts = sample.groupby(spec.partition_key).aggregate(Count(alias_name="n"))
+    # tiny probe groupby: explicit num_partitions (repo convention — Ray's
+    # default 200-way min_parallelism is pure overhead on a bounded sample)
+    counts = sample.groupby(
+        spec.partition_key, num_partitions=min(spec.num_partitions, 16)
+    ).aggregate(Count(alias_name="n"))
     pdf = counts.to_pandas()
     if len(pdf) == 0:
         return []
@@ -329,7 +333,10 @@ def replay(
 
     if salted == "auto":
         # probe the PRUNED stream: salting should reflect the rows that
-        # will actually shuffle, not already-applied history
+        # will actually shuffle, not already-applied history.  The probe runs
+        # the same wrapped projector as the replay (park-and-continue must
+        # hold in the probe too); duplicate parks are idempotent because
+        # dead-letter filenames are keyed on the batch content hash
         salted = bool(
             detect_hot_keys(prepare(ds, spec, projector, lsn_floor=lsn_floor), spec)
         )
@@ -359,10 +366,16 @@ def replay(
             _make_apply_fn(lake_dir, spec), batch_format="pyarrow"
         )
     pdf = lineage_ds.to_pandas()
-    # partitions fully pruned by the lsn floor produced no group — report
-    # them as checkpoint-backed noops so the lineage stays complete.  Only
-    # when pruning actually ran: partitions absent because the SEGMENT had
-    # no rows for them are not redeliveries and get no synthetic row.
+    # Partitions that produced no merge group while the lsn floor was active
+    # get a synthetic checkpoint-backed 'noop' row so the lineage covers all
+    # checkpointed partitions.  NOTE the coarseness: with a floor active we
+    # cannot tell "fully pruned redelivery" from "segment genuinely carried
+    # no rows for this partition" without per-partition pruned counters, so
+    # BOTH cases are reported as noop (rows_in=0 distinguishes them from
+    # in-band noops).  Without a floor no synthetic rows are emitted.  Noop
+    # rows use the documented tombstones=-1 'not recomputed' sentinel
+    # (LINEAGE_SCHEMA contract in sink.py) — aggregations over lineage
+    # history must filter status='applied'/'compacted' before summing.
     seen_parts = set(int(p) for p in pdf["part"].tolist()) if len(pdf) else set()
     synth = (
         [
@@ -404,9 +417,13 @@ def replay(
 def _with_dead_letter(projector, dead_letter_dir: str):
     """Wrap a projector so a failing batch is parked as parquet under
     ``dead_letter_dir`` (with the error string as file metadata) and the
-    replay continues — the error policy the reference lacks (SURVEY §2.3)."""
+    replay continues — the error policy the reference lacks (SURVEY §2.3).
+
+    Park filenames are keyed on the batch CONTENT hash, so re-parking the
+    same batch (salted='auto' probe + real replay, or a Ray task retry)
+    overwrites the earlier file instead of accumulating duplicates."""
+    import hashlib
     import os
-    import uuid
 
     import pyarrow.parquet as pq_
 
@@ -414,10 +431,16 @@ def _with_dead_letter(projector, dead_letter_dir: str):
 
     def park(batch: pa.Table, err: Exception) -> None:
         os.makedirs(dead_letter_dir, exist_ok=True)
-        dst = os.path.join(dead_letter_dir, f"batch-{uuid.uuid4().hex}.parquet")
+        sink_buf = pa.BufferOutputStream()
+        with pa.ipc.new_stream(sink_buf, batch.schema) as w:
+            w.write_table(batch.combine_chunks())
+        chash = hashlib.sha1(sink_buf.getvalue()).hexdigest()
+        dst = os.path.join(dead_letter_dir, f"batch-{chash[:32]}.parquet")
         meta = dict(batch.schema.metadata or {})
         meta[b"raycdc.error"] = str(err).encode()[:2048]
-        pq_.write_table(batch.replace_schema_metadata(meta), dst)
+        tmp = dst + ".tmp"
+        pq_.write_table(batch.replace_schema_metadata(meta), tmp)
+        os.replace(tmp, dst)  # atomic: concurrent re-parks race benignly
 
     return _ops.checked(projector, dead_letter=park)
 
@@ -593,7 +616,25 @@ def compact(
                 continue
             n_before = len(existing)
             is_tomb = pc.equal(pc.fill_null(existing[op_col], ""), M.DELETE)
-            if watermark is not None and ts_col in existing.column_names:
+            if watermark is not None:
+                if ts_col not in existing.column_names:
+                    # the caller asked for a ts-bounded GC but this partition
+                    # has no ts column — dropping ALL tombstones here would
+                    # ignore the bound in the unsafe direction; skip instead
+                    rows.append(
+                        {
+                            "part": part,
+                            "rows_in": n_before,
+                            "rows_applied": 0,
+                            "rows_skipped_ckpt": 0,
+                            "rows_total": n_before,
+                            "tombstones": 0,
+                            "max_lsn": ckpt["max_lsn"],
+                            "content_hash": S.content_hash(existing),
+                            "status": "skipped",
+                        }
+                    )
+                    continue
                 droppable = pc.and_(
                     is_tomb,
                     pc.less_equal(

@@ -54,6 +54,7 @@ def knn_brute_force(
     k: int = 5,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    num_partitions: int = 8,
 ) -> "ray.data.Dataset":
     """Exact cosine top-k for each query row.
 
@@ -99,7 +100,9 @@ def knn_brute_force(
 
     return (
         ds.map_batches(partial_topk, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("q_id")
+        # explicit num_partitions: the q_id key space is tiny — Ray's default
+        # 200-way min_parallelism would be pure shuffle overhead
+        .groupby("q_id", num_partitions=num_partitions)
         .map_groups(final_topk, batch_format="pyarrow")
     )
 
@@ -296,7 +299,9 @@ def knn_ivf(
     partial = assigned.groupby("ivf_list", num_partitions=num_partitions).map_groups(
         search_list, batch_format="pyarrow"
     )
-    return partial.groupby("q_id").map_groups(final_topk, batch_format="pyarrow")
+    return partial.groupby("q_id", num_partitions=8).map_groups(
+        final_topk, batch_format="pyarrow"
+    )
 
 
 def embedding_near_dup_pairs(

@@ -33,6 +33,12 @@ import pyarrow.parquet as pq
 
 from raycdc.partition import hash_strings
 
+# One row per partition per apply round.  Contract notes:
+#  * status: 'applied' | 'noop' | 'compacted' | 'skipped'.
+#  * tombstones = -1 is a sentinel meaning "not recomputed on this path"
+#    (checkpoint-backed noop rows answer from the checkpoint alone and never
+#    open the partition file).  Consumers aggregating lineage history must
+#    filter on status before summing tombstones.
 LINEAGE_SCHEMA = pa.schema(
     [
         pa.field("part", pa.int32()),

@@ -42,6 +42,40 @@ def test_dead_letter_parks_poison_and_continues(ray_session, tmp_path):
     assert parked_segs.isdisjoint(set(live["seg_id"]))
 
 
+def test_dead_letter_reparks_are_idempotent(ray_session, tmp_path):
+    """Park filenames are content-hash keyed: re-parking the same poison
+    batch (salted-auto probe + replay, task retries, or a second replay of
+    the same segment) overwrites instead of accumulating duplicates."""
+    import glob
+
+    t = synthetic_changelog(n_events=400, seed=62)
+    dlq = str(tmp_path / "dlq")
+    spec = TableSpec(num_partitions=4)
+
+    def poison_projector(batch: pa.Table) -> pa.Table:
+        if pc.any(pc.equal(batch["seg_id"], 0)).as_py():
+            raise ValueError("poison cell in segment 0")
+        return batch
+
+    segs = [t.filter(pc.equal(t["seg_id"], s)) for s in range(8)]
+    for attempt in range(2):  # same segments delivered twice
+        ds = ray.data.from_arrow_refs([ray.put(s) for s in segs])
+        replay(
+            ds,
+            str(tmp_path / f"lake{attempt}"),
+            spec,
+            projector=poison_projector,
+            dead_letter_dir=dlq,
+            salted="auto",  # the probe also parks — must not duplicate
+        )
+    files = glob.glob(f"{dlq}/batch-*.parquet")
+    parked = read_dead_letters(dlq)
+    seg0_rows = len(t.filter(pc.equal(t["seg_id"], 0)))
+    # every parked file is distinct content; the poison rows appear once
+    assert len(files) == len(set(files))
+    assert len(parked.filter(pc.equal(parked["seg_id"], 0))) == seg0_rows
+
+
 def test_default_policy_fails_job(ray_session, tmp_path):
     import pytest
 

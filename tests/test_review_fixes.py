@@ -57,6 +57,44 @@ def test_compact_watermark_protects_out_of_order_ts(ray_session, tmp_path):
     assert read_lake(lake, spec).count() == 0  # delete still wins
 
 
+def test_compact_watermark_missing_ts_col_skips(ray_session, tmp_path):
+    """watermark given but the stored partition has no ts column → the
+    partition is SKIPPED (status='skipped'), never silently GC'd unbounded."""
+    lake = str(tmp_path / "lake")
+    no_ts = pa.schema(
+        [
+            pa.field("conv_id", pa.string()),
+            pa.field("turn_idx", pa.int32()),
+            pa.field("text", pa.string()),
+        ]
+    )
+    spec = TableSpec(
+        schema=no_ts, version_cols=("lsn",), num_partitions=2, sort_cols=("conv_id",)
+    )
+    log = pa.table(
+        {
+            "conv_id": ["c1", "c1"],
+            "turn_idx": pa.array([0, 0], pa.int32()),
+            "text": ["hello", ""],
+            "op": ["insert", "delete"],
+            "lsn": pa.array([1, 2], pa.int64()),
+            "seg_id": pa.array([0, 0], pa.int32()),
+        }
+    )
+    replay(ray.data.from_arrow(log), lake, spec)
+    # ts_col = version_cols[0] = 'lsn'?? no: build a spec whose ts col is absent
+    spec_wm = TableSpec(
+        schema=no_ts, version_cols=("ts", "lsn"), num_partitions=2,
+        sort_cols=("conv_id",),
+    )
+    lineage = compact(lake, spec_wm, watermark=datetime.datetime(2024, 1, 1))
+    statuses = set(lineage["status"].to_pylist())
+    assert statuses <= {"skipped"}
+    assert sum(lineage["tombstones"].to_pylist()) == 0
+    # the tombstone is still there
+    assert read_lake(lake, spec, with_tombstones=True).count() == 1
+
+
 def test_compact_no_watermark_drops_all_tombstones(ray_session, tmp_path):
     lake = str(tmp_path / "lake")
     spec = TableSpec(num_partitions=2)
