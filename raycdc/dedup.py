@@ -253,46 +253,229 @@ def lsh_candidate_pairs(
     )
 
 
+_SHINGLE_LIST = pa.large_list(pa.int64())
+
+# unified row schema for the co-partitioned join passes: index rows carry
+# (key=doc_id, s=shingles); pair rows carry (key=probe side, a, b[, s_a])
+_JOIN_SCHEMA = pa.schema(
+    [
+        pa.field("key", pa.int64()),
+        pa.field("a", pa.int64()),
+        pa.field("b", pa.int64()),
+        pa.field("s_a", _SHINGLE_LIST),
+        pa.field("s", _SHINGLE_LIST),
+        pa.field("__bk", pa.int64()),
+    ]
+)
+
+
+def _bucket_of(keys: np.ndarray, num_partitions: int) -> np.ndarray:
+    with np.errstate(over="ignore"):
+        h = keys.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+    return (h % np.uint64(num_partitions)).astype(np.int64)
+
+
+def _null_lists(n: int) -> pa.Array:
+    return pa.nulls(n, _SHINGLE_LIST)
+
+
+def _list_flat(la) -> tuple[np.ndarray, np.ndarray]:
+    """(flat int64 values, normalized offsets) of a (large_)list column."""
+    la = la.combine_chunks() if isinstance(la, pa.ChunkedArray) else la
+    if isinstance(la, pa.ChunkedArray):
+        la = la.combine_chunks()
+    off = la.offsets.to_numpy().astype(np.int64)
+    flat = la.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+    return flat, off - off[0]
+
+
+def shingle_index(
+    corpus: "ray.data.Dataset",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+) -> "ray.data.Dataset":
+    """Distributed ``(doc_id, s)`` shingle index: one row per document with
+    at least one k-token shingle (docs shorter than ``k`` tokens are absent,
+    matching the SQL oracle's ``WHERE len(tokens) >= k``).  Built with one
+    streaming ``map_batches`` pass — the corpus text never leaves the task
+    that read it; only the (much smaller) hash sets move."""
+
+    def to_index(t: pa.Table) -> pa.Table:
+        sh, off = word_shingle_hashes(t[text_col], k=shingle_k)
+        s = pa.LargeListArray.from_arrays(
+            pa.array(off, pa.int64()), pa.array(sh.view(np.int64), pa.int64())
+        )
+        tbl = pa.table({id_col: t[id_col].cast(pa.int64()), "s": s})
+        return tbl.filter(pa.array(np.diff(off) > 0))
+
+    return corpus.map_batches(to_index, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _segmented_jaccard(s_a, s_b) -> np.ndarray:
+    """Vectorized per-pair Jaccard of two aligned list columns of DISTINCT
+    hash sets: concatenate both sides labeled by pair id, one lexsort, count
+    adjacent duplicates per pair (a value can appear at most once per side,
+    so every duplicate is an intersection hit).  No per-pair Python loop."""
+    fa, oa = _list_flat(s_a)
+    fb, ob = _list_flat(s_b)
+    ca, cb = np.diff(oa), np.diff(ob)
+    n = len(ca)
+    pid = np.concatenate(
+        [np.repeat(np.arange(n, dtype=np.int64), ca), np.repeat(np.arange(n, dtype=np.int64), cb)]
+    )
+    vals = np.concatenate([fa, fb])
+    order = np.lexsort((vals, pid))
+    v, p = vals[order], pid[order]
+    if len(v) > 1:
+        dup = (v[1:] == v[:-1]) & (p[1:] == p[:-1])
+        inter = np.bincount(p[1:][dup], minlength=n)
+    else:
+        inter = np.zeros(n, dtype=np.int64)
+    union = ca + cb - inter
+    with np.errstate(divide="ignore", invalid="ignore"):
+        return np.where(union > 0, inter / np.maximum(union, 1), 0.0)
+
+
 def verify_jaccard_pairs(
     pairs: "ray.data.Dataset",
-    corpus: pa.Table,
+    corpus: "ray.data.Dataset | pa.Table",
     threshold: float = 0.5,
     shingle_k: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    num_partitions: int = 16,
 ) -> "ray.data.Dataset":
-    """Exact word-shingle Jaccard over candidate pairs.
+    """Exact word-shingle Jaccard over candidate pairs — fully distributed.
 
-    The corpus's shingle sets are computed ONCE, broadcast via ``ray.put``,
-    and read zero-copy in every verify task (small-side broadcast — valid
-    while the deduped id->shingles index fits a node; beyond that, partition
-    pairs by ``hash(a)`` and hash-join against the corpus partition).
+    No driver-side corpus materialization and no broadcast: the shingle
+    index is itself a Dataset, and each pair meets its two shingle sets via
+    two co-partitioned hash-join passes (pairs bucketed by ``hash(a)``, then
+    by ``hash(b)``; the index bucketed by ``hash(doc_id)`` on both passes).
+    Inside a bucket the lookup is a vectorized ``searchsorted`` + Arrow list
+    gather, and the Jaccard itself is a segmented sort-merge
+    (:func:`_segmented_jaccard`) — no Python loop anywhere.
+
+    Pairs whose ``a`` or ``b`` has no index entry (fewer than ``shingle_k``
+    tokens, or absent from the corpus) are DROPPED — inner-join semantics,
+    matching the SQL oracle's join over the shingle CTE.
+
+    Scale shape: two shuffles whose payload is hash sets of candidate docs
+    only, each bounded by the candidate pair count — never the corpus text,
+    never all-pairs.
     """
-    sh, off = word_shingle_hashes(corpus[text_col], k=shingle_k)
-    ids = corpus[id_col].to_numpy(zero_copy_only=False)
-    id_to_pos = {int(i): p for p, i in enumerate(ids)}
-    ref = ray.put((sh, off, id_to_pos))
+    from raycdc.engine import _configure_shuffle
 
-    def verify(t: pa.Table) -> pa.Table:
-        sh_, off_, pos_ = ray.get(ref)
-        a = t["a"].to_numpy(zero_copy_only=False)
-        b = t["b"].to_numpy(zero_copy_only=False)
-        jac = np.zeros(len(t))
-        for i in range(len(t)):
-            pa_, pb_ = pos_.get(int(a[i])), pos_.get(int(b[i]))
-            if pa_ is None or pb_ is None:
-                continue
-            sa = sh_[off_[pa_] : off_[pa_ + 1]]
-            sb = sh_[off_[pb_] : off_[pb_ + 1]]
-            inter = np.intersect1d(sa, sb, assume_unique=True).size
-            union = sa.size + sb.size - inter
-            jac[i] = inter / union if union else 0.0
+    _configure_shuffle()
+    if isinstance(corpus, pa.Table):
+        corpus = ray.data.from_arrow(corpus)
+    idx = shingle_index(corpus, text_col=text_col, id_col=id_col, shingle_k=shingle_k)
+
+    def idx_rows(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        n = len(t)
+        return pa.table(
+            {
+                "key": pa.array(ids.astype(np.int64)),
+                "a": pa.nulls(n, pa.int64()),
+                "b": pa.nulls(n, pa.int64()),
+                "s_a": _null_lists(n),
+                "s": t["s"].cast(_SHINGLE_LIST),
+                "__bk": pa.array(_bucket_of(ids, num_partitions)),
+            },
+            schema=_JOIN_SCHEMA,
+        )
+
+    def pair_rows(t: pa.Table) -> pa.Table:
+        a = t["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(t)
+        return pa.table(
+            {
+                "key": pa.array(a),
+                "a": pa.array(a),
+                "b": pa.array(b),
+                "s_a": _null_lists(n),
+                "s": _null_lists(n),
+                "__bk": pa.array(_bucket_of(a, num_partitions)),
+            },
+            schema=_JOIN_SCHEMA,
+        )
+
+    def _split(g: pa.Table) -> tuple[pa.Table, pa.Table]:
+        is_idx = pc.is_valid(g["s"])
+        return g.filter(is_idx), g.filter(pc.invert(is_idx))
+
+    def _lookup(idx_part: pa.Table, keys: np.ndarray):
+        """(found mask, gathered shingle lists) for keys vs this bucket's
+        index slice — sorted ids + searchsorted + one Arrow list take."""
+        ids = idx_part["key"].to_numpy(zero_copy_only=False)
+        order = np.argsort(ids, kind="stable")
+        ids_sorted = ids[order]
+        sl = idx_part["s"].combine_chunks().take(pa.array(order))
+        pos = np.searchsorted(ids_sorted, keys)
+        pos_c = np.minimum(pos, len(ids_sorted) - 1)
+        found = ids_sorted[pos_c] == keys
+        taken = sl.take(pa.array(np.where(found, pos_c, 0).astype(np.int64)))
+        return found, taken
+
+    def join_a(g: pa.Table) -> pa.Table:
+        idx_part, pr = _split(g)
+        if len(pr) == 0 or len(idx_part) == 0:
+            return _JOIN_SCHEMA.empty_table()
+        keys = pr["key"].to_numpy(zero_copy_only=False)
+        found, s_a = _lookup(idx_part, keys)
+        pr = pr.set_column(pr.schema.get_field_index("s_a"), "s_a", s_a.cast(_SHINGLE_LIST))
+        pr = pr.filter(pa.array(found))
+        # re-key on b for the second pass
+        b = pr["b"].to_numpy(zero_copy_only=False)
+        pr = pr.set_column(pr.schema.get_field_index("key"), "key", pa.array(b))
+        return pr.set_column(
+            pr.schema.get_field_index("__bk"),
+            "__bk",
+            pa.array(_bucket_of(b, num_partitions)),
+        )
+
+    def join_b(g: pa.Table) -> pa.Table:
+        out_schema = pa.schema(
+            [
+                pa.field("a", pa.int64()),
+                pa.field("b", pa.int64()),
+                pa.field("jaccard", pa.float64()),
+            ]
+        )
+        idx_part, pr = _split(g)
+        if len(pr) == 0 or len(idx_part) == 0:
+            return out_schema.empty_table()
+        keys = pr["key"].to_numpy(zero_copy_only=False)
+        found, s_b = _lookup(idx_part, keys)
+        pr = pr.filter(pa.array(found))
+        s_b = s_b.filter(pa.array(found))
+        jac = _segmented_jaccard(pr["s_a"], s_b)
         # floor-quantize (not round): round-half ties break differently in
         # numpy (half-even) vs SQL engines (half-away) — floor is identical
-        out = t.append_column("jaccard", pa.array(np.floor(jac * 1e6) / 1e6))
+        out = pa.table(
+            {
+                "a": pr["a"],
+                "b": pr["b"],
+                "jaccard": pa.array(np.floor(jac * 1e6) / 1e6),
+            },
+            schema=out_schema,
+        )
         return out.filter(pc.greater_equal(out["jaccard"], threshold))
 
-    return pairs.map_batches(verify, batch_format="pyarrow", zero_copy_batch=True)
+    idx_t = idx.map_batches(idx_rows, batch_format="pyarrow", zero_copy_batch=True)
+    pairs_t = pairs.map_batches(pair_rows, batch_format="pyarrow", zero_copy_batch=True)
+    pass1 = (
+        pairs_t.union(idx_t)
+        .groupby("__bk", num_partitions=num_partitions)
+        .map_groups(join_a, batch_format="pyarrow")
+    )
+    return (
+        pass1.union(idx_t)
+        .groupby("__bk", num_partitions=num_partitions)
+        .map_groups(join_b, batch_format="pyarrow")
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -480,9 +480,9 @@ def q_dedup_minhash(sf_dir: str):
     """MinHash(128) + LSH(32×4) candidates, exact-Jaccard verified ≥ 0.8,
     over a corpus where every doc has a near copy (one appended token).
     The ORACLE computes ground-truth all-pairs Jaccard — so this checks
-    LSH recall at the threshold, not just the plumbing."""
-    import pyarrow.parquet as pq
-
+    LSH recall at the threshold, not just the plumbing.  The verify stage is
+    fully distributed: the corpus is re-streamed as a shingle-index Dataset
+    and joined per bucket — nothing is materialized on the driver."""
     from raycdc.dedup import (
         lsh_candidate_pairs,
         minhash_signatures,
@@ -494,19 +494,9 @@ def q_dedup_minhash(sf_dir: str):
         minhash_signatures, batch_format="pyarrow", zero_copy_batch=True
     )
     pairs = lsh_candidate_pairs(sigs, bands=32, num_partitions=32)
-    base = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    corpus = pa.concat_tables(
-        [
-            base,
-            pa.table(
-                {
-                    "doc_id": pc.add(base["doc_id"], _DUP_OFFSET),
-                    "text": pc.binary_join_element_wise(base["text"], " extradup", ""),
-                }
-            ),
-        ]
+    return verify_jaccard_pairs(
+        pairs, _corpus_with_near_copies(sf_dir), threshold=0.8
     )
-    return verify_jaccard_pairs(pairs, corpus, threshold=0.8)
 
 
 _SQL_SHINGLES = f"""
@@ -547,26 +537,32 @@ SELECT a, b, jaccard FROM pairs WHERE jaccard >= 0.8
 
 def q_dedup_jaccard(sf_dir: str):
     """Exact n-gram Jaccard on a deterministic pair list (consecutive
-    doc_ids) — the verification kernel, oracle-checked in isolation."""
-    import pyarrow.parquet as pq
+    doc_ids) — the verification kernel, oracle-checked in isolation.
+
+    Candidate pairs (id, id+1) are generated distributed (one map_batches
+    over the corpus); the verify join's inner-join semantics drop any pair
+    whose side has no 3-shingles, mirroring the oracle's join over its
+    shingle CTE — no driver-side corpus read anywhere."""
+    import numpy as np
 
     from raycdc.dedup import verify_jaccard_pairs
 
-    corpus = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    import numpy as np
+    corpus = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
 
-    # mirror the oracle exactly: pairs are (id, id+1) joins restricted to
-    # docs with >= 3 whitespace tokens (shorter docs have no 3-shingles)
-    n_tok = pc.list_value_length(pc.split_pattern(corpus["text"], " ")).to_numpy(
-        zero_copy_only=False
+    def consecutive_pairs(t: pa.Table) -> pa.Table:
+        n_tok = pc.list_value_length(pc.split_pattern(t["text"], " ")).to_numpy(
+            zero_copy_only=False
+        )
+        ids = t["doc_id"].to_numpy().astype(np.int64)
+        a = ids[n_tok >= 3]
+        return pa.table({"a": pa.array(a), "b": pa.array(a + 1)})
+
+    pairs = corpus.map_batches(
+        consecutive_pairs, batch_format="pyarrow", zero_copy_batch=True
     )
-    ids = corpus["doc_id"].to_numpy().astype(np.int64)
-    ok = {int(i) for i, nt in zip(ids, n_tok) if nt >= 3}
-    a = np.array(sorted(i for i in ok if i + 1 in ok), dtype=np.int64)
-    pairs = pa.table({"a": pa.array(a), "b": pa.array(a + 1)})
-    return verify_jaccard_pairs(
-        ray.data.from_arrow(pairs), corpus, threshold=0.0
-    )
+    return verify_jaccard_pairs(pairs, corpus, threshold=0.0)
 
 
 SQL_DEDUP_JACCARD = """
