@@ -4,8 +4,8 @@ Beyond the reference's scope (SURVEY.md §2.6 — it has no analytics), these
 are the text-quality stages a 100 TB corpus pipeline needs: token counting,
 quality scoring, language ID, and document fingerprinting.  All are pure
 vectorized batch kernels (`map_batches`, Arrow/numpy) — no Python loop over
-rows in any hot path except the documented winnowing kernel, which loops
-over a fixed small window count per batch via numpy strides.
+rows in any hot path; the only loops are over fixed small constants
+(shingle ``k``, winnowing ``window``), each iteration a whole-batch numpy op.
 """
 
 from __future__ import annotations
@@ -172,14 +172,7 @@ def lang_id(batch: pa.Table, text_col: str = "text") -> pa.Table:
 
 
 _FP_BASE = np.uint64(1099511628211)
-_FP_MOD_MASK = np.uint64(0xFFFFFFFFFFFFFFFF)
-
-
-def _token_hashes(tokens: list[str]) -> np.ndarray:
-    arr = np.array(tokens, dtype=object)
-    import pandas.util
-
-    return pandas.util.hash_array(arr, categorize=False)
+_FP_SIGN_MASK = np.uint64(0x7FFFFFFFFFFFFFFF)
 
 
 def fingerprints(
@@ -192,37 +185,75 @@ def fingerprints(
     k-token shingles, minimum per sliding window, distinct mins kept.
 
     Output: one row per doc — fingerprint count + min/max fingerprint — a
-    compact content signature for plagiarism-style matching."""
-    texts = batch[text_col].to_pylist()
-    doc_ids = batch["doc_id"]
-    n_fp, fp_min, fp_max = [], [], []
-    for text in texts:
-        toks = text.split(" ") if text else []
-        if len(toks) < k:
-            n_fp.append(0)
-            fp_min.append(0)
-            fp_max.append(0)
-            continue
-        h = _token_hashes(toks)
-        # k-shingle rolling hash: weighted sum of token hashes (vectorized)
-        sh = np.zeros(len(toks) - k + 1, dtype=np.uint64)
-        with np.errstate(over="ignore"):
-            for j in range(k):
-                sh = sh * _FP_BASE + h[j : j + len(sh)]
-        if len(sh) >= window:
-            win = np.lib.stride_tricks.sliding_window_view(sh, window)
-            mins = win.min(axis=1)
-        else:
-            mins = np.array([sh.min()], dtype=np.uint64)
-        fps = np.unique(mins)
-        n_fp.append(len(fps))
-        fp_min.append(int(fps.min() & np.uint64(0x7FFFFFFFFFFFFFFF)))
-        fp_max.append(int(fps.max() & np.uint64(0x7FFFFFFFFFFFFFFF)))
+    compact content signature for plagiarism-style matching.
+
+    Fully segmented/vectorized (no per-row loop): one Arrow split, one
+    FNV hash of the flattened token array, a k-step polynomial combine over
+    flat shingle-start indices, and the sliding-window min as ``window``
+    clamped-gather ``np.minimum`` passes over the flat shingle array with
+    per-doc boundaries — same flatten+offsets pattern as
+    :func:`raycdc.dedup.word_shingle_hashes`.  Docs with fewer than ``k``
+    tokens emit ``(0, 0, 0)``; docs with fewer than ``window`` shingles get
+    one window covering all of them (identical to the per-row reference
+    semantics this replaced)."""
+    from raycdc.partition import hash_strings
+
+    texts = batch[text_col]
+    tok = pc.split_pattern(texts, " ")
+    la = tok.combine_chunks() if isinstance(tok, pa.ChunkedArray) else tok
+    toff = la.offsets.to_numpy().astype(np.int64)
+    toff = toff - toff[0]
+    th = hash_strings(la.flatten())
+
+    n_docs = len(la)
+    tok_counts = np.diff(toff)
+    sh_counts = np.maximum(tok_counts - k + 1, 0)
+    sh_off = np.concatenate([[0], np.cumsum(sh_counts)])
+    total = int(sh_off[-1])
+    # flat index of the first token of each shingle (segmented arange)
+    starts = np.repeat(toff[:-1], sh_counts) + (
+        np.arange(total) - np.repeat(sh_off[:-1], sh_counts)
+    )
+    sh = np.zeros(total, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for j in range(k):
+            sh = sh * _FP_BASE + th[starts + j]
+
+    # sliding-window min across the flat shingle array, per-doc bounded:
+    # docs with >= window shingles get s_i - window + 1 windows, shorter
+    # docs one window; out-of-segment gathers clamp to the segment's last
+    # element (min is idempotent, so the clamp never changes the result)
+    w_counts = np.where(sh_counts > 0, np.maximum(sh_counts - window + 1, 1), 0)
+    w_off = np.concatenate([[0], np.cumsum(w_counts)])
+    wtotal = int(w_off[-1])
+    seg_start = np.repeat(sh_off[:-1], w_counts)
+    seg_last = np.repeat(sh_off[1:], w_counts) - 1
+    base = seg_start + (np.arange(wtotal) - np.repeat(w_off[:-1], w_counts))
+    mins = sh[base] if wtotal else np.empty(0, dtype=np.uint64)
+    for j in range(1, window):
+        idx = np.minimum(base + j, seg_last)
+        np.minimum(mins, sh[idx], out=mins)
+
+    # distinct mins per doc: doc-major sort, adjacent-dup mask, segment ends
+    doc_ids = np.repeat(np.arange(n_docs, dtype=np.int64), w_counts)
+    order = np.lexsort((mins, doc_ids))
+    m_s, d_s = mins[order], doc_ids[order]
+    keep = np.ones(wtotal, dtype=bool)
+    if wtotal > 1:
+        keep[1:] = (m_s[1:] != m_s[:-1]) | (d_s[1:] != d_s[:-1])
+    m_u, d_u = m_s[keep], d_s[keep]
+    n_fp = np.bincount(d_u, minlength=n_docs).astype(np.int64)
+    fp_off = np.concatenate([[0], np.cumsum(n_fp)])
+    fp_min = np.zeros(n_docs, dtype=np.int64)
+    fp_max = np.zeros(n_docs, dtype=np.int64)
+    has = n_fp > 0
+    fp_min[has] = (m_u[fp_off[:-1][has]] & _FP_SIGN_MASK).astype(np.int64)
+    fp_max[has] = (m_u[fp_off[1:][has] - 1] & _FP_SIGN_MASK).astype(np.int64)
     return pa.table(
         {
-            "doc_id": doc_ids,
-            "n_fingerprints": pa.array(n_fp, pa.int64()),
-            "fp_min": pa.array(fp_min, pa.int64()),
-            "fp_max": pa.array(fp_max, pa.int64()),
+            "doc_id": batch["doc_id"],
+            "n_fingerprints": pa.array(n_fp),
+            "fp_min": pa.array(fp_min),
+            "fp_max": pa.array(fp_max),
         }
     )

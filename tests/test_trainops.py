@@ -62,6 +62,50 @@ def test_fingerprints_detect_copy_and_differ(docs):
     ) != (f["fp_min"][0].as_py(), f["fp_max"][0].as_py())
 
 
+def test_fingerprints_match_per_row_reference(docs):
+    """The segmented winnowing kernel must equal a naive per-row
+    implementation (same token hash, rolling combine, window min, distinct
+    set) — including the short-doc edge cases (< k tokens, < window
+    shingles)."""
+    from raycdc.partition import hash_strings
+
+    b = pa.table(
+        {
+            "doc_id": pa.array(np.arange(6, dtype=np.int64)),
+            "text": pa.array(
+                [
+                    docs["text"][0].as_py(),
+                    "one two",  # < k tokens
+                    "a b c",  # exactly k → 1 shingle (< window)
+                    "a b c d e",  # 3 shingles (< window)
+                    "w x y z w x y z w",  # > window shingles, repeats
+                    "",
+                ]
+            ),
+        }
+    )
+    out = T.fingerprints(b, k=3, window=4)
+    for i, text in enumerate(b["text"].to_pylist()):
+        toks = text.split(" ") if text else []
+        if len(toks) < 3:
+            assert out["n_fingerprints"][i].as_py() == 0
+            continue
+        th = hash_strings(pa.array(toks))
+        sh = np.zeros(len(toks) - 2, dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            for j in range(3):
+                sh = sh * np.uint64(1099511628211) + th[j : j + len(sh)]
+        if len(sh) >= 4:
+            mins = np.lib.stride_tricks.sliding_window_view(sh, 4).min(axis=1)
+        else:
+            mins = np.array([sh.min()], dtype=np.uint64)
+        fps = np.unique(mins)
+        mask = np.uint64(0x7FFFFFFFFFFFFFFF)
+        assert out["n_fingerprints"][i].as_py() == len(fps)
+        assert out["fp_min"][i].as_py() == int(fps.min() & mask)
+        assert out["fp_max"][i].as_py() == int(fps.max() & mask)
+
+
 def test_shingle_hashes_match_python_sets(docs):
     texts = docs.slice(0, 5)["text"]
     sh, off = D.word_shingle_hashes(texts, k=3)
