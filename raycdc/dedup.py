@@ -196,12 +196,17 @@ def lsh_band_rows(
 
 def bucket_pairs(group: pa.Table, id_col: str = "doc_id", max_bucket: int = 512) -> pa.Table:
     """All (a<b) pairs within one band bucket; oversized buckets are capped
-    (logged via the lineage of the calling pipeline) to bound the quadratic
-    blowup of degenerate buckets."""
+    to bound the quadratic blowup of degenerate buckets.  Every truncation
+    is counted on :data:`raycdc.metrics.CAPS` and emitted as a
+    ``raycdc.caps`` warning (worker log in distributed runs) — recall loss
+    is observable, never silent."""
+    from raycdc.metrics import CAPS
+
     ids = np.unique(group[id_col].to_numpy(zero_copy_only=False))
     if len(ids) < 2:
         return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
     if len(ids) > max_bucket:
+        CAPS.record("bucket_pairs", len(ids), max_bucket)
         ids = ids[:max_bucket]
     ai, bi = np.triu_indices(len(ids), k=1)
     return pa.table({"a": pa.array(ids[ai]), "b": pa.array(ids[bi])})
@@ -551,7 +556,11 @@ def simhash_candidate_pairs(
         ids, sigs_ = ids[keep], sigs_[keep]
         if len(ids) > 512:
             # cap (like bucket_pairs) rather than drop: partial recall from
-            # a degenerate hot chunk beats zero recall
+            # a degenerate hot chunk beats zero recall; counted + logged via
+            # raycdc.metrics.CAPS so the loss is observable
+            from raycdc.metrics import CAPS
+
+            CAPS.record("simhash_candidate_pairs", len(ids), 512)
             ids, sigs_ = ids[:512], sigs_[:512]
         if len(ids) < 2:
             return pa.table(

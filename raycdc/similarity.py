@@ -332,6 +332,9 @@ def embedding_near_dup_pairs(
         m = _normalize(_to_matrix(g[vec_col]))
         ids = g[id_col].to_numpy(zero_copy_only=False)
         if len(ids) > max_bucket:
+            from raycdc.metrics import CAPS
+
+            CAPS.record("embedding_near_dup_pairs", len(ids), max_bucket)
             m, ids = m[:max_bucket], ids[:max_bucket]
         if len(ids) < 2:
             return pa.table(

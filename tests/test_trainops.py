@@ -252,3 +252,38 @@ def test_embedding_near_dup_finds_perturbed_copies(ray_session, emb_table):
     hits = sum((i, i + 1000) in found for i in ids)
     assert hits >= 90  # a few pairs may straddle an LSH bucket boundary
     assert (out["cosine"] >= 0.99).all()
+
+
+def test_cap_counter_records_truncation():
+    """Degenerate bucket (one band key shared by > max_bucket docs) must
+    increment the process-local CAPS counter and log a raycdc.caps warning —
+    the no-silent-caps rule."""
+    import logging
+
+    from raycdc.metrics import CAPS
+
+    CAPS.reset()
+    n = 40
+    group = pa.table({"doc_id": pa.array(np.arange(n, dtype=np.int64))})
+    out = D.bucket_pairs(group, max_bucket=10)
+    snap = CAPS.snapshot()
+    assert snap["buckets_truncated"]["bucket_pairs"] == 1
+    assert snap["ids_dropped"]["bucket_pairs"] == n - 10
+    assert len(out) == 10 * 9 // 2  # pairs from the capped prefix only
+
+    # log line is emitted on the raycdc.caps logger
+    logger = logging.getLogger("raycdc.caps")
+    records = []
+    h = logging.Handler()
+    h.emit = records.append
+    logger.addHandler(h)
+    try:
+        D.bucket_pairs(group, max_bucket=10)
+    finally:
+        logger.removeHandler(h)
+    assert any("bucket_pairs" in r.getMessage() for r in records)
+
+    # uncapped bucket: no counting
+    CAPS.reset()
+    D.bucket_pairs(group, max_bucket=1024)
+    assert CAPS.snapshot()["buckets_truncated"] == {}
