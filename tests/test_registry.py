@@ -89,3 +89,176 @@ def test_run_error_notifies_and_raises(ray_session, tmp_path, wal_dir):
     # notified the failure too (handler.go:89-95)
     assert len(notifier.results) == 1 and not notifier.results[0].ok
     assert notifier.format(notifier.results[0]).startswith("❌")
+
+
+def test_run_handlers_overlap_concurrently(ray_session, tmp_path, wal_dir):
+    """Two handlers matching the same segments must run CONCURRENTLY (the
+    errgroup fan-out of bqloader.go:119-134): each handler's build blocks on
+    a shared 2-party barrier, so a serial Router would time out."""
+    import threading
+
+    import ray.data
+
+    barrier = threading.Barrier(2)
+    notifier = CollectingNotifier()
+
+    def make_decode():
+        def decode(paths):
+            barrier.wait(timeout=30)  # raises BrokenBarrierError if serial
+            return ray.data.read_parquet(paths)
+
+        return decode
+
+    r = Router()
+    for name in ("alpha", "beta"):
+        r.add_handler(
+            PipelineHandler(
+                name,
+                r"\.parquet$",
+                str(tmp_path / name),
+                spec=TableSpec(num_partitions=4),
+                decode=make_decode(),
+                notifier=notifier,
+            )
+        )
+    paths = sorted(str(p) for p in wal_dir.iterdir())
+    results = r.run(paths)
+    # both completed, notified, in registration order
+    assert [res.handler for res in results] == ["alpha", "beta"]
+    assert all(res.ok for res in results)
+    assert len(notifier.results) == 2
+    for name in ("alpha", "beta"):
+        assert read_lake(str(tmp_path / name), TableSpec(num_partitions=4)).count() > 0
+
+
+def test_run_concurrent_error_aggregation(ray_session, tmp_path, wal_dir):
+    """One failing handler must not stop its sibling (all attempted, both
+    notified, first error reported after all complete)."""
+    notifier = CollectingNotifier()
+
+    def bad_projector(batch: pa.Table) -> pa.Table:
+        raise ValueError("poison row")
+
+    r = Router()
+    r.add_handler(
+        PipelineHandler(
+            "bad",
+            r"\.parquet$",
+            str(tmp_path / "bad"),
+            spec=TableSpec(num_partitions=4),
+            projector=bad_projector,
+            notifier=notifier,
+        )
+    )
+    r.add_handler(
+        PipelineHandler(
+            "good",
+            r"\.parquet$",
+            str(tmp_path / "good"),
+            spec=TableSpec(num_partitions=4),
+            notifier=notifier,
+        )
+    )
+    paths = sorted(str(p) for p in wal_dir.iterdir())
+    with pytest.raises(RuntimeError, match="bad"):
+        r.run(paths)
+    assert len(notifier.results) == 2
+    by_name = {res.handler: res for res in notifier.results}
+    assert not by_name["bad"].ok and by_name["good"].ok
+    # the good handler's lake materialized despite the sibling failure
+    assert read_lake(str(tmp_path / "good"), TableSpec(num_partitions=4)).count() > 0
+
+
+# --- SlackNotifier (the HTTP push path, notifier.go:31-137) -----------------
+
+
+class FakeTransport:
+    """Captures the request and plays back a canned response — the
+    injectable-http.Client pattern of notifier_test.go:15-131."""
+
+    def __init__(self, status=200, body=b'{"ok": true}'):
+        self.status, self.body = status, body
+        self.calls = []
+
+    def __call__(self, url, headers, body):
+        self.calls.append((url, headers, body))
+        return self.status, self.body
+
+
+def _result(ok=True):
+    from raycdc.registry import Result
+
+    return Result(
+        handler="camecon",
+        paths=["wal/seg-001.parquet"],
+        error=None if ok else "boom",
+    )
+
+
+def test_slack_notifier_success_message_and_auth():
+    import json
+
+    from raycdc.registry import SlackNotifier
+
+    t = FakeTransport()
+    n = SlackNotifier("#ch", "xoxb-token", icon_emoji=":rocket:", username="loader")
+    n.transport = t
+    n(_result(ok=True))
+    url, headers, body = t.calls[0]
+    assert url == "https://slack.com/api/chat.postMessage"
+    assert headers["Authorization"] == "Bearer xoxb-token"
+    assert headers["Content-Type"] == "application/json"
+    msg = json.loads(body)
+    assert msg["channel"] == "#ch"
+    assert msg["icon_emoji"] == ":rocket:" and msg["username"] == "loader"
+    assert msg["text"].startswith(":white_check_mark: camecon handler successfully loaded")
+
+
+def test_slack_notifier_failure_message():
+    import json
+
+    from raycdc.registry import SlackNotifier
+
+    t = FakeTransport()
+    n = SlackNotifier("#ch", "tok", transport=t)
+    n(_result(ok=False))
+    msg = json.loads(t.calls[0][2])
+    assert msg["text"].startswith(":x: camecon handler failed to load")
+    assert "boom" in msg["text"]
+    assert "icon_emoji" not in msg and "username" not in msg  # omitempty
+
+
+@pytest.mark.parametrize(
+    "status,body,match",
+    [
+        (500, b"gateway", "status code 500"),
+        (200, b'{"ok": false, "error": "invalid_auth"}', "invalid_auth"),
+        (200, b"not json", "failed to parse"),
+    ],
+)
+def test_slack_notifier_error_paths(status, body, match):
+    from raycdc.registry import SlackNotifier
+
+    n = SlackNotifier("#ch", "tok", transport=FakeTransport(status, body))
+    with pytest.raises(RuntimeError, match=match):
+        n(_result(ok=True))
+
+
+def test_notifier_failure_never_masks_success(ray_session, tmp_path, wal_dir):
+    """A raising notifier must not fail the run (handler.go:89-95)."""
+    from raycdc.registry import SlackNotifier
+
+    n = SlackNotifier("#ch", "tok", transport=FakeTransport(500, b"down"))
+    r = Router()
+    r.add_handler(
+        PipelineHandler(
+            "t",
+            r"\.parquet$",
+            str(tmp_path / "lake3"),
+            spec=TableSpec(num_partitions=4),
+            notifier=n,
+        )
+    )
+    paths = sorted(str(p) for p in wal_dir.iterdir())
+    results = r.run(paths)
+    assert len(results) == 1 and results[0].ok
