@@ -1048,6 +1048,68 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 """
 
 
+def q_asof_click_purchase(sf_dir: str):
+    """Cross-TABLE as-of join: every click event annotated with the same
+    user's latest earlier-or-equal purchase (matched purchase ts + value).
+    Both sides stream through one tagged union + one co-partitioned
+    groupby(user) — the distributed ASOF JOIN shape.  The purchase side is
+    first uniqued per (user, ts) (max value) so the as-of winner is
+    deterministic on both engines."""
+    from ray.data.aggregate import Max
+
+    from raycdc.relational import asof_join
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "event_type", "value"],
+    )
+    clicks = ev.filter(
+        expr="event_type == 'click'"
+    ).select_columns(["event_id", "user_id", "ts"])
+    purchases = (
+        ev.filter(expr="event_type == 'purchase'")
+        .groupby(["user_id", "ts"], num_partitions=16)
+        .aggregate(Max("value", alias_name="value"))
+    )
+    out = asof_join(
+        clicks,
+        purchases,
+        on="user_id",
+        ts_col="ts",
+        right_cols=("ts", "value"),
+        how="inner",
+        num_partitions=16,
+    )
+
+    def quantize(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        v = t["r_value"].to_numpy(zero_copy_only=False)
+        return t.set_column(
+            t.schema.get_field_index("r_value"),
+            "r_value",
+            pa.array(np.floor(v * 1e6) / 1e6),
+        )
+
+    return out.map_batches(
+        quantize, batch_format="pyarrow", zero_copy_batch=True
+    ).select_columns(["event_id", "user_id", "r_ts", "r_value"])
+
+
+SQL_ASOF_CLICK_PURCHASE = """
+WITH l AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+), r AS (
+  SELECT user_id, ts, max(value) AS value
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+)
+SELECT l.event_id, l.user_id,
+       r.ts AS r_ts,
+       floor(r.value * 1e6) / 1e6 AS r_value
+FROM l ASOF JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+"""
+
+
 # ---------------------------------------------------------------------------
 # multimodal (binary payload plumbing; codecs stubbed)
 
@@ -1142,6 +1204,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "rollup_lineitem": q_rollup_lineitem,
     "window_hourly": q_window_hourly,
     "asof_prev_event": q_asof_prev_event,
+    "asof_click_purchase": q_asof_click_purchase,
     "text_stats": q_text_stats,
     "text_quality": q_text_quality,
     "text_langid": q_text_langid,
@@ -1175,6 +1238,7 @@ ORACLES: dict[str, str] = {
     "rollup_lineitem": SQL_ROLLUP_LINEITEM,
     "window_hourly": SQL_WINDOW_HOURLY,
     "asof_prev_event": SQL_ASOF_PREV_EVENT,
+    "asof_click_purchase": SQL_ASOF_CLICK_PURCHASE,
     "text_stats": SQL_TEXT_STATS,
     "text_quality": SQL_TEXT_QUALITY,
     "dedup_exact": SQL_DEDUP_EXACT,

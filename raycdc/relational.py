@@ -216,6 +216,134 @@ def asof_previous(
     )
 
 
+def asof_join(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    on: str = "user_id",
+    ts_col: str = "ts",
+    right_cols: Sequence[str] = ("value",),
+    how: str = "inner",
+    suffix: str = "r_",
+    num_partitions: int = 64,
+) -> "ray.data.Dataset":
+    """Cross-table as-of join: attach to every left row the right row of the
+    same ``on`` key with the greatest ``ts_col`` <= the left row's (DuckDB
+    ``ASOF JOIN ... ON l.k = r.k AND l.ts >= r.ts`` semantics; inclusive).
+
+    Scale shape: BOTH sides stream through one tagged ``union`` and a single
+    co-partitioned ``groupby(on)`` shuffle — no broadcast, no driver-side
+    materialization, no per-row probe.  Inside each group the match is a
+    vectorized merge: one lexsort of the combined rows by (key, ts, side)
+    with right-before-left at equal ts, a ``np.maximum.accumulate``
+    forward-fill of right-row indices, and a key-equality check to keep
+    fills from crossing entities (groups may carry multiple keys).
+
+    ``right`` should be unique per ``(on, ts_col)`` — with duplicates the
+    surviving row is unspecified (same caveat as SQL ASOF JOIN).
+
+    Output: all left columns + ``{suffix}{c}`` for each ``c`` in
+    ``right_cols`` (include ``ts_col`` in ``right_cols`` to surface the
+    matched timestamp).  ``how='inner'`` drops unmatched left rows;
+    ``'left'`` keeps them with nulls.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"asof_join: how must be 'inner' or 'left', got {how!r}")
+    from raycdc.engine import _configure_shuffle
+
+    _configure_shuffle()
+    def _pa_schema(ds_: "ray.data.Dataset") -> pa.Schema:
+        s = ds_.schema()
+        base = getattr(s, "base_schema", s)
+        if isinstance(base, pa.Schema):
+            return base
+        return pa.schema(list(zip(s.names, s.types)))
+
+    l_schema, r_schema = _pa_schema(left), _pa_schema(right)
+    l_names = list(l_schema.names)
+    rc_fields = [pa.field(f"__r_{c}", r_schema.field(c).type) for c in right_cols]
+    uni = pa.schema(
+        [pa.field(n, l_schema.field(n).type) for n in l_names]
+        + rc_fields
+        + [pa.field("__side", pa.int8())]
+    )
+
+    def tag_left(t: pa.Table) -> pa.Table:
+        cols = {n: t[n] for n in l_names}
+        for f in rc_fields:
+            cols[f.name] = pa.nulls(len(t), f.type)
+        cols["__side"] = pa.array(np.ones(len(t), dtype=np.int8))
+        return pa.table(cols, schema=uni)
+
+    def tag_right(t: pa.Table) -> pa.Table:
+        cols = {}
+        for n in l_names:
+            if n in (on, ts_col):
+                cols[n] = t[n].cast(l_schema.field(n).type)
+            else:
+                cols[n] = pa.nulls(len(t), l_schema.field(n).type)
+        for c, f in zip(right_cols, rc_fields):
+            cols[f.name] = t[c]
+        cols["__side"] = pa.array(np.zeros(len(t), dtype=np.int8))
+        return pa.table(cols, schema=uni)
+
+    out_schema = pa.schema(
+        [pa.field(n, l_schema.field(n).type) for n in l_names]
+        + [pa.field(f"{suffix}{c}", f.type) for c, f in zip(right_cols, rc_fields)]
+    )
+
+    def match(g: pa.Table) -> pa.Table:
+        n = len(g)
+        if n == 0:
+            return out_schema.empty_table()
+        side = g["__side"].to_numpy(zero_copy_only=False)
+        ts = (
+            g[ts_col]
+            .cast(pa.timestamp("us"))
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        # dense key codes (groups can hold several entities; keys may be
+        # strings) — dictionary_encode gives int32 codes in one pass
+        codes = (
+            g[on].combine_chunks().dictionary_encode().indices.to_numpy(
+                zero_copy_only=False
+            )
+        )
+        order = np.lexsort((side, ts, codes))
+        s_side, s_ts, s_codes = side[order], ts[order], codes[order]
+        # forward-fill the latest right position; a fill from a previous
+        # entity has a smaller code (codes sorted ascending) → invalidated
+        pos = np.arange(n, dtype=np.int64)
+        right_pos = np.where(s_side == 0, pos, -1)
+        filled = np.maximum.accumulate(right_pos)
+        is_left = s_side == 1
+        lf = filled[is_left]
+        matched = (lf >= 0) & (s_codes[np.maximum(lf, 0)] == s_codes[is_left])
+        left_orig = order[is_left]  # row ids in g of the left rows
+        match_orig = order[np.maximum(lf, 0)]  # row ids in g of matched right
+        take_left = pa.array(left_orig)
+        cols = {nme: g[nme].combine_chunks().take(take_left) for nme in l_names}
+        m_idx = pa.array(
+            np.where(matched, match_orig, -1), pa.int64()
+        )  # -1 → null gather
+        safe = pc.if_else(pc.greater_equal(m_idx, 0), m_idx, pa.nulls(len(m_idx), pa.int64()))
+        for c, f in zip(right_cols, rc_fields):
+            cols[f"{suffix}{c}"] = g[f.name].combine_chunks().take(safe)
+        out = pa.table(cols, schema=out_schema)
+        if how == "inner":
+            out = out.filter(pa.array(matched))
+        return out
+
+    tagged = left.map_batches(
+        tag_left, batch_format="pyarrow", zero_copy_batch=True
+    ).union(
+        right.map_batches(tag_right, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    return tagged.groupby(on, num_partitions=num_partitions).map_groups(
+        match, batch_format="pyarrow"
+    )
+
+
 def pre_aggregate(
     ds: "ray.data.Dataset",
     key_cols: Sequence[str],

@@ -125,3 +125,64 @@ def test_asof_previous_semantics(ray_session):
     assert out["prev_event_id"].isna().iloc[0]
     assert prev[1] == 100 and prev[2] == 101
     assert out["prev_event_id"].isna().iloc[3]
+
+
+def test_asof_join_cross_table(ray_session):
+    """Two-table as-of: inclusive tie (l.ts == r.ts matches), latest-earlier
+    wins, string keys, left-join nulls for unmatched, and entity isolation
+    (a right row never leaks to another key)."""
+    import datetime as dt
+
+    from raycdc.relational import asof_join
+
+    def ts(s):
+        return dt.datetime(2024, 1, 1, 0, 0, s)
+
+    left = pa.table(
+        {
+            "user_id": pa.array(["u1", "u1", "u1", "u2", "u3"]),
+            "ts": pa.array([ts(5), ts(10), ts(20), ts(7), ts(9)], pa.timestamp("us")),
+            "event_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        }
+    )
+    right = pa.table(
+        {
+            "user_id": pa.array(["u1", "u1", "u2", "u9"]),
+            "ts": pa.array([ts(10), ts(15), ts(8), ts(1)], pa.timestamp("us")),
+            "price": pa.array([1.0, 2.0, 3.0, 9.0]),
+        }
+    )
+    out = (
+        asof_join(
+            ray.data.from_arrow(left),
+            ray.data.from_arrow(right),
+            on="user_id",
+            ts_col="ts",
+            right_cols=("ts", "price"),
+            how="left",
+            num_partitions=2,
+        )
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    assert len(out) == 5
+    # u1@5: no purchase yet; u1@10: inclusive tie -> price 1.0;
+    # u1@20: latest earlier is ts 15 -> 2.0; u2@7: r is ts 8 (later) -> null;
+    # u3: key absent from right -> null (u9's row must not leak)
+    assert np.isnan(out["r_price"][0]) and out["r_ts"].isna()[0]
+    assert out["r_price"][1] == 1.0 and out["r_ts"][1] == ts(10)
+    assert out["r_price"][2] == 2.0 and out["r_ts"][2] == ts(15)
+    assert np.isnan(out["r_price"][3])
+    assert np.isnan(out["r_price"][4])
+
+    inner = asof_join(
+        ray.data.from_arrow(left),
+        ray.data.from_arrow(right),
+        on="user_id",
+        ts_col="ts",
+        right_cols=("price",),
+        how="inner",
+        num_partitions=2,
+    ).to_pandas()
+    assert sorted(inner["event_id"]) == [2, 3]
