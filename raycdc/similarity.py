@@ -6,10 +6,12 @@
   small groupby picks the global top-k per query.  This is the baseline
   and the verification oracle for the approximate variants.
 * :func:`rp_lsh_buckets` / :func:`knn_lsh` — random-hyperplane LSH (signed
-  random projections): vectors land in sign-pattern buckets; queries probe
-  their own bucket only.  The scale path: bucket groupby is the one
-  shuffle, each bucket search is a tiny matmul.  Recall < 1 by design —
-  measured against the brute-force baseline in tests, not assumed.
+  random projections): vectors land in sign-pattern buckets; queries
+  MULTI-PROBE their own bucket plus the buckets across their lowest-margin
+  hyperplanes (Lv et al., VLDB'07).  The scale path: bucket groupby is the
+  one shuffle, each bucket search is a tiny matmul, probing is query-side
+  so it adds no shuffle volume.  Recall < 1 by design — measured against
+  the brute-force baseline in tests, not assumed.
 * :func:`embedding_near_dup_pairs` — near-duplicate pairs by cosine ≥
   threshold within LSH buckets (embedding-space analog of MinHash dedup).
 
@@ -129,20 +131,42 @@ def rp_lsh_buckets(
     return batch.append_column("bucket", pa.array(bucket.astype(np.int64)))
 
 
+def _probe_buckets(m: np.ndarray, planes: np.ndarray, nprobe: int) -> np.ndarray:
+    """(n, nprobe) bucket ids per row: the row's own sign bucket plus
+    single-bit flips of its ``nprobe - 1`` smallest-|margin| hyperplanes —
+    standard multi-probe LSH (Lv et al., VLDB'07): the bits most likely to
+    disagree between near neighbors are exactly the low-margin ones."""
+    proj = m @ planes.T  # (n, nbits)
+    weights = (1 << np.arange(planes.shape[0])).astype(np.int64)
+    base = (proj > 0) @ weights
+    cols = [base]
+    extra = min(nprobe - 1, planes.shape[0])
+    if extra > 0:
+        order = np.argsort(np.abs(proj), axis=1)  # ascending margin
+        for j in range(extra):
+            cols.append(base ^ weights[order[:, j]])
+    return np.stack(cols, axis=1)
+
+
 def knn_lsh(
     ds: "ray.data.Dataset",
     queries: np.ndarray,
     query_ids: np.ndarray,
     k: int = 5,
     nbits: int = 8,
+    nprobe: int = 4,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     num_partitions: int = 32,
 ) -> "ray.data.Dataset":
-    """Approximate top-k: probe only the query's own sign bucket.
+    """Approximate top-k with MULTI-PROBE: each query probes its own sign
+    bucket plus the ``nprobe - 1`` buckets reached by flipping its
+    lowest-margin bits.  Corpus vectors stay in one bucket each — probing
+    is query-side only, so the extra recall costs zero shuffle volume.
 
-    One groupby on bucket id; queries are broadcast and re-derived per
-    bucket group (cheap: nq × d matmul).  Recall measured in tests.
+    One groupby on bucket id emits tie-corrected per-bucket candidates; a
+    tiny final groupby(q_id) dedups vectors reached via several probes and
+    picks the global top-k.  Recall measured in tests.
     """
     from raycdc.engine import _configure_shuffle
 
@@ -150,8 +174,8 @@ def knn_lsh(
     qn = _normalize(np.asarray(queries, np.float64))
     dim = qn.shape[1]
     planes = _planes(dim, nbits)
-    q_buckets = ((qn @ planes.T) > 0) @ (1 << np.arange(nbits)).astype(np.int64)
-    ref = ray.put((qn, np.asarray(query_ids), q_buckets))
+    q_probes = _probe_buckets(qn, planes, nprobe)  # (nq, nprobe)
+    ref = ray.put((qn, np.asarray(query_ids), q_probes))
 
     bucketed = ds.map_batches(
         lambda t: rp_lsh_buckets(t, planes, vec_col),
@@ -160,39 +184,54 @@ def knn_lsh(
     )
 
     def search_bucket(g: pa.Table) -> pa.Table:
-        q, qids, qb = ray.get(ref)
+        q, qids, qp = ray.get(ref)
         b = int(g["bucket"][0].as_py())
-        sel = qb == b
+        sel = (qp == b).any(axis=1)
         if not sel.any():
             return pa.table(
                 {
                     "q_id": pa.array([], pa.int64()),
                     id_col: pa.array([], pa.int64()),
                     "score": pa.array([], pa.float64()),
-                    "rank": pa.array([], pa.int64()),
                 }
             )
         m = _normalize(_to_matrix(g[vec_col]))
         ids = g[id_col].to_numpy(zero_copy_only=False)
         scores = q[sel] @ m.T
-        out_q, out_id, out_s, out_r = [], [], [], []
-        for qi, qid in enumerate(np.asarray(qids)[sel]):
-            order = np.lexsort((ids, -scores[qi]))[:k]
-            out_q.extend([qid] * len(order))
-            out_id.extend(ids[order])
-            out_s.extend(scores[qi][order])
-            out_r.extend(range(1, len(order) + 1))
+        kk = min(k, scores.shape[1])
+        sel_qids = np.asarray(qids)[sel]
+        out_q, out_id, out_s = [], [], []
+        for qi in range(scores.shape[0]):
+            row = scores[qi]
+            part = np.argpartition(-row, kk - 1)[:kk]
+            kth = row[part].min()
+            cand = np.nonzero(row >= kth)[0]  # tie-correct (see brute force)
+            out_q.append(np.full(len(cand), sel_qids[qi]))
+            out_id.append(ids[cand])
+            out_s.append(row[cand])
         return pa.table(
             {
-                "q_id": pa.array(out_q, pa.int64()),
-                id_col: pa.array(out_id, pa.int64()),
-                "score": pa.array(out_s, pa.float64()),
-                "rank": pa.array(out_r, pa.int64()),
+                "q_id": pa.array(np.concatenate(out_q)),
+                id_col: pa.array(np.concatenate(out_id)),
+                "score": pa.array(np.concatenate(out_s)),
             }
         )
 
-    return bucketed.groupby("bucket", num_partitions=num_partitions).map_groups(
+    def final_topk(g: pa.Table) -> pa.Table:
+        # a vector reached via several probed buckets appears once per
+        # bucket with the SAME score — dedup on vec_id before ranking
+        g = g.sort_by([("score", "descending"), (id_col, "ascending")])
+        ids = g[id_col].to_numpy(zero_copy_only=False)
+        _, first = np.unique(ids, return_index=True)
+        g = g.take(pa.array(np.sort(first)))
+        g = g.slice(0, k)
+        return g.append_column("rank", pa.array(np.arange(1, len(g) + 1)))
+
+    partial = bucketed.groupby("bucket", num_partitions=num_partitions).map_groups(
         search_bucket, batch_format="pyarrow"
+    )
+    return partial.groupby("q_id", num_partitions=8).map_groups(
+        final_topk, batch_format="pyarrow"
     )
 
 
@@ -308,14 +347,19 @@ def embedding_near_dup_pairs(
     ds: "ray.data.Dataset",
     threshold: float = 0.95,
     nbits: int = 6,
+    nprobe: int = 2,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     num_partitions: int = 32,
     max_bucket: int = 2048,
 ) -> "ray.data.Dataset":
-    """(a<b) pairs with cosine ≥ threshold, candidates restricted to one
-    LSH bucket (near-identical vectors agree on all sign bits with high
-    probability; multi-probe would raise recall further)."""
+    """(a<b) pairs with cosine ≥ threshold, candidates restricted to shared
+    LSH buckets.  MULTI-PROBE: every vector is replicated into its own sign
+    bucket plus the ``nprobe - 1`` buckets across its lowest-|margin|
+    hyperplanes, so two near-identical vectors that disagree on one
+    low-margin bit still meet (each side's flip reaches the other's base).
+    Shuffle volume scales ×``nprobe``; pairs found in several buckets are
+    deduped by a final hash-partitioned distinct."""
     from raycdc.engine import _configure_shuffle
 
     _configure_shuffle()
@@ -324,9 +368,11 @@ def embedding_near_dup_pairs(
     def bucketize(t: pa.Table) -> pa.Table:
         m = _to_matrix(t[vec_col])
         p = planes_cache.setdefault(m.shape[1], _planes(m.shape[1], nbits))
-        signs = (m @ p.T) > 0
-        bucket = signs @ (1 << np.arange(nbits)).astype(np.int64)
-        return t.append_column("bucket", pa.array(bucket.astype(np.int64)))
+        probes = _probe_buckets(m, p, nprobe)  # (n, nprobe)
+        npb = probes.shape[1]
+        idx = pa.array(np.repeat(np.arange(len(t), dtype=np.int64), npb))
+        rep = t.take(idx)
+        return rep.append_column("bucket", pa.array(probes.reshape(-1)))
 
     def pairs_in_bucket(g: pa.Table) -> pa.Table:
         m = _normalize(_to_matrix(g[vec_col]))
@@ -357,7 +403,34 @@ def embedding_near_dup_pairs(
             }
         )
 
+    def pair_key(t: pa.Table) -> pa.Table:
+        a = t["a"].to_numpy(zero_copy_only=False)
+        b = t["b"].to_numpy(zero_copy_only=False)
+        with np.errstate(over="ignore"):
+            key = (a.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) ^ b.astype(
+                np.uint64
+            )
+        return t.append_column(
+            "__pk", pa.array((key % np.uint64(2**63)).astype(np.int64))
+        )
+
+    def distinct(g: pa.Table) -> pa.Table:
+        arr = np.stack(
+            [
+                g["a"].to_numpy(zero_copy_only=False),
+                g["b"].to_numpy(zero_copy_only=False),
+            ],
+            axis=1,
+        )
+        _, first = np.unique(arr, axis=0, return_index=True)
+        return g.select(["a", "b", "cosine"]).take(pa.array(np.sort(first)))
+
     bucketed = ds.map_batches(bucketize, batch_format="pyarrow", zero_copy_batch=True)
-    return bucketed.groupby("bucket", num_partitions=num_partitions).map_groups(
+    pairs = bucketed.groupby("bucket", num_partitions=num_partitions).map_groups(
         pairs_in_bucket, batch_format="pyarrow"
+    )
+    return (
+        pairs.map_batches(pair_key, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__pk", num_partitions=num_partitions)
+        .map_groups(distinct, batch_format="pyarrow")
     )

@@ -224,11 +224,42 @@ def test_knn_lsh_recall_measured(ray_session, emb_table):
     r1 = approx[approx["rank"] == 1]
     assert set(r1["q_id"]) == set(qids)
     assert (r1["q_id"] == r1["vec_id"]).all()
-    # recall vs exact: positive and measured (not asserted to be 1)
+    # recall vs exact: measured, and multi-probe must beat single-probe
     e = set(zip(exact["q_id"], exact["vec_id"]))
     a = set(zip(approx["q_id"], approx["vec_id"]))
     recall = len(e & a) / len(e)
-    assert recall > 0.2
+    assert recall >= 0.3  # default nprobe=4 (single-probe measured ~0.24)
+    single = S.knn_lsh(
+        ds, q, qids, k=5, nbits=4, nprobe=1, num_partitions=8
+    ).to_pandas()
+    s = set(zip(single["q_id"], single["vec_id"]))
+    assert recall >= len(e & s) / len(e)
+
+
+def test_knn_lsh_multiprobe_finds_planted_neighbors(ray_session, emb_table):
+    """Plant one near-copy per query: multi-probe must retrieve EVERY
+    planted neighbor (single-probe misses those whose perturbation crosses
+    one low-margin hyperplane — exactly the bits multi-probe flips)."""
+    m = S._to_matrix(emb_table["embedding"])
+    ids = emb_table["vec_id"].to_numpy()
+    q, qids = m[:5], ids[:5]
+    rng = np.random.default_rng(0)
+    planted = m[:5] * 0.98 + rng.standard_normal(m[:5].shape) * 0.01
+    corpus = pa.table(
+        {
+            "vec_id": pa.array(
+                np.concatenate([ids, np.arange(5) + 500000]).astype(np.int64)
+            ),
+            "embedding": pa.FixedSizeListArray.from_arrays(
+                pa.array(np.concatenate([m, planted]).reshape(-1).astype(np.float32)),
+                m.shape[1],
+            ),
+        }
+    )
+    ds = ray.data.from_arrow(corpus)
+    ap = S.knn_lsh(ds, q, qids, k=5, nbits=8, nprobe=4, num_partitions=8).to_pandas()
+    got = set(zip(ap["q_id"], ap["vec_id"]))
+    assert all((qid, 500000 + i) in got for i, qid in enumerate(qids))
 
 
 def test_embedding_near_dup_finds_perturbed_copies(ray_session, emb_table):
@@ -250,8 +281,11 @@ def test_embedding_near_dup_finds_perturbed_copies(ray_session, emb_table):
     ).to_pandas()
     found = set(zip(out["a"], out["b"]))
     hits = sum((i, i + 1000) in found for i in ids)
-    assert hits >= 90  # a few pairs may straddle an LSH bucket boundary
+    # multi-probe (nprobe=2 default): boundary-straddling pairs are reached
+    # via the low-margin bit flip (single-probe measured ~90-95 here)
+    assert hits >= 98
     assert (out["cosine"] >= 0.99).all()
+    assert len(out) == len(found)  # cross-bucket rediscoveries deduped
 
 
 def test_cap_counter_records_truncation():
