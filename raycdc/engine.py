@@ -707,10 +707,13 @@ def read_lake(
         versions = S.read_snapshot(lake_dir, as_of)
         if versions is None:
             raise FileNotFoundError(f"no snapshot {as_of} under {lake_dir}")
+        from raycdc.storage import get_storage
+
+        st = get_storage(lake_dir)
         paths = []
         for part, v in sorted(versions.items()):
             p = S.part_file(lake_dir, part, v)
-            if not os.path.exists(p):
+            if not st.exists(p):
                 # a snapshot promises EXACTLY this state — a missing file
                 # (over-eager vacuum, partial restore) must not silently
                 # shrink the result
@@ -727,13 +730,16 @@ def read_lake(
     if columns is not None and not with_tombstones and spec.op_col not in columns:
         columns = [*columns, spec.op_col]
         drop_op_after = True
+    from raycdc.storage import resolve_uri_paths
+
+    paths, fs = resolve_uri_paths(paths)
     if columns is not None:
         # with an explicit column list the hive 'part' dir column is simply
         # not selected (partitioning=None + columns trips a Ray parquet bug)
-        ds = ray.data.read_parquet(paths, columns=columns)
+        ds = ray.data.read_parquet(paths, columns=columns, filesystem=fs)
     else:
         # partitioning=None: the part=K dir name is layout, not a data column
-        ds = ray.data.read_parquet(paths, partitioning=None)
+        ds = ray.data.read_parquet(paths, partitioning=None, filesystem=fs)
     if not with_tombstones:
         op_col = spec.op_col
 

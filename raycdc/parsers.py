@@ -161,8 +161,17 @@ def decode_segment(data: bytes, path: str, spec: DecodeSpec) -> pa.Table:
 
 def read_segments(paths: list[str] | str) -> "ray.data.Dataset":
     """One row per file: ``{bytes, path}`` — Ray's binary reader keeps file
-    granularity, the unit the per-segment decoders need."""
-    return ray.data.read_binary_files(paths, include_paths=True)
+    granularity, the unit the per-segment decoders need.
+
+    Accepts object-store URIs (``file://``, ``s3://``, ...) as well as
+    local paths — the remote object-reader analog of
+    ``/root/reference/extractor.go:16-37``."""
+    from raycdc.storage import resolve_uri_paths
+
+    if isinstance(paths, str):
+        paths = [paths]
+    paths, fs = resolve_uri_paths(list(paths))
+    return ray.data.read_binary_files(paths, include_paths=True, filesystem=fs)
 
 
 def parse_segments(

@@ -19,6 +19,13 @@ idempotence, SURVEY.md §2.6).  Here the sink is a *pure function of state*:
 
 All functions are callable from inside distributed ``map_groups`` tasks; the
 driver never holds partition data.
+
+Storage contract: every byte of lake IO goes through
+:mod:`raycdc.storage` — plain paths use the POSIX temp+rename publish
+(multi-node clusters need an NFS-like shared mount at the lake path);
+``scheme://`` lake paths resolve to an fsspec backend where publish is a
+single atomic PUT.  See ``storage.py`` for the per-backend atomicity
+reasoning.
 """
 
 from __future__ import annotations
@@ -32,6 +39,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 from raycdc.partition import hash_strings
+from raycdc.storage import get_storage, read_json, write_json_atomic
 
 # One row per partition per apply round.  Contract notes:
 #  * status: 'applied' | 'noop' | 'compacted' | 'skipped'.
@@ -75,15 +83,14 @@ def part_file(lake_dir: str, part: int, version: int | None = None) -> str:
 
 def current_files(lake_dir: str) -> list[str]:
     """Current-version data file per existing partition (sorted)."""
+    st = get_storage(lake_dir)
     out = []
-    if not os.path.isdir(lake_dir):
-        return out
-    for name in sorted(os.listdir(lake_dir)):
+    for name in sorted(st.listdir(lake_dir)):
         if not name.startswith("part="):
             continue
         part = int(name.split("=")[1])
         path = part_file(lake_dir, part)
-        if os.path.exists(path):
+        if st.exists(path):
             out.append(path)
     return out
 
@@ -95,52 +102,41 @@ def ckpt_file(lake_dir: str, part: int) -> str:
 def read_partition(
     lake_dir: str, part: int, version: int | None = None
 ) -> pa.Table | None:
+    st = get_storage(lake_dir)
     path = part_file(lake_dir, part, version)
-    if not os.path.exists(path):
+    if not st.exists(path):
         return None
-    return pq.read_table(path)
+    return st.read_parquet(path)
 
 
 def read_checkpoint(lake_dir: str, part: int) -> dict | None:
-    path = ckpt_file(lake_dir, part)
-    if not os.path.exists(path):
-        return None
-    with open(path) as f:
-        return json.load(f)
+    return read_json(get_storage(lake_dir), ckpt_file(lake_dir, part))
 
 
 def read_all_checkpoints(lake_dir: str) -> dict[int, dict]:
+    st = get_storage(lake_dir)
     d = os.path.join(lake_dir, "_ckpt")
     out: dict[int, dict] = {}
-    if not os.path.isdir(d):
-        return out
-    for name in os.listdir(d):
+    for name in st.listdir(d):
         if name.startswith("part-") and name.endswith(".json"):
-            with open(os.path.join(d, name)) as f:
-                out[int(name[5:-5])] = json.load(f)
+            out[int(name[5:-5])] = json.loads(st.read_bytes(os.path.join(d, name)))
     return out
-
-
-def _atomic_replace(tmp: str, dst: str) -> None:
-    os.replace(tmp, dst)
 
 
 def write_partition_atomic(
     table: pa.Table, lake_dir: str, part: int, version: int | None = None
 ) -> str:
-    """Write one partition file via temp + rename; returns final path.
+    """Publish one partition file atomically; returns final path.
 
     Deterministic writer options (fixed compression, no nondeterministic
     metadata beyond parquet's created_by) so identical state produces
     identical files — the idempotent-rewrite invariant.  The version is
     only visible to readers once the checkpoint advances to it.
     """
-    d = part_dir(lake_dir, part)
-    os.makedirs(d, exist_ok=True)
     dst = part_file(lake_dir, part, version)
-    tmp = os.path.join(d, f".tmp-{uuid.uuid4().hex}.parquet")
-    pq.write_table(table, tmp, compression="zstd", write_statistics=True)
-    _atomic_replace(tmp, dst)
+    get_storage(lake_dir).write_parquet_atomic(
+        table, dst, compression="zstd", write_statistics=True
+    )
     return dst
 
 
@@ -152,39 +148,39 @@ def write_snapshot(lake_dir: str) -> int:
     """Record the current per-partition versions as a snapshot; returns the
     snapshot id (monotone).  Readers can later open the lake ``as_of`` this
     id and see exactly this state regardless of later applies."""
+    st = get_storage(lake_dir)
     snaps_dir = os.path.join(lake_dir, "_snapshots")
-    os.makedirs(snaps_dir, exist_ok=True)
     versions = {
         str(part): ckpt.get("version", 0)
         for part, ckpt in read_all_checkpoints(lake_dir).items()
     }
     existing = sorted(
-        int(n[5:-5]) for n in os.listdir(snaps_dir)
+        int(n[5:-5]) for n in st.listdir(snaps_dir)
         if n.startswith("snap-") and n.endswith(".json")
     )
     snap_id = (existing[-1] + 1) if existing else 0
-    tmp = os.path.join(snaps_dir, f".tmp-{uuid.uuid4().hex}.json")
-    with open(tmp, "w") as f:
-        json.dump({"id": snap_id, "versions": versions}, f, sort_keys=True)
-    _atomic_replace(tmp, os.path.join(snaps_dir, f"snap-{snap_id:06d}.json"))
+    write_json_atomic(
+        st,
+        os.path.join(snaps_dir, f"snap-{snap_id:06d}.json"),
+        {"id": snap_id, "versions": versions},
+    )
     return snap_id
 
 
 def read_snapshot(lake_dir: str, snap_id: int) -> dict[int, int] | None:
-    path = os.path.join(lake_dir, "_snapshots", f"snap-{snap_id:06d}.json")
-    if not os.path.exists(path):
+    payload = read_json(
+        get_storage(lake_dir),
+        os.path.join(lake_dir, "_snapshots", f"snap-{snap_id:06d}.json"),
+    )
+    if payload is None:
         return None
-    with open(path) as f:
-        payload = json.load(f)
     return {int(k): int(v) for k, v in payload["versions"].items()}
 
 
 def list_snapshots(lake_dir: str) -> list[int]:
     d = os.path.join(lake_dir, "_snapshots")
-    if not os.path.isdir(d):
-        return []
     return sorted(
-        int(n[5:-5]) for n in os.listdir(d)
+        int(n[5:-5]) for n in get_storage(lake_dir).listdir(d)
         if n.startswith("snap-") and n.endswith(".json")
     )
 
@@ -192,10 +188,11 @@ def list_snapshots(lake_dir: str) -> list[int]:
 def vacuum(lake_dir: str, keep_snapshots: int = 1) -> int:
     """Prune old snapshots and any partition-file version no snapshot (nor
     the current checkpoint) references; returns files removed."""
+    st = get_storage(lake_dir)
     snaps = list_snapshots(lake_dir)
     drop_snaps = snaps[:-keep_snapshots] if keep_snapshots > 0 else snaps
     for sid in drop_snaps:
-        os.remove(os.path.join(lake_dir, "_snapshots", f"snap-{sid:06d}.json"))
+        st.remove(os.path.join(lake_dir, "_snapshots", f"snap-{sid:06d}.json"))
     keep: dict[int, set[int]] = {}
     for sid in list_snapshots(lake_dir):
         for part, v in (read_snapshot(lake_dir, sid) or {}).items():
@@ -203,30 +200,22 @@ def vacuum(lake_dir: str, keep_snapshots: int = 1) -> int:
     for part, ckpt in read_all_checkpoints(lake_dir).items():
         keep.setdefault(part, set()).add(ckpt.get("version", 0))
     removed = 0
-    if not os.path.isdir(lake_dir):
-        return 0
-    for name in os.listdir(lake_dir):
+    for name in st.listdir(lake_dir):
         if not name.startswith("part="):
             continue
         part = int(name.split("=")[1])
         pdir = os.path.join(lake_dir, name)
-        for fn in os.listdir(pdir):
+        for fn in st.listdir(pdir):
             if fn.startswith("data-v") and fn.endswith(".parquet"):
                 v = int(fn[6:-8])
                 if v not in keep.get(part, set()):
-                    os.remove(os.path.join(pdir, fn))
+                    st.remove(os.path.join(pdir, fn))
                     removed += 1
     return removed
 
 
 def write_checkpoint(lake_dir: str, part: int, payload: dict) -> None:
-    d = os.path.join(lake_dir, "_ckpt")
-    os.makedirs(d, exist_ok=True)
-    dst = ckpt_file(lake_dir, part)
-    tmp = os.path.join(d, f".tmp-{uuid.uuid4().hex}.json")
-    with open(tmp, "w") as f:
-        json.dump(payload, f, sort_keys=True)
-    _atomic_replace(tmp, dst)
+    write_json_atomic(get_storage(lake_dir), ckpt_file(lake_dir, part), payload)
 
 
 def content_hash(table: pa.Table, key_cols=("conv_id", "turn_idx", "lsn")) -> int:
@@ -276,38 +265,35 @@ def update_lake_schema(lake_dir: str, parts: list[int] | None = None) -> pa.Sche
     from raycdc.schema import merge_schemas
 
     merged: pa.Schema | None = read_lake_schema(lake_dir)
+    st = get_storage(lake_dir)
     part_ids = parts
     if part_ids is None:
-        part_ids = []
-        d = lake_dir
-        if os.path.isdir(d):
-            for name in os.listdir(d):
-                if name.startswith("part="):
-                    part_ids.append(int(name.split("=")[1]))
+        part_ids = [
+            int(name.split("=")[1])
+            for name in st.listdir(lake_dir)
+            if name.startswith("part=")
+        ]
     for part in part_ids:
         path = part_file(lake_dir, part)
-        if not os.path.exists(path):
+        if not st.exists(path):
             continue
-        s = pq.read_schema(path)
+        s = st.read_parquet_schema(path)
         merged = s if merged is None else merge_schemas(merged, s)
     if merged is None:
         return None
     import base64
 
-    dst = os.path.join(lake_dir, "_schema.json")
-    tmp = os.path.join(lake_dir, f".tmp-schema-{uuid.uuid4().hex}.json")
-    with open(tmp, "w") as f:
-        json.dump(
-            {
-                # lossless: Arrow IPC serialization round-trips EVERY type
-                # (tz timestamps, decimals, lists, ...); the readable field
-                # list is informational only
-                "ipc_b64": base64.b64encode(merged.serialize().to_pybytes()).decode(),
-                "fields": [[fld.name, str(fld.type)] for fld in merged],
-            },
-            f,
-        )
-    _atomic_replace(tmp, dst)
+    write_json_atomic(
+        st,
+        os.path.join(lake_dir, "_schema.json"),
+        {
+            # lossless: Arrow IPC serialization round-trips EVERY type
+            # (tz timestamps, decimals, lists, ...); the readable field
+            # list is informational only
+            "ipc_b64": base64.b64encode(merged.serialize().to_pybytes()).decode(),
+            "fields": [[fld.name, str(fld.type)] for fld in merged],
+        },
+    )
     return merged
 
 
@@ -315,11 +301,9 @@ def read_lake_schema(lake_dir: str) -> pa.Schema | None:
     """The registered lake schema, or None when never written."""
     import base64
 
-    path = os.path.join(lake_dir, "_schema.json")
-    if not os.path.exists(path):
+    payload = read_json(get_storage(lake_dir), os.path.join(lake_dir, "_schema.json"))
+    if payload is None:
         return None
-    with open(path) as f:
-        payload = json.load(f)
     return pa.ipc.read_schema(
         pa.BufferReader(base64.b64decode(payload["ipc_b64"]))
     )
@@ -332,15 +316,16 @@ def lineage_dir(lake_dir: str) -> str:
 
 def lineage_files(lake_dir: str) -> list[str]:
     """One file per apply round, sorted — the round count IS the file count."""
-    import glob as _glob
-
-    return sorted(_glob.glob(os.path.join(lineage_dir(lake_dir), "*.parquet")))
+    d = lineage_dir(lake_dir)
+    return sorted(
+        os.path.join(d, n)
+        for n in get_storage(lake_dir).listdir(d)
+        if n.endswith(".parquet")
+    )
 
 
 def write_lineage(lake_dir: str, rows: pa.Table) -> str:
     """Append a lineage parquet under <lake>/_lineage/ (one file per apply)."""
-    d = lineage_dir(lake_dir)
-    os.makedirs(d, exist_ok=True)
-    dst = os.path.join(d, f"apply-{uuid.uuid4().hex}.parquet")
-    pq.write_table(rows, dst)
+    dst = os.path.join(lineage_dir(lake_dir), f"apply-{uuid.uuid4().hex}.parquet")
+    get_storage(lake_dir).write_parquet_atomic(rows, dst)
     return dst

@@ -1,0 +1,219 @@
+"""Pluggable lake storage: atomic-publish file IO behind one interface.
+
+The lake layout (``sink.py``) needs five primitives: read bytes, list,
+exists, remove, and — the load-bearing one — PUBLISH ATOMICALLY: a reader
+must only ever observe a complete old or complete new object at a path,
+never a torn one.  How that's achieved differs by backend:
+
+* **POSIX / shared filesystem** (:class:`LocalStorage`): write a temp file
+  in the destination directory, then ``os.replace`` (atomic rename on the
+  same filesystem).  This is the contract the sink was born with — on a
+  real multi-node cluster it requires an NFS-like shared mount.
+* **Object stores via fsspec** (:class:`FsspecStorage`): a single PUT is
+  already atomic on S3/GCS-class stores (readers see the old or the new
+  object, never a partial), so publish is one ``pipe_file``.  For
+  rename-capable fsspec backends (``file://``, ``local``) the temp+mv path
+  is used instead, because a plain local write IS observable half-done.
+
+Multi-writer note: the layout needs no cross-file transactions — data
+files are versioned (``data-v{N}.parquet``; a version is only visible once
+the checkpoint names it) and each tiny checkpoint JSON has exactly one
+writer (the engine partitions applies by ``part``), so atomic
+single-object publish suffices on every backend.
+
+Resolution is by URI scheme: plain paths → :class:`LocalStorage`;
+``scheme://...`` → :class:`FsspecStorage` (whatever fsspec has installed:
+``file``, ``memory``, ``s3``, ``gcs``...).  Library code asks
+:func:`get_storage` once per lake path and never touches ``os`` directly.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import os
+import uuid
+from typing import Protocol
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+class Storage(Protocol):
+    """What the lake sink needs from a backing store."""
+
+    def exists(self, path: str) -> bool: ...
+
+    def isdir(self, path: str) -> bool: ...
+
+    def listdir(self, path: str) -> list[str]:
+        """Basenames of entries under ``path`` ([] if absent)."""
+        ...
+
+    def makedirs(self, path: str) -> None: ...
+
+    def remove(self, path: str) -> None: ...
+
+    def read_bytes(self, path: str) -> bytes: ...
+
+    def write_bytes_atomic(self, path: str, data: bytes) -> None:
+        """Publish ``data`` at ``path`` atomically (old-or-new, never torn)."""
+        ...
+
+    def read_parquet(self, path: str) -> pa.Table: ...
+
+    def read_parquet_schema(self, path: str) -> pa.Schema: ...
+
+    def write_parquet_atomic(self, table: pa.Table, path: str, **kwargs) -> None: ...
+
+
+class LocalStorage:
+    """POSIX implementation — temp file + ``os.replace`` publish.
+
+    Cluster contract: every node applying partitions must see the SAME
+    filesystem at the lake path (NFS-like shared mount); rename atomicity
+    is per-filesystem, so the temp file is created next to its target.
+    """
+
+    def exists(self, path: str) -> bool:
+        return os.path.exists(path)
+
+    def isdir(self, path: str) -> bool:
+        return os.path.isdir(path)
+
+    def listdir(self, path: str) -> list[str]:
+        return os.listdir(path) if os.path.isdir(path) else []
+
+    def makedirs(self, path: str) -> None:
+        os.makedirs(path, exist_ok=True)
+
+    def remove(self, path: str) -> None:
+        os.remove(path)
+
+    def read_bytes(self, path: str) -> bytes:
+        with open(path, "rb") as f:
+            return f.read()
+
+    def write_bytes_atomic(self, path: str, data: bytes) -> None:
+        d = os.path.dirname(path)
+        os.makedirs(d, exist_ok=True)
+        tmp = os.path.join(d, f".tmp-{uuid.uuid4().hex}")
+        with open(tmp, "wb") as f:
+            f.write(data)
+        os.replace(tmp, path)
+
+    def read_parquet(self, path: str) -> pa.Table:
+        return pq.read_table(path)
+
+    def read_parquet_schema(self, path: str) -> pa.Schema:
+        return pq.read_schema(path)
+
+    def write_parquet_atomic(self, table: pa.Table, path: str, **kwargs) -> None:
+        d = os.path.dirname(path)
+        os.makedirs(d, exist_ok=True)
+        tmp = os.path.join(d, f".tmp-{uuid.uuid4().hex}.parquet")
+        pq.write_table(table, tmp, **kwargs)
+        os.replace(tmp, path)
+
+
+class FsspecStorage:
+    """fsspec-backed implementation (object stores, ``file://``, memory).
+
+    Object-store publish is a single PUT (atomic by store semantics);
+    rename-capable backends (local/file) go through temp+mv because local
+    writes are observable half-done.
+    """
+
+    def __init__(self, fs, strip: str = "") -> None:
+        self.fs = fs
+        self._strip = strip
+        proto = fs.protocol if isinstance(fs.protocol, str) else fs.protocol[0]
+        self._renames = proto in ("file", "local")
+
+    def _p(self, path: str) -> str:
+        """URI → fs-native path (fsspec methods want scheme-less paths)."""
+        return self.fs._strip_protocol(path)
+
+    def exists(self, path: str) -> bool:
+        return self.fs.exists(self._p(path))
+
+    def isdir(self, path: str) -> bool:
+        return self.fs.isdir(self._p(path))
+
+    def listdir(self, path: str) -> list[str]:
+        p = self._p(path)
+        if not self.fs.isdir(p):
+            return []
+        return [e.rstrip("/").rsplit("/", 1)[-1] for e in self.fs.ls(p, detail=False)]
+
+    def makedirs(self, path: str) -> None:
+        self.fs.makedirs(self._p(path), exist_ok=True)
+
+    def remove(self, path: str) -> None:
+        self.fs.rm(self._p(path))
+
+    def read_bytes(self, path: str) -> bytes:
+        return self.fs.cat_file(self._p(path))
+
+    def write_bytes_atomic(self, path: str, data: bytes) -> None:
+        p = self._p(path)
+        parent = p.rsplit("/", 1)[0]
+        self.fs.makedirs(parent, exist_ok=True)
+        if self._renames:
+            tmp = f"{parent}/.tmp-{uuid.uuid4().hex}"
+            self.fs.pipe_file(tmp, data)
+            self.fs.mv(tmp, p)
+        else:
+            self.fs.pipe_file(p, data)  # single PUT: atomic on object stores
+
+    def read_parquet(self, path: str) -> pa.Table:
+        return pq.read_table(self._p(path), filesystem=self.fs)
+
+    def read_parquet_schema(self, path: str) -> pa.Schema:
+        with self.fs.open(self._p(path), "rb") as f:
+            return pq.read_schema(f)
+
+    def write_parquet_atomic(self, table: pa.Table, path: str, **kwargs) -> None:
+        buf = io.BytesIO()
+        pq.write_table(table, buf, **kwargs)
+        self.write_bytes_atomic(path, buf.getvalue())
+
+
+_LOCAL = LocalStorage()
+
+
+def get_storage(path: str) -> Storage:
+    """Storage for a lake path: ``scheme://`` → fsspec, else local POSIX."""
+    if "://" in path:
+        import fsspec
+
+        scheme = path.split("://", 1)[0]
+        return FsspecStorage(fsspec.filesystem(scheme))
+    return _LOCAL
+
+
+def resolve_uri_paths(paths: list[str]) -> tuple[list[str], "object | None"]:
+    """(scheme-less paths, pyarrow filesystem) for Ray readers.
+
+    Ray's ``read_parquet``/``read_binary_files`` mishandle a LIST of URIs:
+    only the first path's scheme is stripped during filesystem resolution
+    and the rest reach the resolved filesystem still scheme-prefixed
+    (ArrowInvalid 'Expected a local filesystem path, got a URI').  Resolve
+    the filesystem from the first URI ourselves and hand Ray plain paths +
+    the filesystem object.  Plain paths pass through with fs=None."""
+    if not paths or "://" not in paths[0]:
+        return list(paths), None
+    import pyarrow.fs as pafs
+
+    fs, _ = pafs.FileSystem.from_uri(paths[0])
+    return [pafs.FileSystem.from_uri(p)[1] for p in paths], fs
+
+
+def read_json(storage: Storage, path: str) -> dict | None:
+    if not storage.exists(path):
+        return None
+    return json.loads(storage.read_bytes(path))
+
+
+def write_json_atomic(storage: Storage, path: str, payload: dict) -> None:
+    storage.write_bytes_atomic(path, json.dumps(payload, sort_keys=True).encode())

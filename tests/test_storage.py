@@ -1,0 +1,108 @@
+"""Storage-interface tests: the lake through a file:// URI (fsspec backend)
+must behave byte-identically to the plain-path POSIX backend, and segment
+extraction must accept non-local URI schemes (the remote object-reader
+analog of /root/reference/extractor.go:16-37)."""
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+import ray.data
+
+from raycdc.changelog import synthetic_changelog
+from raycdc.engine import read_lake, replay
+from raycdc.schema import TableSpec
+from raycdc.sink import current_files, read_all_checkpoints, write_snapshot
+from raycdc.storage import FsspecStorage, LocalStorage, get_storage
+
+
+def test_get_storage_resolves_by_scheme():
+    assert isinstance(get_storage("/tmp/x"), LocalStorage)
+    st = get_storage("file:///tmp/x")
+    assert isinstance(st, FsspecStorage)
+    st2 = get_storage("memory://lake")
+    assert isinstance(st2, FsspecStorage)
+
+
+def test_storage_atomic_publish_roundtrip(tmp_path):
+    for st, root in (
+        (get_storage(str(tmp_path)), str(tmp_path / "a")),
+        (get_storage("file://" + str(tmp_path)), "file://" + str(tmp_path / "b")),
+        (get_storage("memory://t"), "memory://t/c"),
+    ):
+        p = root + "/sub/obj.json"
+        st.write_bytes_atomic(p, b'{"k": 1}')
+        assert st.exists(p)
+        assert st.read_bytes(p) == b'{"k": 1}'
+        assert st.listdir(root + "/sub") == ["obj.json"]
+        t = pa.table({"x": pa.array([1, 2, 3], pa.int64())})
+        pp = root + "/sub/t.parquet"
+        st.write_parquet_atomic(t, pp)
+        assert st.read_parquet(pp).equals(t)
+        assert st.read_parquet_schema(pp).equals(t.schema)
+        st.remove(p)
+        assert not st.exists(p)
+
+
+def test_replay_through_file_uri_matches_plain_path(ray_session, tmp_path):
+    """Same changelog replayed into a plain-path lake and a file:// lake:
+    identical live state, checkpoints, and snapshot mechanics."""
+    t = synthetic_changelog(n_events=800, seed=31, shuffle=True)
+    spec = TableSpec(num_partitions=4)
+    plain = str(tmp_path / "lake_plain")
+    uri = "file://" + str(tmp_path / "lake_uri")
+
+    replay(ray.data.from_arrow(t), plain, spec)
+    replay(ray.data.from_arrow(t), uri, spec)
+
+    df_p = read_lake(plain, spec).to_pandas().sort_values(
+        ["conv_id", "turn_idx"]).reset_index(drop=True)
+    df_u = read_lake(uri, spec).to_pandas().sort_values(
+        ["conv_id", "turn_idx"]).reset_index(drop=True)
+    assert df_p.equals(df_u)
+
+    ck_p, ck_u = read_all_checkpoints(plain), read_all_checkpoints(uri)
+    assert {k: v["max_lsn"] for k, v in ck_p.items()} == {
+        k: v["max_lsn"] for k, v in ck_u.items()
+    }
+    assert {k: v["content_hash"] for k, v in ck_p.items()} == {
+        k: v["content_hash"] for k, v in ck_u.items()
+    }
+
+    # redelivery through the URI is still a no-op
+    lin2 = replay(ray.data.from_arrow(t), uri, spec)
+    assert set(lin2["status"].to_pylist()) == {"noop"}
+
+    # snapshots + time travel through the URI
+    sid = write_snapshot(uri)
+    assert read_lake(uri, spec, as_of=sid).count() == read_lake(uri, spec).count()
+    assert len(current_files(uri)) == len(current_files(plain))
+
+
+def test_read_segments_accepts_uri_scheme(ray_session, tmp_path):
+    """read_segments (the extractor) must take object-store URIs, not just
+    local paths — exercised with file:// (the scheme machinery is identical
+    for s3://gs:// once the backend is installed)."""
+    from raycdc.parsers import read_segments
+
+    payload = b"h1,h2\na,1\nb,2\n"
+    segs = []
+    for i in range(3):  # MULTIPLE URIs — the exact shape that trips Ray
+        seg = tmp_path / f"seg-{i:03d}.csv"
+        seg.write_bytes(payload)
+        segs.append("file://" + str(seg))
+    ds = read_segments(segs)
+    rows = ds.take_all()
+    assert len(rows) == 3  # one {bytes, path} row per segment file
+    assert all(r["bytes"] == payload for r in rows)
+    assert sorted(r["path"].rsplit("/", 1)[-1] for r in rows) == [
+        "seg-000.csv",
+        "seg-001.csv",
+        "seg-002.csv",
+    ]
+
+
+def test_missing_uri_lake_raises_cleanly(tmp_path):
+    with pytest.raises(FileNotFoundError):
+        read_lake("file://" + str(tmp_path / "nope"), TableSpec(num_partitions=4))
