@@ -151,3 +151,113 @@ def test_binary_decoder_with_fake_codec(ray_session, tmp_path):
     )
     rows = sorted(r["v"] for r in ds.take_all())
     assert rows == [5, 7]
+
+
+# --- XLSX binary-container decode (P5 end-to-end) --------------------------
+
+
+def _make_xlsx(rows, shared_strings=None):
+    """Minimal but REAL xlsx: zip container, workbook rels, sharedStrings.
+    Cells: ('s', i) shared string, ('inline', s) inline, ('n', x) number,
+    None for a gap (cell omitted, reference-addressed)."""
+    import io
+    import zipfile
+
+    def col_letter(j):
+        s = ""
+        j += 1
+        while j:
+            j, r = divmod(j - 1, 26)
+            s = chr(65 + r) + s
+        return s
+
+    sheet_rows = []
+    for ri, row in enumerate(rows, start=1):
+        cells = []
+        for j, cell in enumerate(row):
+            if cell is None:
+                continue
+            ref = f"{col_letter(j)}{ri}"
+            kind, val = cell
+            if kind == "s":
+                cells.append(f'<c r="{ref}" t="s"><v>{val}</v></c>')
+            elif kind == "inline":
+                cells.append(f'<c r="{ref}" t="inlineStr"><is><t>{val}</t></is></c>')
+            else:
+                cells.append(f'<c r="{ref}"><v>{val}</v></c>')
+        sheet_rows.append(f'<row r="{ri}">{"".join(cells)}</row>')
+    ns = 'xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"'
+    rns = 'xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships"'
+    sheet = f'<?xml version="1.0"?><worksheet {ns}><sheetData>{"".join(sheet_rows)}</sheetData></worksheet>'
+    wb = (
+        f'<?xml version="1.0"?><workbook {ns} {rns}><sheets>'
+        '<sheet name="S1" sheetId="1" r:id="rId7"/></sheets></workbook>'
+    )
+    rels = (
+        '<?xml version="1.0"?><Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+        '<Relationship Id="rId7" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/></Relationships>'
+    )
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        z.writestr("xl/workbook.xml", wb)
+        z.writestr("xl/_rels/workbook.xml.rels", rels)
+        z.writestr("xl/worksheets/sheet1.xml", sheet)
+        if shared_strings:
+            sst = "".join(f"<si><t>{s}</t></si>" for s in shared_strings)
+            z.writestr(
+                "xl/sharedStrings.xml",
+                f'<?xml version="1.0"?><sst {ns}>{sst}</sst>',
+            )
+    return buf.getvalue()
+
+
+def test_decode_xlsx_cell_types_and_gaps():
+    from raycdc.parsers import decode_xlsx
+
+    data = _make_xlsx(
+        rows=[
+            [("s", 0), ("s", 1), None, ("n", "12.5")],  # gap at c2
+            [("inline", "2024/01/31"), ("n", "42")],
+        ],
+        shared_strings=["Date", "Amount"],
+    )
+    t = decode_xlsx(data)
+    assert t.column_names == ["c0", "c1", "c2", "c3"]
+    assert t["c0"].to_pylist() == ["Date", "2024/01/31"]
+    assert t["c1"].to_pylist() == ["Amount", "42"]
+    assert t["c2"].to_pylist() == ["", ""]
+    assert t["c3"].to_pylist() == ["12.5", ""]
+
+
+def test_statement_xlsx_decoder_filters_like_reference(ray_session, tmp_path):
+    """End-to-end binary path: read_segments -> actor-pool
+    BinarySegmentDecoder with the XLSX statement codec — only rows whose
+    first cell is a yyyy/mm/dd date survive (amex.go:54-57 semantics)."""
+    from raycdc.parsers import (
+        BinarySegmentDecoder,
+        read_segments,
+        statement_xlsx_decoder,
+    )
+
+    data = _make_xlsx(
+        rows=[
+            [("inline", "Statement Header"), ("inline", "")],
+            [("inline", "2024/01/05"), ("inline", "coffee"), ("n", "4.5")],
+            [("inline", "2024/01/09"), ("inline", "books"), ("n", "30")],
+            [("inline", "Total"), ("inline", ""), ("n", "34.5")],
+        ]
+    )
+    p = tmp_path / "2024-01.xlsx"
+    p.write_bytes(data)
+    out = (
+        read_segments([str(p)])
+        .map_batches(
+            BinarySegmentDecoder(statement_xlsx_decoder()),
+            batch_format="pyarrow",
+            concurrency=1,
+        )
+        .to_pandas()
+    )
+    assert list(out["c0"]) == ["2024/01/05", "2024/01/09"]
+    assert list(out["c1"]) == ["coffee", "books"]
+    assert all(out["seg_path"].str.endswith("2024-01.xlsx"))
