@@ -22,8 +22,10 @@ sink        versioned atomic writes, checkpoints, snapshots, lineage, schema reg
 relational  broadcast + shuffle joins, sessionization, two-phase aggregation
 text        text analysis (langid, quality, tokens, fingerprints)
 dedup       exact / MinHash-LSH / SimHash / n-gram / embedding dedup
-similarity  cosine top-k ANN (brute-force, LSH, IVF), embedding near-dup
+similarity  cosine top-k ANN (brute-force, multi-probe LSH, IVF), embedding near-dup
 multimodal  binary-column plumbing (decode stages stubbed)
+storage     pluggable lake storage (POSIX temp+rename / fsspec atomic PUT)
+metrics     process-local observability counters (candidate-cap truncation)
 """
 
 # schema symbols are cheap (pyarrow only) and imported eagerly; the engine
