@@ -12,6 +12,14 @@ num_cpus=$RAY_GRAFT_CPUS)`` (default 32) and prints ONE JSON line::
 num_cpus=8 and num_cpus=32 on the same input and reports both throughputs
 plus efficiency = (T32/T8)/4 — the sandbox evidence for the north_rule's
 N→4N cluster-scaling criterion (see BASELINE.md).
+
+Because the sandbox is a time-shared VM whose deliverable parallelism
+drifts by the hour (tools/bandwidth_probe.py: even a cache-resident
+pure-compute control measures 0.17-0.75 at 8→32 processes depending on
+the window), ``--scaling`` also measures that compute control in the SAME
+window and reports ``control_efficiency`` and ``normalized_efficiency`` =
+raw / control — how much of the parallelism the box actually delivered
+the plan converted.  On real hardware control ≈ 1 and normalized ≈ raw.
 """
 
 from __future__ import annotations
@@ -169,6 +177,47 @@ def _count_events(sf_dir: str) -> int:
     return pq.read_metadata(f"{sf_dir}/events.parquet").num_rows
 
 
+def _cpu_control_efficiency(lo: int, hi: int, seconds: float = 1.0) -> float:
+    """Same-window compute-control scaling: aggregate throughput of a
+    cache-resident integer kernel at ``lo`` vs ``hi`` independent
+    processes.  1.0 = the box delivers hi/lo× the compute; on this
+    time-shared VM it is routinely far below 1 (the hypervisor ceiling the
+    replay cannot exceed)."""
+    import multiprocessing as mp
+    import time as _time
+
+    import numpy as np
+
+    def spin(seconds: float, barrier, out_q) -> None:
+        a = np.arange(4096, dtype=np.int64)
+        t0 = _time.perf_counter()
+        while _time.perf_counter() - t0 < 0.05:  # warm
+            a = (a * 1099511628211 + 12345) ^ (a >> 7)
+        barrier.wait()
+        t0 = _time.perf_counter()
+        iters = 0
+        while _time.perf_counter() - t0 < seconds:
+            a = (a * 1099511628211 + 12345) ^ (a >> 7)
+            iters += 1
+        out_q.put(iters / (_time.perf_counter() - t0))
+
+    def agg(conc: int) -> float:
+        barrier = mp.Barrier(conc)
+        out_q: mp.Queue = mp.Queue()
+        procs = [
+            mp.Process(target=spin, args=(seconds, barrier, out_q))
+            for _ in range(conc)
+        ]
+        for p in procs:
+            p.start()
+        vals = [out_q.get() for _ in procs]
+        for p in procs:
+            p.join()
+        return sum(vals)
+
+    return (agg(hi) / agg(lo)) / (hi / lo)
+
+
 def _run_child(num_cpus: int, sf_dir: str, amplify: int) -> dict:
     """Run the headline replay in a FRESH process (fresh Ray session)."""
     env = dict(os.environ)
@@ -200,6 +249,7 @@ def main() -> None:
         lo = _run_child(lo_cpus, args.sf_dir, args.amplify)
         hi = _run_child(hi_cpus, args.sf_dir, args.amplify)
         eff = (hi["events_per_sec"] / lo["events_per_sec"]) / (hi_cpus / lo_cpus)
+        control = _cpu_control_efficiency(lo_cpus, hi_cpus)
         print(
             json.dumps(
                 {
@@ -212,6 +262,10 @@ def main() -> None:
                     },
                     "events_per_sec_lo": round(lo["events_per_sec"], 1),
                     "events_per_sec_hi": round(hi["events_per_sec"], 1),
+                    # same-window hypervisor ceiling (pure-compute control)
+                    # and the plan's efficiency normalized against it
+                    "control_efficiency": round(control, 3),
+                    "normalized_efficiency": round(min(eff / control, 2.0), 3),
                     "sf": _sf_of(args.sf_dir),
                     "num_cpus": hi_cpus,
                     "amplify": args.amplify,

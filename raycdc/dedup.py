@@ -217,8 +217,16 @@ def lsh_candidate_pairs(
     bands: int = 32,
     id_col: str = "doc_id",
     num_partitions: int = 64,
+    distinct: bool = True,
 ) -> "ray.data.Dataset":
-    """sig Dataset → distinct candidate (a, b) pairs."""
+    """sig Dataset → candidate (a, b) pairs.
+
+    ``distinct=True`` adds a hash-partitioned dedup exchange.  Pass
+    ``distinct=False`` when the consumer dedups anyway — e.g.
+    :func:`verify_jaccard_pairs` buckets pairs by ``hash(a)`` in its first
+    join pass, which co-locates every duplicate of a pair (same ``a`` ⇒
+    same bucket), so its in-group distinct is global and this exchange
+    would be a pure extra all-to-all."""
     from raycdc.engine import _configure_shuffle
 
     _configure_shuffle()
@@ -230,6 +238,8 @@ def lsh_candidate_pairs(
     pairs = band_ds.groupby("band_key", num_partitions=num_partitions).map_groups(
         lambda g: bucket_pairs(g, id_col=id_col), batch_format="pyarrow"
     )
+    if not distinct:
+        return pairs
 
     def pair_key(t: pa.Table) -> pa.Table:
         a = t["a"].to_numpy(zero_copy_only=False)
@@ -425,9 +435,26 @@ def verify_jaccard_pairs(
         return found, taken
 
     def join_a(g: pa.Table) -> pa.Table:
+        # ECHO-THROUGH: index rows ride along unchanged (their __bk is
+        # already hash(doc_id), the key the second pass needs), so the
+        # shingle index is computed and shuffled exactly once and the plan
+        # has no diamond (a second union of idx would re-run the corpus
+        # read + shingling — Ray does not dedupe common subexpressions).
         idx_part, pr = _split(g)
         if len(pr) == 0 or len(idx_part) == 0:
-            return _JOIN_SCHEMA.empty_table()
+            return idx_part  # no pairs survive, but downstream needs the idx
+        # global distinct on (a, b): every duplicate of a pair shares a,
+        # hence this bucket — lets callers skip a dedicated dedup exchange
+        ab = np.stack(
+            [
+                pr["a"].to_numpy(zero_copy_only=False),
+                pr["b"].to_numpy(zero_copy_only=False),
+            ],
+            axis=1,
+        )
+        _, first = np.unique(ab, axis=0, return_index=True)
+        if len(first) < len(pr):
+            pr = pr.take(pa.array(np.sort(first)))
         keys = pr["key"].to_numpy(zero_copy_only=False)
         found, s_a = _lookup(idx_part, keys)
         pr = pr.set_column(pr.schema.get_field_index("s_a"), "s_a", s_a.cast(_SHINGLE_LIST))
@@ -435,11 +462,12 @@ def verify_jaccard_pairs(
         # re-key on b for the second pass
         b = pr["b"].to_numpy(zero_copy_only=False)
         pr = pr.set_column(pr.schema.get_field_index("key"), "key", pa.array(b))
-        return pr.set_column(
+        pr = pr.set_column(
             pr.schema.get_field_index("__bk"),
             "__bk",
             pa.array(_bucket_of(b, num_partitions)),
         )
+        return pa.concat_tables([idx_part, pr])
 
     def join_b(g: pa.Table) -> pa.Table:
         out_schema = pa.schema(
@@ -476,10 +504,10 @@ def verify_jaccard_pairs(
         .groupby("__bk", num_partitions=num_partitions)
         .map_groups(join_a, batch_format="pyarrow")
     )
-    return (
-        pass1.union(idx_t)
-        .groupby("__bk", num_partitions=num_partitions)
-        .map_groups(join_b, batch_format="pyarrow")
+    # pass1 echoes the index rows through, so no second union: exactly two
+    # exchanges total, index computed once
+    return pass1.groupby("__bk", num_partitions=num_partitions).map_groups(
+        join_b, batch_format="pyarrow"
     )
 
 

@@ -493,7 +493,9 @@ def q_dedup_minhash(sf_dir: str):
     sigs = ds.map_batches(
         minhash_signatures, batch_format="pyarrow", zero_copy_batch=True
     )
-    pairs = lsh_candidate_pairs(sigs, bands=32, num_partitions=32)
+    # distinct=False: the verify's first join pass buckets by hash(a) and
+    # dedups in-group (globally correct there), saving one all-to-all
+    pairs = lsh_candidate_pairs(sigs, bands=32, num_partitions=32, distinct=False)
     return verify_jaccard_pairs(
         pairs, _corpus_with_near_copies(sf_dir), threshold=0.8
     )
