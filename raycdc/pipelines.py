@@ -1050,6 +1050,69 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 """
 
 
+def q_running_value(sf_dir: str):
+    """Per-user running total + row number in event-time order — the
+    cumulative window (SUM OVER PARTITION BY ... ORDER BY ...) as one
+    entity groupby + segmented numpy cumsum.  Integer cents keep the sum
+    exact so the oracle hash-matches."""
+    import numpy as np
+
+    from raycdc.relational import running_aggregate
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "value"],
+    )
+
+    def to_cents(t: pa.Table) -> pa.Table:
+        v = t["value"].to_numpy(zero_copy_only=False)
+        return t.drop_columns(["value"]).append_column(
+            "cents", pa.array(np.floor(v * 100).astype(np.int64))
+        )
+
+    out = running_aggregate(
+        ds.map_batches(to_cents, batch_format="pyarrow", zero_copy_batch=True),
+        entity_col="user_id",
+        ts_col="ts",
+        order_cols=["event_id"],
+        sum_cols=["cents"],
+        num_partitions=16,
+    )
+    return out.select_columns(["event_id", "user_id", "run_cents", "row_num"])
+
+
+SQL_RUNNING_VALUE = """
+WITH e AS (
+  SELECT event_id, user_id, ts,
+         CAST(floor(value * 100) AS BIGINT) AS cents
+  FROM events
+)
+SELECT event_id, user_id,
+       CAST(SUM(cents) OVER w AS BIGINT) AS run_cents,
+       ROW_NUMBER() OVER w AS row_num
+FROM e
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+def q_sketch_users(sf_dir: str):
+    """HyperLogLog distinct-user estimate over events — shuffle-free
+    profile sketch (each batch collapses to one 4 KiB register row; merge
+    is elementwise max).  Rows-only: approximate by design; the accuracy
+    envelope is asserted against exact counts in pytest."""
+    from raycdc.sketch import approx_ndistinct
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+    est, rse = approx_ndistinct(ds, "user_id", p=12)
+    return pa.table(
+        {
+            "column": pa.array(["user_id"]),
+            "approx_ndistinct": pa.array([est], pa.int64()),
+            "rse": pa.array([round(rse, 4)]),
+        }
+    )
+
+
 def q_asof_click_purchase(sf_dir: str):
     """Cross-TABLE as-of join: every click event annotated with the same
     user's latest earlier-or-equal purchase (matched purchase ts + value).
@@ -1207,6 +1270,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "window_hourly": q_window_hourly,
     "asof_prev_event": q_asof_prev_event,
     "asof_click_purchase": q_asof_click_purchase,
+    "running_value": q_running_value,
+    "sketch_users": q_sketch_users,
     "text_stats": q_text_stats,
     "text_quality": q_text_quality,
     "text_langid": q_text_langid,
@@ -1241,6 +1306,7 @@ ORACLES: dict[str, str] = {
     "window_hourly": SQL_WINDOW_HOURLY,
     "asof_prev_event": SQL_ASOF_PREV_EVENT,
     "asof_click_purchase": SQL_ASOF_CLICK_PURCHASE,
+    "running_value": SQL_RUNNING_VALUE,
     "text_stats": SQL_TEXT_STATS,
     "text_quality": SQL_TEXT_QUALITY,
     "dedup_exact": SQL_DEDUP_EXACT,

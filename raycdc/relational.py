@@ -344,6 +344,62 @@ def asof_join(
     )
 
 
+def running_aggregate(
+    ds: "ray.data.Dataset",
+    entity_col: str = "user_id",
+    ts_col: str = "ts",
+    order_cols: Sequence[str] = (),
+    sum_cols: Sequence[str] = (),
+    row_number: bool = True,
+    num_partitions: int = 64,
+) -> "ray.data.Dataset":
+    """Per-entity running totals in event-time order — the cumulative
+    window (``SUM(x) OVER (PARTITION BY e ORDER BY ts)``) expressed as one
+    ``groupby(entity)`` shuffle + a vectorized per-group sort/cumsum
+    (numpy ``cumsum`` segmented by entity boundaries; no row loop, no
+    quadratic re-scan).
+
+    Output: input columns + ``run_<col>`` per ``sum_cols`` entry and (by
+    default) ``row_num`` (1-based per entity).  Integer sum columns stay
+    exact; float columns follow numpy's sequential summation — use integer
+    cents when an oracle must hash-match.
+    """
+    from raycdc.engine import _configure_shuffle
+
+    _configure_shuffle()
+    sort_keys = [(entity_col, "ascending"), (ts_col, "ascending")] + [
+        (c, "ascending") for c in order_cols
+    ]
+
+    def cumulate(g: pa.Table) -> pa.Table:
+        g = g.sort_by(sort_keys)
+        n = len(g)
+        ent = g[entity_col].combine_chunks()
+        new_entity = np.ones(n, dtype=bool)
+        if n > 1:
+            a, b = ent.slice(1), ent.slice(0, n - 1)
+            eq = pc.fill_null(pc.equal(a, b), False)
+            both_null = pc.and_(pc.is_null(a), pc.is_null(b))
+            new_entity[1:] = ~pc.or_(eq, both_null).to_numpy(zero_copy_only=False)
+        seg_starts = np.where(new_entity)[0]
+        for c in sum_cols:
+            vals = g[c].to_numpy(zero_copy_only=False)
+            run = np.cumsum(vals)
+            # subtract the running total just before each entity's first row
+            seg_base = np.where(seg_starts > 0, run[seg_starts - 1], 0)
+            base = np.repeat(seg_base, np.diff(np.append(seg_starts, n)))
+            g = g.append_column(f"run_{c}", pa.array(run - base))
+        if row_number:
+            idx = np.arange(n, dtype=np.int64)
+            first = np.repeat(seg_starts, np.diff(np.append(seg_starts, n)))
+            g = g.append_column("row_num", pa.array(idx - first + 1))
+        return g
+
+    return ds.groupby(entity_col, num_partitions=num_partitions).map_groups(
+        cumulate, batch_format="pyarrow"
+    )
+
+
 def pre_aggregate(
     ds: "ray.data.Dataset",
     key_cols: Sequence[str],

@@ -186,3 +186,46 @@ def test_asof_join_cross_table(ray_session):
         num_partitions=2,
     ).to_pandas()
     assert sorted(inner["event_id"]) == [2, 3]
+
+
+def test_running_aggregate_matches_pandas(ray_session):
+    """Segmented cumsum must equal a pandas groupby().cumsum() per entity,
+    with per-entity 1-based row numbers, across entity boundaries."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from raycdc.relational import running_aggregate
+
+    rng = np.random.default_rng(5)
+    n = 500
+    t = pa.table(
+        {
+            "user_id": pa.array(rng.integers(0, 20, n).astype(np.int64)),
+            "ts": pa.array(
+                [dt.datetime(2024, 1, 1) + dt.timedelta(seconds=int(s))
+                 for s in rng.permutation(n)],
+                pa.timestamp("us"),
+            ),
+            "event_id": pa.array(np.arange(n, dtype=np.int64)),
+            "x": pa.array(rng.integers(-50, 50, n).astype(np.int64)),
+        }
+    )
+    out = (
+        running_aggregate(
+            ray.data.from_arrow(t),
+            entity_col="user_id",
+            ts_col="ts",
+            order_cols=["event_id"],
+            sum_cols=["x"],
+            num_partitions=4,
+        )
+        .to_pandas()
+        .sort_values(["user_id", "ts", "event_id"])
+        .reset_index(drop=True)
+    )
+    df = t.to_pandas().sort_values(["user_id", "ts", "event_id"]).reset_index(drop=True)
+    expect_run = df.groupby("user_id")["x"].cumsum()
+    expect_rn = df.groupby("user_id").cumcount() + 1
+    assert (out["run_x"].values == expect_run.values).all()
+    assert (out["row_num"].values == expect_rn.values).all()

@@ -321,3 +321,29 @@ def test_cap_counter_records_truncation():
     CAPS.reset()
     D.bucket_pairs(group, max_bucket=1024)
     assert CAPS.snapshot()["buckets_truncated"] == {}
+
+
+def test_hll_accuracy_and_merge(ray_session):
+    """HLL estimate within 3x the standard error at several cardinalities,
+    insensitive to duplication, and merge-associative (partials over blocks
+    equal one-shot registers)."""
+    from raycdc import sketch as K
+
+    for true_n in (100, 5_000, 50_000):
+        vals = pa.array([f"user-{i}" for i in range(true_n)] * 2)  # dup x2
+        regs = K.hll_registers(vals, p=12)
+        est = K.hll_estimate(regs)
+        rse = 1.04 / np.sqrt(1 << 12)
+        assert abs(est - true_n) / true_n < 3 * rse + 0.01, (true_n, est)
+
+    # distributed fold == single fold
+    ds = ray.data.from_arrow(
+        pa.table({"u": pa.array([f"u{i % 777}" for i in range(10_000)])})
+    ).repartition(8)
+    est, _ = K.approx_ndistinct(ds, "u", p=12)
+    assert abs(est - 777) / 777 < 0.1
+
+    # integer columns hash through the splitmix path
+    ints = pa.array(np.arange(1000, dtype=np.int64))
+    est_i = K.hll_estimate(K.hll_registers(ints, p=12))
+    assert abs(est_i - 1000) / 1000 < 0.1
