@@ -94,11 +94,35 @@ class MediaFeatureExtractor:
         )
 
 
+def _binary_from_flat(flat: np.ndarray, offsets: np.ndarray) -> pa.Array:
+    """Zero-loop construction of a binary array from a flat uint8 buffer +
+    int64 row offsets (large_binary buffers, cast down)."""
+    arr = pa.Array.from_buffers(
+        pa.large_binary(),
+        len(offsets) - 1,
+        [None, pa.py_buffer(offsets.astype(np.int64)), pa.py_buffer(flat.tobytes())],
+    )
+    return arr.cast(pa.binary())
+
+
+def _flat_payloads(col) -> tuple[np.ndarray, np.ndarray]:
+    from raycdc.text import _utf8_bytes_and_offsets
+
+    la = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    if isinstance(la, pa.ChunkedArray):
+        la = la.combine_chunks()
+    return _utf8_bytes_and_offsets(la)
+
+
 class ResizeStub:
     """Actor-pool resize stage stub: deterministic byte-subsampling of each
     payload to a fixed ``target_bytes`` "thumbnail" (the image-resize access
     pattern — read full payload, emit fixed-small payload — minus the
-    codec).  Real codec names fail fast at construction."""
+    codec).  Real codec names fail fast at construction.
+
+    Fully vectorized: one flat-buffer strided gather over the whole batch
+    (same offsets pattern as the text kernels) — no per-row loop, which is
+    the pattern a real codec stage should copy for its pre/post framing."""
 
     def __init__(self, target_bytes: int = 64, codec: str | None = None):
         if codec is not None:
@@ -106,25 +130,24 @@ class ResizeStub:
         self.target_bytes = target_bytes
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        col = batch["content"].combine_chunks()
-        if isinstance(col, pa.ChunkedArray):
-            col = col.combine_chunks()
-        out = []
+        data, off = _flat_payloads(batch["content"])
+        lens = np.diff(off)
         tb = self.target_bytes
-        for content in col.to_pylist():
-            if content is None:
-                content = b""
-            n = len(content)
-            if n <= tb:
-                out.append(content)
-            else:
-                # evenly-spaced byte sampling — deterministic "resize"
-                idx = np.linspace(0, n - 1, tb).astype(np.int64)
-                out.append(bytes(np.frombuffer(content, np.uint8)[idx]))
+        out_lens = np.minimum(lens, tb)
+        out_off = np.concatenate([[0], np.cumsum(out_lens)])
+        total = int(out_off[-1])
+        row = np.repeat(np.arange(len(lens), dtype=np.int64), out_lens)
+        pos = np.arange(total, dtype=np.int64) - np.repeat(out_off[:-1], out_lens)
+        n_i = lens[row]
+        # short rows pass through; long rows take tb evenly-spaced bytes
+        src_rel = np.where(
+            n_i > tb, (pos * np.maximum(n_i - 1, 0)) // max(tb - 1, 1), pos
+        )
+        flat = data[np.repeat(off[:-1], out_lens) + src_rel] if total else np.empty(0, np.uint8)
         return pa.table(
             {
                 "media_id": batch["media_id"],
-                "content": pa.array(out, pa.binary()),
+                "content": _binary_from_flat(flat, out_off),
                 "mime": batch["mime"],
                 "meta": batch["meta"],
             }
@@ -134,7 +157,10 @@ class ResizeStub:
 class FrameSampler:
     """Actor-pool frame/segment sampler stub: slices each payload into
     ``n_frames`` evenly-spaced byte windows (the video-frame-sampling
-    access pattern, minus the codec).  Output: one row per (media, frame)."""
+    access pattern, minus the codec).  Output: one row per (media, frame).
+
+    Fully vectorized: frame starts/lengths computed for the whole batch,
+    one segmented gather over the flat payload buffer — no per-row loop."""
 
     def __init__(self, n_frames: int = 4, frame_bytes: int = 16, codec: str | None = None):
         if codec is not None:
@@ -143,21 +169,23 @@ class FrameSampler:
         self.frame_bytes = frame_bytes
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids, frames, blobs = [], [], []
-        for mid, content in zip(
-            batch["media_id"].to_pylist(), batch["content"].to_pylist()
-        ):
-            content = content if content is not None else b""
-            size = len(content)
-            for f in range(self.n_frames):
-                start = (size * f) // self.n_frames
-                blobs.append(content[start : start + self.frame_bytes])
-                ids.append(mid)
-                frames.append(f)
+        data, off = _flat_payloads(batch["content"])
+        lens = np.diff(off)
+        n, nf = len(lens), self.n_frames
+        row = np.repeat(np.arange(n, dtype=np.int64), nf)
+        f = np.tile(np.arange(nf, dtype=np.int64), n)
+        start = (lens[row] * f) // nf
+        flen = np.minimum(self.frame_bytes, lens[row] - start)
+        out_off = np.concatenate([[0], np.cumsum(flen)])
+        total = int(out_off[-1])
+        pos = np.arange(total, dtype=np.int64) - np.repeat(out_off[:-1], flen)
+        src = np.repeat(off[:-1][row] + start, flen) + pos
+        flat = data[src] if total else np.empty(0, np.uint8)
+        ids = batch["media_id"].combine_chunks().take(pa.array(row))
         return pa.table(
             {
-                "media_id": pa.array(ids, pa.int64()),
-                "frame_idx": pa.array(frames, pa.int64()),
-                "frame": pa.array(blobs, pa.binary()),
+                "media_id": ids.cast(pa.int64()),
+                "frame_idx": pa.array(f),
+                "frame": _binary_from_flat(flat, out_off),
             }
         )

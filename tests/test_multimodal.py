@@ -69,3 +69,42 @@ def test_frame_sampler_layout(media_table):
     assert out["frame"][0].as_py() == content[:8]
     # frame 2 starts at size//2
     assert out["frame"][2].as_py() == content[len(content) // 2 :][:8]
+
+
+def test_resize_and_framesample_match_per_row_reference():
+    """The vectorized flat-buffer gathers must equal the naive per-row
+    slicing semantics, including empty and shorter-than-target payloads."""
+    import numpy as np
+
+    from raycdc.multimodal import FrameSampler, ResizeStub
+
+    payloads = [b"", b"short", bytes(range(200)), b"x" * 64, bytes(range(256)) * 3]
+    batch = pa.table(
+        {
+            "media_id": pa.array(np.arange(len(payloads), dtype=np.int64)),
+            "content": pa.array(payloads, pa.binary()),
+            "mime": pa.array(["application/octet-stream"] * len(payloads)),
+            "meta": pa.array([{"n_bytes": len(p), "kind": "t"} for p in payloads]),
+        }
+    )
+    tb = 16
+    out = ResizeStub(target_bytes=tb)(batch)
+    for i, p in enumerate(payloads):
+        got = out["content"][i].as_py()
+        if len(p) <= tb:
+            assert got == p
+        else:
+            idx = (np.arange(tb) * (len(p) - 1)) // (tb - 1)
+            assert got == bytes(np.frombuffer(p, np.uint8)[idx])
+
+    nf, fb = 4, 8
+    frames = FrameSampler(n_frames=nf, frame_bytes=fb)(batch)
+    assert len(frames) == len(payloads) * nf
+    k = 0
+    for i, p in enumerate(payloads):
+        for f in range(nf):
+            start = (len(p) * f) // nf
+            assert frames["media_id"][k].as_py() == i
+            assert frames["frame_idx"][k].as_py() == f
+            assert frames["frame"][k].as_py() == p[start : start + fb]
+            k += 1
