@@ -1050,6 +1050,92 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 """
 
 
+def q_anti_join_customers(sf_dir: str):
+    """Broadcast ANTI join (NOT EXISTS): customers with no order above
+    300k total price.  The build side is the distinct qualifying custkeys
+    (one ray.put); the customer stream is filtered per batch with a
+    vectorized index_in — no shuffle.  (The synthetic data covers every
+    customer with at least one order, so the unfiltered variant would be
+    vacuously empty.)"""
+    import pyarrow.parquet as pq
+
+    from raycdc.relational import broadcast_join
+
+    ordered = pq.read_table(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    )
+    big = ordered.filter(pc.greater(ordered["o_totalprice"], 300000.0))
+    build = pa.table({"c_custkey": pc.unique(big["o_custkey"])})
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
+    )
+    return broadcast_join(ds, build, "c_custkey", [], how="anti")
+
+
+SQL_ANTI_JOIN_CUSTOMERS = """
+SELECT c_custkey, c_name FROM customer c
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000
+)
+"""
+
+
+def q_semi_join_customers(sf_dir: str):
+    """Broadcast SEMI join (EXISTS): customers with at least one order —
+    same broadcast, probe rows kept without appending build columns."""
+    import pyarrow.parquet as pq
+
+    from raycdc.relational import broadcast_join
+
+    ordered = pq.read_table(f"{sf_dir}/orders.parquet", columns=["o_custkey"])
+    build = pa.table({"c_custkey": pc.unique(ordered["o_custkey"])})
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
+    )
+    return broadcast_join(ds, build, "c_custkey", [], how="semi")
+
+
+SQL_SEMI_JOIN_CUSTOMERS = """
+SELECT c_custkey, c_name FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+"""
+
+
+def q_top_orders_per_cust(sf_dir: str):
+    """Per-customer top-3 orders by total price (heavy-hitters shape):
+    one groupby(custkey) shuffle, segmented rank inside the group,
+    orderkey tie-break so the ranking is total and engine-independent."""
+    from raycdc.relational import top_k_per_group
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_totalprice"],
+    )
+    out = top_k_per_group(
+        ds,
+        group_col="o_custkey",
+        order_col="o_totalprice",
+        k=3,
+        descending=True,
+        tie_cols=["o_orderkey"],
+        num_partitions=16,
+    )
+    return out.select_columns(["o_custkey", "o_orderkey", "o_totalprice", "rank"])
+
+
+SQL_TOP_ORDERS_PER_CUST = """
+SELECT o_custkey, o_orderkey, o_totalprice, rank FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (
+           PARTITION BY o_custkey
+           ORDER BY o_totalprice DESC, o_orderkey
+         ) AS rank
+  FROM orders
+) WHERE rank <= 3
+"""
+
+
 def q_running_value(sf_dir: str):
     """Per-user running total + row number in event-time order — the
     cumulative window (SUM OVER PARTITION BY ... ORDER BY ...) as one
@@ -1272,6 +1358,9 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "asof_click_purchase": q_asof_click_purchase,
     "running_value": q_running_value,
     "sketch_users": q_sketch_users,
+    "anti_join_customers": q_anti_join_customers,
+    "semi_join_customers": q_semi_join_customers,
+    "top_orders_per_cust": q_top_orders_per_cust,
     "text_stats": q_text_stats,
     "text_quality": q_text_quality,
     "text_langid": q_text_langid,
@@ -1307,6 +1396,9 @@ ORACLES: dict[str, str] = {
     "asof_prev_event": SQL_ASOF_PREV_EVENT,
     "asof_click_purchase": SQL_ASOF_CLICK_PURCHASE,
     "running_value": SQL_RUNNING_VALUE,
+    "anti_join_customers": SQL_ANTI_JOIN_CUSTOMERS,
+    "semi_join_customers": SQL_SEMI_JOIN_CUSTOMERS,
+    "top_orders_per_cust": SQL_TOP_ORDERS_PER_CUST,
     "text_stats": SQL_TEXT_STATS,
     "text_quality": SQL_TEXT_QUALITY,
     "dedup_exact": SQL_DEDUP_EXACT,

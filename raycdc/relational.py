@@ -40,16 +40,24 @@ def broadcast_join(
 
     ``build`` must have unique ``key`` values (dimension-table contract).
     ``how``: 'inner' drops probe rows without a match; 'left' keeps them
-    with nulls.
+    with nulls; 'semi' keeps matching probe rows WITHOUT appending build
+    columns (EXISTS); 'anti' keeps only non-matching probe rows
+    (NOT EXISTS).
     """
-    if how not in ("inner", "left"):
-        raise ValueError(f"broadcast_join: how must be 'inner' or 'left', got {how!r}")
+    if how not in ("inner", "left", "semi", "anti"):
+        raise ValueError(
+            f"broadcast_join: how must be inner/left/semi/anti, got {how!r}"
+        )
     build = build.combine_chunks()
     build_ref = ray.put(build)
 
     def probe(batch: pa.Table) -> pa.Table:
         b = ray.get(build_ref)
         idx = pc.index_in(batch[key], value_set=b[key])
+        if how == "semi":
+            return batch.filter(pc.is_valid(idx))
+        if how == "anti":
+            return batch.filter(pc.is_null(idx))
         out = batch
         for c in build_cols:
             col = b[c].combine_chunks() if isinstance(b[c], pa.ChunkedArray) else b[c]
@@ -341,6 +349,52 @@ def asof_join(
     )
     return tagged.groupby(on, num_partitions=num_partitions).map_groups(
         match, batch_format="pyarrow"
+    )
+
+
+def top_k_per_group(
+    ds: "ray.data.Dataset",
+    group_col: str,
+    order_col: str,
+    k: int,
+    descending: bool = True,
+    tie_cols: Sequence[str] = (),
+    num_partitions: int = 64,
+) -> "ray.data.Dataset":
+    """Per-group top-k with rank (``ROW_NUMBER() OVER (PARTITION BY g
+    ORDER BY v) <= k``) — the heavy-hitters shape (top docs per domain,
+    top orders per customer).  One groupby shuffle; inside each group one
+    sort + a segmented rank filter (groups may carry several keys), no
+    per-group Python loop.
+
+    ``tie_cols`` make the ranking total (deterministic across engines);
+    always pass one for columns with duplicate values."""
+    from raycdc.engine import _configure_shuffle
+
+    _configure_shuffle()
+    direction = "descending" if descending else "ascending"
+    sort_keys = [(group_col, "ascending"), (order_col, direction)] + [
+        (c, "ascending") for c in tie_cols
+    ]
+
+    def head_k(g: pa.Table) -> pa.Table:
+        g = g.sort_by(sort_keys)
+        n = len(g)
+        ent = g[group_col].combine_chunks()
+        new_grp = np.ones(n, dtype=bool)
+        if n > 1:
+            a, b = ent.slice(1), ent.slice(0, n - 1)
+            eq = pc.fill_null(pc.equal(a, b), False)
+            both_null = pc.and_(pc.is_null(a), pc.is_null(b))
+            new_grp[1:] = ~pc.or_(eq, both_null).to_numpy(zero_copy_only=False)
+        starts = np.where(new_grp)[0]
+        idx = np.arange(n, dtype=np.int64)
+        rank = idx - np.repeat(starts, np.diff(np.append(starts, n))) + 1
+        g = g.append_column("rank", pa.array(rank))
+        return g.filter(pa.array(rank <= k))
+
+    return ds.groupby(group_col, num_partitions=num_partitions).map_groups(
+        head_k, batch_format="pyarrow"
     )
 
 

@@ -229,3 +229,47 @@ def test_running_aggregate_matches_pandas(ray_session):
     expect_rn = df.groupby("user_id").cumcount() + 1
     assert (out["run_x"].values == expect_run.values).all()
     assert (out["row_num"].values == expect_rn.values).all()
+
+
+def test_broadcast_join_semi_anti_modes(ray_session):
+    from raycdc.relational import broadcast_join
+
+    probe = pa.table(
+        {"k": pa.array([1, 2, 3, 4], pa.int64()), "v": pa.array(list("abcd"))}
+    )
+    build = pa.table({"k": pa.array([2, 4], pa.int64()), "extra": pa.array(["x", "y"])})
+    semi = broadcast_join(
+        ray.data.from_arrow(probe), build, "k", [], how="semi"
+    ).to_pandas()
+    assert sorted(semi["k"]) == [2, 4] and list(semi.columns) == ["k", "v"]
+    anti = broadcast_join(
+        ray.data.from_arrow(probe), build, "k", [], how="anti"
+    ).to_pandas()
+    assert sorted(anti["k"]) == [1, 3]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="semi/anti"):
+        broadcast_join(ray.data.from_arrow(probe), build, "k", [], how="outer")
+
+
+def test_top_k_per_group_rank_and_ties(ray_session):
+    from raycdc.relational import top_k_per_group
+
+    t = pa.table(
+        {
+            "g": pa.array([1, 1, 1, 1, 2, 2], pa.int64()),
+            "v": pa.array([5.0, 9.0, 9.0, 1.0, 3.0, 3.0]),
+            "id": pa.array([10, 11, 12, 13, 20, 21], pa.int64()),
+        }
+    )
+    out = (
+        top_k_per_group(
+            ray.data.from_arrow(t), "g", "v", k=2, tie_cols=["id"], num_partitions=2
+        )
+        .to_pandas()
+        .sort_values(["g", "rank"])
+        .reset_index(drop=True)
+    )
+    # g=1: the two 9.0s win, tie broken by id ascending; g=2 has only 2 rows
+    assert list(out["id"]) == [11, 12, 20, 21]
+    assert list(out["rank"]) == [1, 2, 1, 2]
