@@ -1199,6 +1199,56 @@ def q_sketch_users(sf_dir: str):
     )
 
 
+def q_window_hopping(sf_dir: str):
+    """Sliding 2h-window / 1h-hop per-user rollup: each event lands in two
+    windows (one replicate-and-take map), then the combiner-first
+    two-phase aggregate — a shuffle whose volume is already collapsed to
+    (user, window) partials."""
+    import numpy as np
+
+    from raycdc.relational import hopping_window, pre_aggregate
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"]
+    )
+    windowed = hopping_window(ds, ts_col="ts", window_seconds=7200, hop_seconds=3600)
+
+    def to_cents(t: pa.Table) -> pa.Table:
+        v = t["value"].to_numpy(zero_copy_only=False)
+        t = t.append_column(
+            "value_cents", pa.array(np.floor(v * 100).astype(np.int64))
+        )
+        return t.drop_columns(["value", "ts"])
+
+    return pre_aggregate(
+        windowed.map_batches(to_cents, batch_format="pyarrow", zero_copy_batch=True),
+        key_cols=["user_id", "window_start"],
+        sum_cols=["value_cents"],
+        count_alias="n_events",
+        num_partitions=16,
+    )
+
+
+SQL_WINDOW_HOPPING = """
+WITH e AS (
+  SELECT user_id,
+         epoch_us(ts) // 3600000000 AS last_slot,
+         CAST(floor(value * 100) AS BIGINT) AS cents
+  FROM events
+), w AS (
+  SELECT user_id, cents,
+         unnest(generate_series(last_slot - 1, last_slot, 1)) AS slot
+  FROM e
+)
+SELECT user_id,
+       make_timestamp(slot * 3600000000) AS window_start,
+       CAST(SUM(cents) AS BIGINT) AS value_cents,
+       COUNT(*) AS n_events
+FROM w
+GROUP BY user_id, slot
+"""
+
+
 def q_asof_click_purchase(sf_dir: str):
     """Cross-TABLE as-of join: every click event annotated with the same
     user's latest earlier-or-equal purchase (matched purchase ts + value).
@@ -1354,6 +1404,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "sessionize_events": q_sessionize_events,
     "rollup_lineitem": q_rollup_lineitem,
     "window_hourly": q_window_hourly,
+    "window_hopping": q_window_hopping,
     "asof_prev_event": q_asof_prev_event,
     "asof_click_purchase": q_asof_click_purchase,
     "running_value": q_running_value,
@@ -1393,6 +1444,7 @@ ORACLES: dict[str, str] = {
     "sessionize_events": SQL_SESSIONIZE_EVENTS,
     "rollup_lineitem": SQL_ROLLUP_LINEITEM,
     "window_hourly": SQL_WINDOW_HOURLY,
+    "window_hopping": SQL_WINDOW_HOPPING,
     "asof_prev_event": SQL_ASOF_PREV_EVENT,
     "asof_click_purchase": SQL_ASOF_CLICK_PURCHASE,
     "running_value": SQL_RUNNING_VALUE,

@@ -224,6 +224,43 @@ def asof_previous(
     )
 
 
+def hopping_window(
+    ds: "ray.data.Dataset",
+    ts_col: str = "ts",
+    window_seconds: int = 7200,
+    hop_seconds: int = 3600,
+    out_col: str = "window_start",
+) -> "ray.data.Dataset":
+    """Assign each row to EVERY hopping window covering it (window size a
+    multiple of the hop): one ``map_batches`` that replicates each row
+    ``size/hop`` times via one Arrow ``take`` — no shuffle of its own;
+    compose with :func:`pre_aggregate` for sliding-window rollups.  The
+    tumbling case is ``hop == size`` (see :func:`tumbling_window`).
+    """
+    if window_seconds % hop_seconds != 0:
+        raise ValueError("hopping_window: window_seconds must be a multiple of hop_seconds")
+    m = window_seconds // hop_seconds
+    hop_us = hop_seconds * 1_000_000
+
+    def assign(t: pa.Table) -> pa.Table:
+        n = len(t)
+        us = (
+            t[ts_col]
+            .cast(pa.timestamp("us"))
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        last_slot = us // hop_us  # latest window start covering the row
+        rep = t.take(pa.array(np.repeat(np.arange(n, dtype=np.int64), m)))
+        offsets = np.tile(np.arange(m, dtype=np.int64), n)
+        starts = (np.repeat(last_slot, m) - offsets) * hop_us
+        return rep.append_column(
+            out_col, pa.array(starts).cast(pa.timestamp("us"))
+        )
+
+    return ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def asof_join(
     left: "ray.data.Dataset",
     right: "ray.data.Dataset",

@@ -273,3 +273,37 @@ def test_top_k_per_group_rank_and_ties(ray_session):
     # g=1: the two 9.0s win, tie broken by id ascending; g=2 has only 2 rows
     assert list(out["id"]) == [11, 12, 20, 21]
     assert list(out["rank"]) == [1, 2, 1, 2]
+
+
+def test_hopping_window_covers_each_row_m_times(ray_session):
+    import datetime as dt
+
+    from raycdc.relational import hopping_window
+
+    t = pa.table(
+        {
+            "ts": pa.array(
+                [dt.datetime(2024, 1, 1, 10, 30), dt.datetime(2024, 1, 1, 11, 0)],
+                pa.timestamp("us"),
+            ),
+            "x": pa.array([1, 2], pa.int64()),
+        }
+    )
+    out = (
+        hopping_window(
+            ray.data.from_arrow(t), window_seconds=7200, hop_seconds=3600
+        )
+        .to_pandas()
+        .sort_values(["x", "window_start"])
+        .reset_index(drop=True)
+    )
+    assert len(out) == 4  # every row in exactly size/hop = 2 windows
+    # 10:30 event covered by windows starting 09:00 and 10:00
+    assert list(out["window_start"][:2]) == [
+        dt.datetime(2024, 1, 1, 9, 0),
+        dt.datetime(2024, 1, 1, 10, 0),
+    ]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="multiple"):
+        hopping_window(ray.data.from_arrow(t), window_seconds=5000, hop_seconds=3600)
