@@ -425,12 +425,10 @@ def _with_dead_letter(projector, dead_letter_dir: str):
     import hashlib
     import os
 
-    import pyarrow.parquet as pq_
-
     from raycdc import ops as _ops
+    from raycdc.storage import get_storage
 
     def park(batch: pa.Table, err: Exception) -> None:
-        os.makedirs(dead_letter_dir, exist_ok=True)
         sink_buf = pa.BufferOutputStream()
         with pa.ipc.new_stream(sink_buf, batch.schema) as w:
             w.write_table(batch.combine_chunks())
@@ -438,24 +436,29 @@ def _with_dead_letter(projector, dead_letter_dir: str):
         dst = os.path.join(dead_letter_dir, f"batch-{chash[:32]}.parquet")
         meta = dict(batch.schema.metadata or {})
         meta[b"raycdc.error"] = str(err).encode()[:2048]
-        tmp = dst + ".tmp"
-        pq_.write_table(batch.replace_schema_metadata(meta), tmp)
-        os.replace(tmp, dst)  # atomic: concurrent re-parks race benignly
+        # atomic publish: concurrent re-parks of the same content race
+        # benignly onto the same content-hash name
+        get_storage(dead_letter_dir).write_parquet_atomic(
+            batch.replace_schema_metadata(meta), dst
+        )
 
     return _ops.checked(projector, dead_letter=park)
 
 
 def read_dead_letters(dead_letter_dir: str) -> pa.Table | None:
     """All parked batches concatenated (None when the queue is empty)."""
-    import glob as _glob
+    from raycdc.storage import get_storage
 
-    import pyarrow.parquet as pq_
-
-    paths = sorted(_glob.glob(f"{dead_letter_dir}/batch-*.parquet"))
+    st = get_storage(dead_letter_dir)
+    paths = sorted(
+        os.path.join(dead_letter_dir, n)
+        for n in st.listdir(dead_letter_dir)
+        if n.startswith("batch-") and n.endswith(".parquet")
+    )
     if not paths:
         return None
     return pa.concat_tables(
-        [pq_.read_table(p) for p in paths], promote_options="default"
+        [st.read_parquet(p) for p in paths], promote_options="default"
     )
 
 
@@ -480,26 +483,37 @@ def tail_once(
 
     Returns ``(new_segment_paths, lineage-or-None)``.
     """
-    import glob as _glob
+    import fnmatch
     import json
 
+    from raycdc.storage import get_storage, resolve_uri_paths
+
     spec = spec or TableSpec()
+    lake_st = get_storage(lake_dir)
+    watch_st = get_storage(watch_dir)
     journal_path = os.path.join(lake_dir, "_segments.jsonl")
     seen: set[str] = set()
-    if os.path.exists(journal_path):
-        with open(journal_path) as f:
-            seen = {json.loads(line) for line in f if line.strip()}
-    paths = sorted(_glob.glob(os.path.join(watch_dir, pattern)))
+    if lake_st.exists(journal_path):
+        seen = {
+            json.loads(line)
+            for line in lake_st.read_bytes(journal_path).decode().splitlines()
+            if line.strip()
+        }
+    paths = sorted(
+        os.path.join(watch_dir, n)
+        for n in watch_st.listdir(watch_dir)
+        if fnmatch.fnmatch(n, pattern)
+    )
     new = [p for p in paths if p not in seen]
     if not new:
         return [], None
-    lineage = replay(ray.data.read_parquet(new), lake_dir, spec, **replay_kwargs)
-    os.makedirs(lake_dir, exist_ok=True)
-    with open(journal_path, "a") as f:
-        for p in new:
-            f.write(json.dumps(p) + "\n")
-        f.flush()
-        os.fsync(f.fileno())
+    read_paths, fs = resolve_uri_paths(new)
+    lineage = replay(
+        ray.data.read_parquet(read_paths, filesystem=fs), lake_dir, spec, **replay_kwargs
+    )
+    lake_st.append_bytes(
+        journal_path, "".join(json.dumps(p) + "\n" for p in new).encode()
+    )
     return new, lineage
 
 

@@ -60,6 +60,10 @@ class Storage(Protocol):
         """Publish ``data`` at ``path`` atomically (old-or-new, never torn)."""
         ...
 
+    def append_bytes(self, path: str, data: bytes) -> None:
+        """Durably append to a journal file (created if absent)."""
+        ...
+
     def read_parquet(self, path: str) -> pa.Table: ...
 
     def read_parquet_schema(self, path: str) -> pa.Schema: ...
@@ -101,6 +105,13 @@ class LocalStorage:
         with open(tmp, "wb") as f:
             f.write(data)
         os.replace(tmp, path)
+
+    def append_bytes(self, path: str, data: bytes) -> None:
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        with open(path, "ab") as f:
+            f.write(data)
+            f.flush()
+            os.fsync(f.fileno())
 
     def read_parquet(self, path: str) -> pa.Table:
         return pq.read_table(path)
@@ -165,6 +176,14 @@ class FsspecStorage:
             self.fs.mv(tmp, p)
         else:
             self.fs.pipe_file(p, data)  # single PUT: atomic on object stores
+
+    def append_bytes(self, path: str, data: bytes) -> None:
+        # object stores have no append: read-modify-write, published
+        # atomically.  O(journal size) per call — acceptable for the tiny
+        # segment journal; heavy appenders should shard files instead.
+        p = self._p(path)
+        old = self.fs.cat_file(p) if self.fs.exists(p) else b""
+        self.write_bytes_atomic(path, old + data)
 
     def read_parquet(self, path: str) -> pa.Table:
         return pq.read_table(self._p(path), filesystem=self.fs)

@@ -106,3 +106,48 @@ def test_read_segments_accepts_uri_scheme(ray_session, tmp_path):
 def test_missing_uri_lake_raises_cleanly(tmp_path):
     with pytest.raises(FileNotFoundError):
         read_lake("file://" + str(tmp_path / "nope"), TableSpec(num_partitions=4))
+
+
+def test_tail_and_dead_letter_through_file_uri(ray_session, tmp_path):
+    """tail_once + dead-letter parking both work on file:// URIs: journal
+    append-read roundtrip, new-segment detection, parked-batch readback."""
+    import pyarrow.compute as pc
+
+    from raycdc.engine import read_dead_letters, replay, tail_once
+
+    log = synthetic_changelog(n_events=400, n_convs=10, seed=41)
+    watch = tmp_path / "wal"
+    watch.mkdir()
+    for seg in range(2):
+        part = log.filter(pc.equal(log["seg_id"], seg))
+        pq.write_table(part, watch / f"seg-{seg:03d}.parquet")
+
+    lake_uri = "file://" + str(tmp_path / "lake")
+    watch_uri = "file://" + str(watch)
+    spec = TableSpec(num_partitions=4)
+    new, lineage = tail_once(watch_uri, lake_uri, spec)
+    assert len(new) == 2 and lineage is not None
+    # second round: nothing new (journal read back through the URI)
+    new2, lin2 = tail_once(watch_uri, lake_uri, spec)
+    assert new2 == [] and lin2 is None
+    # a third segment appears
+    part = log.filter(pc.equal(log["seg_id"], 2))
+    pq.write_table(part, watch / "seg-002.parquet")
+    new3, _ = tail_once(watch_uri, lake_uri, spec)
+    assert len(new3) == 1 and new3[0].endswith("seg-002.parquet")
+
+    # dead-letter parking through a URI dir
+    dl_uri = "file://" + str(tmp_path / "dl")
+
+    def bad(batch):
+        raise ValueError("poison")
+
+    replay(
+        ray.data.read_parquet([str(watch / "seg-000.parquet")]),
+        "file://" + str(tmp_path / "lake2"),
+        spec,
+        projector=bad,
+        dead_letter_dir=dl_uri,
+    )
+    parked = read_dead_letters(dl_uri)
+    assert parked is not None and len(parked) > 0
