@@ -177,45 +177,28 @@ def _count_events(sf_dir: str) -> int:
     return pq.read_metadata(f"{sf_dir}/events.parquet").num_rows
 
 
-def _cpu_control_efficiency(lo: int, hi: int, seconds: float = 1.0) -> float:
-    """Same-window compute-control scaling: aggregate throughput of a
-    cache-resident integer kernel at ``lo`` vs ``hi`` independent
-    processes.  1.0 = the box delivers hi/lo× the compute; on this
-    time-shared VM it is routinely far below 1 (the hypervisor ceiling the
-    replay cannot exceed)."""
-    import multiprocessing as mp
-    import time as _time
+def _control_efficiency(
+    lo: int, hi: int, kernel: str = "cpu_spin", seconds: float = 1.0
+) -> float:
+    """Same-window control scaling: aggregate throughput of a reference
+    kernel at ``lo`` vs ``hi`` independent processes (no Ray).
 
-    import numpy as np
+    Two controls bound the replay from different directions:
+    * ``cpu_spin`` — cache-resident integer ops: the HYPERVISOR ceiling
+      (how much compute the time-shared VM actually delivers this hour);
+    * ``string_hash`` — FNV over Arrow string buffers: the MEMORY-BANDWIDTH
+      ceiling for the replay's hot-kernel shape (byte streaming + hashing;
+      the replay's sort/parquet stages are hungrier still).
+    On real hardware both ≈ 1.  See tools/bandwidth_probe.py for the full
+    sweep."""
+    import sys
 
-    def spin(seconds: float, barrier, out_q) -> None:
-        a = np.arange(4096, dtype=np.int64)
-        t0 = _time.perf_counter()
-        while _time.perf_counter() - t0 < 0.05:  # warm
-            a = (a * 1099511628211 + 12345) ^ (a >> 7)
-        barrier.wait()
-        t0 = _time.perf_counter()
-        iters = 0
-        while _time.perf_counter() - t0 < seconds:
-            a = (a * 1099511628211 + 12345) ^ (a >> 7)
-            iters += 1
-        out_q.put(iters / (_time.perf_counter() - t0))
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools"))
+    import bandwidth_probe as bp
 
-    def agg(conc: int) -> float:
-        barrier = mp.Barrier(conc)
-        out_q: mp.Queue = mp.Queue()
-        procs = [
-            mp.Process(target=spin, args=(seconds, barrier, out_q))
-            for _ in range(conc)
-        ]
-        for p in procs:
-            p.start()
-        vals = [out_q.get() for _ in procs]
-        for p in procs:
-            p.join()
-        return sum(vals)
-
-    return (agg(hi) / agg(lo)) / (hi / lo)
+    return (bp.run_kernel(kernel, hi, seconds) / bp.run_kernel(kernel, lo, seconds)) / (
+        hi / lo
+    )
 
 
 def _run_child(num_cpus: int, sf_dir: str, amplify: int) -> dict:
@@ -249,7 +232,8 @@ def main() -> None:
         lo = _run_child(lo_cpus, args.sf_dir, args.amplify)
         hi = _run_child(hi_cpus, args.sf_dir, args.amplify)
         eff = (hi["events_per_sec"] / lo["events_per_sec"]) / (hi_cpus / lo_cpus)
-        control = _cpu_control_efficiency(lo_cpus, hi_cpus)
+        control = _control_efficiency(lo_cpus, hi_cpus, "cpu_spin")
+        control_membw = _control_efficiency(lo_cpus, hi_cpus, "string_hash")
         print(
             json.dumps(
                 {
@@ -262,10 +246,13 @@ def main() -> None:
                     },
                     "events_per_sec_lo": round(lo["events_per_sec"], 1),
                     "events_per_sec_hi": round(hi["events_per_sec"], 1),
-                    # same-window hypervisor ceiling (pure-compute control)
-                    # and the plan's efficiency normalized against it
+                    # same-window ceilings: hypervisor (pure compute) and
+                    # memory bandwidth (the replay's hot-kernel shape),
+                    # plus the plan's efficiency normalized against each
                     "control_efficiency": round(control, 3),
+                    "control_membw_efficiency": round(control_membw, 3),
                     "normalized_efficiency": round(min(eff / control, 2.0), 3),
+                    "normalized_vs_membw": round(min(eff / control_membw, 2.0), 3),
                     "sf": _sf_of(args.sf_dir),
                     "num_cpus": hi_cpus,
                     "amplify": args.amplify,
