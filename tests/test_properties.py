@@ -124,3 +124,96 @@ def test_clean_number_idempotent_and_shape(s):
     # empty unless it contains a digit
     if not any(c.isdigit() for c in s):
         assert out == ""
+
+
+# --- as-of join vs brute-force reference (kernel-level, no Ray) ------------
+
+
+@st.composite
+def asof_inputs(draw):
+    nl = draw(st.integers(0, 25))
+    nr = draw(st.integers(0, 25))
+    mk = lambda n, tag: [
+        {
+            "user_id": f"u{draw(st.integers(0, 3))}",
+            "ts": datetime.datetime(2024, 1, 1)
+            + datetime.timedelta(seconds=draw(st.integers(0, 12))),
+            "event_id": i if tag == "l" else None,
+            "price": None if tag == "l" else float(draw(st.integers(0, 99))),
+        }
+        for i in range(n)
+    ]
+    return mk(nl, "l"), mk(nr, "r")
+
+
+@given(asof_inputs())
+@settings(max_examples=15, deadline=None)
+def test_asof_match_kernel_equals_brute_force(inputs):
+    """The in-group as-of kernel (sort + forward-fill) must equal the
+    O(n*m) per-row reference on arbitrary key/ts collisions — dedup the
+    right side first so the winner is well-defined."""
+    import numpy as np
+    import pyarrow.compute as pc_
+
+    left_rows, right_rows = inputs
+    # unique right per (user, ts): keep max price (mirrors the query's
+    # deterministic dedup contract)
+    best = {}
+    for r in right_rows:
+        k = (r["user_id"], r["ts"])
+        if k not in best or r["price"] > best[k]:
+            best[k] = r["price"]
+    right_rows = [
+        {"user_id": u, "ts": ts, "price": p} for (u, ts), p in sorted(best.items())
+    ]
+    left = pa.table(
+        {
+            "user_id": pa.array([r["user_id"] for r in left_rows]),
+            "ts": pa.array([r["ts"] for r in left_rows], pa.timestamp("us")),
+            "event_id": pa.array(
+                [r["event_id"] for r in left_rows], pa.int64()
+            ),
+        }
+    )
+    right = pa.table(
+        {
+            "user_id": pa.array([r["user_id"] for r in right_rows]),
+            "ts": pa.array([r["ts"] for r in right_rows], pa.timestamp("us")),
+            "price": pa.array([r["price"] for r in right_rows]),
+        }
+    )
+
+    # drive the GROUP KERNEL directly (one group containing all keys —
+    # the multi-entity-in-one-group path)
+    from raycdc.relational import asof_join
+
+    # reconstruct the internal tagged-union shape via the public API by
+    # running on a local single-partition Ray-free path is not possible;
+    # instead compare the full operator under a stub: use brute force here
+    expect = {}
+    for i, l in enumerate(left_rows):
+        cand = [
+            r
+            for r in right_rows
+            if r["user_id"] == l["user_id"] and r["ts"] <= l["ts"]
+        ]
+        if cand:
+            expect[l["event_id"]] = max(cand, key=lambda r: r["ts"])["price"]
+
+    import ray
+    import ray.data
+
+    out = asof_join(
+        ray.data.from_arrow(left),
+        ray.data.from_arrow(right),
+        on="user_id",
+        ts_col="ts",
+        right_cols=("price",),
+        how="inner",
+        num_partitions=2,
+    ).to_pandas()
+    if len(out) == 0:  # empty Ray results drop their schema (known quirk)
+        assert expect == {}
+        return
+    got = dict(zip(out["event_id"], out["r_price"]))
+    assert got == expect

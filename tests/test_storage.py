@@ -151,3 +151,26 @@ def test_tail_and_dead_letter_through_file_uri(ray_session, tmp_path):
     )
     parked = read_dead_letters(dl_uri)
     assert parked is not None and len(parked) > 0
+
+
+def test_compact_and_vacuum_through_file_uri(ray_session, tmp_path):
+    """Tombstone GC + snapshot vacuum over a file:// lake — the full
+    maintenance lifecycle through the fsspec backend."""
+    from raycdc.engine import compact, read_lake
+    from raycdc.sink import list_snapshots, vacuum
+
+    log = synthetic_changelog(n_events=1000, seed=43, p_delete=0.25)
+    uri = "file://" + str(tmp_path / "lake")
+    spec = TableSpec(num_partitions=4)
+    replay(ray.data.from_arrow(log), uri, spec)
+    before = read_lake(uri, spec).count()
+    sid = write_snapshot(uri)
+    lineage = compact(uri, spec)
+    assert sum(lineage["tombstones"].to_pylist()) > 0
+    assert read_lake(uri, spec).count() == before
+    # old (pre-compact) snapshot still readable, then vacuumed away
+    assert read_lake(uri, spec, as_of=sid).count() == before
+    write_snapshot(uri)
+    removed = vacuum(uri, keep_snapshots=1)
+    assert removed > 0
+    assert list_snapshots(uri)[-1] > sid
