@@ -204,6 +204,32 @@ def hash_sample(batch: pa.Table, key_col: str, fraction: float) -> pa.Table:
     return batch.filter(keep)
 
 
+def stratified_sample(
+    batch: pa.Table,
+    key_col: str,
+    strata_col: str,
+    fractions: "Mapping[str, float]",
+    default_fraction: float = 0.0,
+) -> pa.Table:
+    """Keep a per-stratum deterministic fraction of rows (class-balanced
+    downsampling: e.g. 100% of rare 'purchase' events, 10% of 'view').
+
+    Same pure per-batch filter shape as :func:`hash_sample` — no shuffle,
+    no state; the cutoff varies by ``strata_col`` value.  Auditable in SQL
+    with a CASE over the same Knuth hash."""
+    b = hash_bucket(batch[key_col])
+    strata = batch[strata_col]
+    cutoff = pa.nulls(len(batch), pa.int64())
+    cutoff = pc.fill_null(cutoff, int(round(default_fraction * 10_000)))
+    for value, frac in fractions.items():
+        cutoff = pc.if_else(
+            pc.equal(strata, value),
+            pa.scalar(int(round(frac * 10_000)), pa.int64()),
+            cutoff,
+        )
+    return batch.filter(pc.less(b, cutoff))
+
+
 def train_split(
     batch: pa.Table,
     key_col: str,

@@ -1050,6 +1050,35 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 """
 
 
+def q_stratified_sample(sf_dir: str):
+    """Class-balanced downsampling: keep ALL purchases, 10% of views,
+    nothing else — per-stratum deterministic Knuth-hash cutoffs, a pure
+    per-batch filter (no shuffle, no state), auditable in SQL."""
+    from raycdc.ops import stratified_sample
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "event_type"]
+    )
+    return ds.map_batches(
+        lambda t: stratified_sample(
+            t,
+            key_col="event_id",
+            strata_col="event_type",
+            fractions={"purchase": 1.0, "view": 0.1},
+            default_fraction=0.0,
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+SQL_STRATIFIED_SAMPLE = """
+SELECT event_id, user_id, event_type FROM events
+WHERE ((event_id * 2654435761) % 4294967296) * 10000 // 4294967296 <
+  CASE event_type WHEN 'purchase' THEN 10000 WHEN 'view' THEN 1000 ELSE 0 END
+"""
+
+
 def q_anti_join_customers(sf_dir: str):
     """Broadcast ANTI join (NOT EXISTS): customers with no order above
     300k total price.  The build side is the distinct qualifying custkeys
@@ -1409,6 +1438,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "asof_click_purchase": q_asof_click_purchase,
     "running_value": q_running_value,
     "sketch_users": q_sketch_users,
+    "stratified_sample": q_stratified_sample,
     "anti_join_customers": q_anti_join_customers,
     "semi_join_customers": q_semi_join_customers,
     "top_orders_per_cust": q_top_orders_per_cust,
@@ -1448,6 +1478,7 @@ ORACLES: dict[str, str] = {
     "asof_prev_event": SQL_ASOF_PREV_EVENT,
     "asof_click_purchase": SQL_ASOF_CLICK_PURCHASE,
     "running_value": SQL_RUNNING_VALUE,
+    "stratified_sample": SQL_STRATIFIED_SAMPLE,
     "anti_join_customers": SQL_ANTI_JOIN_CUSTOMERS,
     "semi_join_customers": SQL_SEMI_JOIN_CUSTOMERS,
     "top_orders_per_cust": SQL_TOP_ORDERS_PER_CUST,

@@ -187,3 +187,46 @@ def test_train_split_entity_stable_and_complete():
         assert seen.setdefault(u, s) == s
     frac_train = out["split"].to_pylist().count("train") / len(out)
     assert 0.7 < frac_train < 0.9
+
+
+def test_stratified_sample_per_stratum_fractions():
+    """Per-stratum cutoffs: 100% keeps every row of the stratum, 0% none,
+    and a middle fraction lands near its target; membership is
+    deterministic and consistent with hash_sample's cutoff."""
+    import numpy as np
+
+    import pyarrow.compute as pc
+
+    from raycdc.ops import hash_sample, stratified_sample
+
+    n = 30_000
+    t = pa.table(
+        {
+            "event_id": pa.array(np.arange(n, dtype=np.int64)),
+            "event_type": pa.array(
+                np.tile(np.array(["purchase", "view", "error"]), n // 3)
+            ),
+        }
+    )
+    out = stratified_sample(
+        t,
+        key_col="event_id",
+        strata_col="event_type",
+        fractions={"purchase": 1.0, "view": 0.1},
+        default_fraction=0.0,
+    )
+    kinds = out["event_type"].to_pylist()
+    assert kinds.count("purchase") == n // 3
+    assert kinds.count("error") == 0
+    frac_view = kinds.count("view") / (n // 3)
+    assert 0.07 < frac_view < 0.13
+    # the view stratum equals hash_sample at the same fraction
+    views = t.filter(pc.equal(t["event_type"], "view"))
+    expect = hash_sample(views, "event_id", 0.1)
+    got = out.filter(pc.equal(out["event_type"], "view"))
+    assert got["event_id"].to_pylist() == expect["event_id"].to_pylist()
+    # deterministic
+    again = stratified_sample(
+        t, "event_id", "event_type", {"purchase": 1.0, "view": 0.1}, 0.0
+    )
+    assert again.equals(out)
