@@ -98,11 +98,14 @@ def exact_dedup(
     num_partitions: int = 64,
 ) -> "ray.data.Dataset":
     """Keep, per distinct ``text_col`` value, the row with the smallest
-    ``id_col``.  Shuffle key is the 64-bit text hash (collisions resolved by
-    exact text compare within the group)."""
+    ``id_col``.  Shuffle key is a HASH BUCKET of the text (equal texts
+    co-locate; the group kernel sorts by text and dedups adjacent runs, so
+    many texts per bucket — and hash collisions — are handled exactly).
+    Grouping by the raw 64-bit hash would cost one Ray UDF call per
+    distinct text (see raycdc.partition.bucket_keys)."""
 
     def add_hash(t: pa.Table) -> pa.Table:
-        h = (hash_strings(t[text_col]) % np.uint64(2**63)).astype(np.int64)
+        h = (hash_strings(t[text_col]) % np.uint64(num_partitions)).astype(np.int64)
         return t.append_column("__th", pa.array(h))
 
     from raycdc.engine import _configure_shuffle
@@ -194,6 +197,55 @@ def lsh_band_rows(
     )
 
 
+def banded_pairs(
+    g: pa.Table,
+    key_col: str = "band_key",
+    id_col: str = "doc_id",
+    max_bucket: int = 512,
+) -> pa.Table:
+    """All (a<b) pairs within EACH band of a hash-bucketed group.
+
+    The group carries many distinct band keys (the groupby runs on
+    ``hash(band_key) % P``, not the raw key — Ray dispatches one Python UDF
+    call per distinct groupby key, so banding at raw-key granularity costs
+    O(#bands) interpreter overhead).  One sort + segmented boundaries, then
+    pair generation only for the bands with >= 2 members; oversized bands
+    are capped and counted via :data:`raycdc.metrics.CAPS`."""
+    from raycdc.metrics import CAPS
+
+    g = g.sort_by([(key_col, "ascending"), (id_col, "ascending")])
+    keys = g[key_col].to_numpy(zero_copy_only=False)
+    ids = g[id_col].to_numpy(zero_copy_only=False)
+    n = len(g)
+    if n == 0:
+        return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
+    new = np.ones(n, dtype=bool)
+    new[1:] = keys[1:] != keys[:-1]
+    starts = np.where(new)[0]
+    ends = np.append(starts[1:], n)
+    multi = (ends - starts) >= 2
+    out_a, out_b = [], []
+    for s, e in zip(starts[multi], ends[multi]):
+        seg = ids[s:e]
+        seg = seg[np.concatenate([[True], seg[1:] != seg[:-1]])]  # sorted dedup
+        if len(seg) < 2:
+            continue
+        if len(seg) > max_bucket:
+            CAPS.record("banded_pairs", len(seg), max_bucket)
+            seg = seg[:max_bucket]
+        ai, bi = np.triu_indices(len(seg), k=1)
+        out_a.append(seg[ai])
+        out_b.append(seg[bi])
+    if not out_a:
+        return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
+    return pa.table(
+        {
+            "a": pa.array(np.concatenate(out_a)),
+            "b": pa.array(np.concatenate(out_b)),
+        }
+    )
+
+
 def bucket_pairs(group: pa.Table, id_col: str = "doc_id", max_bucket: int = 512) -> pa.Table:
     """All (a<b) pairs within one band bucket; oversized buckets are capped
     to bound the quadratic blowup of degenerate buckets.  Every truncation
@@ -230,13 +282,20 @@ def lsh_candidate_pairs(
     from raycdc.engine import _configure_shuffle
 
     _configure_shuffle()
+    def band_rows_bucketed(t: pa.Table) -> pa.Table:
+        out = lsh_band_rows(t, bands=bands, id_col=id_col)
+        bk = out["band_key"].to_numpy(zero_copy_only=False)
+        return out.append_column(
+            "__bk", pa.array(_bucket_of(bk, num_partitions))
+        )
+
     band_ds = sigs.map_batches(
-        lambda t: lsh_band_rows(t, bands=bands, id_col=id_col),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
+        band_rows_bucketed, batch_format="pyarrow", zero_copy_batch=True
     )
-    pairs = band_ds.groupby("band_key", num_partitions=num_partitions).map_groups(
-        lambda g: bucket_pairs(g, id_col=id_col), batch_format="pyarrow"
+    # groupby the HASH BUCKET of the band key (bounded UDF-call count), pair
+    # generation segmented per band inside the task — see banded_pairs
+    pairs = band_ds.groupby("__bk", num_partitions=num_partitions).map_groups(
+        lambda g: banded_pairs(g, id_col=id_col), batch_format="pyarrow"
     )
     if not distinct:
         return pairs
@@ -248,7 +307,11 @@ def lsh_candidate_pairs(
             k = (a.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) ^ b.astype(
                 np.uint64
             )
-        return t.append_column("__pk", pa.array((k % np.uint64(2**63)).astype(np.int64)))
+        # bucket, not raw hash: one Ray UDF call per groupby key, and the
+        # distinct kernel dedups the whole bucket in one np.unique
+        return t.append_column(
+            "__pk", pa.array((k % np.uint64(num_partitions)).astype(np.int64))
+        )
 
     def distinct_pairs(g: pa.Table) -> pa.Table:
         arr = np.stack(
@@ -566,56 +629,76 @@ def simhash_candidate_pairs(
             chunk = (s >> np.uint64(16 * c)) & np.uint64(0xFFFF)
             keys.append(chunk.astype(np.int64) * 4 + c)
             out_ids.append(ids)
+        key = np.concatenate(keys)
         return pa.table(
             {
-                "chunk_key": pa.array(np.concatenate(keys)),
+                "chunk_key": pa.array(key),
                 id_col: pa.array(np.concatenate(out_ids)),
                 "simhash": pa.array(np.tile(s.view(np.int64), 4)),
+                "__bk": pa.array(_bucket_of(key, num_partitions)),
             }
         )
 
-    def pairs_in_bucket(g: pa.Table) -> pa.Table:
-        ids = g[id_col].to_numpy(zero_copy_only=False)
-        sigs_ = g["simhash"].to_numpy(zero_copy_only=False).view(np.uint64)
-        order = np.argsort(ids)
-        ids, sigs_ = ids[order], sigs_[order]
-        keep = np.ones(len(ids), dtype=bool)
-        keep[1:] = ids[1:] != ids[:-1]
-        ids, sigs_ = ids[keep], sigs_[keep]
-        if len(ids) > 512:
-            # cap (like bucket_pairs) rather than drop: partial recall from
-            # a degenerate hot chunk beats zero recall; counted + logged via
-            # raycdc.metrics.CAPS so the loss is observable
-            from raycdc.metrics import CAPS
+    _EMPTY = pa.table(
+        {
+            "a": pa.array([], pa.int64()),
+            "b": pa.array([], pa.int64()),
+            "hamming": pa.array([], pa.int64()),
+        }
+    )
 
-            CAPS.record("simhash_candidate_pairs", len(ids), 512)
-            ids, sigs_ = ids[:512], sigs_[:512]
-        if len(ids) < 2:
-            return pa.table(
-                {
-                    "a": pa.array([], pa.int64()),
-                    "b": pa.array([], pa.int64()),
-                    "hamming": pa.array([], pa.int64()),
-                }
-            )
-        ai, bi = np.triu_indices(len(ids), k=1)
-        x = sigs_[ai] ^ sigs_[bi]
-        ham = np.zeros(len(x), dtype=np.int64)
-        v = x.copy()
-        for _ in range(64):
-            ham += (v & np.uint64(1)).astype(np.int64)
-            v >>= np.uint64(1)
-        m = ham <= max_hamming
+    def pairs_in_bucket(g: pa.Table) -> pa.Table:
+        # group = ONE HASH BUCKET of chunk keys (bounded UDF-call count);
+        # segment by chunk key inside, pairs only for multi-member segments
+        g = g.sort_by([("chunk_key", "ascending"), (id_col, "ascending")])
+        key = g["chunk_key"].to_numpy(zero_copy_only=False)
+        ids_all = g[id_col].to_numpy(zero_copy_only=False)
+        sig_all = g["simhash"].to_numpy(zero_copy_only=False).view(np.uint64)
+        n = len(g)
+        if n == 0:
+            return _EMPTY
+        new = np.ones(n, dtype=bool)
+        new[1:] = key[1:] != key[:-1]
+        starts = np.where(new)[0]
+        ends = np.append(starts[1:], n)
+        multi = (ends - starts) >= 2
+        out_a, out_b, out_h = [], [], []
+        for s0, e0 in zip(starts[multi], ends[multi]):
+            ids, sigs_ = ids_all[s0:e0], sig_all[s0:e0]
+            keep = np.concatenate([[True], ids[1:] != ids[:-1]])  # sorted dedup
+            ids, sigs_ = ids[keep], sigs_[keep]
+            if len(ids) > 512:
+                # cap rather than drop: partial recall from a degenerate hot
+                # chunk beats zero recall; counted + logged via CAPS
+                from raycdc.metrics import CAPS
+
+                CAPS.record("simhash_candidate_pairs", len(ids), 512)
+                ids, sigs_ = ids[:512], sigs_[:512]
+            if len(ids) < 2:
+                continue
+            ai, bi = np.triu_indices(len(ids), k=1)
+            x = sigs_[ai] ^ sigs_[bi]
+            ham = np.zeros(len(x), dtype=np.int64)
+            v = x.copy()
+            for _ in range(64):
+                ham += (v & np.uint64(1)).astype(np.int64)
+                v >>= np.uint64(1)
+            m = ham <= max_hamming
+            out_a.append(ids[ai][m])
+            out_b.append(ids[bi][m])
+            out_h.append(ham[m])
+        if not out_a:
+            return _EMPTY
         return pa.table(
             {
-                "a": pa.array(ids[ai][m]),
-                "b": pa.array(ids[bi][m]),
-                "hamming": pa.array(ham[m]),
+                "a": pa.array(np.concatenate(out_a)),
+                "b": pa.array(np.concatenate(out_b)),
+                "hamming": pa.array(np.concatenate(out_h)),
             }
         )
 
     chunked = sigs.map_batches(chunk_rows, batch_format="pyarrow", zero_copy_batch=True)
-    pairs = chunked.groupby("chunk_key", num_partitions=num_partitions).map_groups(
+    pairs = chunked.groupby("__bk", num_partitions=num_partitions).map_groups(
         pairs_in_bucket, batch_format="pyarrow"
     )
 
@@ -645,7 +728,7 @@ def simhash_candidate_pairs(
                 np.uint64
             )
         return t.append_column(
-            "__pk", pa.array((k % np.uint64(2**63)).astype(np.int64))
+            "__pk", pa.array((k % np.uint64(num_partitions)).astype(np.int64))
         )
 
     return (

@@ -410,8 +410,9 @@ def embedding_near_dup_pairs(
             key = (a.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) ^ b.astype(
                 np.uint64
             )
+        # bucket, not raw hash: bounded Ray UDF-call count in the distinct
         return t.append_column(
-            "__pk", pa.array((key % np.uint64(2**63)).astype(np.int64))
+            "__pk", pa.array((key % np.uint64(num_partitions)).astype(np.int64))
         )
 
     def distinct(g: pa.Table) -> pa.Table:

@@ -168,7 +168,7 @@ def test_asof_match_kernel_equals_brute_force(inputs):
     ]
     left = pa.table(
         {
-            "user_id": pa.array([r["user_id"] for r in left_rows]),
+            "user_id": pa.array([r["user_id"] for r in left_rows], pa.string()),
             "ts": pa.array([r["ts"] for r in left_rows], pa.timestamp("us")),
             "event_id": pa.array(
                 [r["event_id"] for r in left_rows], pa.int64()
@@ -177,9 +177,9 @@ def test_asof_match_kernel_equals_brute_force(inputs):
     )
     right = pa.table(
         {
-            "user_id": pa.array([r["user_id"] for r in right_rows]),
+            "user_id": pa.array([r["user_id"] for r in right_rows], pa.string()),
             "ts": pa.array([r["ts"] for r in right_rows], pa.timestamp("us")),
-            "price": pa.array([r["price"] for r in right_rows]),
+            "price": pa.array([r["price"] for r in right_rows], pa.float64()),
         }
     )
 
