@@ -1503,4 +1503,7 @@ def bench_extras() -> dict[str, Callable[[str], Any]]:
         "rollup_lineitem": lambda sf: q_rollup_lineitem(sf).count(),
         "sessionize_events": lambda sf: q_sessionize_events(sf).count(),
         "join_orders_customer": lambda sf: q_join_orders_customer(sf).count(),
+        "asof_click_purchase": lambda sf: q_asof_click_purchase(sf).count(),
+        "window_hopping": lambda sf: q_window_hopping(sf).count(),
+        "top_orders_per_cust": lambda sf: q_top_orders_per_cust(sf).count(),
     }

@@ -48,10 +48,10 @@ def _cpu_spin(seconds: float) -> float:
 
 
 def _stream_triad(seconds: float) -> float:
-    """Bytes/sec of a = b*s + c over 16M-element float64 arrays (384 MiB
+    """Bytes/sec of a = b*s + c over 8M-element float64 arrays (192 MiB
     traffic per pass — far beyond any LLC, small enough that 32 concurrent
     processes fit the box comfortably)."""
-    n = 16 * 1024 * 1024
+    n = 8 * 1024 * 1024
     b = np.ones(n)
     c = np.ones(n)
     a = np.empty(n)
@@ -75,7 +75,9 @@ def _string_hash(seconds: float) -> float:
     rng = np.random.default_rng(7)
     words = np.array([f"conv-{i:08d}-{'x' * 24}" for i in range(500_000)])
     arr = pa.array(rng.permutation(words))
-    nbytes = sum(buf.size for buf in arr.buffers() if buf is not None)
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    nbytes = arr.nbytes
     t0 = time.perf_counter()
     passes = 0
     while time.perf_counter() - t0 < seconds:
@@ -93,7 +95,7 @@ KERNELS = {
 
 def _worker(name: str, seconds: float, barrier, out_q) -> None:
     fn = KERNELS[name]
-    fn(min(seconds, 0.3))  # touch pages / warm allocator before the barrier
+    fn(0.05)  # touch pages / warm allocator before the barrier
     barrier.wait()
     out_q.put(fn(seconds))
 
