@@ -1050,6 +1050,25 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 """
 
 
+def q_sketch_quantiles(sf_dir: str):
+    """t-digest quantile profile of the event value column — shuffle-free
+    (per-batch centroid compression, driver fold).  Rows-only: approximate
+    by design; accuracy envelope asserted vs exact quantiles in pytest."""
+    import numpy as np
+
+    from raycdc.sketch import approx_quantiles
+
+    qs = [0.01, 0.25, 0.5, 0.75, 0.99]
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["value"])
+    est = approx_quantiles(ds, "value", qs)
+    return pa.table(
+        {
+            "q": pa.array(qs),
+            "value": pa.array(np.floor(est * 1e4) / 1e4),
+        }
+    )
+
+
 def q_stratified_sample(sf_dir: str):
     """Class-balanced downsampling: keep ALL purchases, 10% of views,
     nothing else — per-stratum deterministic Knuth-hash cutoffs, a pure
@@ -1438,6 +1457,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "asof_click_purchase": q_asof_click_purchase,
     "running_value": q_running_value,
     "sketch_users": q_sketch_users,
+    "sketch_quantiles": q_sketch_quantiles,
     "stratified_sample": q_stratified_sample,
     "anti_join_customers": q_anti_join_customers,
     "semi_join_customers": q_semi_join_customers,

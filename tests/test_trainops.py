@@ -347,3 +347,42 @@ def test_hll_accuracy_and_merge(ray_session):
     ints = pa.array(np.arange(1000, dtype=np.int64))
     est_i = K.hll_estimate(K.hll_registers(ints, p=12))
     assert abs(est_i - 1000) / 1000 < 0.1
+
+
+def test_tdigest_accuracy_and_merge(ray_session):
+    """t-digest quantiles within tolerance on three distribution shapes,
+    and the distributed fold (per-block digests merged) tracks a
+    single-shot digest."""
+    from raycdc import sketch as K
+
+    rng = np.random.default_rng(3)
+    qs = [0.01, 0.1, 0.5, 0.9, 0.99]
+    for data, tol in (
+        (rng.uniform(0, 1, 100_000), 0.02),
+        (rng.lognormal(0, 1, 100_000), 0.02),
+        (np.concatenate([rng.normal(0, 1, 50_000), rng.normal(50, 2, 50_000)]), 0.1),
+    ):
+        m, w = K.tdigest_cluster(data)
+        assert len(m) <= 300  # bounded size
+        est = K.tdigest_quantile(m, w, qs)
+        exact = np.quantile(data, qs)
+        rel = np.abs(est - exact) / (np.abs(exact) + 1e-9)
+        assert rel.max() < tol, (rel, tol)
+
+    # distributed: per-block digests folded == close to exact
+    data = rng.lognormal(0, 1, 60_000)
+    ds = ray.data.from_arrow(pa.table({"v": pa.array(data)})).repartition(8)
+    est = K.approx_quantiles(ds, "v", qs)
+    exact = np.quantile(data, qs)
+    assert (np.abs(est - exact) / (np.abs(exact) + 1e-9)).max() < 0.03
+
+    # merge associativity (up to compression): two halves vs whole
+    a = K.tdigest_cluster(data[:30_000])
+    b = K.tdigest_cluster(data[30_000:])
+    m2, w2 = K.tdigest_merge([a, b])
+    est2 = K.tdigest_quantile(m2, w2, qs)
+    assert (np.abs(est2 - exact) / (np.abs(exact) + 1e-9)).max() < 0.03
+    # NaNs are ignored, empty input yields NaN estimates
+    m3, w3 = K.tdigest_cluster(np.array([np.nan, 1.0, np.nan, 3.0]))
+    assert abs(K.tdigest_quantile(m3, w3, [0.5])[0] - 2.0) < 1.01
+    assert np.isnan(K.tdigest_quantile(*K.tdigest_cluster(np.array([])), [0.5])[0])
