@@ -68,6 +68,15 @@ def main(argv: list[str] | None = None) -> int:
     p_lookup.add_argument("--key", required=True)
     p_lookup.add_argument("--partitions", type=int, default=64)
 
+    p_profile = sub.add_parser(
+        "profile", help="sketch-profile parquet column(s): count, distinct, quantiles"
+    )
+    p_profile.add_argument("paths", nargs="+", help="parquet paths/globs")
+    p_profile.add_argument("--cols", required=True, help="comma-separated columns")
+    p_profile.add_argument(
+        "--quantiles", default="0.01,0.25,0.5,0.75,0.99", help="for numeric columns"
+    )
+
     args = ap.parse_args(argv)
     owns_ray = _ray_init(args.num_cpus)
 
@@ -124,6 +133,37 @@ def main(argv: list[str] | None = None) -> int:
             on_round=report,
         )
         print(json.dumps({"segments_applied": total}))
+    elif args.cmd == "profile":
+        import glob as _glob
+
+        import pyarrow as pa
+        import ray.data
+
+        from raycdc.sketch import approx_ndistinct, approx_quantiles
+        from raycdc.storage import resolve_uri_paths
+
+        paths = []
+        for s in args.paths:
+            paths.extend(sorted(_glob.glob(s)) or [s])
+        read_paths, fs = resolve_uri_paths(paths)
+        cols = args.cols.split(",")
+        qs = [float(q) for q in args.quantiles.split(",")]
+        out = {}
+        for col in cols:
+            ds = ray.data.read_parquet(read_paths, columns=[col], filesystem=fs)
+            entry = {"rows": ds.count()}
+            est, rse = approx_ndistinct(ds, col)
+            entry["approx_ndistinct"] = est
+            entry["ndistinct_rse"] = round(rse, 4)
+            t = ds.schema()
+            typ = dict(zip(t.names, t.types))[col]
+            if pa.types.is_integer(typ) or pa.types.is_floating(typ):
+                est_q = approx_quantiles(ds, col, qs)
+                entry["quantiles"] = {
+                    str(q): round(float(v), 6) for q, v in zip(qs, est_q)
+                }
+            out[col] = entry
+        print(json.dumps(out))
     elif args.cmd == "compact":
         spec = TableSpec(num_partitions=args.partitions)
         lineage = compact(args.lake, spec)

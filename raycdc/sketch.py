@@ -49,6 +49,12 @@ def hll_registers(values, p: int = 12) -> np.ndarray:
     arr = values.combine_chunks() if isinstance(values, pa.ChunkedArray) else values
     if pa.types.is_string(arr.type) or pa.types.is_large_string(arr.type):
         h = hash_strings(arr).copy()
+    elif pa.types.is_floating(arr.type):
+        # hash the float64 BIT PATTERN (a double→int cast would raise on
+        # fractional values); -0.0 vs 0.0 count as two values — fine for
+        # profiling
+        v = arr.cast(pa.float64()).to_numpy(zero_copy_only=False).astype(np.float64)
+        h = v.view(np.uint64).copy()
     else:
         v = arr.cast(pa.int64()).to_numpy(zero_copy_only=False).astype(np.int64)
         h = v.view(np.uint64).copy()

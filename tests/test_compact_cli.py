@@ -138,3 +138,27 @@ def test_cli_history_counts_rounds_and_handles_empty(ray_session, tmp_path, caps
     assert main(["history", "--lake", lake]) == 0
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["apply_rounds"] == 2  # one lineage file per apply round
+
+
+def test_cli_profile_sketches(ray_session, capsys):
+    """profile command: row count, HLL distinct, quantiles for numeric
+    columns — one JSON line per invocation."""
+    import json
+
+    from raycdc.__main__ import main
+
+    rc = main(
+        [
+            "profile",
+            "/root/testdata/sf0.001/events.parquet",
+            "--cols",
+            "user_id,value,event_type",
+        ]
+    )
+    assert rc in (0, None)
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["user_id"]["rows"] == 1000
+    assert 13 <= out["user_id"]["approx_ndistinct"] <= 17
+    assert "quantiles" in out["value"] and out["value"]["quantiles"]["0.5"] > 0
+    assert "quantiles" not in out["event_type"]  # string column: no quantiles
+    assert 4 <= out["event_type"]["approx_ndistinct"] <= 6
