@@ -96,21 +96,85 @@ def exact_dedup(
     text_col: str = "text",
     id_col: str = "doc_id",
     num_partitions: int = 64,
+    identity: str = "text",
 ) -> "ray.data.Dataset":
     """Keep, per distinct ``text_col`` value, the row with the smallest
-    ``id_col``.  Shuffle key is a HASH BUCKET of the text (equal texts
-    co-locate; the group kernel sorts by text and dedups adjacent runs, so
-    many texts per bucket — and hash collisions — are handled exactly).
-    Grouping by the raw 64-bit hash would cost one Ray UDF call per
-    distinct text (see raycdc.partition.bucket_keys)."""
+    ``id_col``.
 
-    def add_hash(t: pa.Table) -> pa.Table:
-        h = (hash_strings(t[text_col]) % np.uint64(num_partitions)).astype(np.int64)
-        return t.append_column("__th", pa.array(h))
+    ``identity="text"`` (default, oracle-exact): shuffle key is a HASH
+    BUCKET of the text (equal texts co-locate; the group kernel sorts by
+    text and dedups adjacent runs, so many texts per bucket — and hash
+    collisions — are handled exactly).  Exchange volume = the corpus.
+
+    ``identity="hash128"`` (the 100 TB path): the exchange carries ONLY
+    ``(h1, h2, id)`` — two independent 64-bit FNV families as a 128-bit
+    content identity — the per-bucket kernel emits the LOSER ids (every id
+    but the smallest per identity), and the corpus is filtered streaming
+    against a one-``ray.put`` loser set.  Trades ~2^-128 collision odds
+    for never shuffling payload text; contract: the DUPLICATE id set
+    (not the corpus) must fit the object store."""
+    if identity not in ("text", "hash128"):
+        raise ValueError(f"exact_dedup: identity must be text|hash128, got {identity!r}")
 
     from raycdc.engine import _configure_shuffle
 
     _configure_shuffle()
+
+    if identity == "hash128":
+        def hash_rows(t: pa.Table) -> pa.Table:
+            h1 = hash_strings(t[text_col])
+            h2 = hash_strings(t[text_col], seed=0x5EED)
+            return pa.table(
+                {
+                    "h1": pa.array(h1.view(np.int64)),
+                    "h2": pa.array(h2.view(np.int64)),
+                    id_col: t[id_col].cast(pa.int64()),
+                    "__b": pa.array(_bucket_of(h1, num_partitions)),
+                }
+            )
+
+        def losers(g: pa.Table) -> pa.Table:
+            g = g.sort_by(
+                [("h1", "ascending"), ("h2", "ascending"), (id_col, "ascending")]
+            )
+            h1 = g["h1"].to_numpy(zero_copy_only=False)
+            h2 = g["h2"].to_numpy(zero_copy_only=False)
+            n = len(g)
+            first = np.ones(n, dtype=bool)
+            if n > 1:
+                first[1:] = (h1[1:] != h1[:-1]) | (h2[1:] != h2[:-1])
+            return g.select([id_col]).filter(pa.array(~first))
+
+        loser_ds = (
+            ds.map_batches(hash_rows, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby("__b", num_partitions=num_partitions)
+            .map_groups(losers, batch_format="pyarrow")
+        )
+        pdf = loser_ds.to_pandas()  # LOSER ids only — the documented bound
+        loser_ids = (
+            np.sort(pdf[id_col].to_numpy().astype(np.int64))
+            if len(pdf)
+            else np.empty(0, np.int64)
+        )
+        loser_ref = ray.put(loser_ids)
+
+        def drop_losers(t: pa.Table) -> pa.Table:
+            lid = ray.get(loser_ref)
+            if len(lid) == 0:
+                return t
+            ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            pos = np.searchsorted(lid, ids)
+            pos_c = np.minimum(pos, len(lid) - 1)
+            is_loser = lid[pos_c] == ids
+            return t.filter(pa.array(~is_loser))
+
+        return ds.map_batches(
+            drop_losers, batch_format="pyarrow", zero_copy_batch=True
+        )
+
+    def add_hash(t: pa.Table) -> pa.Table:
+        h = (hash_strings(t[text_col]) % np.uint64(num_partitions)).astype(np.int64)
+        return t.append_column("__th", pa.array(h))
 
     def first_per_text(g: pa.Table) -> pa.Table:
         g = g.sort_by([(text_col, "ascending"), (id_col, "ascending")])

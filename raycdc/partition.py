@@ -35,13 +35,19 @@ _FNV_OFFSET = np.uint64(0xCBF29CE484222325)
 _FNV_PRIME = np.uint64(0x100000001B3)
 
 
-def hash_strings(arr: pa.ChunkedArray | pa.Array | np.ndarray) -> np.ndarray:
+def hash_strings(
+    arr: pa.ChunkedArray | pa.Array | np.ndarray, seed: int = 0
+) -> np.ndarray:
     """Deterministic uint64 FNV-1a hash of a string column.
 
     Arrow inputs are hashed straight off the UTF-8 value buffer with one
     vectorized pass per byte position (strings in one column are short, so
     the position loop is ~10 iterations) — zero per-row Python objects.
     numpy object arrays fall back to pandas' SipHash.
+
+    ``seed`` perturbs the FNV offset basis (splitmix-mixed), giving
+    independent hash families — e.g. the two halves of a 128-bit content
+    identity.  numpy-array inputs ignore the seed (SipHash fallback).
     """
     if isinstance(arr, np.ndarray):
         return pandas.util.hash_array(np.asarray(arr, dtype=object), categorize=False)
@@ -65,7 +71,14 @@ def hash_strings(arr: pa.ChunkedArray | pa.Array | np.ndarray) -> np.ndarray:
     ].astype(np.int64)
     starts = off[:-1]  # absolute positions into the shared values buffer
     lens = np.diff(off)
-    h = np.full(len(arr), _FNV_OFFSET, np.uint64)
+    offset = _FNV_OFFSET
+    if seed:
+        s = np.uint64(seed)
+        with np.errstate(over="ignore"):
+            s = (s ^ (s >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+            s = (s ^ (s >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+            offset = offset ^ (s ^ (s >> np.uint64(31)))
+    h = np.full(len(arr), offset, np.uint64)
     maxlen = int(lens.max())
     with np.errstate(over="ignore"):
         for pos in range(maxlen):

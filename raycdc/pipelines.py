@@ -466,6 +466,18 @@ def q_dedup_exact(sf_dir: str):
     return exact_dedup(_corpus_with_exact_copies(sf_dir), num_partitions=32)
 
 
+def q_dedup_exact_hash(sf_dir: str):
+    """Exact dedup via 128-bit content identity — the 100 TB path: the
+    exchange carries (h1, h2, id) only, losers broadcast once, corpus
+    filtered streaming.  SAME oracle as dedup_exact (results identical
+    short of a 2^-128 collision)."""
+    from raycdc.dedup import exact_dedup
+
+    return exact_dedup(
+        _corpus_with_exact_copies(sf_dir), num_partitions=32, identity="hash128"
+    )
+
+
 SQL_DEDUP_EXACT = f"""
 WITH corpus AS (
     SELECT doc_id, text FROM documents
@@ -1467,6 +1479,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "text_langid": q_text_langid,
     "text_fingerprints": q_text_fingerprints,
     "dedup_exact": q_dedup_exact,
+    "dedup_exact_hash": q_dedup_exact_hash,
     "dedup_minhash": q_dedup_minhash,
     "dedup_jaccard": q_dedup_jaccard,
     "dedup_simhash": q_dedup_simhash,
@@ -1505,6 +1518,7 @@ ORACLES: dict[str, str] = {
     "text_stats": SQL_TEXT_STATS,
     "text_quality": SQL_TEXT_QUALITY,
     "dedup_exact": SQL_DEDUP_EXACT,
+    "dedup_exact_hash": SQL_DEDUP_EXACT,
     "dedup_minhash": SQL_DEDUP_MINHASH,
     "dedup_jaccard": SQL_DEDUP_JACCARD,
     "sim_knn": SQL_SIM_KNN,

@@ -386,3 +386,25 @@ def test_tdigest_accuracy_and_merge(ray_session):
     m3, w3 = K.tdigest_cluster(np.array([np.nan, 1.0, np.nan, 3.0]))
     assert abs(K.tdigest_quantile(m3, w3, [0.5])[0] - 2.0) < 1.01
     assert np.isnan(K.tdigest_quantile(*K.tdigest_cluster(np.array([])), [0.5])[0])
+
+
+def test_exact_dedup_hash128_equals_text_mode(ray_session, dup_corpus):
+    """The hash-identity scale path must produce exactly the text-compare
+    result (and reject unknown identity modes)."""
+    a = (
+        D.exact_dedup(ray.data.from_arrow(dup_corpus), num_partitions=8)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    b = (
+        D.exact_dedup(
+            ray.data.from_arrow(dup_corpus), num_partitions=8, identity="hash128"
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert a.equals(b)
+    with pytest.raises(ValueError, match="identity"):
+        D.exact_dedup(ray.data.from_arrow(dup_corpus), identity="nope")
