@@ -458,6 +458,38 @@ def _corpus_with_near_copies(sf_dir: str) -> "ray.data.Dataset":
     return ds.map_batches(dup, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def q_text_repetition(sf_dir: str):
+    """Duplicate-bigram repetition signal per document (the Gopher-style
+    repeated-n-gram quality filter), fully vectorized via the segmented
+    shingle kernel."""
+    from raycdc.text import repetition_stats
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return ds.map_batches(repetition_stats, batch_format="pyarrow", zero_copy_batch=True)
+
+
+SQL_TEXT_REPETITION = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+b AS (
+  SELECT doc_id,
+         list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
+           AS bigrams
+  FROM t
+)
+SELECT doc_id,
+       len(bigrams) AS n_bigrams,
+       len(list_distinct(bigrams)) AS n_uniq_bigrams,
+       coalesce(
+         floor((1 - len(list_distinct(bigrams))::DOUBLE / NULLIF(len(bigrams), 0))
+               * 1e6) / 1e6,
+         0.0
+       ) AS dup_bigram_ratio
+FROM b
+"""
+
+
 def q_dedup_exact(sf_dir: str):
     """Exact dedup: hash-partition on text hash, min doc_id per distinct
     text, over a corpus where every doc has one exact copy."""
@@ -1478,6 +1510,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "text_quality": q_text_quality,
     "text_langid": q_text_langid,
     "text_fingerprints": q_text_fingerprints,
+    "text_repetition": q_text_repetition,
     "dedup_exact": q_dedup_exact,
     "dedup_exact_hash": q_dedup_exact_hash,
     "dedup_minhash": q_dedup_minhash,
@@ -1517,6 +1550,7 @@ ORACLES: dict[str, str] = {
     "top_orders_per_cust": SQL_TOP_ORDERS_PER_CUST,
     "text_stats": SQL_TEXT_STATS,
     "text_quality": SQL_TEXT_QUALITY,
+    "text_repetition": SQL_TEXT_REPETITION,
     "dedup_exact": SQL_DEDUP_EXACT,
     "dedup_exact_hash": SQL_DEDUP_EXACT,
     "dedup_minhash": SQL_DEDUP_MINHASH,

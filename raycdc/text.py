@@ -257,3 +257,32 @@ def fingerprints(
             "fp_max": pa.array(fp_max),
         }
     )
+
+
+def repetition_stats(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Repetition quality signal (the Gopher-style duplicate-n-gram
+    filter): per-doc word-bigram counts — total, distinct, and the
+    duplicate fraction ``1 - distinct/total`` (0 for docs with < 2
+    tokens).  Rides the segmented shingle machinery of
+    :func:`raycdc.dedup.word_shingle_hashes` (k=2 distinct hashes per
+    doc), so the whole batch is one flatten + hash + offsets pass."""
+    from raycdc.dedup import word_shingle_hashes
+
+    t = batch[text_col]
+    n_tok = pc.list_value_length(pc.split_pattern(t, " ")).to_numpy(
+        zero_copy_only=False
+    )
+    n_bigrams = np.maximum(n_tok - 1, 0).astype(np.int64)
+    _, off = word_shingle_hashes(t, k=2)
+    n_uniq = np.diff(off).astype(np.int64)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        ratio = np.where(n_bigrams > 0, 1.0 - n_uniq / np.maximum(n_bigrams, 1), 0.0)
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "n_bigrams": pa.array(n_bigrams),
+            "n_uniq_bigrams": pa.array(n_uniq),
+            # floor-quantize: numpy round is half-even, SQL half-away
+            "dup_bigram_ratio": pa.array(np.floor(ratio * 1e6) / 1e6),
+        }
+    )

@@ -408,3 +408,24 @@ def test_exact_dedup_hash128_equals_text_mode(ray_session, dup_corpus):
     assert a.equals(b)
     with pytest.raises(ValueError, match="identity"):
         D.exact_dedup(ray.data.from_arrow(dup_corpus), identity="nope")
+
+
+def test_repetition_stats_vs_python():
+    b = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "text": pa.array(
+                ["a b a b a b", "w x y z", "solo", "a a a a"]
+            ),
+        }
+    )
+    out = T.repetition_stats(b)
+    for i, text in enumerate(b["text"].to_pylist()):
+        toks = text.split(" ")
+        bigrams = [f"{toks[j]} {toks[j+1]}" for j in range(len(toks) - 1)]
+        assert out["n_bigrams"][i].as_py() == len(bigrams)
+        assert out["n_uniq_bigrams"][i].as_py() == len(set(bigrams))
+        expect = 1 - len(set(bigrams)) / len(bigrams) if bigrams else 0.0
+        import math
+
+        assert abs(out["dup_bigram_ratio"][i].as_py() - math.floor(expect * 1e6) / 1e6) < 1e-9
