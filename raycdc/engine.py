@@ -85,6 +85,14 @@ def prepare(
             # (part_key must exist even on fully-pruned batches)
             batch = batch.filter(pc.greater(batch["lsn"], lsn_floor))
         batch = add_part_key(batch, key_col=pkey, num_partitions=nparts)
+        if spec.merge_policy == "additive":
+            # NO map-side combine for additive: addition is not idempotent,
+            # and a partial sum carrying max(lsn) would smuggle
+            # already-applied deltas past the per-partition exactly-once
+            # filter on redelivery.  Rows ship raw (column-reduced — delta
+            # rows are tiny) and merge AFTER the checkpoint filter.
+            keep = [*key_cols, *version_cols, op_col, *spec.value_cols, PART_KEY]
+            return batch.select([c for c in keep if c in batch.column_names])
         return M.combine_batch(batch, key_cols, version_cols, op_col)
 
     # Retry policy: transient IO faults (OSError — object storage hiccups
@@ -135,12 +143,20 @@ def merged_state(
             zero_copy_batch=True,
         )
         ds = ds.groupby(SALT_KEY, num_partitions=_shuffle_parts(spec)).map_groups(
-            lambda g: M.merge_group(g, key_cols, version_cols, op_col, drop_deletes=False),
+            lambda g: M.policy_merge(
+                g, key_cols, version_cols, op_col,
+                policy=spec.merge_policy, value_cols=spec.value_cols,
+                drop_deletes=False,
+            ),
             batch_format="pyarrow",
         )
 
     ds = ds.groupby(PART_KEY, num_partitions=_shuffle_parts(spec)).map_groups(
-        lambda g: M.merge_group(g, key_cols, version_cols, op_col, drop_deletes=True),
+        lambda g: M.policy_merge(
+            g, key_cols, version_cols, op_col,
+            policy=spec.merge_policy, value_cols=spec.value_cols,
+            drop_deletes=True,
+        ),
         batch_format="pyarrow",
     )
     return ds.map_batches(
@@ -205,7 +221,15 @@ def _make_apply_fn(lake_dir: str, spec: TableSpec):
             folded = pa.concat_tables([existing, fresh], promote_options="default")
         else:
             folded = fresh
-        merged = M.lww_dedup(folded, key_cols, version_cols, op_col, drop_deletes=False)
+        merged = M.policy_merge(
+            folded,
+            key_cols,
+            version_cols,
+            op_col,
+            policy=spec.merge_policy,
+            value_cols=spec.value_cols,
+            drop_deletes=False,
+        )
 
         # install the next version, then advance the checkpoint to it — a
         # crash in between leaves readers on the old version (consistent)
@@ -341,6 +365,12 @@ def replay(
             detect_hot_keys(prepare(ds, spec, projector, lsn_floor=lsn_floor), spec)
         )
     ds = prepare(ds, spec, projector, lsn_floor=lsn_floor)
+    if salted and spec.merge_policy == "additive":
+        # a salted PRE-merge would sum deltas before the per-partition
+        # checkpoint filter — the redelivery double-count hazard the
+        # combiner already avoids.  Delta rows are tiny (no payload text),
+        # so the unsalted single merge is the correct and cheap path.
+        raise ValueError("salted replay is not supported with merge_policy='additive'")
     if salted:
         key_cols, version_cols, op_col = spec.key_cols, spec.version_cols, spec.op_col
         ds = ds.map_batches(
@@ -349,7 +379,11 @@ def replay(
             zero_copy_batch=True,
         )
         ds = ds.groupby(SALT_KEY, num_partitions=_shuffle_parts(spec)).map_groups(
-            lambda g: M.merge_group(g, key_cols, version_cols, op_col, drop_deletes=False),
+            lambda g: M.policy_merge(
+                g, key_cols, version_cols, op_col,
+                policy=spec.merge_policy, value_cols=spec.value_cols,
+                drop_deletes=False,
+            ),
             batch_format="pyarrow",
         )
     grouped = ds.groupby(PART_KEY, num_partitions=_shuffle_parts(spec))

@@ -101,3 +101,117 @@ def merge_group(
 ) -> pa.Table:
     """map_groups body: final LWW merge of one partition."""
     return lww_dedup(group, key_cols, version_cols, op_col, drop_deletes=drop_deletes)
+
+
+# ---------------------------------------------------------------------------
+# additive merge policy — incremental materialized rollups
+
+
+def additive_merge(
+    table: pa.Table,
+    key_cols: Sequence[str] = ("conv_id", "turn_idx"),
+    version_cols: Sequence[str] = ("ts", "lsn"),
+    op_col: str = "op",
+    value_cols: Sequence[str] = (),
+) -> pa.Table:
+    """ADDITIVE merge: per key, SUM the ``value_cols`` deltas of all rows
+    strictly NEWER (by version tuple) than the key's latest delete; a
+    delete resets the key.  The CDC building block for incrementally
+    maintained rollup tables (materialized-view maintenance): exactly-once
+    delivery (the engine's lsn checkpoints) makes per-event addition safe
+    even though addition is not idempotent.
+
+    Associative/commutative as a combiner: an aggregate row re-enters later
+    merges carrying op='insert' and the version of its LAST contribution,
+    so newer deletes still cancel it and older deltas still fold in below
+    a retained tombstone.
+
+    Output per key: one aggregate row (when any contribution survives the
+    latest delete) and one tombstone row (when the key ever saw a delete —
+    retained so stale pre-delete deltas arriving later are excluded), both
+    restricted to ``key + version + op + value`` columns (aggregates carry
+    no other payload).  Fully vectorized: one sort, segmented reduceat.
+    """
+    import numpy as np
+
+    cols = [*key_cols, *version_cols, op_col, *value_cols]
+    if len(table) == 0:
+        return table.select(cols) if set(cols) <= set(table.column_names) else table
+    t = table.select(cols).sort_by(
+        [(k, "ascending") for k in key_cols]
+        + [(v, "ascending") for v in version_cols]
+    )
+    n = len(t)
+    new = _first_occurrence_mask(t, key_cols).to_numpy(zero_copy_only=False)
+    seg_id = (np.cumsum(new) - 1).astype(np.int64)
+    idx = np.arange(n, dtype=np.int64)
+    starts = np.where(new)[0]
+    is_del = pc.equal(pc.fill_null(t[op_col], ""), DELETE).to_numpy(
+        zero_copy_only=False
+    )
+    # per-segment index of the LATEST delete (-1 when none)
+    del_idx = np.where(is_del, idx, -1)
+    seg_del = np.maximum.reduceat(del_idx, starts)
+    contrib = (~is_del) & (idx > seg_del[seg_id])
+    contrib_idx = np.where(contrib, idx, -1)
+    last_contrib = np.maximum.reduceat(contrib_idx, starts)
+    has_contrib = last_contrib >= 0
+    has_del = seg_del >= 0
+
+    parts = []
+    if has_contrib.any():
+        rep = pa.array(last_contrib[has_contrib])  # row carrying key+version
+        agg = t.take(rep)
+        for v in value_cols:
+            vals = t[v].to_numpy(zero_copy_only=False)
+            sums = np.add.reduceat(np.where(contrib, vals, 0), starts)
+            agg = agg.set_column(
+                agg.schema.get_field_index(v),
+                v,
+                pa.array(sums[has_contrib]).cast(t.schema.field(v).type),
+            )
+        agg = agg.set_column(
+            agg.schema.get_field_index(op_col),
+            op_col,
+            pa.repeat(pa.scalar("insert"), len(agg)),
+        )
+        parts.append(agg)
+    if has_del.any():
+        tomb = t.take(pa.array(seg_del[has_del]))
+        for v in value_cols:
+            tomb = tomb.set_column(
+                tomb.schema.get_field_index(v),
+                v,
+                pa.array(
+                    np.zeros(len(tomb), dtype=np.int64)
+                ).cast(t.schema.field(v).type),
+            )
+        parts.append(tomb)
+    if not parts:
+        return t.slice(0, 0)
+    out = pa.concat_tables(parts)
+    return out.sort_by(
+        [(k, "ascending") for k in key_cols]
+        + [(v, "ascending") for v in version_cols]
+    )
+
+
+def policy_merge(
+    table: pa.Table,
+    key_cols: Sequence[str],
+    version_cols: Sequence[str],
+    op_col: str,
+    policy: str = "lww",
+    value_cols: Sequence[str] = (),
+    drop_deletes: bool = False,
+) -> pa.Table:
+    """Dispatch to the configured merge policy (both usable as combiner —
+    tombstones kept — and as the final merge with ``drop_deletes``)."""
+    if policy == "lww":
+        return lww_dedup(table, key_cols, version_cols, op_col, drop_deletes)
+    if policy == "additive":
+        out = additive_merge(table, key_cols, version_cols, op_col, value_cols)
+        if drop_deletes and op_col in out.column_names:
+            out = out.filter(pc.not_equal(pc.fill_null(out[op_col], ""), DELETE))
+        return out
+    raise ValueError(f"unknown merge policy {policy!r} (expected lww|additive)")

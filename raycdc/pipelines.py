@@ -458,6 +458,87 @@ def _corpus_with_near_copies(sf_dir: str) -> "ray.data.Dataset":
     return ds.map_batches(dup, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def q_cdc_additive_rollup(sf_dir: str):
+    """Incrementally maintained rollup lake (merge_policy='additive'):
+    events become per-(user, event-class) cent deltas, 'error' events are
+    resets (deletes), and the lake holds running sums with exactly-once
+    semantics — the materialized-view-maintenance capability.  Replayed
+    into a fresh lake per run; the oracle recomputes the same rollup with
+    window SQL over the raw events."""
+    import numpy as np
+
+    from raycdc.engine import read_lake, replay
+    from raycdc.schema import TableSpec
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "event_type", "value"],
+    )
+    classes = ["click", "view", "purchase", "signup", "error"]
+
+    def to_deltas(t: pa.Table) -> pa.Table:
+        et = t["event_type"]
+        cls = pc.index_in(et, value_set=pa.array(classes)).cast(pa.int32())
+        v = t["value"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "conv_id": pc.binary_join_element_wise(
+                    "u", pc.cast(t["user_id"], pa.string()), ""
+                ),
+                "turn_idx": cls,
+                "ts": t["ts"],
+                "op": pc.if_else(
+                    pc.equal(et, "error"), pa.scalar("delete"), pa.scalar("insert")
+                ),
+                "lsn": t["event_id"].cast(pa.int64()),
+                "cents": pa.array(np.floor(v * 100).astype(np.int64)),
+            }
+        )
+
+    lake = os.path.join(tempfile.gettempdir(), "raycdc_additive_lake")
+    shutil.rmtree(lake, ignore_errors=True)
+    spec = TableSpec(
+        num_partitions=16, merge_policy="additive", value_cols=("cents",)
+    )
+    replay(
+        ds.map_batches(to_deltas, batch_format="pyarrow", zero_copy_batch=True),
+        lake,
+        spec,
+    )
+    out = read_lake(lake, spec)
+
+    def project(t: pa.Table) -> pa.Table:
+        return t.select(["conv_id", "turn_idx", "cents"]).set_column(
+            1, "turn_idx", t["turn_idx"].cast(pa.int64())
+        )
+
+    return out.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
+
+
+SQL_CDC_ADDITIVE_ROLLUP = """
+WITH src AS (
+  SELECT 'u' || CAST(user_id AS VARCHAR) AS conv_id,
+         CASE event_type WHEN 'click' THEN 0 WHEN 'view' THEN 1
+              WHEN 'purchase' THEN 2 WHEN 'signup' THEN 3 ELSE 4 END AS turn_idx,
+         ts, event_id AS lsn,
+         CASE WHEN event_type = 'error' THEN 'delete' ELSE 'insert' END AS op,
+         CAST(floor(value * 100) AS BIGINT) AS cents
+  FROM events
+), del AS (
+  SELECT conv_id, turn_idx, ts, lsn,
+         ROW_NUMBER() OVER (PARTITION BY conv_id, turn_idx
+                            ORDER BY ts DESC, lsn DESC) AS rn
+  FROM src WHERE op = 'delete'
+), ld AS (
+  SELECT conv_id, turn_idx, ts AS dts, lsn AS dlsn FROM del WHERE rn = 1
+)
+SELECT s.conv_id, s.turn_idx, CAST(SUM(s.cents) AS BIGINT) AS cents
+FROM src s LEFT JOIN ld USING (conv_id, turn_idx)
+WHERE s.op = 'insert' AND (ld.dts IS NULL OR (s.ts, s.lsn) > (ld.dts, ld.dlsn))
+GROUP BY s.conv_id, s.turn_idx
+"""
+
+
 def q_text_repetition(sf_dir: str):
     """Duplicate-bigram repetition signal per document (the Gopher-style
     repeated-n-gram quality filter), fully vectorized via the segmented
@@ -1489,6 +1570,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "proj_statement": q_proj_statement,
     "cdc_csv_ingest": q_cdc_csv_ingest,
     "cdc_evolve": q_cdc_evolve,
+    "cdc_additive_rollup": q_cdc_additive_rollup,
     "sample_events": q_sample_events,
     "split_events": q_split_events,
     "join_orders_customer": q_join_orders_customer,
@@ -1535,6 +1617,7 @@ ORACLES: dict[str, str] = {
     "join_orders_customer": SQL_JOIN_ORDERS_CUSTOMER,
     "join_shuffle": SQL_JOIN_ORDERS_CUSTOMER,
     "cdc_evolve": _sql_cdc_evolve(),
+    "cdc_additive_rollup": SQL_CDC_ADDITIVE_ROLLUP,
     "sample_events": SQL_SAMPLE_EVENTS,
     "split_events": SQL_SPLIT_EVENTS,
     "sessionize_events": SQL_SESSIONIZE_EVENTS,

@@ -64,6 +64,11 @@ class TableSpec:
     shuffle_partitions: int | None = None
     sort_cols: tuple[str, ...] = ("conv_id", "turn_idx")
     defaults: dict = field(default_factory=dict)  # col -> fill value for additive cols
+    # merge policy: "lww" (default — latest version wins) or "additive"
+    # (value_cols deltas SUM per key; deletes reset — incremental rollups;
+    # exactly-once checkpoints make non-idempotent addition safe)
+    merge_policy: str = "lww"
+    value_cols: tuple[str, ...] = ()
 
     def changelog_schema(self) -> pa.Schema:
         return pa.schema(

@@ -1,0 +1,168 @@
+"""Additive merge policy: incrementally maintained rollups with
+exactly-once semantics (non-idempotent addition made safe by the
+per-partition lsn checkpoints)."""
+
+import datetime as dt
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+from raycdc.engine import read_lake, replay
+from raycdc.merge import additive_merge
+from raycdc.schema import TableSpec
+
+
+def _spec():
+    return TableSpec(
+        num_partitions=4, merge_policy="additive", value_cols=("cents",)
+    )
+
+
+def _deltas(n=600, seed=9):
+    rng = np.random.default_rng(seed)
+    users = rng.integers(0, 12, n)
+    return pa.table(
+        {
+            "conv_id": pa.array([f"u{u}" for u in users]),
+            "turn_idx": pa.array(rng.integers(0, 3, n).astype(np.int32)),
+            "ts": pa.array(
+                [dt.datetime(2024, 1, 1) + dt.timedelta(seconds=int(s))
+                 for s in range(n)],
+                pa.timestamp("us"),
+            ),
+            "op": pa.array(
+                np.where(rng.random(n) < 0.05, "delete", "insert")
+            ),
+            "lsn": pa.array(np.arange(n, dtype=np.int64)),
+            "cents": pa.array(rng.integers(-50, 200, n).astype(np.int64)),
+        }
+    )
+
+
+def _python_rollup(t: pa.Table) -> dict:
+    """Reference: per key, sum of insert cents newer than the last delete."""
+    state: dict = {}
+    rows = sorted(
+        t.to_pylist(), key=lambda r: (r["ts"], r["lsn"])
+    )
+    last_del: dict = {}
+    for r in rows:
+        k = (r["conv_id"], r["turn_idx"])
+        if r["op"] == "delete":
+            last_del[k] = (r["ts"], r["lsn"])
+    out: dict = {}
+    for r in rows:
+        k = (r["conv_id"], r["turn_idx"])
+        if r["op"] == "delete":
+            continue
+        d = last_del.get(k)
+        if d is None or (r["ts"], r["lsn"]) > d:
+            out[k] = out.get(k, 0) + r["cents"]
+    return out
+
+
+def test_additive_replay_matches_python_reference(ray_session, tmp_path):
+    t = _deltas()
+    lake = str(tmp_path / "lake")
+    spec = _spec()
+    lineage = replay(ray.data.from_arrow(t), lake, spec)
+    assert set(lineage["status"].to_pylist()) == {"applied"}
+    out = read_lake(lake, spec).to_pandas()
+    got = {
+        (r.conv_id, r.turn_idx): r.cents for r in out.itertuples()
+    }
+    assert got == _python_rollup(t)
+
+
+def test_additive_redelivery_is_noop(ray_session, tmp_path):
+    """THE additive hazard: re-applying deltas would double-count — the
+    checkpoints must make redelivery a byte-level no-op."""
+    t = _deltas(seed=10)
+    lake = str(tmp_path / "lake")
+    spec = _spec()
+    replay(ray.data.from_arrow(t), lake, spec)
+    before = read_lake(lake, spec).to_pandas().sort_values(
+        ["conv_id", "turn_idx"]).reset_index(drop=True)
+    lin2 = replay(ray.data.from_arrow(t), lake, spec)
+    assert set(lin2["status"].to_pylist()) == {"noop"}
+    after = read_lake(lake, spec).to_pandas().sort_values(
+        ["conv_id", "turn_idx"]).reset_index(drop=True)
+    assert before.equals(after)
+
+
+def test_additive_crash_resume_overlap(ray_session, tmp_path):
+    """Half the log, then the FULL log (overlapping redelivery): final
+    state equals one clean replay."""
+    t = _deltas(seed=11)
+    lake = str(tmp_path / "lake")
+    lake2 = str(tmp_path / "lake2")
+    spec = _spec()
+    half = t.filter(pc.less(t["lsn"], 300))
+    replay(ray.data.from_arrow(half), lake, spec)
+    replay(ray.data.from_arrow(t), lake, spec)  # full log incl. overlap
+    replay(ray.data.from_arrow(t), lake2, spec)  # clean one-shot
+    a = read_lake(lake, spec).to_pandas().sort_values(
+        ["conv_id", "turn_idx"]).reset_index(drop=True)
+    b = read_lake(lake2, spec).to_pandas().sort_values(
+        ["conv_id", "turn_idx"]).reset_index(drop=True)
+    assert a.equals(b)
+
+
+def test_additive_delete_resets_and_tombstone_blocks_stale(ray_session, tmp_path):
+    base = dt.datetime(2024, 1, 1)
+    spec = _spec()
+
+    def row(s, lsn, op, cents):
+        return {
+            "conv_id": "u1",
+            "turn_idx": 0,
+            "ts": base + dt.timedelta(seconds=s),
+            "op": op,
+            "lsn": lsn,
+            "cents": cents,
+        }
+
+    lake = str(tmp_path / "lake")
+    first = pa.Table.from_pylist(
+        [row(1, 0, "insert", 10), row(5, 1, "delete", 0), row(6, 2, "insert", 7)],
+        schema=_deltas().schema,
+    )
+    replay(ray.data.from_arrow(first), lake, spec)
+    out = read_lake(lake, spec).to_pandas()
+    assert list(out["cents"]) == [7]  # delete@5 reset the 10
+    # stale delta: NEW lsn but event-time BEFORE the delete — must not count
+    stale = pa.Table.from_pylist(
+        [row(3, 3, "insert", 1000)], schema=_deltas().schema
+    )
+    replay(ray.data.from_arrow(stale), lake, spec)
+    out2 = read_lake(lake, spec).to_pandas()
+    assert list(out2["cents"]) == [7]
+
+
+def test_additive_merge_associativity_random():
+    rng = np.random.default_rng(12)
+    t = _deltas(n=300, seed=13)
+    one = additive_merge(t, value_cols=("cents",))
+    cut = int(rng.integers(50, 250))
+    h = pa.concat_tables(
+        [
+            additive_merge(t.slice(0, cut), value_cols=("cents",)),
+            additive_merge(t.slice(cut), value_cols=("cents",)),
+        ]
+    )
+    again = additive_merge(h, value_cols=("cents",))
+    assert again.equals(one)
+
+
+def test_salted_additive_rejected(ray_session, tmp_path):
+    import pytest
+
+    with pytest.raises(ValueError, match="additive"):
+        replay(
+            ray.data.from_arrow(_deltas(n=50)),
+            str(tmp_path / "lake"),
+            _spec(),
+            salted=True,
+        )
