@@ -261,6 +261,50 @@ def lsh_band_rows(
     )
 
 
+
+def pair_distinct_exchange(
+    pairs: "ray.data.Dataset",
+    num_partitions: int,
+    extra_cols: "tuple[str, ...]" = (),
+) -> "ray.data.Dataset":
+    """Global distinct over (a, b) pair rows: ONE hash-bucketed exchange
+    (``__pk = golden-ratio-hash(a, b) % num_partitions`` — a bucket, not a
+    raw hash, so Ray dispatches num_partitions UDF calls), then one
+    np.unique over each bucket's (a, b) int64 matrix keeping the first
+    occurrence (duplicates of a pair carry identical ``extra_cols``, which
+    ride along).  Shared by the LSH, SimHash, and embedding near-dup
+    pipelines."""
+    cols = ["a", "b", *extra_cols]
+
+    def pair_key(t: pa.Table) -> pa.Table:
+        a = t["a"].to_numpy(zero_copy_only=False)
+        b = t["b"].to_numpy(zero_copy_only=False)
+        with np.errstate(over="ignore"):
+            k = (a.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) ^ b.astype(
+                np.uint64
+            )
+        return t.append_column(
+            "__pk", pa.array((k % np.uint64(num_partitions)).astype(np.int64))
+        )
+
+    def distinct(g: pa.Table) -> pa.Table:
+        ab = np.stack(
+            [
+                g["a"].to_numpy(zero_copy_only=False),
+                g["b"].to_numpy(zero_copy_only=False),
+            ],
+            axis=1,
+        )
+        _, first = np.unique(ab, axis=0, return_index=True)
+        return g.select(cols).take(pa.array(np.sort(first)))
+
+    return (
+        pairs.map_batches(pair_key, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__pk", num_partitions=num_partitions)
+        .map_groups(distinct, batch_format="pyarrow")
+    )
+
+
 def banded_pairs(
     g: pa.Table,
     key_col: str = "band_key",
@@ -363,36 +407,7 @@ def lsh_candidate_pairs(
     )
     if not distinct:
         return pairs
-
-    def pair_key(t: pa.Table) -> pa.Table:
-        a = t["a"].to_numpy(zero_copy_only=False)
-        b = t["b"].to_numpy(zero_copy_only=False)
-        with np.errstate(over="ignore"):
-            k = (a.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) ^ b.astype(
-                np.uint64
-            )
-        # bucket, not raw hash: one Ray UDF call per groupby key, and the
-        # distinct kernel dedups the whole bucket in one np.unique
-        return t.append_column(
-            "__pk", pa.array((k % np.uint64(num_partitions)).astype(np.int64))
-        )
-
-    def distinct_pairs(g: pa.Table) -> pa.Table:
-        arr = np.stack(
-            [
-                g["a"].to_numpy(zero_copy_only=False),
-                g["b"].to_numpy(zero_copy_only=False),
-            ],
-            axis=1,
-        )
-        u = np.unique(arr, axis=0)
-        return pa.table({"a": pa.array(u[:, 0]), "b": pa.array(u[:, 1])})
-
-    return (
-        pairs.map_batches(pair_key, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("__pk", num_partitions=num_partitions)
-        .map_groups(distinct_pairs, batch_format="pyarrow")
-    )
+    return pair_distinct_exchange(pairs, num_partitions)
 
 
 _SHINGLE_LIST = pa.large_list(pa.int64())
@@ -423,7 +438,6 @@ def _null_lists(n: int) -> pa.Array:
 
 def _list_flat(la) -> tuple[np.ndarray, np.ndarray]:
     """(flat int64 values, normalized offsets) of a (large_)list column."""
-    la = la.combine_chunks() if isinstance(la, pa.ChunkedArray) else la
     if isinstance(la, pa.ChunkedArray):
         la = la.combine_chunks()
     off = la.offsets.to_numpy().astype(np.int64)
@@ -766,37 +780,4 @@ def simhash_candidate_pairs(
         pairs_in_bucket, batch_format="pyarrow"
     )
 
-    def distinct(g: pa.Table) -> pa.Table:
-        arr = np.stack(
-            [
-                g["a"].to_numpy(zero_copy_only=False),
-                g["b"].to_numpy(zero_copy_only=False),
-                g["hamming"].to_numpy(zero_copy_only=False),
-            ],
-            axis=1,
-        )
-        u = np.unique(arr, axis=0)
-        return pa.table(
-            {
-                "a": pa.array(u[:, 0]),
-                "b": pa.array(u[:, 1]),
-                "hamming": pa.array(u[:, 2]),
-            }
-        )
-
-    def pair_key(t: pa.Table) -> pa.Table:
-        a = t["a"].to_numpy(zero_copy_only=False)
-        b = t["b"].to_numpy(zero_copy_only=False)
-        with np.errstate(over="ignore"):
-            k = (a.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) ^ b.astype(
-                np.uint64
-            )
-        return t.append_column(
-            "__pk", pa.array((k % np.uint64(num_partitions)).astype(np.int64))
-        )
-
-    return (
-        pairs.map_batches(pair_key, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("__pk", num_partitions=num_partitions)
-        .map_groups(distinct, batch_format="pyarrow")
-    )
+    return pair_distinct_exchange(pairs, num_partitions, extra_cols=("hamming",))

@@ -133,6 +133,13 @@ def merged_state(
     """
     spec = spec or TableSpec()
     _configure_shuffle()
+    if salted and spec.merge_policy == "additive":
+        # the salted pre-merge folds partial aggregates whose collapsed
+        # versions a later delete cannot split — same unsoundness replay()
+        # rejects; delta rows are tiny, the unsalted plan is the right one
+        raise ValueError(
+            "salted merged_state is not supported with merge_policy='additive'"
+        )
     ds = prepare(ds, spec, projector)
     key_cols, version_cols, op_col = spec.key_cols, spec.version_cols, spec.op_col
 
@@ -355,6 +362,11 @@ def replay(
     else:
         lsn_floor = -1  # some partition never applied anything: no safe floor
 
+    if salted == "auto" and spec.merge_policy == "additive":
+        # auto mode PICKS the plan: for additive the only sound plan is
+        # unsalted (delta rows carry no payload text, so the hot-key cost
+        # salting amortizes is small anyway) — choose it, don't crash
+        salted = False
     if salted == "auto":
         # probe the PRUNED stream: salting should reflect the rows that
         # will actually shuffle, not already-applied history.  The probe runs

@@ -115,29 +115,58 @@ def additive_merge(
     value_cols: Sequence[str] = (),
 ) -> pa.Table:
     """ADDITIVE merge: per key, SUM the ``value_cols`` deltas of all rows
-    strictly NEWER (by version tuple) than the key's latest delete; a
+    strictly NEWER (by version tuple) than the key's DELETE WATERMARK; a
     delete resets the key.  The CDC building block for incrementally
     maintained rollup tables (materialized-view maintenance): exactly-once
     delivery (the engine's lsn checkpoints) makes per-event addition safe
     even though addition is not idempotent.
 
-    Associative/commutative as a combiner: an aggregate row re-enters later
-    merges carrying op='insert' and the version of its LAST contribution,
-    so newer deletes still cancel it and older deltas still fold in below
-    a retained tombstone.
+    Output per key: one AGGREGATE row marked ``op='agg'`` (when any
+    contribution survives the watermark) carrying the version of its last
+    contribution PLUS two bookkeeping version tuples that make folding
+    exact: the watermark it was reconciled against
+    (``__floor_<version_col>``) and the MINIMUM contribution version it
+    folded (``__span_<version_col>``).  Raw delta rows need neither
+    (floor -inf, span = own version), and one tombstone row is emitted at
+    the latest delete's version.
 
-    Output per key: one aggregate row (when any contribution survives the
-    latest delete) and one tombstone row (when the key ever saw a delete —
-    retained so stale pre-delete deltas arriving later are excluded), both
-    restricted to ``key + version + op + value`` columns (aggregates carry
-    no other payload).  Fully vectorized: one sort, segmented reduceat.
+    The per-key delete watermark of a merge = lexicographic max over the
+    delete rows' versions and the incoming aggregates' floors (floors
+    subsume tombstones, so the bound survives tombstone GC).  Exactness:
+
+    * raw deltas at or below the watermark are excluded, above it summed —
+      always exact, any delivery order;
+    * an aggregate whose floor equals the watermark — or whose SPAN
+      starts above it — contributes whole (everything it folded postdates
+      the watermark);
+    * an aggregate at or below the watermark is cancelled whole — exact;
+    * a delete landing INSIDE an aggregate's span (floor < watermark,
+      span-start <= watermark < version) is the one genuinely ambiguous
+      case (the fold cannot be split) and RAISES — never a silently wrong
+      sum.  Per-key deletes must arrive event-time-monotone relative to
+      already-folded spans; a violation requires rebuilding the rollup
+      from the raw changelog.
+
+    Associative/commutative for any batching that honors that discipline.
+    Fully vectorized: one sort, segmented reduceats, lexicographic tuple
+    compares per version column — no Python row loops.
     """
     import numpy as np
 
+    MIN = np.int64(np.iinfo(np.int64).min)
+    MAX = np.int64(np.iinfo(np.int64).max)
+    floor_cols = [f"__floor_{v}" for v in version_cols]
+    span_cols = [f"__span_{v}" for v in version_cols]
     cols = [*key_cols, *version_cols, op_col, *value_cols]
+    have = set(table.column_names)
+    sel = cols + [f for f in (*floor_cols, *span_cols) if f in have]
     if len(table) == 0:
-        return table.select(cols) if set(cols) <= set(table.column_names) else table
-    t = table.select(cols).sort_by(
+        return table.select(sel) if set(sel) <= have else table
+    t = table.select(sel)
+    for f in (*floor_cols, *span_cols):  # raw rows carry neither — null
+        if f not in t.column_names:
+            t = t.append_column(f, pa.nulls(len(t), pa.int64()))
+    t = t.sort_by(
         [(k, "ascending") for k in key_cols]
         + [(v, "ascending") for v in version_cols]
     )
@@ -146,16 +175,78 @@ def additive_merge(
     seg_id = (np.cumsum(new) - 1).astype(np.int64)
     idx = np.arange(n, dtype=np.int64)
     starts = np.where(new)[0]
-    is_del = pc.equal(pc.fill_null(t[op_col], ""), DELETE).to_numpy(
-        zero_copy_only=False
+    op_np = pc.fill_null(t[op_col], "").to_numpy(zero_copy_only=False)
+    is_del = op_np == DELETE
+    is_agg = op_np == "agg"
+
+    def _as_i64(col) -> np.ndarray:
+        return col.cast(pa.int64()).to_numpy(zero_copy_only=False).astype(np.int64)
+
+    vnum = [_as_i64(t[v]) for v in version_cols]
+
+    def _filled(col, default) -> np.ndarray:
+        return (
+            pc.fill_null(col, int(default))
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+
+    fnum = [_filled(t[f], MIN) for f in floor_cols]
+    # span of a raw row is its own version; agg rows carry theirs
+    snum = [
+        np.where(is_agg, _filled(t[s], MIN), v)
+        for s, v in zip(span_cols, vnum)
+    ]
+
+    # per-row watermark candidate: delete -> own version, agg -> its floor,
+    # raw insert -> -inf; then segmented LEXICOGRAPHIC max per key
+    cand = [
+        np.where(is_del, v, np.where(is_agg, f, MIN))
+        for v, f in zip(vnum, fnum)
+    ]
+    bound = []
+    tie = np.ones(n, dtype=bool)
+    for c in cand:
+        masked = np.where(tie, c, MIN)
+        b = np.maximum.reduceat(masked, starts)
+        bound.append(b)
+        tie = tie & (c == b[seg_id])
+
+    def _lex_gt(a_cols, b_cols) -> np.ndarray:
+        gt = np.zeros(n, dtype=bool)
+        eq = np.ones(n, dtype=bool)
+        for a, b in zip(a_cols, b_cols):
+            bb = b[seg_id]
+            gt |= eq & (a > bb)
+            eq &= a == bb
+        return gt
+
+    ver_gt_bound = _lex_gt(vnum, bound)
+    floor_eq_bound = np.all(
+        [f == b[seg_id] for f, b in zip(fnum, bound)], axis=0
     )
-    # per-segment index of the LATEST delete (-1 when none)
-    del_idx = np.where(is_del, idx, -1)
-    seg_del = np.maximum.reduceat(del_idx, starts)
-    contrib = (~is_del) & (idx > seg_del[seg_id])
+    span_gt_bound = _lex_gt(snum, bound)
+    # ambiguous: a surviving aggregate reconciled against an OLDER
+    # watermark whose span reaches at or below the new one — some folded
+    # contribution may predate the newest delete and the fold cannot be
+    # split.  floor == bound (already reconciled) or span > bound (every
+    # folded contribution postdates it) are both exact whole-folds.
+    late = is_agg & ver_gt_bound & ~floor_eq_bound & ~span_gt_bound
+    if late.any():
+        bad = t.filter(pa.array(late)).select(list(key_cols)).slice(0, 3)
+        raise ValueError(
+            "additive_merge: delete older than an existing aggregate for "
+            f"key(s) {bad.to_pylist()} — per-key deletes must arrive "
+            "event-time-monotone relative to already-folded state "
+            "(watermark discipline); rebuild the rollup from the raw "
+            "changelog to apply this late delete exactly"
+        )
+    contrib = (~is_del) & ver_gt_bound
     contrib_idx = np.where(contrib, idx, -1)
     last_contrib = np.maximum.reduceat(contrib_idx, starts)
     has_contrib = last_contrib >= 0
+    del_idx = np.where(is_del, idx, -1)
+    seg_del = np.maximum.reduceat(del_idx, starts)
     has_del = seg_del >= 0
 
     parts = []
@@ -173,8 +264,33 @@ def additive_merge(
         agg = agg.set_column(
             agg.schema.get_field_index(op_col),
             op_col,
-            pa.repeat(pa.scalar("insert"), len(agg)),
+            pa.repeat(pa.scalar("agg"), len(agg)),
         )
+        for f, b in zip(floor_cols, bound):
+            bsel = b[has_contrib]
+            vals = pa.array(bsel, pa.int64())
+            agg = agg.set_column(
+                agg.schema.get_field_index(f),
+                f,
+                pc.if_else(
+                    pa.array(bsel != MIN), vals, pa.nulls(len(bsel), pa.int64())
+                ),
+            )
+        # span = segmented lexicographic MIN over contributing spans
+        span_bound = []
+        tie2 = np.ones(n, dtype=bool)
+        for s in snum:
+            masked = np.where(tie2 & contrib, s, MAX)
+            b = np.minimum.reduceat(masked, starts)
+            span_bound.append(b)
+            tie2 = tie2 & (s == b[seg_id])
+        for scol, b in zip(span_cols, span_bound):
+            bsel = b[has_contrib]
+            agg = agg.set_column(
+                agg.schema.get_field_index(scol),
+                scol,
+                pa.array(bsel, pa.int64()),
+            )
         parts.append(agg)
     if has_del.any():
         tomb = t.take(pa.array(seg_del[has_del]))
@@ -185,6 +301,12 @@ def additive_merge(
                 pa.array(
                     np.zeros(len(tomb), dtype=np.int64)
                 ).cast(t.schema.field(v).type),
+            )
+        for f in (*floor_cols, *span_cols):
+            tomb = tomb.set_column(
+                tomb.schema.get_field_index(f),
+                f,
+                pa.nulls(len(tomb), pa.int64()),
             )
         parts.append(tomb)
     if not parts:

@@ -109,8 +109,6 @@ def _flat_payloads(col) -> tuple[np.ndarray, np.ndarray]:
     from raycdc.text import _utf8_bytes_and_offsets
 
     la = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
-    if isinstance(la, pa.ChunkedArray):
-        la = la.combine_chunks()
     return _utf8_bytes_and_offsets(la)
 
 

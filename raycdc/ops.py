@@ -222,8 +222,12 @@ def stratified_sample(
     cutoff = pa.nulls(len(batch), pa.int64())
     cutoff = pc.fill_null(cutoff, int(round(default_fraction * 10_000)))
     for value, frac in fractions.items():
+        # null-safe: pc.equal(null, v) is null and if_else would NULL the
+        # cutoff, silently dropping the whole null stratum — null strata
+        # must take the default fraction
+        cond = pc.fill_null(pc.equal(strata, value), False)
         cutoff = pc.if_else(
-            pc.equal(strata, value),
+            cond,
             pa.scalar(int(round(frac * 10_000)), pa.int64()),
             cutoff,
         )

@@ -403,35 +403,10 @@ def embedding_near_dup_pairs(
             }
         )
 
-    def pair_key(t: pa.Table) -> pa.Table:
-        a = t["a"].to_numpy(zero_copy_only=False)
-        b = t["b"].to_numpy(zero_copy_only=False)
-        with np.errstate(over="ignore"):
-            key = (a.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) ^ b.astype(
-                np.uint64
-            )
-        # bucket, not raw hash: bounded Ray UDF-call count in the distinct
-        return t.append_column(
-            "__pk", pa.array((key % np.uint64(num_partitions)).astype(np.int64))
-        )
-
-    def distinct(g: pa.Table) -> pa.Table:
-        arr = np.stack(
-            [
-                g["a"].to_numpy(zero_copy_only=False),
-                g["b"].to_numpy(zero_copy_only=False),
-            ],
-            axis=1,
-        )
-        _, first = np.unique(arr, axis=0, return_index=True)
-        return g.select(["a", "b", "cosine"]).take(pa.array(np.sort(first)))
+    from raycdc.dedup import pair_distinct_exchange
 
     bucketed = ds.map_batches(bucketize, batch_format="pyarrow", zero_copy_batch=True)
     pairs = bucketed.groupby("bucket", num_partitions=num_partitions).map_groups(
         pairs_in_bucket, batch_format="pyarrow"
     )
-    return (
-        pairs.map_batches(pair_key, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("__pk", num_partitions=num_partitions)
-        .map_groups(distinct, batch_format="pyarrow")
-    )
+    return pair_distinct_exchange(pairs, num_partitions, extra_cols=("cosine",))

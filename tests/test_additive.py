@@ -166,3 +166,45 @@ def test_salted_additive_rejected(ray_session, tmp_path):
             _spec(),
             salted=True,
         )
+
+
+def test_additive_late_delete_guard_and_span_exactness():
+    """A delete landing INSIDE an existing aggregate's span raises (the
+    fold cannot be split exactly); a delete BELOW the span folds exactly;
+    a delete ABOVE the aggregate cancels it."""
+    import pytest
+
+    schema = _deltas().schema
+
+    def row(s, lsn, op, cents):
+        return {
+            "conv_id": "u1",
+            "turn_idx": 0,
+            "ts": dt.datetime(2024, 1, 1) + dt.timedelta(seconds=s),
+            "op": op,
+            "lsn": lsn,
+            "cents": cents,
+        }
+
+    contrib = pa.Table.from_pylist(
+        [row(1, 0, "insert", 2), row(5, 1, "insert", 3)], schema=schema
+    )
+    agg = additive_merge(contrib, value_cols=("cents",))
+
+    def fold(extra_rows):
+        extra = pa.Table.from_pylist(extra_rows, schema=schema)
+        return additive_merge(
+            pa.concat_tables([agg, extra], promote_options="default"),
+            value_cols=("cents",),
+        )
+
+    # inside the span (1..5): ambiguous -> raise
+    with pytest.raises(ValueError, match="event-time-monotone"):
+        fold([row(3, 2, "delete", 0)])
+    # below the span: exact whole-fold
+    out = fold([row(0, 3, "delete", 0)])
+    by_op = {r["op"]: r for r in out.to_pylist()}
+    assert by_op["agg"]["cents"] == 5 and "delete" in by_op
+    # above the aggregate: cancelled
+    out2 = fold([row(9, 4, "delete", 0)])
+    assert {r["op"] for r in out2.to_pylist()} == {"delete"}
