@@ -208,3 +208,31 @@ def test_additive_late_delete_guard_and_span_exactness():
     # above the aggregate: cancelled
     out2 = fold([row(9, 4, "delete", 0)])
     assert {r["op"] for r in out2.to_pylist()} == {"delete"}
+
+
+def test_additive_progressive_fold_matches_one_shot():
+    """Folding the log in version-ordered chunks (the multi-round replay
+    shape) must equal the one-shot merge, for several random chunkings."""
+    t = _deltas(n=400, seed=21)
+    one = additive_merge(t, value_cols=("cents",))
+    rng = np.random.default_rng(22)
+    for _ in range(5):
+        cuts = np.sort(rng.choice(np.arange(20, 380), size=3, replace=False))
+        acc = None
+        prev = 0
+        for c in [*cuts, 400]:
+            chunk = t.slice(prev, c - prev)
+            prev = c
+            inp = (
+                chunk
+                if acc is None
+                else pa.concat_tables([acc, chunk], promote_options="default")
+            )
+            acc = additive_merge(inp, value_cols=("cents",))
+        # compare key -> (op, cents) ignoring bookkeeping columns
+        def norm(tbl):
+            return {
+                (r["conv_id"], r["turn_idx"], r["op"]): r["cents"]
+                for r in tbl.to_pylist()
+            }
+        assert norm(acc) == norm(one)
