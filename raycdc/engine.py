@@ -110,10 +110,12 @@ def prepare(
 
 
 def _strip(table: pa.Table, keep_envelope: bool) -> pa.Table:
+    internal = [c for c in table.column_names if c.startswith("__")]
     if keep_envelope:
         drop = [c for c in (PART_KEY, SALT_KEY) if c in table.column_names]
     else:
         drop = [c for c in _ENVELOPE if c in table.column_names]
+    drop = drop + internal  # merge-policy bookkeeping never leaves the engine
     return table.drop_columns(drop) if drop else table
 
 

@@ -159,13 +159,26 @@ def additive_merge(
     span_cols = [f"__span_{v}" for v in version_cols]
     cols = [*key_cols, *version_cols, op_col, *value_cols]
     have = set(table.column_names)
+    missing = [c for c in cols if c not in have]
+    if missing:
+        raise ValueError(f"additive_merge: missing column(s) {missing}")
     sel = cols + [f for f in (*floor_cols, *span_cols) if f in have]
-    if len(table) == 0:
-        return table.select(sel) if set(sel) <= have else table
     t = table.select(sel)
     for f in (*floor_cols, *span_cols):  # raw rows carry neither — null
         if f not in t.column_names:
             t = t.append_column(f, pa.nulls(len(t), pa.int64()))
+    if len(t) == 0:
+        return t  # schema identical to the non-empty path
+    # fail fast on null versions/values: NaN would alias to INT64_MIN in
+    # the watermark math (silently wrong sums / poisoned spans), matching
+    # the engine's explicit null-lsn guard
+    for c in (*version_cols, *value_cols):
+        nulls = t[c].null_count
+        if nulls:
+            raise ValueError(
+                f"additive_merge: {nulls} null value(s) in column {c!r} — "
+                "version and value columns must be non-null"
+            )
     t = t.sort_by(
         [(k, "ascending") for k in key_cols]
         + [(v, "ascending") for v in version_cols]
@@ -264,7 +277,9 @@ def additive_merge(
         agg = agg.set_column(
             agg.schema.get_field_index(op_col),
             op_col,
-            pa.repeat(pa.scalar("agg"), len(agg)),
+            # match the input op type (string OR large_string — evolved
+            # lakes widen; a mismatched type would fail the parts concat)
+            pa.repeat(pa.scalar("agg", t.schema.field(op_col).type), len(agg)),
         )
         for f, b in zip(floor_cols, bound):
             bsel = b[has_contrib]

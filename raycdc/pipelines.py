@@ -478,18 +478,21 @@ def q_cdc_additive_rollup(sf_dir: str):
 
     def to_deltas(t: pa.Table) -> pa.Table:
         et = t["event_type"]
+        is_err = pc.equal(et, "error")
         cls = pc.index_in(et, value_set=pa.array(classes)).cast(pa.int32())
+        # deletes must land on REAL insert-bearing keys (classes 0-3) or the
+        # reset path is never exercised — route each error to event_id % 4
+        eid = t["event_id"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        del_cls = pa.array((eid % 4).astype(np.int32))
         v = t["value"].to_numpy(zero_copy_only=False)
         return pa.table(
             {
                 "conv_id": pc.binary_join_element_wise(
                     "u", pc.cast(t["user_id"], pa.string()), ""
                 ),
-                "turn_idx": cls,
+                "turn_idx": pc.if_else(is_err, del_cls, cls),
                 "ts": t["ts"],
-                "op": pc.if_else(
-                    pc.equal(et, "error"), pa.scalar("delete"), pa.scalar("insert")
-                ),
+                "op": pc.if_else(is_err, pa.scalar("delete"), pa.scalar("insert")),
                 "lsn": t["event_id"].cast(pa.int64()),
                 "cents": pa.array(np.floor(v * 100).astype(np.int64)),
             }
@@ -518,8 +521,10 @@ def q_cdc_additive_rollup(sf_dir: str):
 SQL_CDC_ADDITIVE_ROLLUP = """
 WITH src AS (
   SELECT 'u' || CAST(user_id AS VARCHAR) AS conv_id,
-         CASE event_type WHEN 'click' THEN 0 WHEN 'view' THEN 1
-              WHEN 'purchase' THEN 2 WHEN 'signup' THEN 3 ELSE 4 END AS turn_idx,
+         CASE WHEN event_type = 'error' THEN event_id % 4
+              ELSE CASE event_type WHEN 'click' THEN 0 WHEN 'view' THEN 1
+                   WHEN 'purchase' THEN 2 WHEN 'signup' THEN 3 END
+         END AS turn_idx,
          ts, event_id AS lsn,
          CASE WHEN event_type = 'error' THEN 'delete' ELSE 'insert' END AS op,
          CAST(floor(value * 100) AS BIGINT) AS cents

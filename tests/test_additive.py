@@ -236,3 +236,50 @@ def test_additive_progressive_fold_matches_one_shot():
                 for r in tbl.to_pylist()
             }
         assert norm(acc) == norm(one)
+
+
+def test_additive_input_guards_and_schema_stability():
+    """Null versions/values fail fast (NaN would alias to INT64_MIN in the
+    watermark math); large_string op folds fine; empty input returns the
+    SAME schema as the non-empty path."""
+    import pytest
+
+    schema = _deltas().schema
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        {"conv_id": "a", "turn_idx": 0, "ts": base, "op": "insert", "lsn": 0,
+         "cents": 5},
+        {"conv_id": "a", "turn_idx": 0, "ts": base, "op": "delete", "lsn": 1,
+         "cents": 0},
+    ]
+    ok = pa.Table.from_pylist(rows, schema=schema)
+
+    null_ts = ok.set_column(2, "ts", pa.array([None, base], pa.timestamp("us")))
+    with pytest.raises(ValueError, match="null value"):
+        additive_merge(null_ts, value_cols=("cents",))
+    null_val = ok.set_column(5, "cents", pa.array([None, 0], pa.int64()))
+    with pytest.raises(ValueError, match="null value"):
+        additive_merge(null_val, value_cols=("cents",))
+    with pytest.raises(ValueError, match="missing column"):
+        additive_merge(ok.drop_columns(["cents"]), value_cols=("cents",))
+
+    # large_string op (evolved lakes widen): agg + tombstone concat fine
+    wide = ok.set_column(3, "op", ok["op"].cast(pa.large_string()))
+    # delete at lsn 1 > insert version (same ts, higher lsn) -> tombstone only
+    out_wide = additive_merge(wide, value_cols=("cents",))
+    assert out_wide["op"].type == pa.large_string()
+    # and a surviving agg alongside a tombstone concats across types
+    rows2 = rows + [
+        {"conv_id": "a", "turn_idx": 0, "ts": base + dt.timedelta(seconds=9),
+         "op": "insert", "lsn": 2, "cents": 4}
+    ]
+    wide2 = pa.Table.from_pylist(rows2, schema=schema).set_column(
+        3, "op", pa.array(["insert", "delete", "insert"], pa.large_string())
+    )
+    out2 = additive_merge(wide2, value_cols=("cents",))
+    assert sorted(out2["op"].to_pylist()) == ["agg", "delete"]
+
+    # empty input: identical schema to the non-empty output
+    empty = additive_merge(ok.slice(0, 0), value_cols=("cents",))
+    full = additive_merge(ok, value_cols=("cents",))
+    assert empty.schema.equals(full.schema)
