@@ -283,3 +283,38 @@ def test_additive_input_guards_and_schema_stability():
     empty = additive_merge(ok.slice(0, 0), value_cols=("cents",))
     full = additive_merge(ok, value_cols=("cents",))
     assert empty.schema.equals(full.schema)
+
+
+def test_additive_floor_survives_compaction(ray_session, tmp_path):
+    """Tombstone GC must not reopen the delete watermark: after compact()
+    drops an additive lake's tombstones, the aggregate's __floor_* still
+    excludes stale pre-delete deltas."""
+    from raycdc.engine import compact
+
+    base = dt.datetime(2024, 1, 1)
+    spec = _spec()
+    schema = _deltas().schema
+
+    def row(s, lsn, op, cents):
+        return {
+            "conv_id": "u1",
+            "turn_idx": 0,
+            "ts": base + dt.timedelta(seconds=s),
+            "op": op,
+            "lsn": lsn,
+            "cents": cents,
+        }
+
+    lake = str(tmp_path / "lake")
+    first = pa.Table.from_pylist(
+        [row(1, 0, "insert", 10), row(5, 1, "delete", 0), row(6, 2, "insert", 7)],
+        schema=schema,
+    )
+    replay(ray.data.from_arrow(first), lake, spec)
+    lineage = compact(lake, spec)
+    assert sum(lineage["tombstones"].to_pylist()) > 0  # tombstone dropped
+    assert list(read_lake(lake, spec).to_pandas()["cents"]) == [7]
+    # stale delta older than the (now GC'd) delete: floor must exclude it
+    stale = pa.Table.from_pylist([row(3, 3, "insert", 1000)], schema=schema)
+    replay(ray.data.from_arrow(stale), lake, spec)
+    assert list(read_lake(lake, spec).to_pandas()["cents"]) == [7]
