@@ -1430,12 +1430,12 @@ GROUP BY user_id, slot
 def q_asof_click_purchase(sf_dir: str):
     """Cross-TABLE as-of join: every click event annotated with the same
     user's latest earlier-or-equal purchase (matched purchase ts + value).
-    Both sides stream through one tagged union + one co-partitioned
-    groupby(user) — the distributed ASOF JOIN shape.  The purchase side is
-    first uniqued per (user, ts) (max value) so the as-of winner is
-    deterministic on both engines."""
-    from ray.data.aggregate import Max
-
+    Both sides stream through one tagged union + ONE co-partitioned
+    groupby(user) — the distributed ASOF JOIN shape.  Same-(user, ts)
+    purchase duplicates are resolved to max value INSIDE that exchange via
+    ``right_tiebreak`` (deterministic on both engines) — no separate
+    pre-dedup shuffle, and explicit schemas skip the driver-side
+    ``Dataset.schema()`` plan execution."""
     from raycdc.relational import asof_join
 
     ev = ray.data.read_parquet(
@@ -1445,11 +1445,10 @@ def q_asof_click_purchase(sf_dir: str):
     clicks = ev.filter(
         expr="event_type == 'click'"
     ).select_columns(["event_id", "user_id", "ts"])
-    purchases = (
-        ev.filter(expr="event_type == 'purchase'")
-        .groupby(["user_id", "ts"], num_partitions=16)
-        .aggregate(Max("value", alias_name="value"))
+    purchases = ev.filter(expr="event_type == 'purchase'").select_columns(
+        ["user_id", "ts", "value"]
     )
+    ts_t = pa.timestamp("us")
     out = asof_join(
         clicks,
         purchases,
@@ -1458,6 +1457,13 @@ def q_asof_click_purchase(sf_dir: str):
         right_cols=("ts", "value"),
         how="inner",
         num_partitions=16,
+        right_tiebreak="value",
+        l_schema=pa.schema(
+            [("event_id", pa.int64()), ("user_id", pa.int64()), ("ts", ts_t)]
+        ),
+        r_schema=pa.schema(
+            [("user_id", pa.int64()), ("ts", ts_t), ("value", pa.float64())]
+        ),
     )
 
     def quantize(t: pa.Table) -> pa.Table:

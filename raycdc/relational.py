@@ -290,6 +290,9 @@ def asof_join(
     how: str = "inner",
     suffix: str = "r_",
     num_partitions: int = 64,
+    right_tiebreak: str | None = None,
+    l_schema: "pa.Schema | None" = None,
+    r_schema: "pa.Schema | None" = None,
 ) -> "ray.data.Dataset":
     """Cross-table as-of join: attach to every left row the right row of the
     same ``on`` key with the greatest ``ts_col`` <= the left row's (DuckDB
@@ -304,7 +307,18 @@ def asof_join(
     fills from crossing entities (groups may carry multiple keys).
 
     ``right`` should be unique per ``(on, ts_col)`` — with duplicates the
-    surviving row is unspecified (same caveat as SQL ASOF JOIN).
+    surviving row is unspecified (same caveat as SQL ASOF JOIN) UNLESS
+    ``right_tiebreak`` names a right column, in which case the duplicate
+    with the greatest tiebreak value wins deterministically.  That makes a
+    separate pre-dedup shuffle of the right side unnecessary: duplicates
+    are resolved inside the one co-partitioned exchange this join already
+    pays (the tiebreak rides the sort as a secondary key under (key, ts),
+    and the forward-fill picks the last — greatest — duplicate).
+
+    ``l_schema``/``r_schema`` short-circuit driver-side schema inference:
+    ``Dataset.schema()`` on a lazy aggregate/shuffle EXECUTES the plan once
+    just to learn types, and the union then executes it again — pass the
+    (statically known) Arrow schemas to skip that double execution.
 
     Output: all left columns + ``{suffix}{c}`` for each ``c`` in
     ``right_cols`` (include ``ts_col`` in ``right_cols`` to surface the
@@ -323,9 +337,17 @@ def asof_join(
             return base
         return pa.schema(list(zip(s.names, s.types)))
 
-    l_schema, r_schema = _pa_schema(left), _pa_schema(right)
+    if l_schema is None:
+        l_schema = _pa_schema(left)
+    if r_schema is None:
+        r_schema = _pa_schema(right)
     l_names = list(l_schema.names)
     rc_fields = [pa.field(f"__r_{c}", r_schema.field(c).type) for c in right_cols]
+    if right_tiebreak is not None and right_tiebreak not in right_cols:
+        raise ValueError(
+            f"asof_join: right_tiebreak {right_tiebreak!r} must be one of "
+            f"right_cols {tuple(right_cols)} (it must survive the tagged union)"
+        )
     from raycdc.partition import bucket_keys
 
     uni = pa.schema(
@@ -378,7 +400,19 @@ def asof_join(
                 zero_copy_only=False
             )
         )
-        order = np.lexsort((side, ts, codes))
+        if right_tiebreak is not None:
+            # secondary key under (key, ts, side): among duplicate right
+            # rows the greatest tiebreak sorts last, and the forward-fill
+            # picks the last — nulls to -inf so any real value beats them
+            tb = np.nan_to_num(
+                g[f"__r_{right_tiebreak}"]
+                .cast(pa.float64())
+                .to_numpy(zero_copy_only=False),
+                nan=-np.inf,
+            )
+            order = np.lexsort((tb, side, ts, codes))
+        else:
+            order = np.lexsort((side, ts, codes))
         s_side, s_ts, s_codes = side[order], ts[order], codes[order]
         # forward-fill the latest right position; a fill from a previous
         # entity has a smaller code (codes sorted ascending) → invalidated

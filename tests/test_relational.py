@@ -3,6 +3,7 @@
 import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
+import pytest
 import ray.data
 
 from raycdc.relational import broadcast_join, pre_aggregate, sessionize
@@ -186,6 +187,71 @@ def test_asof_join_cross_table(ray_session):
         num_partitions=2,
     ).to_pandas()
     assert sorted(inner["event_id"]) == [2, 3]
+
+
+def test_asof_join_right_tiebreak(ray_session):
+    """right_tiebreak resolves same-(key, ts) right duplicates to the
+    greatest tiebreak value inside the join's own exchange (no pre-dedup
+    shuffle), including at an inclusive left==right ts tie; explicit
+    l_schema/r_schema skip driver-side inference."""
+    import datetime as dt
+
+    from raycdc.relational import asof_join
+
+    def ts(s):
+        return dt.datetime(2024, 1, 1, 0, 0, s)
+
+    left = pa.table(
+        {
+            "user_id": pa.array(["u1", "u1"]),
+            "ts": pa.array([ts(10), ts(20)], pa.timestamp("us")),
+            "event_id": pa.array([1, 2], pa.int64()),
+        }
+    )
+    # u1 has THREE purchases at ts=10 (values 5, 9, 7) and two at ts=15
+    right = pa.table(
+        {
+            "user_id": pa.array(["u1"] * 5),
+            "ts": pa.array(
+                [ts(10), ts(10), ts(10), ts(15), ts(15)], pa.timestamp("us")
+            ),
+            "price": pa.array([5.0, 9.0, 7.0, 2.0, 4.0]),
+        }
+    )
+    out = (
+        asof_join(
+            ray.data.from_arrow(left),
+            ray.data.from_arrow(right),
+            on="user_id",
+            ts_col="ts",
+            right_cols=("ts", "price"),
+            how="inner",
+            num_partitions=2,
+            right_tiebreak="price",
+            l_schema=left.schema,
+            r_schema=right.schema,
+        )
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    assert len(out) == 2
+    # inclusive tie at ts=10 → max of the three duplicates (9.0)
+    assert out["r_price"][0] == 9.0 and out["r_ts"][0] == ts(10)
+    # latest earlier group is ts=15 → max of its duplicates (4.0)
+    assert out["r_price"][1] == 4.0 and out["r_ts"][1] == ts(15)
+
+    with pytest.raises(ValueError, match="right_tiebreak"):
+        asof_join(
+            ray.data.from_arrow(left),
+            ray.data.from_arrow(right),
+            on="user_id",
+            ts_col="ts",
+            right_cols=("ts",),
+            right_tiebreak="price",
+            l_schema=left.schema,
+            r_schema=right.schema,
+        )
 
 
 def test_running_aggregate_matches_pandas(ray_session):
