@@ -653,6 +653,77 @@ def verify_jaccard_pairs(
 
 
 # ---------------------------------------------------------------------------
+# benchmark decontamination
+
+
+def contamination_overlap(
+    corpus: "ray.data.Dataset",
+    benchmark: "ray.data.Dataset",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+) -> "ray.data.Dataset":
+    """Per-document n-gram overlap with a benchmark/eval set — the
+    decontamination primitive for training-data pipelines: a training doc
+    sharing any ``shingle_k``-token shingle with the benchmark leaks
+    evaluation data and must be dropped (or down-weighted) before training.
+
+    Output: one row ``(id_col, n_overlap)`` per corpus document that shares
+    at least one distinct shingle with the benchmark (``n_overlap`` =
+    distinct shared shingles); docs shorter than ``shingle_k`` tokens never
+    match.  Filter the corpus with an anti-join on the result — or just
+    invert the membership mask inline — to materialize the clean split.
+
+    Scale shape: the BENCHMARK side is reduced to a sorted distinct
+    shingle-hash array and broadcast via one ``ray.put`` (eval sets are
+    MBs against a 100 TB corpus — the correct broadcast asymmetry); the
+    corpus streams through one ``map_batches`` with vectorized
+    ``searchsorted`` membership — no shuffle at all.  Contract: the
+    benchmark's distinct shingle set must fit the object store; for a
+    contamination set that large, co-partition both sides through the
+    shingle-index join machinery of :func:`verify_jaccard_pairs` instead.
+    """
+
+    def bench_hashes(t: pa.Table) -> pa.Table:
+        sh, _ = word_shingle_hashes(t[text_col], k=shingle_k)
+        return pa.table({"h": pa.array(np.unique(sh).view(np.int64))})
+
+    # per-batch distinct collapses the benchmark to hash rows before the
+    # driver sees it; the driver folds tiny arrays, never text
+    parts = benchmark.map_batches(
+        bench_hashes, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()
+    bench = (
+        np.unique(parts["h"].to_numpy().astype(np.int64).view(np.uint64))
+        if len(parts)
+        else np.empty(0, np.uint64)
+    )
+    bench_ref = ray.put(bench)
+
+    def overlap(t: pa.Table) -> pa.Table:
+        b = ray.get(bench_ref)
+        sh, off = word_shingle_hashes(t[text_col], k=shingle_k)
+        n = len(t)
+        if len(sh) == 0 or len(b) == 0:
+            return pa.table(
+                {id_col: pa.array([], pa.int64()), "n_overlap": pa.array([], pa.int64())}
+            )
+        pos = np.searchsorted(b, sh)
+        member = b[np.minimum(pos, len(b) - 1)] == sh
+        doc_rep = np.repeat(np.arange(n, dtype=np.int64), np.diff(off))
+        n_overlap = np.bincount(doc_rep[member], minlength=n)
+        hit = n_overlap > 0
+        return pa.table(
+            {
+                id_col: t[id_col].cast(pa.int64()).filter(pa.array(hit)),
+                "n_overlap": pa.array(n_overlap[hit]),
+            }
+        )
+
+    return corpus.map_batches(overlap, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
 # SimHash
 
 

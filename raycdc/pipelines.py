@@ -721,6 +721,52 @@ FROM sh x JOIN sh y ON y.doc_id = x.doc_id + 1
 """
 
 
+def q_decontaminate(sf_dir: str):
+    """Benchmark decontamination: every document sharing a distinct 3-token
+    shingle with the benchmark split (docs with ``doc_id % 50 == 0`` stand
+    in for an eval set) is flagged with its distinct-overlap count.  The
+    benchmark collapses to a broadcast sorted hash array (one ``ray.put``);
+    the corpus streams through one shuffle-free ``map_batches`` membership
+    pass.  The ORACLE recomputes the overlap as an exact SQL shingle join."""
+    from raycdc.dedup import contamination_overlap
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    def bench_split(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(ids % 50 == 0))
+
+    bench = docs.map_batches(
+        bench_split, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return contamination_overlap(docs, bench)
+
+
+SQL_DECONTAMINATE = """
+WITH sh AS (
+    SELECT doc_id,
+           list_distinct(
+               list_transform(
+                   range(1, greatest(len(string_split(text, ' ')) - 1, 1)),
+                   i -> string_split(text, ' ')[i] || '|' ||
+                        string_split(text, ' ')[i+1] || '|' ||
+                        string_split(text, ' ')[i+2]
+               )
+           ) AS s
+    FROM documents
+    WHERE len(string_split(text, ' ')) >= 3
+),
+cs AS (SELECT doc_id, unnest(s) AS g FROM sh),
+bench AS (SELECT DISTINCT g FROM cs WHERE doc_id % 50 = 0)
+SELECT c.doc_id, CAST(COUNT(*) AS BIGINT) AS n_overlap
+FROM cs c JOIN bench b ON c.g = b.g
+GROUP BY c.doc_id
+"""
+
+
 def q_dedup_simhash(sf_dir: str):
     """SimHash near-dup candidate pairs, Hamming ≤ 3 (rows-only check;
     properties verified in pytest against exact copies)."""
@@ -1609,6 +1655,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "dedup_minhash": q_dedup_minhash,
     "dedup_jaccard": q_dedup_jaccard,
     "dedup_simhash": q_dedup_simhash,
+    "decontaminate": q_decontaminate,
     "sim_knn": q_sim_knn,
     "sim_knn_lsh": q_sim_knn_lsh,
     "sim_knn_ivf": q_sim_knn_ivf,
@@ -1649,6 +1696,7 @@ ORACLES: dict[str, str] = {
     "dedup_exact_hash": SQL_DEDUP_EXACT,
     "dedup_minhash": SQL_DEDUP_MINHASH,
     "dedup_jaccard": SQL_DEDUP_JACCARD,
+    "decontaminate": SQL_DECONTAMINATE,
     "sim_knn": SQL_SIM_KNN,
     "media_meta": SQL_MEDIA_META,
 }

@@ -429,3 +429,45 @@ def test_repetition_stats_vs_python():
         import math
 
         assert abs(out["dup_bigram_ratio"][i].as_py() - math.floor(expect * 1e6) / 1e6) < 1e-9
+
+
+def test_contamination_overlap_semantics(ray_session):
+    """Benchmark decontamination: a doc sharing any 3-gram with the
+    benchmark is flagged with its DISTINCT shared-shingle count; clean
+    docs, sub-3-token docs, and repeated shingles are handled exactly."""
+    from raycdc.dedup import contamination_overlap
+
+    corpus = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3, 4], pa.int64()),
+            "text": pa.array(
+                [
+                    "the quick brown fox jumps",   # benchmark doc itself
+                    "a quick brown fox runs",      # shares "quick brown fox"
+                    "totally different words here",  # clean
+                    "too short",                   # < 3 tokens: never flagged
+                    # repeated shingle must count ONCE (distinct semantics)
+                    "quick brown fox quick brown fox",
+                ]
+            ),
+        }
+    )
+    bench = corpus.filter(pa.array([True, False, False, False, False]))
+    out = (
+        contamination_overlap(
+            ray.data.from_arrow(corpus), ray.data.from_arrow(bench)
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    got = dict(zip(out["doc_id"], out["n_overlap"]))
+    # doc 0: its own 3 shingles; doc 1: only "quick brown fox"; doc 4:
+    # shares "quick brown fox" (distinct -> 1) despite appearing twice
+    assert got == {0: 3, 1: 1, 4: 1}
+
+    # empty benchmark -> nothing flagged, schema intact
+    empty = contamination_overlap(
+        ray.data.from_arrow(corpus), ray.data.from_arrow(corpus.slice(0, 0))
+    ).to_pandas()
+    assert len(empty) == 0
