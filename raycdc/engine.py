@@ -547,11 +547,21 @@ def tail_once(
             for line in lake_st.read_bytes(journal_path).decode().splitlines()
             if line.strip()
         }
-    paths = sorted(
-        os.path.join(watch_dir, n)
-        for n in watch_st.listdir(watch_dir)
-        if fnmatch.fnmatch(n, pattern)
-    )
+    # pattern may carry directory components ("day=*/seg-*.parquet") —
+    # walk it segment-by-segment through the storage layer (plain listdir
+    # on basenames would silently match nothing for such patterns)
+    levels = [watch_dir]
+    for i, seg in enumerate(pattern.split("/")):
+        last = i == pattern.count("/")
+        nxt: list[str] = []
+        for d in levels:
+            for n in watch_st.listdir(d):
+                if fnmatch.fnmatch(n, seg):
+                    p = os.path.join(d, n)
+                    if last or watch_st.isdir(p):
+                        nxt.append(p)
+        levels = nxt
+    paths = sorted(levels)
     new = [p for p in paths if p not in seen]
     if not new:
         return [], None
@@ -806,7 +816,10 @@ def read_lake(
         op_col = spec.op_col
 
         def live(t: pa.Table) -> pa.Table:
-            t = t.filter(pc.not_equal(t[op_col], M.DELETE))
+            # fill_null: a null op (e.g. an evolved column) is a live row,
+            # not a tombstone — a bare not_equal(null, ...) is null and
+            # Table.filter DROPS null-mask rows
+            t = t.filter(pc.not_equal(pc.fill_null(t[op_col], ""), M.DELETE))
             return t.drop_columns([op_col]) if drop_op_after else t
 
         ds = ds.map_batches(live, batch_format="pyarrow", zero_copy_batch=True)

@@ -92,6 +92,20 @@ def copartition_join(
     )
 
 
+def _tag_bucket(key_col: str, num_partitions: int):
+    """The shared pre-shuffle step: append ``__bucket`` =
+    ``bucket_keys([key_col]) % num_partitions`` (one closure for every
+    entity-bucketed exchange in this module)."""
+    from raycdc.partition import bucket_keys
+
+    def tag(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "__bucket", bucket_keys(t, [key_col], num_partitions)
+        )
+
+    return tag
+
+
 def sessionize(
     ds: "ray.data.Dataset",
     entity_col: str = "user_id",
@@ -111,15 +125,11 @@ def sessionize(
     all of the bucket's entities, never a Python row loop.
     """
     from raycdc.engine import _configure_shuffle
-    from raycdc.partition import bucket_keys
 
     _configure_shuffle()
     gap_us = gap_seconds * 1_000_000
 
-    def tag(t: pa.Table) -> pa.Table:
-        return t.append_column(
-            "__bucket", bucket_keys(t, [entity_col], num_partitions)
-        )
+    tag = _tag_bucket(entity_col, num_partitions)
 
     def split_sessions(g: pa.Table) -> pa.Table:
         g = g.drop_columns(["__bucket"])
@@ -203,17 +213,13 @@ def asof_previous(
     as-of joins follow the same shape (:func:`asof_join`).
     """
     from raycdc.engine import _configure_shuffle
-    from raycdc.partition import bucket_keys
 
     _configure_shuffle()
     sort_keys = [(entity_col, "ascending"), (ts_col, "ascending")] + [
         (c, "ascending") for c in order_cols
     ]
 
-    def tag(t: pa.Table) -> pa.Table:
-        return t.append_column(
-            "__bucket", bucket_keys(t, [entity_col], num_partitions)
-        )
+    tag = _tag_bucket(entity_col, num_partitions)
 
     def shift_prev(g: pa.Table) -> pa.Table:
         g = g.drop_columns(["__bucket"]).sort_by(sort_keys)
@@ -343,11 +349,26 @@ def asof_join(
         r_schema = _pa_schema(right)
     l_names = list(l_schema.names)
     rc_fields = [pa.field(f"__r_{c}", r_schema.field(c).type) for c in right_cols]
-    if right_tiebreak is not None and right_tiebreak not in right_cols:
-        raise ValueError(
-            f"asof_join: right_tiebreak {right_tiebreak!r} must be one of "
-            f"right_cols {tuple(right_cols)} (it must survive the tagged union)"
-        )
+    if right_tiebreak is not None:
+        if right_tiebreak not in right_cols:
+            raise ValueError(
+                f"asof_join: right_tiebreak {right_tiebreak!r} must be one of "
+                f"right_cols {tuple(right_cols)} (it must survive the tagged union)"
+            )
+        tb_type = r_schema.field(right_tiebreak).type
+        # int64-exact for integer/timestamp tiebreaks (a float64 cast would
+        # collapse values beyond 2^53 back into nondeterminism); fail fast
+        # here — not deep inside a Ray task — for non-orderable types
+        if pa.types.is_integer(tb_type) or pa.types.is_timestamp(tb_type):
+            _tb_cast = pa.int64()
+        elif pa.types.is_floating(tb_type):
+            _tb_cast = pa.float64()
+        else:
+            raise ValueError(
+                f"asof_join: right_tiebreak column {right_tiebreak!r} has "
+                f"unsupported type {tb_type} (integer, timestamp, or float "
+                "required)"
+            )
     from raycdc.partition import bucket_keys
 
     uni = pa.schema(
@@ -404,12 +425,17 @@ def asof_join(
             # secondary key under (key, ts, side): among duplicate right
             # rows the greatest tiebreak sorts last, and the forward-fill
             # picks the last — nulls to -inf so any real value beats them
-            tb = np.nan_to_num(
-                g[f"__r_{right_tiebreak}"]
-                .cast(pa.float64())
-                .to_numpy(zero_copy_only=False),
-                nan=-np.inf,
-            )
+            tb_col = g[f"__r_{right_tiebreak}"].cast(_tb_cast)
+            if _tb_cast == pa.int64():
+                # left rows carry null tiebreaks — fill with MIN (their
+                # relative order is irrelevant; side already separates them)
+                tb = pc.fill_null(tb_col, np.iinfo(np.int64).min).to_numpy(
+                    zero_copy_only=False
+                )
+            else:
+                tb = np.nan_to_num(
+                    tb_col.to_numpy(zero_copy_only=False), nan=-np.inf
+                )
             order = np.lexsort((tb, side, ts, codes))
         else:
             order = np.lexsort((side, ts, codes))
@@ -467,7 +493,6 @@ def top_k_per_group(
     ``tie_cols`` make the ranking total (deterministic across engines);
     always pass one for columns with duplicate values."""
     from raycdc.engine import _configure_shuffle
-    from raycdc.partition import bucket_keys
 
     _configure_shuffle()
     direction = "descending" if descending else "ascending"
@@ -475,10 +500,7 @@ def top_k_per_group(
         (c, "ascending") for c in tie_cols
     ]
 
-    def tag(t: pa.Table) -> pa.Table:
-        return t.append_column(
-            "__bucket", bucket_keys(t, [group_col], num_partitions)
-        )
+    tag = _tag_bucket(group_col, num_partitions)
 
     def head_k(g: pa.Table) -> pa.Table:
         g = g.drop_columns(["__bucket"]).sort_by(sort_keys)
@@ -524,17 +546,13 @@ def running_aggregate(
     cents when an oracle must hash-match.
     """
     from raycdc.engine import _configure_shuffle
-    from raycdc.partition import bucket_keys
 
     _configure_shuffle()
     sort_keys = [(entity_col, "ascending"), (ts_col, "ascending")] + [
         (c, "ascending") for c in order_cols
     ]
 
-    def tag(t: pa.Table) -> pa.Table:
-        return t.append_column(
-            "__bucket", bucket_keys(t, [entity_col], num_partitions)
-        )
+    tag = _tag_bucket(entity_col, num_partitions)
 
     def cumulate(g: pa.Table) -> pa.Table:
         g = g.drop_columns(["__bucket"]).sort_by(sort_keys)
@@ -591,16 +609,18 @@ def pre_aggregate(
 
     _configure_shuffle()
 
-    def _polars_agg(t: pa.Table, count_expr) -> pa.Table:
+    def _polars_agg(t: pa.Table, is_partial: bool) -> pa.Table:
+        # partial pass counts rows (pl.len); the final pass SUMS the
+        # partial counts it receives (the count column already exists)
         import polars as pl
 
         df = pl.from_arrow(t.select(list(key_cols) + list(sum_cols) + (
-            [count_alias] if count_expr is None else []
+            [] if is_partial else [count_alias]
         )))
         agg = df.group_by(list(key_cols)).agg(
             [pl.col(c).sum().alias(c) for c in sum_cols]
             + [
-                (pl.len() if count_expr is not None else pl.col(count_alias).sum()).alias(
+                (pl.len() if is_partial else pl.col(count_alias).sum()).alias(
                     count_alias
                 )
             ]
@@ -617,11 +637,11 @@ def pre_aggregate(
         )
 
     def partial(batch: pa.Table) -> pa.Table:
-        out = _polars_agg(batch, count_expr=True)
+        out = _polars_agg(batch, is_partial=True)
         return out.append_column("__bucket", bucket_keys(out, key_cols, num_partitions))
 
     def final(g: pa.Table) -> pa.Table:
-        return _polars_agg(g, count_expr=None)
+        return _polars_agg(g, is_partial=False)
 
     return ds.map_batches(
         partial, batch_format="pyarrow", zero_copy_batch=True

@@ -135,9 +135,8 @@ class FsspecStorage:
     writes are observable half-done.
     """
 
-    def __init__(self, fs, strip: str = "") -> None:
+    def __init__(self, fs) -> None:
         self.fs = fs
-        self._strip = strip
         proto = fs.protocol if isinstance(fs.protocol, str) else fs.protocol[0]
         self._renames = proto in ("file", "local")
 

@@ -269,20 +269,24 @@ def repetition_stats(batch: pa.Table, text_col: str = "text") -> pa.Table:
     from raycdc.dedup import word_shingle_hashes
 
     t = batch[text_col]
-    n_tok = pc.list_value_length(pc.split_pattern(t, " ")).to_numpy(
-        zero_copy_only=False
-    )
+    valid = pc.is_valid(t).to_numpy(zero_copy_only=False)
+    n_tok = pc.fill_null(
+        pc.list_value_length(pc.split_pattern(t, " ")), 0
+    ).to_numpy(zero_copy_only=False)
     n_bigrams = np.maximum(n_tok - 1, 0).astype(np.int64)
     _, off = word_shingle_hashes(t, k=2)
     n_uniq = np.diff(off).astype(np.int64)
     with np.errstate(divide="ignore", invalid="ignore"):
         ratio = np.where(n_bigrams > 0, 1.0 - n_uniq / np.maximum(n_bigrams, 1), 0.0)
+    # null text → null stats (SQL semantics: len(string_split(NULL)) is
+    # NULL); without the mask the NaN length wraps to INT64_MIN on cast
+    mask = None if valid.all() else ~valid
     return pa.table(
         {
             "doc_id": batch["doc_id"],
-            "n_bigrams": pa.array(n_bigrams),
-            "n_uniq_bigrams": pa.array(n_uniq),
+            "n_bigrams": pa.array(n_bigrams, mask=mask),
+            "n_uniq_bigrams": pa.array(n_uniq, mask=mask),
             # floor-quantize: numpy round is half-even, SQL half-away
-            "dup_bigram_ratio": pa.array(np.floor(ratio * 1e6) / 1e6),
+            "dup_bigram_ratio": pa.array(np.floor(ratio * 1e6) / 1e6, mask=mask),
         }
     )

@@ -341,3 +341,116 @@ def test_broadcast_join_rejects_bad_how():
 
     with pytest.raises(ValueError, match="how"):
         broadcast_join(None, pa.table({"k": [1]}), "k", [], how="outer")
+
+
+def test_read_lake_null_op_rows_are_live(ray_session, tmp_path):
+    """A lake row with a NULL op column (e.g. written by an evolved schema)
+    is a live row, not a tombstone: not_equal(null, 'delete') is null and a
+    bare filter would silently drop it."""
+    import pyarrow.parquet as pq
+
+    lake = str(tmp_path / "lake")
+    spec = TableSpec(num_partitions=2)
+    replay(
+        ray.data.from_arrow(
+            _log(
+                [
+                    ["c1", 0, "user", "keep-me", "", 10, "insert", 1, 0],
+                    ["c2", 0, "user", "gone", "", 10, "delete", 2, 0],
+                    ["c2", 0, "user", "gone", "", 5, "insert", 1, 0],
+                ]
+            )
+        ),
+        lake,
+        spec,
+    )
+    # null out op in every stored partition file (simulating a writer that
+    # predates the op column)
+    for part in sorted(os.listdir(lake)):
+        pdir = os.path.join(lake, part)
+        if not part.startswith("part=") or not os.path.isdir(pdir):
+            continue
+        for f in os.listdir(pdir):
+            if f.startswith("data-"):
+                p = os.path.join(pdir, f)
+                t = pq.read_table(p)
+                i = t.schema.get_field_index("op")
+                # null out op on LIVE rows only (tombstones keep theirs):
+                # null op must read as live, not as delete
+                nulled = pc.if_else(
+                    pc.equal(t["op"], "delete"),
+                    t["op"],
+                    pa.nulls(len(t), t.schema.field("op").type),
+                )
+                t = t.set_column(i, "op", nulled)
+                pq.write_table(t, p)
+    out = read_lake(lake, spec).to_pandas()
+    assert list(out["conv_id"]) == ["c1"]  # live row survives a null op
+
+
+def test_repetition_stats_null_text_yields_null_stats():
+    """Null text must produce NULL stats (SQL semantics), never a wrapped
+    INT64_MIN from a NaN length cast."""
+    from raycdc.text import repetition_stats
+
+    b = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+            "text": pa.array(["a b a b", None, "x y"]),
+        }
+    )
+    out = repetition_stats(b)
+    assert out["n_bigrams"].to_pylist() == [3, None, 1]
+    assert out["n_uniq_bigrams"].to_pylist() == [2, None, 1]
+    assert out["dup_bigram_ratio"].to_pylist()[1] is None
+    assert out["dup_bigram_ratio"][0].as_py() > 0
+
+
+def test_asof_tiebreak_int64_exact_and_type_guard(ray_session):
+    """Integer tiebreaks beyond 2^53 must stay exact (no float64 collapse),
+    and a non-orderable tiebreak type fails fast at the API boundary."""
+    import datetime as dt
+
+    from raycdc.relational import asof_join
+
+    big = 9007199254740992  # 2^53
+    left = pa.table(
+        {
+            "k": pa.array(["u"]),
+            "ts": pa.array([dt.datetime(2024, 1, 1, 0, 0, 30)], pa.timestamp("us")),
+            "eid": pa.array([1], pa.int64()),
+        }
+    )
+    right = pa.table(
+        {
+            "k": pa.array(["u", "u"]),
+            "ts": pa.array([dt.datetime(2024, 1, 1)] * 2, pa.timestamp("us")),
+            "v": pa.array([big + 1, big + 2], pa.int64()),
+        }
+    )
+    out = asof_join(
+        ray.data.from_arrow(left),
+        ray.data.from_arrow(right),
+        on="k",
+        ts_col="ts",
+        right_cols=("v",),
+        num_partitions=2,
+        right_tiebreak="v",
+        l_schema=left.schema,
+        r_schema=right.schema,
+    ).to_pandas()
+    assert out["r_v"].tolist() == [big + 2]  # adjacent at float64 precision
+
+    with pytest.raises(ValueError, match="unsupported type"):
+        asof_join(
+            ray.data.from_arrow(left),
+            ray.data.from_arrow(right.set_column(2, "v", pa.array(["a", "b"]))),
+            on="k",
+            ts_col="ts",
+            right_cols=("v",),
+            right_tiebreak="v",
+            l_schema=left.schema,
+            r_schema=pa.schema(
+                [("k", pa.string()), ("ts", pa.timestamp("us")), ("v", pa.string())]
+            ),
+        )

@@ -91,3 +91,43 @@ def test_tail_loop_rounds(ray_session, tmp_path):
     )
     assert total == 1
     assert seen == [(0, 1), (1, 0)]
+
+
+def test_tail_pattern_with_directory_components(ray_session, tmp_path):
+    """Patterns carrying directory components ("day=*/seg-*.parquet") must
+    walk subdirectories — a basename-only match would silently ingest
+    nothing, a permanent no-op of the loop."""
+    watch = tmp_path / "wal"
+    (watch / "day=2024-01-01").mkdir(parents=True)
+    (watch / "day=2024-01-02").mkdir()
+    (watch / "ignore").mkdir()
+    lake = str(tmp_path / "lake")
+    spec = TableSpec(num_partitions=2)
+    log = synthetic_changelog(n_events=300, seed=81)
+    a = log.filter(pc.less(log["lsn"], 150))
+    b = log.filter(pc.greater_equal(log["lsn"], 150))
+    _write_seg(str(watch / "day=2024-01-01"), "seg-000.parquet", a)
+    _write_seg(str(watch / "day=2024-01-02"), "seg-001.parquet", b)
+    # decoys that must NOT match: wrong dir pattern, wrong file pattern
+    _write_seg(str(watch / "ignore"), "seg-999.parquet", a)
+    _write_seg(str(watch), "seg-root.parquet", a)
+
+    new, lineage = tail_once(
+        str(watch), lake, spec, pattern="day=*/seg-*.parquet"
+    )
+    assert sorted(os.path.basename(p) for p in new) == [
+        "seg-000.parquet",
+        "seg-001.parquet",
+    ]
+    assert lineage is not None
+    expect = {k: r["text"] for k, r in python_lww_replay([log]).items()}
+    got = {
+        (r.conv_id, r.turn_idx): r.text
+        for r in read_lake(lake, spec).to_pandas().itertuples()
+    }
+    assert got == expect
+    # idempotent second round
+    new, lineage = tail_once(
+        str(watch), lake, spec, pattern="day=*/seg-*.parquet"
+    )
+    assert new == [] and lineage is None
