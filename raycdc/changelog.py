@@ -112,6 +112,128 @@ changelog AS (
 """
 
 
+def diff_snapshots(
+    old: "ray.data.Dataset",
+    new: "ray.data.Dataset",
+    key_cols: "tuple[str, ...] | list[str]",
+    value_cols: "tuple[str, ...] | list[str]",
+    op_col: str = "op",
+    num_partitions: int = 64,
+) -> "ray.data.Dataset":
+    """Derive a changelog from two snapshots of a keyed table — the INVERSE
+    of replay, closing the CDC loop: any pair of lake versions (or an
+    external table and its re-extract) can be turned back into
+    insert/update/delete events and fed to :func:`raycdc.engine.replay`.
+
+    Per key: present only in ``new`` → ``insert``; only in ``old`` →
+    ``delete`` (payload = the old row, matching a tombstone that carries
+    the last-known values); present in both with any ``value_cols``
+    difference → ``update`` (payload = the new row); identical rows emit
+    NOTHING (the whole point — a diff is small when the change is small).
+    Null-safe compare: null == null is "unchanged", null vs value is a
+    change (SQL ``IS DISTINCT FROM``).
+
+    Contract: each side must be unique per ``key_cols`` (snapshots are
+    keyed states); a duplicate raises rather than guessing which row is
+    current.
+
+    Scale shape: both snapshots stream through one tagged ``union`` and a
+    single co-partitioned bucketed ``groupby`` — no broadcast, no
+    driver-side materialization; the exchange carries only
+    ``key + value_cols``, and output volume is proportional to the CHANGE,
+    not the table.
+    """
+    from raycdc.engine import _configure_shuffle
+    from raycdc.partition import bucket_keys
+
+    _configure_shuffle()
+    cols = [*key_cols, *value_cols]
+
+    def _tag(side: int):
+        def tag(t: pa.Table) -> pa.Table:
+            t = t.select(cols)
+            t = t.append_column("__side", pa.array(np.full(len(t), side, np.int8)))
+            return t.append_column(
+                "__bucket", bucket_keys(t, list(key_cols), num_partitions)
+            )
+
+        return tag
+
+    def diff(g: pa.Table) -> pa.Table:
+        g = g.sort_by(
+            [(k, "ascending") for k in key_cols] + [("__side", "ascending")]
+        )
+        n = len(g)
+        out_schema = pa.schema(
+            [g.schema.field(c) for c in cols] + [pa.field(op_col, pa.string())]
+        )
+        if n == 0:
+            return out_schema.empty_table()
+        new_key = np.ones(n, dtype=bool)
+        changed = None
+        for k in key_cols:
+            col = g[k].combine_chunks()
+            neq = pc.fill_null(
+                pc.not_equal(col.slice(1), col.slice(0, n - 1)), True
+            )
+            vd = pc.xor(pc.is_valid(col.slice(1)), pc.is_valid(col.slice(0, n - 1)))
+            d = pc.or_(neq, vd).to_numpy(zero_copy_only=False)
+            changed = d if changed is None else (changed | d)
+        new_key[1:] = changed
+        starts = np.where(new_key)[0]
+        sizes = np.diff(np.append(starts, n))
+        if sizes.max(initial=0) > 2:
+            raise ValueError(
+                "diff_snapshots: duplicate key within one snapshot "
+                "(each side must be unique per key_cols)"
+            )
+        side = g["__side"].to_numpy(zero_copy_only=False)
+        both = sizes == 2
+        if both.any() and not (
+            (side[starts[both]] == 0) & (side[starts[both] + 1] == 1)
+        ).all():
+            raise ValueError(
+                "diff_snapshots: duplicate key within one snapshot "
+                "(each side must be unique per key_cols)"
+            )
+        single = starts[sizes == 1]
+        ins_idx = single[side[single] == 1]
+        del_idx = single[side[single] == 0]
+        # both-sides keys: value compare old row (starts) vs new (starts+1)
+        old_i, new_i = starts[both], starts[both] + 1
+        if len(old_i):
+            diff_mask = np.zeros(len(old_i), dtype=bool)
+            oi, ni = pa.array(old_i), pa.array(new_i)
+            for c in value_cols:
+                col = g[c].combine_chunks()
+                a, b = col.take(oi), col.take(ni)
+                neq = pc.fill_null(pc.not_equal(a, b), False)
+                vd = pc.xor(pc.is_valid(a), pc.is_valid(b))
+                diff_mask |= pc.or_(neq, vd).to_numpy(zero_copy_only=False)
+            upd_idx = new_i[diff_mask]
+        else:
+            upd_idx = np.empty(0, np.int64)
+
+        def emit(idx: np.ndarray, op: str) -> pa.Table:
+            t = g.select(cols).take(pa.array(idx.astype(np.int64)))
+            return t.append_column(op_col, pa.repeat(pa.scalar(op), len(t)))
+
+        return pa.concat_tables(
+            [
+                emit(ins_idx, "insert"),
+                emit(upd_idx, "update"),
+                emit(del_idx, "delete"),
+            ]
+        ).cast(out_schema)
+
+    tagged = old.map_batches(
+        _tag(0), batch_format="pyarrow", zero_copy_batch=True
+    ).union(new.map_batches(_tag(1), batch_format="pyarrow", zero_copy_batch=True))
+    return tagged.groupby("__bucket", num_partitions=num_partitions).map_groups(
+        diff, batch_format="pyarrow"
+    )
+
+
 def changelog_from_events(sf_dir: str) -> "ray.data.Dataset":
     """Read the events table and derive the transcript changelog, streaming."""
     ds = ray.data.read_parquet(

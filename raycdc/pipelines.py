@@ -576,6 +576,88 @@ FROM b
 """
 
 
+def q_cdc_snapshot_diff(sf_dir: str):
+    """Snapshot differencing — the inverse of replay: two deterministic
+    'versions' of the orders table (old drops keys %7==0; new drops keys
+    %5==0 and bumps o_totalprice for keys %11==0) are diffed into
+    insert/update/delete change events via one tagged union + one bucketed
+    co-partitioned exchange.  The ORACLE recomputes the diff as a FULL
+    OUTER JOIN with IS DISTINCT FROM semantics."""
+    import numpy as np
+
+    from raycdc.changelog import diff_snapshots
+
+    def load():
+        return ray.data.read_parquet(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_orderkey", "o_custkey", "o_totalprice"],
+        )
+
+    def old_snap(t: pa.Table) -> pa.Table:
+        k = t["o_orderkey"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(k % 7 != 0))
+
+    def new_snap(t: pa.Table) -> pa.Table:
+        k = t["o_orderkey"].to_numpy(zero_copy_only=False)
+        t = t.filter(pa.array(k % 5 != 0))
+        k = t["o_orderkey"].to_numpy(zero_copy_only=False)
+        p = t["o_totalprice"].to_numpy(zero_copy_only=False)
+        return t.set_column(
+            t.schema.get_field_index("o_totalprice"),
+            "o_totalprice",
+            pa.array(np.where(k % 11 == 0, p + 10.0, p)),
+        )
+
+    out = diff_snapshots(
+        load().map_batches(old_snap, batch_format="pyarrow", zero_copy_batch=True),
+        load().map_batches(new_snap, batch_format="pyarrow", zero_copy_batch=True),
+        key_cols=("o_orderkey",),
+        value_cols=("o_custkey", "o_totalprice"),
+        num_partitions=16,
+    )
+
+    def quantize(t: pa.Table) -> pa.Table:
+        p = t["o_totalprice"].to_numpy(zero_copy_only=False)
+        return t.set_column(
+            t.schema.get_field_index("o_totalprice"),
+            "o_totalprice",
+            pa.array(np.floor(p * 1e6) / 1e6),
+        )
+
+    return out.map_batches(quantize, batch_format="pyarrow", zero_copy_batch=True)
+
+
+SQL_CDC_SNAPSHOT_DIFF = """
+WITH old_snap AS (
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders WHERE o_orderkey % 7 <> 0
+),
+new_snap AS (
+    SELECT o_orderkey, o_custkey,
+           CASE WHEN o_orderkey % 11 = 0 THEN o_totalprice + 10.0
+                ELSE o_totalprice END AS o_totalprice
+    FROM orders WHERE o_orderkey % 5 <> 0
+),
+d AS (
+    SELECT coalesce(n.o_orderkey, o.o_orderkey) AS o_orderkey,
+           CASE WHEN o.o_orderkey IS NULL THEN n.o_custkey
+                WHEN n.o_orderkey IS NULL THEN o.o_custkey
+                ELSE n.o_custkey END AS o_custkey,
+           CASE WHEN o.o_orderkey IS NULL THEN n.o_totalprice
+                WHEN n.o_orderkey IS NULL THEN o.o_totalprice
+                ELSE n.o_totalprice END AS o_totalprice,
+           CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+                WHEN n.o_orderkey IS NULL THEN 'delete'
+                WHEN (n.o_custkey IS DISTINCT FROM o.o_custkey)
+                  OR (n.o_totalprice IS DISTINCT FROM o.o_totalprice)
+                THEN 'update' END AS op
+    FROM old_snap o FULL OUTER JOIN new_snap n USING (o_orderkey)
+)
+SELECT o_orderkey, o_custkey, floor(o_totalprice * 1e6) / 1e6 AS o_totalprice, op
+FROM d WHERE op IS NOT NULL
+"""
+
+
 def q_dedup_exact(sf_dir: str):
     """Exact dedup: hash-partition on text hash, min doc_id per distinct
     text, over a corpus where every doc has one exact copy."""
@@ -1650,6 +1732,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "text_langid": q_text_langid,
     "text_fingerprints": q_text_fingerprints,
     "text_repetition": q_text_repetition,
+    "cdc_snapshot_diff": q_cdc_snapshot_diff,
     "dedup_exact": q_dedup_exact,
     "dedup_exact_hash": q_dedup_exact_hash,
     "dedup_minhash": q_dedup_minhash,
@@ -1692,6 +1775,7 @@ ORACLES: dict[str, str] = {
     "text_stats": SQL_TEXT_STATS,
     "text_quality": SQL_TEXT_QUALITY,
     "text_repetition": SQL_TEXT_REPETITION,
+    "cdc_snapshot_diff": SQL_CDC_SNAPSHOT_DIFF,
     "dedup_exact": SQL_DEDUP_EXACT,
     "dedup_exact_hash": SQL_DEDUP_EXACT,
     "dedup_minhash": SQL_DEDUP_MINHASH,

@@ -95,3 +95,66 @@ def test_jsonl_with_head_skip_and_meta():
     t = decode_segment(data, "/x/202002.jsonl", spec)
     assert t["a"].to_pylist() == [1, 2]
     assert t["month"].to_pylist() == ["202002", "202002"]
+
+
+def test_diff_snapshots_semantics(ray_session):
+    """insert/update/delete classification, null-safe value compare
+    (IS DISTINCT FROM), unchanged rows emit nothing, duplicate keys raise."""
+    from raycdc.changelog import diff_snapshots
+
+    old = pa.table(
+        {
+            "k": pa.array([1, 2, 3, 4, 5], pa.int64()),
+            "v": pa.array(["a", "b", None, "d", "e"]),
+        }
+    )
+    new = pa.table(
+        {
+            # 1 unchanged, 2 updated, 3 null->x update, 4 deleted,
+            # 5 value->null update, 6 inserted
+            "k": pa.array([1, 2, 3, 5, 6], pa.int64()),
+            "v": pa.array(["a", "B", "x", None, "f"]),
+        }
+    )
+    out = (
+        diff_snapshots(
+            ray.data.from_arrow(old),
+            ray.data.from_arrow(new),
+            key_cols=("k",),
+            value_cols=("v",),
+            num_partitions=4,
+        )
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    got = {(r.k): (r.v, r.op) for r in out.itertuples()}
+    assert got == {
+        2: ("B", "update"),
+        3: ("x", "update"),
+        4: ("d", "delete"),
+        5: (None, "update"),
+        6: ("f", "insert"),
+    }
+
+    dup = pa.table({"k": pa.array([7, 7], pa.int64()), "v": pa.array(["x", "y"])})
+    with pytest.raises(Exception, match="duplicate key"):
+        diff_snapshots(
+            ray.data.from_arrow(dup),
+            ray.data.from_arrow(new),
+            key_cols=("k",),
+            value_cols=("v",),
+            num_partitions=2,
+        ).to_pandas()
+
+    # identical snapshots -> empty diff with the full schema
+    same = diff_snapshots(
+        ray.data.from_arrow(old),
+        ray.data.from_arrow(old),
+        key_cols=("k",),
+        value_cols=("v",),
+        num_partitions=2,
+    ).to_pandas()
+    # (Ray's to_pandas drops column names on a fully-empty dataset, so
+    # assert emptiness only — schema is covered by the non-empty path)
+    assert len(same) == 0
