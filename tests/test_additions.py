@@ -158,3 +158,74 @@ def test_diff_snapshots_semantics(ray_session):
     # (Ray's to_pandas drops column names on a fully-empty dataset, so
     # assert emptiness only — schema is covered by the non-empty path)
     assert len(same) == 0
+
+
+def test_diff_then_replay_roundtrip(ray_session, tmp_path):
+    """The CDC loop closes: replay(old as inserts), then replay the
+    diff_snapshots(old, new) changelog — the lake's final state must equal
+    the NEW snapshot exactly (diff is the inverse of replay)."""
+    import datetime as dt
+
+    from raycdc.changelog import diff_snapshots
+    from raycdc.engine import read_lake, replay
+    from raycdc.schema import CHANGELOG_SCHEMA, TableSpec
+
+    def snap(rows):
+        t0 = dt.datetime(2024, 1, 1)
+        return pa.table(
+            {
+                "conv_id": pa.array([r[0] for r in rows]),
+                "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+                "role": pa.array(["user"] * len(rows)),
+                "text": pa.array([r[2] for r in rows]),
+                "tool": pa.array([""] * len(rows)),
+                "ts": pa.array(
+                    [t0 + dt.timedelta(seconds=r[3]) for r in rows],
+                    pa.timestamp("us"),
+                ),
+            }
+        )
+
+    old = snap(
+        [("c1", 0, "hello", 1), ("c1", 1, "world", 2), ("c2", 0, "bye", 3)]
+    )
+    new = snap(
+        [
+            ("c1", 0, "hello", 1),        # unchanged
+            ("c1", 1, "world EDITED", 5),  # update (newer ts)
+            ("c3", 0, "fresh", 6),         # insert; c2 deleted
+        ]
+    )
+    keys = ("conv_id", "turn_idx")
+    vals = ("role", "text", "tool", "ts")
+
+    lake = str(tmp_path / "lake")
+    spec = TableSpec(num_partitions=4)
+    base = old.append_column("op", pa.array(["insert"] * len(old))) \
+              .append_column("lsn", pa.array(range(1, len(old) + 1), pa.int64())) \
+              .append_column("seg_id", pa.array([0] * len(old), pa.int32()))
+    replay(ray.data.from_arrow(base.cast(CHANGELOG_SCHEMA)), lake, spec)
+
+    diff = diff_snapshots(
+        ray.data.from_arrow(old),
+        ray.data.from_arrow(new),
+        key_cols=keys,
+        value_cols=vals,
+        num_partitions=4,
+    ).to_arrow_refs()
+    diff_t = pa.concat_tables([ray.get(r) for r in diff])
+    n0 = len(old)
+    ev = diff_t.append_column(
+        "lsn", pa.array(range(n0 + 1, n0 + 1 + len(diff_t)), pa.int64())
+    ).append_column("seg_id", pa.array([1] * len(diff_t), pa.int32()))
+    replay(ray.data.from_arrow(ev.cast(CHANGELOG_SCHEMA)), lake, spec)
+
+    got = (
+        read_lake(lake, spec)
+        .to_pandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    want = new.to_pandas().sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    for c in ("conv_id", "turn_idx", "text"):
+        assert list(got[c]) == list(want[c]), c
