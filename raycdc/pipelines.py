@@ -1152,6 +1152,132 @@ def q_join_shuffle(sf_dir: str):
     )
 
 
+def q_join_full_outer(sf_dir: str):
+    """FULL OUTER co-partitioned join: even-keyed customers × a per-customer
+    order rollup (pre_aggregate, cents-integer sums).  Both exclusive sides
+    are non-empty (odd-custkey orders have no customer row here; customers
+    without orders have no rollup row); absent-side columns are coalesced
+    to ''/0 so the oracle compare is dtype-stable."""
+    import numpy as np
+
+    from raycdc.relational import copartition_join, pre_aggregate
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
+    )
+
+    def even_only(t: pa.Table) -> pa.Table:
+        k = t["c_custkey"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(k % 2 == 0))
+
+    cust = cust.map_batches(even_only, batch_format="pyarrow", zero_copy_batch=True)
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    )
+
+    def to_cents(t: pa.Table) -> pa.Table:
+        p = t["o_totalprice"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "c_custkey": t["o_custkey"],
+                "cents": pa.array(np.floor(p * 100).astype(np.int64)),
+            }
+        )
+
+    rollup = pre_aggregate(
+        orders.map_batches(to_cents, batch_format="pyarrow", zero_copy_batch=True),
+        key_cols=["c_custkey"],
+        sum_cols=["cents"],
+        count_alias="n_orders",
+        num_partitions=16,
+    )
+    out = copartition_join(
+        cust, rollup, on=["c_custkey"], join_type="full_outer", num_partitions=16
+    )
+
+    def coalesce(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "c_custkey": t["c_custkey"].cast(pa.int64()),
+                "c_name": pc.fill_null(t["c_name"], ""),
+                "cents": pc.fill_null(t["cents"], 0).cast(pa.int64()),
+                "n_orders": pc.fill_null(t["n_orders"], 0).cast(pa.int64()),
+            }
+        )
+
+    return out.map_batches(coalesce, batch_format="pyarrow", zero_copy_batch=True)
+
+
+SQL_JOIN_FULL_OUTER = """
+WITH c AS (
+    SELECT c_custkey, c_name FROM customer WHERE c_custkey % 2 = 0
+),
+o AS (
+    SELECT o_custkey,
+           CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders GROUP BY o_custkey
+)
+SELECT coalesce(c.c_custkey, o.o_custkey) AS c_custkey,
+       coalesce(c.c_name, '') AS c_name,
+       coalesce(o.cents, 0) AS cents,
+       coalesce(o.n_orders, 0) AS n_orders
+FROM c FULL OUTER JOIN o ON c.c_custkey = o.o_custkey
+"""
+
+
+def q_pivot_user_events(sf_dir: str):
+    """Pivot-to-wide: per user one row with cents summed per event type
+    (click/purchase/view) + total event count — a projection feeding the
+    two-phase pre_aggregate (map-side combine, ONE bucketed exchange;
+    integer cents so distributed float addition order cannot drift)."""
+    import numpy as np
+
+    from raycdc.relational import pivot_wide
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type", "value"]
+    )
+
+    def to_cents(t: pa.Table) -> pa.Table:
+        v = t["value"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "event_type": t["event_type"],
+                "cents": pa.array(np.floor(v * 100).astype(np.int64)),
+            }
+        )
+
+    return pivot_wide(
+        ev.map_batches(to_cents, batch_format="pyarrow", zero_copy_batch=True),
+        group_col="user_id",
+        pivot_col="event_type",
+        value_col="cents",
+        values=["click", "purchase", "view"],
+        count_alias="n_events",
+        num_partitions=16,
+    )
+
+
+SQL_PIVOT_USER_EVENTS = """
+SELECT user_id,
+       CAST(SUM(CASE WHEN event_type = 'click'
+                THEN CAST(floor(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT)
+           AS cents_click,
+       CAST(SUM(CASE WHEN event_type = 'purchase'
+                THEN CAST(floor(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT)
+           AS cents_purchase,
+       CAST(SUM(CASE WHEN event_type = 'view'
+                THEN CAST(floor(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT)
+           AS cents_view,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events
+GROUP BY user_id
+"""
+
+
 def q_sessionize_events(sf_dir: str):
     """Gap-based sessionization of the events stream per user (30-minute
     gap): one groupby shuffle + vectorized per-group split."""
@@ -1733,6 +1859,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "text_fingerprints": q_text_fingerprints,
     "text_repetition": q_text_repetition,
     "cdc_snapshot_diff": q_cdc_snapshot_diff,
+    "join_full_outer": q_join_full_outer,
+    "pivot_user_events": q_pivot_user_events,
     "dedup_exact": q_dedup_exact,
     "dedup_exact_hash": q_dedup_exact_hash,
     "dedup_minhash": q_dedup_minhash,
@@ -1776,6 +1904,8 @@ ORACLES: dict[str, str] = {
     "text_quality": SQL_TEXT_QUALITY,
     "text_repetition": SQL_TEXT_REPETITION,
     "cdc_snapshot_diff": SQL_CDC_SNAPSHOT_DIFF,
+    "join_full_outer": SQL_JOIN_FULL_OUTER,
+    "pivot_user_events": SQL_PIVOT_USER_EVENTS,
     "dedup_exact": SQL_DEDUP_EXACT,
     "dedup_exact_hash": SQL_DEDUP_EXACT,
     "dedup_minhash": SQL_DEDUP_MINHASH,

@@ -585,6 +585,50 @@ def running_aggregate(
     )
 
 
+def pivot_wide(
+    ds: "ray.data.Dataset",
+    group_col: str,
+    pivot_col: str,
+    value_col: str,
+    values: Sequence,
+    count_alias: str = "n_rows",
+    num_partitions: int = 64,
+) -> "ray.data.Dataset":
+    """Pivot to wide: one output row per ``group_col`` with a summed
+    ``{value_col}_{v}`` column per pivot value ``v`` (rows with other pivot
+    values contribute 0) plus a total row count.
+
+    ``values`` must be the EXPLICIT pivot domain — discovering it would be
+    an extra distinct pass over the data; at lake scale the domain is
+    schema knowledge (event types, locales), not data.  Expressed as a
+    pure projection (per-value masked copies of ``value_col``) feeding
+    :func:`pre_aggregate`, so it inherits the map-side combine + single
+    bucketed exchange; cost is O(len(values)) columns, not an extra
+    shuffle.
+    """
+    out_cols = [f"{value_col}_{v}" for v in values]
+
+    def widen(t: pa.Table) -> pa.Table:
+        cols = {group_col: t[group_col]}
+        piv = t[pivot_col]
+        val = t[value_col]
+        zero = pa.scalar(0, val.type)
+        for v, name in zip(values, out_cols):
+            # fill_null: a null pivot value matches nothing → contributes 0
+            cols[name] = pc.if_else(
+                pc.fill_null(pc.equal(piv, v), False), val, zero
+            )
+        return pa.table(cols)
+
+    return pre_aggregate(
+        ds.map_batches(widen, batch_format="pyarrow", zero_copy_batch=True),
+        key_cols=[group_col],
+        sum_cols=out_cols,
+        count_alias=count_alias,
+        num_partitions=num_partitions,
+    )
+
+
 def pre_aggregate(
     ds: "ray.data.Dataset",
     key_cols: Sequence[str],

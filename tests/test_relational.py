@@ -373,3 +373,37 @@ def test_hopping_window_covers_each_row_m_times(ray_session):
 
     with _pytest.raises(ValueError, match="multiple"):
         hopping_window(ray.data.from_arrow(t), window_seconds=5000, hop_seconds=3600)
+
+
+def test_pivot_wide_matches_pandas(ray_session):
+    """Wide pivot equals a pandas pivot_table; unlisted pivot values
+    contribute only to the count; null pivot values contribute 0."""
+    import pandas as pd
+
+    from raycdc.relational import pivot_wide
+
+    t = pa.table(
+        {
+            "g": pa.array(["a", "a", "b", "b", "a"]),
+            "p": pa.array(["x", "y", "x", None, "z"]),  # z unlisted
+            "v": pa.array([1, 2, 4, 8, 16], pa.int64()),
+        }
+    )
+    out = (
+        pivot_wide(
+            ray.data.from_arrow(t),
+            group_col="g",
+            pivot_col="p",
+            value_col="v",
+            values=["x", "y"],
+            count_alias="n",
+            num_partitions=2,
+        )
+        .to_pandas()
+        .sort_values("g")
+        .reset_index(drop=True)
+    )
+    assert out[["g", "v_x", "v_y", "n"]].values.tolist() == [
+        ["a", 1, 2, 3],
+        ["b", 4, 0, 2],
+    ]
