@@ -1278,6 +1278,27 @@ GROUP BY user_id
 """
 
 
+def q_distinct_props_per_user(sf_dir: str):
+    """Exact per-user distinct-props count: map-side (user, props) dedup
+    shrinks the exchange, one bucketed groupby counts — the oracle-exact
+    complement of the HLL sketch."""
+    from raycdc.relational import count_distinct_per_group
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "props"]
+    )
+    return count_distinct_per_group(
+        ev, group_col="user_id", value_col="props", num_partitions=16
+    )
+
+
+SQL_DISTINCT_PROPS_PER_USER = """
+SELECT user_id, CAST(COUNT(DISTINCT props) AS BIGINT) AS n_distinct
+FROM events WHERE props IS NOT NULL
+GROUP BY user_id
+"""
+
+
 def q_sessionize_events(sf_dir: str):
     """Gap-based sessionization of the events stream per user (30-minute
     gap): one groupby shuffle + vectorized per-group split."""
@@ -1861,6 +1882,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "cdc_snapshot_diff": q_cdc_snapshot_diff,
     "join_full_outer": q_join_full_outer,
     "pivot_user_events": q_pivot_user_events,
+    "distinct_props_per_user": q_distinct_props_per_user,
     "dedup_exact": q_dedup_exact,
     "dedup_exact_hash": q_dedup_exact_hash,
     "dedup_minhash": q_dedup_minhash,
@@ -1906,6 +1928,7 @@ ORACLES: dict[str, str] = {
     "cdc_snapshot_diff": SQL_CDC_SNAPSHOT_DIFF,
     "join_full_outer": SQL_JOIN_FULL_OUTER,
     "pivot_user_events": SQL_PIVOT_USER_EVENTS,
+    "distinct_props_per_user": SQL_DISTINCT_PROPS_PER_USER,
     "dedup_exact": SQL_DEDUP_EXACT,
     "dedup_exact_hash": SQL_DEDUP_EXACT,
     "dedup_minhash": SQL_DEDUP_MINHASH,

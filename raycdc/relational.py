@@ -585,6 +585,72 @@ def running_aggregate(
     )
 
 
+def count_distinct_per_group(
+    ds: "ray.data.Dataset",
+    group_col: str,
+    value_col: str,
+    out_col: str = "n_distinct",
+    num_partitions: int = 64,
+) -> "ray.data.Dataset":
+    """EXACT per-group distinct count — the oracle-exact complement of the
+    HLL sketch (:func:`raycdc.sketch.approx_ndistinct` profiles a whole
+    column shuffle-free; this gives exact per-group counts when you need
+    them).
+
+    Scale shape: each batch first collapses to its DISTINCT
+    ``(group, value)`` pairs (map-side dedup — the combiner lever: with
+    heavy repetition the exchange carries the distinct pairs, not the
+    rows), then ONE bucketed exchange on the group and a per-bucket
+    global distinct + count.  Nulls in ``value_col`` are ignored (SQL
+    ``COUNT(DISTINCT ...)`` semantics); a group whose values are ALL null
+    is absent from the output.
+    """
+    from raycdc.engine import _configure_shuffle
+    from raycdc.partition import bucket_keys
+
+    _configure_shuffle()
+
+    def _cast_back(out: pa.Table, like: pa.Schema) -> pa.Table:
+        for c in (group_col, value_col):
+            if c in out.column_names:
+                i = out.schema.get_field_index(c)
+                out = out.set_column(i, c, out[c].cast(like.field(c).type))
+        return out
+
+    def partial(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        t = t.select([group_col, value_col]).filter(pc.is_valid(t[value_col]))
+        out = pl.from_arrow(t).unique().to_arrow()
+        out = _cast_back(out, t.schema)
+        return out.append_column(
+            "__bucket", bucket_keys(out, [group_col], num_partitions)
+        )
+
+    def finalize(g: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = pl.from_arrow(g.select([group_col, value_col]))
+        agg = (
+            df.unique()
+            .group_by(group_col)
+            .agg(pl.len().alias(out_col))
+            .to_arrow()
+        )
+        agg = _cast_back(agg, g.schema)
+        return agg.set_column(
+            agg.schema.get_field_index(out_col),
+            out_col,
+            agg[out_col].cast(pa.int64()),
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__bucket", num_partitions=num_partitions)
+        .map_groups(finalize, batch_format="pyarrow")
+    )
+
+
 def pivot_wide(
     ds: "ray.data.Dataset",
     group_col: str,

@@ -407,3 +407,28 @@ def test_pivot_wide_matches_pandas(ray_session):
         ["a", 1, 2, 3],
         ["b", 4, 0, 2],
     ]
+
+
+def test_count_distinct_per_group_null_and_dedup(ray_session):
+    """Exact distinct counts: nulls ignored, within- and cross-batch
+    duplicates collapse, all-null groups absent."""
+    from raycdc.relational import count_distinct_per_group
+
+    t = pa.table(
+        {
+            "g": pa.array(["a"] * 4 + ["b"] * 3 + ["c"]),
+            "v": pa.array(["x", "x", "y", None, "x", None, "z", None]),
+        }
+    )
+    # two single-row blocks force cross-batch duplicates through the exchange
+    ds = ray.data.from_arrow(t).union(
+        ray.data.from_arrow(pa.table({"g": pa.array(["a"]), "v": pa.array(["y"])}))
+    )
+    out = (
+        count_distinct_per_group(ds, "g", "v", num_partitions=4)
+        .to_pandas()
+        .sort_values("g")
+        .reset_index(drop=True)
+    )
+    assert out["g"].tolist() == ["a", "b"]  # c is all-null -> absent
+    assert out["n_distinct"].tolist() == [2, 2]
