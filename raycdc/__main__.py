@@ -68,6 +68,18 @@ def main(argv: list[str] | None = None) -> int:
     p_lookup.add_argument("--key", required=True)
     p_lookup.add_argument("--partitions", type=int, default=64)
 
+    p_diff = sub.add_parser(
+        "diff", help="diff two keyed table snapshots into a changelog parquet"
+    )
+    p_diff.add_argument("old", help="old snapshot parquet path")
+    p_diff.add_argument("new", help="new snapshot parquet path")
+    p_diff.add_argument("--keys", required=True, help="comma-separated key columns")
+    p_diff.add_argument(
+        "--values", required=True, help="comma-separated value columns to compare"
+    )
+    p_diff.add_argument("--out", required=True, help="output directory (parquet)")
+    p_diff.add_argument("--partitions", type=int, default=64)
+
     p_profile = sub.add_parser(
         "profile", help="sketch-profile parquet column(s): count, distinct, quantiles"
     )
@@ -133,6 +145,31 @@ def main(argv: list[str] | None = None) -> int:
             on_round=report,
         )
         print(json.dumps({"segments_applied": total}))
+    elif args.cmd == "diff":
+        import ray.data
+
+        from raycdc.changelog import diff_snapshots
+        from raycdc.storage import resolve_uri_paths
+
+        (old_p, new_p), fs = resolve_uri_paths([args.old, args.new])
+        out = diff_snapshots(
+            ray.data.read_parquet([old_p], filesystem=fs),
+            ray.data.read_parquet([new_p], filesystem=fs),
+            key_cols=args.keys.split(","),
+            value_cols=args.values.split(","),
+            num_partitions=args.partitions,
+        )
+        out.write_parquet(args.out)
+        import numpy as np
+
+        counts: dict[str, int] = {}
+        for b in ray.data.read_parquet(args.out).iter_batches(batch_format="pyarrow"):
+            u, n = np.unique(
+                b["op"].to_numpy(zero_copy_only=False), return_counts=True
+            )
+            for op, c in zip(u, n):
+                counts[str(op)] = counts.get(str(op), 0) + int(c)
+        print(json.dumps({"out": args.out, "events": counts}))
     elif args.cmd == "profile":
         import glob as _glob
 

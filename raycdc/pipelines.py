@@ -1953,4 +1953,8 @@ def bench_extras() -> dict[str, Callable[[str], Any]]:
         "asof_click_purchase": lambda sf: q_asof_click_purchase(sf).count(),
         "window_hopping": lambda sf: q_window_hopping(sf).count(),
         "top_orders_per_cust": lambda sf: q_top_orders_per_cust(sf).count(),
+        "cdc_snapshot_diff": lambda sf: q_cdc_snapshot_diff(sf).count(),
+        "pivot_user_events": lambda sf: q_pivot_user_events(sf).count(),
+        "distinct_props_per_user": lambda sf: q_distinct_props_per_user(sf).count(),
+        "decontaminate": lambda sf: q_decontaminate(sf).count(),
     }

@@ -162,3 +162,26 @@ def test_cli_profile_sketches(ray_session, capsys):
     assert "quantiles" in out["value"] and out["value"]["quantiles"]["0.5"] > 0
     assert "quantiles" not in out["event_type"]  # string column: no quantiles
     assert 4 <= out["event_type"]["approx_ndistinct"] <= 6
+
+
+def test_cli_diff_command(ray_session, tmp_path, capsys):
+    import json
+
+    from raycdc.__main__ import main
+
+    old = pa.table({"k": pa.array([1, 2, 3], pa.int64()), "v": pa.array(["a", "b", "c"])})
+    new = pa.table({"k": pa.array([1, 2, 4], pa.int64()), "v": pa.array(["a", "B", "d"])})
+    po, pn = str(tmp_path / "old.parquet"), str(tmp_path / "new.parquet")
+    pq.write_table(old, po)
+    pq.write_table(new, pn)
+    out_dir = str(tmp_path / "diff_out")
+    rc = main(
+        [
+            "diff", po, pn, "--keys", "k", "--values", "v",
+            "--out", out_dir, "--partitions", "2",
+        ]
+    )
+    assert rc == 0
+    info = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert info["events"] == {"update": 1, "insert": 1, "delete": 1}
+    assert len(glob.glob(out_dir + "/*.parquet")) > 0
