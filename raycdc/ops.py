@@ -297,3 +297,44 @@ def checked(
             raise RuntimeError(f"projector failed on batch {prov}: {e}") from e
 
     return wrapped
+
+
+def extract_json_field(
+    batch: pa.Table,
+    col: str,
+    key: str,
+    out: str,
+    as_int: bool = False,
+) -> pa.Table:
+    """Vectorized extraction of one scalar field from a JSON-string column
+    — the semi-structured analog of the reference's CSV cell projectors
+    (``/root/reference/handler.go:141-186`` projects parsed cells; modern
+    event streams carry JSON payload columns instead).
+
+    One ``pc.extract_regex`` pass (RE2, no Python row loop); rows where the
+    key is absent or the payload is null yield null.  Scalar string/number
+    values only — nested objects need a real JSON kernel, which Arrow
+    lacks; at that point parse the column once into typed columns at ingest
+    (the better lake design anyway).
+    """
+    import re as _re
+
+    # "key": <number|"string"> — RE2 via Arrow requires every group named.
+    # Caveat: extract_regex fills UNMATCHED alternation groups with ""
+    # (not null), so the quoted/bare discrimination must come from the
+    # outer `q` group's leading quote, and non-matching rows from the
+    # struct's own validity.
+    pat = (
+        f'"{_re.escape(key)}":\\s*(?P<q>"(?P<s>[^"]*)"|(?P<v>[^,}}\\s]+))'
+    )
+    st = pc.extract_regex(batch[col], pat)
+    qval = pc.struct_field(st, "q")
+    merged = pc.if_else(
+        pc.starts_with(qval, '"'),
+        pc.struct_field(st, "s"),
+        pc.struct_field(st, "v"),
+    )
+    merged = pc.if_else(pc.is_valid(st), merged, pa.scalar(None, pa.string()))
+    if as_int:
+        merged = merged.cast(pa.int64())
+    return batch.append_column(out, merged)

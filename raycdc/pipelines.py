@@ -576,6 +576,71 @@ FROM b
 """
 
 
+def q_token_vocab(sf_dir: str):
+    """Corpus vocabulary with term frequencies: flat_map explode (one row
+    per whitespace token, vectorized — no Python row loop) feeding the
+    two-phase pre_aggregate, so the exchange carries per-batch partial
+    counts, never raw tokens."""
+    from raycdc.relational import pre_aggregate
+    from raycdc.text import explode_tokens
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    toks = ds.map_batches(
+        lambda b: explode_tokens(b).drop_columns(["doc_id"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return pre_aggregate(
+        toks, key_cols=["token"], sum_cols=[], count_alias="n", num_partitions=16
+    )
+
+
+SQL_TOKEN_VOCAB = """
+SELECT token, CAST(COUNT(*) AS BIGINT) AS n
+FROM (SELECT unnest(string_split_regex(text, '\\s+')) AS token
+      FROM documents WHERE text IS NOT NULL)
+WHERE token <> ''
+GROUP BY token
+"""
+
+
+def q_json_props_rollup(sf_dir: str):
+    """Per-event-type rollup of a field extracted from the embedded JSON
+    props column: one vectorized regex pass (no JSON row parsing), then
+    map-side combine before a tiny bucketed exchange."""
+    from raycdc.ops import extract_json_field
+    from raycdc.relational import pre_aggregate
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "props"]
+    )
+    ds = ev.map_batches(
+        lambda b: extract_json_field(
+            b, "props", "k", "sum_k", as_int=True
+        ).drop_columns(["props"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return pre_aggregate(
+        ds,
+        key_cols=["event_type"],
+        sum_cols=["sum_k"],
+        count_alias="n_events",
+        num_partitions=4,
+    )
+
+
+SQL_JSON_PROPS_ROLLUP = """
+SELECT event_type,
+       CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events
+GROUP BY event_type
+"""
+
+
 def q_cdc_snapshot_diff(sf_dir: str):
     """Snapshot differencing — the inverse of replay: two deterministic
     'versions' of the orders table (old drops keys %7==0; new drops keys
@@ -1879,6 +1944,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "text_langid": q_text_langid,
     "text_fingerprints": q_text_fingerprints,
     "text_repetition": q_text_repetition,
+    "token_vocab": q_token_vocab,
+    "json_props_rollup": q_json_props_rollup,
     "cdc_snapshot_diff": q_cdc_snapshot_diff,
     "join_full_outer": q_join_full_outer,
     "pivot_user_events": q_pivot_user_events,
@@ -1925,6 +1992,8 @@ ORACLES: dict[str, str] = {
     "text_stats": SQL_TEXT_STATS,
     "text_quality": SQL_TEXT_QUALITY,
     "text_repetition": SQL_TEXT_REPETITION,
+    "token_vocab": SQL_TOKEN_VOCAB,
+    "json_props_rollup": SQL_JSON_PROPS_ROLLUP,
     "cdc_snapshot_diff": SQL_CDC_SNAPSHOT_DIFF,
     "join_full_outer": SQL_JOIN_FULL_OUTER,
     "pivot_user_events": SQL_PIVOT_USER_EVENTS,

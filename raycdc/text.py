@@ -259,6 +259,45 @@ def fingerprints(
     )
 
 
+def explode_tokens(
+    batch: pa.Table,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    token_col: str = "token",
+) -> pa.Table:
+    """Explode each document into one row per whitespace token — the
+    flat_map primitive under vocabulary building / TF counting (the
+    training-data analog of the reference's per-cell projectors,
+    ``/root/reference/handler.go:141-186``, applied along the token axis
+    instead of the column axis).
+
+    Fully vectorized: one ``utf8_split_whitespace`` pass, ``list_flatten``
+    for the token column, and ``np.repeat`` over the list lengths to carry
+    the id alongside — no Python row loop.  Null texts contribute zero
+    rows (list_flatten drops them and their length is filled to 0, so ids
+    stay aligned).  Empty tokens from boundary whitespace are filtered to
+    match SQL ``string_split_regex`` + ``<> ''`` semantics.
+    """
+    txt = batch[text_col]
+    if isinstance(txt, pa.ChunkedArray):
+        txt = txt.combine_chunks()
+    lists = pc.utf8_split_whitespace(txt)
+    counts = (
+        pc.fill_null(pc.list_value_length(lists), 0)
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
+    flat = pc.list_flatten(lists)
+    ids = batch[id_col]
+    if isinstance(ids, pa.ChunkedArray):
+        ids = ids.combine_chunks()
+    parents = pa.array(
+        np.repeat(ids.to_numpy(zero_copy_only=False), counts)
+    ).cast(batch.schema.field(id_col).type)
+    out = pa.table({id_col: parents, token_col: flat})
+    return out.filter(pc.not_equal(flat, ""))
+
+
 def repetition_stats(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """Repetition quality signal (the Gopher-style duplicate-n-gram
     filter): per-doc word-bigram counts — total, distinct, and the

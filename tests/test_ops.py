@@ -6,6 +6,7 @@ wareki era cases smbc_test.go:12-51, row-skip handler_test.go:11-82.
 """
 
 import pyarrow as pa
+import pyarrow.compute as pc
 import pytest
 
 from raycdc import ops
@@ -230,3 +231,33 @@ def test_stratified_sample_per_stratum_fractions():
         t, "event_id", "event_type", {"purchase": 1.0, "view": 0.1}, 0.0
     )
     assert again.equals(out)
+
+
+def test_extract_json_field_scalar_kinds():
+    from raycdc.ops import extract_json_field
+
+    t = pa.table(
+        {
+            "p": pa.array(
+                [
+                    '{"k": 87, "z": 1}',
+                    '{"k": "ab c"}',
+                    '{"x": 1}',
+                    None,
+                    '{"k": -3.5}',
+                    '{"z": 2, "k": 0}',
+                ]
+            )
+        }
+    )
+    out = extract_json_field(t, "p", "k", "v")
+    assert out["v"].to_pylist() == ["87", "ab c", None, None, "-3.5", "0"]
+    ints = extract_json_field(
+        t.filter(pc.match_substring(pc.coalesce(t["p"], ""), '"k": 8')),
+        "p",
+        "k",
+        "v",
+        as_int=True,
+    )
+    assert ints["v"].to_pylist() == [87]
+    assert ints["v"].type == pa.int64()

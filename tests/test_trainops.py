@@ -471,3 +471,27 @@ def test_contamination_overlap_semantics(ray_session):
         ray.data.from_arrow(corpus), ray.data.from_arrow(corpus.slice(0, 0))
     ).to_pandas()
     assert len(empty) == 0
+
+
+def test_explode_tokens_matches_python_split(docs):
+    b = docs.slice(0, 40)
+    out = T.explode_tokens(b)
+    assert out.column_names == ["doc_id", "token"]
+    got = list(zip(out["doc_id"].to_pylist(), out["token"].to_pylist()))
+    expect = []
+    for did, txt in zip(b["doc_id"].to_pylist(), b["text"].to_pylist()):
+        for tok in (txt or "").split():
+            expect.append((did, tok))
+    assert got == expect
+
+
+def test_explode_tokens_null_and_empty_rows():
+    b = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "text": pa.array(["a  b ", None, "", "  "]),
+        }
+    )
+    out = T.explode_tokens(b)
+    assert out["doc_id"].to_pylist() == [1, 1]
+    assert out["token"].to_pylist() == ["a", "b"]
