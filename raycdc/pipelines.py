@@ -641,6 +641,61 @@ GROUP BY event_type
 """
 
 
+def q_tfidf_docs(sf_dir: str):
+    """Per-(doc, token) TF-IDF: term frequency, document frequency, and
+    the score all inside ONE token-bucketed exchange (df needs every
+    occurrence of a token co-located — the bucket provides exactly that,
+    so no second shuffle, no broadcast vocabulary)."""
+    import pyarrow.parquet as _pq
+
+    from raycdc.text import tfidf
+
+    # corpus size N from parquet metadata — a pure metadata read, no scan
+    n_docs = _pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return tfidf(ds, n_docs=n_docs, num_partitions=16)
+
+
+SQL_TFIDF_DOCS = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS token
+  FROM documents WHERE text IS NOT NULL
+), t AS (
+  SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM toks WHERE token <> '' GROUP BY doc_id, token
+), d AS (
+  SELECT token, COUNT(*) AS df FROM t GROUP BY token
+), n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents)
+SELECT t.doc_id, t.token, t.tf,
+       floor(t.tf * ln((SELECT n_docs FROM n) / d.df) * 1e6) / 1e6 AS tfidf
+FROM t JOIN d USING (token)
+"""
+
+
+def q_embed_centroids(sf_dir: str):
+    """Per-label embedding centroid, long form (label, idx, c): batches
+    reduce to per-(group, dim) sum/count partials before one tiny
+    exchange — vectors never shuffle."""
+    from raycdc.similarity import group_centroids
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["label", "embedding"]
+    )
+    return group_centroids(ds, group_col="label", vec_col="embedding")
+
+
+SQL_EMBED_CENTROIDS = """
+SELECT CAST(label AS BIGINT) AS label, CAST(i - 1 AS BIGINT) AS idx,
+       floor(avg(CAST(v AS DOUBLE)) * 1e6) / 1e6 AS c
+FROM (SELECT label, unnest(embedding) AS v,
+             generate_subscripts(embedding, 1) AS i
+      FROM embeddings)
+GROUP BY 1, 2
+"""
+
+
 def q_cdc_snapshot_diff(sf_dir: str):
     """Snapshot differencing — the inverse of replay: two deterministic
     'versions' of the orders table (old drops keys %7==0; new drops keys
@@ -1946,6 +2001,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "text_repetition": q_text_repetition,
     "token_vocab": q_token_vocab,
     "json_props_rollup": q_json_props_rollup,
+    "tfidf_docs": q_tfidf_docs,
+    "embed_centroids": q_embed_centroids,
     "cdc_snapshot_diff": q_cdc_snapshot_diff,
     "join_full_outer": q_join_full_outer,
     "pivot_user_events": q_pivot_user_events,
@@ -1994,6 +2051,8 @@ ORACLES: dict[str, str] = {
     "text_repetition": SQL_TEXT_REPETITION,
     "token_vocab": SQL_TOKEN_VOCAB,
     "json_props_rollup": SQL_JSON_PROPS_ROLLUP,
+    "tfidf_docs": SQL_TFIDF_DOCS,
+    "embed_centroids": SQL_EMBED_CENTROIDS,
     "cdc_snapshot_diff": SQL_CDC_SNAPSHOT_DIFF,
     "join_full_outer": SQL_JOIN_FULL_OUTER,
     "pivot_user_events": SQL_PIVOT_USER_EVENTS,

@@ -410,3 +410,70 @@ def embedding_near_dup_pairs(
         pairs_in_bucket, batch_format="pyarrow"
     )
     return pair_distinct_exchange(pairs, num_partitions, extra_cols=("cosine",))
+
+
+def group_centroids(
+    ds: "ray.data.Dataset",
+    group_col: str = "label",
+    vec_col: str = "embedding",
+    num_partitions: int = 8,
+) -> "ray.data.Dataset":
+    """Per-group embedding centroid (dimension-wise mean), long-form
+    output ``(group, idx, c)`` with ``idx`` 0-based.
+
+    The training-data use: per-domain / per-cluster centroids for
+    curriculum mixing or IVF seeding.  Scale design: each batch reduces
+    to one ``(group, idx, partial_sum, partial_n)`` row per (group, dim)
+    via sort + ``np.add.reduceat`` over the flattened matrix — the
+    exchange carries ``n_groups × d`` partials per batch, never vectors.
+    Final combine divides summed partials; one tiny bucketed exchange.
+    """
+    from raycdc.engine import _configure_shuffle
+    from raycdc.partition import bucket_keys
+    from raycdc.relational import pre_aggregate
+
+    _configure_shuffle()
+
+    def partial(batch: pa.Table) -> pa.Table:
+        mat = _to_matrix(batch[vec_col])
+        n, d = mat.shape
+        gcol = batch[group_col]
+        if isinstance(gcol, pa.ChunkedArray):
+            gcol = gcol.combine_chunks()
+        groups = gcol.to_numpy(zero_copy_only=False)
+        order = np.argsort(groups, kind="stable")
+        sg = groups[order]
+        starts = np.flatnonzero(np.r_[True, sg[1:] != sg[:-1]])
+        sums = np.add.reduceat(mat[order], starts, axis=0)
+        counts = np.diff(np.r_[starts, n])
+        uniq = sg[starts]
+        return pa.table(
+            {
+                group_col: pa.array(np.repeat(uniq, d), pa.int64()),
+                "idx": pa.array(np.tile(np.arange(d, dtype=np.int64), len(uniq))),
+                "s": pa.array(sums.ravel()),
+                "n": pa.array(np.repeat(counts.astype(np.int64), d)),
+            }
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    agg = pre_aggregate(
+        partials,
+        key_cols=[group_col, "idx"],
+        sum_cols=["s", "n"],
+        count_alias="_np",
+        num_partitions=num_partitions,
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        s = t["s"].to_numpy()
+        n = t["n"].to_numpy().astype(np.float64)
+        return pa.table(
+            {
+                group_col: t[group_col],
+                "idx": t["idx"],
+                "c": pa.array(np.floor((s / n) * 1e6) / 1e6),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)

@@ -298,6 +298,79 @@ def explode_tokens(
     return out.filter(pc.not_equal(flat, ""))
 
 
+def tfidf(
+    ds,
+    n_docs: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_partitions: int = 16,
+):
+    """Per-(document, token) TF-IDF scores in ONE bucketed exchange.
+
+    Scale design: bucketing by a hash of the TOKEN co-locates every
+    occurrence of a token in one task, so term frequency (per doc),
+    document frequency (per token), and the final ``tf * ln(N/df)`` score
+    are all computed inside the same group task — no second shuffle for
+    df, no driver-side vocabulary materialization, no broadcast join.
+    The exchange carries per-batch ``(doc_id, token, tf_partial)`` rows
+    (map-side combine), never raw token occurrences.
+
+    ``n_docs`` is the corpus size N for the idf term; pass it from
+    parquet metadata (a pure metadata read) rather than a ``count()``
+    that executes the plan.  Score is floor-quantized to 1e-6 (numpy
+    rounds half-even, SQL half-away — repo float-oracle convention).
+    """
+    import polars as pl
+
+    from raycdc.engine import _configure_shuffle
+    from raycdc.partition import bucket_keys
+
+    _configure_shuffle()
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks = explode_tokens(batch, text_col=text_col, id_col=id_col)
+        agg = (
+            pl.from_arrow(toks)
+            .group_by([id_col, "token"])
+            .agg(pl.len().alias("tf"))
+            .to_arrow()
+        )
+        agg = agg.set_column(
+            agg.schema.get_field_index("token"),
+            "token",
+            agg["token"].cast(pa.string()),
+        ).set_column(
+            agg.schema.get_field_index("tf"), "tf", agg["tf"].cast(pa.int64())
+        )
+        return agg.append_column(
+            "__bucket", bucket_keys(agg, ["token"], num_partitions)
+        )
+
+    def final(g: pa.Table) -> pa.Table:
+        df = pl.from_arrow(g.drop_columns(["__bucket"]))
+        tf = df.group_by([id_col, "token"]).agg(pl.col("tf").sum())
+        dfreq = tf.group_by("token").agg(pl.len().alias("df"))
+        joined = tf.join(dfreq, on="token", how="inner")
+        out = joined.to_arrow()
+        tf_np = out["tf"].to_numpy()
+        df_np = out["df"].combine_chunks().to_numpy().astype(np.float64)
+        score = tf_np * np.log(float(n_docs) / df_np)
+        return pa.table(
+            {
+                id_col: out[id_col],
+                "token": out["token"].cast(pa.string()),
+                "tf": out["tf"].cast(pa.int64()),
+                "tfidf": pa.array(np.floor(score * 1e6) / 1e6),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__bucket", num_partitions=num_partitions)
+        .map_groups(final, batch_format="pyarrow")
+    )
+
+
 def repetition_stats(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """Repetition quality signal (the Gopher-style duplicate-n-gram
     filter): per-doc word-bigram counts — total, distinct, and the

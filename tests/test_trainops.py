@@ -495,3 +495,56 @@ def test_explode_tokens_null_and_empty_rows():
     out = T.explode_tokens(b)
     assert out["doc_id"].to_pylist() == [1, 1]
     assert out["token"].to_pylist() == ["a", "b"]
+
+
+def test_tfidf_one_exchange_matches_python(ray_session):
+    import math
+
+    corpus = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "text": pa.array(["a b a", "a c", "b b c", None]),
+        }
+    )
+    out = (
+        T.tfidf(ray.data.from_arrow(corpus), n_docs=4, num_partitions=4)
+        .to_pandas()
+        .sort_values(["doc_id", "token"])
+        .reset_index(drop=True)
+    )
+    # python reference
+    docs = {0: "a b a", 1: "a c", 2: "b b c"}
+    tf = {}
+    for d, txt in docs.items():
+        for tok in txt.split():
+            tf[(d, tok)] = tf.get((d, tok), 0) + 1
+    df = {}
+    for (_, tok) in tf:
+        df[tok] = df.get(tok, 0) + 1
+    expect = {
+        (d, tok): (n, math.floor(n * math.log(4.0 / df[tok]) * 1e6) / 1e6)
+        for (d, tok), n in tf.items()
+    }
+    assert len(out) == len(expect)
+    for row in out.itertuples():
+        etf, escore = expect[(row.doc_id, row.token)]
+        assert row.tf == etf
+        assert row.tfidf == pytest.approx(escore, abs=2e-6)
+
+
+def test_group_centroids_matches_numpy(ray_session):
+    t = pq.read_table(EMB, columns=["label", "embedding"]).slice(0, 200)
+    out = (
+        S.group_centroids(ray.data.from_arrow(t))
+        .to_pandas()
+        .sort_values(["label", "idx"])
+        .reset_index(drop=True)
+    )
+    mat = S._to_matrix(t["embedding"])
+    lab = t["label"].combine_chunks().to_numpy(zero_copy_only=False)
+    d = mat.shape[1]
+    assert len(out) == len(np.unique(lab)) * d
+    for g in np.unique(lab):
+        mine = out[out.label == g].sort_values("idx")["c"].to_numpy()
+        ref = np.floor(mat[lab == g].mean(axis=0) * 1e6) / 1e6
+        np.testing.assert_allclose(mine, ref, atol=2e-6)
