@@ -1890,6 +1890,80 @@ FROM l ASOF JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
 """
 
 
+def q_range_join_clicks(sf_dir: str):
+    """Range (interval) join, aggregated: every purchase annotated with the
+    count and cent-sum of the same user's clicks in the preceding hour
+    ``[ts - 1h, ts)``.  One tagged union + ONE co-partitioned bucketed
+    exchange; the group body is a single lexsort with positional
+    prefix-count cancellation (no per-key loop, no row fan-out — each left
+    row ships through exactly once, which is the scale-sane form of a
+    non-equi join).  Click values go through ``floor(value*100)`` to int64
+    cents on BOTH engines so the windowed sum is exact."""
+    from raycdc.relational import range_join_agg
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "event_type", "value"],
+    )
+    purchases = ev.filter(expr="event_type == 'purchase'").select_columns(
+        ["event_id", "user_id", "ts"]
+    )
+
+    def to_cents(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        v = np.floor(t["value"].to_numpy(zero_copy_only=False) * 100.0)
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "ts": t["ts"],
+                "vc": pa.array(v.astype(np.int64)),
+            }
+        )
+
+    clicks = ev.filter(expr="event_type == 'click'").map_batches(
+        to_cents, batch_format="pyarrow", zero_copy_batch=True
+    )
+    ts_t = pa.timestamp("us")
+    return range_join_agg(
+        purchases,
+        clicks,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        lower=-3600.0,
+        upper=0.0,
+        value_col="vc",
+        count_alias="n_clicks",
+        sum_alias="sum_click_cents",
+        num_partitions=16,
+        l_schema=pa.schema(
+            [("event_id", pa.int64()), ("user_id", pa.int64()), ("ts", ts_t)]
+        ),
+        r_schema=pa.schema(
+            [("user_id", pa.int64()), ("ts", ts_t), ("vc", pa.int64())]
+        ),
+    )
+
+
+SQL_RANGE_JOIN_CLICKS = """
+WITH l AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+), r AS (
+  SELECT user_id, ts, CAST(floor(value * 100) AS BIGINT) AS vc
+  FROM events WHERE event_type = 'click'
+)
+SELECT l.event_id, l.user_id, l.ts,
+       COUNT(r.user_id) AS n_clicks,
+       CAST(COALESCE(SUM(r.vc), 0) AS BIGINT) AS sum_click_cents
+FROM l LEFT JOIN r
+  ON l.user_id = r.user_id
+ AND r.ts >= l.ts - INTERVAL 1 HOUR
+ AND r.ts < l.ts
+GROUP BY l.event_id, l.user_id, l.ts
+"""
+
+
 # ---------------------------------------------------------------------------
 # multimodal (binary payload plumbing; codecs stubbed)
 
@@ -1987,6 +2061,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "window_hopping": q_window_hopping,
     "asof_prev_event": q_asof_prev_event,
     "asof_click_purchase": q_asof_click_purchase,
+    "range_join_clicks": q_range_join_clicks,
     "running_value": q_running_value,
     "sketch_users": q_sketch_users,
     "sketch_quantiles": q_sketch_quantiles,
@@ -2041,6 +2116,7 @@ ORACLES: dict[str, str] = {
     "window_hopping": SQL_WINDOW_HOPPING,
     "asof_prev_event": SQL_ASOF_PREV_EVENT,
     "asof_click_purchase": SQL_ASOF_CLICK_PURCHASE,
+    "range_join_clicks": SQL_RANGE_JOIN_CLICKS,
     "running_value": SQL_RUNNING_VALUE,
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
     "anti_join_customers": SQL_ANTI_JOIN_CUSTOMERS,

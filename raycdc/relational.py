@@ -758,3 +758,172 @@ def pre_aggregate(
     ).groupby("__bucket", num_partitions=num_partitions).map_groups(
         final, batch_format="pyarrow"
     )
+
+
+def range_join_agg(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    on: str = "user_id",
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    lower: float = -3600.0,
+    upper: float = 0.0,
+    value_col: str | None = None,
+    count_alias: str = "n_matched",
+    sum_alias: str | None = None,
+    num_partitions: int = 64,
+    l_schema: "pa.Schema | None" = None,
+    r_schema: "pa.Schema | None" = None,
+) -> "ray.data.Dataset":
+    """Range (interval) join, aggregated per left row: for every left row
+    count — and optionally sum ``value_col`` over — the right rows of the
+    same ``on`` key whose timestamp falls in
+    ``[left_ts + lower, left_ts + upper)`` seconds (lower inclusive,
+    upper exclusive; SQL ``r.ts >= l.ts + lower AND r.ts < l.ts + upper``).
+
+    The aggregated form is the scale-sane primitive: a fan-out range join
+    multiplies rows, while this ships each left row through exactly once.
+    Both sides stream through one tagged union and ONE co-partitioned
+    bucketed exchange (same shape as :func:`asof_join`).  The group body
+    is fully vectorized via positional cancellation: one lexsort of
+    (key_code, ts, side) over right rows plus BOTH window-bound queries,
+    a prefix count/sum of right rows, and ``pos(hi) - pos(lo)`` — right
+    rows of other keys appear identically in both bound positions and
+    cancel, so no per-key segmentation is needed.  Queries sort BEFORE
+    equal right timestamps, giving inclusive-lower/exclusive-upper
+    exactly.
+
+    Sums are exact only for integer ``value_col`` (convert money to
+    cents upstream); float sums inherit cumsum reassociation error.
+    """
+    from raycdc.engine import _configure_shuffle
+    from raycdc.partition import bucket_keys
+
+    _configure_shuffle()
+    if sum_alias is None and value_col is not None:
+        sum_alias = f"sum_{value_col}"
+
+    def _pa_schema(ds_: "ray.data.Dataset") -> pa.Schema:
+        s = ds_.schema()
+        base = getattr(s, "base_schema", s)
+        if isinstance(base, pa.Schema):
+            return base
+        return pa.schema(list(zip(s.names, s.types)))
+
+    if l_schema is None:
+        l_schema = _pa_schema(left)
+    if r_schema is None:
+        r_schema = _pa_schema(right)
+    l_names = list(l_schema.names)
+    val_type = r_schema.field(value_col).type if value_col else pa.int64()
+    if value_col and not (
+        pa.types.is_integer(val_type) or pa.types.is_floating(val_type)
+    ):
+        raise ValueError(
+            f"range_join_agg: value_col {value_col!r} must be numeric, got {val_type}"
+        )
+    lo_us = int(round(lower * 1_000_000))
+    hi_us = int(round(upper * 1_000_000))
+
+    uni = pa.schema(
+        [pa.field(n, l_schema.field(n).type) for n in l_names]
+        + [
+            pa.field("__rv", val_type),
+            pa.field("__side", pa.int8()),
+            pa.field("__bucket", pa.int64()),
+        ]
+    )
+
+    def tag_left(t: pa.Table) -> pa.Table:
+        cols = {n: t[n] for n in l_names}
+        cols["__rv"] = pa.nulls(len(t), val_type)
+        cols["__side"] = pa.array(np.ones(len(t), dtype=np.int8))
+        cols["__bucket"] = bucket_keys(t, [on], num_partitions)
+        return pa.table(cols, schema=uni)
+
+    def tag_right(t: pa.Table) -> pa.Table:
+        cols = {}
+        for n in l_names:
+            if n == on:
+                cols[n] = t[n].cast(l_schema.field(n).type)
+            elif n == left_ts:
+                cols[n] = t[right_ts].cast(l_schema.field(left_ts).type)
+            else:
+                cols[n] = pa.nulls(len(t), l_schema.field(n).type)
+        cols["__rv"] = (
+            t[value_col].cast(val_type) if value_col else pa.nulls(len(t), val_type)
+        )
+        cols["__side"] = pa.array(np.zeros(len(t), dtype=np.int8))
+        cols["__bucket"] = bucket_keys(t, [on], num_partitions)
+        return pa.table(cols, schema=uni)
+
+    out_fields = [pa.field(n, l_schema.field(n).type) for n in l_names] + [
+        pa.field(count_alias, pa.int64())
+    ]
+    if value_col:
+        sum_type = pa.int64() if pa.types.is_integer(val_type) else pa.float64()
+        out_fields.append(pa.field(sum_alias, sum_type))
+    out_schema = pa.schema(out_fields)
+
+    def agg(g: pa.Table) -> pa.Table:
+        if len(g) == 0:
+            return out_schema.empty_table()
+        side = g["__side"].to_numpy(zero_copy_only=False)
+        ts = (
+            g[left_ts]
+            .cast(pa.timestamp("us"))
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        codes = (
+            g[on]
+            .combine_chunks()
+            .dictionary_encode()
+            .indices.to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        is_l = side == 1
+        left_rows = np.flatnonzero(is_l)
+        r_codes, r_ts = codes[~is_l], ts[~is_l]
+        l_codes, l_ts = codes[is_l], ts[is_l]
+        m, n = len(r_codes), len(l_codes)
+        # union of right rows and both bound queries; queries (tie 0) sort
+        # before right rows (tie 1) at equal (code, ts)
+        code_all = np.concatenate([r_codes, l_codes, l_codes])
+        ts_all = np.concatenate([r_ts, l_ts + lo_us, l_ts + hi_us])
+        tie = np.concatenate(
+            [np.ones(m, np.int8), np.zeros(2 * n, np.int8)]
+        )
+        order = np.lexsort((tie, ts_all, code_all))
+        is_right_sorted = tie[order] == 1
+        rank = np.empty(len(order), dtype=np.int64)
+        rank[order] = np.arange(len(order))
+        prefix_n = np.cumsum(is_right_sorted) - is_right_sorted
+        pos_lo = prefix_n[rank[m : m + n]]
+        pos_hi = prefix_n[rank[m + n :]]
+        cols = {
+            nme: g[nme].combine_chunks().take(pa.array(left_rows))
+            for nme in l_names
+        }
+        cols[count_alias] = pa.array(pos_hi - pos_lo, pa.int64())
+        if value_col:
+            # fill left-row nulls BEFORE to_numpy: a nullable int column
+            # otherwise round-trips through float64 (mangles > 2^53)
+            rv = pc.fill_null(g["__rv"], 0).to_numpy(zero_copy_only=False)[~is_l]
+            acc_dtype = np.int64 if pa.types.is_integer(val_type) else np.float64
+            vals = np.zeros(len(order), dtype=acc_dtype)
+            vals[rank[:m]] = rv.astype(acc_dtype)
+            psum = np.cumsum(vals) - vals
+            cols[sum_alias] = pa.array(
+                psum[rank[m + n :]] - psum[rank[m : m + n]]
+            )
+        return pa.table(cols, schema=out_schema)
+
+    tagged = left.map_batches(
+        tag_left, batch_format="pyarrow", zero_copy_batch=True
+    ).union(
+        right.map_batches(tag_right, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    return tagged.groupby("__bucket", num_partitions=num_partitions).map_groups(
+        agg, batch_format="pyarrow"
+    )

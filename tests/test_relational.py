@@ -432,3 +432,105 @@ def test_count_distinct_per_group_null_and_dedup(ray_session):
     )
     assert out["g"].tolist() == ["a", "b"]  # c is all-null -> absent
     assert out["n_distinct"].tolist() == [2, 2]
+
+
+def test_range_join_agg_window_bounds(ray_session):
+    """Per-left-row windowed count/sum: lower bound inclusive, upper
+    exclusive, other-key right rows cancel out, zero-match left rows kept
+    with count 0, integer sums exact."""
+    import datetime as dt
+
+    from raycdc.relational import range_join_agg
+
+    def ts(s):
+        return dt.datetime(2024, 1, 1, 0, 0, s)
+
+    left = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "user_id": pa.array(["u1", "u1", "u2", "u3"]),
+            "ts": pa.array([ts(10), ts(30), ts(10), ts(50)], pa.timestamp("us")),
+        }
+    )
+    # window [-10, 0): matches r.ts in [l.ts-10, l.ts)
+    right = pa.table(
+        {
+            "user_id": pa.array(["u1", "u1", "u1", "u1", "u2", "u9"]),
+            "ts": pa.array(
+                [ts(0), ts(5), ts(10), ts(25), ts(5), ts(45)],
+                pa.timestamp("us"),
+            ),
+            "v": pa.array([100, 20, 3, 4, 7, 999], pa.int64()),
+        }
+    )
+    out = (
+        range_join_agg(
+            ray.data.from_arrow(left),
+            ray.data.from_arrow(right),
+            on="user_id",
+            left_ts="ts",
+            right_ts="ts",
+            lower=-10.0,
+            upper=0.0,
+            value_col="v",
+            count_alias="n",
+            sum_alias="sv",
+            num_partitions=2,
+        )
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    assert len(out) == 4
+    # u1@10 window [0,10): ts0 incl, ts5 incl, ts10 EXCLUDED -> 100+20
+    assert out["n"][0] == 2 and out["sv"][0] == 120
+    # u1@30 window [20,30): only ts25 -> 4
+    assert out["n"][1] == 1 and out["sv"][1] == 4
+    # u2@10 window [0,10): ts5 -> 7 (u1's rows must not leak)
+    assert out["n"][2] == 1 and out["sv"][2] == 7
+    # u3@50: key absent from right -> kept, zero matches
+    assert out["n"][3] == 0 and out["sv"][3] == 0
+
+
+def test_range_join_agg_count_only_and_forward_window(ray_session):
+    """No value_col -> count-only schema; a forward window [0, upper)
+    includes the left row's own instant on the right side."""
+    import datetime as dt
+
+    from raycdc.relational import range_join_agg
+
+    def ts(s):
+        return dt.datetime(2024, 1, 1, 0, 0, s)
+
+    left = pa.table(
+        {
+            "k": pa.array([7, 8], pa.int64()),
+            "ts": pa.array([ts(0), ts(0)], pa.timestamp("us")),
+            "id": pa.array([1, 2], pa.int64()),
+        }
+    )
+    right = pa.table(
+        {
+            "k": pa.array([7, 7, 7], pa.int64()),
+            "ts": pa.array([ts(0), ts(4), ts(5)], pa.timestamp("us")),
+        }
+    )
+    out = (
+        range_join_agg(
+            ray.data.from_arrow(left),
+            ray.data.from_arrow(right),
+            on="k",
+            left_ts="ts",
+            right_ts="ts",
+            lower=0.0,
+            upper=5.0,
+            count_alias="n",
+            num_partitions=2,
+        )
+        .to_pandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    # [0, 5): ts0 and ts4 match, ts5 excluded
+    assert out["n"].tolist() == [2, 0]
+    assert "sv" not in out.columns and len(out.columns) == 4
