@@ -544,6 +544,77 @@ GROUP BY s.conv_id, s.turn_idx
 """
 
 
+def q_cdc_scd2_history(sf_dir: str):
+    """SCD Type-2 history table from a CDC changelog: every version a key
+    ever held with its ``[valid_from, valid_to)`` validity interval and an
+    ``is_current`` flag; deletes close intervals without emitting rows.
+    Same deterministic events→changelog derivation as
+    :func:`q_cdc_additive_rollup` so the oracle's ``src`` CTE is identical;
+    the history itself is ONE hash-bucketed exchange + a single lexsort
+    pass per bucket (:func:`raycdc.scd.scd2_history`).  Oracle = window
+    ``LEAD(ts)`` per key."""
+    import numpy as np
+
+    from raycdc.scd import scd2_history
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "event_type", "value"],
+    )
+    classes = ["click", "view", "purchase", "signup", "error"]
+
+    def to_changelog(t: pa.Table) -> pa.Table:
+        et = t["event_type"]
+        is_err = pc.equal(et, "error")
+        cls = pc.index_in(et, value_set=pa.array(classes)).cast(pa.int32())
+        eid = t["event_id"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        del_cls = pa.array((eid % 4).astype(np.int32))
+        v = t["value"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "conv_id": pc.binary_join_element_wise(
+                    "u", pc.cast(t["user_id"], pa.string()), ""
+                ),
+                "turn_idx": pc.if_else(is_err, del_cls, cls).cast(pa.int64()),
+                "ts": t["ts"],
+                "op": pc.if_else(is_err, pa.scalar("delete"), pa.scalar("insert")),
+                "lsn": t["event_id"].cast(pa.int64()),
+                "cents": pa.array(np.floor(v * 100).astype(np.int64)),
+            }
+        )
+
+    log = ds.map_batches(
+        to_changelog, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return scd2_history(
+        log, key_cols=("conv_id", "turn_idx"), num_partitions=16
+    )
+
+
+SQL_CDC_SCD2_HISTORY = """
+WITH src AS (
+  SELECT 'u' || CAST(user_id AS VARCHAR) AS conv_id,
+         CAST(CASE WHEN event_type = 'error' THEN event_id % 4
+              ELSE CASE event_type WHEN 'click' THEN 0 WHEN 'view' THEN 1
+                   WHEN 'purchase' THEN 2 WHEN 'signup' THEN 3 END
+         END AS BIGINT) AS turn_idx,
+         ts, event_id AS lsn,
+         CASE WHEN event_type = 'error' THEN 'delete' ELSE 'insert' END AS op,
+         CAST(floor(value * 100) AS BIGINT) AS cents
+  FROM events
+), o AS (
+  SELECT conv_id, turn_idx, lsn, cents, op, ts,
+         LEAD(ts) OVER (PARTITION BY conv_id, turn_idx
+                        ORDER BY ts, lsn) AS nts
+  FROM src
+)
+SELECT conv_id, turn_idx, lsn, cents,
+       ts AS valid_from, nts AS valid_to,
+       CAST(nts IS NULL AS BIGINT) AS is_current
+FROM o WHERE op = 'insert'
+"""
+
+
 def q_text_repetition(sf_dir: str):
     """Duplicate-bigram repetition signal per document (the Gopher-style
     repeated-n-gram quality filter), fully vectorized via the segmented
@@ -2051,6 +2122,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "cdc_csv_ingest": q_cdc_csv_ingest,
     "cdc_evolve": q_cdc_evolve,
     "cdc_additive_rollup": q_cdc_additive_rollup,
+    "cdc_scd2_history": q_cdc_scd2_history,
     "sample_events": q_sample_events,
     "split_events": q_split_events,
     "join_orders_customer": q_join_orders_customer,
@@ -2108,6 +2180,7 @@ ORACLES: dict[str, str] = {
     "join_shuffle": SQL_JOIN_ORDERS_CUSTOMER,
     "cdc_evolve": _sql_cdc_evolve(),
     "cdc_additive_rollup": SQL_CDC_ADDITIVE_ROLLUP,
+    "cdc_scd2_history": SQL_CDC_SCD2_HISTORY,
     "sample_events": SQL_SAMPLE_EVENTS,
     "split_events": SQL_SPLIT_EVENTS,
     "sessionize_events": SQL_SESSIONIZE_EVENTS,

@@ -534,3 +534,82 @@ def test_range_join_agg_count_only_and_forward_window(ray_session):
     # [0, 5): ts0 and ts4 match, ts5 excluded
     assert out["n"].tolist() == [2, 0]
     assert "sv" not in out.columns and len(out.columns) == 4
+
+
+def test_scd2_history_intervals(ray_session):
+    """SCD2: upserts chain validity intervals per key in (ts, lsn) order,
+    a delete closes the prior version without emitting a row, a key whose
+    last event is a delete has no current row, and re-insert after delete
+    opens a fresh current version."""
+    import datetime as dt
+
+    from raycdc.scd import scd2_history
+
+    def ts(s):
+        return dt.datetime(2024, 1, 1, 0, 0, s)
+
+    log = pa.table(
+        {
+            "conv_id": pa.array(["a", "a", "a", "a", "b", "b", "c"]),
+            "turn_idx": pa.array([0, 0, 0, 0, 1, 1, 2], pa.int64()),
+            "ts": pa.array(
+                [ts(1), ts(5), ts(9), ts(12), ts(2), ts(6), ts(3)],
+                pa.timestamp("us"),
+            ),
+            "op": pa.array(
+                ["insert", "update", "delete", "insert", "insert", "delete", "insert"]
+            ),
+            "lsn": pa.array([1, 2, 3, 4, 5, 6, 7], pa.int64()),
+            "text": pa.array(["v1", "v2", "", "v3", "w1", "", "x1"]),
+        }
+    )
+    out = (
+        scd2_history(
+            ray.data.from_arrow(log),
+            key_cols=("conv_id", "turn_idx"),
+            num_partitions=2,
+        )
+        .to_pandas()
+        .sort_values(["conv_id", "valid_from"])
+        .reset_index(drop=True)
+    )
+    # a: v1 [1,5), v2 [5,9) closed by delete@9, v3 [12,-) current
+    # b: w1 [2,6) closed by delete -> key has NO current row
+    # c: x1 [3,-) current
+    assert len(out) == 5
+    assert out["text"].tolist() == ["v1", "v2", "v3", "w1", "x1"]
+    assert out["valid_from"].tolist() == [ts(1), ts(5), ts(12), ts(2), ts(3)]
+    assert out["valid_to"][0] == ts(5) and out["valid_to"][1] == ts(9)
+    assert out["valid_to"].isna().tolist() == [False, False, True, False, True]
+    assert out["is_current"].tolist() == [0, 0, 1, 0, 1]
+    assert "op" not in out.columns and "ts" not in out.columns
+
+
+def test_scd2_history_ts_tie_lsn_order(ray_session):
+    """Equal timestamps fall back to lsn order: the later-lsn version wins
+    the open interval and the earlier closes at the SAME ts (zero-width)."""
+    import datetime as dt
+
+    from raycdc.scd import scd2_history
+
+    t0 = dt.datetime(2024, 1, 1)
+    log = pa.table(
+        {
+            "k": pa.array([9, 9], pa.int64()),
+            "ts": pa.array([t0, t0], pa.timestamp("us")),
+            "op": pa.array(["insert", "update"]),
+            "lsn": pa.array([2, 1], pa.int64()),
+            "v": pa.array([20, 10], pa.int64()),
+        }
+    )
+    out = (
+        scd2_history(
+            ray.data.from_arrow(log), key_cols=("k",), num_partitions=1
+        )
+        .to_pandas()
+        .sort_values("lsn")
+        .reset_index(drop=True)
+    )
+    assert out["v"].tolist() == [10, 20]
+    assert out["is_current"].tolist() == [0, 1]
+    assert out["valid_to"][0] == t0 and out["valid_to"].isna()[1]
