@@ -366,3 +366,96 @@ def synthetic_changelog(
         perm = rng.permutation(n_events)
         t = t.take(pa.array(perm))
     return t
+
+
+def suppress_noop_updates(
+    changelog: "ray.data.Dataset",
+    key_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
+    payload_cols: tuple[str, ...] = ("text",),
+    ts_col: str = "ts",
+    lsn_col: str = "lsn",
+    op_col: str = "op",
+    delete_op: str = "delete",
+    num_partitions: int = 64,
+) -> "ray.data.Dataset":
+    """Changelog compression: drop upserts whose payload is identical to the
+    key's immediately preceding event (in ``(ts, lsn)`` order) when that
+    event was also an upsert.  Connectors that emit full row images on
+    every commit produce long runs of such no-op updates; suppressing them
+    shrinks every downstream exchange without changing the replayed final
+    state (LWW keeps only the latest version anyway) OR the SCD2 history's
+    distinct-version sequence.
+
+    Deletes are always kept, and an insert immediately after a delete is
+    kept even if its payload matches the pre-delete version (the interval
+    genuinely closed and reopened).  Equality treats null == null as
+    equal.  Runs of equal payloads collapse to the first row — comparing
+    to the immediate predecessor equals comparing to the last survivor
+    because payload equality is transitive.
+
+    Distributed shape: one hash-bucketed exchange on the key
+    (:func:`raycdc.partition.bucket_keys`) co-locates each key's events;
+    the group body is one ``np.lexsort`` plus vectorized shifted-column
+    comparisons — no per-key loop.
+    """
+    from raycdc.engine import _configure_shuffle
+    from raycdc.partition import bucket_keys
+
+    _configure_shuffle()
+    bcol = "__noop_bucket"
+
+    def tag(t: pa.Table) -> pa.Table:
+        return t.append_column(bcol, bucket_keys(t, key_cols, num_partitions))
+
+    def _codes(col) -> np.ndarray:
+        col = col.combine_chunks()
+        if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
+            return (
+                col.dictionary_encode()
+                .indices.to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+            )
+        return col.cast(pa.int64()).to_numpy(zero_copy_only=False)
+
+    def drop_noops(g: pa.Table) -> pa.Table:
+        g = g.drop_columns([bcol])
+        if len(g) < 2:
+            return g
+        ts = (
+            g[ts_col]
+            .cast(pa.timestamp("us"))
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        lsn = g[lsn_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        keys = [_codes(g[k]) for k in key_cols]
+        order = np.lexsort((lsn, ts, *reversed(keys)))
+        same_prev = np.ones(len(order), dtype=bool)
+        same_prev[0] = False
+        for k in keys:
+            ks = k[order]
+            same_prev[1:] &= ks[1:] == ks[:-1]
+        op = g[op_col].combine_chunks().to_numpy(zero_copy_only=False)[order]
+        upsert = op != delete_op
+        prev_upsert = np.empty_like(upsert)
+        prev_upsert[0] = False
+        prev_upsert[1:] = upsert[:-1]
+        eq_all = np.ones(len(order), dtype=bool)
+        eq_all[0] = False
+        idx = pa.array(order)
+        for p in payload_cols:
+            s = g[p].combine_chunks().take(idx)
+            x, y = s.slice(1), s.slice(0, len(s) - 1)
+            eq = pc.or_(
+                pc.fill_null(pc.equal(x, y), False),
+                pc.and_(pc.is_null(x), pc.is_null(y)),
+            ).to_numpy(zero_copy_only=False)
+            eq_all[1:] &= eq
+        drop = same_prev & upsert & prev_upsert & eq_all
+        return g.take(pa.array(order[~drop]))
+
+    return (
+        changelog.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(bcol, num_partitions=num_partitions)
+        .map_groups(drop_noops, batch_format="pyarrow")
+    )

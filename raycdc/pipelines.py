@@ -591,6 +591,79 @@ def q_cdc_scd2_history(sf_dir: str):
     )
 
 
+def q_cdc_suppress_noops(sf_dir: str):
+    """Changelog compression: drop upserts whose payload equals the key's
+    immediately preceding upsert (connectors emitting full row images per
+    commit produce long no-op runs).  Payload is coarse-quantized
+    (``cents % 50``) on BOTH engines so genuine no-op runs occur in the
+    fixture data.  One hash-bucketed exchange; vectorized shifted-column
+    equality per bucket (:func:`raycdc.changelog.suppress_noop_updates`).
+    Oracle = ``LAG`` window with ``IS NOT DISTINCT FROM``."""
+    import numpy as np
+
+    from raycdc.changelog import suppress_noop_updates
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "event_type", "value"],
+    )
+    classes = ["click", "view", "purchase", "signup", "error"]
+
+    def to_changelog(t: pa.Table) -> pa.Table:
+        et = t["event_type"]
+        is_err = pc.equal(et, "error")
+        cls = pc.index_in(et, value_set=pa.array(classes)).cast(pa.int32())
+        eid = t["event_id"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        del_cls = pa.array((eid % 4).astype(np.int32))
+        v = t["value"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "conv_id": pc.binary_join_element_wise(
+                    "u", pc.cast(t["user_id"], pa.string()), ""
+                ),
+                "turn_idx": pc.if_else(is_err, del_cls, cls).cast(pa.int64()),
+                "ts": t["ts"],
+                "op": pc.if_else(is_err, pa.scalar("delete"), pa.scalar("insert")),
+                "lsn": t["event_id"].cast(pa.int64()),
+                "v": pa.array(np.floor(v * 100).astype(np.int64) % 50),
+            }
+        )
+
+    log = ds.map_batches(
+        to_changelog, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return suppress_noop_updates(
+        log,
+        key_cols=("conv_id", "turn_idx"),
+        payload_cols=("v",),
+        num_partitions=16,
+    )
+
+
+SQL_CDC_SUPPRESS_NOOPS = """
+WITH src AS (
+  SELECT 'u' || CAST(user_id AS VARCHAR) AS conv_id,
+         CAST(CASE WHEN event_type = 'error' THEN event_id % 4
+              ELSE CASE event_type WHEN 'click' THEN 0 WHEN 'view' THEN 1
+                   WHEN 'purchase' THEN 2 WHEN 'signup' THEN 3 END
+         END AS BIGINT) AS turn_idx,
+         ts, event_id AS lsn,
+         CASE WHEN event_type = 'error' THEN 'delete' ELSE 'insert' END AS op,
+         CAST(floor(value * 100) AS BIGINT) % 50 AS v
+  FROM events
+), o AS (
+  SELECT conv_id, turn_idx, ts, op, lsn, v,
+         LAG(op) OVER w AS pop, LAG(v) OVER w AS pv
+  FROM src
+  WINDOW w AS (PARTITION BY conv_id, turn_idx ORDER BY ts, lsn)
+)
+SELECT conv_id, turn_idx, ts, op, lsn, v
+FROM o
+WHERE NOT (op = 'insert' AND COALESCE(pop, '') = 'insert'
+           AND pv IS NOT DISTINCT FROM v)
+"""
+
+
 SQL_CDC_SCD2_HISTORY = """
 WITH src AS (
   SELECT 'u' || CAST(user_id AS VARCHAR) AS conv_id,
@@ -2123,6 +2196,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "cdc_evolve": q_cdc_evolve,
     "cdc_additive_rollup": q_cdc_additive_rollup,
     "cdc_scd2_history": q_cdc_scd2_history,
+    "cdc_suppress_noops": q_cdc_suppress_noops,
     "sample_events": q_sample_events,
     "split_events": q_split_events,
     "join_orders_customer": q_join_orders_customer,
@@ -2181,6 +2255,7 @@ ORACLES: dict[str, str] = {
     "cdc_evolve": _sql_cdc_evolve(),
     "cdc_additive_rollup": SQL_CDC_ADDITIVE_ROLLUP,
     "cdc_scd2_history": SQL_CDC_SCD2_HISTORY,
+    "cdc_suppress_noops": SQL_CDC_SUPPRESS_NOOPS,
     "sample_events": SQL_SAMPLE_EVENTS,
     "split_events": SQL_SPLIT_EVENTS,
     "sessionize_events": SQL_SESSIONIZE_EVENTS,
@@ -2234,4 +2309,6 @@ def bench_extras() -> dict[str, Callable[[str], Any]]:
         "pivot_user_events": lambda sf: q_pivot_user_events(sf).count(),
         "distinct_props_per_user": lambda sf: q_distinct_props_per_user(sf).count(),
         "decontaminate": lambda sf: q_decontaminate(sf).count(),
+        "range_join_clicks": lambda sf: q_range_join_clicks(sf).count(),
+        "cdc_scd2_history": lambda sf: q_cdc_scd2_history(sf).count(),
     }

@@ -229,3 +229,46 @@ def test_diff_then_replay_roundtrip(ray_session, tmp_path):
     want = new.to_pandas().sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
     for c in ("conv_id", "turn_idx", "text"):
         assert list(got[c]) == list(want[c]), c
+
+
+def test_suppress_noop_updates(ray_session):
+    """Runs of identical upsert payloads collapse to the first row; deletes
+    are kept; an insert right after a delete survives even with the
+    pre-delete payload; null == null counts as equal; multi-column payload
+    must match on ALL columns."""
+    import datetime as dt
+
+    from raycdc.changelog import suppress_noop_updates
+
+    def ts(s):
+        return dt.datetime(2024, 1, 1, 0, 0, s)
+
+    log = pa.table(
+        {
+            "conv_id": pa.array(["a"] * 6 + ["b"] * 3),
+            "turn_idx": pa.array([0] * 6 + [1] * 3, pa.int64()),
+            "ts": pa.array([ts(i) for i in range(1, 7)] + [ts(1), ts(2), ts(3)],
+                           pa.timestamp("us")),
+            "op": pa.array(
+                ["insert", "update", "update", "delete", "insert", "update",
+                 "insert", "update", "update"]
+            ),
+            "lsn": pa.array(list(range(1, 10)), pa.int64()),
+            # a: v, v (noop), v (noop), del, v (kept: post-delete), w
+            # b: null, null (noop), x-with-different-aux (kept)
+            "text": pa.array(["v", "v", "v", "", "v", "w", None, None, None]),
+            "aux": pa.array([1, 1, 1, 0, 1, 1, 5, 5, 6], pa.int64()),
+        }
+    )
+    out = (
+        suppress_noop_updates(
+            ray.data.from_arrow(log),
+            key_cols=("conv_id", "turn_idx"),
+            payload_cols=("text", "aux"),
+            num_partitions=2,
+        )
+        .to_pandas()
+        .sort_values("lsn")
+        .reset_index(drop=True)
+    )
+    assert out["lsn"].tolist() == [1, 4, 5, 6, 7, 9]
