@@ -591,6 +591,95 @@ def q_cdc_scd2_history(sf_dir: str):
     )
 
 
+def q_rolling_value(sf_dir: str):
+    """Bounded ROWS window: per-user sum of the last 5 events' cents in
+    (ts, event_id) order — one entity-bucketed exchange, window sums via
+    two prefix-sum gathers (:func:`raycdc.relational.rolling_aggregate`).
+    Integer cents keep both engines exact."""
+    import numpy as np
+
+    from raycdc.relational import rolling_aggregate
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "value"]
+    )
+
+    def to_cents(t: pa.Table) -> pa.Table:
+        v = np.floor(t["value"].to_numpy(zero_copy_only=False) * 100.0)
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "user_id": t["user_id"],
+                "ts": t["ts"],
+                "vc": pa.array(v.astype(np.int64)),
+            }
+        )
+
+    return rolling_aggregate(
+        ds.map_batches(to_cents, batch_format="pyarrow", zero_copy_batch=True),
+        entity_col="user_id",
+        ts_col="ts",
+        order_cols=("event_id",),
+        value_col="vc",
+        window_rows=5,
+        alias="roll_cents",
+        num_partitions=16,
+    )
+
+
+SQL_ROLLING_VALUE = """
+SELECT event_id, user_id, ts,
+       CAST(floor(value * 100) AS BIGINT) AS vc,
+       CAST(SUM(CAST(floor(value * 100) AS BIGINT)) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN 4 PRECEDING AND CURRENT ROW
+       ) AS BIGINT) AS roll_cents
+FROM events
+"""
+
+
+def q_quantiles_value(sf_dir: str):
+    """Exact per-user cent-value quartiles
+    (:func:`raycdc.relational.group_quantiles`): one bucketed exchange,
+    one sort per bucket, every quantile a pair of vectorized gathers.
+    Quartiles over integer cents interpolate bit-exactly on both engines
+    (fracs are dyadic, order statistics are integers)."""
+    import numpy as np
+
+    from raycdc.relational import group_quantiles
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "value"]
+    )
+
+    def to_cents(t: pa.Table) -> pa.Table:
+        v = np.floor(t["value"].to_numpy(zero_copy_only=False) * 100.0)
+        return pa.table(
+            {"user_id": t["user_id"], "vc": pa.array(v.astype(np.int64))}
+        )
+
+    return group_quantiles(
+        ds.map_batches(to_cents, batch_format="pyarrow", zero_copy_batch=True),
+        group_col="user_id",
+        value_col="vc",
+        qs=(0.25, 0.5, 0.75),
+        aliases=("p25", "p50", "p75"),
+        num_partitions=16,
+    )
+
+
+SQL_QUANTILES_VALUE = """
+WITH c AS (
+  SELECT user_id, CAST(floor(value * 100) AS BIGINT) AS vc FROM events
+)
+SELECT user_id,
+       quantile_cont(vc, 0.25) AS p25,
+       quantile_cont(vc, 0.50) AS p50,
+       quantile_cont(vc, 0.75) AS p75
+FROM c GROUP BY user_id
+"""
+
+
 def q_cdc_suppress_noops(sf_dir: str):
     """Changelog compression: drop upserts whose payload equals the key's
     immediately preceding upsert (connectors emitting full row images per
@@ -2209,6 +2298,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "asof_click_purchase": q_asof_click_purchase,
     "range_join_clicks": q_range_join_clicks,
     "running_value": q_running_value,
+    "rolling_value": q_rolling_value,
+    "quantiles_value": q_quantiles_value,
     "sketch_users": q_sketch_users,
     "sketch_quantiles": q_sketch_quantiles,
     "stratified_sample": q_stratified_sample,
@@ -2266,6 +2357,8 @@ ORACLES: dict[str, str] = {
     "asof_click_purchase": SQL_ASOF_CLICK_PURCHASE,
     "range_join_clicks": SQL_RANGE_JOIN_CLICKS,
     "running_value": SQL_RUNNING_VALUE,
+    "rolling_value": SQL_ROLLING_VALUE,
+    "quantiles_value": SQL_QUANTILES_VALUE,
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
     "anti_join_customers": SQL_ANTI_JOIN_CUSTOMERS,
     "semi_join_customers": SQL_SEMI_JOIN_CUSTOMERS,

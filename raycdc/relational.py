@@ -927,3 +927,135 @@ def range_join_agg(
     return tagged.groupby("__bucket", num_partitions=num_partitions).map_groups(
         agg, batch_format="pyarrow"
     )
+
+
+def rolling_aggregate(
+    ds: "ray.data.Dataset",
+    entity_col: str = "user_id",
+    ts_col: str = "ts",
+    order_cols: Sequence[str] = (),
+    value_col: str = "value",
+    window_rows: int = 5,
+    alias: str | None = None,
+    num_partitions: int = 64,
+) -> "ray.data.Dataset":
+    """Per-entity rolling sum over the last ``window_rows`` rows in
+    event-time order — the bounded ROWS window
+    (``SUM(x) OVER (PARTITION BY e ORDER BY ts ROWS BETWEEN k-1 PRECEDING
+    AND CURRENT ROW)``).  Same distributed shape as
+    :func:`running_aggregate`: one entity-bucketed exchange, then a
+    vectorized per-bucket pass — the window sum is two prefix-sum gathers
+    (``S[i+1] - S[max(i-k+1, seg_start)]``), no per-row loop and no O(n·k)
+    re-scan.
+
+    Integer value columns stay exact; float columns inherit cumsum
+    reassociation — use integer cents when an oracle must hash-match.
+    """
+    from raycdc.engine import _configure_shuffle
+
+    _configure_shuffle()
+    if window_rows < 1:
+        raise ValueError("window_rows must be >= 1")
+    out_col = alias or f"roll_{value_col}"
+    sort_keys = [(entity_col, "ascending"), (ts_col, "ascending")] + [
+        (c, "ascending") for c in order_cols
+    ]
+    tag = _tag_bucket(entity_col, num_partitions)
+
+    def roll(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["__bucket"]).sort_by(sort_keys)
+        n = len(g)
+        if n == 0:
+            return g.append_column(out_col, pa.array([], pa.int64()))
+        ent = g[entity_col].combine_chunks()
+        new_entity = np.ones(n, dtype=bool)
+        if n > 1:
+            a, b = ent.slice(1), ent.slice(0, n - 1)
+            eq = pc.fill_null(pc.equal(a, b), False)
+            both_null = pc.and_(pc.is_null(a), pc.is_null(b))
+            new_entity[1:] = ~pc.or_(eq, both_null).to_numpy(zero_copy_only=False)
+        seg_starts = np.where(new_entity)[0]
+        first = np.repeat(seg_starts, np.diff(np.append(seg_starts, n)))
+        vals = g[value_col].to_numpy(zero_copy_only=False)
+        prefix = np.concatenate([[0], np.cumsum(vals)])
+        idx = np.arange(n, dtype=np.int64)
+        start = np.maximum(idx - (window_rows - 1), first)
+        return g.append_column(out_col, pa.array(prefix[idx + 1] - prefix[start]))
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__bucket", num_partitions=num_partitions)
+        .map_groups(roll, batch_format="pyarrow")
+    )
+
+
+def group_quantiles(
+    ds: "ray.data.Dataset",
+    group_col: str = "user_id",
+    value_col: str = "value",
+    qs: Sequence[float] = (0.5,),
+    aliases: Sequence[str] | None = None,
+    num_partitions: int = 64,
+) -> "ray.data.Dataset":
+    """Exact per-group continuous quantiles (linear interpolation — the
+    semantics of DuckDB ``quantile_cont`` / numpy default).  Complements
+    :mod:`raycdc.sketch`'s t-digest: exact when each group's values fit a
+    task, mergeable-approximate when they don't.
+
+    One group-bucketed exchange; per bucket ONE sort of (group, value)
+    gives every group's order statistics, then each quantile is two
+    vectorized gathers (floor/ceil rank) + an interpolation — no per-group
+    loop.  Null values are ignored (SQL aggregate semantics); all-null
+    groups are dropped.
+    """
+    from raycdc.engine import _configure_shuffle
+
+    _configure_shuffle()
+    qs = list(qs)
+    if not qs or any(not (0.0 <= q <= 1.0) for q in qs):
+        raise ValueError("qs must be non-empty fractions in [0, 1]")
+    names = list(aliases) if aliases else [f"q{int(round(q * 100))}" for q in qs]
+    if len(names) != len(qs):
+        raise ValueError("aliases must match qs in length")
+    tag = _tag_bucket(group_col, num_partitions)
+
+    def quantiles(g: pa.Table) -> pa.Table:
+        gt = pa.table(
+            {group_col: g[group_col], "__v": g[value_col]}
+        ).filter(pc.is_valid(g[value_col]))
+        out_schema = pa.schema(
+            [g.schema.field(group_col)]
+            + [pa.field(nm, pa.float64()) for nm in names]
+        )
+        n = len(gt)
+        if n == 0:
+            return out_schema.empty_table()
+        gt = gt.sort_by([(group_col, "ascending"), ("__v", "ascending")])
+        grp = gt[group_col].combine_chunks()
+        new_grp = np.ones(n, dtype=bool)
+        if n > 1:
+            a, b = grp.slice(1), grp.slice(0, n - 1)
+            eq = pc.or_(
+                pc.fill_null(pc.equal(a, b), False),
+                pc.and_(pc.is_null(a), pc.is_null(b)),
+            )
+            new_grp[1:] = ~eq.to_numpy(zero_copy_only=False)
+        seg_starts = np.where(new_grp)[0]
+        seg_lens = np.diff(np.append(seg_starts, n))
+        v = gt["__v"].to_numpy(zero_copy_only=False).astype(np.float64)
+        cols = {group_col: grp.take(pa.array(seg_starts))}
+        for q, nm in zip(qs, names):
+            pos = (seg_lens - 1) * q
+            lo = np.floor(pos).astype(np.int64)
+            hi = np.ceil(pos).astype(np.int64)
+            frac = pos - lo
+            cols[nm] = pa.array(
+                v[seg_starts + lo] * (1.0 - frac) + v[seg_starts + hi] * frac
+            )
+        return pa.table(cols, schema=out_schema)
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__bucket", num_partitions=num_partitions)
+        .map_groups(quantiles, batch_format="pyarrow")
+    )

@@ -613,3 +613,73 @@ def test_scd2_history_ts_tie_lsn_order(ray_session):
     assert out["v"].tolist() == [10, 20]
     assert out["is_current"].tolist() == [0, 1]
     assert out["valid_to"][0] == t0 and out["valid_to"].isna()[1]
+
+
+def test_rolling_aggregate_rows_window(ray_session):
+    """Bounded ROWS window: sum of the last k rows per entity in (ts,
+    order) order; windows shorter than k at segment starts; entities never
+    bleed into each other; integer sums exact."""
+    import datetime as dt
+
+    from raycdc.relational import rolling_aggregate
+
+    def ts(s):
+        return dt.datetime(2024, 1, 1, 0, 0, s)
+
+    t = pa.table(
+        {
+            "user_id": pa.array([1, 1, 1, 1, 2, 2], pa.int64()),
+            "ts": pa.array(
+                [ts(1), ts(2), ts(3), ts(4), ts(1), ts(2)], pa.timestamp("us")
+            ),
+            "eid": pa.array([10, 11, 12, 13, 14, 15], pa.int64()),
+            "v": pa.array([1, 2, 3, 4, 100, 200], pa.int64()),
+        }
+    )
+    out = (
+        rolling_aggregate(
+            ray.data.from_arrow(t),
+            entity_col="user_id",
+            ts_col="ts",
+            order_cols=("eid",),
+            value_col="v",
+            window_rows=3,
+            num_partitions=2,
+        )
+        .to_pandas()
+        .sort_values("eid")
+        .reset_index(drop=True)
+    )
+    # user 1: 1, 1+2, 1+2+3, 2+3+4; user 2 restarts: 100, 300
+    assert out["roll_v"].tolist() == [1, 3, 6, 9, 100, 300]
+
+
+def test_group_quantiles_interpolation(ray_session):
+    """quantile_cont semantics: linear interpolation between order
+    statistics, nulls ignored, all-null groups dropped, multiple
+    quantiles from one sort."""
+    from raycdc.relational import group_quantiles
+
+    t = pa.table(
+        {
+            "g": pa.array(["a"] * 4 + ["b"] * 3 + ["c"] * 2),
+            "v": pa.array([4.0, 1.0, 2.0, 3.0, 10.0, None, 20.0, None, None]),
+        }
+    )
+    out = (
+        group_quantiles(
+            ray.data.from_arrow(t),
+            group_col="g",
+            value_col="v",
+            qs=(0.5, 1.0),
+            aliases=("p50", "p100"),
+            num_partitions=2,
+        )
+        .to_pandas()
+        .sort_values("g")
+        .reset_index(drop=True)
+    )
+    assert out["g"].tolist() == ["a", "b"]  # c all-null -> dropped
+    # a: sorted 1,2,3,4 -> p50 = 2.5; b: 10,20 -> 15 (null ignored)
+    assert out["p50"].tolist() == [2.5, 15.0]
+    assert out["p100"].tolist() == [4.0, 20.0]
