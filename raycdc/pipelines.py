@@ -680,6 +680,127 @@ FROM c GROUP BY user_id
 """
 
 
+def q_cdc_point_in_time(sf_dir: str):
+    """Temporal point lookup over the SCD2 history: every event probes the
+    version of key ``('u'||user_id, event_id % 4)`` that was valid at the
+    event's own instant — null during deleted gaps and before birth.
+    Composition of :func:`raycdc.scd.scd2_history` and
+    :func:`raycdc.scd.point_in_time`; oracle = interval LEFT JOIN against
+    the ``LEAD(ts)``-windowed history."""
+    import numpy as np
+
+    from raycdc.scd import point_in_time, scd2_history
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "event_type", "value"],
+    )
+    classes = ["click", "view", "purchase", "signup", "error"]
+
+    def to_changelog(t: pa.Table) -> pa.Table:
+        et = t["event_type"]
+        is_err = pc.equal(et, "error")
+        cls = pc.index_in(et, value_set=pa.array(classes)).cast(pa.int32())
+        eid = t["event_id"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        del_cls = pa.array((eid % 4).astype(np.int32))
+        v = t["value"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "conv_id": pc.binary_join_element_wise(
+                    "u", pc.cast(t["user_id"], pa.string()), ""
+                ),
+                "turn_idx": pc.if_else(is_err, del_cls, cls).cast(pa.int64()),
+                "ts": t["ts"],
+                "op": pc.if_else(is_err, pa.scalar("delete"), pa.scalar("insert")),
+                "lsn": t["event_id"].cast(pa.int64()),
+                "cents": pa.array(np.floor(v * 100).astype(np.int64)),
+            }
+        )
+
+    def to_probes(t: pa.Table) -> pa.Table:
+        eid = t["event_id"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "conv_id": pc.binary_join_element_wise(
+                    "u", pc.cast(t["user_id"], pa.string()), ""
+                ),
+                "turn_idx": pa.array(eid % 4),
+                "ts": t["ts"],
+                "pid": t["event_id"].cast(pa.int64()),
+            }
+        )
+
+    hist = scd2_history(
+        ds.map_batches(to_changelog, batch_format="pyarrow", zero_copy_batch=True),
+        key_cols=("conv_id", "turn_idx"),
+        num_partitions=16,
+    )
+    probes = ds.map_batches(
+        to_probes, batch_format="pyarrow", zero_copy_batch=True
+    )
+    ts_t = pa.timestamp("us")
+    return point_in_time(
+        hist,
+        probes,
+        key_cols=("conv_id", "turn_idx"),
+        as_of_col="ts",
+        payload_cols=("cents",),
+        num_partitions=16,
+        h_schema=pa.schema(
+            [
+                ("conv_id", pa.string()),
+                ("turn_idx", pa.int64()),
+                ("lsn", pa.int64()),
+                ("cents", pa.int64()),
+                ("valid_from", ts_t),
+                ("valid_to", ts_t),
+                ("is_current", pa.int64()),
+            ]
+        ),
+        p_schema=pa.schema(
+            [
+                ("conv_id", pa.string()),
+                ("turn_idx", pa.int64()),
+                ("ts", ts_t),
+                ("pid", pa.int64()),
+            ]
+        ),
+    )
+
+
+SQL_CDC_POINT_IN_TIME = """
+WITH src AS (
+  SELECT 'u' || CAST(user_id AS VARCHAR) AS conv_id,
+         CAST(CASE WHEN event_type = 'error' THEN event_id % 4
+              ELSE CASE event_type WHEN 'click' THEN 0 WHEN 'view' THEN 1
+                   WHEN 'purchase' THEN 2 WHEN 'signup' THEN 3 END
+         END AS BIGINT) AS turn_idx,
+         ts, event_id AS lsn,
+         CASE WHEN event_type = 'error' THEN 'delete' ELSE 'insert' END AS op,
+         CAST(floor(value * 100) AS BIGINT) AS cents
+  FROM events
+), o AS (
+  SELECT conv_id, turn_idx, cents, op, ts,
+         LEAD(ts) OVER (PARTITION BY conv_id, turn_idx
+                        ORDER BY ts, lsn) AS nts
+  FROM src
+), hist AS (
+  SELECT conv_id, turn_idx, cents, ts AS vf, nts AS vt
+  FROM o WHERE op = 'insert'
+), probes AS (
+  SELECT 'u' || CAST(user_id AS VARCHAR) AS conv_id,
+         CAST(event_id % 4 AS BIGINT) AS turn_idx,
+         ts, event_id AS pid
+  FROM events
+)
+SELECT p.conv_id, p.turn_idx, p.ts, p.pid,
+       h.cents, h.vf AS valid_from
+FROM probes p LEFT JOIN hist h
+  ON p.conv_id = h.conv_id AND p.turn_idx = h.turn_idx
+ AND h.vf <= p.ts AND (h.vt IS NULL OR p.ts < h.vt)
+"""
+
+
 def q_cdc_suppress_noops(sf_dir: str):
     """Changelog compression: drop upserts whose payload equals the key's
     immediately preceding upsert (connectors emitting full row images per
@@ -2286,6 +2407,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "cdc_additive_rollup": q_cdc_additive_rollup,
     "cdc_scd2_history": q_cdc_scd2_history,
     "cdc_suppress_noops": q_cdc_suppress_noops,
+    "cdc_point_in_time": q_cdc_point_in_time,
     "sample_events": q_sample_events,
     "split_events": q_split_events,
     "join_orders_customer": q_join_orders_customer,
@@ -2347,6 +2469,7 @@ ORACLES: dict[str, str] = {
     "cdc_additive_rollup": SQL_CDC_ADDITIVE_ROLLUP,
     "cdc_scd2_history": SQL_CDC_SCD2_HISTORY,
     "cdc_suppress_noops": SQL_CDC_SUPPRESS_NOOPS,
+    "cdc_point_in_time": SQL_CDC_POINT_IN_TIME,
     "sample_events": SQL_SAMPLE_EVENTS,
     "split_events": SQL_SPLIT_EVENTS,
     "sessionize_events": SQL_SESSIONIZE_EVENTS,

@@ -134,3 +134,169 @@ def scd2_history(
         .groupby(_BUCKET, num_partitions=num_partitions)
         .map_groups(history, batch_format="pyarrow")
     )
+
+
+def point_in_time(
+    history: "ray.data.Dataset",
+    probes: "ray.data.Dataset",
+    key_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
+    as_of_col: str = "ts",
+    payload_cols: tuple[str, ...] = ("text",),
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+    lsn_col: str = "lsn",
+    num_partitions: int = 64,
+    h_schema: "pa.Schema | None" = None,
+    p_schema: "pa.Schema | None" = None,
+) -> "ray.data.Dataset":
+    """Temporal point lookup: annotate every probe row with the SCD2
+    version that was valid at its ``as_of_col`` instant — the row whose
+    ``valid_from <= as_of < valid_to`` (``valid_to`` null = still open).
+    Probes whose key was deleted, expired, or not yet born at that instant
+    get null payloads (LEFT-join semantics).
+
+    Distributed shape: both sides stream through one tagged union and ONE
+    co-partitioned bucketed exchange on the key.  Per bucket: a single
+    ``np.lexsort`` of (key codes…, ts, side, lsn) — history rows sort
+    BEFORE probes at equal ts (``valid_from <= as_of`` is inclusive) and
+    same-instant versions resolve to the highest ``lsn_col`` — then a
+    segmented forward-fill (one ``np.maximum.accumulate``) finds each
+    probe's latest earlier-or-equal version, and a masked gather applies
+    the ``as_of < valid_to`` expiry check.  No per-key loop.
+
+    Output: every probe column plus ``payload_cols`` and ``valid_from``
+    from the matched version (null when none).
+    """
+    from raycdc.engine import _configure_shuffle
+
+    _configure_shuffle()
+
+    def _pa_schema(ds_: "ray.data.Dataset") -> pa.Schema:
+        s = ds_.schema()
+        base = getattr(s, "base_schema", s)
+        if isinstance(base, pa.Schema):
+            return base
+        return pa.schema(list(zip(s.names, s.types)))
+
+    if h_schema is None:
+        h_schema = _pa_schema(history)
+    if p_schema is None:
+        p_schema = _pa_schema(probes)
+    p_names = list(p_schema.names)
+    pay_types = {c: h_schema.field(c).type for c in payload_cols}
+
+    uni = pa.schema(
+        [pa.field(n, p_schema.field(n).type) for n in p_names]
+        + [pa.field(f"__h_{c}", t) for c, t in pay_types.items()]
+        + [
+            pa.field("__vt", pa.timestamp("us")),
+            pa.field("__lsn", pa.int64()),
+            pa.field("__side", pa.int8()),
+            pa.field("__bucket", pa.int64()),
+        ]
+    )
+
+    def tag_probe(t: pa.Table) -> pa.Table:
+        cols = {n: t[n] for n in p_names}
+        for c, typ in pay_types.items():
+            cols[f"__h_{c}"] = pa.nulls(len(t), typ)
+        cols["__vt"] = pa.nulls(len(t), pa.timestamp("us"))
+        cols["__lsn"] = pa.nulls(len(t), pa.int64())
+        cols["__side"] = pa.array(np.ones(len(t), dtype=np.int8))
+        cols["__bucket"] = bucket_keys(t, key_cols, num_partitions)
+        return pa.table(cols, schema=uni)
+
+    def tag_hist(t: pa.Table) -> pa.Table:
+        cols = {}
+        for n in p_names:
+            if n in key_cols:
+                cols[n] = t[n].cast(p_schema.field(n).type)
+            elif n == as_of_col:
+                cols[n] = t[valid_from].cast(p_schema.field(n).type)
+            else:
+                cols[n] = pa.nulls(len(t), p_schema.field(n).type)
+        for c, typ in pay_types.items():
+            cols[f"__h_{c}"] = t[c].cast(typ)
+        cols["__vt"] = t[valid_to].cast(pa.timestamp("us"))
+        cols["__lsn"] = t[lsn_col].cast(pa.int64())
+        cols["__side"] = pa.array(np.zeros(len(t), dtype=np.int8))
+        cols["__bucket"] = bucket_keys(t, key_cols, num_partitions)
+        return pa.table(cols, schema=uni)
+
+    out_fields = [pa.field(n, p_schema.field(n).type) for n in p_names] + [
+        pa.field(c, t) for c, t in pay_types.items()
+    ] + [pa.field(valid_from, pa.timestamp("us"))]
+    out_schema = pa.schema(out_fields)
+
+    def lookup(g: pa.Table) -> pa.Table:
+        if len(g) == 0:
+            return out_schema.empty_table()
+        n = len(g)
+        side = g["__side"].to_numpy(zero_copy_only=False)
+        ts = (
+            g[as_of_col]
+            .cast(pa.timestamp("us"))
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        lsn = (
+            g["__lsn"]
+            .combine_chunks()
+            .fill_null(-1)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        keys = [_key_code(g[k]) for k in key_cols]
+        order = np.lexsort((lsn, side, ts, *reversed(keys)))
+        same_key = np.ones(n, dtype=bool)
+        same_key[0] = False
+        for k in keys:
+            ks = k[order]
+            same_key[1:] &= ks[1:] == ks[:-1]
+        new_key = ~same_key
+        seg_id = np.cumsum(new_key) - 1
+        is_hist = side[order] == 0
+        arange = np.arange(n, dtype=np.int64)
+        # segmented forward-fill of "latest history position": values from
+        # a previous key segment stay below seg_id*n - 1, so they never
+        # leak across the boundary
+        a = np.where(is_hist, arange + seg_id * n, seg_id * n - 1)
+        last_hist = np.maximum.accumulate(a) - seg_id * n
+        probe_pos = np.flatnonzero(~is_hist)
+        h = last_hist[probe_pos]
+        matched = h >= 0
+        h_rows_sorted = np.where(matched, h, 0)
+        h_orig = order[h_rows_sorted]  # original row index of matched history
+        vt = (
+            g["__vt"]
+            .cast(pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        vt_valid = g["__vt"].combine_chunks().is_valid().to_numpy(
+            zero_copy_only=False
+        )
+        p_ts = ts[order][probe_pos]
+        alive = matched & (~vt_valid[h_orig] | (p_ts < vt[h_orig]))
+        probe_orig = order[probe_pos]
+        cols = {
+            nme: g[nme].combine_chunks().take(pa.array(probe_orig))
+            for nme in p_names
+        }
+        gather = pa.array(h_orig, mask=~alive)
+        for c in pay_types:
+            cols[c] = g[f"__h_{c}"].combine_chunks().take(gather)
+        vf_ts = ts[h_orig]
+        cols[valid_from] = pa.array(vf_ts, pa.int64(), mask=~alive).cast(
+            pa.timestamp("us")
+        )
+        return pa.table(cols, schema=out_schema)
+
+    tagged = probes.map_batches(
+        tag_probe, batch_format="pyarrow", zero_copy_batch=True
+    ).union(
+        history.map_batches(tag_hist, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    return tagged.groupby("__bucket", num_partitions=num_partitions).map_groups(
+        lookup, batch_format="pyarrow"
+    )

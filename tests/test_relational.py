@@ -683,3 +683,109 @@ def test_group_quantiles_interpolation(ray_session):
     # a: sorted 1,2,3,4 -> p50 = 2.5; b: 10,20 -> 15 (null ignored)
     assert out["p50"].tolist() == [2.5, 15.0]
     assert out["p100"].tolist() == [4.0, 20.0]
+
+
+def test_point_in_time_over_scd2(ray_session):
+    """Temporal lookup composed over scd2_history: inclusive at
+    valid_from, exclusive at valid_to, null during a deleted gap and
+    before birth, re-insert visible after its instant, key isolation."""
+    import datetime as dt
+
+    from raycdc.scd import point_in_time, scd2_history
+
+    def ts(s):
+        return dt.datetime(2024, 1, 1, 0, 0, s)
+
+    log = pa.table(
+        {
+            "conv_id": pa.array(["a", "a", "a", "a", "b"]),
+            "turn_idx": pa.array([0, 0, 0, 0, 1], pa.int64()),
+            "ts": pa.array(
+                [ts(1), ts(5), ts(9), ts(12), ts(2)], pa.timestamp("us")
+            ),
+            "op": pa.array(["insert", "update", "delete", "insert", "insert"]),
+            "lsn": pa.array([1, 2, 3, 4, 5], pa.int64()),
+            "text": pa.array(["v1", "v2", "", "v3", "w1"]),
+        }
+    )
+    hist = scd2_history(
+        ray.data.from_arrow(log), key_cols=("conv_id", "turn_idx"),
+        num_partitions=2,
+    )
+    probes = pa.table(
+        {
+            "conv_id": pa.array(["a", "a", "a", "a", "a", "a", "b"]),
+            "turn_idx": pa.array([0, 0, 0, 0, 0, 0, 1], pa.int64()),
+            "ts": pa.array(
+                [ts(0), ts(1), ts(5), ts(9), ts(10), ts(30), ts(2)],
+                pa.timestamp("us"),
+            ),
+            "pid": pa.array(list(range(7)), pa.int64()),
+        }
+    )
+    out = (
+        point_in_time(
+            hist,
+            ray.data.from_arrow(probes),
+            key_cols=("conv_id", "turn_idx"),
+            as_of_col="ts",
+            payload_cols=("text",),
+            num_partitions=2,
+        )
+        .to_pandas()
+        .sort_values("pid")
+        .reset_index(drop=True)
+    )
+    # pid0 @0: before birth -> null; pid1 @1: v1 (inclusive valid_from);
+    # pid2 @5: v2 (v1 expired exactly at 5); pid3 @9: deleted gap -> null;
+    # pid4 @10: still deleted -> null; pid5 @30: v3 (open); pid6: b/w1
+    assert out["text"].tolist() == [None, "v1", "v2", None, None, "v3", "w1"]
+    assert out["valid_from"].isna().tolist() == [
+        True, False, False, True, True, False, False,
+    ]
+    assert out["valid_from"][5] == ts(12)
+
+
+def test_point_in_time_partial_key_overlap(ray_session):
+    """Keys that share SOME key columns with a neighbor in sort order
+    (('b',0) right after ('a',0)) must not inherit its history — the
+    segment boundary is 'ANY key column differs', not 'all differ'."""
+    import datetime as dt
+
+    from raycdc.scd import point_in_time
+
+    t0 = dt.datetime(2024, 1, 1)
+    hist = pa.table(
+        {
+            "conv_id": pa.array(["a"]),
+            "turn_idx": pa.array([0], pa.int64()),
+            "lsn": pa.array([1], pa.int64()),
+            "text": pa.array(["av"]),
+            "valid_from": pa.array([t0], pa.timestamp("us")),
+            "valid_to": pa.array([None], pa.timestamp("us")),
+        }
+    )
+    probes = pa.table(
+        {
+            "conv_id": pa.array(["b", "a"]),
+            "turn_idx": pa.array([0, 0], pa.int64()),
+            "ts": pa.array(
+                [dt.datetime(2024, 1, 2)] * 2, pa.timestamp("us")
+            ),
+            "pid": pa.array([0, 1], pa.int64()),
+        }
+    )
+    out = (
+        point_in_time(
+            ray.data.from_arrow(hist),
+            ray.data.from_arrow(probes),
+            key_cols=("conv_id", "turn_idx"),
+            as_of_col="ts",
+            payload_cols=("text",),
+            num_partitions=1,
+        )
+        .to_pandas()
+        .sort_values("pid")
+        .reset_index(drop=True)
+    )
+    assert out["text"].tolist() == [None, "av"]
