@@ -544,6 +544,125 @@ GROUP BY s.conv_id, s.turn_idx
 """
 
 
+def q_text_redact(sf_dir: str):
+    """PII-style scrub entirely in RE2 kernels
+    (:func:`raycdc.text.redact_text`).  The fixture corpus carries no
+    PII-shaped strings, so BOTH engines first append a deterministic
+    augmentation derived from doc_id (an email, a phone, an IP on even
+    ids) — the oracle then checks the full chain: pattern order, global
+    replacement, and the per-row redaction count."""
+    from raycdc.text import redact_text
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def augment(t: pa.Table) -> pa.Table:
+        did = t["doc_id"].cast(pa.int64())
+        import numpy as np
+
+        d = did.to_numpy(zero_copy_only=False)
+        ip = pc.if_else(
+            pa.array(d % 2 == 0),
+            pc.binary_join_element_wise(
+                " ip 10.0.0.", pc.cast(pa.array(d % 256), pa.string()), ""
+            ),
+            pa.scalar(""),
+        )
+        text = pc.binary_join_element_wise(
+            t["text"],
+            " mail a",
+            pc.cast(did, pa.string()),
+            "@ex.com tel +1 555-000",
+            pc.cast(pa.array(d % 10), pa.string()),
+            ip,
+            "",
+        )
+        return pa.table({"doc_id": did, "text": text})
+
+    return ds.map_batches(
+        augment, batch_format="pyarrow", zero_copy_batch=True
+    ).map_batches(redact_text, batch_format="pyarrow", zero_copy_batch=True)
+
+
+SQL_TEXT_REDACT = """
+WITH aug AS (
+  SELECT doc_id,
+         text || ' mail a' || CAST(doc_id AS VARCHAR)
+              || '@ex.com tel +1 555-000' || CAST(doc_id % 10 AS VARCHAR)
+              || CASE WHEN doc_id % 2 = 0
+                      THEN ' ip 10.0.0.' || CAST(doc_id % 256 AS VARCHAR)
+                      ELSE '' END AS text
+  FROM documents
+), s1 AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '[A-Za-z0-9._%+\\-]+@[A-Za-z0-9.\\-]+\\.[A-Za-z]{2,}')) AS c1,
+         regexp_replace(text, '[A-Za-z0-9._%+\\-]+@[A-Za-z0-9.\\-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t
+  FROM aug
+), s2 AS (
+  SELECT doc_id, c1,
+         len(regexp_extract_all(t, '\\+?\\d[\\d\\-\\s]{7,}\\d')) AS c2,
+         regexp_replace(t, '\\+?\\d[\\d\\-\\s]{7,}\\d', '<PHONE>', 'g') AS t
+  FROM s1
+), s3 AS (
+  SELECT doc_id, c1, c2,
+         len(regexp_extract_all(t, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS c3,
+         regexp_replace(t, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g') AS t
+  FROM s2
+)
+SELECT doc_id, t AS text, CAST(c1 + c2 + c3 AS BIGINT) AS n_redacted FROM s3
+"""
+
+
+def q_text_normalize(sf_dir: str):
+    """Canonical text form (:func:`raycdc.text.normalize_text`): lowercase
+    + whitespace collapse + edge trim, three Arrow kernel calls.  The
+    fixture text is already canonical, so both engines first de-normalize
+    deterministically (upper-case + padded edges + a tab) to make the
+    normalization observable."""
+    from raycdc.text import normalize_text
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def denorm(t: pa.Table) -> pa.Table:
+        messy = pc.binary_join_element_wise(
+            "  ", pc.utf8_upper(t["text"]), "\tEND  ", ""
+        )
+        return pa.table({"doc_id": t["doc_id"], "text": messy})
+
+    return ds.map_batches(
+        denorm, batch_format="pyarrow", zero_copy_batch=True
+    ).map_batches(normalize_text, batch_format="pyarrow", zero_copy_batch=True)
+
+
+SQL_TEXT_NORMALIZE = """
+SELECT doc_id,
+       trim(regexp_replace(lower('  ' || upper(text) || chr(9) || 'END  '),
+                           '\\s+', ' ', 'g'), ' ') AS text
+FROM documents
+"""
+
+
+def q_pack_docs(sf_dir: str):
+    """Sequence packing for training: documents → token counts → fixed
+    256-token next-fit packs (:func:`raycdc.text.pack_sequences`).
+    Deterministic (pack assignment is a pure function of the data), one
+    bucketed exchange; rows-only (next-fit's sequential reset is not
+    window-SQL-expressible) — invariants are pytest-verified
+    (tests/test_trainops.py::test_pack_sequences_invariants)."""
+    from raycdc.text import pack_sequences, token_stats
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    counts = ds.map_batches(
+        token_stats, batch_format="pyarrow", zero_copy_batch=True
+    ).select_columns(["doc_id", "n_tokens"])
+    return pack_sequences(counts, budget=256, num_partitions=16)
+
+
 def q_cdc_scd2_history(sf_dir: str):
     """SCD Type-2 history table from a CDC changelog: every version a key
     ever held with its ``[valid_from, valid_to)`` validity interval and an
@@ -2433,6 +2552,9 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "text_langid": q_text_langid,
     "text_fingerprints": q_text_fingerprints,
     "text_repetition": q_text_repetition,
+    "text_redact": q_text_redact,
+    "text_normalize": q_text_normalize,
+    "pack_docs": q_pack_docs,
     "token_vocab": q_token_vocab,
     "json_props_rollup": q_json_props_rollup,
     "tfidf_docs": q_tfidf_docs,
@@ -2489,6 +2611,8 @@ ORACLES: dict[str, str] = {
     "text_stats": SQL_TEXT_STATS,
     "text_quality": SQL_TEXT_QUALITY,
     "text_repetition": SQL_TEXT_REPETITION,
+    "text_redact": SQL_TEXT_REDACT,
+    "text_normalize": SQL_TEXT_NORMALIZE,
     "token_vocab": SQL_TOKEN_VOCAB,
     "json_props_rollup": SQL_JSON_PROPS_ROLLUP,
     "tfidf_docs": SQL_TFIDF_DOCS,

@@ -402,3 +402,172 @@ def repetition_stats(batch: pa.Table, text_col: str = "text") -> pa.Table:
             "dup_bigram_ratio": pa.array(np.floor(ratio * 1e6) / 1e6, mask=mask),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# redaction / normalization (pre-training scrub passes)
+
+# ORDER MATTERS: email before phone (an email's digits must not be
+# phone-matched), and each pattern is a single RE2 pass over the whole
+# column — never a per-row Python loop.
+REDACT_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", r"\+?\d[\d\-\s]{7,}\d", "<PHONE>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+)
+
+
+def redact_text(
+    batch: pa.Table,
+    text_col: str = "text",
+    patterns: tuple[tuple[str, str, str], ...] = REDACT_PATTERNS,
+    count_col: str | None = "n_redacted",
+) -> pa.Table:
+    """PII-style scrub: replace every match of each (name, regex,
+    replacement) pattern, entirely in Arrow's RE2 kernels
+    (``replace_substring_regex`` + ``count_substring_regex``) — the
+    batch-level scrub stage an LLM ingest pipeline runs before dedup.
+    ``count_col`` (optional) records per-row total replacements so
+    downstream filters can drop redaction-heavy documents.
+    """
+    col = batch[text_col]
+    total = None
+    if count_col:
+        total = np.zeros(len(batch), dtype=np.int64)
+    for _, rx, repl in patterns:
+        if count_col:
+            total += (
+                pc.count_substring_regex(col, rx)
+                .cast(pa.int64())
+                .to_numpy(zero_copy_only=False)
+            )
+        col = pc.replace_substring_regex(col, rx, repl)
+    out = batch.set_column(
+        batch.schema.get_field_index(text_col), text_col, col
+    )
+    if count_col:
+        out = out.append_column(count_col, pa.array(total))
+    return out
+
+
+def normalize_text(
+    batch: pa.Table, text_col: str = "text", out_col: str | None = None
+) -> pa.Table:
+    """Canonical text form for dedup keys: lowercase + collapse runs of
+    whitespace to single spaces + strip edges.  Three Arrow kernel calls,
+    zero row loops; the normalized column feeds exact-dedup hashing so
+    trivially-reformatted copies collapse."""
+    # collapse first, then trim ASCII space only — after the collapse every
+    # edge run is a single ' ', and this aligns exactly with SQL
+    # trim(x, ' ') (utf8_trim_whitespace would also strip U+3000 etc.,
+    # which SQL trim does not)
+    col = pc.utf8_trim(
+        pc.replace_substring_regex(pc.utf8_lower(batch[text_col]), r"\s+", " "),
+        " ",
+    )
+    if out_col and out_col != text_col:
+        return batch.append_column(out_col, col)
+    return batch.set_column(
+        batch.schema.get_field_index(text_col), text_col, col
+    )
+
+
+# ---------------------------------------------------------------------------
+# sequence packing (fixed token-budget training bins)
+
+
+def pack_sequences(
+    ds,
+    id_col: str = "doc_id",
+    len_col: str = "n_tokens",
+    budget: int = 2048,
+    num_partitions: int = 64,
+    pack_col: str = "pack_id",
+    pos_col: str = "seq_pos",
+):
+    """Assign every document to a fixed-token-budget training pack
+    (next-fit in id order): each pack's token sum is <= ``budget`` except
+    documents individually longer than the budget, which get a solo pack
+    (truncation is the trainer's call, not the packer's).
+
+    Distributed shape: one hash-bucketed exchange on ``id_col`` — packing
+    is embarrassingly parallel across buckets because a pack never spans
+    buckets; ``pack_id = bucket << 32 | local_bin`` is a pure function of
+    the data, so re-runs and different input block layouts produce
+    identical packs.  Within a bucket the per-bin boundary search runs one
+    ``np.searchsorted`` per EMITTED PACK (not per row) over the cumulative
+    length array — ~budget/avg_len × fewer iterations than rows; offsets
+    within each pack come from the same cumsum, fully vectorized.
+
+    Output: ``id_col``, ``len_col``, ``pack_col`` (int64), ``pos_col``
+    (int64 token offset inside the pack).
+    """
+    import ray.data  # noqa: F401  (ds is a ray.data.Dataset)
+
+    from raycdc.engine import _configure_shuffle
+    from raycdc.partition import bucket_keys
+
+    _configure_shuffle()
+    if budget < 1:
+        raise ValueError("budget must be >= 1")
+
+    def tag(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "__bucket", bucket_keys(t, [id_col], num_partitions)
+        )
+
+    def pack(g: pa.Table) -> pa.Table:
+        out_schema = pa.schema(
+            [
+                g.schema.field(id_col),
+                pa.field(len_col, pa.int64()),
+                pa.field(pack_col, pa.int64()),
+                pa.field(pos_col, pa.int64()),
+            ]
+        )
+        n = len(g)
+        if n == 0:
+            return out_schema.empty_table()
+        bucket = int(g["__bucket"][0].as_py())
+        ids = g[id_col].combine_chunks()
+        lens = (
+            g[len_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        )
+        if (lens < 0).any():
+            raise ValueError("negative sequence length")
+        order = pc.array_sort_indices(ids).to_numpy(zero_copy_only=False)
+        lens_s = lens[order]
+        c = np.cumsum(lens_s)
+        starts = []  # first row index of each pack
+        start = 0
+        base = 0
+        while start < n:
+            end = int(np.searchsorted(c, base + budget, side="right"))
+            if end <= start:  # oversize doc: solo pack
+                end = start + 1
+            starts.append(start)
+            base = c[end - 1]
+            start = end
+        starts_a = np.array(starts, dtype=np.int64)
+        sizes = np.diff(np.append(starts_a, n))
+        local_bin = np.repeat(np.arange(len(starts_a), dtype=np.int64), sizes)
+        pack_base = np.repeat(
+            np.where(starts_a > 0, c[starts_a - 1], 0), sizes
+        )
+        pos = c - lens_s - pack_base
+        rows = pa.array(order)
+        return pa.table(
+            {
+                id_col: ids.take(rows),
+                len_col: pa.array(lens_s),
+                pack_col: pa.array((np.int64(bucket) << 32) | local_bin),
+                pos_col: pa.array(pos),
+            },
+            schema=out_schema,
+        )
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__bucket", num_partitions=num_partitions)
+        .map_groups(pack, batch_format="pyarrow")
+    )

@@ -548,3 +548,85 @@ def test_group_centroids_matches_numpy(ray_session):
         mine = out[out.label == g].sort_values("idx")["c"].to_numpy()
         ref = np.floor(mat[lab == g].mean(axis=0) * 1e6) / 1e6
         np.testing.assert_allclose(mine, ref, atol=2e-6)
+
+
+# --- redaction / normalization ----------------------------------------------
+
+
+def test_redact_text_patterns_and_counts():
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array(
+                [
+                    "write to bob.smith+x@corp.example.org today",
+                    "call +1 555-123-4567 or 08-1234-5678 now",
+                    "server at 192.168.0.17 is clean text otherwise",
+                ]
+            ),
+        }
+    )
+    out = T.redact_text(t)
+    texts = out["text"].to_pylist()
+    assert texts[0] == "write to <EMAIL> today"
+    assert texts[1] == "call <PHONE> or <PHONE> now"
+    assert texts[2] == "server at <IP> is clean text otherwise"
+    assert out["n_redacted"].to_pylist() == [1, 2, 1]
+    # email digits must not phone-match (order: email first)
+    t2 = pa.table(
+        {"text": pa.array(["x 123456789@ex.com y"])}
+    )
+    assert T.redact_text(t2)["text"].to_pylist() == ["x <EMAIL> y"]
+
+
+def test_normalize_text_canonical_form():
+    t = pa.table(
+        {"text": pa.array(["  Hello\t\tWORLD  \n mixed Case ", "", "a  b"])}
+    )
+    out = T.normalize_text(t)
+    assert out["text"].to_pylist() == ["hello world mixed case", "", "a b"]
+    # out_col mode keeps the original
+    out2 = T.normalize_text(t, out_col="norm")
+    assert out2["text"].to_pylist()[0] == "  Hello\t\tWORLD  \n mixed Case "
+    assert out2["norm"].to_pylist()[0] == "hello world mixed case"
+
+
+def test_pack_sequences_invariants(ray_session):
+    """Next-fit packing: every doc exactly once; per-pack token sums within
+    budget except solo oversize docs; offsets are the prefix sums of pack
+    members in id order; assignment is a pure function of the data
+    (identical across different input block layouts)."""
+    rng = np.random.default_rng(7)
+    n = 500
+    ids = np.arange(n, dtype=np.int64)
+    lens = rng.integers(1, 300, size=n).astype(np.int64)
+    lens[17] = 5000  # oversize doc: must land in a solo pack
+    t = pa.table({"doc_id": pa.array(ids), "n_tokens": pa.array(lens)})
+
+    def run(ds):
+        return (
+            T.pack_sequences(ds, budget=1024, num_partitions=4)
+            .to_pandas()
+            .sort_values(["pack_id", "seq_pos"])
+            .reset_index(drop=True)
+        )
+
+    out = run(ray.data.from_arrow(t))
+    assert sorted(out["doc_id"].tolist()) == list(range(n))
+    sums = out.groupby("pack_id")["n_tokens"].sum()
+    counts = out.groupby("pack_id")["n_tokens"].count()
+    over = sums[sums > 1024]
+    assert all(counts[p] == 1 for p in over.index)  # oversize -> solo
+    assert (out[out.doc_id == 17]["n_tokens"] == 5000).all()
+    # offsets: prefix sums within each pack
+    for _, grp in out.groupby("pack_id"):
+        expect = np.concatenate([[0], np.cumsum(grp["n_tokens"].to_numpy())[:-1]])
+        assert (grp["seq_pos"].to_numpy() == expect).all()
+        # members in id order within the pack
+        assert (np.diff(grp["doc_id"].to_numpy()) > 0).all()
+    # determinism across block layouts
+    split = ray.data.from_arrow(t.slice(0, 123)).union(
+        ray.data.from_arrow(t.slice(123))
+    )
+    out2 = run(split)
+    assert out.equals(out2)
