@@ -217,3 +217,197 @@ def test_asof_match_kernel_equals_brute_force(inputs):
         return
     got = dict(zip(out["event_id"], out["r_price"]))
     assert got == expect
+
+
+# --- range join ---------------------------------------------------------------
+
+
+@st.composite
+def range_inputs(draw):
+    nl = draw(st.integers(0, 20))
+    nr = draw(st.integers(0, 20))
+    left = [
+        {
+            "k": f"u{draw(st.integers(0, 3))}",
+            "ts": datetime.datetime(2024, 1, 1)
+            + datetime.timedelta(seconds=draw(st.integers(0, 15))),
+            "lid": i,
+        }
+        for i in range(nl)
+    ]
+    right = [
+        {
+            "k": f"u{draw(st.integers(0, 3))}",
+            "ts": datetime.datetime(2024, 1, 1)
+            + datetime.timedelta(seconds=draw(st.integers(0, 15))),
+            "v": draw(st.integers(-5, 99)),
+        }
+        for _ in range(nr)
+    ]
+    lo = draw(st.integers(-8, 2))
+    hi = draw(st.integers(-2, 8))
+    return left, right, lo, max(hi, lo)  # ensure lo <= hi
+
+
+@given(range_inputs())
+@settings(max_examples=12, deadline=None)
+def test_range_join_agg_equals_brute_force(inputs):
+    """Windowed count/sum per left row equals the O(n*m) reference on
+    arbitrary key/ts collisions, negative values, and empty windows
+    (lower inclusive, upper exclusive)."""
+    import ray
+    import ray.data
+
+    from raycdc.relational import range_join_agg
+
+    left_rows, right_rows, lo, hi = inputs
+    expect = {}
+    for l in left_rows:
+        m = [
+            r["v"]
+            for r in right_rows
+            if r["k"] == l["k"]
+            and (l["ts"] + datetime.timedelta(seconds=lo))
+            <= r["ts"]
+            < (l["ts"] + datetime.timedelta(seconds=hi))
+        ]
+        expect[l["lid"]] = (len(m), sum(m))
+    left = pa.table(
+        {
+            "k": pa.array([r["k"] for r in left_rows], pa.string()),
+            "ts": pa.array([r["ts"] for r in left_rows], pa.timestamp("us")),
+            "lid": pa.array([r["lid"] for r in left_rows], pa.int64()),
+        }
+    )
+    right = pa.table(
+        {
+            "k": pa.array([r["k"] for r in right_rows], pa.string()),
+            "ts": pa.array([r["ts"] for r in right_rows], pa.timestamp("us")),
+            "v": pa.array([r["v"] for r in right_rows], pa.int64()),
+        }
+    )
+    out = range_join_agg(
+        ray.data.from_arrow(left),
+        ray.data.from_arrow(right),
+        on="k",
+        left_ts="ts",
+        right_ts="ts",
+        lower=float(lo),
+        upper=float(hi),
+        value_col="v",
+        count_alias="n",
+        sum_alias="s",
+        num_partitions=2,
+        l_schema=left.schema,
+        r_schema=right.schema,
+    ).to_pandas()
+    if len(out) == 0:
+        assert expect == {}
+        return
+    got = {r.lid: (r.n, r.s) for r in out.itertuples()}
+    assert got == expect
+
+
+# --- SCD2 + point-in-time ------------------------------------------------------
+
+
+@st.composite
+def scd_inputs(draw):
+    n = draw(st.integers(0, 30))
+    log = [
+        {
+            "key": f"k{draw(st.integers(0, 3))}",
+            "ts": datetime.datetime(2024, 1, 1)
+            + datetime.timedelta(seconds=draw(st.integers(0, 10))),
+            "op": draw(_ops),
+            "lsn": i,
+            "pay": i * 10,
+        }
+        for i in range(n)
+    ]
+    nq = draw(st.integers(0, 15))
+    probes = [
+        {
+            "key": f"k{draw(st.integers(0, 3))}",
+            "ts": datetime.datetime(2024, 1, 1)
+            + datetime.timedelta(seconds=draw(st.integers(0, 12))),
+            "pid": i,
+        }
+        for i in range(nq)
+    ]
+    return log, probes
+
+
+@given(scd_inputs())
+@settings(max_examples=12, deadline=None)
+def test_point_in_time_equals_changelog_fold(inputs):
+    """Composition law: point_in_time(scd2_history(log)) at instant t must
+    equal the state a direct fold of the raw changelog yields at t — the
+    latest event <= t by (ts, lsn) wins; a delete there means absent.
+    Covers same-instant upsert/delete collisions via the lsn tiebreak."""
+    import ray
+    import ray.data
+
+    from raycdc.scd import point_in_time, scd2_history
+
+    log_rows, probe_rows = inputs
+    expect = {}
+    for p in probe_rows:
+        past = sorted(
+            (r for r in log_rows if r["key"] == p["key"] and r["ts"] <= p["ts"]),
+            key=lambda r: (r["ts"], r["lsn"]),
+        )
+        if not past or past[-1]["op"] == "delete":
+            expect[p["pid"]] = None
+        else:
+            expect[p["pid"]] = past[-1]["pay"]
+    log = pa.table(
+        {
+            "key": pa.array([r["key"] for r in log_rows], pa.string()),
+            "ts": pa.array([r["ts"] for r in log_rows], pa.timestamp("us")),
+            "op": pa.array([r["op"] for r in log_rows], pa.string()),
+            "lsn": pa.array([r["lsn"] for r in log_rows], pa.int64()),
+            "pay": pa.array([r["pay"] for r in log_rows], pa.int64()),
+        }
+    )
+    probes = pa.table(
+        {
+            "key": pa.array([r["key"] for r in probe_rows], pa.string()),
+            "ts": pa.array([r["ts"] for r in probe_rows], pa.timestamp("us")),
+            "pid": pa.array([r["pid"] for r in probe_rows], pa.int64()),
+        }
+    )
+    hist = scd2_history(
+        ray.data.from_arrow(log),
+        key_cols=("key",),
+        ts_col="ts",
+        lsn_col="lsn",
+        num_partitions=2,
+    )
+    out = point_in_time(
+        hist,
+        ray.data.from_arrow(probes),
+        key_cols=("key",),
+        as_of_col="ts",
+        payload_cols=("pay",),
+        num_partitions=2,
+        h_schema=pa.schema(
+            [
+                ("key", pa.string()),
+                ("lsn", pa.int64()),
+                ("pay", pa.int64()),
+                ("valid_from", pa.timestamp("us")),
+                ("valid_to", pa.timestamp("us")),
+                ("is_current", pa.int64()),
+            ]
+        ),
+        p_schema=probes.schema,
+    ).to_pandas()
+    if len(out) == 0:
+        assert expect == {}
+        return
+    got = {
+        int(r.pid): (None if r.pay != r.pay else int(r.pay))  # NaN -> None
+        for r in out.itertuples()
+    }
+    assert got == expect
