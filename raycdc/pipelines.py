@@ -645,6 +645,60 @@ FROM documents
 """
 
 
+def q_assemble_convs(sf_dir: str):
+    """Transcript reconstruction: LWW final state of the events-derived
+    changelog → one training document per conversation (turn texts joined
+    in turn order) with turn/char/user-turn counters
+    (:func:`raycdc.relational.assemble_group_text` — the concat is ONE
+    ``pc.binary_join`` over segment offsets per bucket).  Oracle =
+    ``string_agg(text, chr(10) ORDER BY turn_idx)`` over the same final
+    state."""
+    from raycdc.changelog import changelog_from_events
+    from raycdc.engine import merged_state
+    from raycdc.relational import assemble_group_text
+    from raycdc.schema import TableSpec
+
+    final = merged_state(
+        changelog_from_events(sf_dir), TableSpec(num_partitions=16)
+    ).select_columns(["conv_id", "turn_idx", "role", "text"])
+    return assemble_group_text(
+        final,
+        group_col="conv_id",
+        order_col="turn_idx",
+        text_col="text",
+        sep="\n",
+        role_col="role",
+        role_value="user",
+        num_partitions=16,
+    )
+
+
+def _sql_assemble_convs() -> str:
+    from raycdc.changelog import CHANGELOG_SQL
+
+    return f"""
+WITH {CHANGELOG_SQL.strip()},
+ranked AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY conv_id, turn_idx
+        ORDER BY ts DESC, lsn DESC
+    ) AS rn
+    FROM changelog
+), final AS (
+    SELECT conv_id, turn_idx, role, text
+    FROM ranked WHERE rn = 1 AND op <> 'delete'
+)
+SELECT conv_id,
+       string_agg(text, chr(10) ORDER BY turn_idx) AS transcript,
+       COUNT(*) AS n_turns,
+       CAST(length(string_agg(text, chr(10) ORDER BY turn_idx)) AS BIGINT)
+           AS n_chars,
+       CAST(SUM(CASE WHEN role = 'user' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_user
+FROM final GROUP BY conv_id
+"""
+
+
 def q_pack_docs(sf_dir: str):
     """Sequence packing for training: documents → token counts → fixed
     256-token next-fit packs (:func:`raycdc.text.pack_sequences`).
@@ -2555,6 +2609,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "text_redact": q_text_redact,
     "text_normalize": q_text_normalize,
     "pack_docs": q_pack_docs,
+    "assemble_convs": q_assemble_convs,
     "token_vocab": q_token_vocab,
     "json_props_rollup": q_json_props_rollup,
     "tfidf_docs": q_tfidf_docs,
@@ -2613,6 +2668,7 @@ ORACLES: dict[str, str] = {
     "text_repetition": SQL_TEXT_REPETITION,
     "text_redact": SQL_TEXT_REDACT,
     "text_normalize": SQL_TEXT_NORMALIZE,
+    "assemble_convs": _sql_assemble_convs(),
     "token_vocab": SQL_TOKEN_VOCAB,
     "json_props_rollup": SQL_JSON_PROPS_ROLLUP,
     "tfidf_docs": SQL_TFIDF_DOCS,

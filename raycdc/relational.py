@@ -1059,3 +1059,90 @@ def group_quantiles(
         .groupby("__bucket", num_partitions=num_partitions)
         .map_groups(quantiles, batch_format="pyarrow")
     )
+
+
+def assemble_group_text(
+    ds: "ray.data.Dataset",
+    group_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    text_col: str = "text",
+    sep: str = "\n",
+    role_col: str | None = None,
+    role_value: str = "user",
+    num_partitions: int = 64,
+) -> "ray.data.Dataset":
+    """Assemble each group's text rows into one document in ``order_col``
+    order — the transcript-reconstruction op for conversation payloads
+    (turn rows → one training document per conversation), with per-group
+    turn/char counters and an optional role counter.
+
+    One group-bucketed exchange; per bucket ONE sort of (group, order),
+    then the concatenation is a single ``pc.binary_join`` over a ListArray
+    built from the segment offsets — the join, the counts, and the role
+    sum are all offset arithmetic, no per-group loop.
+
+    Output: ``group_col``, ``transcript`` (string), ``n_turns`` (int64),
+    ``n_chars`` (int64, chars of the joined transcript incl. separators),
+    and ``n_<role_value>`` when ``role_col`` is given.
+    """
+    from raycdc.engine import _configure_shuffle
+
+    _configure_shuffle()
+    tag = _tag_bucket(group_col, num_partitions)
+    role_alias = f"n_{role_value}" if role_col else None
+
+    def assemble(g: pa.Table) -> pa.Table:
+        out_fields = [
+            g.schema.field(group_col),
+            pa.field("transcript", pa.string()),
+            pa.field("n_turns", pa.int64()),
+            pa.field("n_chars", pa.int64()),
+        ]
+        if role_col:
+            out_fields.append(pa.field(role_alias, pa.int64()))
+        out_schema = pa.schema(out_fields)
+        n = len(g)
+        if n == 0:
+            return out_schema.empty_table()
+        g = g.drop_columns(["__bucket"]).sort_by(
+            [(group_col, "ascending"), (order_col, "ascending")]
+        )
+        grp = g[group_col].combine_chunks()
+        new_grp = np.ones(n, dtype=bool)
+        if n > 1:
+            a, b = grp.slice(1), grp.slice(0, n - 1)
+            eq = pc.or_(
+                pc.fill_null(pc.equal(a, b), False),
+                pc.and_(pc.is_null(a), pc.is_null(b)),
+            )
+            new_grp[1:] = ~eq.to_numpy(zero_copy_only=False)
+        seg_starts = np.where(new_grp)[0]
+        offsets = np.append(seg_starts, n).astype(np.int32)
+        texts = g[text_col].combine_chunks().cast(pa.string())
+        lists = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), texts)
+        joined = pc.binary_join(lists, sep)
+        cols = {
+            group_col: grp.take(pa.array(seg_starts)),
+            "transcript": joined,
+            "n_turns": pa.array(np.diff(offsets).astype(np.int64)),
+            "n_chars": pc.utf8_length(joined).cast(pa.int64()),
+        }
+        if role_col:
+            is_role = (
+                pc.cast(
+                    pc.equal(g[role_col].combine_chunks(), role_value),
+                    pa.int64(),
+                )
+                .to_numpy(zero_copy_only=False)
+            )
+            csum = np.concatenate([[0], np.cumsum(is_role)])
+            cols[role_alias] = pa.array(
+                csum[offsets[1:]] - csum[offsets[:-1]]
+            )
+        return pa.table(cols, schema=out_schema)
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__bucket", num_partitions=num_partitions)
+        .map_groups(assemble, batch_format="pyarrow")
+    )

@@ -789,3 +789,38 @@ def test_point_in_time_partial_key_overlap(ray_session):
         .reset_index(drop=True)
     )
     assert out["text"].tolist() == [None, "av"]
+
+
+def test_assemble_group_text(ray_session):
+    """Transcript assembly: texts join in order_col order per group with
+    the separator, counters match, role counter counts only the given
+    value, single-turn groups join to the bare text."""
+    from raycdc.relational import assemble_group_text
+
+    t = pa.table(
+        {
+            "conv_id": pa.array(["c2", "c1", "c1", "c1"]),
+            "turn_idx": pa.array([0, 2, 0, 1], pa.int64()),
+            "role": pa.array(["user", "user", "user", "assistant"]),
+            "text": pa.array(["solo", "three", "one", "two"]),
+        }
+    )
+    out = (
+        assemble_group_text(
+            ray.data.from_arrow(t),
+            group_col="conv_id",
+            order_col="turn_idx",
+            text_col="text",
+            sep="\n",
+            role_col="role",
+            role_value="user",
+            num_partitions=2,
+        )
+        .to_pandas()
+        .sort_values("conv_id")
+        .reset_index(drop=True)
+    )
+    assert out["transcript"].tolist() == ["one\ntwo\nthree", "solo"]
+    assert out["n_turns"].tolist() == [3, 1]
+    assert out["n_chars"].tolist() == [len("one\ntwo\nthree"), 4]
+    assert out["n_user"].tolist() == [2, 1]
