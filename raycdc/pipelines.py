@@ -2707,4 +2707,6 @@ def bench_extras() -> dict[str, Callable[[str], Any]]:
         "decontaminate": lambda sf: q_decontaminate(sf).count(),
         "range_join_clicks": lambda sf: q_range_join_clicks(sf).count(),
         "cdc_scd2_history": lambda sf: q_cdc_scd2_history(sf).count(),
+        "cdc_point_in_time": lambda sf: q_cdc_point_in_time(sf).count(),
+        "assemble_convs": lambda sf: q_assemble_convs(sf).count(),
     }
