@@ -407,15 +407,7 @@ def suppress_noop_updates(
     def tag(t: pa.Table) -> pa.Table:
         return t.append_column(bcol, bucket_keys(t, key_cols, num_partitions))
 
-    def _codes(col) -> np.ndarray:
-        col = col.combine_chunks()
-        if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
-            return (
-                col.dictionary_encode()
-                .indices.to_numpy(zero_copy_only=False)
-                .astype(np.int64)
-            )
-        return col.cast(pa.int64()).to_numpy(zero_copy_only=False)
+    from raycdc.partition import key_codes as _codes
 
     def drop_noops(g: pa.Table) -> pa.Table:
         g = g.drop_columns([bcol])

@@ -156,3 +156,25 @@ def bucket_keys(
                 ) * np.uint64(0x9E3779B97F4A7C15)
             h = (h ^ kh) * np.uint64(1099511628211 + 2 * ci)
     return pa.array((h % np.uint64(num_buckets)).astype(np.int64))
+
+
+def key_codes(col) -> np.ndarray:
+    """Null-safe dense int64 codes for segmenting/sorting one key column
+    inside a group kernel: dictionary codes for every type (order across
+    keys is irrelevant to segmentation), nulls → -1 (one group, never
+    colliding with a real code).
+
+    The raw ``dictionary_encode().indices.to_numpy()`` idiom is NOT
+    null-safe: null indices surface as NaN floats and ``astype(int64)``
+    collapses them to one garbage-but-uniform code that can collide with a
+    real key — join kernels must additionally treat ``-1`` per their null
+    semantics (SQL equality: never matches; GROUP BY: groups together).
+    """
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    return (
+        col.dictionary_encode()
+        .indices.fill_null(-1)
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )

@@ -717,23 +717,15 @@ def q_pack_docs(sf_dir: str):
     return pack_sequences(counts, budget=256, num_partitions=16)
 
 
-def q_cdc_scd2_history(sf_dir: str):
-    """SCD Type-2 history table from a CDC changelog: every version a key
-    ever held with its ``[valid_from, valid_to)`` validity interval and an
-    ``is_current`` flag; deletes close intervals without emitting rows.
-    Same deterministic events→changelog derivation as
-    :func:`q_cdc_additive_rollup` so the oracle's ``src`` CTE is identical;
-    the history itself is ONE hash-bucketed exchange + a single lexsort
-    pass per bucket (:func:`raycdc.scd.scd2_history`).  Oracle = window
-    ``LEAD(ts)`` per key."""
+def _derived_changelog(sf_dir: str, payload: str = "cents"):
+    """Deterministic events→changelog derivation shared by the SCD2,
+    temporal-lookup, and no-op-suppression queries, mirrored cell for cell
+    by :func:`_sql_src_cte`: 'error' events become deletes routed onto
+    real insert-bearing keys (``event_id % 4``); everything else upserts a
+    class-keyed turn with an integer-cent payload (``payload='v50'``
+    coarse-quantizes to ``cents % 50`` so no-op runs occur)."""
     import numpy as np
 
-    from raycdc.scd import scd2_history
-
-    ds = ray.data.read_parquet(
-        f"{sf_dir}/events.parquet",
-        columns=["event_id", "user_id", "ts", "event_type", "value"],
-    )
     classes = ["click", "view", "purchase", "signup", "error"]
 
     def to_changelog(t: pa.Table) -> pa.Table:
@@ -742,25 +734,66 @@ def q_cdc_scd2_history(sf_dir: str):
         cls = pc.index_in(et, value_set=pa.array(classes)).cast(pa.int32())
         eid = t["event_id"].cast(pa.int64()).to_numpy(zero_copy_only=False)
         del_cls = pa.array((eid % 4).astype(np.int32))
-        v = t["value"].to_numpy(zero_copy_only=False)
-        return pa.table(
-            {
-                "conv_id": pc.binary_join_element_wise(
-                    "u", pc.cast(t["user_id"], pa.string()), ""
-                ),
-                "turn_idx": pc.if_else(is_err, del_cls, cls).cast(pa.int64()),
-                "ts": t["ts"],
-                "op": pc.if_else(is_err, pa.scalar("delete"), pa.scalar("insert")),
-                "lsn": t["event_id"].cast(pa.int64()),
-                "cents": pa.array(np.floor(v * 100).astype(np.int64)),
-            }
-        )
+        cents = np.floor(
+            t["value"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        cols = {
+            "conv_id": pc.binary_join_element_wise(
+                "u", pc.cast(t["user_id"], pa.string()), ""
+            ),
+            "turn_idx": pc.if_else(is_err, del_cls, cls).cast(pa.int64()),
+            "ts": t["ts"],
+            "op": pc.if_else(is_err, pa.scalar("delete"), pa.scalar("insert")),
+            "lsn": t["event_id"].cast(pa.int64()),
+        }
+        if payload == "v50":
+            cols["v"] = pa.array(cents % 50)
+        else:
+            cols["cents"] = pa.array(cents)
+        return pa.table(cols)
 
-    log = ds.map_batches(
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "event_type", "value"],
+    )
+    return ds.map_batches(
         to_changelog, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+def _sql_src_cte(payload: str = "cents") -> str:
+    """The DuckDB mirror of :func:`_derived_changelog` as a ``src`` CTE."""
+    pay = (
+        "CAST(floor(value * 100) AS BIGINT) % 50 AS v"
+        if payload == "v50"
+        else "CAST(floor(value * 100) AS BIGINT) AS cents"
+    )
+    return f"""src AS (
+  SELECT 'u' || CAST(user_id AS VARCHAR) AS conv_id,
+         CAST(CASE WHEN event_type = 'error' THEN event_id % 4
+              ELSE CASE event_type WHEN 'click' THEN 0 WHEN 'view' THEN 1
+                   WHEN 'purchase' THEN 2 WHEN 'signup' THEN 3 END
+         END AS BIGINT) AS turn_idx,
+         ts, event_id AS lsn,
+         CASE WHEN event_type = 'error' THEN 'delete' ELSE 'insert' END AS op,
+         {pay}
+  FROM events
+)"""
+
+
+def q_cdc_scd2_history(sf_dir: str):
+    """SCD Type-2 history table from a CDC changelog: every version a key
+    ever held with its ``[valid_from, valid_to)`` validity interval and an
+    ``is_current`` flag; deletes close intervals without emitting rows.
+    ONE hash-bucketed exchange + a single lexsort pass per bucket
+    (:func:`raycdc.scd.scd2_history`).  Oracle = window ``LEAD(ts)`` per
+    key over the shared :func:`_sql_src_cte` derivation."""
+    from raycdc.scd import scd2_history
+
     return scd2_history(
-        log, key_cols=("conv_id", "turn_idx"), num_partitions=16
+        _derived_changelog(sf_dir),
+        key_cols=("conv_id", "turn_idx"),
+        num_partitions=16,
     )
 
 
@@ -831,7 +864,7 @@ def q_quantiles_value(sf_dir: str):
             {"user_id": t["user_id"], "vc": pa.array(v.astype(np.int64))}
         )
 
-    return group_quantiles(
+    out = group_quantiles(
         ds.map_batches(to_cents, batch_format="pyarrow", zero_copy_batch=True),
         group_col="user_id",
         value_col="vc",
@@ -840,15 +873,28 @@ def q_quantiles_value(sf_dir: str):
         num_partitions=16,
     )
 
+    def quantize(t: pa.Table) -> pa.Table:
+        # belt-and-braces per the repo float convention: quartiles over
+        # cents ARE bit-exact today, but quantizing both sides keeps the
+        # gate stable across engine interpolation-formula changes
+        for c in ("p25", "p50", "p75"):
+            v = t[c].to_numpy(zero_copy_only=False)
+            t = t.set_column(
+                t.schema.get_field_index(c), c, pa.array(np.floor(v * 1e6) / 1e6)
+            )
+        return t
+
+    return out.map_batches(quantize, batch_format="pyarrow", zero_copy_batch=True)
+
 
 SQL_QUANTILES_VALUE = """
 WITH c AS (
   SELECT user_id, CAST(floor(value * 100) AS BIGINT) AS vc FROM events
 )
 SELECT user_id,
-       quantile_cont(vc, 0.25) AS p25,
-       quantile_cont(vc, 0.50) AS p50,
-       quantile_cont(vc, 0.75) AS p75
+       floor(quantile_cont(vc, 0.25) * 1e6) / 1e6 AS p25,
+       floor(quantile_cont(vc, 0.50) * 1e6) / 1e6 AS p50,
+       floor(quantile_cont(vc, 0.75) * 1e6) / 1e6 AS p75
 FROM c GROUP BY user_id
 """
 
@@ -866,29 +912,8 @@ def q_cdc_point_in_time(sf_dir: str):
 
     ds = ray.data.read_parquet(
         f"{sf_dir}/events.parquet",
-        columns=["event_id", "user_id", "ts", "event_type", "value"],
+        columns=["event_id", "user_id", "ts"],
     )
-    classes = ["click", "view", "purchase", "signup", "error"]
-
-    def to_changelog(t: pa.Table) -> pa.Table:
-        et = t["event_type"]
-        is_err = pc.equal(et, "error")
-        cls = pc.index_in(et, value_set=pa.array(classes)).cast(pa.int32())
-        eid = t["event_id"].cast(pa.int64()).to_numpy(zero_copy_only=False)
-        del_cls = pa.array((eid % 4).astype(np.int32))
-        v = t["value"].to_numpy(zero_copy_only=False)
-        return pa.table(
-            {
-                "conv_id": pc.binary_join_element_wise(
-                    "u", pc.cast(t["user_id"], pa.string()), ""
-                ),
-                "turn_idx": pc.if_else(is_err, del_cls, cls).cast(pa.int64()),
-                "ts": t["ts"],
-                "op": pc.if_else(is_err, pa.scalar("delete"), pa.scalar("insert")),
-                "lsn": t["event_id"].cast(pa.int64()),
-                "cents": pa.array(np.floor(v * 100).astype(np.int64)),
-            }
-        )
 
     def to_probes(t: pa.Table) -> pa.Table:
         eid = t["event_id"].cast(pa.int64()).to_numpy(zero_copy_only=False)
@@ -904,7 +929,7 @@ def q_cdc_point_in_time(sf_dir: str):
         )
 
     hist = scd2_history(
-        ds.map_batches(to_changelog, batch_format="pyarrow", zero_copy_batch=True),
+        _derived_changelog(sf_dir),
         key_cols=("conv_id", "turn_idx"),
         num_partitions=16,
     )
@@ -941,18 +966,8 @@ def q_cdc_point_in_time(sf_dir: str):
     )
 
 
-SQL_CDC_POINT_IN_TIME = """
-WITH src AS (
-  SELECT 'u' || CAST(user_id AS VARCHAR) AS conv_id,
-         CAST(CASE WHEN event_type = 'error' THEN event_id % 4
-              ELSE CASE event_type WHEN 'click' THEN 0 WHEN 'view' THEN 1
-                   WHEN 'purchase' THEN 2 WHEN 'signup' THEN 3 END
-         END AS BIGINT) AS turn_idx,
-         ts, event_id AS lsn,
-         CASE WHEN event_type = 'error' THEN 'delete' ELSE 'insert' END AS op,
-         CAST(floor(value * 100) AS BIGINT) AS cents
-  FROM events
-), o AS (
+SQL_CDC_POINT_IN_TIME = f"""
+WITH {_sql_src_cte()}, o AS (
   SELECT conv_id, turn_idx, cents, op, ts,
          LEAD(ts) OVER (PARTITION BY conv_id, turn_idx
                         ORDER BY ts, lsn) AS nts
@@ -982,59 +997,18 @@ def q_cdc_suppress_noops(sf_dir: str):
     fixture data.  One hash-bucketed exchange; vectorized shifted-column
     equality per bucket (:func:`raycdc.changelog.suppress_noop_updates`).
     Oracle = ``LAG`` window with ``IS NOT DISTINCT FROM``."""
-    import numpy as np
-
     from raycdc.changelog import suppress_noop_updates
 
-    ds = ray.data.read_parquet(
-        f"{sf_dir}/events.parquet",
-        columns=["event_id", "user_id", "ts", "event_type", "value"],
-    )
-    classes = ["click", "view", "purchase", "signup", "error"]
-
-    def to_changelog(t: pa.Table) -> pa.Table:
-        et = t["event_type"]
-        is_err = pc.equal(et, "error")
-        cls = pc.index_in(et, value_set=pa.array(classes)).cast(pa.int32())
-        eid = t["event_id"].cast(pa.int64()).to_numpy(zero_copy_only=False)
-        del_cls = pa.array((eid % 4).astype(np.int32))
-        v = t["value"].to_numpy(zero_copy_only=False)
-        return pa.table(
-            {
-                "conv_id": pc.binary_join_element_wise(
-                    "u", pc.cast(t["user_id"], pa.string()), ""
-                ),
-                "turn_idx": pc.if_else(is_err, del_cls, cls).cast(pa.int64()),
-                "ts": t["ts"],
-                "op": pc.if_else(is_err, pa.scalar("delete"), pa.scalar("insert")),
-                "lsn": t["event_id"].cast(pa.int64()),
-                "v": pa.array(np.floor(v * 100).astype(np.int64) % 50),
-            }
-        )
-
-    log = ds.map_batches(
-        to_changelog, batch_format="pyarrow", zero_copy_batch=True
-    )
     return suppress_noop_updates(
-        log,
+        _derived_changelog(sf_dir, payload="v50"),
         key_cols=("conv_id", "turn_idx"),
         payload_cols=("v",),
         num_partitions=16,
     )
 
 
-SQL_CDC_SUPPRESS_NOOPS = """
-WITH src AS (
-  SELECT 'u' || CAST(user_id AS VARCHAR) AS conv_id,
-         CAST(CASE WHEN event_type = 'error' THEN event_id % 4
-              ELSE CASE event_type WHEN 'click' THEN 0 WHEN 'view' THEN 1
-                   WHEN 'purchase' THEN 2 WHEN 'signup' THEN 3 END
-         END AS BIGINT) AS turn_idx,
-         ts, event_id AS lsn,
-         CASE WHEN event_type = 'error' THEN 'delete' ELSE 'insert' END AS op,
-         CAST(floor(value * 100) AS BIGINT) % 50 AS v
-  FROM events
-), o AS (
+SQL_CDC_SUPPRESS_NOOPS = f"""
+WITH {_sql_src_cte("v50")}, o AS (
   SELECT conv_id, turn_idx, ts, op, lsn, v,
          LAG(op) OVER w AS pop, LAG(v) OVER w AS pv
   FROM src
@@ -1047,18 +1021,8 @@ WHERE NOT (op = 'insert' AND COALESCE(pop, '') = 'insert'
 """
 
 
-SQL_CDC_SCD2_HISTORY = """
-WITH src AS (
-  SELECT 'u' || CAST(user_id AS VARCHAR) AS conv_id,
-         CAST(CASE WHEN event_type = 'error' THEN event_id % 4
-              ELSE CASE event_type WHEN 'click' THEN 0 WHEN 'view' THEN 1
-                   WHEN 'purchase' THEN 2 WHEN 'signup' THEN 3 END
-         END AS BIGINT) AS turn_idx,
-         ts, event_id AS lsn,
-         CASE WHEN event_type = 'error' THEN 'delete' ELSE 'insert' END AS op,
-         CAST(floor(value * 100) AS BIGINT) AS cents
-  FROM events
-), o AS (
+SQL_CDC_SCD2_HISTORY = f"""
+WITH {_sql_src_cte()}, o AS (
   SELECT conv_id, turn_idx, lsn, cents, op, ts,
          LEAD(ts) OVER (PARTITION BY conv_id, turn_idx
                         ORDER BY ts, lsn) AS nts

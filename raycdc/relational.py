@@ -92,6 +92,17 @@ def copartition_join(
     )
 
 
+def dataset_schema(ds: "ray.data.Dataset") -> pa.Schema:
+    """Resolve a Dataset's pyarrow schema (unwrapping Ray's Schema wrapper)
+    — shared by every two-sided operator that accepts explicit ``*_schema``
+    overrides to skip driver-side plan execution."""
+    s = ds.schema()
+    base = getattr(s, "base_schema", s)
+    if isinstance(base, pa.Schema):
+        return base
+    return pa.schema(list(zip(s.names, s.types)))
+
+
 def _tag_bucket(key_col: str, num_partitions: int):
     """The shared pre-shuffle step: append ``__bucket`` =
     ``bucket_keys([key_col]) % num_partitions`` (one closure for every
@@ -336,17 +347,10 @@ def asof_join(
     from raycdc.engine import _configure_shuffle
 
     _configure_shuffle()
-    def _pa_schema(ds_: "ray.data.Dataset") -> pa.Schema:
-        s = ds_.schema()
-        base = getattr(s, "base_schema", s)
-        if isinstance(base, pa.Schema):
-            return base
-        return pa.schema(list(zip(s.names, s.types)))
-
     if l_schema is None:
-        l_schema = _pa_schema(left)
+        l_schema = dataset_schema(left)
     if r_schema is None:
-        r_schema = _pa_schema(right)
+        r_schema = dataset_schema(right)
     l_names = list(l_schema.names)
     rc_fields = [pa.field(f"__r_{c}", r_schema.field(c).type) for c in right_cols]
     if right_tiebreak is not None:
@@ -800,20 +804,18 @@ def range_join_agg(
     from raycdc.partition import bucket_keys
 
     _configure_shuffle()
+    if lower > upper:
+        raise ValueError(
+            f"range_join_agg: lower ({lower}) must be <= upper ({upper}) — "
+            "an inverted window would silently yield negative counts"
+        )
     if sum_alias is None and value_col is not None:
         sum_alias = f"sum_{value_col}"
 
-    def _pa_schema(ds_: "ray.data.Dataset") -> pa.Schema:
-        s = ds_.schema()
-        base = getattr(s, "base_schema", s)
-        if isinstance(base, pa.Schema):
-            return base
-        return pa.schema(list(zip(s.names, s.types)))
-
     if l_schema is None:
-        l_schema = _pa_schema(left)
+        l_schema = dataset_schema(left)
     if r_schema is None:
-        r_schema = _pa_schema(right)
+        r_schema = dataset_schema(right)
     l_names = list(l_schema.names)
     val_type = r_schema.field(value_col).type if value_col else pa.int64()
     if value_col and not (
@@ -875,16 +877,15 @@ def range_join_agg(
             .cast(pa.int64())
             .to_numpy(zero_copy_only=False)
         )
-        codes = (
-            g[on]
-            .combine_chunks()
-            .dictionary_encode()
-            .indices.to_numpy(zero_copy_only=False)
-            .astype(np.int64)
-        )
+        from raycdc.partition import key_codes
+
+        codes = key_codes(g[on])
         is_l = side == 1
         left_rows = np.flatnonzero(is_l)
-        r_codes, r_ts = codes[~is_l], ts[~is_l]
+        # SQL equality never matches NULL keys: drop null-key RIGHT rows
+        # (code -1); null-key left rows stay and naturally count 0
+        r_sel = (~is_l) & (codes != -1)
+        r_codes, r_ts = codes[r_sel], ts[r_sel]
         l_codes, l_ts = codes[is_l], ts[is_l]
         m, n = len(r_codes), len(l_codes)
         # union of right rows and both bound queries; queries (tie 0) sort
@@ -909,7 +910,7 @@ def range_join_agg(
         if value_col:
             # fill left-row nulls BEFORE to_numpy: a nullable int column
             # otherwise round-trips through float64 (mangles > 2^53)
-            rv = pc.fill_null(g["__rv"], 0).to_numpy(zero_copy_only=False)[~is_l]
+            rv = pc.fill_null(g["__rv"], 0).to_numpy(zero_copy_only=False)[r_sel]
             acc_dtype = np.int64 if pa.types.is_integer(val_type) else np.float64
             vals = np.zeros(len(order), dtype=acc_dtype)
             vals[rank[:m]] = rv.astype(acc_dtype)
@@ -1119,8 +1120,20 @@ def assemble_group_text(
         seg_starts = np.where(new_grp)[0]
         offsets = np.append(seg_starts, n).astype(np.int32)
         texts = g[text_col].combine_chunks().cast(pa.string())
-        lists = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), texts)
-        joined = pc.binary_join(lists, sep)
+        # string_agg semantics: null texts are SKIPPED (a raw binary_join
+        # would null the whole transcript); groups with zero non-null
+        # texts get a null transcript
+        valid = texts.is_valid().to_numpy(zero_copy_only=False)
+        vcum = np.concatenate([[0], np.cumsum(valid.astype(np.int64))])
+        voffsets = vcum[offsets].astype(np.int32)
+        lists = pa.ListArray.from_arrays(
+            pa.array(voffsets, pa.int32()), texts.drop_null()
+        )
+        joined = pc.if_else(
+            pa.array(np.diff(voffsets) > 0),
+            pc.binary_join(lists, sep),
+            pa.scalar(None, pa.string()),
+        )
         cols = {
             group_col: grp.take(pa.array(seg_starts)),
             "transcript": joined,

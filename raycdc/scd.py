@@ -32,22 +32,9 @@ import pyarrow as pa
 
 import ray.data
 
-from raycdc.partition import bucket_keys
+from raycdc.partition import bucket_keys, key_codes as _key_code
 
 _BUCKET = "__scd_bucket"
-
-
-def _key_code(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
-    """Dense int64 codes for sorting/segmenting one key column."""
-    if isinstance(col, pa.ChunkedArray):
-        col = col.combine_chunks()
-    if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
-        return (
-            col.dictionary_encode()
-            .indices.to_numpy(zero_copy_only=False)
-            .astype(np.int64)
-        )
-    return col.cast(pa.int64()).to_numpy(zero_copy_only=False)
 
 
 def scd2_history(
@@ -171,17 +158,12 @@ def point_in_time(
 
     _configure_shuffle()
 
-    def _pa_schema(ds_: "ray.data.Dataset") -> pa.Schema:
-        s = ds_.schema()
-        base = getattr(s, "base_schema", s)
-        if isinstance(base, pa.Schema):
-            return base
-        return pa.schema(list(zip(s.names, s.types)))
+    from raycdc.relational import dataset_schema
 
     if h_schema is None:
-        h_schema = _pa_schema(history)
+        h_schema = dataset_schema(history)
     if p_schema is None:
-        p_schema = _pa_schema(probes)
+        p_schema = dataset_schema(probes)
     p_names = list(p_schema.names)
     pay_types = {c: h_schema.field(c).type for c in payload_cols}
 

@@ -824,3 +824,92 @@ def test_assemble_group_text(ray_session):
     assert out["n_turns"].tolist() == [3, 1]
     assert out["n_chars"].tolist() == [len("one\ntwo\nthree"), 4]
     assert out["n_user"].tolist() == [2, 1]
+
+
+def test_range_join_agg_null_keys_and_inverted_window(ray_session):
+    """SQL equality semantics on NULL keys: null-key right rows never
+    match, null-key left rows are kept with zero counts; an inverted
+    window raises instead of returning negative counts."""
+    import datetime as dt
+
+    import pytest
+
+    from raycdc.relational import range_join_agg
+
+    t0 = dt.datetime(2024, 1, 1)
+    left = pa.table(
+        {
+            "k": pa.array(["a", None]),
+            "ts": pa.array([t0, t0], pa.timestamp("us")),
+            "lid": pa.array([1, 2], pa.int64()),
+        }
+    )
+    right = pa.table(
+        {
+            "k": pa.array(["a", None, None]),
+            "ts": pa.array([t0] * 3, pa.timestamp("us")),
+            "v": pa.array([10, 100, 100], pa.int64()),
+        }
+    )
+    out = (
+        range_join_agg(
+            ray.data.from_arrow(left),
+            ray.data.from_arrow(right),
+            on="k",
+            lower=0.0,
+            upper=5.0,
+            value_col="v",
+            count_alias="n",
+            sum_alias="s",
+            num_partitions=2,
+            l_schema=left.schema,
+            r_schema=right.schema,
+        )
+        .to_pandas()
+        .sort_values("lid")
+        .reset_index(drop=True)
+    )
+    assert out["n"].tolist() == [1, 0]
+    assert out["s"].tolist() == [10, 0]
+    with pytest.raises(ValueError, match="lower"):
+        range_join_agg(
+            ray.data.from_arrow(left),
+            ray.data.from_arrow(right),
+            on="k",
+            lower=0.0,
+            upper=-10.0,
+            l_schema=left.schema,
+            r_schema=right.schema,
+        )
+
+
+def test_assemble_group_text_null_texts(ray_session):
+    """string_agg semantics: null texts are skipped (not transcript-
+    nulling); a group with only null texts gets a null transcript and
+    null n_chars but keeps its row counters."""
+    from raycdc.relational import assemble_group_text
+
+    t = pa.table(
+        {
+            "conv_id": pa.array(["c1", "c1", "c1", "c2"]),
+            "turn_idx": pa.array([0, 1, 2, 0], pa.int64()),
+            "text": pa.array(["a", None, "b", None]),
+        }
+    )
+    out = (
+        assemble_group_text(
+            ray.data.from_arrow(t),
+            group_col="conv_id",
+            order_col="turn_idx",
+            text_col="text",
+            sep="\n",
+            num_partitions=2,
+        )
+        .to_pandas()
+        .sort_values("conv_id")
+        .reset_index(drop=True)
+    )
+    assert out["transcript"].tolist()[0] == "a\nb"
+    assert out["transcript"].isna().tolist() == [False, True]
+    assert out["n_turns"].tolist() == [3, 1]
+    assert out["n_chars"].isna().tolist() == [False, True]
