@@ -797,6 +797,59 @@ def q_cdc_scd2_history(sf_dir: str):
     )
 
 
+def q_rollup_levels(sf_dir: str):
+    """``GROUP BY ROLLUP`` over lineitem: (returnflag, linestatus) sums at
+    every prefix level plus the grand total, collapsed keys null
+    (:func:`raycdc.relational.grouping_rollup` — one map-side-combined
+    exchange per level, no driver-side collect)."""
+    import numpy as np
+
+    from raycdc.relational import grouping_rollup
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity"],
+    )
+
+    def to_qty(t: pa.Table) -> pa.Table:
+        q = np.floor(t["l_quantity"].to_numpy(zero_copy_only=False))
+        return pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "l_linestatus": t["l_linestatus"],
+                "qty": pa.array(q.astype(np.int64)),
+            }
+        )
+
+    return grouping_rollup(
+        ds.map_batches(to_qty, batch_format="pyarrow", zero_copy_batch=True),
+        key_cols=("l_returnflag", "l_linestatus"),
+        sum_cols=("qty",),
+        count_alias="n_rows",
+        num_partitions=8,
+        schema=pa.schema(
+            [
+                ("l_returnflag", pa.string()),
+                ("l_linestatus", pa.string()),
+                ("qty", pa.int64()),
+            ]
+        ),
+    )
+
+
+SQL_ROLLUP_LEVELS = """
+WITH c AS (
+  SELECT l_returnflag, l_linestatus,
+         CAST(floor(l_quantity) AS BIGINT) AS qty
+  FROM lineitem
+)
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(qty) AS BIGINT) AS qty,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM c GROUP BY ROLLUP(l_returnflag, l_linestatus)
+"""
+
+
 def q_rolling_value(sf_dir: str):
     """Bounded ROWS window: per-user sum of the last 5 events' cents in
     (ts, event_id) order — one entity-bucketed exchange, window sums via
@@ -2551,6 +2604,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "join_shuffle": q_join_shuffle,
     "sessionize_events": q_sessionize_events,
     "rollup_lineitem": q_rollup_lineitem,
+    "rollup_levels": q_rollup_levels,
     "window_hourly": q_window_hourly,
     "window_hopping": q_window_hopping,
     "asof_prev_event": q_asof_prev_event,
@@ -2615,6 +2669,7 @@ ORACLES: dict[str, str] = {
     "split_events": SQL_SPLIT_EVENTS,
     "sessionize_events": SQL_SESSIONIZE_EVENTS,
     "rollup_lineitem": SQL_ROLLUP_LINEITEM,
+    "rollup_levels": SQL_ROLLUP_LEVELS,
     "window_hourly": SQL_WINDOW_HOURLY,
     "window_hopping": SQL_WINDOW_HOPPING,
     "asof_prev_event": SQL_ASOF_PREV_EVENT,

@@ -1159,3 +1159,82 @@ def assemble_group_text(
         .groupby("__bucket", num_partitions=num_partitions)
         .map_groups(assemble, batch_format="pyarrow")
     )
+
+
+def grouping_rollup(
+    ds: "ray.data.Dataset",
+    key_cols: Sequence[str],
+    sum_cols: Sequence[str],
+    count_alias: str = "n_rows",
+    num_partitions: int = 64,
+    schema: "pa.Schema | None" = None,
+) -> "ray.data.Dataset":
+    """``GROUP BY ROLLUP`` — aggregates at every key-prefix level (full
+    keys, each prefix, grand total), with collapsed key columns null.
+
+    Pure composition: one :func:`pre_aggregate` per level (map-side
+    combine + one bucketed exchange each), unioned under a canonical
+    schema.  Every level's exchange carries only partial rows, and the
+    levels stream independently — there is no single wide plan that must
+    hold all levels at once.  For L levels over K distinct keys the total
+    exchanged volume is O(sum of level cardinalities), the same as a
+    single-pass ROLLUP; the grand-total level reduces through one
+    constant-key combine, not a driver-side collect.
+    """
+    if not key_cols:
+        raise ValueError("grouping_rollup needs at least one key column")
+    schema = schema or dataset_schema(ds)
+    canon = list(key_cols) + list(sum_cols) + [count_alias]
+
+    def _pad(level_keys: tuple[str, ...]):
+        def pad(t: pa.Table) -> pa.Table:
+            cols = {}
+            for k in key_cols:
+                cols[k] = (
+                    t[k]
+                    if k in level_keys
+                    else pa.nulls(len(t), schema.field(k).type)
+                )
+            for c in sum_cols:
+                cols[c] = t[c]
+            cols[count_alias] = t[count_alias]
+            return pa.table(cols).select(canon)
+
+        return pad
+
+    levels = []
+    for depth in range(len(key_cols), 0, -1):
+        keys = tuple(key_cols[:depth])
+        agg = pre_aggregate(
+            ds, list(keys), sum_cols, count_alias, num_partitions
+        )
+        levels.append(
+            agg.map_batches(
+                _pad(keys), batch_format="pyarrow", zero_copy_batch=True
+            )
+        )
+
+    # grand total: constant-key pre_aggregate (stays distributed — the
+    # per-batch combine collapses each block to one row first)
+    const = "__rollup_all"
+
+    def add_const(t: pa.Table) -> pa.Table:
+        return t.append_column(const, pa.array(np.zeros(len(t), np.int64)))
+
+    total = pre_aggregate(
+        ds.map_batches(add_const, batch_format="pyarrow", zero_copy_batch=True),
+        [const],
+        sum_cols,
+        count_alias,
+        num_partitions=1,
+    ).map_batches(
+        lambda t: _pad(())(t.drop_columns([const])),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    levels.append(total)
+
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.union(lv)
+    return out

@@ -913,3 +913,37 @@ def test_assemble_group_text_null_texts(ray_session):
     assert out["transcript"].isna().tolist() == [False, True]
     assert out["n_turns"].tolist() == [3, 1]
     assert out["n_chars"].isna().tolist() == [False, True]
+
+
+def test_grouping_rollup_levels(ray_session):
+    """ROLLUP: full-key rows, prefix subtotal rows with collapsed keys
+    null, and one grand-total row; sums/counts consistent across levels."""
+    from raycdc.relational import grouping_rollup
+
+    t = pa.table(
+        {
+            "a": pa.array(["x", "x", "y"]),
+            "b": pa.array(["p", "q", "p"]),
+            "v": pa.array([1, 2, 4], pa.int64()),
+        }
+    )
+    out = (
+        grouping_rollup(
+            ray.data.from_arrow(t),
+            key_cols=("a", "b"),
+            sum_cols=("v",),
+            num_partitions=2,
+        )
+        .to_pandas()
+        .sort_values(["a", "b"], na_position="last")
+        .reset_index(drop=True)
+    )
+    # 3 full rows + 2 prefix rows + 1 grand total
+    assert len(out) == 6
+    full = out[out.b.notna()]
+    assert sorted(full.v.tolist()) == [1, 2, 4]
+    pref = out[out.b.isna() & out.a.notna()].set_index("a")
+    assert pref.loc["x", "v"] == 3 and pref.loc["y", "v"] == 4
+    total = out[out.a.isna()]
+    assert len(total) == 1
+    assert total.v.iloc[0] == 7 and total.n_rows.iloc[0] == 3
