@@ -80,6 +80,18 @@ def main(argv: list[str] | None = None) -> int:
     p_diff.add_argument("--out", required=True, help="output directory (parquet)")
     p_diff.add_argument("--partitions", type=int, default=64)
 
+    p_scd2 = sub.add_parser(
+        "scd2", help="materialize the SCD Type-2 history of a changelog parquet"
+    )
+    p_scd2.add_argument("segments", nargs="+", help="changelog parquet paths/globs")
+    p_scd2.add_argument("--out", required=True, help="output directory (parquet)")
+    p_scd2.add_argument(
+        "--keys", default="conv_id,turn_idx", help="comma-separated key columns"
+    )
+    p_scd2.add_argument("--ts-col", default="ts")
+    p_scd2.add_argument("--lsn-col", default="lsn")
+    p_scd2.add_argument("--partitions", type=int, default=64)
+
     p_profile = sub.add_parser(
         "profile", help="sketch-profile parquet column(s): count, distinct, quantiles"
     )
@@ -170,6 +182,34 @@ def main(argv: list[str] | None = None) -> int:
             for op, c in zip(u, n):
                 counts[str(op)] = counts.get(str(op), 0) + int(c)
         print(json.dumps({"out": args.out, "events": counts}))
+    elif args.cmd == "scd2":
+        import glob as _glob
+
+        import ray.data
+
+        from raycdc.scd import scd2_history
+
+        paths = []
+        for s in args.segments:
+            paths.extend(sorted(_glob.glob(s)) or [s])
+        hist = scd2_history(
+            ray.data.read_parquet(paths),
+            key_cols=tuple(args.keys.split(",")),
+            ts_col=args.ts_col,
+            lsn_col=args.lsn_col,
+            num_partitions=args.partitions,
+        )
+        hist.write_parquet(args.out)
+        import pyarrow.compute as _pc
+
+        versions = 0
+        current = 0
+        for b in ray.data.read_parquet(
+            args.out, columns=["is_current"]
+        ).iter_batches(batch_format="pyarrow"):
+            versions += len(b)
+            current += int(_pc.sum(b["is_current"]).as_py() or 0)
+        print(json.dumps({"out": args.out, "versions": versions, "current": current}))
     elif args.cmd == "profile":
         import glob as _glob
 

@@ -185,3 +185,33 @@ def test_cli_diff_command(ray_session, tmp_path, capsys):
     info = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert info["events"] == {"update": 1, "insert": 1, "delete": 1}
     assert len(glob.glob(out_dir + "/*.parquet")) > 0
+
+
+def test_cli_scd2_history(ray_session, tmp_path, capsys):
+    """`raycdc scd2` materializes the version history of a changelog
+    parquet: versions >= live keys, every key with a surviving last upsert
+    has exactly one current row, and the history agrees with a python LWW
+    replay on the current snapshot."""
+    import json
+
+    from raycdc.__main__ import main
+
+    t = synthetic_changelog(n_events=600, seed=53, p_delete=0.2)
+    seg = tmp_path / "seg.parquet"
+    pq.write_table(t, seg)
+    out_dir = str(tmp_path / "hist")
+
+    assert main(
+        ["scd2", str(seg), "--out", out_dir, "--partitions", "4"]
+    ) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    hist = ray.data.read_parquet(out_dir).to_pandas()
+    assert rep["versions"] == len(hist)
+    assert rep["current"] == int(hist["is_current"].sum())
+    # current rows must equal the python LWW final state's text per key
+    want = python_lww_replay([t])
+    cur = hist[hist.is_current == 1]
+    got = {
+        (r.conv_id, r.turn_idx): r.text for r in cur.itertuples()
+    }
+    assert got == {k: v["text"] for k, v in want.items()}
