@@ -699,6 +699,22 @@ FROM final GROUP BY conv_id
 """
 
 
+def q_sketch_top_events(sf_dir: str):
+    """Count-min frequency estimates for the known event classes from ONE
+    shuffle-free pass (:func:`raycdc.sketch.approx_top_counts` — each
+    batch collapses to a fixed (4, 2048) register row; partials fold by
+    sum).  Rows-only: CMS is overestimate-bounded, not exact — the
+    accuracy envelope is pytest-asserted (tests/test_trainops.py)."""
+    from raycdc.sketch import approx_top_counts
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type"]
+    )
+    return approx_top_counts(
+        ds, "event_type", ["click", "view", "purchase", "signup", "error"]
+    )
+
+
 def q_pack_docs(sf_dir: str):
     """Sequence packing for training: documents → token counts → fixed
     256-token next-fit packs (:func:`raycdc.text.pack_sequences`).
@@ -2628,6 +2644,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "text_normalize": q_text_normalize,
     "pack_docs": q_pack_docs,
     "assemble_convs": q_assemble_convs,
+    "sketch_top_events": q_sketch_top_events,
     "token_vocab": q_token_vocab,
     "json_props_rollup": q_json_props_rollup,
     "tfidf_docs": q_tfidf_docs,

@@ -212,3 +212,91 @@ def approx_quantiles(
     ]
     means, weights = tdigest_merge(digests, delta=delta)
     return tdigest_quantile(means, weights, qs)
+
+
+# ---------------------------------------------------------------------------
+# count-min sketch — mergeable frequency estimates (Cormode & Muthukrishnan,
+# J. Algorithms 2005)
+
+
+_CMS_SEEDS = np.array(
+    [0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9, 0x27D4EB2F165667C5],
+    dtype=np.uint64,
+)
+
+
+def _cms_hash(values, d: int, w: int) -> np.ndarray:
+    """(d, n) column indices for each value under d pairwise hashes —
+    buffer-level FNV over utf8 bytes (via partition.hash_strings) mixed
+    with d odd multipliers; vectorized, no Python loop over rows."""
+    from raycdc.partition import hash_strings
+
+    if isinstance(values, pa.ChunkedArray):
+        values = values.combine_chunks()
+    if pa.types.is_string(values.type) or pa.types.is_large_string(values.type):
+        h = hash_strings(values)
+    else:
+        h = (
+            values.cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+            .view(np.uint64)
+        )
+    with np.errstate(over="ignore"):
+        mixed = h[None, :] * _CMS_SEEDS[:d, None]
+        mixed ^= mixed >> np.uint64(29)
+    return (mixed % np.uint64(w)).astype(np.int64)
+
+
+def cms_counts(values, d: int = 4, w: int = 2048) -> np.ndarray:
+    """One batch's count-min register matrix (d rows of w counters):
+    every value increments one counter per row.  Mergeable by elementwise
+    SUM (associative/commutative), so batch partials fold in any order —
+    the frequency analog of the HLL register fold above."""
+    regs = np.zeros((d, w), dtype=np.int64)
+    idx = _cms_hash(values, d, w)
+    for r in range(d):  # d is a small constant (4), each iteration whole-batch
+        np.add.at(regs[r], idx[r], 1)
+    return regs
+
+
+def cms_estimate(regs: np.ndarray, values) -> np.ndarray:
+    """Point estimates for ``values``: min over the d counters.  Always
+    >= the true count; overestimate bounded by eps*N with prob 1-delta
+    (eps = e/w, delta = e^-d)."""
+    d, w = regs.shape
+    idx = _cms_hash(values, d, w)
+    return np.min(regs[np.arange(d)[:, None], idx], axis=0)
+
+
+def approx_top_counts(
+    ds: "ray.data.Dataset",
+    col: str,
+    candidates,
+    d: int = 4,
+    w: int = 2048,
+) -> "pa.Table":
+    """Approximate frequencies of ``candidates`` in ``ds[col]`` from ONE
+    shuffle-free pass: each batch collapses to a (d, w) register row inside
+    ``map_batches``; the driver folds ``num_blocks`` fixed-size partials by
+    elementwise sum and answers every candidate from the merged sketch.
+    Use when the candidate set is known (monitored event types, tracked
+    vocabulary) and the column is too wide to afford a groupby — the
+    exchange for an exact count is O(distinct keys); this is O(blocks).
+    """
+
+    def partial(t: pa.Table) -> pa.Table:
+        regs = cms_counts(t[col], d=d, w=w)
+        return pa.table({"regs": pa.array([regs.tobytes()], pa.binary())})
+
+    rows = (
+        ds.select_columns([col])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .take_all()
+    )
+    acc = np.zeros((d, w), dtype=np.int64)
+    for r in rows:
+        acc += np.frombuffer(r["regs"], dtype=np.int64).reshape(d, w)
+    cand = pa.array(candidates) if not isinstance(candidates, pa.Array) else candidates
+    est = cms_estimate(acc, cand)
+    return pa.table({col: cand, "approx_count": pa.array(est)})

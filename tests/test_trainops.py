@@ -630,3 +630,36 @@ def test_pack_sequences_invariants(ray_session):
     )
     out2 = run(split)
     assert out.equals(out2)
+
+
+# --- count-min sketch ---------------------------------------------------------
+
+
+def test_cms_overestimates_only_and_merges(ray_session):
+    """CMS: estimates always >= truth with a bounded overestimate; block
+    partials merged by sum equal a single-pass sketch (mergeability is
+    what makes it shuffle-free)."""
+    from raycdc.sketch import approx_top_counts, cms_counts, cms_estimate
+
+    rng = np.random.default_rng(11)
+    vals = (
+        ["click"] * 3000
+        + ["view"] * 800
+        + [f"rare{i}" for i in rng.integers(0, 2000, size=4000)]
+    )
+    arr = pa.array(vals)
+    # mergeability: two halves summed == one pass
+    one = cms_counts(arr)
+    two = cms_counts(arr.slice(0, 4000)) + cms_counts(arr.slice(4000))
+    assert (one == two).all()
+    # Dataset path: overestimate-only within eps*N
+    t = pa.table({"event_type": arr})
+    ds = ray.data.from_arrow(t.slice(0, 2500)).union(
+        ray.data.from_arrow(t.slice(2500))
+    )
+    out = approx_top_counts(ds, "event_type", ["click", "view", "absent"])
+    est = dict(zip(out["event_type"].to_pylist(), out["approx_count"].to_pylist()))
+    n = len(vals)
+    assert 3000 <= est["click"] <= 3000 + 0.01 * n
+    assert 800 <= est["view"] <= 800 + 0.01 * n
+    assert 0 <= est["absent"] <= 0.01 * n
