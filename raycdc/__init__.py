@@ -42,6 +42,7 @@ _ENGINE_EXPORTS = (
     "tail",
     "tail_once",
     "compact",
+    "migrate_lake",
     "detect_hot_keys",
     "MergeApplier",
 )

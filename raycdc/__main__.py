@@ -80,6 +80,13 @@ def main(argv: list[str] | None = None) -> int:
     p_diff.add_argument("--out", required=True, help="output directory (parquet)")
     p_diff.add_argument("--partitions", type=int, default=64)
 
+    p_migrate = sub.add_parser(
+        "migrate", help="re-layout a lake under a new partition count"
+    )
+    p_migrate.add_argument("src", help="source lake dir")
+    p_migrate.add_argument("dst", help="destination lake dir (fresh)")
+    p_migrate.add_argument("--partitions", type=int, required=True)
+
     p_scd2 = sub.add_parser(
         "scd2", help="materialize the SCD Type-2 history of a changelog parquet"
     )
@@ -182,6 +189,22 @@ def main(argv: list[str] | None = None) -> int:
             for op, c in zip(u, n):
                 counts[str(op)] = counts.get(str(op), 0) + int(c)
         print(json.dumps({"out": args.out, "events": counts}))
+    elif args.cmd == "migrate":
+        from raycdc.engine import migrate_lake
+
+        summary = migrate_lake(
+            args.src, args.dst, TableSpec(num_partitions=args.partitions)
+        )
+        print(
+            json.dumps(
+                {
+                    "dst": args.dst,
+                    "partitions": summary.num_rows,
+                    "rows": sum(summary["rows"].to_pylist()),
+                    "tombstones": sum(summary["tombstones"].to_pylist()),
+                }
+            )
+        )
     elif args.cmd == "scd2":
         import glob as _glob
 

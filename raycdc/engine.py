@@ -824,3 +824,92 @@ def read_lake(
 
         ds = ds.map_batches(live, batch_format="pyarrow", zero_copy_batch=True)
     return ds
+
+
+def migrate_lake(
+    src_lake: str,
+    dst_lake: str,
+    spec: TableSpec | None = None,
+) -> pa.Table:
+    """Re-layout an existing lake under a NEW partitioning spec (typically
+    a different ``num_partitions``) — the escape hatch for the layout
+    contract that the partition count is a pure function of the data:
+    changing it in place would orphan rows, so the engine instead rewrites
+    into a fresh lake directory with ONE exchange.
+
+    The stored state (including tombstones and each row's winning lsn)
+    streams out of the old partition files, is re-keyed with the new
+    spec's hash, and lands via the same atomic publish + checkpoint path
+    the apply stage uses.  New checkpoints carry the CONSERVATIVE resume
+    floor — the MINIMUM max_lsn across the old partitions — because a key
+    re-routed from a lagging old partition may not have folded events
+    above that partition's own checkpoint; LWW idempotence makes
+    re-applying the overlap to everyone else harmless.  Partitions that
+    receive no rows get no checkpoint (replay's global-floor fast path
+    degrades gracefully to per-row filtering).
+
+    Returns a summary table (one row per non-empty new partition).
+    """
+    from raycdc.storage import resolve_uri_paths
+
+    spec = spec or TableSpec()
+    _configure_shuffle()
+    ckpts = S.read_all_checkpoints(src_lake)
+    if not ckpts:
+        raise FileNotFoundError(
+            f"no checkpoints under {src_lake} — not a replayed lake"
+        )
+    floor = min(int(c["max_lsn"]) for c in ckpts.values())
+    paths = S.current_files(src_lake)
+    if not paths:
+        raise FileNotFoundError(f"no lake partitions under {src_lake}")
+    paths, fs = resolve_uri_paths(paths)
+    ds = ray.data.read_parquet(paths, partitioning=None, filesystem=fs)
+    pkey, nparts = spec.partition_key, spec.num_partitions
+
+    def tag(t: pa.Table) -> pa.Table:
+        return add_part_key(t, key_col=pkey, num_partitions=nparts)
+
+    summary_schema = pa.schema(
+        [("part", pa.int64()), ("rows", pa.int64()), ("tombstones", pa.int64())]
+    )
+
+    def install(g: pa.Table) -> pa.Table:
+        if len(g) == 0:
+            return summary_schema.empty_table()
+        part = int(g[PART_KEY][0].as_py())
+        g = g.drop_columns([PART_KEY])
+        S.write_partition_atomic(g, dst_lake, part, version=0)
+        S.write_checkpoint(
+            dst_lake,
+            part,
+            {
+                "max_lsn": floor,
+                "row_count": len(g),
+                "content_hash": S.content_hash(g),
+                "version": 0,
+            },
+        )
+        tomb = int(
+            pc.sum(pc.equal(pc.fill_null(g[spec.op_col], ""), M.DELETE)).as_py()
+            or 0
+        )
+        return pa.table(
+            {"part": [part], "rows": [len(g)], "tombstones": [tomb]},
+            schema=summary_schema,
+        )
+
+    summary = pa.concat_tables(
+        [
+            b
+            for b in ds.map_batches(
+                tag, batch_format="pyarrow", zero_copy_batch=True
+            )
+            .groupby(PART_KEY, num_partitions=nparts)
+            .map_groups(install, batch_format="pyarrow")
+            .iter_batches(batch_format="pyarrow")
+        ]
+        or [summary_schema.empty_table()]
+    )
+    S.update_lake_schema(dst_lake)
+    return summary

@@ -40,3 +40,40 @@ def test_replay_auto_salting_correct(ray_session, tmp_path):
     replay(ray.data.from_arrow(t), lake, spec, salted="auto")
     expect = {k: r["text"] for k, r in python_lww_replay([t]).items()}
     assert _lake_state(lake) == expect
+
+
+def test_migrate_lake_repartition(ray_session, tmp_path):
+    """Repartition migration: state identical after 4->8 migration
+    (including tombstones), point lookup works under the NEW spec, and
+    replaying the log's second half (with overlap) into the migrated lake
+    lands on the same final state as a one-shot replay into a fresh
+    8-way lake — the conservative checkpoint floor + LWW idempotence."""
+    import ray.data
+
+    from raycdc.changelog import synthetic_changelog
+    from raycdc.engine import lookup, migrate_lake, read_lake, replay
+    from raycdc.schema import TableSpec
+
+    from .oracle import lake_state
+
+    log = synthetic_changelog(n_events=900, seed=54, p_delete=0.2)
+    half = log.sort_by("lsn").slice(0, 450)
+
+    src = str(tmp_path / "src4")
+    spec4 = TableSpec(num_partitions=4)
+    replay(ray.data.from_arrow(half), src, spec4)
+
+    dst = str(tmp_path / "dst8")
+    spec8 = TableSpec(num_partitions=8)
+    summary = migrate_lake(src, dst, spec8)
+    assert 0 < summary.num_rows <= 8
+    assert lake_state(src) == lake_state(dst)
+
+    some_key = read_lake(dst, spec8).take(1)[0]["conv_id"]
+    found = lookup(dst, some_key, spec8)
+    assert len(found) > 0
+
+    replay(ray.data.from_arrow(log), dst, spec8)
+    fresh = str(tmp_path / "fresh8")
+    replay(ray.data.from_arrow(log), fresh, spec8)
+    assert lake_state(dst) == lake_state(fresh)
