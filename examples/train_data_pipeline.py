@@ -85,11 +85,24 @@ def main() -> None:
     kept = docs.map_batches(gated, batch_format="pyarrow", zero_copy_batch=True)
     n3 = kept.count()
 
-    # 4. token accounting + distinct-user profile of the events stream
+    # 4. scrub: PII redaction + canonical normalization (whole-column RE2)
+    from raycdc.text import normalize_text, pack_sequences, redact_text
+
+    kept = kept.map_batches(
+        redact_text, batch_format="pyarrow", zero_copy_batch=True
+    ).map_batches(normalize_text, batch_format="pyarrow", zero_copy_batch=True)
+
+    # 5. token accounting, then pack into fixed 512-token training bins
     stats = kept.map_batches(token_stats, batch_format="pyarrow")
     total_tokens = int(
         stats.aggregate(ray.data.aggregate.Sum("n_tokens"))["sum(n_tokens)"]
     )
+    packs = pack_sequences(
+        stats.select_columns(["doc_id", "n_tokens"]), budget=512, num_partitions=8
+    )
+    n_packs = len(packs.select_columns(["pack_id"]).unique("pack_id"))
+
+    # 6. shuffle-free profiles of the events stream
     events = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
     n_users, rse = approx_ndistinct(events, "user_id", p=12)
 
@@ -97,9 +110,9 @@ def main() -> None:
     print(f"after exact dedup: {n1}")
     print(f"after near-dup:    {n2}  (dropped {len(drop)} near-duplicates)")
     print(f"after quality/lang gates: {n3}")
-    print(f"kept-corpus tokens: {total_tokens}")
+    print(f"kept-corpus tokens: {total_tokens} in {n_packs} packs of <=512")
     print(f"distinct users (HLL ±{rse:.1%}): {n_users}")
-    assert n0 >= n1 >= n2 >= n3 and total_tokens > 0
+    assert n0 >= n1 >= n2 >= n3 and total_tokens > 0 and n_packs > 0
     print("train_data_pipeline OK")
     ray.shutdown()
 
