@@ -813,6 +813,70 @@ def q_cdc_scd2_history(sf_dir: str):
     )
 
 
+def q_zscore_events(sf_dir: str):
+    """Per-user z-score standardization of event cents
+    (:func:`raycdc.relational.standardize`): one bucketed exchange
+    computes group sufficient statistics AND the per-row scores.  Integer
+    cents make the sums exact on both engines, so the identical double
+    expression evaluates bit-for-bit; floor-quantization is belt and
+    braces."""
+    import numpy as np
+
+    from raycdc.relational import standardize
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "value"]
+    )
+
+    def to_cents(t: pa.Table) -> pa.Table:
+        v = np.floor(t["value"].to_numpy(zero_copy_only=False) * 100.0)
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "user_id": t["user_id"],
+                "vc": pa.array(v.astype(np.int64)),
+            }
+        )
+
+    out = standardize(
+        ds.map_batches(to_cents, batch_format="pyarrow", zero_copy_batch=True),
+        group_col="user_id",
+        value_col="vc",
+        z_alias="z",
+        num_partitions=16,
+    )
+
+    def quantize(t: pa.Table) -> pa.Table:
+        z = t["z"].to_numpy(zero_copy_only=False)
+        return t.set_column(
+            t.schema.get_field_index("z"),
+            "z",
+            pa.array(np.floor(z * 1e6) / 1e6, mask=np.isnan(z)),
+        )
+
+    return out.map_batches(quantize, batch_format="pyarrow", zero_copy_batch=True)
+
+
+SQL_ZSCORE_EVENTS = """
+WITH c AS (
+  SELECT event_id, user_id, CAST(floor(value * 100) AS BIGINT) AS vc
+  FROM events
+), s AS (
+  SELECT user_id, COUNT(*) AS n,
+         CAST(SUM(vc) AS DOUBLE) AS s1,
+         CAST(SUM(vc * vc) AS DOUBLE) AS s2
+  FROM c GROUP BY user_id
+)
+SELECT c.event_id, c.user_id, c.vc,
+       floor(
+         (CAST(c.vc AS DOUBLE) - s.s1 / s.n)
+         / NULLIF(sqrt(GREATEST(s.s2 / s.n - (s.s1 / s.n) * (s.s1 / s.n), 0)), 0)
+         * 1e6
+       ) / 1e6 AS z
+FROM c JOIN s USING (user_id)
+"""
+
+
 def q_rollup_levels(sf_dir: str):
     """``GROUP BY ROLLUP`` over lineitem: (returnflag, linestatus) sums at
     every prefix level plus the grand total, collapsed keys null
@@ -2621,6 +2685,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "sessionize_events": q_sessionize_events,
     "rollup_lineitem": q_rollup_lineitem,
     "rollup_levels": q_rollup_levels,
+    "zscore_events": q_zscore_events,
     "window_hourly": q_window_hourly,
     "window_hopping": q_window_hopping,
     "asof_prev_event": q_asof_prev_event,
@@ -2687,6 +2752,7 @@ ORACLES: dict[str, str] = {
     "sessionize_events": SQL_SESSIONIZE_EVENTS,
     "rollup_lineitem": SQL_ROLLUP_LINEITEM,
     "rollup_levels": SQL_ROLLUP_LEVELS,
+    "zscore_events": SQL_ZSCORE_EVENTS,
     "window_hourly": SQL_WINDOW_HOURLY,
     "window_hopping": SQL_WINDOW_HOPPING,
     "asof_prev_event": SQL_ASOF_PREV_EVENT,

@@ -1238,3 +1238,68 @@ def grouping_rollup(
     for lv in levels[1:]:
         out = out.union(lv)
     return out
+
+
+def standardize(
+    ds: "ray.data.Dataset",
+    group_col: str = "user_id",
+    value_col: str = "value",
+    z_alias: str = "z",
+    num_partitions: int = 64,
+) -> "ray.data.Dataset":
+    """Per-group z-score standardization (feature normalization):
+    ``z = (v - mean_g) / stddev_pop_g``, null when the group's variance is
+    zero (constant groups carry no signal).
+
+    ONE bucketed exchange computes both the group statistics and the
+    per-row scores — no second stats-join pass: within a bucket, one sort
+    of (group) + ``np.add.reduceat`` segment sums of v and v² give every
+    group's sufficient statistics, and the z is a vectorized gather.
+
+    Exactness contract for oracles: pass INTEGER values (cents) — the
+    sufficient statistics are then exact int64 sums and both engines can
+    evaluate the identical double expression ``(s2/n - (s1/n)²)``
+    bit-for-bit (see ⊕zscore_events).  Float inputs work but inherit
+    accumulation-order differences.
+    """
+    from raycdc.engine import _configure_shuffle
+
+    _configure_shuffle()
+    tag = _tag_bucket(group_col, num_partitions)
+
+    def score(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["__bucket"]).sort_by([(group_col, "ascending")])
+        n = len(g)
+        if n == 0:
+            return g.append_column(z_alias, pa.array([], pa.float64()))
+        grp = g[group_col].combine_chunks()
+        new_grp = np.ones(n, dtype=bool)
+        if n > 1:
+            a, b = grp.slice(1), grp.slice(0, n - 1)
+            eq = pc.or_(
+                pc.fill_null(pc.equal(a, b), False),
+                pc.and_(pc.is_null(a), pc.is_null(b)),
+            )
+            new_grp[1:] = ~eq.to_numpy(zero_copy_only=False)
+        seg_starts = np.where(new_grp)[0]
+        seg_lens = np.diff(np.append(seg_starts, n)).astype(np.float64)
+        v = g[value_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        s1 = np.add.reduceat(v, seg_starts).astype(np.float64)
+        s2 = np.add.reduceat(v * v, seg_starts).astype(np.float64)
+        mean = s1 / seg_lens
+        var = s2 / seg_lens - mean * mean
+        sd = np.sqrt(np.maximum(var, 0.0))
+        row_mean = np.repeat(mean, seg_lens.astype(np.int64))
+        row_sd = np.repeat(sd, seg_lens.astype(np.int64))
+        degenerate = row_sd == 0
+        with np.errstate(divide="ignore", invalid="ignore"):
+            z = (v.astype(np.float64) - row_mean) / row_sd
+        return g.append_column(
+            z_alias, pa.array(np.where(degenerate, 0.0, z), mask=degenerate)
+        )
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__bucket", num_partitions=num_partitions)
+        .map_groups(score, batch_format="pyarrow")
+    )

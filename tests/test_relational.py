@@ -947,3 +947,32 @@ def test_grouping_rollup_levels(ray_session):
     total = out[out.a.isna()]
     assert len(total) == 1
     assert total.v.iloc[0] == 7 and total.n_rows.iloc[0] == 3
+
+
+def test_standardize_zscores(ray_session):
+    """Per-group z-scores: mean 0 / unit variance within each group,
+    constant groups get null z (no signal), groups don't contaminate
+    each other."""
+    from raycdc.relational import standardize
+
+    t = pa.table(
+        {
+            "g": pa.array(["a"] * 4 + ["b"] * 3 + ["c"] * 2),
+            "v": pa.array([1, 3, 1, 3, 10, 20, 30, 7, 7], pa.int64()),
+        }
+    )
+    out = (
+        standardize(
+            ray.data.from_arrow(t), group_col="g", value_col="v",
+            num_partitions=2,
+        )
+        .to_pandas()
+        .sort_values(["g", "v"])
+        .reset_index(drop=True)
+    )
+    a = out[out.g == "a"]["z"].to_numpy()
+    # a: values 1,1,3,3 -> mean 2, std 1 -> z = -1,-1,1,1
+    np.testing.assert_allclose(a, [-1, -1, 1, 1])
+    b = out[out.g == "b"]["z"].to_numpy()
+    np.testing.assert_allclose(sorted(b), [-1.22474487, 0, 1.22474487], rtol=1e-6)
+    assert out[out.g == "c"]["z"].isna().all()  # constant group -> null
