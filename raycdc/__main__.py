@@ -211,12 +211,14 @@ def main(argv: list[str] | None = None) -> int:
         import ray.data
 
         from raycdc.scd import scd2_history
+        from raycdc.storage import resolve_uri_paths
 
         paths = []
         for s in args.segments:
             paths.extend(sorted(_glob.glob(s)) or [s])
+        paths, fs = resolve_uri_paths(paths)
         hist = scd2_history(
-            ray.data.read_parquet(paths),
+            ray.data.read_parquet(paths, filesystem=fs),
             key_cols=tuple(args.keys.split(",")),
             ts_col=args.ts_col,
             lsn_col=args.lsn_col,

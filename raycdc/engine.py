@@ -854,10 +854,24 @@ def migrate_lake(
 
     spec = spec or TableSpec()
     _configure_shuffle()
+    if spec.merge_policy == "additive":
+        # the conservative floor is safe ONLY because LWW re-application is
+        # idempotent; additive merges would SUM the (floor, old-max] overlap
+        # again on the next replay — silently inflated aggregates
+        raise ValueError(
+            "migrate_lake supports merge_policy='lww' only: additive lakes "
+            "cannot re-apply the conservative-floor overlap idempotently"
+        )
     ckpts = S.read_all_checkpoints(src_lake)
     if not ckpts:
         raise FileNotFoundError(
             f"no checkpoints under {src_lake} — not a replayed lake"
+        )
+    if S.read_all_checkpoints(dst_lake) or S.current_files(dst_lake):
+        # a partial overwrite would leave stale part= dirs that readers
+        # still enumerate — every row would come back twice
+        raise FileExistsError(
+            f"destination {dst_lake} is not a fresh lake directory"
         )
     floor = min(int(c["max_lsn"]) for c in ckpts.values())
     paths = S.current_files(src_lake)

@@ -1172,14 +1172,15 @@ def grouping_rollup(
     """``GROUP BY ROLLUP`` — aggregates at every key-prefix level (full
     keys, each prefix, grand total), with collapsed key columns null.
 
-    Pure composition: one :func:`pre_aggregate` per level (map-side
-    combine + one bucketed exchange each), unioned under a canonical
-    schema.  Every level's exchange carries only partial rows, and the
-    levels stream independently — there is no single wide plan that must
-    hold all levels at once.  For L levels over K distinct keys the total
-    exchanged volume is O(sum of level cardinalities), the same as a
-    single-pass ROLLUP; the grand-total level reduces through one
-    constant-key combine, not a driver-side collect.
+    ONE full-input pass: the finest level runs :func:`pre_aggregate` over
+    the base data (map-side combine + one bucketed exchange) and is
+    MATERIALIZED — it is O(distinct key tuples), the one place a
+    mid-pipeline materialize is sound — then every coarser level
+    (including the grand total) re-aggregates that tiny table by summing
+    its sum columns AND its count column.  Total input I/O is one full
+    scan plus L passes over the finest aggregate, instead of L+1 full
+    scans; exchanged volume stays O(sum of level cardinalities), same as
+    a single-pass ROLLUP.
     """
     if not key_cols:
         raise ValueError("grouping_rollup needs at least one key column")
@@ -1202,33 +1203,49 @@ def grouping_rollup(
 
         return pad
 
-    levels = []
-    for depth in range(len(key_cols), 0, -1):
-        keys = tuple(key_cols[:depth])
-        agg = pre_aggregate(
-            ds, list(keys), sum_cols, count_alias, num_partitions
+    finest = pre_aggregate(
+        ds, list(key_cols), sum_cols, count_alias, num_partitions
+    ).materialize()
+    levels = [
+        finest.map_batches(
+            _pad(tuple(key_cols)), batch_format="pyarrow", zero_copy_batch=True
         )
-        levels.append(
-            agg.map_batches(
-                _pad(keys), batch_format="pyarrow", zero_copy_batch=True
-            )
+    ]
+
+    def _reagg(keys: list[str]):
+        """Coarser level from the finest: sums AND the count column sum."""
+        agg = pre_aggregate(
+            finest,
+            keys,
+            [*sum_cols, count_alias],
+            count_alias="__n_finest",
+            num_partitions=num_partitions,
+        )
+        return agg.map_batches(
+            lambda t, _k=tuple(keys): _pad(_k)(t.drop_columns(["__n_finest"])),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
         )
 
-    # grand total: constant-key pre_aggregate (stays distributed — the
-    # per-batch combine collapses each block to one row first)
+    for depth in range(len(key_cols) - 1, 0, -1):
+        levels.append(_reagg(list(key_cols[:depth])))
+
+    # grand total: constant-key re-aggregation of the finest level
     const = "__rollup_all"
 
     def add_const(t: pa.Table) -> pa.Table:
         return t.append_column(const, pa.array(np.zeros(len(t), np.int64)))
 
     total = pre_aggregate(
-        ds.map_batches(add_const, batch_format="pyarrow", zero_copy_batch=True),
+        finest.map_batches(
+            add_const, batch_format="pyarrow", zero_copy_batch=True
+        ),
         [const],
-        sum_cols,
-        count_alias,
+        [*sum_cols, count_alias],
+        count_alias="__n_finest",
         num_partitions=1,
     ).map_batches(
-        lambda t: _pad(())(t.drop_columns([const])),
+        lambda t: _pad(())(t.drop_columns([const, "__n_finest"])),
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
@@ -1282,20 +1299,48 @@ def standardize(
             )
             new_grp[1:] = ~eq.to_numpy(zero_copy_only=False)
         seg_starts = np.where(new_grp)[0]
-        seg_lens = np.diff(np.append(seg_starts, n)).astype(np.float64)
-        v = g[value_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
-        s1 = np.add.reduceat(v, seg_starts).astype(np.float64)
-        s2 = np.add.reduceat(v * v, seg_starts).astype(np.float64)
-        mean = s1 / seg_lens
-        var = s2 / seg_lens - mean * mean
-        sd = np.sqrt(np.maximum(var, 0.0))
-        row_mean = np.repeat(mean, seg_lens.astype(np.int64))
-        row_sd = np.repeat(sd, seg_lens.astype(np.int64))
-        degenerate = row_sd == 0
+        seg_lens = np.diff(np.append(seg_starts, n)).astype(np.int64)
+        col = g[value_col].combine_chunks()
+        valid = col.is_valid().to_numpy(zero_copy_only=False)
+        # SQL aggregate semantics: null values are excluded from the group
+        # statistics and get a null z themselves.  Integer inputs keep
+        # int64-exact sums (the bit-exact oracle path); floats sum in
+        # float64 (docstring: accumulation-order caveat).
+        if pa.types.is_integer(col.type):
+            vi = (
+                pc.fill_null(col, 0)
+                .cast(pa.int64())
+                .to_numpy(zero_copy_only=False)
+            )
+            s1 = np.add.reduceat(np.where(valid, vi, 0), seg_starts).astype(
+                np.float64
+            )
+            s2 = np.add.reduceat(
+                np.where(valid, vi * vi, 0), seg_starts
+            ).astype(np.float64)
+            v = vi.astype(np.float64)
+        else:
+            vf = (
+                pc.fill_null(col, 0)
+                .cast(pa.float64())
+                .to_numpy(zero_copy_only=False)
+            )
+            s1 = np.add.reduceat(np.where(valid, vf, 0.0), seg_starts)
+            s2 = np.add.reduceat(np.where(valid, vf * vf, 0.0), seg_starts)
+            v = vf
+        n_valid = np.add.reduceat(valid.astype(np.int64), seg_starts).astype(
+            np.float64
+        )
         with np.errstate(divide="ignore", invalid="ignore"):
-            z = (v.astype(np.float64) - row_mean) / row_sd
+            mean = s1 / n_valid
+            var = s2 / n_valid - mean * mean
+            sd = np.sqrt(np.maximum(var, 0.0))
+            row_mean = np.repeat(mean, seg_lens)
+            row_sd = np.repeat(sd, seg_lens)
+            z = (v - row_mean) / row_sd
+        null_out = ~valid | (np.repeat(n_valid, seg_lens) == 0) | (row_sd == 0)
         return g.append_column(
-            z_alias, pa.array(np.where(degenerate, 0.0, z), mask=degenerate)
+            z_alias, pa.array(np.where(null_out, 0.0, z), mask=null_out)
         )
 
     return (

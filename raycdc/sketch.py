@@ -231,6 +231,11 @@ def _cms_hash(values, d: int, w: int) -> np.ndarray:
     with d odd multipliers; vectorized, no Python loop over rows."""
     from raycdc.partition import hash_strings
 
+    if not (1 <= d <= len(_CMS_SEEDS)):
+        raise ValueError(
+            f"count-min d must be in [1, {len(_CMS_SEEDS)}] (got {d}) — "
+            "add seeds to _CMS_SEEDS to widen"
+        )
     if isinstance(values, pa.ChunkedArray):
         values = values.combine_chunks()
     if pa.types.is_string(values.type) or pa.types.is_large_string(values.type):

@@ -77,3 +77,29 @@ def test_migrate_lake_repartition(ray_session, tmp_path):
     fresh = str(tmp_path / "fresh8")
     replay(ray.data.from_arrow(log), fresh, spec8)
     assert lake_state(dst) == lake_state(fresh)
+
+
+def test_migrate_lake_guards(ray_session, tmp_path):
+    """migrate_lake refuses additive-policy specs (overlap re-apply would
+    double-count deltas) and non-fresh destinations (stale part dirs would
+    double rows)."""
+    import pytest
+    import ray.data
+
+    from raycdc.changelog import synthetic_changelog
+    from raycdc.engine import migrate_lake, replay
+    from raycdc.schema import TableSpec
+
+    src = str(tmp_path / "src")
+    replay(
+        ray.data.from_arrow(synthetic_changelog(n_events=200, seed=3)),
+        src,
+        TableSpec(num_partitions=4),
+    )
+    with pytest.raises(ValueError, match="additive"):
+        migrate_lake(
+            src, str(tmp_path / "d1"),
+            TableSpec(num_partitions=8, merge_policy="additive"),
+        )
+    with pytest.raises(FileExistsError, match="fresh"):
+        migrate_lake(src, src, TableSpec(num_partitions=8))

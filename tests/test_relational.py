@@ -976,3 +976,29 @@ def test_standardize_zscores(ray_session):
     b = out[out.g == "b"]["z"].to_numpy()
     np.testing.assert_allclose(sorted(b), [-1.22474487, 0, 1.22474487], rtol=1e-6)
     assert out[out.g == "c"]["z"].isna().all()  # constant group -> null
+
+
+def test_standardize_floats_and_nulls(ray_session):
+    """Float value columns work (float64 accumulation path); null values
+    are excluded from group stats and get null z themselves; other rows
+    in the group stay correct."""
+    from raycdc.relational import standardize
+
+    t = pa.table(
+        {
+            "g": pa.array(["a"] * 5),
+            "v": pa.array([1.5, None, 3.5, 1.5, 3.5], pa.float64()),
+        }
+    )
+    out = (
+        standardize(
+            ray.data.from_arrow(t), group_col="g", value_col="v",
+            num_partitions=1,
+        )
+        .to_pandas()
+        .sort_values("v", na_position="last")
+        .reset_index(drop=True)
+    )
+    # valid values 1.5,1.5,3.5,3.5 -> mean 2.5, std 1 -> z = ±1
+    np.testing.assert_allclose(out["z"][:4].to_numpy(), [-1, -1, 1, 1])
+    assert out["z"].isna().tolist() == [False] * 4 + [True]

@@ -663,3 +663,12 @@ def test_cms_overestimates_only_and_merges(ray_session):
     assert 3000 <= est["click"] <= 3000 + 0.01 * n
     assert 800 <= est["view"] <= 800 + 0.01 * n
     assert 0 <= est["absent"] <= 0.01 * n
+
+
+def test_cms_d_validation():
+    from raycdc.sketch import cms_counts
+
+    import pytest
+
+    with pytest.raises(ValueError, match="count-min d"):
+        cms_counts(pa.array(["a"]), d=5)
