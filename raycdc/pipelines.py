@@ -877,6 +877,49 @@ FROM c JOIN s USING (user_id)
 """
 
 
+def q_pctrank_events(sf_dir: str):
+    """``PERCENT_RANK()`` per user over event cents
+    (:func:`raycdc.relational.percent_rank`): ties share the first row's
+    rank; the score is one double division of two integers, so the oracle
+    hash-matches bit-for-bit."""
+    import numpy as np
+
+    from raycdc.relational import percent_rank
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "value"]
+    )
+
+    def to_cents(t: pa.Table) -> pa.Table:
+        v = np.floor(t["value"].to_numpy(zero_copy_only=False) * 100.0)
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "user_id": t["user_id"],
+                "vc": pa.array(v.astype(np.int64)),
+            }
+        )
+
+    return percent_rank(
+        ds.map_batches(to_cents, batch_format="pyarrow", zero_copy_batch=True),
+        group_col="user_id",
+        value_col="vc",
+        alias="pct_rank",
+        num_partitions=16,
+    )
+
+
+SQL_PCTRANK_EVENTS = """
+WITH c AS (
+  SELECT event_id, user_id, CAST(floor(value * 100) AS BIGINT) AS vc
+  FROM events
+)
+SELECT event_id, user_id, vc,
+       PERCENT_RANK() OVER (PARTITION BY user_id ORDER BY vc) AS pct_rank
+FROM c
+"""
+
+
 def q_rollup_levels(sf_dir: str):
     """``GROUP BY ROLLUP`` over lineitem: (returnflag, linestatus) sums at
     every prefix level plus the grand total, collapsed keys null
@@ -2686,6 +2729,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "rollup_lineitem": q_rollup_lineitem,
     "rollup_levels": q_rollup_levels,
     "zscore_events": q_zscore_events,
+    "pctrank_events": q_pctrank_events,
     "window_hourly": q_window_hourly,
     "window_hopping": q_window_hopping,
     "asof_prev_event": q_asof_prev_event,
@@ -2753,6 +2797,7 @@ ORACLES: dict[str, str] = {
     "rollup_lineitem": SQL_ROLLUP_LINEITEM,
     "rollup_levels": SQL_ROLLUP_LEVELS,
     "zscore_events": SQL_ZSCORE_EVENTS,
+    "pctrank_events": SQL_PCTRANK_EVENTS,
     "window_hourly": SQL_WINDOW_HOURLY,
     "window_hopping": SQL_WINDOW_HOPPING,
     "asof_prev_event": SQL_ASOF_PREV_EVENT,

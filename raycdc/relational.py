@@ -1348,3 +1348,64 @@ def standardize(
         .groupby("__bucket", num_partitions=num_partitions)
         .map_groups(score, batch_format="pyarrow")
     )
+
+
+def percent_rank(
+    ds: "ray.data.Dataset",
+    group_col: str = "user_id",
+    value_col: str = "value",
+    alias: str = "pct_rank",
+    num_partitions: int = 64,
+) -> "ray.data.Dataset":
+    """SQL ``PERCENT_RANK() OVER (PARTITION BY g ORDER BY v)``:
+    ``(rank - 1) / (n - 1)`` with ties sharing the rank of their first
+    row, 0.0 for single-row groups.  Bit-exact across engines — the score
+    is one double division of two integers.
+
+    One bucketed exchange; per bucket ONE sort of (group, value), then
+    tie-run starts come from a boundary mask and each row's rank is a
+    single ``np.maximum.accumulate`` forward-fill — no per-group loop.
+    """
+    from raycdc.engine import _configure_shuffle
+
+    _configure_shuffle()
+    tag = _tag_bucket(group_col, num_partitions)
+
+    def score(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["__bucket"]).sort_by(
+            [(group_col, "ascending"), (value_col, "ascending")]
+        )
+        n = len(g)
+        if n == 0:
+            return g.append_column(alias, pa.array([], pa.float64()))
+
+        def _bounds(col) -> np.ndarray:
+            arr = col.combine_chunks()
+            new = np.ones(n, dtype=bool)
+            if n > 1:
+                a, b = arr.slice(1), arr.slice(0, n - 1)
+                eq = pc.or_(
+                    pc.fill_null(pc.equal(a, b), False),
+                    pc.and_(pc.is_null(a), pc.is_null(b)),
+                )
+                new[1:] = ~eq.to_numpy(zero_copy_only=False)
+            return new
+
+        new_seg = _bounds(g[group_col])
+        new_run = new_seg | _bounds(g[value_col])
+        idx = np.arange(n, dtype=np.int64)
+        seg_starts = np.where(new_seg)[0]
+        seg_lens = np.diff(np.append(seg_starts, n))
+        seg_first = np.repeat(seg_starts, seg_lens)
+        seg_n = np.repeat(seg_lens, seg_lens).astype(np.float64)
+        run_start = np.maximum.accumulate(np.where(new_run, idx, -1))
+        rank0 = (run_start - seg_first).astype(np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            pct = np.where(seg_n > 1, rank0 / (seg_n - 1.0), 0.0)
+        return g.append_column(alias, pa.array(pct))
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__bucket", num_partitions=num_partitions)
+        .map_groups(score, batch_format="pyarrow")
+    )

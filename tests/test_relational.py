@@ -1002,3 +1002,30 @@ def test_standardize_floats_and_nulls(ray_session):
     # valid values 1.5,1.5,3.5,3.5 -> mean 2.5, std 1 -> z = ±1
     np.testing.assert_allclose(out["z"][:4].to_numpy(), [-1, -1, 1, 1])
     assert out["z"].isna().tolist() == [False] * 4 + [True]
+
+
+def test_percent_rank_ties_and_singletons(ray_session):
+    """percent_rank: ties share the first row's rank, endpoints are 0/1,
+    single-row groups score 0, groups isolated."""
+    from raycdc.relational import percent_rank
+
+    t = pa.table(
+        {
+            "g": pa.array(["a"] * 5 + ["b"]),
+            "v": pa.array([10, 20, 20, 30, 40, 7], pa.int64()),
+        }
+    )
+    out = (
+        percent_rank(
+            ray.data.from_arrow(t), group_col="g", value_col="v",
+            num_partitions=2,
+        )
+        .to_pandas()
+        .sort_values(["g", "v"])
+        .reset_index(drop=True)
+    )
+    # a: ranks 1,2,2,4,5 over n=5 -> (r-1)/4 = 0, .25, .25, .75, 1
+    np.testing.assert_allclose(
+        out[out.g == "a"]["pct_rank"].to_numpy(), [0, 0.25, 0.25, 0.75, 1.0]
+    )
+    assert out[out.g == "b"]["pct_rank"].tolist() == [0.0]
