@@ -797,6 +797,56 @@ def _sql_src_cte(payload: str = "cents") -> str:
 )"""
 
 
+def q_dedup_normalized(sf_dir: str):
+    """Normalization-keyed exact dedup — the composition the canonical
+    form exists for: every document gets a REFORMATTED copy (upper-cased,
+    padded, a tab injected) that only collapses back onto its original
+    through ``normalize_text``; exact dedup on the normalized text then
+    keeps the original's smaller doc_id.  Without the normalization stage
+    the corpus would have 2N distinct texts — the oracle proves the
+    collapse, not just the plumbing."""
+    from raycdc.dedup import exact_dedup
+    from raycdc.text import normalize_text
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def with_messy_copy(t: pa.Table) -> pa.Table:
+        messy = pa.table(
+            {
+                "doc_id": pc.add(t["doc_id"], _DUP_OFFSET),
+                "text": pc.binary_join_element_wise(
+                    "  ", pc.utf8_upper(t["text"]), "\t ", ""
+                ),
+            }
+        )
+        return pa.concat_tables([t.select(["doc_id", "text"]), messy])
+
+    normalized = ds.map_batches(
+        with_messy_copy, batch_format="pyarrow", zero_copy_batch=True
+    ).map_batches(normalize_text, batch_format="pyarrow", zero_copy_batch=True)
+    return exact_dedup(
+        normalized, text_col="text", id_col="doc_id", num_partitions=16
+    )
+
+
+SQL_DEDUP_NORMALIZED = f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {_DUP_OFFSET},
+         '  ' || upper(text) || chr(9) || ' ' AS text
+  FROM documents
+), n AS (
+  SELECT doc_id,
+         trim(regexp_replace(lower(text), '\\s+', ' ', 'g'), ' ') AS text
+  FROM corpus
+)
+SELECT MIN(doc_id) AS doc_id, text FROM n GROUP BY text
+"""
+
+
 def q_cdc_scd2_history(sf_dir: str):
     """SCD Type-2 history table from a CDC changelog: every version a key
     ever held with its ``[valid_from, valid_to)`` validity interval and an
@@ -2764,6 +2814,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "distinct_props_per_user": q_distinct_props_per_user,
     "dedup_exact": q_dedup_exact,
     "dedup_exact_hash": q_dedup_exact_hash,
+    "dedup_normalized": q_dedup_normalized,
     "dedup_minhash": q_dedup_minhash,
     "dedup_jaccard": q_dedup_jaccard,
     "dedup_simhash": q_dedup_simhash,
@@ -2826,6 +2877,7 @@ ORACLES: dict[str, str] = {
     "distinct_props_per_user": SQL_DISTINCT_PROPS_PER_USER,
     "dedup_exact": SQL_DEDUP_EXACT,
     "dedup_exact_hash": SQL_DEDUP_EXACT,
+    "dedup_normalized": SQL_DEDUP_NORMALIZED,
     "dedup_minhash": SQL_DEDUP_MINHASH,
     "dedup_jaccard": SQL_DEDUP_JACCARD,
     "decontaminate": SQL_DECONTAMINATE,
