@@ -970,6 +970,50 @@ FROM c
 """
 
 
+def q_ntile_events(sf_dir: str):
+    """``NTILE(4)`` quartile buckets per user over event cents with the
+    unique event_id as tiebreak (a total order, so both engines agree on
+    tile membership); integer output hashes exactly."""
+    import numpy as np
+
+    from raycdc.relational import ntile
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "value"]
+    )
+
+    def to_cents(t: pa.Table) -> pa.Table:
+        v = np.floor(t["value"].to_numpy(zero_copy_only=False) * 100.0)
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "user_id": t["user_id"],
+                "vc": pa.array(v.astype(np.int64)),
+            }
+        )
+
+    return ntile(
+        ds.map_batches(to_cents, batch_format="pyarrow", zero_copy_batch=True),
+        group_col="user_id",
+        order_cols=("vc", "event_id"),
+        k=4,
+        alias="tile",
+        num_partitions=16,
+    )
+
+
+SQL_NTILE_EVENTS = """
+WITH c AS (
+  SELECT event_id, user_id, CAST(floor(value * 100) AS BIGINT) AS vc
+  FROM events
+)
+SELECT event_id, user_id, vc,
+       CAST(NTILE(4) OVER (PARTITION BY user_id ORDER BY vc, event_id)
+            AS BIGINT) AS tile
+FROM c
+"""
+
+
 def q_rollup_levels(sf_dir: str):
     """``GROUP BY ROLLUP`` over lineitem: (returnflag, linestatus) sums at
     every prefix level plus the grand total, collapsed keys null
@@ -2780,6 +2824,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "rollup_levels": q_rollup_levels,
     "zscore_events": q_zscore_events,
     "pctrank_events": q_pctrank_events,
+    "ntile_events": q_ntile_events,
     "window_hourly": q_window_hourly,
     "window_hopping": q_window_hopping,
     "asof_prev_event": q_asof_prev_event,
@@ -2849,6 +2894,7 @@ ORACLES: dict[str, str] = {
     "rollup_levels": SQL_ROLLUP_LEVELS,
     "zscore_events": SQL_ZSCORE_EVENTS,
     "pctrank_events": SQL_PCTRANK_EVENTS,
+    "ntile_events": SQL_NTILE_EVENTS,
     "window_hourly": SQL_WINDOW_HOURLY,
     "window_hopping": SQL_WINDOW_HOPPING,
     "asof_prev_event": SQL_ASOF_PREV_EVENT,

@@ -1409,3 +1409,69 @@ def percent_rank(
         .groupby("__bucket", num_partitions=num_partitions)
         .map_groups(score, batch_format="pyarrow")
     )
+
+
+def ntile(
+    ds: "ray.data.Dataset",
+    group_col: str = "user_id",
+    order_cols: Sequence[str] = ("value",),
+    k: int = 4,
+    alias: str = "tile",
+    num_partitions: int = 64,
+) -> "ray.data.Dataset":
+    """SQL ``NTILE(k) OVER (PARTITION BY g ORDER BY ...)``: rows split
+    into k buckets with the first ``n % k`` buckets one row larger.
+    ``order_cols`` should be a TOTAL order (include a unique tiebreak) or
+    tied rows land in engine-dependent tiles.  Integer output — oracles
+    hash exactly.
+
+    One bucketed exchange; per bucket one sort and the tile assignment is
+    pure position arithmetic on segment offsets.
+    """
+    from raycdc.engine import _configure_shuffle
+
+    _configure_shuffle()
+    if k < 1:
+        raise ValueError("ntile k must be >= 1")
+    tag = _tag_bucket(group_col, num_partitions)
+    sort_keys = [(group_col, "ascending")] + [
+        (c, "ascending") for c in order_cols
+    ]
+
+    def assign(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["__bucket"]).sort_by(sort_keys)
+        n = len(g)
+        if n == 0:
+            return g.append_column(alias, pa.array([], pa.int64()))
+        grp = g[group_col].combine_chunks()
+        new_grp = np.ones(n, dtype=bool)
+        if n > 1:
+            a, b = grp.slice(1), grp.slice(0, n - 1)
+            eq = pc.or_(
+                pc.fill_null(pc.equal(a, b), False),
+                pc.and_(pc.is_null(a), pc.is_null(b)),
+            )
+            new_grp[1:] = ~eq.to_numpy(zero_copy_only=False)
+        seg_starts = np.where(new_grp)[0]
+        seg_lens = np.diff(np.append(seg_starts, n))
+        pos = np.arange(n, dtype=np.int64) - np.repeat(seg_starts, seg_lens)
+        seg_n = np.repeat(seg_lens, seg_lens)
+        small = seg_n // k
+        big_cnt = seg_n % k
+        threshold = big_cnt * (small + 1)
+        in_big = pos < threshold
+        # groups with n < k: small == 0 — every row is in a big bucket of
+        # size 1, so the small-branch division never sees a zero divisor
+        safe_small = np.maximum(small, 1)
+        tile = np.where(
+            in_big,
+            pos // (small + 1),
+            big_cnt + (pos - threshold) // safe_small,
+        )
+        return g.append_column(alias, pa.array(tile + 1))
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__bucket", num_partitions=num_partitions)
+        .map_groups(assign, batch_format="pyarrow")
+    )

@@ -1029,3 +1029,29 @@ def test_percent_rank_ties_and_singletons(ray_session):
         out[out.g == "a"]["pct_rank"].to_numpy(), [0, 0.25, 0.25, 0.75, 1.0]
     )
     assert out[out.g == "b"]["pct_rank"].tolist() == [0.0]
+
+
+def test_ntile_bucket_sizes(ray_session):
+    """NTILE(k): first n%k buckets get the extra row; n<k gives one row
+    per bucket starting at 1; deterministic under a total order."""
+    from raycdc.relational import ntile
+
+    t = pa.table(
+        {
+            "g": pa.array(["a"] * 7 + ["b"] * 2),
+            "v": pa.array([1, 2, 3, 4, 5, 6, 7, 10, 20], pa.int64()),
+        }
+    )
+    out = (
+        ntile(
+            ray.data.from_arrow(t), group_col="g", order_cols=("v",), k=3,
+            num_partitions=2,
+        )
+        .to_pandas()
+        .sort_values(["g", "v"])
+        .reset_index(drop=True)
+    )
+    # a: n=7, k=3 -> sizes 3,2,2
+    assert out[out.g == "a"]["tile"].tolist() == [1, 1, 1, 2, 2, 3, 3]
+    # b: n=2 < k -> buckets 1 and 2
+    assert out[out.g == "b"]["tile"].tolist() == [1, 2]
