@@ -97,6 +97,11 @@ def dataset_schema(ds: "ray.data.Dataset") -> pa.Schema:
     — shared by every two-sided operator that accepts explicit ``*_schema``
     overrides to skip driver-side plan execution."""
     s = ds.schema()
+    if s is None:
+        raise ValueError(
+            "dataset has no schema (empty with no metadata) — pass the "
+            "operator's explicit *_schema override"
+        )
     base = getattr(s, "base_schema", s)
     if isinstance(base, pa.Schema):
         return base

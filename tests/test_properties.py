@@ -411,3 +411,68 @@ def test_point_in_time_equals_changelog_fold(inputs):
         for r in out.itertuples()
     }
     assert got == expect
+
+
+@given(scd_inputs(), st.integers(0, 30))
+@settings(max_examples=12, deadline=None)
+def test_scd2_update_equals_full_recompute(inputs, cut_raw):
+    """Incremental-maintenance algebra: scd2_update(scd2_history(log1),
+    log2) == scd2_history(log1 + log2) when log2 sorts after log1 in
+    (ts, lsn) — random logs, random split points, deletes, re-inserts,
+    same-instant collisions."""
+    import pandas as pd
+
+    import ray
+    import ray.data
+
+    from raycdc.scd import scd2_history, scd2_update
+
+    log_rows, _ = inputs
+    ordered = sorted(log_rows, key=lambda r: (r["ts"], r["lsn"]))
+    cut = min(cut_raw, len(ordered))
+    log1, log2 = ordered[:cut], ordered[cut:]
+
+    def to_table(rows):
+        return pa.table(
+            {
+                "key": pa.array([r["key"] for r in rows], pa.string()),
+                "ts": pa.array([r["ts"] for r in rows], pa.timestamp("us")),
+                "op": pa.array([r["op"] for r in rows], pa.string()),
+                "lsn": pa.array([r["lsn"] for r in rows], pa.int64()),
+                "pay": pa.array([r["pay"] for r in rows], pa.int64()),
+            }
+        )
+
+    kw = dict(key_cols=("key",), ts_col="ts", lsn_col="lsn", num_partitions=2)
+    full = scd2_history(ray.data.from_arrow(to_table(ordered)), **kw).to_pandas()
+    hist1 = scd2_history(ray.data.from_arrow(to_table(log1)), **kw)
+    h_schema = pa.schema(
+        [
+            ("key", pa.string()),
+            ("lsn", pa.int64()),
+            ("pay", pa.int64()),
+            ("valid_from", pa.timestamp("us")),
+            ("valid_to", pa.timestamp("us")),
+            ("is_current", pa.int64()),
+        ]
+    )
+    inc = scd2_update(
+        hist1, ray.data.from_arrow(to_table(log2)), h_schema=h_schema, **kw
+    ).to_pandas()
+
+    def canon(df):
+        if len(df) == 0:
+            return []
+        return (
+            df.sort_values(["key", "valid_from", "lsn"])
+            .reset_index(drop=True)[
+                ["key", "lsn", "pay", "valid_from", "valid_to", "is_current"]
+            ]
+            .to_dict("records")
+        )
+
+    assert [
+        {k: (None if pd.isna(v) else v) for k, v in r.items()} for r in canon(inc)
+    ] == [
+        {k: (None if pd.isna(v) else v) for k, v in r.items()} for r in canon(full)
+    ]

@@ -1055,3 +1055,62 @@ def test_ntile_bucket_sizes(ray_session):
     assert out[out.g == "a"]["tile"].tolist() == [1, 1, 1, 2, 2, 3, 3]
     # b: n=2 < k -> buckets 1 and 2
     assert out[out.g == "b"]["tile"].tolist() == [1, 2]
+
+
+def test_scd2_update_incremental(ray_session):
+    """Incremental history update regenerates the delete lost in
+    materialization (the gap survives), chains the new segment's versions
+    onto open intervals, and rejects new events that precede the existing
+    history for a key."""
+    import datetime as dt
+
+    import pytest
+
+    from raycdc.scd import scd2_history, scd2_update
+
+    def ts(s):
+        return dt.datetime(2024, 1, 1, 0, 0, s)
+
+    log1 = pa.table(
+        {
+            "k": pa.array(["a", "a", "b"]),
+            "ts": pa.array([ts(1), ts(5), ts(2)], pa.timestamp("us")),
+            "op": pa.array(["insert", "delete", "insert"]),
+            "lsn": pa.array([1, 2, 3], pa.int64()),
+            "v": pa.array([10, 0, 20], pa.int64()),
+        }
+    )
+    log2 = pa.table(
+        {
+            "k": pa.array(["a", "b"]),
+            "ts": pa.array([ts(9), ts(8)], pa.timestamp("us")),
+            "op": pa.array(["insert", "update"]),
+            "lsn": pa.array([4, 5], pa.int64()),
+            "v": pa.array([11, 21], pa.int64()),
+        }
+    )
+    kw = dict(key_cols=("k",), ts_col="ts", lsn_col="lsn", num_partitions=2)
+    hist1 = scd2_history(ray.data.from_arrow(log1), **kw)
+    out = (
+        scd2_update(hist1, ray.data.from_arrow(log2), **kw)
+        .to_pandas()
+        .sort_values(["k", "valid_from"])
+        .reset_index(drop=True)
+    )
+    # a: v10 [1,5) — closed by the REGENERATED delete, not by v11 —
+    #    then v11 [9, open); b: v20 [2,8), v21 [8, open)
+    assert out["v"].tolist() == [10, 11, 20, 21]
+    assert out["valid_to"][0] == ts(5)  # not ts(9): the gap survived
+    assert out["is_current"].tolist() == [0, 1, 0, 1]
+
+    stale = pa.table(
+        {
+            "k": pa.array(["a"]),
+            "ts": pa.array([ts(3)], pa.timestamp("us")),  # inside history
+            "op": pa.array(["insert"]),
+            "lsn": pa.array([9], pa.int64()),
+            "v": pa.array([99], pa.int64()),
+        }
+    )
+    with pytest.raises(Exception, match="precede existing history"):
+        scd2_update(hist1, ray.data.from_arrow(stale), **kw).to_pandas()
