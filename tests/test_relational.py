@@ -1114,3 +1114,33 @@ def test_scd2_update_incremental(ray_session):
     )
     with pytest.raises(Exception, match="precede existing history"):
         scd2_update(hist1, ray.data.from_arrow(stale), **kw).to_pandas()
+
+
+def test_scd2_update_chains_across_segments(ray_session):
+    """Repeated incremental updates compose: applying three WAL segments
+    one at a time equals one full recompute — the continuous-tail usage."""
+    from raycdc.changelog import synthetic_changelog
+    from raycdc.scd import scd2_history, scd2_update
+
+    log = synthetic_changelog(n_events=300, seed=77, p_delete=0.2).sort_by(
+        [("ts", "ascending"), ("lsn", "ascending")]
+    )
+    segs = [log.slice(0, 100), log.slice(100, 100), log.slice(200)]
+    kw = dict(key_cols=("conv_id", "turn_idx"), num_partitions=4)
+
+    full = (
+        scd2_history(ray.data.from_arrow(log), **kw)
+        .to_pandas()
+        .sort_values(["conv_id", "turn_idx", "valid_from", "lsn"])
+        .reset_index(drop=True)
+    )
+    hist = scd2_history(ray.data.from_arrow(segs[0]), **kw)
+    for seg in segs[1:]:
+        hist = scd2_update(hist, ray.data.from_arrow(seg), **kw)
+    inc = (
+        hist.to_pandas()
+        .sort_values(["conv_id", "turn_idx", "valid_from", "lsn"])
+        .reset_index(drop=True)
+    )
+    cols = ["conv_id", "turn_idx", "lsn", "text", "valid_from", "valid_to", "is_current"]
+    assert inc[cols].equals(full[cols])
