@@ -93,6 +93,11 @@ def prepare(
             # rows are tiny) and merge AFTER the checkpoint filter.
             keep = [*key_cols, *version_cols, op_col, *spec.value_cols, PART_KEY]
             return batch.select([c for c in keep if c in batch.column_names])
+        if spec.merge_policy == "history":
+            # NO map-side combine for history either: every superseded
+            # version is OUTPUT, so the LWW combiner would destroy rows the
+            # history table must retain.  Full rows ship raw.
+            return batch
         return M.combine_batch(batch, key_cols, version_cols, op_col)
 
     # Retry policy: transient IO faults (OSError — object storage hiccups
@@ -135,10 +140,10 @@ def merged_state(
     """
     spec = spec or TableSpec()
     _configure_shuffle()
-    if salted and spec.merge_policy == "additive":
-        # the salted pre-merge folds partial aggregates whose collapsed
-        # versions a later delete cannot split — same unsoundness replay()
-        # rejects; delta rows are tiny, the unsalted plan is the right one
+    if salted and spec.merge_policy != "lww":
+        # the salted pre-merge folds/drops rows that additive and history
+        # merges must see individually — same unsoundness replay()
+        # rejects; their rows carry no hot-key pre-merge win anyway
         raise ValueError(
             "salted merged_state is not supported with merge_policy='additive'"
         )
@@ -364,10 +369,10 @@ def replay(
     else:
         lsn_floor = -1  # some partition never applied anything: no safe floor
 
-    if salted == "auto" and spec.merge_policy == "additive":
-        # auto mode PICKS the plan: for additive the only sound plan is
-        # unsalted (delta rows carry no payload text, so the hot-key cost
-        # salting amortizes is small anyway) — choose it, don't crash
+    if salted == "auto" and spec.merge_policy != "lww":
+        # auto mode PICKS the plan: for additive/history the only sound
+        # plan is unsalted (the salted pre-merge would fold or drop rows
+        # those merges must see individually) — choose it, don't crash
         salted = False
     if salted == "auto":
         # probe the PRUNED stream: salting should reflect the rows that
@@ -379,7 +384,7 @@ def replay(
             detect_hot_keys(prepare(ds, spec, projector, lsn_floor=lsn_floor), spec)
         )
     ds = prepare(ds, spec, projector, lsn_floor=lsn_floor)
-    if salted and spec.merge_policy == "additive":
+    if salted and spec.merge_policy != "lww":
         # a salted PRE-merge would sum deltas before the per-partition
         # checkpoint filter — the redelivery double-count hazard the
         # combiner already avoids.  Delta rows are tiny (no payload text),
@@ -854,13 +859,13 @@ def migrate_lake(
 
     spec = spec or TableSpec()
     _configure_shuffle()
-    if spec.merge_policy == "additive":
+    if spec.merge_policy != "lww":
         # the conservative floor is safe ONLY because LWW re-application is
-        # idempotent; additive merges would SUM the (floor, old-max] overlap
-        # again on the next replay — silently inflated aggregates
+        # idempotent; additive would SUM the (floor, old-max] overlap again
+        # and history would re-insert already-settled versions
         raise ValueError(
-            "migrate_lake supports merge_policy='lww' only: additive lakes "
-            "cannot re-apply the conservative-floor overlap idempotently"
+            "migrate_lake supports merge_policy='lww' only: additive/history "
+            "lakes cannot re-apply the conservative-floor overlap idempotently"
         )
     ckpts = S.read_all_checkpoints(src_lake)
     if not ckpts:

@@ -351,4 +351,169 @@ def policy_merge(
         if drop_deletes and op_col in out.column_names:
             out = out.filter(pc.not_equal(pc.fill_null(out[op_col], ""), DELETE))
         return out
-    raise ValueError(f"unknown merge policy {policy!r} (expected lww|additive)")
+    if policy == "history":
+        # deletes are consumed into interval closes — nothing to drop
+        return history_extend(
+            table,
+            key_cols,
+            ts_col=version_cols[0],
+            lsn_col=version_cols[-1],
+            op_col=op_col,
+        )
+    raise ValueError(
+        f"unknown merge policy {policy!r} (expected lww|additive|history)"
+    )
+
+
+# ---------------------------------------------------------------------------
+# history merge policy — SCD Type-2 version retention
+
+
+def history_extend(
+    table: pa.Table,
+    key_cols: Sequence[str] = ("conv_id", "turn_idx"),
+    ts_col: str = "ts",
+    lsn_col: str = "lsn",
+    op_col: str = "op",
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+    current_flag: str = "is_current",
+    delete_op: str = DELETE,
+) -> pa.Table:
+    """The SCD Type-2 merge policy: fold settled version rows and fresh
+    changelog events (distinguished by a non-null ``valid_from``) into the
+    extended version history — every upsert becomes a version row with its
+    ``[valid_from, valid_to)`` interval, deletes close intervals without
+    emitting rows, and closes that exist only as a prior version's
+    ``valid_to`` (their delete was consumed at a previous apply) are
+    regenerated before the interval chaining.
+
+    Output rows keep the engine envelope: ``op_col`` is the constant
+    upsert marker (a history lake has no tombstones) and ``ts_col`` equals
+    ``valid_from``, so stored partitions re-enter this function as settled
+    versions on the next apply — the exactly-once lake loop
+    (:func:`raycdc.engine.replay` with ``merge_policy='history'``).
+
+    Contract: fresh events must not precede a key's settled instant
+    (``max(valid_from, valid_to)`` over its history) — event-time order
+    per key across segments, the WAL-tail reality; violations raise.
+    Fully vectorized: two lexsorts + segment masks, no per-key loop.
+    """
+    import numpy as np
+
+    meta = (valid_from, valid_to, current_flag)
+    carry = [c for c in table.column_names if c not in (*meta, op_col, ts_col)]
+    out_schema = pa.schema(
+        [table.schema.field(c) for c in carry]
+        + [
+            pa.field(op_col, pa.string()),
+            pa.field(ts_col, pa.timestamp("us")),
+            pa.field(valid_from, pa.timestamp("us")),
+            pa.field(valid_to, pa.timestamp("us")),
+            pa.field(current_flag, pa.int64()),
+        ]
+    )
+    n = len(table)
+    if n == 0:
+        return out_schema.empty_table()
+
+    from raycdc.partition import key_codes
+
+    ts = (
+        table[ts_col]
+        .cast(pa.timestamp("us"))
+        .cast(pa.int64())
+        .to_numpy(zero_copy_only=False)
+    )
+    lsn = table[lsn_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+    keys = [key_codes(table[k]) for k in key_cols]
+    if valid_from in table.column_names:
+        hist = (
+            table[valid_from]
+            .combine_chunks()
+            .is_valid()
+            .to_numpy(zero_copy_only=False)
+        )
+        vt = table[valid_to].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        vtv = (
+            table[valid_to]
+            .combine_chunks()
+            .is_valid()
+            .to_numpy(zero_copy_only=False)
+        )
+    else:
+        hist = np.zeros(n, dtype=bool)
+        vt = np.zeros(n, dtype=np.int64)
+        vtv = np.zeros(n, dtype=bool)
+
+    order = np.lexsort((lsn, ts, *reversed(keys)))
+    same_next = np.ones(n, dtype=bool)
+    same_next[-1] = False
+    for k in keys:
+        ks = k[order]
+        same_next[:-1] &= ks[1:] == ks[:-1]
+    ts_s, hist_s = ts[order], hist[order]
+    vt_s, vtv_s = vt[order], vtv[order]
+
+    # WAL-tail contract: no fresh event before a key's settled instant
+    new_seg = np.ones(n, dtype=bool)
+    new_seg[1:] = ~same_next[:-1]
+    seg_starts = np.where(new_seg)[0]
+    seg_lens = np.diff(np.append(seg_starts, n))
+    bound = np.where(
+        hist_s,
+        np.where(vtv_s, np.maximum(ts_s, vt_s), ts_s),
+        np.iinfo(np.int64).min,
+    )
+    key_bound = np.repeat(np.maximum.reduceat(bound, seg_starts), seg_lens)
+    stale = (~hist_s) & (ts_s < key_bound)
+    if stale.any():
+        raise ValueError(
+            f"history merge: {int(stale.sum())} fresh event(s) precede their "
+            "key's settled history — the history policy requires per-key "
+            "event-time order across segments"
+        )
+
+    # regenerate deletes lost in materialization: a closed version whose
+    # valid_to is NOT the next same-key change's instant
+    next_ts = np.empty_like(ts_s)
+    next_ts[:-1] = ts_s[1:]
+    next_ts[-1] = 0
+    explained = same_next & (next_ts == vt_s)
+    synth = np.flatnonzero(hist_s & vtv_s & ~explained)
+
+    m = len(synth)
+    all_ts = np.concatenate([ts_s, vt_s[synth]])
+    all_lsn = np.concatenate([lsn[order], lsn[order][synth]])
+    all_keys = [np.concatenate([k[order], k[order][synth]]) for k in keys]
+    is_del = (
+        table[op_col].combine_chunks().to_numpy(zero_copy_only=False)[order]
+        == delete_op
+    )
+    all_del = np.concatenate([is_del, np.ones(m, dtype=bool)])
+    all_src = np.concatenate([order, np.full(m, -1, np.int64)])
+
+    order2 = np.lexsort((all_lsn, all_ts, *reversed(all_keys)))
+    n2 = len(order2)
+    same_next2 = np.ones(n2, dtype=bool)
+    same_next2[-1] = False
+    for k in all_keys:
+        ks = k[order2]
+        same_next2[:-1] &= ks[1:] == ks[:-1]
+    ts2 = all_ts[order2]
+    nts2 = np.empty_like(ts2)
+    nts2[:-1] = ts2[1:]
+    nts2[-1] = 0
+    keep = np.flatnonzero(~all_del[order2])
+    rows = pa.array(all_src[order2][keep])
+    cols = {c: table[c].combine_chunks().take(rows) for c in carry}
+    vf = pa.array(ts2[keep], pa.int64()).cast(pa.timestamp("us"))
+    cols[op_col] = pa.array(["insert"] * len(keep), pa.string())
+    cols[ts_col] = vf
+    cols[valid_from] = vf
+    has_next = same_next2[keep]
+    cols[valid_to] = pa.array(nts2[keep], pa.int64(), mask=~has_next).cast(
+        pa.timestamp("us")
+    )
+    cols[current_flag] = pa.array((~has_next).astype(np.int64))
+    return pa.table(cols, schema=out_schema)

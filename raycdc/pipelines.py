@@ -1259,6 +1259,32 @@ FROM probes p LEFT JOIN hist h
 """
 
 
+def q_cdc_history_lake(sf_dir: str):
+    """The continuously-maintained SCD2 history LAKE: replay the derived
+    changelog with ``merge_policy='history'`` — the whole exactly-once
+    engine (checkpoints, atomic installs, redelivery no-ops, lineage)
+    maintaining version history instead of latest-state — then read the
+    stored table back.  Replayed twice to prove idempotence; SAME oracle
+    as ⊕cdc_scd2_history (the lake must equal the pure transform)."""
+    from raycdc.engine import read_lake, replay
+    from raycdc.schema import TableSpec
+
+    log = _derived_changelog(sf_dir)
+    lake = os.path.join(tempfile.gettempdir(), "raycdc_q_history_lake")
+    shutil.rmtree(lake, ignore_errors=True)
+    spec = TableSpec(
+        num_partitions=16,
+        merge_policy="history",
+        sort_cols=("conv_id", "turn_idx", "valid_from"),
+    )
+    replay(log, lake, spec)
+    replay(_derived_changelog(sf_dir), lake, spec)  # redelivery: no-op
+    return read_lake(lake, spec, with_tombstones=True).select_columns(
+        ["conv_id", "turn_idx", "lsn", "cents",
+         "valid_from", "valid_to", "is_current"]
+    )
+
+
 def q_cdc_suppress_noops(sf_dir: str):
     """Changelog compression: drop upserts whose payload equals the key's
     immediately preceding upsert (connectors emitting full row images per
@@ -2813,6 +2839,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "cdc_evolve": q_cdc_evolve,
     "cdc_additive_rollup": q_cdc_additive_rollup,
     "cdc_scd2_history": q_cdc_scd2_history,
+    "cdc_history_lake": q_cdc_history_lake,
     "cdc_suppress_noops": q_cdc_suppress_noops,
     "cdc_point_in_time": q_cdc_point_in_time,
     "sample_events": q_sample_events,
@@ -2885,6 +2912,7 @@ ORACLES: dict[str, str] = {
     "cdc_evolve": _sql_cdc_evolve(),
     "cdc_additive_rollup": SQL_CDC_ADDITIVE_ROLLUP,
     "cdc_scd2_history": SQL_CDC_SCD2_HISTORY,
+    "cdc_history_lake": SQL_CDC_SCD2_HISTORY,
     "cdc_suppress_noops": SQL_CDC_SUPPRESS_NOOPS,
     "cdc_point_in_time": SQL_CDC_POINT_IN_TIME,
     "sample_events": SQL_SAMPLE_EVENTS,

@@ -333,8 +333,8 @@ def scd2_update(
         + [
             pa.field(ts_col, ts_t),
             pa.field(op_col, pa.string()),
-            pa.field("__vt", ts_t),
-            pa.field("__hist", pa.int8()),
+            pa.field(valid_from, ts_t),
+            pa.field(valid_to, ts_t),
             pa.field(_BUCKET, pa.int64()),
         ]
     )
@@ -343,8 +343,8 @@ def scd2_update(
         cols = {n: t[n] for n in carry}
         cols[ts_col] = t[valid_from].cast(ts_t)
         cols[op_col] = pa.array(["insert"] * len(t), pa.string())
-        cols["__vt"] = t[valid_to].cast(ts_t)
-        cols["__hist"] = pa.array(np.ones(len(t), np.int8))
+        cols[valid_from] = t[valid_from].cast(ts_t)
+        cols[valid_to] = t[valid_to].cast(ts_t)
         cols[_BUCKET] = bucket_keys(t, key_cols, num_partitions)
         return pa.table(cols, schema=uni)
 
@@ -354,8 +354,8 @@ def scd2_update(
             cols[n] = t[n].cast(h_schema.field(n).type)
         cols[ts_col] = t[ts_col].cast(ts_t)
         cols[op_col] = t[op_col].cast(pa.string())
-        cols["__vt"] = pa.nulls(len(t), ts_t)
-        cols["__hist"] = pa.array(np.zeros(len(t), np.int8))
+        cols[valid_from] = pa.nulls(len(t), ts_t)
+        cols[valid_to] = pa.nulls(len(t), ts_t)
         cols[_BUCKET] = bucket_keys(t, key_cols, num_partitions)
         return pa.table(cols, schema=uni)
 
@@ -369,94 +369,25 @@ def scd2_update(
     )
 
     def extend(g: pa.Table) -> pa.Table:
+        # the shared merge-policy kernel does all the work (stale check,
+        # delete regeneration, interval chaining); this wrapper only
+        # drops the engine envelope the standalone operator never exposes
+        from raycdc.merge import history_extend
+
         if len(g) == 0:
             return out_schema.empty_table()
-        n = len(g)
-        ts = g[ts_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
-        lsn = g[lsn_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
-        keys = [_key_code(g[k]) for k in key_cols]
-        hist = g["__hist"].to_numpy(zero_copy_only=False) == 1
-        order = np.lexsort((lsn, ts, *reversed(keys)))
-        same_next = np.ones(n, dtype=bool)
-        same_next[-1] = False
-        for k in keys:
-            ks = k[order]
-            same_next[:-1] &= ks[1:] == ks[:-1]
-        ts_s, hist_s = ts[order], hist[order]
-        vt = g["__vt"].cast(pa.int64()).to_numpy(zero_copy_only=False)
-        vt_valid = (
-            g["__vt"].combine_chunks().is_valid().to_numpy(zero_copy_only=False)
+        out = history_extend(
+            g.drop_columns([_BUCKET]),
+            key_cols,
+            ts_col=ts_col,
+            lsn_col=lsn_col,
+            op_col=op_col,
+            valid_from=valid_from,
+            valid_to=valid_to,
+            current_flag=current_flag,
+            delete_op=delete_op,
         )
-        vt_s, vtv_s = vt[order], vt_valid[order]
-        # WAL-tail contract: no new event may precede the key's latest
-        # settled instant — max(valid_from, valid_to) over its history —
-        # or it would rewrite settled intervals (including closes that
-        # only exist as a prior version's valid_to)
-        new_seg = np.ones(n, dtype=bool)
-        new_seg[1:] = ~same_next[:-1]
-        seg_starts0 = np.where(new_seg)[0]
-        seg_lens0 = np.diff(np.append(seg_starts0, n))
-        bound = np.where(
-            hist_s,
-            np.where(vtv_s, np.maximum(ts_s, vt_s), ts_s),
-            np.iinfo(np.int64).min,
-        )
-        key_bound = np.repeat(
-            np.maximum.reduceat(bound, seg_starts0), seg_lens0
-        )
-        stale = (~hist_s) & (ts_s < key_bound)
-        if stale.any():
-            raise ValueError(
-                "scd2_update: new events precede existing history for "
-                f"{int(stale.sum())} row(s) — the incremental contract "
-                "requires the new segment to sort at or after each key's "
-                "settled history; recompute with scd2_history instead"
-            )
-        # regenerate deletes lost in materialization: a closed version
-        # whose valid_to is NOT the next same-key change's instant
-        next_ts = np.empty_like(ts_s)
-        next_ts[:-1] = ts_s[1:]
-        next_ts[-1] = 0
-        explained = same_next & (next_ts == vt_s)
-        synth = np.flatnonzero(hist_s & vtv_s & ~explained)
-        orig = order  # positions in g
-
-        # merged sequence = all rows + synthetic deletes at their valid_to
-        m = len(synth)
-        all_ts = np.concatenate([ts_s, vt_s[synth]])
-        all_lsn = np.concatenate([lsn[order], lsn[order][synth]])
-        all_keys = [np.concatenate([k[order], k[order][synth]]) for k in keys]
-        is_del_orig = (
-            g[op_col].combine_chunks().to_numpy(zero_copy_only=False)[order]
-            == delete_op
-        )
-        all_del = np.concatenate([is_del_orig, np.ones(m, dtype=bool)])
-        # original row index in g for payload gathers (-1 for synth)
-        all_src = np.concatenate([orig, np.full(m, -1, np.int64)])
-
-        order2 = np.lexsort((all_lsn, all_ts, *reversed(all_keys)))
-        n2 = len(order2)
-        same_next2 = np.ones(n2, dtype=bool)
-        same_next2[-1] = False
-        for k in all_keys:
-            ks = k[order2]
-            same_next2[:-1] &= ks[1:] == ks[:-1]
-        ts2 = all_ts[order2]
-        nts2 = np.empty_like(ts2)
-        nts2[:-1] = ts2[1:]
-        nts2[-1] = 0
-        del2 = all_del[order2]
-        keep = np.flatnonzero(~del2)
-        src_rows = all_src[order2][keep]
-        rows = pa.array(src_rows)
-        cols = {c: g[c].combine_chunks().take(rows) for c in carry}
-        cols[valid_from] = pa.array(ts2[keep], pa.int64()).cast(ts_t)
-        has_next = same_next2[keep]
-        cols[valid_to] = pa.array(nts2[keep], pa.int64(), mask=~has_next).cast(
-            ts_t
-        )
-        cols[current_flag] = pa.array((~has_next).astype(np.int64))
-        return pa.table(cols, schema=out_schema)
+        return out.drop_columns([op_col, ts_col]).select(out_schema.names)
 
     tagged = history.map_batches(
         tag_hist, batch_format="pyarrow", zero_copy_batch=True

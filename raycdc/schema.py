@@ -64,9 +64,12 @@ class TableSpec:
     shuffle_partitions: int | None = None
     sort_cols: tuple[str, ...] = ("conv_id", "turn_idx")
     defaults: dict = field(default_factory=dict)  # col -> fill value for additive cols
-    # merge policy: "lww" (default — latest version wins) or "additive"
+    # merge policy: "lww" (default — latest version wins), "additive"
     # (value_cols deltas SUM per key; deletes reset — incremental rollups;
-    # exactly-once checkpoints make non-idempotent addition safe)
+    # exactly-once checkpoints make non-idempotent addition safe), or
+    # "history" (SCD Type-2: every version retained with its
+    # [valid_from, valid_to) interval; deletes close intervals; requires
+    # per-key event-time order across segments)
     merge_policy: str = "lww"
     value_cols: tuple[str, ...] = ()
 

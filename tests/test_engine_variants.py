@@ -103,3 +103,56 @@ def test_migrate_lake_guards(ray_session, tmp_path):
         )
     with pytest.raises(FileExistsError, match="fresh"):
         migrate_lake(src, src, TableSpec(num_partitions=8))
+
+
+def test_replay_history_policy_lake(ray_session, tmp_path):
+    """merge_policy='history' turns the exactly-once lake into a
+    continuously maintained SCD2 history: the stored state equals
+    scd2_history of the full log, a second replay of the same segments is
+    a pure no-op, and applying the log in two ts-ordered halves equals the
+    one-shot replay."""
+    import pandas as pd
+    import ray.data
+
+    from raycdc.changelog import synthetic_changelog
+    from raycdc.engine import read_lake, replay
+    from raycdc.scd import scd2_history
+    from raycdc.schema import TableSpec
+
+    log = synthetic_changelog(n_events=400, seed=21, p_delete=0.2).sort_by(
+        [("ts", "ascending"), ("lsn", "ascending")]
+    )
+    spec = TableSpec(num_partitions=4, merge_policy="history")
+
+    def canon(df):
+        return (
+            df.sort_values(["conv_id", "turn_idx", "valid_from", "lsn"])
+            .reset_index(drop=True)[
+                ["conv_id", "turn_idx", "lsn", "text", "valid_from",
+                 "valid_to", "is_current"]
+            ]
+        )
+
+    lake = str(tmp_path / "histlake")
+    replay(ray.data.from_arrow(log), lake, spec)
+    got = canon(read_lake(lake, spec, with_tombstones=True).to_pandas())
+    want = canon(
+        scd2_history(
+            ray.data.from_arrow(log), key_cols=("conv_id", "turn_idx"),
+            num_partitions=4,
+        ).to_pandas()
+    )
+    pd.testing.assert_frame_equal(got, want)
+
+    # exactly-once: full redelivery must change nothing
+    lineage = replay(ray.data.from_arrow(log), lake, spec)
+    assert set(lineage["status"].to_pylist()) == {"noop"}
+    again = canon(read_lake(lake, spec, with_tombstones=True).to_pandas())
+    pd.testing.assert_frame_equal(again, want)
+
+    # incremental: two ts-ordered halves == one shot
+    lake2 = str(tmp_path / "histlake2")
+    replay(ray.data.from_arrow(log.slice(0, 200)), lake2, spec)
+    replay(ray.data.from_arrow(log.slice(200)), lake2, spec)
+    inc = canon(read_lake(lake2, spec, with_tombstones=True).to_pandas())
+    pd.testing.assert_frame_equal(inc, want)

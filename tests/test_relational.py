@@ -1112,7 +1112,7 @@ def test_scd2_update_incremental(ray_session):
             "v": pa.array([99], pa.int64()),
         }
     )
-    with pytest.raises(Exception, match="precede existing history"):
+    with pytest.raises(Exception, match="settled history"):
         scd2_update(hist1, ray.data.from_arrow(stale), **kw).to_pandas()
 
 
