@@ -117,6 +117,24 @@ def main() -> None:
         state = row["text"] if row["text"] is not None else "<deleted>"
         print(f"  {row['probe']:7} → {state}")
 
+    # 4. the same history as a continuously-maintained exactly-once LAKE:
+    #    merge_policy='history' gives checkpoints, redelivery no-ops,
+    #    atomic installs — replaying the log twice changes nothing
+    import tempfile
+
+    from raycdc.engine import read_lake, replay
+    from raycdc.schema import TableSpec
+
+    lake = tempfile.mkdtemp(prefix="history_lake_")
+    spec = TableSpec(num_partitions=4, merge_policy="history")
+    replay(compact, lake, spec)  # the suppressed log: no no-op versions
+    lineage = replay(compact, lake, spec)  # full redelivery
+    n_versions = read_lake(lake, spec, with_tombstones=True).count()
+    print(
+        f"\nhistory lake: {n_versions} stored versions; redelivery statuses: "
+        f"{sorted(set(lineage['status'].to_pylist()))}"
+    )
+
     ray.shutdown()
 
 
