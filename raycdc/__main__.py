@@ -28,6 +28,22 @@ def _ray_init(num_cpus: int | None) -> bool:
     return False
 
 
+
+def _lake_spec(lake_dir: str, partitions: int):
+    """TableSpec for an EXISTING lake: the persisted _spec.json is
+    authoritative (policy + layout); CLI args only seed brand-new lakes."""
+    from raycdc.schema import TableSpec
+    from raycdc.sink import read_spec_meta
+
+    meta = read_spec_meta(lake_dir)
+    if meta is None:
+        return TableSpec(num_partitions=partitions)
+    return TableSpec(
+        num_partitions=int(meta.get("num_partitions", partitions)),
+        merge_policy=meta.get("merge_policy", "lww"),
+    )
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="raycdc")
     ap.add_argument("--num-cpus", type=int, default=None)
@@ -124,7 +140,7 @@ def main(argv: list[str] | None = None) -> int:
         paths: list[str] = []
         for s in args.segments:
             paths.extend(sorted(_glob.glob(s)) or [s])
-        spec = TableSpec(num_partitions=args.partitions)
+        spec = _lake_spec(args.lake, args.partitions)
         salted: bool | str = "auto" if args.auto_salt else args.salted
         lineage = replay(
             ray.data.read_parquet(paths), args.lake, spec, salted=salted
@@ -142,7 +158,7 @@ def main(argv: list[str] | None = None) -> int:
     elif args.cmd == "tail":
         from raycdc.engine import tail
 
-        spec = TableSpec(num_partitions=args.partitions)
+        spec = _lake_spec(args.lake, args.partitions)
 
         def report(i, new, lineage):
             applied = (
@@ -267,7 +283,7 @@ def main(argv: list[str] | None = None) -> int:
             out[col] = entry
         print(json.dumps(out))
     elif args.cmd == "compact":
-        spec = TableSpec(num_partitions=args.partitions)
+        spec = _lake_spec(args.lake, args.partitions)
         lineage = compact(args.lake, spec)
         print(
             json.dumps(
@@ -278,7 +294,7 @@ def main(argv: list[str] | None = None) -> int:
             )
         )
     elif args.cmd == "show":
-        spec = TableSpec(num_partitions=args.partitions)
+        spec = _lake_spec(args.lake, args.partitions)
         ds = read_lake(args.lake, spec, as_of=args.as_of)
         print(json.dumps({"live_rows": ds.count(), "schema": ds.schema().names}))
     elif args.cmd == "history":
@@ -311,7 +327,7 @@ def main(argv: list[str] | None = None) -> int:
     elif args.cmd == "lookup":
         from raycdc.engine import lookup
 
-        spec = TableSpec(num_partitions=args.partitions)
+        spec = _lake_spec(args.lake, args.partitions)
         t = lookup(args.lake, args.key, spec)
         print(json.dumps({"rows": len(t), "columns": t.column_names}))
     if owns_ray:

@@ -145,7 +145,8 @@ def merged_state(
         # merges must see individually — same unsoundness replay()
         # rejects; their rows carry no hot-key pre-merge win anyway
         raise ValueError(
-            "salted merged_state is not supported with merge_policy='additive'"
+            "salted merged_state is not supported with "
+            f"merge_policy={spec.merge_policy!r}"
         )
     ds = prepare(ds, spec, projector)
     key_cols, version_cols, op_col = spec.key_cols, spec.version_cols, spec.op_col
@@ -351,6 +352,26 @@ def replay(
     """
     spec = spec or TableSpec()
     _configure_shuffle()
+    # layout/policy contract: an LWW apply against a history lake would
+    # silently collapse every superseded version, and a different
+    # num_partitions would orphan rows — validate against the persisted
+    # spec metadata (first replay writes it)
+    meta = S.read_spec_meta(lake_dir)
+    if meta is None:
+        S.write_spec_meta(lake_dir, spec)
+    else:
+        for field_name, got in (
+            ("merge_policy", spec.merge_policy),
+            ("num_partitions", spec.num_partitions),
+            ("partition_key", spec.partition_key),
+        ):
+            want = meta.get(field_name)
+            if want is not None and want != got:
+                raise ValueError(
+                    f"lake {lake_dir} was created with {field_name}={want!r}; "
+                    f"this replay passed {got!r} — applying a mismatched spec "
+                    "would corrupt the layout (use migrate_lake to re-layout)"
+                )
     if projector is not None and dead_letter_dir is not None:
         # reference default is fail-the-job with provenance
         # (handler.go:163-165); dead-letter flips to park-and-continue
@@ -389,7 +410,9 @@ def replay(
         # checkpoint filter — the redelivery double-count hazard the
         # combiner already avoids.  Delta rows are tiny (no payload text),
         # so the unsalted single merge is the correct and cheap path.
-        raise ValueError("salted replay is not supported with merge_policy='additive'")
+        raise ValueError(
+            f"salted replay is not supported with merge_policy={spec.merge_policy!r}"
+        )
     if salted:
         key_cols, version_cols, op_col = spec.key_cols, spec.version_cols, spec.op_col
         ds = ds.map_batches(
@@ -867,6 +890,12 @@ def migrate_lake(
             "migrate_lake supports merge_policy='lww' only: additive/history "
             "lakes cannot re-apply the conservative-floor overlap idempotently"
         )
+    src_meta = S.read_spec_meta(src_lake)
+    if src_meta is not None and src_meta.get("merge_policy", "lww") != "lww":
+        raise ValueError(
+            f"source lake {src_lake} was created with merge_policy="
+            f"{src_meta['merge_policy']!r} — migrate_lake supports lww only"
+        )
     ckpts = S.read_all_checkpoints(src_lake)
     if not ckpts:
         raise FileNotFoundError(
@@ -931,4 +960,5 @@ def migrate_lake(
         or [summary_schema.empty_table()]
     )
     S.update_lake_schema(dst_lake)
+    S.write_spec_meta(dst_lake, spec)
     return summary

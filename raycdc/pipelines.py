@@ -1272,11 +1272,7 @@ def q_cdc_history_lake(sf_dir: str):
     log = _derived_changelog(sf_dir)
     lake = os.path.join(tempfile.gettempdir(), "raycdc_q_history_lake")
     shutil.rmtree(lake, ignore_errors=True)
-    spec = TableSpec(
-        num_partitions=16,
-        merge_policy="history",
-        sort_cols=("conv_id", "turn_idx", "valid_from"),
-    )
+    spec = TableSpec(num_partitions=16, merge_policy="history")
     replay(log, lake, spec)
     replay(_derived_changelog(sf_dir), lake, spec)  # redelivery: no-op
     return read_lake(lake, spec, with_tombstones=True).select_columns(

@@ -329,3 +329,37 @@ def write_lineage(lake_dir: str, rows: pa.Table) -> str:
     dst = os.path.join(lineage_dir(lake_dir), f"apply-{uuid.uuid4().hex}.parquet")
     get_storage(lake_dir).write_parquet_atomic(rows, dst)
     return dst
+
+
+# ---------------------------------------------------------------------------
+# lake spec metadata — the policy/layout contract readers and writers share
+
+
+def spec_meta_file(lake_dir: str) -> str:
+    return os.path.join(lake_dir, "_spec.json")
+
+
+def write_spec_meta(lake_dir: str, spec) -> None:
+    """Persist the layout-critical TableSpec fields so later sessions (and
+    the CLI) cannot silently apply the wrong policy or partition count —
+    an LWW replay against a history lake would collapse every superseded
+    version; a different num_partitions would orphan rows."""
+    write_json_atomic(
+        get_storage(lake_dir),
+        spec_meta_file(lake_dir),
+        {
+            "merge_policy": spec.merge_policy,
+            "num_partitions": spec.num_partitions,
+            "key_cols": list(spec.key_cols),
+            "version_cols": list(spec.version_cols),
+            "partition_key": spec.partition_key,
+        },
+    )
+
+
+def read_spec_meta(lake_dir: str) -> dict | None:
+    st = get_storage(lake_dir)
+    p = spec_meta_file(lake_dir)
+    if not st.exists(p):
+        return None
+    return json.loads(st.read_bytes(p))

@@ -156,3 +156,50 @@ def test_replay_history_policy_lake(ray_session, tmp_path):
     replay(ray.data.from_arrow(log.slice(200)), lake2, spec)
     inc = canon(read_lake(lake2, spec, with_tombstones=True).to_pandas())
     pd.testing.assert_frame_equal(inc, want)
+
+
+def test_lake_spec_metadata_guards(ray_session, tmp_path):
+    """The first replay persists the lake's policy/layout; later applies
+    with a mismatched merge_policy or num_partitions fail fast instead of
+    silently collapsing history or orphaning rows, and the CLI picks up
+    the stored spec so a history lake stays a history lake."""
+    import json
+
+    import pytest
+    import ray.data
+
+    from raycdc.changelog import synthetic_changelog
+    from raycdc.engine import read_lake, replay
+    from raycdc.schema import TableSpec
+
+    log = synthetic_changelog(n_events=300, seed=31, p_delete=0.2).sort_by(
+        [("ts", "ascending"), ("lsn", "ascending")]
+    )
+    lake = str(tmp_path / "histlake")
+    spec = TableSpec(num_partitions=4, merge_policy="history")
+    replay(ray.data.from_arrow(log.slice(0, 150)), lake, spec)
+    n_after_half = read_lake(lake, spec, with_tombstones=True).count()
+
+    with pytest.raises(ValueError, match="merge_policy"):
+        replay(
+            ray.data.from_arrow(log.slice(150)), lake,
+            TableSpec(num_partitions=4),  # lww against a history lake
+        )
+    with pytest.raises(ValueError, match="num_partitions"):
+        replay(
+            ray.data.from_arrow(log.slice(150)), lake,
+            TableSpec(num_partitions=8, merge_policy="history"),
+        )
+
+    # the CLI derives the spec from the lake, not its --partitions default
+    import pyarrow.parquet as pq
+
+    from raycdc.__main__ import main
+
+    seg = tmp_path / "seg2.parquet"
+    pq.write_table(log.slice(150), seg)
+    assert main(["replay", str(seg), "--lake", lake]) == 0
+    out = read_lake(lake, spec, with_tombstones=True).to_pandas()
+    # history grew (superseded versions retained, not LWW-collapsed)
+    assert len(out) > n_after_half
+    assert (out.groupby(["conv_id", "turn_idx"]).size() > 1).any()
