@@ -705,6 +705,16 @@ def compact(
     spec = spec or TableSpec()
     op_col = spec.op_col
     ts_col = spec.version_cols[0]
+    meta = S.read_spec_meta(lake_dir)
+    policy = (meta or {}).get("merge_policy", spec.merge_policy)
+    if policy == "history" and watermark is None:
+        # history GC = dropping CLOSED versions older than a retention
+        # bound; "drop everything closed" is an LWW conversion, not a
+        # compaction — make the caller state the bound
+        raise ValueError(
+            "compacting a history lake requires a retention watermark "
+            "(closed versions with valid_to <= watermark are dropped)"
+        )
 
     def compact_part(batch: pa.Table) -> pa.Table:
         rows = []
@@ -715,6 +725,49 @@ def compact(
             if existing is None:
                 continue
             n_before = len(existing)
+            if policy == "history":
+                # retention: a version is GC-able once closed AND expired;
+                # open versions (null valid_to) always survive.  Forgetting
+                # a fully-expired key is the retention semantics — a later
+                # out-of-order event for it will no longer raise.
+                vt = existing["valid_to"]
+                droppable = pc.and_(
+                    pc.is_valid(vt),
+                    pc.less_equal(vt, pa.scalar(watermark, vt.type)),
+                )
+                live = existing.filter(
+                    pc.invert(pc.fill_null(droppable, False))
+                )
+                dropped = n_before - len(live)
+                if dropped:
+                    next_version = ckpt.get("version", 0) + 1
+                    S.write_partition_atomic(
+                        live, lake_dir, part, version=next_version
+                    )
+                    S.write_checkpoint(
+                        lake_dir,
+                        part,
+                        {
+                            "max_lsn": ckpt["max_lsn"],
+                            "row_count": len(live),
+                            "content_hash": S.content_hash(live),
+                            "version": next_version,
+                        },
+                    )
+                rows.append(
+                    {
+                        "part": part,
+                        "rows_in": n_before,
+                        "rows_applied": 0,
+                        "rows_skipped_ckpt": 0,
+                        "rows_total": len(live),
+                        "tombstones": dropped,
+                        "max_lsn": ckpt["max_lsn"],
+                        "content_hash": S.content_hash(live),
+                        "status": "applied" if dropped else "noop",
+                    }
+                )
+                continue
             is_tomb = pc.equal(pc.fill_null(existing[op_col], ""), M.DELETE)
             if watermark is not None:
                 if ts_col not in existing.column_names:

@@ -2,6 +2,7 @@
 
 import glob
 
+import pyarrow as pa
 import ray.data
 
 from raycdc.changelog import synthetic_changelog
@@ -203,3 +204,70 @@ def test_lake_spec_metadata_guards(ray_session, tmp_path):
     # history grew (superseded versions retained, not LWW-collapsed)
     assert len(out) > n_after_half
     assert (out.groupby(["conv_id", "turn_idx"]).size() > 1).any()
+
+
+def test_history_lake_retention_compaction(ray_session, tmp_path):
+    """History compaction drops only closed versions with valid_to <= the
+    retention watermark; open versions and recent closes survive, so
+    point-in-time probes at or after the watermark are unchanged; an
+    unbounded history compact is refused."""
+    import datetime as dt
+
+    import pytest
+    import ray.data
+
+    from raycdc.engine import compact, read_lake, replay
+    from raycdc.scd import point_in_time
+    from raycdc.schema import TableSpec
+
+    def ts(s):
+        return dt.datetime(2024, 1, 1, 0, 0, s)
+
+    log = pa.table(
+        {
+            "conv_id": pa.array(["a"] * 3 + ["b"]),
+            "turn_idx": pa.array([0, 0, 0, 1], pa.int64()),
+            "role": pa.array(["user"] * 4),
+            "text": pa.array(["v1", "v2", "v3", "w1"]),
+            "tool": pa.array([""] * 4),
+            "ts": pa.array([ts(1), ts(10), ts(20), ts(2)], pa.timestamp("us")),
+            "op": pa.array(["insert", "update", "update", "insert"]),
+            "lsn": pa.array([1, 2, 3, 4], pa.int64()),
+            "seg_id": pa.array([0] * 4, pa.int32()),
+        }
+    )
+    lake = str(tmp_path / "hl")
+    spec = TableSpec(num_partitions=2, merge_policy="history")
+    replay(ray.data.from_arrow(log), lake, spec)
+
+    with pytest.raises(ValueError, match="retention watermark"):
+        compact(lake, spec)
+
+    # watermark 15: v1 [1,10) expires; v2 [10,20) closed at 20 > 15 stays
+    lineage = compact(lake, spec, watermark=ts(15))
+    assert sum(lineage["tombstones"].to_pylist()) == 1
+    left = read_lake(lake, spec, with_tombstones=True).to_pandas()
+    assert sorted(left["text"]) == ["v2", "v3", "w1"]
+
+    # probes at/after the watermark answer identically post-GC
+    probes = pa.table(
+        {
+            "conv_id": pa.array(["a", "a"]),
+            "turn_idx": pa.array([0, 0], pa.int64()),
+            "ts": pa.array([ts(15), ts(25)], pa.timestamp("us")),
+            "pid": pa.array([0, 1], pa.int64()),
+        }
+    )
+    out = (
+        point_in_time(
+            read_lake(lake, spec, with_tombstones=True),
+            ray.data.from_arrow(probes),
+            key_cols=("conv_id", "turn_idx"),
+            as_of_col="ts",
+            payload_cols=("text",),
+            num_partitions=2,
+        )
+        .to_pandas()
+        .sort_values("pid")
+    )
+    assert out["text"].tolist() == ["v2", "v3"]
