@@ -66,6 +66,12 @@ def main(argv: list[str] | None = None) -> int:
     p_compact = sub.add_parser("compact", help="drop applied tombstones")
     p_compact.add_argument("--lake", required=True)
     p_compact.add_argument("--partitions", type=int, default=64)
+    p_compact.add_argument(
+        "--watermark",
+        default=None,
+        help="ISO timestamp bound: drop tombstones (lww) / closed versions "
+        "(history) at or before it; required for history lakes",
+    )
 
     p_show = sub.add_parser("show", help="print lake state summary")
     p_show.add_argument("--lake", required=True)
@@ -283,8 +289,15 @@ def main(argv: list[str] | None = None) -> int:
             out[col] = entry
         print(json.dumps(out))
     elif args.cmd == "compact":
+        import datetime as _dt
+
         spec = _lake_spec(args.lake, args.partitions)
-        lineage = compact(args.lake, spec)
+        wm = (
+            _dt.datetime.fromisoformat(args.watermark)
+            if args.watermark
+            else None
+        )
+        lineage = compact(args.lake, spec, watermark=wm)
         print(
             json.dumps(
                 {

@@ -845,6 +845,7 @@ def read_lake(
     with_tombstones: bool = False,
     columns: list[str] | None = None,
     as_of: int | None = None,
+    current_only: bool = False,
 ) -> "ray.data.Dataset":
     """Stream the materialized lake state (tombstones filtered by default).
 
@@ -853,7 +854,10 @@ def read_lake(
     the op column is added when needed for tombstone filtering and dropped
     again afterwards.  ``as_of`` opens a recorded snapshot id (time
     travel): the exact per-partition versions of that snapshot are read
-    even if later applies have advanced the lake.
+    even if later applies have advanced the lake.  ``current_only`` (for
+    HISTORY lakes) keeps only open versions (``is_current = 1``) — the
+    current view of a history lake equals the LWW lake's live state on
+    the same changelog, minus the interval columns.
     """
     spec = spec or TableSpec()
     if as_of is not None:
@@ -904,6 +908,16 @@ def read_lake(
             return t.drop_columns([op_col]) if drop_op_after else t
 
         ds = ds.map_batches(live, batch_format="pyarrow", zero_copy_batch=True)
+    if current_only:
+
+        def only_open(t: pa.Table) -> pa.Table:
+            return t.filter(
+                pc.equal(pc.fill_null(t["is_current"], 0), 1)
+            )
+
+        ds = ds.map_batches(
+            only_open, batch_format="pyarrow", zero_copy_batch=True
+        )
     return ds
 
 

@@ -271,3 +271,33 @@ def test_history_lake_retention_compaction(ray_session, tmp_path):
         .sort_values("pid")
     )
     assert out["text"].tolist() == ["v2", "v3"]
+
+
+def test_history_current_view_equals_lww_state(ray_session, tmp_path):
+    """Cross-policy equivalence: the current view of a history lake
+    (is_current rows) equals the LWW lake's live state on the same
+    changelog — same keys, same winning text."""
+    import ray.data
+
+    from raycdc.engine import read_lake, replay
+    from raycdc.schema import TableSpec
+
+    log = synthetic_changelog(n_events=400, seed=41, p_delete=0.25).sort_by(
+        [("ts", "ascending"), ("lsn", "ascending")]
+    )
+    hist_lake = str(tmp_path / "hl")
+    lww_lake = str(tmp_path / "ll")
+    hspec = TableSpec(num_partitions=4, merge_policy="history")
+    lspec = TableSpec(num_partitions=4)
+    replay(ray.data.from_arrow(log), hist_lake, hspec)
+    replay(ray.data.from_arrow(log), lww_lake, lspec)
+
+    cur = read_lake(hist_lake, hspec, current_only=True).to_pandas()
+    lww = read_lake(lww_lake, lspec).to_pandas()
+
+    def state(df):
+        return {
+            (r.conv_id, r.turn_idx): r.text for r in df.itertuples()
+        }
+
+    assert state(cur) == state(lww)
