@@ -38,9 +38,13 @@ def _lake_spec(lake_dir: str, partitions: int):
     meta = read_spec_meta(lake_dir)
     if meta is None:
         return TableSpec(num_partitions=partitions)
+    base = TableSpec()
     return TableSpec(
         num_partitions=int(meta.get("num_partitions", partitions)),
         merge_policy=meta.get("merge_policy", "lww"),
+        partition_key=meta.get("partition_key", base.partition_key),
+        key_cols=tuple(meta.get("key_cols", base.key_cols)),
+        version_cols=tuple(meta.get("version_cols", base.version_cols)),
     )
 
 

@@ -357,13 +357,13 @@ def replay(
     # num_partitions would orphan rows — validate against the persisted
     # spec metadata (first replay writes it)
     meta = S.read_spec_meta(lake_dir)
-    if meta is None:
-        S.write_spec_meta(lake_dir, spec)
-    else:
+    if meta is not None:
         for field_name, got in (
             ("merge_policy", spec.merge_policy),
             ("num_partitions", spec.num_partitions),
             ("partition_key", spec.partition_key),
+            ("key_cols", list(spec.key_cols)),
+            ("version_cols", list(spec.version_cols)),
         ):
             want = meta.get(field_name)
             if want is not None and want != got:
@@ -413,6 +413,8 @@ def replay(
         raise ValueError(
             f"salted replay is not supported with merge_policy={spec.merge_policy!r}"
         )
+    if meta is None:
+        S.write_spec_meta(lake_dir, spec)
     if salted:
         key_cols, version_cols, op_col = spec.key_cols, spec.version_cols, spec.op_col
         ds = ds.map_batches(
@@ -716,6 +718,32 @@ def compact(
             "(closed versions with valid_to <= watermark are dropped)"
         )
 
+    def _droppable(existing: pa.Table):
+        """Per-policy GC mask, or None when this partition must be skipped
+        (asked for a ts-bounded GC without a ts column — dropping blind
+        would ignore the bound in the unsafe direction)."""
+        if policy == "history":
+            # retention: a version is GC-able once closed AND expired;
+            # open versions (null valid_to) always survive.  Forgetting a
+            # fully-expired key is the retention semantics — a later
+            # out-of-order event for it will no longer raise.
+            vt = existing["valid_to"]
+            return pc.and_(
+                pc.is_valid(vt),
+                pc.less_equal(vt, pa.scalar(watermark, vt.type)),
+            )
+        is_tomb = pc.equal(pc.fill_null(existing[op_col], ""), M.DELETE)
+        if watermark is None:
+            return is_tomb
+        if ts_col not in existing.column_names:
+            return None
+        return pc.and_(
+            is_tomb,
+            pc.less_equal(
+                existing[ts_col], pa.scalar(watermark, existing[ts_col].type)
+            ),
+        )
+
     def compact_part(batch: pa.Table) -> pa.Table:
         rows = []
         for part in batch["id"].to_pylist():
@@ -725,89 +753,28 @@ def compact(
             if existing is None:
                 continue
             n_before = len(existing)
-            if policy == "history":
-                # retention: a version is GC-able once closed AND expired;
-                # open versions (null valid_to) always survive.  Forgetting
-                # a fully-expired key is the retention semantics — a later
-                # out-of-order event for it will no longer raise.
-                vt = existing["valid_to"]
-                droppable = pc.and_(
-                    pc.is_valid(vt),
-                    pc.less_equal(vt, pa.scalar(watermark, vt.type)),
-                )
+            droppable = _droppable(existing)
+            if droppable is None:
+                live, dropped, status = existing, 0, "skipped"
+            else:
                 live = existing.filter(
                     pc.invert(pc.fill_null(droppable, False))
                 )
                 dropped = n_before - len(live)
-                if dropped:
-                    next_version = ckpt.get("version", 0) + 1
-                    S.write_partition_atomic(
-                        live, lake_dir, part, version=next_version
-                    )
-                    S.write_checkpoint(
-                        lake_dir,
-                        part,
-                        {
-                            "max_lsn": ckpt["max_lsn"],
-                            "row_count": len(live),
-                            "content_hash": S.content_hash(live),
-                            "version": next_version,
-                        },
-                    )
-                rows.append(
-                    {
-                        "part": part,
-                        "rows_in": n_before,
-                        "rows_applied": 0,
-                        "rows_skipped_ckpt": 0,
-                        "rows_total": len(live),
-                        "tombstones": dropped,
-                        "max_lsn": ckpt["max_lsn"],
-                        "content_hash": S.content_hash(live),
-                        "status": "applied" if dropped else "noop",
-                    }
-                )
-                continue
-            is_tomb = pc.equal(pc.fill_null(existing[op_col], ""), M.DELETE)
-            if watermark is not None:
-                if ts_col not in existing.column_names:
-                    # the caller asked for a ts-bounded GC but this partition
-                    # has no ts column — dropping ALL tombstones here would
-                    # ignore the bound in the unsafe direction; skip instead
-                    rows.append(
-                        {
-                            "part": part,
-                            "rows_in": n_before,
-                            "rows_applied": 0,
-                            "rows_skipped_ckpt": 0,
-                            "rows_total": n_before,
-                            "tombstones": 0,
-                            "max_lsn": ckpt["max_lsn"],
-                            "content_hash": S.content_hash(existing),
-                            "status": "skipped",
-                        }
-                    )
-                    continue
-                droppable = pc.and_(
-                    is_tomb,
-                    pc.less_equal(
-                        existing[ts_col], pa.scalar(watermark, existing[ts_col].type)
-                    ),
-                )
-            else:
-                droppable = is_tomb
-            live = existing.filter(pc.invert(pc.fill_null(droppable, False)))
-            dropped = n_before - len(live)
+                status = "compacted" if dropped else "noop"
+            chash = S.content_hash(live)
             if dropped:
                 next_version = ckpt.get("version", 0) + 1
-                S.write_partition_atomic(live, lake_dir, part, version=next_version)
+                S.write_partition_atomic(
+                    live, lake_dir, part, version=next_version
+                )
                 S.write_checkpoint(
                     lake_dir,
                     part,
                     {
                         "max_lsn": ckpt["max_lsn"],
                         "row_count": len(live),
-                        "content_hash": S.content_hash(live),
+                        "content_hash": chash,
                         "version": next_version,
                     },
                 )
@@ -820,16 +787,19 @@ def compact(
                     "rows_total": len(live),
                     "tombstones": dropped,
                     "max_lsn": ckpt["max_lsn"],
-                    "content_hash": S.content_hash(live),
-                    "status": "compacted" if dropped else "noop",
+                    "content_hash": chash,
+                    "status": status,
                 }
             )
         if not rows:
             return S.LINEAGE_SCHEMA.empty_table()
         return pa.Table.from_pylist(rows, schema=S.LINEAGE_SCHEMA)
 
+    # partition count comes from the persisted layout when available — a
+    # stale caller value would silently GC only a subset of the lake
+    nparts = int((meta or {}).get("num_partitions", spec.num_partitions))
     lineage_ds = ray.data.range(
-        spec.num_partitions, override_num_blocks=min(spec.num_partitions, 64)
+        nparts, override_num_blocks=min(nparts, 64)
     ).map_batches(compact_part, batch_format="pyarrow")
     pdf = lineage_ds.to_pandas()
     if len(pdf) == 0:
@@ -887,6 +857,10 @@ def read_lake(
     if columns is not None and not with_tombstones and spec.op_col not in columns:
         columns = [*columns, spec.op_col]
         drop_op_after = True
+    drop_current_after = False
+    if columns is not None and current_only and "is_current" not in columns:
+        columns = [*columns, "is_current"]
+        drop_current_after = True
     from raycdc.storage import resolve_uri_paths
 
     paths, fs = resolve_uri_paths(paths)
@@ -911,9 +885,15 @@ def read_lake(
     if current_only:
 
         def only_open(t: pa.Table) -> pa.Table:
-            return t.filter(
-                pc.equal(pc.fill_null(t["is_current"], 0), 1)
-            )
+            if "is_current" not in t.column_names:
+                raise ValueError(
+                    "read_lake(current_only=True) requires a HISTORY lake "
+                    "(no is_current column in stored partitions)"
+                )
+            t = t.filter(pc.equal(pc.fill_null(t["is_current"], 0), 1))
+            if drop_current_after:
+                t = t.drop_columns(["is_current"])
+            return t
 
         ds = ds.map_batches(
             only_open, batch_format="pyarrow", zero_copy_batch=True

@@ -358,8 +358,4 @@ def write_spec_meta(lake_dir: str, spec) -> None:
 
 
 def read_spec_meta(lake_dir: str) -> dict | None:
-    st = get_storage(lake_dir)
-    p = spec_meta_file(lake_dir)
-    if not st.exists(p):
-        return None
-    return json.loads(st.read_bytes(p))
+    return read_json(get_storage(lake_dir), spec_meta_file(lake_dir))

@@ -301,3 +301,51 @@ def test_history_current_view_equals_lww_state(ray_session, tmp_path):
         }
 
     assert state(cur) == state(lww)
+
+
+def test_spec_meta_hardening(ray_session, tmp_path):
+    """Second review round: version_cols mismatch fails fast; a first
+    replay whose plan is rejected does NOT lock the lake to the wrong
+    spec; current_only works under a columns projection and errors
+    clearly on a non-history lake; CLI lookup honors a custom persisted
+    partition_key."""
+    import pytest
+    import ray.data
+
+    from raycdc.engine import read_lake, replay
+    from raycdc.schema import TableSpec
+    from raycdc.sink import read_spec_meta
+
+    log = synthetic_changelog(n_events=200, seed=13).sort_by(
+        [("ts", "ascending"), ("lsn", "ascending")]
+    )
+
+    # rejected first replay leaves no meta behind
+    lake = str(tmp_path / "l1")
+    bad = TableSpec(num_partitions=4, merge_policy="additive")
+    with pytest.raises(ValueError):
+        replay(ray.data.from_arrow(log), lake, bad, salted=True)
+    assert read_spec_meta(lake) is None
+
+    spec = TableSpec(num_partitions=4)
+    replay(ray.data.from_arrow(log), lake, spec)
+    with pytest.raises(ValueError, match="version_cols"):
+        replay(
+            ray.data.from_arrow(log), lake,
+            TableSpec(num_partitions=4, version_cols=("lsn",)),
+        )
+
+    # current_only on an LWW lake: clear error, not KeyError
+    with pytest.raises(Exception, match="HISTORY lake"):
+        read_lake(lake, spec, current_only=True).materialize()
+
+    # current_only + columns projection on a history lake
+    hlake = str(tmp_path / "l2")
+    hspec = TableSpec(num_partitions=4, merge_policy="history")
+    replay(ray.data.from_arrow(log), hlake, hspec)
+    cur = read_lake(
+        hlake, hspec, columns=["conv_id", "turn_idx", "text"],
+        current_only=True,
+    ).to_pandas()
+    assert set(cur.columns) == {"conv_id", "turn_idx", "text"}
+    assert len(cur) > 0
