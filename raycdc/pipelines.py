@@ -847,6 +847,55 @@ SELECT MIN(doc_id) AS doc_id, text FROM n GROUP BY text
 """
 
 
+def q_media_wav(sf_dir: str):
+    """REAL audio decode end to end: deterministic PCM16 WAV clips are
+    synthesized from event parameters, then parsed back by the stdlib
+    ``wave`` codec in an actor-pool stage (:class:`raycdc.multimodal.
+    WavDecoder`) — no fake decode anywhere.  The oracle recomputes the
+    decoded metadata (rate, channels, sample count, duration) from the
+    same derivation arithmetically, so a decode bug cannot hash-match."""
+    import numpy as np
+
+    from raycdc.multimodal import WavDecoder, synth_wav_batch
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id"])
+
+    def to_clips(t: pa.Table) -> pa.Table:
+        eid = t["event_id"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        sel = eid % 5 == 0
+        eid = eid[sel]
+        return pa.table(
+            {
+                "media_id": pa.array(eid),
+                "freq_hz": pa.array(200 + (eid % 800)),
+                "dur_ms": pa.array(50 + (eid % 50)),
+                "rate_hz": pa.array(np.where(eid % 2 == 0, 8000, 16000)),
+            }
+        )
+
+    clips = ds.map_batches(to_clips, batch_format="pyarrow", zero_copy_batch=True)
+    wavs = clips.map_batches(
+        synth_wav_batch, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=256,  # ~20 KB/clip: bound payload bytes per batch
+    )
+    return wavs.map_batches(
+        WavDecoder, batch_format="pyarrow", concurrency=(1, 4), batch_size=256
+    ).select_columns(
+        ["media_id", "sample_rate", "n_channels", "n_samples", "duration_ms"]
+    )
+
+
+SQL_MEDIA_WAV = """
+SELECT event_id AS media_id,
+       CASE WHEN event_id % 2 = 0 THEN 8000 ELSE 16000 END AS sample_rate,
+       CAST(1 AS BIGINT) AS n_channels,
+       CAST((CASE WHEN event_id % 2 = 0 THEN 8000 ELSE 16000 END)
+            * (50 + event_id % 50) / 1000 AS BIGINT) AS n_samples,
+       CAST(50 + event_id % 50 AS BIGINT) AS duration_ms
+FROM events WHERE event_id % 5 = 0
+"""
+
+
 def q_cdc_scd2_history(sf_dir: str):
     """SCD Type-2 history table from a CDC changelog: every version a key
     ever held with its ``[valid_from, valid_to)`` validity interval and an
@@ -2892,6 +2941,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "sim_knn_ivf": q_sim_knn_ivf,
     "embed_near_dup": q_embed_near_dup,
     "media_meta": q_media_meta,
+    "media_wav": q_media_wav,
     "media_features": q_media_features,
 }
 
@@ -2953,6 +3003,7 @@ ORACLES: dict[str, str] = {
     "decontaminate": SQL_DECONTAMINATE,
     "sim_knn": SQL_SIM_KNN,
     "media_meta": SQL_MEDIA_META,
+    "media_wav": SQL_MEDIA_WAV,
 }
 
 

@@ -108,3 +108,33 @@ def test_resize_and_framesample_match_per_row_reference():
             assert frames["frame_idx"][k].as_py() == f
             assert frames["frame"][k].as_py() == p[start : start + fb]
             k += 1
+
+
+def test_wav_synth_decode_roundtrip():
+    """REAL codec: the stdlib-wave decoder recovers exact sample counts,
+    rates, and durations from synthesized PCM16 clips, and the sine RMS
+    lands at amp/sqrt(2) within quantization error."""
+    import math
+
+    import numpy as np
+
+    from raycdc.multimodal import WavDecoder, synth_wav_batch
+
+    t = pa.table(
+        {
+            "media_id": pa.array([7, 8, 9], pa.int64()),
+            "freq_hz": pa.array([440, 1000, 250], pa.int64()),
+            "dur_ms": pa.array([50, 80, 125], pa.int64()),
+            "rate_hz": pa.array([8000, 16000, 8000], pa.int64()),
+        }
+    )
+    out = WavDecoder()(synth_wav_batch(t))
+    assert out["sample_rate"].to_pylist() == [8000, 16000, 8000]
+    assert out["n_channels"].to_pylist() == [1, 1, 1]
+    assert out["n_samples"].to_pylist() == [400, 1280, 1000]
+    assert out["duration_ms"].to_pylist() == [50, 80, 125]
+    want = 0.5 / math.sqrt(2)
+    assert np.allclose(out["rms"].to_numpy(), want, atol=0.01)
+    # empty batch round-trips with the right schema
+    empty = WavDecoder()(synth_wav_batch(t.slice(0, 0)))
+    assert len(empty) == 0 and "rms" in empty.column_names
