@@ -291,3 +291,101 @@ class WavDecoder:
                 "rms": pa.array(np.floor(rms * 1e6) / 1e6),
             }
         )
+
+
+# ---------------------------------------------------------------------------
+# REAL image codec — uncompressed 24-bit BMP (pure numpy, no external libs)
+
+
+def synth_bmp_batch(
+    batch: pa.Table,
+    id_col: str = "media_id",
+    w_col: str = "width",
+    h_col: str = "height",
+    rgb_cols: tuple[str, str, str] = ("r", "g", "b"),
+) -> pa.Table:
+    """Deterministic solid-color 24-bit BMP synthesis — the fixture
+    generator for the REAL image decode below.  Header + padded BGR rows
+    are assembled per FILE (container framing); the pixel buffer itself is
+    one numpy broadcast per clip."""
+    import struct
+
+    ids = batch[id_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+    ws = batch[w_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+    hs = batch[h_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+    chans = [
+        batch[c].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        for c in rgb_cols
+    ]
+    payloads = []
+    for i in range(len(ids)):
+        w, h = int(ws[i]), int(hs[i])
+        stride = (3 * w + 3) // 4 * 4
+        row = np.zeros(stride, dtype=np.uint8)
+        px = row[: 3 * w].reshape(w, 3)
+        px[:, 0] = chans[2][i]  # BMP stores BGR
+        px[:, 1] = chans[1][i]
+        px[:, 2] = chans[0][i]
+        data = row.tobytes() * h
+        header = struct.pack(
+            "<2sIHHI", b"BM", 54 + len(data), 0, 0, 54
+        ) + struct.pack(
+            "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data), 2835, 2835, 0, 0
+        )
+        payloads.append(header + data)
+    return pa.table(
+        {
+            id_col: batch[id_col].cast(pa.int64()),
+            "payload": pa.array(payloads, pa.binary()),
+        }
+    )
+
+
+class BmpDecoder:
+    """REAL image decode as an actor-pool ``map_batches`` stage: parses
+    uncompressed 24-bit BMP containers with numpy (header fields via one
+    frombuffer view per file; pixel means via one vectorized pass over
+    the de-padded rows).  Output: ``media_id, width, height, n_pixels,
+    mean_r, mean_g, mean_b`` (means floor-quantized to 1e-6)."""
+
+    def __init__(self, payload_col: str = "payload", id_col: str = "media_id"):
+        self._payload = payload_col
+        self._id = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        la = batch[self._payload].combine_chunks()
+        ws, hs, means = [], [], []
+        for i in range(len(la)):  # per-FILE container parse
+            raw = np.frombuffer(la[i].as_py(), dtype=np.uint8)
+            if raw[:2].tobytes() != b"BM":
+                raise ValueError("not a BMP payload")
+            off = int(raw[10:14].view(np.uint32)[0])
+            w = int(raw[18:22].view(np.int32)[0])
+            h = int(raw[22:26].view(np.int32)[0])
+            bpp = int(raw[28:30].view(np.uint16)[0])
+            if bpp != 24:
+                raise ValueError(f"only 24-bit BMP supported, got {bpp}")
+            stride = (3 * w + 3) // 4 * 4
+            px = (
+                raw[off : off + stride * abs(h)]
+                .reshape(abs(h), stride)[:, : 3 * w]
+                .reshape(-1, 3)
+                .astype(np.float64)
+            )
+            ws.append(w)
+            hs.append(abs(h))
+            means.append(px.mean(axis=0))  # BGR
+        m = np.array(means) if means else np.zeros((0, 3))
+        ws_np = np.array(ws, np.int64)
+        hs_np = np.array(hs, np.int64)
+        return pa.table(
+            {
+                "media_id": batch[self._id].cast(pa.int64()),
+                "width": pa.array(ws_np),
+                "height": pa.array(hs_np),
+                "n_pixels": pa.array(ws_np * hs_np),
+                "mean_r": pa.array(np.floor(m[:, 2] * 1e6) / 1e6),
+                "mean_g": pa.array(np.floor(m[:, 1] * 1e6) / 1e6),
+                "mean_b": pa.array(np.floor(m[:, 0] * 1e6) / 1e6),
+            }
+        )

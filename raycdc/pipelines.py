@@ -885,6 +885,56 @@ def q_media_wav(sf_dir: str):
     )
 
 
+def q_media_bmp(sf_dir: str):
+    """REAL image decode end to end: solid-color 24-bit BMPs synthesized
+    from event parameters, parsed back by the pure-numpy
+    :class:`raycdc.multimodal.BmpDecoder` actor stage.  Solid color makes
+    the channel means exactly the synthesis parameters, so the oracle
+    recomputes EVERYTHING (dims, pixel count, means) arithmetically —
+    a decode bug cannot hash-match."""
+    import numpy as np
+
+    from raycdc.multimodal import BmpDecoder, synth_bmp_batch
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id"])
+
+    def to_imgs(t: pa.Table) -> pa.Table:
+        eid = t["event_id"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        sel = eid % 7 == 0
+        eid = eid[sel]
+        return pa.table(
+            {
+                "media_id": pa.array(eid),
+                "width": pa.array(8 + (eid % 25)),
+                "height": pa.array(8 + (eid % 17)),
+                "r": pa.array(eid % 256),
+                "g": pa.array((eid * 3) % 256),
+                "b": pa.array((eid * 7) % 256),
+            }
+        )
+
+    imgs = ds.map_batches(to_imgs, batch_format="pyarrow", zero_copy_batch=True)
+    bmps = imgs.map_batches(
+        synth_bmp_batch, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=512,
+    )
+    return bmps.map_batches(
+        BmpDecoder, batch_format="pyarrow", concurrency=(1, 4), batch_size=512
+    )
+
+
+SQL_MEDIA_BMP = """
+SELECT event_id AS media_id,
+       CAST(8 + event_id % 25 AS BIGINT) AS width,
+       CAST(8 + event_id % 17 AS BIGINT) AS height,
+       CAST((8 + event_id % 25) * (8 + event_id % 17) AS BIGINT) AS n_pixels,
+       CAST(event_id % 256 AS DOUBLE) AS mean_r,
+       CAST((event_id * 3) % 256 AS DOUBLE) AS mean_g,
+       CAST((event_id * 7) % 256 AS DOUBLE) AS mean_b
+FROM events WHERE event_id % 7 = 0
+"""
+
+
 SQL_MEDIA_WAV = """
 SELECT event_id AS media_id,
        CASE WHEN event_id % 2 = 0 THEN 8000 ELSE 16000 END AS sample_rate,
@@ -2942,6 +2992,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "embed_near_dup": q_embed_near_dup,
     "media_meta": q_media_meta,
     "media_wav": q_media_wav,
+    "media_bmp": q_media_bmp,
     "media_features": q_media_features,
 }
 
@@ -3004,6 +3055,7 @@ ORACLES: dict[str, str] = {
     "sim_knn": SQL_SIM_KNN,
     "media_meta": SQL_MEDIA_META,
     "media_wav": SQL_MEDIA_WAV,
+    "media_bmp": SQL_MEDIA_BMP,
 }
 
 

@@ -138,3 +138,36 @@ def test_wav_synth_decode_roundtrip():
     # empty batch round-trips with the right schema
     empty = WavDecoder()(synth_wav_batch(t.slice(0, 0)))
     assert len(empty) == 0 and "rms" in empty.column_names
+
+
+def test_bmp_synth_decode_roundtrip():
+    """REAL image codec: pure-numpy BMP decode recovers exact dims and
+    solid-color channel means, including non-multiple-of-4 widths (row
+    padding) and a gradient mean; corrupt payloads fail fast."""
+    import numpy as np
+    import pytest
+
+    from raycdc.multimodal import BmpDecoder, synth_bmp_batch
+
+    t = pa.table(
+        {
+            "media_id": pa.array([1, 2, 3], pa.int64()),
+            "width": pa.array([10, 33, 8], pa.int64()),   # 33: stride padding
+            "height": pa.array([4, 7, 8], pa.int64()),
+            "r": pa.array([200, 5, 0], pa.int64()),
+            "g": pa.array([100, 50, 128], pa.int64()),
+            "b": pa.array([0, 255, 17], pa.int64()),
+        }
+    )
+    out = BmpDecoder()(synth_bmp_batch(t))
+    assert out["width"].to_pylist() == [10, 33, 8]
+    assert out["n_pixels"].to_pylist() == [40, 231, 64]
+    assert out["mean_r"].to_pylist() == [200.0, 5.0, 0.0]
+    assert out["mean_g"].to_pylist() == [100.0, 50.0, 128.0]
+    assert out["mean_b"].to_pylist() == [0.0, 255.0, 17.0]
+    bad = pa.table(
+        {"media_id": pa.array([9], pa.int64()),
+         "payload": pa.array([b"NOTABMP" * 10], pa.binary())}
+    )
+    with pytest.raises(ValueError, match="not a BMP"):
+        BmpDecoder()(bad)
