@@ -389,3 +389,62 @@ class BmpDecoder:
                 "mean_b": pa.array(np.floor(m[:, 0] * 1e6) / 1e6),
             }
         )
+
+
+class BmpResizer:
+    """REAL image resize as an actor-pool stage: decode 24-bit BMP →
+    nearest-neighbor resample (two numpy index gathers, no loops over
+    pixels) → re-encode BMP.  Composes with :class:`BmpDecoder`
+    downstream; per-FILE loop only for container framing, like every
+    codec stage in this module."""
+
+    def __init__(
+        self,
+        target_w: int = 16,
+        target_h: int = 16,
+        payload_col: str = "payload",
+        id_col: str = "media_id",
+    ):
+        self._w = int(target_w)
+        self._h = int(target_h)
+        self._payload = payload_col
+        self._id = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import struct
+
+        la = batch[self._payload].combine_chunks()
+        tw, th = self._w, self._h
+        out = []
+        for i in range(len(la)):
+            raw = np.frombuffer(la[i].as_py(), dtype=np.uint8)
+            if raw[:2].tobytes() != b"BM":
+                raise ValueError("not a BMP payload")
+            off = int(raw[10:14].view(np.uint32)[0])
+            w = int(raw[18:22].view(np.int32)[0])
+            h = abs(int(raw[22:26].view(np.int32)[0]))
+            stride = (3 * w + 3) // 4 * 4
+            px = (
+                raw[off : off + stride * h]
+                .reshape(h, stride)[:, : 3 * w]
+                .reshape(h, w, 3)
+            )
+            ys = (np.arange(th) * h // th).astype(np.int64)
+            xs = (np.arange(tw) * w // tw).astype(np.int64)
+            small = px[ys][:, xs]  # nearest-neighbor gather
+            tstride = (3 * tw + 3) // 4 * 4
+            rows = np.zeros((th, tstride), dtype=np.uint8)
+            rows[:, : 3 * tw] = small.reshape(th, 3 * tw)
+            data = rows.tobytes()
+            header = struct.pack(
+                "<2sIHHI", b"BM", 54 + len(data), 0, 0, 54
+            ) + struct.pack(
+                "<IiiHHIIiiII", 40, tw, th, 1, 24, 0, len(data), 2835, 2835, 0, 0
+            )
+            out.append(header + data)
+        return pa.table(
+            {
+                self._id: batch[self._id].cast(pa.int64()),
+                "payload": pa.array(out, pa.binary()),
+            }
+        )

@@ -923,6 +923,63 @@ def q_media_bmp(sf_dir: str):
     )
 
 
+def q_media_resize(sf_dir: str):
+    """REAL three-stage image pipeline: synth BMP → nearest-neighbor
+    resize to 12×10 (:class:`raycdc.multimodal.BmpResizer`, re-encoded
+    BMP) → decode.  Solid colors survive resampling exactly, so the
+    oracle recomputes the resized dims and the ORIGINAL channel means
+    arithmetically — both codec directions and the resampler are all
+    under the hash."""
+    import numpy as np
+
+    from raycdc.multimodal import BmpDecoder, BmpResizer, synth_bmp_batch
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id"])
+
+    def to_imgs(t: pa.Table) -> pa.Table:
+        eid = t["event_id"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        sel = eid % 11 == 0
+        eid = eid[sel]
+        return pa.table(
+            {
+                "media_id": pa.array(eid),
+                "width": pa.array(16 + (eid % 33)),
+                "height": pa.array(12 + (eid % 21)),
+                "r": pa.array(eid % 256),
+                "g": pa.array((eid * 5) % 256),
+                "b": pa.array((eid * 11) % 256),
+            }
+        )
+
+    imgs = ds.map_batches(to_imgs, batch_format="pyarrow", zero_copy_batch=True)
+    bmps = imgs.map_batches(
+        synth_bmp_batch, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=512,
+    )
+    small = bmps.map_batches(
+        BmpResizer,
+        fn_constructor_kwargs={"target_w": 12, "target_h": 10},
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+        batch_size=512,
+    )
+    return small.map_batches(
+        BmpDecoder, batch_format="pyarrow", concurrency=(1, 4), batch_size=512
+    )
+
+
+SQL_MEDIA_RESIZE = """
+SELECT event_id AS media_id,
+       CAST(12 AS BIGINT) AS width,
+       CAST(10 AS BIGINT) AS height,
+       CAST(120 AS BIGINT) AS n_pixels,
+       CAST(event_id % 256 AS DOUBLE) AS mean_r,
+       CAST((event_id * 5) % 256 AS DOUBLE) AS mean_g,
+       CAST((event_id * 11) % 256 AS DOUBLE) AS mean_b
+FROM events WHERE event_id % 11 = 0
+"""
+
+
 SQL_MEDIA_BMP = """
 SELECT event_id AS media_id,
        CAST(8 + event_id % 25 AS BIGINT) AS width,
@@ -2993,6 +3050,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "media_meta": q_media_meta,
     "media_wav": q_media_wav,
     "media_bmp": q_media_bmp,
+    "media_resize": q_media_resize,
     "media_features": q_media_features,
 }
 
@@ -3056,6 +3114,7 @@ ORACLES: dict[str, str] = {
     "media_meta": SQL_MEDIA_META,
     "media_wav": SQL_MEDIA_WAV,
     "media_bmp": SQL_MEDIA_BMP,
+    "media_resize": SQL_MEDIA_RESIZE,
 }
 
 

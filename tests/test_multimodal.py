@@ -171,3 +171,25 @@ def test_bmp_synth_decode_roundtrip():
     )
     with pytest.raises(ValueError, match="not a BMP"):
         BmpDecoder()(bad)
+
+
+def test_bmp_resize_chain():
+    """Resize: exact target dims, solid color preserved, upscaling and
+    downscaling both work, stride padding handled at both sizes."""
+    from raycdc.multimodal import BmpDecoder, BmpResizer, synth_bmp_batch
+
+    t = pa.table(
+        {
+            "media_id": pa.array([1, 2], pa.int64()),
+            "width": pa.array([33, 5], pa.int64()),
+            "height": pa.array([21, 3], pa.int64()),
+            "r": pa.array([9, 250], pa.int64()),
+            "g": pa.array([90, 25], pa.int64()),
+            "b": pa.array([190, 2], pa.int64()),
+        }
+    )
+    out = BmpDecoder()(BmpResizer(11, 7)(synth_bmp_batch(t)))
+    assert out["width"].to_pylist() == [11, 11]  # 5 -> 11 upscales too
+    assert out["height"].to_pylist() == [7, 7]
+    assert out["mean_r"].to_pylist() == [9.0, 250.0]
+    assert out["mean_b"].to_pylist() == [190.0, 2.0]
