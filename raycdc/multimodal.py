@@ -2,11 +2,16 @@
 
 Image/audio/video are carried as ``binary`` columns with a metadata struct;
 decode / feature-extract / resize / frame-sample are actor-pool
-``map_batches`` stages (codec setup once per actor in ``__init__``).  The
-actual codecs (PIL, ffmpeg, torchaudio...) are NOT in this environment —
-decode bodies are stubbed behind ``codec=None`` (deterministic fake) /
-``NotImplementedError`` (real codec names), while the Ray-side plumbing —
-schema, batch sizing, actor signature, output layout — is real and tested.
+``map_batches`` stages (codec setup once per actor in ``__init__``).
+
+Codec reality in this environment: AUDIO decode is REAL (stdlib ``wave``
+PCM16, :class:`WavDecoder`), IMAGE decode and resize are REAL (pure-numpy
+24-bit BMP, :class:`BmpDecoder`/:class:`BmpResizer`) — each with a
+deterministic synthesizer fixture and an arithmetic DuckDB oracle.  Only
+formats needing external libs (PIL/JPEG, ffmpeg video) remain stubbed
+behind ``codec=None`` (deterministic fake) / ``NotImplementedError``
+(real codec names); for those the Ray-side plumbing — schema, batch
+sizing, actor signature, output layout — is still real and tested.
 
 Batch-size guidance (SURVEY.md §7.3 "wide rows"): binary payloads dominate
 block size; callers should pass ``batch_size`` small enough that
