@@ -269,6 +269,11 @@ class WavDecoder:
         la = batch[self._payload].combine_chunks()
         for i in range(len(la)):  # per-FILE container parse
             with wave.open(io.BytesIO(la[i].as_py()), "rb") as w:
+                if w.getsampwidth() != 2:
+                    raise ValueError(
+                        "WavDecoder supports 16-bit PCM only, got "
+                        f"{8 * w.getsampwidth()}-bit"
+                    )
                 rates.append(w.getframerate())
                 chans.append(w.getnchannels())
                 n = w.getnframes()
@@ -276,21 +281,25 @@ class WavDecoder:
                 frames.append(np.frombuffer(w.readframes(n), dtype=np.int16))
         counts_np = np.array(counts, dtype=np.int64)
         rates_np = np.array(rates, dtype=np.int64)
+        chans_np = np.array(chans, dtype=np.int64)
         flat = (
             np.concatenate(frames).astype(np.float64)
             if frames
             else np.array([], np.float64)
         )
-        ends = np.cumsum(counts_np * np.array(chans, dtype=np.int64))
+        n_samples_total = counts_np * chans_np  # frames x channels
+        ends = np.cumsum(n_samples_total)
         csum = np.concatenate([[0.0], np.cumsum(flat * flat)])
         sumsq = csum[ends] - csum[np.concatenate([[0], ends[:-1]])]
         with np.errstate(divide="ignore", invalid="ignore"):
-            rms = np.sqrt(sumsq / np.maximum(counts_np, 1)) / 32767.0
+            # divide by the SAMPLE count (frames x channels), not frames —
+            # multi-channel rms would otherwise inflate by sqrt(channels)
+            rms = np.sqrt(sumsq / np.maximum(n_samples_total, 1)) / 32767.0
         return pa.table(
             {
                 "media_id": batch[self._id].cast(pa.int64()),
                 "sample_rate": pa.array(rates_np),
-                "n_channels": pa.array(np.array(chans, np.int64)),
+                "n_channels": pa.array(chans_np),
                 "n_samples": pa.array(counts_np),
                 "duration_ms": pa.array(counts_np * 1000 // rates_np),
                 "rms": pa.array(np.floor(rms * 1e6) / 1e6),
@@ -302,6 +311,42 @@ class WavDecoder:
 # REAL image codec — uncompressed 24-bit BMP (pure numpy, no external libs)
 
 
+def _bmp_encode(px: "np.ndarray") -> bytes:
+    """Encode an (h, w, 3) uint8 BGR pixel array as an uncompressed
+    24-bit BMP (the ONE encoder shared by the synthesizer and the
+    resizer, so header/stride conventions cannot drift)."""
+    import struct
+
+    h, w = px.shape[0], px.shape[1]
+    stride = (3 * w + 3) // 4 * 4
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, : 3 * w] = px.reshape(h, 3 * w)
+    data = rows.tobytes()
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(data), 0, 0, 54) + struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data), 2835, 2835, 0, 0
+    )
+    return header + data
+
+
+def _bmp_parse(raw: "np.ndarray") -> tuple[int, int, "np.ndarray"]:
+    """Parse an uncompressed 24-bit BMP byte buffer → (w, h, (h, w, 3)
+    BGR uint8 pixels) — the ONE parser shared by the decoder and the
+    resizer, with uniform validation (magic, bit depth, non-zero area)."""
+    if raw[:2].tobytes() != b"BM":
+        raise ValueError("not a BMP payload")
+    off = int(raw[10:14].view(np.uint32)[0])
+    w = int(raw[18:22].view(np.int32)[0])
+    h = abs(int(raw[22:26].view(np.int32)[0]))
+    bpp = int(raw[28:30].view(np.uint16)[0])
+    if bpp != 24:
+        raise ValueError(f"only 24-bit BMP supported, got {bpp}")
+    if w <= 0 or h <= 0:
+        raise ValueError(f"zero-area BMP ({w}x{h})")
+    stride = (3 * w + 3) // 4 * 4
+    px = raw[off : off + stride * h].reshape(h, stride)[:, : 3 * w].reshape(h, w, 3)
+    return w, h, px
+
+
 def synth_bmp_batch(
     batch: pa.Table,
     id_col: str = "media_id",
@@ -310,11 +355,9 @@ def synth_bmp_batch(
     rgb_cols: tuple[str, str, str] = ("r", "g", "b"),
 ) -> pa.Table:
     """Deterministic solid-color 24-bit BMP synthesis — the fixture
-    generator for the REAL image decode below.  Header + padded BGR rows
-    are assembled per FILE (container framing); the pixel buffer itself is
-    one numpy broadcast per clip."""
-    import struct
-
+    generator for the REAL image decode below.  Container framing is per
+    FILE (:func:`_bmp_encode`); the pixel fill is one numpy broadcast per
+    clip."""
     ids = batch[id_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
     ws = batch[w_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
     hs = batch[h_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
@@ -325,19 +368,11 @@ def synth_bmp_batch(
     payloads = []
     for i in range(len(ids)):
         w, h = int(ws[i]), int(hs[i])
-        stride = (3 * w + 3) // 4 * 4
-        row = np.zeros(stride, dtype=np.uint8)
-        px = row[: 3 * w].reshape(w, 3)
-        px[:, 0] = chans[2][i]  # BMP stores BGR
-        px[:, 1] = chans[1][i]
-        px[:, 2] = chans[0][i]
-        data = row.tobytes() * h
-        header = struct.pack(
-            "<2sIHHI", b"BM", 54 + len(data), 0, 0, 54
-        ) + struct.pack(
-            "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data), 2835, 2835, 0, 0
-        )
-        payloads.append(header + data)
+        px = np.empty((h, w, 3), dtype=np.uint8)
+        px[:, :, 0] = chans[2][i]  # BMP stores BGR
+        px[:, :, 1] = chans[1][i]
+        px[:, :, 2] = chans[0][i]
+        payloads.append(_bmp_encode(px))
     return pa.table(
         {
             id_col: batch[id_col].cast(pa.int64()),
@@ -348,10 +383,10 @@ def synth_bmp_batch(
 
 class BmpDecoder:
     """REAL image decode as an actor-pool ``map_batches`` stage: parses
-    uncompressed 24-bit BMP containers with numpy (header fields via one
-    frombuffer view per file; pixel means via one vectorized pass over
-    the de-padded rows).  Output: ``media_id, width, height, n_pixels,
-    mean_r, mean_g, mean_b`` (means floor-quantized to 1e-6)."""
+    uncompressed 24-bit BMP containers with numpy (:func:`_bmp_parse`;
+    pixel means via one vectorized pass over the de-padded rows).
+    Output: ``media_id, width, height, n_pixels, mean_r, mean_g, mean_b``
+    (means floor-quantized to 1e-6)."""
 
     def __init__(self, payload_col: str = "payload", id_col: str = "media_id"):
         self._payload = payload_col
@@ -361,25 +396,10 @@ class BmpDecoder:
         la = batch[self._payload].combine_chunks()
         ws, hs, means = [], [], []
         for i in range(len(la)):  # per-FILE container parse
-            raw = np.frombuffer(la[i].as_py(), dtype=np.uint8)
-            if raw[:2].tobytes() != b"BM":
-                raise ValueError("not a BMP payload")
-            off = int(raw[10:14].view(np.uint32)[0])
-            w = int(raw[18:22].view(np.int32)[0])
-            h = int(raw[22:26].view(np.int32)[0])
-            bpp = int(raw[28:30].view(np.uint16)[0])
-            if bpp != 24:
-                raise ValueError(f"only 24-bit BMP supported, got {bpp}")
-            stride = (3 * w + 3) // 4 * 4
-            px = (
-                raw[off : off + stride * abs(h)]
-                .reshape(abs(h), stride)[:, : 3 * w]
-                .reshape(-1, 3)
-                .astype(np.float64)
-            )
+            w, h, px = _bmp_parse(np.frombuffer(la[i].as_py(), dtype=np.uint8))
             ws.append(w)
-            hs.append(abs(h))
-            means.append(px.mean(axis=0))  # BGR
+            hs.append(h)
+            means.append(px.reshape(-1, 3).astype(np.float64).mean(axis=0))
         m = np.array(means) if means else np.zeros((0, 3))
         ws_np = np.array(ws, np.int64)
         hs_np = np.array(hs, np.int64)
@@ -397,11 +417,11 @@ class BmpDecoder:
 
 
 class BmpResizer:
-    """REAL image resize as an actor-pool stage: decode 24-bit BMP →
+    """REAL image resize as an actor-pool stage: decode 24-bit BMP
+    (:func:`_bmp_parse` — same validation as the decoder) →
     nearest-neighbor resample (two numpy index gathers, no loops over
-    pixels) → re-encode BMP.  Composes with :class:`BmpDecoder`
-    downstream; per-FILE loop only for container framing, like every
-    codec stage in this module."""
+    pixels) → re-encode (:func:`_bmp_encode`).  Composes with
+    :class:`BmpDecoder` downstream."""
 
     def __init__(
         self,
@@ -410,43 +430,22 @@ class BmpResizer:
         payload_col: str = "payload",
         id_col: str = "media_id",
     ):
+        if target_w < 1 or target_h < 1:
+            raise ValueError("target dimensions must be >= 1")
         self._w = int(target_w)
         self._h = int(target_h)
         self._payload = payload_col
         self._id = id_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        import struct
-
         la = batch[self._payload].combine_chunks()
         tw, th = self._w, self._h
         out = []
-        for i in range(len(la)):
-            raw = np.frombuffer(la[i].as_py(), dtype=np.uint8)
-            if raw[:2].tobytes() != b"BM":
-                raise ValueError("not a BMP payload")
-            off = int(raw[10:14].view(np.uint32)[0])
-            w = int(raw[18:22].view(np.int32)[0])
-            h = abs(int(raw[22:26].view(np.int32)[0]))
-            stride = (3 * w + 3) // 4 * 4
-            px = (
-                raw[off : off + stride * h]
-                .reshape(h, stride)[:, : 3 * w]
-                .reshape(h, w, 3)
-            )
+        for i in range(len(la)):  # per-FILE container parse + re-frame
+            w, h, px = _bmp_parse(np.frombuffer(la[i].as_py(), dtype=np.uint8))
             ys = (np.arange(th) * h // th).astype(np.int64)
             xs = (np.arange(tw) * w // tw).astype(np.int64)
-            small = px[ys][:, xs]  # nearest-neighbor gather
-            tstride = (3 * tw + 3) // 4 * 4
-            rows = np.zeros((th, tstride), dtype=np.uint8)
-            rows[:, : 3 * tw] = small.reshape(th, 3 * tw)
-            data = rows.tobytes()
-            header = struct.pack(
-                "<2sIHHI", b"BM", 54 + len(data), 0, 0, 54
-            ) + struct.pack(
-                "<IiiHHIIiiII", 40, tw, th, 1, 24, 0, len(data), 2835, 2835, 0, 0
-            )
-            out.append(header + data)
+            out.append(_bmp_encode(px[ys][:, xs]))
         return pa.table(
             {
                 self._id: batch[self._id].cast(pa.int64()),

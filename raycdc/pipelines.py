@@ -892,8 +892,6 @@ def q_media_bmp(sf_dir: str):
     the channel means exactly the synthesis parameters, so the oracle
     recomputes EVERYTHING (dims, pixel count, means) arithmetically —
     a decode bug cannot hash-match."""
-    import numpy as np
-
     from raycdc.multimodal import BmpDecoder, synth_bmp_batch
 
     ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id"])
@@ -973,9 +971,9 @@ SELECT event_id AS media_id,
        CAST(12 AS BIGINT) AS width,
        CAST(10 AS BIGINT) AS height,
        CAST(120 AS BIGINT) AS n_pixels,
-       CAST(event_id % 256 AS DOUBLE) AS mean_r,
-       CAST((event_id * 5) % 256 AS DOUBLE) AS mean_g,
-       CAST((event_id * 11) % 256 AS DOUBLE) AS mean_b
+       floor(CAST(event_id % 256 AS DOUBLE) * 1e6) / 1e6 AS mean_r,
+       floor(CAST((event_id * 5) % 256 AS DOUBLE) * 1e6) / 1e6 AS mean_g,
+       floor(CAST((event_id * 11) % 256 AS DOUBLE) * 1e6) / 1e6 AS mean_b
 FROM events WHERE event_id % 11 = 0
 """
 
@@ -985,9 +983,9 @@ SELECT event_id AS media_id,
        CAST(8 + event_id % 25 AS BIGINT) AS width,
        CAST(8 + event_id % 17 AS BIGINT) AS height,
        CAST((8 + event_id % 25) * (8 + event_id % 17) AS BIGINT) AS n_pixels,
-       CAST(event_id % 256 AS DOUBLE) AS mean_r,
-       CAST((event_id * 3) % 256 AS DOUBLE) AS mean_g,
-       CAST((event_id * 7) % 256 AS DOUBLE) AS mean_b
+       floor(CAST(event_id % 256 AS DOUBLE) * 1e6) / 1e6 AS mean_r,
+       floor(CAST((event_id * 3) % 256 AS DOUBLE) * 1e6) / 1e6 AS mean_g,
+       floor(CAST((event_id * 7) % 256 AS DOUBLE) * 1e6) / 1e6 AS mean_b
 FROM events WHERE event_id % 7 = 0
 """
 

@@ -143,7 +143,8 @@ def test_wav_synth_decode_roundtrip():
 def test_bmp_synth_decode_roundtrip():
     """REAL image codec: pure-numpy BMP decode recovers exact dims and
     solid-color channel means, including non-multiple-of-4 widths (row
-    padding) and a gradient mean; corrupt payloads fail fast."""
+    padding); corrupt payloads fail fast.  (Gradient means are pinned in
+    test_bmp_gradient_mean_and_guards.)"""
     import numpy as np
     import pytest
 
@@ -193,3 +194,87 @@ def test_bmp_resize_chain():
     assert out["height"].to_pylist() == [7, 7]
     assert out["mean_r"].to_pylist() == [9.0, 250.0]
     assert out["mean_b"].to_pylist() == [190.0, 2.0]
+
+
+def test_bmp_gradient_mean_and_guards():
+    """Non-uniform pixels: a hand-encoded horizontal gradient decodes to
+    the exact arithmetic mean (pins the de-pad reshape and BGR->RGB
+    mapping under real variation); zero-area and non-16-bit-PCM inputs
+    fail fast."""
+    import io
+    import wave
+
+    import numpy as np
+    import pytest
+
+    from raycdc.multimodal import BmpDecoder, WavDecoder, _bmp_encode
+
+    # gradient: r = column index, g = 7, b = 255 - column index (w=32, h=3)
+    w, h = 32, 3
+    col = np.arange(w, dtype=np.uint8)
+    px = np.zeros((h, w, 3), dtype=np.uint8)  # BGR order
+    px[:, :, 0] = 255 - col
+    px[:, :, 1] = 7
+    px[:, :, 2] = col
+    t = pa.table(
+        {"media_id": pa.array([1], pa.int64()),
+         "payload": pa.array([_bmp_encode(px)], pa.binary())}
+    )
+    out = BmpDecoder()(t)
+    assert out["mean_r"][0].as_py() == np.floor(col.mean() * 1e6) / 1e6
+    assert out["mean_g"][0].as_py() == 7.0
+    assert out["mean_b"][0].as_py() == np.floor((255 - col).mean() * 1e6) / 1e6
+
+    # zero-area BMP fails fast instead of emitting NaN means
+    with pytest.raises(ValueError, match="zero-area"):
+        BmpDecoder()(
+            pa.table(
+                {"media_id": pa.array([2], pa.int64()),
+                 "payload": pa.array(
+                     [_bmp_encode(np.zeros((0, 0, 3), np.uint8))], pa.binary()
+                 )}
+            )
+        )
+
+    # 8-bit PCM WAV fails fast instead of mis-decoding
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wv:
+        wv.setnchannels(1)
+        wv.setsampwidth(1)
+        wv.setframerate(8000)
+        wv.writeframes(bytes(1000))
+    with pytest.raises(ValueError, match="16-bit"):
+        WavDecoder()(
+            pa.table(
+                {"media_id": pa.array([3], pa.int64()),
+                 "payload": pa.array([buf.getvalue()], pa.binary())}
+            )
+        )
+
+
+def test_wav_multichannel_rms():
+    """Stereo PCM: rms divides by samples (frames x channels), so a
+    full-scale square wave on both channels reads the same as mono."""
+    import io
+    import wave
+
+    import numpy as np
+
+    from raycdc.multimodal import WavDecoder
+
+    frames = np.tile(np.array([16000, -16000], np.int16), 500)  # L/R interleaved
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wv:
+        wv.setnchannels(2)
+        wv.setsampwidth(2)
+        wv.setframerate(8000)
+        wv.writeframes(frames.tobytes())
+    out = WavDecoder()(
+        pa.table(
+            {"media_id": pa.array([1], pa.int64()),
+             "payload": pa.array([buf.getvalue()], pa.binary())}
+        )
+    )
+    assert out["n_channels"].to_pylist() == [2]
+    assert out["n_samples"].to_pylist() == [500]
+    assert abs(out["rms"][0].as_py() - 16000 / 32767) < 1e-4
