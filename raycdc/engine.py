@@ -131,15 +131,28 @@ def merged_state(
     salted: bool = False,
     num_salts: int = 8,
     keep_envelope: bool = False,
+    drop_deletes: bool = True,
 ) -> "ray.data.Dataset":
     """Materializable final state of the changelog (no lake, no checkpoint).
 
     The pure-transform core used by the DuckDB-oracle queries: equivalent to
     ``SELECT * EXCLUDE(rn) FROM (SELECT *, row_number() OVER (PARTITION BY
     key ORDER BY version DESC) rn) WHERE rn = 1 AND op <> 'delete'``.
+
+    ``drop_deletes=False`` keeps each key's winning tombstone in the output
+    (the stored-lake representation) — required when the result seeds
+    :func:`bootstrap`, where surviving tombstones must keep cancelling
+    older-event-time tail events.  Tombstones are only meaningful with
+    their ``op`` column, so this demands ``keep_envelope=True``.
     """
     spec = spec or TableSpec()
     _configure_shuffle()
+    if not drop_deletes and not keep_envelope:
+        raise ValueError(
+            "merged_state(drop_deletes=False) requires keep_envelope=True — "
+            "a tombstone without its op column is indistinguishable from a "
+            "live row"
+        )
     if salted and spec.merge_policy != "lww":
         # the salted pre-merge folds/drops rows that additive and history
         # merges must see individually — same unsoundness replay()
@@ -170,7 +183,7 @@ def merged_state(
         lambda g: M.policy_merge(
             g, key_cols, version_cols, op_col,
             policy=spec.merge_policy, value_cols=spec.value_cols,
-            drop_deletes=True,
+            drop_deletes=drop_deletes,
         ),
         batch_format="pyarrow",
     )
@@ -476,6 +489,174 @@ def replay(
     )
     if len(pdf) == 0 and not synth:
         return S.LINEAGE_SCHEMA.empty_table()
+    lineage = (
+        pa.Table.from_pandas(pdf, schema=S.LINEAGE_SCHEMA, preserve_index=False)
+        if len(pdf)
+        else S.LINEAGE_SCHEMA.empty_table()
+    )
+    if synth:
+        lineage = pa.concat_tables(
+            [lineage, pa.Table.from_pylist(synth, schema=S.LINEAGE_SCHEMA)]
+        )
+    S.write_lineage(lake_dir, lineage)
+    if seen_parts:
+        S.update_lake_schema(lake_dir, parts=sorted(seen_parts))
+    S.write_snapshot(lake_dir)
+    return lineage
+
+
+def bootstrap(
+    snapshot: "ray.data.Dataset",
+    lake_dir: str,
+    spec: TableSpec | None = None,
+    snapshot_lsn: int = 0,
+) -> pa.Table:
+    """Initialize an EMPTY lake from a full-state snapshot taken at WAL
+    position ``snapshot_lsn`` — the classic CDC bootstrap: dump once, then
+    tail.  (The reference re-loads the WHOLE object on every event,
+    ``/root/reference/extractor.go:16-37`` + ``loader.go:45-57``; bootstrap
+    is that full load done ONCE, after which :func:`replay` consumes only
+    increments.)
+
+    Writes each snapshot row into its hash partition and checkpoints ALL
+    ``spec.num_partitions`` partitions — including ones the snapshot holds
+    no rows for — at ``max_lsn = snapshot_lsn``.  A subsequent
+    :func:`replay` of WAL segments (even fully overlapping redeliveries)
+    prunes rows with ``lsn <= snapshot_lsn`` exactly-once and applies only
+    the tail.  Checkpointing the EMPTY partitions is load-bearing: a key
+    absent from the snapshot may still have pre-snapshot history
+    (insert→delete); replaying it against an uncheckpointed partition
+    would resurrect the key.
+
+    Snapshot rows MAY carry the changelog envelope (``op``/``lsn``): a
+    state exported with tombstones (``merged_state(..., keep_envelope=True,
+    drop_deletes=False)``) bootstraps exactly under OUT-OF-ORDER event
+    time, because surviving tombstones keep cancelling older-``ts`` tail
+    events.  A PLAIN snapshot (no envelope — a database dump) is stamped
+    ``op='insert', lsn=snapshot_lsn``; correctness then requires tail
+    events to carry per-key event time at or after the snapshot's — the
+    same event-time contract as ``compact(watermark=None)``.
+
+    Returns a lineage table (``status='bootstrap'``), one row per
+    partition, like :func:`replay`.
+    """
+    spec = spec or TableSpec()
+    _configure_shuffle()
+    if spec.merge_policy == "history":
+        raise ValueError(
+            "bootstrap takes a current-state snapshot; a history lake's "
+            "validity intervals cannot be reconstructed from one — replay "
+            "the full changelog instead"
+        )
+    if S.read_spec_meta(lake_dir) is not None or S.read_all_checkpoints(lake_dir):
+        raise ValueError(
+            f"bootstrap target {lake_dir} is not empty — bootstrap only "
+            "initializes a fresh lake (use replay on existing ones, or "
+            "migrate_lake to re-layout)"
+        )
+    key_cols, version_cols, op_col = spec.key_cols, spec.version_cols, spec.op_col
+    value_cols, policy = spec.value_cols, spec.merge_policy
+    pkey, nparts = spec.partition_key, spec.num_partitions
+    snap_lsn = int(snapshot_lsn)
+
+    def _stamp(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        n = len(batch)
+        if op_col not in batch.column_names:
+            batch = batch.append_column(
+                op_col, pa.array(np.full(n, "insert", dtype=object), pa.string())
+            )
+        if "lsn" not in batch.column_names:
+            batch = batch.append_column(
+                "lsn", pa.array(np.full(n, snap_lsn, dtype=np.int64))
+            )
+        missing = [
+            c for c in (*key_cols, *version_cols) if c not in batch.column_names
+        ]
+        if missing:
+            raise ValueError(
+                f"snapshot is missing key/version column(s) {missing} — a "
+                "bootstrap snapshot must carry the table's keys and versions"
+            )
+        return add_part_key(batch, key_col=pkey, num_partitions=nparts)
+
+    def boot_group(group: pa.Table) -> pa.Table:
+        if len(group) == 0:  # defensive: empty reduce slice
+            return S.LINEAGE_SCHEMA.empty_table()
+        part = int(group[PART_KEY][0].as_py())
+        group = group.drop_columns(
+            [c for c in (PART_KEY, SALT_KEY) if c in group.column_names]
+        )
+        rows_in = len(group)
+        # within-snapshot dedup (a dump taken across shards can carry
+        # duplicate keys); tombstones are KEPT in the stored file, exactly
+        # like the replay apply path
+        merged = M.policy_merge(
+            group, key_cols, version_cols, op_col,
+            policy=policy, value_cols=value_cols, drop_deletes=False,
+        )
+        S.write_partition_atomic(merged, lake_dir, part, version=0)
+        chash = S.content_hash(merged)
+        tomb = int(pc.sum(pc.equal(merged[op_col], M.DELETE)).as_py() or 0)
+        S.write_checkpoint(
+            lake_dir,
+            part,
+            {
+                # the WAL POSITION of the dump, not max(row lsn): replay
+                # must prune every event the dump already reflects
+                "max_lsn": snap_lsn,
+                "row_count": len(merged),
+                "content_hash": chash,
+                "version": 0,
+            },
+        )
+        return pa.table(
+            {
+                "part": [part],
+                "rows_in": [rows_in],
+                "rows_applied": [len(merged)],
+                "rows_skipped_ckpt": [0],
+                "rows_total": [len(merged)],
+                "tombstones": [tomb],
+                "max_lsn": [snap_lsn],
+                "content_hash": [chash],
+                "status": ["bootstrap"],
+            }
+        ).cast(S.LINEAGE_SCHEMA)
+
+    S.write_spec_meta(lake_dir, spec)
+    lineage_ds = (
+        snapshot.map_batches(_stamp, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(PART_KEY, num_partitions=_shuffle_parts(spec))
+        .map_groups(boot_group, batch_format="pyarrow")
+    )
+    pdf = lineage_ds.to_pandas()
+    seen_parts = set(int(p) for p in pdf["part"].tolist()) if len(pdf) else set()
+    synth = []
+    for part in range(nparts):
+        if part in seen_parts:
+            continue
+        # empty partition: checkpoint-only (no file; read_partition → None),
+        # version -1 so the first apply installs file version 0
+        S.write_checkpoint(
+            lake_dir,
+            part,
+            {"max_lsn": snap_lsn, "row_count": 0, "content_hash": 0, "version": -1},
+        )
+        synth.append(
+            {
+                "part": part,
+                "rows_in": 0,
+                "rows_applied": 0,
+                "rows_skipped_ckpt": 0,
+                "rows_total": 0,
+                "tombstones": 0,
+                "max_lsn": snap_lsn,
+                "content_hash": 0,
+                "status": "bootstrap",
+            }
+        )
     lineage = (
         pa.Table.from_pandas(pdf, schema=S.LINEAGE_SCHEMA, preserve_index=False)
         if len(pdf)

@@ -544,6 +544,64 @@ GROUP BY s.conv_id, s.turn_idx
 """
 
 
+def q_cdc_bootstrap(sf_dir: str):
+    """Snapshot bootstrap — dump-then-tail CDC onboarding
+    (:func:`raycdc.engine.bootstrap`): the LWW state of the WAL head
+    (``lsn <= L0``, tombstones KEPT via ``merged_state(keep_envelope=True,
+    drop_deletes=False)``) initializes an empty lake checkpointed at
+    position L0; the FULL changelog is then replayed — a total redelivery
+    overlap — and the checkpoints prune the head exactly-once, applying
+    only the tail.  Final live state must equal one-shot LWW over the
+    whole log (the ``cdc_replay`` oracle).  The tombstone-carrying
+    snapshot makes this exact even though event time is NOT monotone with
+    lsn in the fixture (a pre-L0 delete must keep beating an older-``ts``
+    post-L0 event)."""
+    import pyarrow.parquet as pq
+
+    from raycdc.changelog import changelog_from_events
+    from raycdc.engine import bootstrap, merged_state, read_lake, replay
+    from raycdc.schema import TableSpec
+
+    # lsn = event_id: the dump position is the midpoint of the id space
+    cut = pq.read_metadata(f"{sf_dir}/events.parquet").num_rows // 2
+    spec = TableSpec(num_partitions=16)
+
+    head = changelog_from_events(sf_dir).map_batches(
+        lambda t: t.filter(pc.less_equal(t["lsn"], cut)),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    snapshot = merged_state(head, spec, keep_envelope=True, drop_deletes=False)
+
+    lake = os.path.join(tempfile.gettempdir(), "raycdc_bootstrap_lake")
+    shutil.rmtree(lake, ignore_errors=True)
+    bootstrap(snapshot, lake, spec, snapshot_lsn=cut)
+    # replay the WHOLE log, not just the tail: the head must prune to noops
+    replay(changelog_from_events(sf_dir), lake, spec)
+    return read_lake(lake, spec).select_columns(
+        ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    )
+
+
+def _sql_cdc_bootstrap() -> str:
+    from raycdc.changelog import CHANGELOG_SQL
+
+    # bootstrap + tail replay must land on the one-shot LWW final state
+    return f"""
+WITH {CHANGELOG_SQL.strip()},
+ranked AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY conv_id, turn_idx
+        ORDER BY ts DESC, lsn DESC
+    ) AS rn
+    FROM changelog
+)
+SELECT conv_id, turn_idx, role, text, tool, ts
+FROM ranked
+WHERE rn = 1 AND op <> 'delete'
+"""
+
+
 def q_text_redact(sf_dir: str):
     """PII-style scrub entirely in RE2 kernels
     (:func:`raycdc.text.redact_text`).  The fixture corpus carries no
@@ -2988,6 +3046,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "cdc_csv_ingest": q_cdc_csv_ingest,
     "cdc_evolve": q_cdc_evolve,
     "cdc_additive_rollup": q_cdc_additive_rollup,
+    "cdc_bootstrap": q_cdc_bootstrap,
     "cdc_scd2_history": q_cdc_scd2_history,
     "cdc_history_lake": q_cdc_history_lake,
     "cdc_suppress_noops": q_cdc_suppress_noops,
@@ -3064,6 +3123,7 @@ ORACLES: dict[str, str] = {
     "join_shuffle": SQL_JOIN_ORDERS_CUSTOMER,
     "cdc_evolve": _sql_cdc_evolve(),
     "cdc_additive_rollup": SQL_CDC_ADDITIVE_ROLLUP,
+    "cdc_bootstrap": _sql_cdc_bootstrap(),
     "cdc_scd2_history": SQL_CDC_SCD2_HISTORY,
     "cdc_history_lake": SQL_CDC_SCD2_HISTORY,
     "cdc_suppress_noops": SQL_CDC_SUPPRESS_NOOPS,
