@@ -192,12 +192,41 @@ def merged_state(
     )
 
 
-def _make_apply_fn(lake_dir: str, spec: TableSpec):
+def _park_quarantine(quarantine_dir: str, batch: pa.Table, part: int) -> None:
+    """Park late history events as parquet under ``quarantine_dir``.
+
+    Filenames are keyed on the batch CONTENT hash (same idempotence rule
+    as dead letters): a Ray task retry re-parking the same rows overwrites
+    the earlier file instead of accumulating duplicates."""
+    import hashlib
+    import os as _os
+
+    from raycdc.storage import get_storage
+
+    buf = pa.BufferOutputStream()
+    with pa.ipc.new_stream(buf, batch.schema) as w:
+        w.write_table(batch.combine_chunks())
+    chash = hashlib.sha1(buf.getvalue()).hexdigest()
+    dst = _os.path.join(quarantine_dir, f"late-{chash[:32]}.parquet")
+    meta = dict(batch.schema.metadata or {})
+    meta[b"raycdc.late"] = f"partition {part}: event time precedes settled history".encode()
+    get_storage(quarantine_dir).write_parquet_atomic(
+        batch.replace_schema_metadata(meta), dst
+    )
+
+
+def _make_apply_fn(lake_dir: str, spec: TableSpec, quarantine_dir: str | None = None):
     """Build the per-partition merge-apply fn (runs inside map_groups tasks).
 
     Folds the incoming deduped group with the existing lake partition,
     schema-evolving both sides; keeps tombstones in the stored file; writes
     atomically; advances the checkpoint; returns ONE lineage row.
+
+    ``quarantine_dir`` (history policy): late events — fresh rows whose
+    event time precedes their key's settled instant — are parked there and
+    excluded from the merge instead of failing the apply.  The checkpoint
+    still advances past their lsns: they were CONSUMED (to quarantine),
+    so redelivery prunes them rather than re-parking.
     """
     key_cols, version_cols, op_col = spec.key_cols, spec.version_cols, spec.op_col
 
@@ -249,6 +278,7 @@ def _make_apply_fn(lake_dir: str, spec: TableSpec):
             folded = pa.concat_tables([existing, fresh], promote_options="default")
         else:
             folded = fresh
+        late_sink: list | None = [] if quarantine_dir is not None else None
         merged = M.policy_merge(
             folded,
             key_cols,
@@ -257,7 +287,10 @@ def _make_apply_fn(lake_dir: str, spec: TableSpec):
             policy=spec.merge_policy,
             value_cols=spec.value_cols,
             drop_deletes=False,
+            late_out=late_sink,
         )
+        if late_sink:
+            _park_quarantine(quarantine_dir, pa.concat_tables(late_sink), part)
 
         # install the next version, then advance the checkpoint to it — a
         # crash in between leaves readers on the old version (consistent)
@@ -305,8 +338,10 @@ class MergeApplier:
     ``loader.go:21-31``).
     """
 
-    def __init__(self, lake_dir: str, spec: TableSpec):
-        self._apply = _make_apply_fn(lake_dir, spec)
+    def __init__(
+        self, lake_dir: str, spec: TableSpec, quarantine_dir: str | None = None
+    ):
+        self._apply = _make_apply_fn(lake_dir, spec, quarantine_dir)
         self._groups_applied = 0  # per-actor lineage counter
 
     def __call__(self, group: pa.Table) -> pa.Table:
@@ -355,6 +390,7 @@ def replay(
     num_salts: int = 8,
     merge_concurrency: int | tuple[int, int] | None = None,
     dead_letter_dir: str | None = None,
+    quarantine_dir: str | None = None,
 ) -> pa.Table:
     """Apply a changelog Dataset into the lake, exactly-once; returns lineage.
 
@@ -362,9 +398,20 @@ def replay(
     per-partition checkpoint filter plus LWW idempotence make re-applies
     no-ops (``status='noop'``).  The returned lineage table is small (one row
     per partition) — the only thing the driver materializes.
+
+    ``quarantine_dir`` (history policy only): late events — fresh rows
+    whose event time precedes their key's settled instant — are parked as
+    parquet there (content-hash filenames, idempotent) and the apply
+    continues, instead of the default fail-fast.  Inspect the queue with
+    :func:`read_dead_letters` on the same directory.
     """
     spec = spec or TableSpec()
     _configure_shuffle()
+    if quarantine_dir is not None and spec.merge_policy != "history":
+        raise ValueError(
+            "quarantine_dir only applies to merge_policy='history' — lww "
+            "and additive merges have no event-time contract to violate"
+        )
     # layout/policy contract: an LWW apply against a history lake would
     # silently collapse every superseded version, and a different
     # num_partitions would orphan rows — validate against the persisted
@@ -450,11 +497,11 @@ def replay(
             MergeApplier,
             batch_format="pyarrow",
             concurrency=merge_concurrency,
-            fn_constructor_args=(lake_dir, spec),
+            fn_constructor_args=(lake_dir, spec, quarantine_dir),
         )
     else:
         lineage_ds = grouped.map_groups(
-            _make_apply_fn(lake_dir, spec), batch_format="pyarrow"
+            _make_apply_fn(lake_dir, spec, quarantine_dir), batch_format="pyarrow"
         )
     pdf = lineage_ds.to_pandas()
     # Partitions that produced no merge group while the lsn floor was active
@@ -705,14 +752,17 @@ def _with_dead_letter(projector, dead_letter_dir: str):
 
 
 def read_dead_letters(dead_letter_dir: str) -> pa.Table | None:
-    """All parked batches concatenated (None when the queue is empty)."""
+    """All parked batches concatenated (None when the queue is empty).
+
+    Reads BOTH park queues: dead-lettered projector batches (``batch-*``)
+    and quarantined late history events (``late-*``)."""
     from raycdc.storage import get_storage
 
     st = get_storage(dead_letter_dir)
     paths = sorted(
         os.path.join(dead_letter_dir, n)
         for n in st.listdir(dead_letter_dir)
-        if n.startswith("batch-") and n.endswith(".parquet")
+        if n.startswith(("batch-", "late-")) and n.endswith(".parquet")
     )
     if not paths:
         return None

@@ -341,9 +341,15 @@ def policy_merge(
     policy: str = "lww",
     value_cols: Sequence[str] = (),
     drop_deletes: bool = False,
+    late_out: list | None = None,
 ) -> pa.Table:
     """Dispatch to the configured merge policy (both usable as combiner —
-    tombstones kept — and as the final merge with ``drop_deletes``)."""
+    tombstones kept — and as the final merge with ``drop_deletes``).
+
+    ``late_out`` (history policy only): a mutable list; when given, fresh
+    events violating the per-key event-time contract are APPENDED to it as
+    an Arrow table and excluded from the merge, instead of raising.
+    """
     if policy == "lww":
         return lww_dedup(table, key_cols, version_cols, op_col, drop_deletes)
     if policy == "additive":
@@ -359,6 +365,7 @@ def policy_merge(
             ts_col=version_cols[0],
             lsn_col=version_cols[-1],
             op_col=op_col,
+            late_out=late_out,
         )
     raise ValueError(
         f"unknown merge policy {policy!r} (expected lww|additive|history)"
@@ -379,6 +386,7 @@ def history_extend(
     valid_to: str = "valid_to",
     current_flag: str = "is_current",
     delete_op: str = DELETE,
+    late_out: list | None = None,
 ) -> pa.Table:
     """The SCD Type-2 merge policy: fold settled version rows and fresh
     changelog events (distinguished by a non-null ``valid_from``) into the
@@ -468,10 +476,29 @@ def history_extend(
     key_bound = np.repeat(np.maximum.reduceat(bound, seg_starts), seg_lens)
     stale = (~hist_s) & (ts_s < key_bound)
     if stale.any():
-        raise ValueError(
-            f"history merge: {int(stale.sum())} fresh event(s) precede their "
-            "key's settled history — the history policy requires per-key "
-            "event-time order across segments"
+        if late_out is None:
+            raise ValueError(
+                f"history merge: {int(stale.sum())} fresh event(s) precede "
+                "their key's settled history — the history policy requires "
+                "per-key event-time order across segments"
+            )
+        # quarantine mode: side-output the late rows (original order) and
+        # re-merge without them — the second pass cannot find new stale
+        # rows, because removing fresh events never raises a key's bound
+        stale_orig = np.sort(order[stale])
+        keep_orig = np.setdiff1d(np.arange(n), stale_orig, assume_unique=True)
+        late_out.append(table.take(pa.array(stale_orig)))
+        return history_extend(
+            table.take(pa.array(keep_orig)),
+            key_cols,
+            ts_col=ts_col,
+            lsn_col=lsn_col,
+            op_col=op_col,
+            valid_from=valid_from,
+            valid_to=valid_to,
+            current_flag=current_flag,
+            delete_op=delete_op,
+            late_out=None,
         )
 
     # regenerate deletes lost in materialization: a closed version whose
