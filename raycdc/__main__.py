@@ -60,6 +60,20 @@ def main(argv: list[str] | None = None) -> int:
     p_replay.add_argument("--salted", action="store_true")
     p_replay.add_argument("--auto-salt", action="store_true")
 
+    p_boot = sub.add_parser(
+        "bootstrap",
+        help="initialize an EMPTY lake from a full-state snapshot at a WAL position",
+    )
+    p_boot.add_argument("snapshot", nargs="+", help="snapshot parquet paths/globs")
+    p_boot.add_argument("--lake", required=True)
+    p_boot.add_argument(
+        "--at-lsn",
+        type=int,
+        required=True,
+        help="WAL position the dump reflects; replay prunes lsn <= this",
+    )
+    p_boot.add_argument("--partitions", type=int, default=64)
+
     p_tail = sub.add_parser("tail", help="continuously apply new WAL segments")
     p_tail.add_argument("--watch", required=True, help="directory to poll")
     p_tail.add_argument("--lake", required=True)
@@ -162,6 +176,31 @@ def main(argv: list[str] | None = None) -> int:
                     "partitions": lineage.num_rows,
                     "rows_applied": applied,
                     "statuses": sorted(set(lineage["status"].to_pylist())),
+                }
+            )
+        )
+    elif args.cmd == "bootstrap":
+        import glob as _glob
+
+        import ray.data
+
+        from raycdc.engine import bootstrap
+
+        paths = []
+        for s in args.snapshot:
+            paths.extend(sorted(_glob.glob(s)) or [s])
+        lineage = bootstrap(
+            ray.data.read_parquet(paths),
+            args.lake,
+            TableSpec(num_partitions=args.partitions),
+            snapshot_lsn=args.at_lsn,
+        )
+        print(
+            json.dumps(
+                {
+                    "partitions": lineage.num_rows,
+                    "rows": int(sum(lineage["rows_applied"].to_pylist())),
+                    "at_lsn": args.at_lsn,
                 }
             )
         )

@@ -215,3 +215,58 @@ def test_cli_scd2_history(ray_session, tmp_path, capsys):
         (r.conv_id, r.turn_idx): r.text for r in cur.itertuples()
     }
     assert got == {k: v["text"] for k, v in want.items()}
+
+
+def test_cli_bootstrap_then_replay(ray_session, tmp_path, capsys):
+    """`raycdc bootstrap` initializes a fresh lake from a snapshot parquet;
+    a following `replay` of the full log prunes the pre-snapshot head."""
+    import json
+
+    import pyarrow.compute as pc
+    import ray
+
+    import ray.data
+
+    from raycdc.__main__ import main
+    from raycdc.engine import merged_state, read_lake
+    from raycdc.schema import TableSpec
+
+    t = synthetic_changelog(n_events=800, seed=54)
+    cut = 500
+    head = t.filter(pc.less_equal(t["lsn"], cut))
+    spec = TableSpec(num_partitions=4)
+    snap_ds = merged_state(
+        ray.data.from_arrow(head), spec, keep_envelope=True, drop_deletes=False
+    )
+    snap = pa.concat_tables([ray.get(r) for r in snap_ds.to_arrow_refs()])
+    snap_p = tmp_path / "snapshot.parquet"
+    pq.write_table(snap, snap_p)
+    seg = tmp_path / "wal.parquet"
+    pq.write_table(t, seg)
+    lake = str(tmp_path / "bootlake")
+
+    assert (
+        main(
+            [
+                "bootstrap", str(snap_p), "--lake", lake,
+                "--at-lsn", str(cut), "--partitions", "4",
+            ]
+        )
+        == 0
+    )
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["partitions"] == 4 and out["at_lsn"] == cut
+
+    assert main(["replay", str(seg), "--lake", lake, "--partitions", "4"]) == 0
+    out2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out2["rows_applied"] > 0
+
+    # final state equals a clean one-shot replay
+    want_lake = str(tmp_path / "want")
+    assert main(["replay", str(seg), "--lake", want_lake, "--partitions", "4"]) == 0
+    capsys.readouterr()
+    got = read_lake(lake, spec).to_pandas().sort_values(["conv_id", "turn_idx"])
+    want = (
+        read_lake(want_lake, spec).to_pandas().sort_values(["conv_id", "turn_idx"])
+    )
+    assert got.reset_index(drop=True).equals(want.reset_index(drop=True))
