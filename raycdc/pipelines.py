@@ -583,6 +583,67 @@ def q_cdc_bootstrap(sf_dir: str):
     )
 
 
+def q_cdc_enriched_replay(sf_dir: str):
+    """Dimension enrichment INSIDE the exactly-once replay path: the
+    replay's projector broadcast-joins every changelog batch against the
+    customer dimension — `ray.put` ONCE on the driver, per-batch
+    vectorized `index_in` lookup inside `map_batches` (never a shuffle,
+    never re-shipped per batch) — so the lake stores the enriched schema.
+    The generalized form of the reference's per-handler projector
+    (/root/reference/handler.go:100-131) doing a lookup against reference
+    data."""
+    import pyarrow.parquet as pq
+
+    import ray
+
+    from raycdc.changelog import changelog_from_events
+    from raycdc.engine import read_lake, replay
+    from raycdc.schema import TableSpec
+
+    dim = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    ).combine_chunks()
+    dim_ref = ray.put(dim)  # broadcast: one object-store copy, all tasks read it
+
+    def enrich(t: pa.Table) -> pa.Table:
+        b = ray.get(dim_ref)
+        # conv_id = 'c' || user_id; the dimension key is user_id + 1
+        uid = pc.cast(pc.utf8_slice_codeunits(t["conv_id"], 1, 1 << 30), pa.int64())
+        idx = pc.index_in(pc.add(uid, 1), value_set=b["c_custkey"])
+        seg = b["c_mktsegment"]
+        seg = seg.combine_chunks() if isinstance(seg, pa.ChunkedArray) else seg
+        return t.append_column("segment", pc.take(seg, idx))
+
+    lake = os.path.join(tempfile.gettempdir(), "raycdc_enriched_lake")
+    shutil.rmtree(lake, ignore_errors=True)
+    spec = TableSpec(num_partitions=16)
+    replay(changelog_from_events(sf_dir), lake, spec, projector=enrich)
+    return read_lake(lake, spec).select_columns(
+        ["conv_id", "turn_idx", "role", "text", "tool", "ts", "segment"]
+    )
+
+
+def _sql_cdc_enriched_replay() -> str:
+    from raycdc.changelog import CHANGELOG_SQL
+
+    return f"""
+WITH {CHANGELOG_SQL.strip()},
+ranked AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY conv_id, turn_idx
+        ORDER BY ts DESC, lsn DESC
+    ) AS rn
+    FROM changelog
+)
+SELECT r.conv_id, r.turn_idx, r.role, r.text, r.tool, r.ts,
+       c.c_mktsegment AS segment
+FROM ranked r
+LEFT JOIN customer c
+  ON c.c_custkey = CAST(substr(r.conv_id, 2) AS BIGINT) + 1
+WHERE r.rn = 1 AND r.op <> 'delete'
+"""
+
+
 def _sql_cdc_bootstrap() -> str:
     from raycdc.changelog import CHANGELOG_SQL
 
@@ -3047,6 +3108,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "cdc_evolve": q_cdc_evolve,
     "cdc_additive_rollup": q_cdc_additive_rollup,
     "cdc_bootstrap": q_cdc_bootstrap,
+    "cdc_enriched_replay": q_cdc_enriched_replay,
     "cdc_scd2_history": q_cdc_scd2_history,
     "cdc_history_lake": q_cdc_history_lake,
     "cdc_suppress_noops": q_cdc_suppress_noops,
@@ -3124,6 +3186,7 @@ ORACLES: dict[str, str] = {
     "cdc_evolve": _sql_cdc_evolve(),
     "cdc_additive_rollup": SQL_CDC_ADDITIVE_ROLLUP,
     "cdc_bootstrap": _sql_cdc_bootstrap(),
+    "cdc_enriched_replay": _sql_cdc_enriched_replay(),
     "cdc_scd2_history": SQL_CDC_SCD2_HISTORY,
     "cdc_history_lake": SQL_CDC_SCD2_HISTORY,
     "cdc_suppress_noops": SQL_CDC_SUPPRESS_NOOPS,
