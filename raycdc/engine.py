@@ -1132,6 +1132,141 @@ def read_lake(
     return ds
 
 
+def colocated_join(
+    left_lake: str,
+    right_lake: str,
+    on: tuple[str, ...] = ("conv_id",),
+    spec_left: TableSpec | None = None,
+    spec_right: TableSpec | None = None,
+    how: str = "inner",
+    left_columns: list[str] | None = None,
+    right_columns: list[str] | None = None,
+    right_suffix: str = "_r",
+) -> "ray.data.Dataset":
+    """ZERO-SHUFFLE join of two lakes that share the FNV-1a hash layout.
+
+    Because partition placement is a pure function of the partition-key
+    VALUE (``hash_part``) and never of cluster size, two lakes partitioned
+    on the same join key with the same ``num_partitions`` are co-located by
+    construction: every key lives in partition ``i`` on both sides.  The
+    join therefore runs as one independent Ray task per partition — each
+    task reads its (left, right) partition-file pair, filters live rows,
+    and hash-joins LOCALLY with Arrow — no all-to-all exchange, no
+    broadcast, no driver materialization.  At 100 TB this is THE way to
+    join two CDC-maintained tables: cost is a single co-partitioned scan.
+
+    This generalizes the reference's one-table-per-handler world
+    (``/root/reference/handler.go:20-48``) — where cross-table joins happen
+    downstream in BigQuery — into the engine itself.
+
+    Layout preconditions are VALIDATED, not assumed: both lakes' persisted
+    spec metadata must agree on ``num_partitions`` and ``partition_key``,
+    and the partition key must lead ``on``.  A mismatch raises with a
+    pointer to :func:`migrate_lake` (re-layout is a rewrite, never a cast).
+
+    ``how`` is ``'inner'`` or ``'left'`` (left outer: unmatched left rows
+    keep nulls for right columns).  ``left_columns`` / ``right_columns``
+    prune at the partition-file read.  Right-side non-key columns that
+    collide with left names get ``right_suffix``.
+    """
+    import ray
+
+    spec_left = spec_left or TableSpec()
+    spec_right = spec_right or TableSpec()
+    on = tuple(on)
+    meta_l = S.read_spec_meta(left_lake) or {}
+    meta_r = S.read_spec_meta(right_lake) or {}
+    nparts_l = int(meta_l.get("num_partitions", spec_left.num_partitions))
+    nparts_r = int(meta_r.get("num_partitions", spec_right.num_partitions))
+    pk_l = meta_l.get("partition_key", spec_left.partition_key)
+    pk_r = meta_r.get("partition_key", spec_right.partition_key)
+    if nparts_l != nparts_r or pk_l != pk_r:
+        raise ValueError(
+            f"lakes are not co-partitioned: left ({pk_l!r} x {nparts_l}) vs "
+            f"right ({pk_r!r} x {nparts_r}); re-layout one side with "
+            "migrate_lake(...) before joining"
+        )
+    if on[0] != pk_l:
+        raise ValueError(
+            f"join key {on!r} must lead with the shared partition key "
+            f"{pk_l!r} — co-location only holds for the hash-layout key"
+        )
+    if how not in ("inner", "left"):
+        raise ValueError(f"how={how!r}: expected 'inner' or 'left'")
+    join_type = "inner" if how == "inner" else "left outer"
+
+    # canonical pruned schemas, computed ONCE driver-side so every task
+    # emits identical block schemas even when old partition files predate a
+    # schema evolution (missing evolved columns are padded with nulls)
+    schema_l = S.read_lake_schema(left_lake) or spec_left.schema
+    schema_r = S.read_lake_schema(right_lake) or spec_right.schema
+
+    def _pruned(schema: pa.Schema, want: list[str] | None, op_col: str):
+        names = list(schema.names)
+        keep = [c for c in names if want is None or c in want or c in on]
+        missing = [] if want is None else [c for c in want if c not in names]
+        if missing:
+            raise ValueError(f"columns {missing} not in lake schema {names}")
+        fields = [schema.field(c) for c in keep]
+        has_op = op_col in names
+        return pa.schema(fields), keep, has_op
+
+    out_schema_l, keep_l, op_in_l = _pruned(schema_l, left_columns, spec_left.op_col)
+    out_schema_r, keep_r, op_in_r = _pruned(schema_r, right_columns, spec_right.op_col)
+    op_l, op_r = spec_left.op_col, spec_right.op_col
+
+    def _read_side(lake: str, part: int, keep: list[str], out_schema: pa.Schema,
+                   op_col: str, has_op: bool) -> pa.Table:
+        cols = list(keep) + ([op_col] if has_op and op_col not in keep else [])
+        t = S.read_partition(lake, part, columns=cols)
+        if t is None:
+            return out_schema.empty_table()
+        if op_col in t.column_names:
+            t = t.filter(
+                pc.not_equal(pc.fill_null(t[op_col], ""), M.DELETE)
+            )
+            if op_col not in keep:
+                t = t.drop_columns([op_col])
+        # pad columns an old partition file predates, then fix order
+        for f in out_schema:
+            if f.name not in t.column_names:
+                t = t.append_column(f.name, pa.nulls(len(t), f.type))
+        return t.select(out_schema.names).cast(out_schema)
+
+    def join_part(batch: pa.Table) -> pa.Table:
+        out = []
+        for part in batch["id"].to_pylist():
+            part = int(part)
+            lt = _read_side(left_lake, part, keep_l, out_schema_l, op_l, op_in_l)
+            if len(lt) == 0:
+                continue
+            rt = _read_side(right_lake, part, keep_r, out_schema_r, op_r, op_in_r)
+            if len(rt) == 0 and how == "inner":
+                continue
+            joined = lt.join(
+                rt,
+                keys=list(on),
+                join_type=join_type,
+                right_suffix=right_suffix,
+            )
+            out.append(joined)
+        if not out:
+            # empty-join schema: left cols + suffixed right non-key cols
+            fields = list(out_schema_l)
+            lnames = set(out_schema_l.names)
+            for f in out_schema_r:
+                if f.name in on:
+                    continue
+                name = f.name + right_suffix if f.name in lnames else f.name
+                fields.append(pa.field(name, f.type))
+            return pa.schema(fields).empty_table()
+        return pa.concat_tables(out, promote_options="permissive")
+
+    return ray.data.range(
+        nparts_l, override_num_blocks=min(nparts_l, 64)
+    ).map_batches(join_part, batch_format="pyarrow")
+
+
 def migrate_lake(
     src_lake: str,
     dst_lake: str,

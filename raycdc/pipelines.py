@@ -663,6 +663,96 @@ WHERE rn = 1 AND op <> 'delete'
 """
 
 
+def q_cdc_colocated_join(sf_dir: str):
+    """Zero-shuffle join of two CDC-maintained lakes that share the FNV-1a
+    hash layout (:func:`raycdc.engine.colocated_join`): the transcript lake
+    and a per-conversation dimension lake, both partitioned on ``conv_id``
+    with the same ``num_partitions``, are co-located by construction, so
+    the join runs one local Arrow hash-join task per partition pair — no
+    all-to-all exchange, no broadcast.  This is the downstream-warehouse
+    join the reference defers to BigQuery
+    (/root/reference/handler.go:20-48) pulled into the engine itself."""
+    import numpy as np
+
+    from raycdc.changelog import changelog_from_events
+    from raycdc.engine import colocated_join, replay
+    from raycdc.schema import TableSpec
+
+    spec = TableSpec(num_partitions=16)
+    left = os.path.join(tempfile.gettempdir(), "raycdc_coloc_left")
+    shutil.rmtree(left, ignore_errors=True)
+    replay(changelog_from_events(sf_dir), left, spec)
+
+    dim_schema = pa.schema(
+        [
+            pa.field("conv_id", pa.string()),
+            pa.field("turn_idx", pa.int32()),
+            pa.field("segment", pa.string()),
+            pa.field("ts", pa.timestamp("us")),
+        ]
+    )
+    dim_spec = TableSpec(name="conv_dim", schema=dim_schema, num_partitions=16)
+
+    def to_dim_changelog(t: pa.Table) -> pa.Table:
+        # conv_id = 'c' || user_id; the dimension key is c_custkey = user_id+1
+        n = len(t)
+        ck = pc.cast(t["c_custkey"], pa.int64())
+        conv_id = pc.binary_join_element_wise(
+            "c", pc.cast(pc.subtract(ck, 1), pa.string()), ""
+        )
+        return pa.table(
+            {
+                "conv_id": conv_id,
+                "turn_idx": pa.array(np.zeros(n, np.int32)),
+                "segment": t["c_mktsegment"],
+                "ts": pa.array(
+                    np.full(n, 1_700_000_000_000_000, np.int64), pa.timestamp("us")
+                ),
+                "op": pa.array(np.full(n, "insert")),
+                "lsn": ck,
+                "seg_id": pa.array(np.zeros(n, np.int32)),
+            }
+        )
+
+    right = os.path.join(tempfile.gettempdir(), "raycdc_coloc_right")
+    shutil.rmtree(right, ignore_errors=True)
+    dim = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    ).map_batches(to_dim_changelog, batch_format="pyarrow")
+    replay(dim, right, dim_spec)
+
+    return colocated_join(
+        left,
+        right,
+        on=("conv_id",),
+        spec_left=spec,
+        spec_right=dim_spec,
+        left_columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"],
+        right_columns=["segment"],
+    )
+
+
+def _sql_cdc_colocated_join() -> str:
+    from raycdc.changelog import CHANGELOG_SQL
+
+    return f"""
+WITH {CHANGELOG_SQL.strip()},
+ranked AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY conv_id, turn_idx
+        ORDER BY ts DESC, lsn DESC
+    ) AS rn
+    FROM changelog
+)
+SELECT r.conv_id, r.turn_idx, r.role, r.text, r.tool, r.ts,
+       c.c_mktsegment AS segment
+FROM ranked r
+JOIN customer c
+  ON c.c_custkey = CAST(substr(r.conv_id, 2) AS BIGINT) + 1
+WHERE r.rn = 1 AND r.op <> 'delete'
+"""
+
+
 def q_text_redact(sf_dir: str):
     """PII-style scrub entirely in RE2 kernels
     (:func:`raycdc.text.redact_text`).  The fixture corpus carries no
@@ -3113,6 +3203,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "cdc_history_lake": q_cdc_history_lake,
     "cdc_suppress_noops": q_cdc_suppress_noops,
     "cdc_point_in_time": q_cdc_point_in_time,
+    "cdc_colocated_join": q_cdc_colocated_join,
     "sample_events": q_sample_events,
     "split_events": q_split_events,
     "join_orders_customer": q_join_orders_customer,
@@ -3191,6 +3282,7 @@ ORACLES: dict[str, str] = {
     "cdc_history_lake": SQL_CDC_SCD2_HISTORY,
     "cdc_suppress_noops": SQL_CDC_SUPPRESS_NOOPS,
     "cdc_point_in_time": SQL_CDC_POINT_IN_TIME,
+    "cdc_colocated_join": _sql_cdc_colocated_join(),
     "sample_events": SQL_SAMPLE_EVENTS,
     "split_events": SQL_SPLIT_EVENTS,
     "sessionize_events": SQL_SESSIONIZE_EVENTS,

@@ -100,13 +100,22 @@ def ckpt_file(lake_dir: str, part: int) -> str:
 
 
 def read_partition(
-    lake_dir: str, part: int, version: int | None = None
+    lake_dir: str,
+    part: int,
+    version: int | None = None,
+    columns: list[str] | None = None,
 ) -> pa.Table | None:
+    """One partition's stored table; ``columns`` prunes at the file read
+    (columns absent from the stored schema are simply skipped — partitions
+    written before a schema evolution lack the evolved columns)."""
     st = get_storage(lake_dir)
     path = part_file(lake_dir, part, version)
     if not st.exists(path):
         return None
-    return st.read_parquet(path)
+    if columns is not None:
+        have = set(st.read_parquet_schema(path).names)
+        columns = [c for c in columns if c in have]
+    return st.read_parquet(path, columns=columns)
 
 
 def read_checkpoint(lake_dir: str, part: int) -> dict | None:

@@ -64,7 +64,7 @@ class Storage(Protocol):
         """Durably append to a journal file (created if absent)."""
         ...
 
-    def read_parquet(self, path: str) -> pa.Table: ...
+    def read_parquet(self, path: str, columns=None) -> pa.Table: ...
 
     def read_parquet_schema(self, path: str) -> pa.Schema: ...
 
@@ -113,8 +113,8 @@ class LocalStorage:
             f.flush()
             os.fsync(f.fileno())
 
-    def read_parquet(self, path: str) -> pa.Table:
-        return pq.read_table(path)
+    def read_parquet(self, path: str, columns=None) -> pa.Table:
+        return pq.read_table(path, columns=columns)
 
     def read_parquet_schema(self, path: str) -> pa.Schema:
         return pq.read_schema(path)
@@ -184,8 +184,8 @@ class FsspecStorage:
         old = self.fs.cat_file(p) if self.fs.exists(p) else b""
         self.write_bytes_atomic(path, old + data)
 
-    def read_parquet(self, path: str) -> pa.Table:
-        return pq.read_table(self._p(path), filesystem=self.fs)
+    def read_parquet(self, path: str, columns=None) -> pa.Table:
+        return pq.read_table(self._p(path), filesystem=self.fs, columns=columns)
 
     def read_parquet_schema(self, path: str) -> pa.Schema:
         with self.fs.open(self._p(path), "rb") as f:

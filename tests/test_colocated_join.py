@@ -1,0 +1,139 @@
+"""Zero-shuffle co-partitioned lake join (engine.colocated_join).
+
+Two lakes sharing the FNV-1a layout (same partition key, same
+num_partitions) are co-located by construction; the join runs one local
+Arrow hash-join task per partition pair — no exchange.  Generalizes the
+reference's one-table-per-handler model (/root/reference/handler.go:20-48)
+where joins were deferred to the warehouse.
+"""
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pytest
+import ray.data
+
+from raycdc.changelog import synthetic_changelog
+from raycdc.engine import colocated_join, replay
+from raycdc.schema import TableSpec
+
+from .oracle import python_lww_replay
+
+
+def _dim_table(conv_ids: list[str]) -> pa.Table:
+    """One dimension row per conversation, keyed (conv_id,) at turn 0."""
+    n = len(conv_ids)
+    return pa.table(
+        {
+            "conv_id": pa.array(conv_ids),
+            "turn_idx": pa.array([0] * n, pa.int32()),
+            "ts": pa.array(
+                [1_700_000_000_000_000] * n, pa.timestamp("us")
+            ),
+            "op": pa.array(["insert"] * n),
+            "lsn": pa.array(range(n), pa.int64()),
+            "seg_id": pa.array([0] * n, pa.int32()),
+            "dim": pa.array([f"dim-{c}" for c in conv_ids]),
+        }
+    )
+
+
+@pytest.fixture()
+def lakes(tmp_path):
+    wal = synthetic_changelog(n_events=1500, n_convs=40, seed=11, shuffle=True)
+    left_spec = TableSpec(num_partitions=8)
+    left = str(tmp_path / "left")
+    replay(ray.data.from_arrow(wal), left, left_spec)
+
+    # dimension lake covers only the EVEN conversations — odd ones must
+    # drop (inner) or null out (left outer)
+    covered = [f"conv-{i}" for i in range(0, 40, 2)]
+    right_spec = TableSpec(num_partitions=8)
+    right = str(tmp_path / "right")
+    replay(ray.data.from_arrow(_dim_table(covered)), right, right_spec)
+
+    live = {
+        k: r for k, r in python_lww_replay([wal]).items()
+    }
+    return left, left_spec, right, right_spec, live, set(covered)
+
+
+def test_inner_join_matches_python_oracle(lakes):
+    left, ls, right, rs, live, covered = lakes
+    out = colocated_join(
+        left,
+        right,
+        on=("conv_id",),
+        spec_left=ls,
+        spec_right=rs,
+        left_columns=["conv_id", "turn_idx", "text"],
+        right_columns=["dim"],
+    )
+    t = pa.concat_tables(
+        [ray.get(r) for r in out.to_arrow_refs()], promote_options="permissive"
+    )
+    expect = {
+        (c, ti): f"dim-{c}" for (c, ti) in live if c in covered
+    }
+    got = {
+        (c, ti): d
+        for c, ti, d in zip(
+            t["conv_id"].to_pylist(),
+            t["turn_idx"].to_pylist(),
+            t["dim"].to_pylist(),
+        )
+    }
+    assert got == expect
+    # text column survived the join untouched
+    texts = {
+        (c, ti): x
+        for c, ti, x in zip(
+            t["conv_id"].to_pylist(),
+            t["turn_idx"].to_pylist(),
+            t["text"].to_pylist(),
+        )
+    }
+    for k, x in texts.items():
+        assert x == live[k]["text"]
+
+
+def test_left_outer_keeps_uncovered_with_nulls(lakes):
+    left, ls, right, rs, live, covered = lakes
+    out = colocated_join(
+        left,
+        right,
+        on=("conv_id",),
+        spec_left=ls,
+        spec_right=rs,
+        how="left",
+        left_columns=["conv_id", "turn_idx"],
+        right_columns=["dim"],
+    )
+    t = pa.concat_tables(
+        [ray.get(r) for r in out.to_arrow_refs()], promote_options="permissive"
+    )
+    assert t.num_rows == len(live)
+    null_convs = {
+        c
+        for c, d in zip(t["conv_id"].to_pylist(), t["dim"].to_pylist())
+        if d is None
+    }
+    assert null_convs == {c for c, _ in live if c not in covered}
+
+
+def test_layout_mismatch_raises(tmp_path, lakes):
+    left, ls, *_ = lakes
+    other_spec = TableSpec(num_partitions=4)
+    other = str(tmp_path / "other")
+    replay(
+        ray.data.from_arrow(_dim_table(["conv-1"])), other, other_spec
+    )
+    with pytest.raises(ValueError, match="not co-partitioned"):
+        colocated_join(left, other, spec_left=ls, spec_right=other_spec)
+
+
+def test_join_key_must_lead_partition_key(lakes):
+    left, ls, right, rs, *_ = lakes
+    with pytest.raises(ValueError, match="partition key"):
+        colocated_join(
+            left, right, on=("turn_idx",), spec_left=ls, spec_right=rs
+        )
