@@ -120,6 +120,56 @@ def test_left_outer_keeps_uncovered_with_nulls(lakes):
     assert null_convs == {c for c, _ in live if c not in covered}
 
 
+def test_join_pads_unevolved_partitions(tmp_path):
+    """Partitions written BEFORE a schema evolution lack the evolved
+    column and keep the narrow key type; the join must null-pad and widen
+    them to the lake's canonical (registry) schema so every task emits one
+    block schema."""
+    base = synthetic_changelog(n_events=1000, n_convs=16, seed=31)
+    evolved = synthetic_changelog(
+        n_events=2000, n_convs=16, seed=31, evolve_from_lsn=1000
+    )
+    later = evolved.filter(pc.greater_equal(evolved["lsn"], 1000))
+    # restrict the evolved segment to ONE conversation so only its
+    # partition is rewritten with the evolved schema
+    target = later["conv_id"][0].as_py()
+    later = later.filter(pc.equal(later["conv_id"], target))
+    assert len(later) > 0
+
+    spec = TableSpec(num_partitions=8)
+    left = str(tmp_path / "left")
+    replay(ray.data.from_arrow(base), left, spec)
+    replay(ray.data.from_arrow(later), left, spec)
+
+    right_spec = TableSpec(num_partitions=8)
+    right = str(tmp_path / "right")
+    replay(
+        ray.data.from_arrow(_dim_table([f"conv-{i}" for i in range(16)])),
+        right,
+        right_spec,
+    )
+
+    out = colocated_join(
+        left,
+        right,
+        on=("conv_id",),
+        spec_left=spec,
+        spec_right=right_spec,
+        left_columns=["conv_id", "turn_idx", "model"],
+        right_columns=["dim"],
+    )
+    t = pa.concat_tables(
+        [ray.get(r) for r in out.to_arrow_refs()], promote_options="permissive"
+    )
+    assert t.num_rows > 0 and "dim" in t.column_names
+    # evolved key type is the widened one everywhere
+    assert t.schema.field("turn_idx").type == pa.int64()
+    models = dict(zip(t["conv_id"].to_pylist(), t["model"].to_pylist()))
+    non_null = {c for c, m in models.items() if m is not None}
+    assert non_null <= {target}  # only the evolved conv carries values
+    assert any(m is None for m in models.values())  # padded partitions
+
+
 def test_layout_mismatch_raises(tmp_path, lakes):
     left, ls, *_ = lakes
     other_spec = TableSpec(num_partitions=4)
