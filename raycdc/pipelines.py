@@ -3354,4 +3354,5 @@ def bench_extras() -> dict[str, Callable[[str], Any]]:
         "cdc_point_in_time": lambda sf: q_cdc_point_in_time(sf).count(),
         "assemble_convs": lambda sf: q_assemble_convs(sf).count(),
         "cdc_history_lake": lambda sf: q_cdc_history_lake(sf).count(),
+        "cdc_colocated_join": lambda sf: q_cdc_colocated_join(sf).count(),
     }
