@@ -1108,7 +1108,10 @@ def read_lake(
         def live(t: pa.Table) -> pa.Table:
             # fill_null: a null op (e.g. an evolved column) is a live row,
             # not a tombstone — a bare not_equal(null, ...) is null and
-            # Table.filter DROPS null-mask rows
+            # Table.filter DROPS null-mask rows.  Lakes without an op
+            # column at all (e.g. join views) store only live rows.
+            if op_col not in t.column_names:
+                return t
             t = t.filter(pc.not_equal(pc.fill_null(t[op_col], ""), M.DELETE))
             return t.drop_columns([op_col]) if drop_op_after else t
 
@@ -1171,6 +1174,43 @@ def colocated_join(
     """
     import ray
 
+    nparts, _pk, join_one, out_schema = _join_plan(
+        left_lake, right_lake, on, spec_left, spec_right, how,
+        left_columns, right_columns, right_suffix,
+    )
+
+    def join_part(batch: pa.Table) -> pa.Table:
+        out = [
+            t
+            for t in (join_one(int(p)) for p in batch["id"].to_pylist())
+            if len(t)
+        ]
+        if not out:
+            return out_schema.empty_table()
+        return pa.concat_tables(out, promote_options="permissive")
+
+    return ray.data.range(
+        nparts, override_num_blocks=min(nparts, 64)
+    ).map_batches(join_part, batch_format="pyarrow")
+
+
+def _join_plan(
+    left_lake: str,
+    right_lake: str,
+    on: tuple[str, ...],
+    spec_left: TableSpec | None,
+    spec_right: TableSpec | None,
+    how: str,
+    left_columns: list[str] | None,
+    right_columns: list[str] | None,
+    right_suffix: str,
+):
+    """Shared front half of :func:`colocated_join` / :func:`refresh_join_view`:
+    validate the co-partition preconditions and build the per-partition
+    local-join closure.  Returns ``(num_partitions, partition_key,
+    join_one, out_schema)`` where ``join_one(part)`` reads the (left,
+    right) partition-file pair and returns the joined table in the
+    canonical ``out_schema`` (possibly empty)."""
     spec_left = spec_left or TableSpec()
     spec_right = spec_right or TableSpec()
     on = tuple(on)
@@ -1233,38 +1273,145 @@ def colocated_join(
                 t = t.append_column(f.name, pa.nulls(len(t), f.type))
         return t.select(out_schema.names).cast(out_schema)
 
-    def join_part(batch: pa.Table) -> pa.Table:
-        out = []
-        for part in batch["id"].to_pylist():
-            part = int(part)
-            lt = _read_side(left_lake, part, keep_l, out_schema_l, op_l, op_in_l)
-            if len(lt) == 0:
-                continue
-            rt = _read_side(right_lake, part, keep_r, out_schema_r, op_r, op_in_r)
-            if len(rt) == 0 and how == "inner":
-                continue
-            joined = lt.join(
-                rt,
-                keys=list(on),
-                join_type=join_type,
-                right_suffix=right_suffix,
-            )
-            out.append(joined)
-        if not out:
-            # empty-join schema: left cols + suffixed right non-key cols
-            fields = list(out_schema_l)
-            lnames = set(out_schema_l.names)
-            for f in out_schema_r:
-                if f.name in on:
-                    continue
-                name = f.name + right_suffix if f.name in lnames else f.name
-                fields.append(pa.field(name, f.type))
-            return pa.schema(fields).empty_table()
-        return pa.concat_tables(out, promote_options="permissive")
+    # canonical join-output schema: left cols + suffixed right non-key cols
+    fields = list(out_schema_l)
+    lnames = set(out_schema_l.names)
+    for f in out_schema_r:
+        if f.name in on:
+            continue
+        name = f.name + right_suffix if f.name in lnames else f.name
+        fields.append(pa.field(name, f.type))
+    out_schema = pa.schema(fields)
 
-    return ray.data.range(
-        nparts_l, override_num_blocks=min(nparts_l, 64)
-    ).map_batches(join_part, batch_format="pyarrow")
+    def join_one(part: int) -> pa.Table:
+        lt = _read_side(left_lake, part, keep_l, out_schema_l, op_l, op_in_l)
+        if len(lt) == 0:
+            return out_schema.empty_table()
+        rt = _read_side(right_lake, part, keep_r, out_schema_r, op_r, op_in_r)
+        if len(rt) == 0 and how == "inner":
+            return out_schema.empty_table()
+        joined = lt.join(
+            rt,
+            keys=list(on),
+            join_type=join_type,
+            right_suffix=right_suffix,
+        )
+        return joined.select(out_schema.names).cast(out_schema)
+
+    return nparts_l, pk_l, join_one, out_schema
+
+
+def refresh_join_view(
+    left_lake: str,
+    right_lake: str,
+    view_lake: str,
+    on: tuple[str, ...] = ("conv_id",),
+    spec_left: TableSpec | None = None,
+    spec_right: TableSpec | None = None,
+    how: str = "inner",
+    left_columns: list[str] | None = None,
+    right_columns: list[str] | None = None,
+    right_suffix: str = "_r",
+) -> pa.Table:
+    """Incrementally maintained MATERIALIZED join view over two
+    co-partitioned lakes.
+
+    The view is itself a lake in the shared FNV-1a layout: partition ``i``
+    of the view is exactly ``colocated_join``'s output for partition pair
+    ``i``.  Each refresh compares the SOURCE partitions' checkpoint
+    versions against the (left_version, right_version) pair recorded in
+    the view's own checkpoint and recomputes ONLY the partitions where
+    either side advanced — so maintenance cost is proportional to the
+    partitions the last replays touched, not to the lake size.  Unchanged
+    partitions are exact no-ops (file untouched, version unchanged).
+
+    Refresh is idempotent and crash-safe with the same contract as
+    ``replay``: the new version file is installed atomically BEFORE the
+    view checkpoint advances to it.  Source versions are read BEFORE the
+    data — a replay landing between the two reads can only make the view
+    record an OLDER version than the data it stored, which the next
+    refresh repairs; the reverse order could pin stale data forever.
+
+    Returns a lineage table (one row per partition: ``status`` is
+    ``refreshed`` or ``noop``, plus the source versions consumed).  Read
+    the view with ``read_lake(view_lake, with_tombstones=True)`` (it
+    stores only live joined rows — there is no op column to filter) or
+    join it onward with :func:`colocated_join` (its layout spec is
+    persisted).
+    """
+    import ray
+
+    nparts, pk, join_one, out_schema = _join_plan(
+        left_lake, right_lake, on, spec_left, spec_right, how,
+        left_columns, right_columns, right_suffix,
+    )
+    view_spec = TableSpec(
+        name="join_view",
+        schema=out_schema,
+        key_cols=tuple(on),
+        version_cols=(),
+        partition_key=pk,
+        num_partitions=nparts,
+    )
+    S.write_spec_meta(view_lake, view_spec)
+
+    def refresh_part(batch: pa.Table) -> pa.Table:
+        rows = []
+        for p in batch["id"].to_pylist():
+            part = int(p)
+            # versions FIRST, data second (see docstring)
+            lck = S.read_checkpoint(left_lake, part) or {}
+            rck = S.read_checkpoint(right_lake, part) or {}
+            vl, vr = lck.get("version"), rck.get("version")
+            vck = S.read_checkpoint(view_lake, part)
+            if (
+                vck is not None
+                and vck.get("left_version") == vl
+                and vck.get("right_version") == vr
+            ):
+                rows.append(
+                    (part, int(vck.get("row_count", 0)),
+                     vck.get("version", 0), vl, vr, "noop")
+                )
+                continue
+            t = join_one(part)
+            next_version = (vck.get("version", 0) + 1) if vck else 0
+            S.write_partition_atomic(t, view_lake, part, version=next_version)
+            S.write_checkpoint(
+                view_lake,
+                part,
+                {
+                    "version": next_version,
+                    "left_version": vl,
+                    "right_version": vr,
+                    "row_count": len(t),
+                },
+            )
+            rows.append((part, len(t), next_version, vl, vr, "refreshed"))
+        part_c, rows_c, ver_c, vl_c, vr_c, st_c = zip(*rows)
+        return pa.table(
+            {
+                "part": pa.array(part_c, pa.int32()),
+                "rows_total": pa.array(rows_c, pa.int64()),
+                "version": pa.array(ver_c, pa.int64()),
+                "left_version": pa.array(vl_c, pa.int64()),
+                "right_version": pa.array(vr_c, pa.int64()),
+                "status": pa.array(st_c),
+            }
+        )
+
+    lineage = pa.concat_tables(
+        ray.get(
+            ray.data.range(nparts, override_num_blocks=min(nparts, 64))
+            .map_batches(refresh_part, batch_format="pyarrow")
+            .to_arrow_refs()
+        )
+    )
+    # register the view's schema so downstream consumers (read_lake with
+    # columns=, a further colocated_join) see the joined schema, not a
+    # default fallback
+    S.update_lake_schema(view_lake)
+    return lineage.sort_by([("part", "ascending")])
 
 
 def migrate_lake(

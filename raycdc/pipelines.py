@@ -732,6 +732,92 @@ def q_cdc_colocated_join(sf_dir: str):
     )
 
 
+def q_cdc_join_view(sf_dir: str):
+    """Incrementally MAINTAINED materialized join view
+    (:func:`raycdc.engine.refresh_join_view`): build the transcript lake
+    from the first half of the WAL, materialize the view, replay the
+    second half, refresh — only partitions the tail replay touched are
+    recomputed (version-pair no-op for the rest).  The final view must
+    equal a from-scratch join of the full log, so it shares
+    ``cdc_colocated_join``'s DuckDB oracle."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from raycdc.changelog import changelog_from_events
+    from raycdc.engine import read_lake, refresh_join_view, replay
+    from raycdc.schema import TableSpec
+
+    spec = TableSpec(num_partitions=16)
+    left = os.path.join(tempfile.gettempdir(), "raycdc_view_left")
+    shutil.rmtree(left, ignore_errors=True)
+    cut = pq.read_metadata(f"{sf_dir}/events.parquet").num_rows // 2
+    log = changelog_from_events(sf_dir)
+    replay(
+        log.map_batches(
+            lambda t: t.filter(pc.less_equal(t["lsn"], cut)),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ),
+        left,
+        spec,
+    )
+
+    dim_schema = pa.schema(
+        [
+            pa.field("conv_id", pa.string()),
+            pa.field("turn_idx", pa.int32()),
+            pa.field("segment", pa.string()),
+            pa.field("ts", pa.timestamp("us")),
+        ]
+    )
+    dim_spec = TableSpec(name="conv_dim", schema=dim_schema, num_partitions=16)
+
+    def to_dim_changelog(t: pa.Table) -> pa.Table:
+        n = len(t)
+        ck = pc.cast(t["c_custkey"], pa.int64())
+        conv_id = pc.binary_join_element_wise(
+            "c", pc.cast(pc.subtract(ck, 1), pa.string()), ""
+        )
+        return pa.table(
+            {
+                "conv_id": conv_id,
+                "turn_idx": pa.array(np.zeros(n, np.int32)),
+                "segment": t["c_mktsegment"],
+                "ts": pa.array(
+                    np.full(n, 1_700_000_000_000_000, np.int64), pa.timestamp("us")
+                ),
+                "op": pa.array(np.full(n, "insert")),
+                "lsn": ck,
+                "seg_id": pa.array(np.zeros(n, np.int32)),
+            }
+        )
+
+    right = os.path.join(tempfile.gettempdir(), "raycdc_view_right")
+    shutil.rmtree(right, ignore_errors=True)
+    replay(
+        ray.data.read_parquet(
+            f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+        ).map_batches(to_dim_changelog, batch_format="pyarrow"),
+        right,
+        dim_spec,
+    )
+
+    view = os.path.join(tempfile.gettempdir(), "raycdc_join_view")
+    shutil.rmtree(view, ignore_errors=True)
+    kw = dict(
+        on=("conv_id",),
+        spec_left=spec,
+        spec_right=dim_spec,
+        left_columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"],
+        right_columns=["segment"],
+    )
+    refresh_join_view(left, right, view, **kw)
+    # tail replay, then incremental refresh (only touched partitions)
+    replay(log, left, spec)
+    refresh_join_view(left, right, view, **kw)
+    return read_lake(view, with_tombstones=True)
+
+
 def _sql_cdc_colocated_join() -> str:
     from raycdc.changelog import CHANGELOG_SQL
 
@@ -3204,6 +3290,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "cdc_suppress_noops": q_cdc_suppress_noops,
     "cdc_point_in_time": q_cdc_point_in_time,
     "cdc_colocated_join": q_cdc_colocated_join,
+    "cdc_join_view": q_cdc_join_view,
     "sample_events": q_sample_events,
     "split_events": q_split_events,
     "join_orders_customer": q_join_orders_customer,
@@ -3283,6 +3370,7 @@ ORACLES: dict[str, str] = {
     "cdc_suppress_noops": SQL_CDC_SUPPRESS_NOOPS,
     "cdc_point_in_time": SQL_CDC_POINT_IN_TIME,
     "cdc_colocated_join": _sql_cdc_colocated_join(),
+    "cdc_join_view": _sql_cdc_colocated_join(),
     "sample_events": SQL_SAMPLE_EVENTS,
     "split_events": SQL_SPLIT_EVENTS,
     "sessionize_events": SQL_SESSIONIZE_EVENTS,

@@ -13,7 +13,7 @@ import pytest
 import ray.data
 
 from raycdc.changelog import synthetic_changelog
-from raycdc.engine import colocated_join, replay
+from raycdc.engine import colocated_join, read_lake, refresh_join_view, replay
 from raycdc.schema import TableSpec
 
 from .oracle import python_lww_replay
@@ -187,3 +187,136 @@ def test_join_key_must_lead_partition_key(lakes):
         colocated_join(
             left, right, on=("turn_idx",), spec_left=ls, spec_right=rs
         )
+
+
+# ---------------------------------------------------------------------------
+# incrementally maintained join view (engine.refresh_join_view)
+
+
+def _join_table(ds) -> pa.Table:
+    return pa.concat_tables(
+        [ray.get(r) for r in ds.to_arrow_refs()], promote_options="permissive"
+    )
+
+
+def _view_state(view: str) -> dict:
+    t = _join_table(read_lake(view, with_tombstones=True))
+    return {
+        (c, ti): d
+        for c, ti, d in zip(
+            t["conv_id"].to_pylist(),
+            t["turn_idx"].to_pylist(),
+            t["dim"].to_pylist(),
+        )
+    }
+
+
+def test_join_view_initial_noop_and_incremental(tmp_path, lakes):
+    left, ls, right, rs, live, covered = lakes
+    view = str(tmp_path / "view")
+    kw = dict(
+        on=("conv_id",),
+        spec_left=ls,
+        spec_right=rs,
+        left_columns=["conv_id", "turn_idx", "text"],
+        right_columns=["dim"],
+    )
+
+    # initial build: every partition refreshed, content == colocated_join
+    lin1 = refresh_join_view(left, right, view, **kw)
+    assert set(lin1["status"].to_pylist()) == {"refreshed"}
+    assert len(lin1) == 8
+    expect = {
+        k: f"dim-{k[0]}" for k in live if k[0] in covered
+    }
+    assert _view_state(view) == expect
+
+    # refresh with no source change: pure no-op, files untouched
+    import os as _os
+
+    from raycdc import sink as S
+
+    mtimes = {
+        p: _os.stat(S.part_file(view, p)).st_mtime_ns for p in range(8)
+    }
+    lin2 = refresh_join_view(left, right, view, **kw)
+    assert set(lin2["status"].to_pylist()) == {"noop"}
+    assert {
+        p: _os.stat(S.part_file(view, p)).st_mtime_ns for p in range(8)
+    } == mtimes
+
+    # replay a new segment updating ONE covered conversation -> only the
+    # partitions that replay touched are refreshed, and the view matches a
+    # from-scratch join
+    target = sorted(covered)[0]
+    upd = pa.table(
+        {
+            "conv_id": pa.array([target]),
+            "turn_idx": pa.array([0], pa.int32()),
+            "role": pa.array(["user"]),
+            "text": pa.array(["patched"]),
+            "tool": pa.array([""]),
+            "ts": pa.array([1_900_000_000_000_000], pa.timestamp("us")),
+            "op": pa.array(["update"]),
+            "lsn": pa.array([10_000_000], pa.int64()),
+            "seg_id": pa.array([99], pa.int32()),
+        }
+    )
+    rep_lin = replay(ray.data.from_arrow(upd), left, ls)
+    touched = {
+        p
+        for p, s in zip(rep_lin["part"].to_pylist(), rep_lin["status"].to_pylist())
+        if s != "noop"
+    }
+    assert touched  # the update landed somewhere
+
+    lin3 = refresh_join_view(left, right, view, **kw)
+    refreshed = {
+        p
+        for p, s in zip(lin3["part"].to_pylist(), lin3["status"].to_pylist())
+        if s == "refreshed"
+    }
+    assert refreshed == touched
+    state = _view_state(view)
+    assert state == expect  # dim mapping unchanged
+    # and the joined text column carries the patched value
+    t = _join_table(read_lake(view, with_tombstones=True))
+    texts = dict(
+        zip(
+            zip(t["conv_id"].to_pylist(), t["turn_idx"].to_pylist()),
+            t["text"].to_pylist(),
+        )
+    )
+    assert texts[(target, 0)] == "patched"
+    # full recompute agrees with the incrementally maintained view
+    full = _join_table(colocated_join(left, right, **kw))
+    assert full.num_rows == t.num_rows
+
+
+def test_join_view_is_itself_joinable(tmp_path, lakes):
+    """The view persists its layout spec, so colocated_join can consume it
+    downstream without re-validation surprises."""
+    left, ls, right, rs, live, covered = lakes
+    view = str(tmp_path / "view")
+    refresh_join_view(
+        left,
+        right,
+        view,
+        on=("conv_id",),
+        spec_left=ls,
+        spec_right=rs,
+        left_columns=["conv_id", "turn_idx"],
+        right_columns=["dim"],
+    )
+    out = colocated_join(
+        view,
+        right,
+        on=("conv_id",),
+        spec_right=rs,
+        left_columns=["conv_id", "dim"],
+        right_columns=["dim"],
+        right_suffix="_again",
+    )
+    t = _join_table(out)
+    assert t.num_rows > 0
+    assert t["dim"].to_pylist() == t["dim_again"].to_pylist()
