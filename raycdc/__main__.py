@@ -139,6 +139,28 @@ def main(argv: list[str] | None = None) -> int:
     p_scd2.add_argument("--lsn-col", default="lsn")
     p_scd2.add_argument("--partitions", type=int, default=64)
 
+    p_view = sub.add_parser(
+        "join-view",
+        help="refresh an incrementally maintained join view of two "
+        "co-partitioned lakes (only partitions whose sources advanced "
+        "are recomputed)",
+    )
+    p_view.add_argument("left", help="left lake dir")
+    p_view.add_argument("right", help="right lake dir")
+    p_view.add_argument("--view", required=True, help="view lake dir")
+    p_view.add_argument(
+        "--on",
+        default="conv_id",
+        help="comma-separated join keys (first must be the shared partition key)",
+    )
+    p_view.add_argument("--how", default="inner", choices=["inner", "left"])
+    p_view.add_argument(
+        "--left-columns", default=None, help="comma-separated column prune"
+    )
+    p_view.add_argument(
+        "--right-columns", default=None, help="comma-separated column prune"
+    )
+
     p_profile = sub.add_parser(
         "profile", help="sketch-profile parquet column(s): count, distinct, quantiles"
     )
@@ -372,6 +394,34 @@ def main(argv: list[str] | None = None) -> int:
                     "statuses": sorted(pdf["status"].unique().tolist())
                     if len(pdf)
                     else [],
+                }
+            )
+        )
+    elif args.cmd == "join-view":
+        from raycdc.engine import refresh_join_view
+
+        lin = refresh_join_view(
+            args.left,
+            args.right,
+            args.view,
+            on=tuple(args.on.split(",")),
+            spec_left=_lake_spec(args.left, 64),
+            spec_right=_lake_spec(args.right, 64),
+            how=args.how,
+            left_columns=args.left_columns.split(",") if args.left_columns else None,
+            right_columns=args.right_columns.split(",")
+            if args.right_columns
+            else None,
+        )
+        statuses = lin["status"].to_pylist()
+        print(
+            json.dumps(
+                {
+                    "view": args.view,
+                    "partitions": lin.num_rows,
+                    "refreshed": statuses.count("refreshed"),
+                    "noop": statuses.count("noop"),
+                    "rows_total": int(sum(lin["rows_total"].to_pylist())),
                 }
             )
         )

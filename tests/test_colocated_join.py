@@ -320,3 +320,49 @@ def test_join_view_is_itself_joinable(tmp_path, lakes):
     t = _join_table(out)
     assert t.num_rows > 0
     assert t["dim"].to_pylist() == t["dim_again"].to_pylist()
+
+
+def test_join_view_cli_and_vacuum(tmp_path, lakes, capsys):
+    """CLI smoke: `raycdc join-view` builds then no-ops; vacuum prunes the
+    view's superseded version files like any other lake."""
+    import json
+
+    from raycdc.__main__ import main
+    from raycdc.sink import vacuum, write_snapshot
+
+    left, ls, right, rs, *_ = lakes
+    view = str(tmp_path / "view")
+    args = [
+        "join-view", left, right, "--view", view,
+        "--on", "conv_id",
+        "--left-columns", "conv_id,turn_idx,text",
+        "--right-columns", "dim",
+    ]
+    assert main(args) == 0
+    first = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert first["refreshed"] == 8 and first["noop"] == 0
+
+    assert main(args) == 0
+    second = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert second["noop"] == 8 and second["refreshed"] == 0
+    assert second["rows_total"] == first["rows_total"]
+
+    # force a rebuild (new versions) by touching the left lake, then vacuum
+    upd = pa.table(
+        {
+            "conv_id": pa.array(["conv-0"]),
+            "turn_idx": pa.array([1], pa.int32()),
+            "role": pa.array(["user"]),
+            "text": pa.array(["v2"]),
+            "tool": pa.array([""]),
+            "ts": pa.array([1_900_000_000_000_000], pa.timestamp("us")),
+            "op": pa.array(["update"]),
+            "lsn": pa.array([20_000_000], pa.int64()),
+            "seg_id": pa.array([100], pa.int32()),
+        }
+    )
+    replay(ray.data.from_arrow(upd), left, ls)
+    assert main(args) == 0
+    write_snapshot(view)
+    removed = vacuum(view, keep_snapshots=1)
+    assert removed >= 1  # the superseded v0 file of the touched partition
