@@ -55,6 +55,41 @@ def _shuffle_parts(spec: TableSpec) -> int:
     return spec.shuffle_partitions or 2 * spec.num_partitions
 
 
+def _ensure_parallel_input(ds: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Split a large LOW-PARALLELISM in-memory input into enough blocks to
+    feed the cluster.
+
+    Blocks are Ray Data's unit of parallelism: one WAL segment handed over
+    as a single Arrow table (``from_arrow``, a CLI replay of one
+    materialized dump) is ONE block, so the whole prepare stage — project,
+    floor-prune, key, combine — runs as ONE task no matter how many CPUs
+    the cluster has (measured: 4M events from one block replayed ~100×
+    slower than the same events from parallel derive tasks).  Lazy file
+    reads already shard into read tasks — ``num_blocks`` raises for those
+    and we leave them alone.  Small inputs stay untouched: a streaming
+    split only pays for itself when the serial prepare would dominate.
+    """
+    try:
+        nblocks = ds.num_blocks()  # exact for in-memory/materialized only
+        size = ds.size_bytes()
+    except Exception:
+        return ds  # lazy pipeline: the reader shards it
+    if not nblocks or not size:
+        return ds
+    import ray
+
+    cpus = (
+        int(ray.cluster_resources().get("CPU", 0) or 8)
+        if ray.is_initialized()
+        else 8
+    )
+    # ~16 MiB per block amortizes dispatch; cap at 2 blocks per CPU
+    want = min(cpus * 2, size // (16 << 20) + 1)
+    if nblocks >= want or want <= 1:
+        return ds
+    return ds.repartition(int(want), shuffle=False)
+
+
 def prepare(
     ds: "ray.data.Dataset",
     spec: TableSpec,
@@ -147,6 +182,7 @@ def merged_state(
     """
     spec = spec or TableSpec()
     _configure_shuffle()
+    ds = _ensure_parallel_input(ds)
     if not drop_deletes and not keep_envelope:
         raise ValueError(
             "merged_state(drop_deletes=False) requires keep_envelope=True — "
@@ -407,6 +443,7 @@ def replay(
     """
     spec = spec or TableSpec()
     _configure_shuffle()
+    ds = _ensure_parallel_input(ds)
     if quarantine_dir is not None and spec.merge_policy != "history":
         raise ValueError(
             "quarantine_dir only applies to merge_policy='history' — lww "
@@ -589,6 +626,7 @@ def bootstrap(
     """
     spec = spec or TableSpec()
     _configure_shuffle()
+    snapshot = _ensure_parallel_input(snapshot)
     if spec.merge_policy == "history":
         raise ValueError(
             "bootstrap takes a current-state snapshot; a history lake's "
