@@ -112,6 +112,89 @@ changelog AS (
 """
 
 
+def diff_tagged(
+    g: pa.Table,
+    key_cols,
+    value_cols,
+    op_col: str = "op",
+) -> pa.Table:
+    """Vectorized two-sided snapshot diff over ONE tagged table.
+
+    ``g`` carries ``key_cols + value_cols`` plus an int8 ``__side`` column
+    (0 = old, 1 = new).  Emits insert/update/delete rows with ``op_col``
+    appended; identical rows emit nothing.  Shared by
+    :func:`diff_snapshots` (inside its bucketed groupby) and
+    :func:`raycdc.engine.change_feed` (per co-located partition pair,
+    no exchange at all).  Raises on duplicate keys within one side.
+    """
+    cols = [*key_cols, *value_cols]
+    g = g.sort_by(
+        [(k, "ascending") for k in key_cols] + [("__side", "ascending")]
+    )
+    n = len(g)
+    out_schema = pa.schema(
+        [g.schema.field(c) for c in cols] + [pa.field(op_col, pa.string())]
+    )
+    if n == 0:
+        return out_schema.empty_table()
+    new_key = np.ones(n, dtype=bool)
+    changed = None
+    for k in key_cols:
+        col = g[k].combine_chunks()
+        neq = pc.fill_null(
+            pc.not_equal(col.slice(1), col.slice(0, n - 1)), True
+        )
+        vd = pc.xor(pc.is_valid(col.slice(1)), pc.is_valid(col.slice(0, n - 1)))
+        d = pc.or_(neq, vd).to_numpy(zero_copy_only=False)
+        changed = d if changed is None else (changed | d)
+    new_key[1:] = changed
+    starts = np.where(new_key)[0]
+    sizes = np.diff(np.append(starts, n))
+    if sizes.max(initial=0) > 2:
+        raise ValueError(
+            "diff_snapshots: duplicate key within one snapshot "
+            "(each side must be unique per key_cols)"
+        )
+    side = g["__side"].to_numpy(zero_copy_only=False)
+    both = sizes == 2
+    if both.any() and not (
+        (side[starts[both]] == 0) & (side[starts[both] + 1] == 1)
+    ).all():
+        raise ValueError(
+            "diff_snapshots: duplicate key within one snapshot "
+            "(each side must be unique per key_cols)"
+        )
+    single = starts[sizes == 1]
+    ins_idx = single[side[single] == 1]
+    del_idx = single[side[single] == 0]
+    # both-sides keys: value compare old row (starts) vs new (starts+1)
+    old_i, new_i = starts[both], starts[both] + 1
+    if len(old_i):
+        diff_mask = np.zeros(len(old_i), dtype=bool)
+        oi, ni = pa.array(old_i), pa.array(new_i)
+        for c in value_cols:
+            col = g[c].combine_chunks()
+            a, b = col.take(oi), col.take(ni)
+            neq = pc.fill_null(pc.not_equal(a, b), False)
+            vd = pc.xor(pc.is_valid(a), pc.is_valid(b))
+            diff_mask |= pc.or_(neq, vd).to_numpy(zero_copy_only=False)
+        upd_idx = new_i[diff_mask]
+    else:
+        upd_idx = np.empty(0, np.int64)
+
+    def emit(idx: np.ndarray, op: str) -> pa.Table:
+        t = g.select(cols).take(pa.array(idx.astype(np.int64)))
+        return t.append_column(op_col, pa.repeat(pa.scalar(op), len(t)))
+
+    return pa.concat_tables(
+        [
+            emit(ins_idx, "insert"),
+            emit(upd_idx, "update"),
+            emit(del_idx, "delete"),
+        ]
+    ).cast(out_schema)
+
+
 def diff_snapshots(
     old: "ray.data.Dataset",
     new: "ray.data.Dataset",
@@ -159,76 +242,12 @@ def diff_snapshots(
 
         return tag
 
-    def diff(g: pa.Table) -> pa.Table:
-        g = g.sort_by(
-            [(k, "ascending") for k in key_cols] + [("__side", "ascending")]
-        )
-        n = len(g)
-        out_schema = pa.schema(
-            [g.schema.field(c) for c in cols] + [pa.field(op_col, pa.string())]
-        )
-        if n == 0:
-            return out_schema.empty_table()
-        new_key = np.ones(n, dtype=bool)
-        changed = None
-        for k in key_cols:
-            col = g[k].combine_chunks()
-            neq = pc.fill_null(
-                pc.not_equal(col.slice(1), col.slice(0, n - 1)), True
-            )
-            vd = pc.xor(pc.is_valid(col.slice(1)), pc.is_valid(col.slice(0, n - 1)))
-            d = pc.or_(neq, vd).to_numpy(zero_copy_only=False)
-            changed = d if changed is None else (changed | d)
-        new_key[1:] = changed
-        starts = np.where(new_key)[0]
-        sizes = np.diff(np.append(starts, n))
-        if sizes.max(initial=0) > 2:
-            raise ValueError(
-                "diff_snapshots: duplicate key within one snapshot "
-                "(each side must be unique per key_cols)"
-            )
-        side = g["__side"].to_numpy(zero_copy_only=False)
-        both = sizes == 2
-        if both.any() and not (
-            (side[starts[both]] == 0) & (side[starts[both] + 1] == 1)
-        ).all():
-            raise ValueError(
-                "diff_snapshots: duplicate key within one snapshot "
-                "(each side must be unique per key_cols)"
-            )
-        single = starts[sizes == 1]
-        ins_idx = single[side[single] == 1]
-        del_idx = single[side[single] == 0]
-        # both-sides keys: value compare old row (starts) vs new (starts+1)
-        old_i, new_i = starts[both], starts[both] + 1
-        if len(old_i):
-            diff_mask = np.zeros(len(old_i), dtype=bool)
-            oi, ni = pa.array(old_i), pa.array(new_i)
-            for c in value_cols:
-                col = g[c].combine_chunks()
-                a, b = col.take(oi), col.take(ni)
-                neq = pc.fill_null(pc.not_equal(a, b), False)
-                vd = pc.xor(pc.is_valid(a), pc.is_valid(b))
-                diff_mask |= pc.or_(neq, vd).to_numpy(zero_copy_only=False)
-            upd_idx = new_i[diff_mask]
-        else:
-            upd_idx = np.empty(0, np.int64)
-
-        def emit(idx: np.ndarray, op: str) -> pa.Table:
-            t = g.select(cols).take(pa.array(idx.astype(np.int64)))
-            return t.append_column(op_col, pa.repeat(pa.scalar(op), len(t)))
-
-        return pa.concat_tables(
-            [
-                emit(ins_idx, "insert"),
-                emit(upd_idx, "update"),
-                emit(del_idx, "delete"),
-            ]
-        ).cast(out_schema)
-
     tagged = old.map_batches(
         _tag(0), batch_format="pyarrow", zero_copy_batch=True
     ).union(new.map_batches(_tag(1), batch_format="pyarrow", zero_copy_batch=True))
+    def diff(g: pa.Table) -> pa.Table:
+        return diff_tagged(g, key_cols, value_cols, op_col)
+
     return tagged.groupby("__bucket", num_partitions=num_partitions).map_groups(
         diff, batch_format="pyarrow"
     )

@@ -1452,6 +1452,116 @@ def refresh_join_view(
     return lineage.sort_by([("part", "ascending")])
 
 
+def change_feed(
+    lake_dir: str,
+    from_snapshot: int,
+    to_snapshot: int | None = None,
+    spec: TableSpec | None = None,
+    value_cols: tuple[str, ...] | None = None,
+) -> "ray.data.Dataset":
+    """ZERO-SHUFFLE changelog between two recorded snapshots of ONE lake —
+    CDC *out* of the lake, closing the loop: downstream consumers tail the
+    lake's own changes instead of re-reading it.
+
+    Both snapshot ids resolve to per-partition version maps
+    (``to_snapshot=None`` means the current checkpointed versions), and a
+    partition's two versions live in the same directory by construction —
+    so the diff runs as one independent task per partition: read the
+    (from, to) version pair, drop stored tombstones (a key whose winner is
+    a tombstone is ABSENT from state), and run the same vectorized
+    two-sided kernel as :func:`raycdc.changelog.diff_snapshots`
+    (``diff_tagged``) locally.  No exchange, no driver materialization;
+    output volume is proportional to the CHANGE between the snapshots.
+
+    ``value_cols`` defaults to every non-key, non-envelope column of the
+    lake's registered schema.  Output: ``key_cols + value_cols + op``
+    (insert/update/delete; delete rows carry the last-known values, same
+    contract as ``diff_snapshots``).  Partition files written before a
+    schema evolution are null-padded and widened to the registry schema,
+    so both sides compare under one type set.
+    """
+    import ray
+
+    from raycdc.changelog import diff_tagged
+
+    spec = spec or TableSpec()
+    meta = S.read_spec_meta(lake_dir) or {}
+    nparts = int(meta.get("num_partitions", spec.num_partitions))
+    key_cols = tuple(meta.get("key_cols", spec.key_cols))
+    op_col = spec.op_col
+
+    v_from = S.read_snapshot(lake_dir, from_snapshot)
+    if v_from is None:
+        raise FileNotFoundError(f"no snapshot {from_snapshot} under {lake_dir}")
+    if to_snapshot is None:
+        v_to = {
+            p: c.get("version", 0)
+            for p, c in S.read_all_checkpoints(lake_dir).items()
+        }
+    else:
+        v_to = S.read_snapshot(lake_dir, to_snapshot)
+        if v_to is None:
+            raise FileNotFoundError(f"no snapshot {to_snapshot} under {lake_dir}")
+
+    schema = S.read_lake_schema(lake_dir) or spec.schema
+    if value_cols is None:
+        envelope = {op_col, "lsn", "seg_id"}
+        value_cols = tuple(
+            c for c in schema.names if c not in key_cols and c not in envelope
+        )
+    cols = [*key_cols, *value_cols]
+    missing = [c for c in cols if c not in schema.names]
+    if missing:
+        raise ValueError(f"columns {missing} not in lake schema {schema.names}")
+    state_schema = pa.schema([schema.field(c) for c in cols])
+    out_schema = pa.schema(list(state_schema) + [pa.field(op_col, pa.string())])
+
+    def _state(part: int, version: int | None) -> pa.Table:
+        """Live rows of one stored partition version, canonical schema."""
+        if version is None:
+            return state_schema.empty_table()
+        t = S.read_partition(
+            lake_dir, part, version=version, columns=[*cols, op_col]
+        )
+        if t is None:
+            return state_schema.empty_table()
+        if op_col in t.column_names:
+            t = t.filter(pc.not_equal(pc.fill_null(t[op_col], ""), M.DELETE))
+        for f in state_schema:
+            if f.name not in t.column_names:
+                t = t.append_column(f.name, pa.nulls(len(t), f.type))
+        return t.select(state_schema.names).cast(state_schema)
+
+    def feed_part(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        out = []
+        for p in batch["id"].to_pylist():
+            part = int(p)
+            old = _state(part, v_from.get(part))
+            new = _state(part, v_to.get(part))
+            if len(old) == 0 and len(new) == 0:
+                continue
+            tagged = pa.concat_tables(
+                [
+                    old.append_column(
+                        "__side", pa.array(np.zeros(len(old), np.int8))
+                    ),
+                    new.append_column(
+                        "__side", pa.array(np.ones(len(new), np.int8))
+                    ),
+                ]
+            )
+            out.append(diff_tagged(tagged, key_cols, value_cols, op_col))
+        if not out:
+            return out_schema.empty_table()
+        return pa.concat_tables(out).cast(out_schema)
+
+    return ray.data.range(
+        nparts, override_num_blocks=min(nparts, 64)
+    ).map_batches(feed_part, batch_format="pyarrow")
+
+
 def migrate_lake(
     src_lake: str,
     dst_lake: str,

@@ -818,6 +818,91 @@ def q_cdc_join_view(sf_dir: str):
     return read_lake(view, with_tombstones=True)
 
 
+def q_cdc_change_feed(sf_dir: str):
+    """CDC OUT of the lake (:func:`raycdc.engine.change_feed`): replay the
+    first half of the WAL, snapshot, replay the rest, snapshot — then emit
+    the insert/update/delete feed between the two snapshots as one local
+    diff task per partition (co-located version pairs, zero shuffle).  The
+    ORACLE recomputes the feed as a FULL OUTER JOIN of the two LWW states
+    with IS DISTINCT FROM semantics."""
+    import pyarrow.parquet as pq
+
+    from raycdc.changelog import changelog_from_events
+    from raycdc.engine import change_feed, replay
+    from raycdc.schema import TableSpec
+    from raycdc.sink import write_snapshot
+
+    spec = TableSpec(num_partitions=16)
+    lake = os.path.join(tempfile.gettempdir(), "raycdc_feed_lake")
+    shutil.rmtree(lake, ignore_errors=True)
+    cut = pq.read_metadata(f"{sf_dir}/events.parquet").num_rows // 2
+    log = changelog_from_events(sf_dir)
+    replay(
+        log.map_batches(
+            lambda t: t.filter(pc.less_equal(t["lsn"], cut)),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ),
+        lake,
+        spec,
+    )
+    s0 = write_snapshot(lake)
+    replay(log, lake, spec)
+    s1 = write_snapshot(lake)
+    return change_feed(lake, s0, s1, spec)
+
+
+def _sql_cdc_change_feed() -> str:
+    from raycdc.changelog import CHANGELOG_SQL
+
+    return f"""
+WITH {CHANGELOG_SQL.strip()},
+ranked AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY conv_id, turn_idx
+        ORDER BY ts DESC, lsn DESC
+    ) AS rn
+    FROM changelog
+),
+new_state AS (
+    SELECT conv_id, turn_idx, role, text, tool, ts
+    FROM ranked WHERE rn = 1 AND op <> 'delete'
+),
+ranked_old AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY conv_id, turn_idx
+        ORDER BY ts DESC, lsn DESC
+    ) AS rn
+    FROM changelog
+    WHERE lsn <= (SELECT COUNT(*) FROM events) // 2
+),
+old_state AS (
+    SELECT conv_id, turn_idx, role, text, tool, ts
+    FROM ranked_old WHERE rn = 1 AND op <> 'delete'
+),
+d AS (
+    SELECT coalesce(n.conv_id, o.conv_id) AS conv_id,
+           coalesce(n.turn_idx, o.turn_idx) AS turn_idx,
+           CASE WHEN n.conv_id IS NULL THEN o.role ELSE n.role END AS role,
+           CASE WHEN n.conv_id IS NULL THEN o.text ELSE n.text END AS text,
+           CASE WHEN n.conv_id IS NULL THEN o.tool ELSE n.tool END AS tool,
+           CASE WHEN n.conv_id IS NULL THEN o.ts ELSE n.ts END AS ts,
+           CASE WHEN o.conv_id IS NULL THEN 'insert'
+                WHEN n.conv_id IS NULL THEN 'delete'
+                WHEN (n.role IS DISTINCT FROM o.role)
+                  OR (n.text IS DISTINCT FROM o.text)
+                  OR (n.tool IS DISTINCT FROM o.tool)
+                  OR (n.ts IS DISTINCT FROM o.ts)
+                THEN 'update' END AS op
+    FROM old_state o
+    FULL OUTER JOIN new_state n
+      ON n.conv_id = o.conv_id AND n.turn_idx = o.turn_idx
+)
+SELECT conv_id, turn_idx, role, text, tool, ts, op
+FROM d WHERE op IS NOT NULL
+"""
+
+
 def _sql_cdc_colocated_join() -> str:
     from raycdc.changelog import CHANGELOG_SQL
 
@@ -3291,6 +3376,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "cdc_point_in_time": q_cdc_point_in_time,
     "cdc_colocated_join": q_cdc_colocated_join,
     "cdc_join_view": q_cdc_join_view,
+    "cdc_change_feed": q_cdc_change_feed,
     "sample_events": q_sample_events,
     "split_events": q_split_events,
     "join_orders_customer": q_join_orders_customer,
@@ -3371,6 +3457,7 @@ ORACLES: dict[str, str] = {
     "cdc_point_in_time": SQL_CDC_POINT_IN_TIME,
     "cdc_colocated_join": _sql_cdc_colocated_join(),
     "cdc_join_view": _sql_cdc_colocated_join(),
+    "cdc_change_feed": _sql_cdc_change_feed(),
     "sample_events": SQL_SAMPLE_EVENTS,
     "split_events": SQL_SPLIT_EVENTS,
     "sessionize_events": SQL_SESSIONIZE_EVENTS,

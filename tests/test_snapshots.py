@@ -91,3 +91,56 @@ def test_point_lookup_single_partition(ray_session, tmp_path):
     assert len(t1) == 1 and t1["text"][0].as_py() == got[(conv, some_turn)]
     # missing conversation → empty, not an error
     assert len(lookup(lake, "no-such-conv", spec)) == 0
+
+
+def test_change_feed_between_snapshots(tmp_path):
+    """CDC OUT of the lake: the per-partition zero-shuffle diff between two
+    recorded snapshots must equal the key-level difference of the two LWW
+    states (inserts for new keys, deletes for vanished ones, updates for
+    changed payloads — unchanged keys emit nothing)."""
+    import ray
+
+    from raycdc.engine import change_feed
+    from raycdc.sink import write_snapshot
+
+    base = synthetic_changelog(n_events=1200, seed=61, p_delete=0.2)
+    head = base.filter(pc.less(base["lsn"], 600))
+    tail = base.filter(pc.greater_equal(base["lsn"], 600))
+    lake = str(tmp_path / "lake")
+    spec = TableSpec(num_partitions=4)
+    replay(ray.data.from_arrow(head), lake, spec)
+    s0 = write_snapshot(lake)
+    replay(ray.data.from_arrow(tail), lake, spec)
+    s1 = write_snapshot(lake)
+
+    old = python_lww_replay([head])
+    new = python_lww_replay([base])
+    expect = {}
+    for k in new.keys() - old.keys():
+        expect[k] = ("insert", new[k]["text"])
+    for k in old.keys() - new.keys():
+        expect[k] = ("delete", old[k]["text"])  # payload = last-known values
+    for k in new.keys() & old.keys():
+        if any(new[k][c] != old[k][c] for c in ("role", "text", "tool", "ts")):
+            expect[k] = ("update", new[k]["text"])
+
+    for snap_to in (s1, None):  # explicit target and "current state"
+        feed = change_feed(lake, s0, snap_to, spec)
+        t = pa.concat_tables(
+            [ray.get(r) for r in feed.to_arrow_refs()],
+            promote_options="permissive",
+        )
+        got = {
+            (c, ti): (op, tx)
+            for c, ti, op, tx in zip(
+                t["conv_id"].to_pylist(),
+                t["turn_idx"].to_pylist(),
+                t["op"].to_pylist(),
+                t["text"].to_pylist(),
+            )
+        }
+        assert got == expect
+
+    # same-snapshot feed is empty
+    empty = change_feed(lake, s1, s1, spec)
+    assert empty.count() == 0
