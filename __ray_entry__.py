@@ -185,10 +185,11 @@ GROUP BY seg_id
         "cdc_replay": lww_final,
         "cdc_replay_lake": lww_final,
         # these variants must land on the SAME final state: CSV round-trip
-        # ingestion, salted pre-merge, actor-pool merge
+        # ingestion, salted pre-merge, actor-pool merge, incremental replica
         "cdc_csv_ingest": lww_final,
         "cdc_replay_salted": lww_final,
         "cdc_replay_actors": lww_final,
+        "cdc_sync_replica": lww_final,
         "cdc_lineage": lineage,
         **pipeline_oracles,
     }

@@ -161,6 +161,14 @@ def main(argv: list[str] | None = None) -> int:
         "--right-columns", default=None, help="comma-separated column prune"
     )
 
+    p_sync = sub.add_parser(
+        "sync",
+        help="incrementally replicate a lake (copies only partitions whose "
+        "source version advanced; replica stays replay-capable)",
+    )
+    p_sync.add_argument("src", help="source lake dir")
+    p_sync.add_argument("dst", help="replica lake dir")
+
     p_profile = sub.add_parser(
         "profile", help="sketch-profile parquet column(s): count, distinct, quantiles"
     )
@@ -420,6 +428,21 @@ def main(argv: list[str] | None = None) -> int:
                     "view": args.view,
                     "partitions": lin.num_rows,
                     "refreshed": statuses.count("refreshed"),
+                    "noop": statuses.count("noop"),
+                    "rows_total": int(sum(lin["rows_total"].to_pylist())),
+                }
+            )
+        )
+    elif args.cmd == "sync":
+        from raycdc.engine import sync_lake
+
+        lin = sync_lake(args.src, args.dst, _lake_spec(args.src, 64))
+        statuses = lin["status"].to_pylist()
+        print(
+            json.dumps(
+                {
+                    "dst": args.dst,
+                    "copied": statuses.count("copied"),
                     "noop": statuses.count("noop"),
                     "rows_total": int(sum(lin["rows_total"].to_pylist())),
                 }

@@ -1583,6 +1583,98 @@ def change_feed(
     ).map_batches(feed_part, batch_format="pyarrow")
 
 
+def sync_lake(
+    src_lake: str,
+    dst_lake: str,
+    spec: TableSpec | None = None,
+) -> pa.Table:
+    """Incremental SAME-LAYOUT replication: keep a replica lake in sync by
+    copying only the partitions whose source version advanced since the
+    last sync.
+
+    Each partition task compares the source checkpoint's ``version``
+    against the ``src_version`` recorded in the replica's checkpoint and
+    copies the current partition state only on change — so a steady-state
+    sync is a metadata-only no-op and an incremental sync costs
+    ∝ touched partitions, like :func:`refresh_join_view`.  The copy goes
+    through the storage interface (read + atomic write), so source and
+    replica can live on different backends (local → fsspec and back).
+
+    The replica is a FULL lake, not a dead copy: the source's layout spec
+    and per-partition checkpoint payload (``max_lsn``, ``row_count``,
+    ``content_hash``) are carried over, so after a failover
+    :func:`replay` can continue applying WAL segments directly to the
+    replica exactly-once, and :func:`read_lake` / :func:`compact` /
+    snapshots all work on it.  (The reference has no replication story —
+    its durability is delegated to BigQuery, ``loader.go:45-57``; a
+    self-hosted lake needs one.)
+
+    Returns lineage (one row per partition: ``copied`` / ``noop`` /
+    ``empty`` for source partitions that never applied anything).
+    """
+    import ray
+
+    from raycdc.storage import get_storage, write_json_atomic
+
+    spec = spec or TableSpec()
+    meta = S.read_spec_meta(src_lake)
+    nparts = int((meta or {}).get("num_partitions", spec.num_partitions))
+    if meta is not None:
+        # replicate the layout/policy contract verbatim
+        write_json_atomic(get_storage(dst_lake), S.spec_meta_file(dst_lake), meta)
+
+    def sync_part(batch: pa.Table) -> pa.Table:
+        rows = []
+        for p in batch["id"].to_pylist():
+            part = int(p)
+            sck = S.read_checkpoint(src_lake, part)
+            if sck is None:
+                rows.append((part, 0, "empty"))
+                continue
+            sv = int(sck.get("version", 0))
+            dck = S.read_checkpoint(dst_lake, part)
+            if dck is not None and dck.get("src_version") == sv:
+                rows.append((part, int(dck.get("row_count", 0)), "noop"))
+                continue
+            t = S.read_partition(src_lake, part, version=sv)
+            if t is None:
+                rows.append((part, 0, "empty"))
+                continue
+            nv = (int(dck.get("version", 0)) + 1) if dck else 0
+            S.write_partition_atomic(t, dst_lake, part, version=nv)
+            S.write_checkpoint(
+                dst_lake,
+                part,
+                {
+                    # replay-continuity fields travel with the data
+                    "max_lsn": sck.get("max_lsn"),
+                    "row_count": sck.get("row_count", len(t)),
+                    "content_hash": sck.get("content_hash"),
+                    "version": nv,
+                    "src_version": sv,
+                },
+            )
+            rows.append((part, len(t), "copied"))
+        part_c, rows_c, st_c = zip(*rows)
+        return pa.table(
+            {
+                "part": pa.array(part_c, pa.int32()),
+                "rows_total": pa.array(rows_c, pa.int64()),
+                "status": pa.array(st_c),
+            }
+        )
+
+    lineage = pa.concat_tables(
+        ray.get(
+            ray.data.range(nparts, override_num_blocks=min(nparts, 64))
+            .map_batches(sync_part, batch_format="pyarrow")
+            .to_arrow_refs()
+        )
+    )
+    S.update_lake_schema(dst_lake)
+    return lineage.sort_by([("part", "ascending")])
+
+
 def migrate_lake(
     src_lake: str,
     dst_lake: str,

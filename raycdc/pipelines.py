@@ -852,6 +852,41 @@ def q_cdc_change_feed(sf_dir: str):
     return change_feed(lake, s0, s1, spec)
 
 
+def q_cdc_sync_replica(sf_dir: str):
+    """Incremental lake replication (:func:`raycdc.engine.sync_lake`):
+    replay half the WAL into the primary, sync the replica, replay the
+    rest, sync again (only touched partitions copy) — the replica's live
+    state must equal the full-log LWW oracle."""
+    import pyarrow.parquet as pq
+
+    from raycdc.changelog import changelog_from_events
+    from raycdc.engine import read_lake, replay, sync_lake
+    from raycdc.schema import TableSpec
+
+    spec = TableSpec(num_partitions=16)
+    src = os.path.join(tempfile.gettempdir(), "raycdc_sync_src")
+    dst = os.path.join(tempfile.gettempdir(), "raycdc_sync_dst")
+    shutil.rmtree(src, ignore_errors=True)
+    shutil.rmtree(dst, ignore_errors=True)
+    cut = pq.read_metadata(f"{sf_dir}/events.parquet").num_rows // 2
+    log = changelog_from_events(sf_dir)
+    replay(
+        log.map_batches(
+            lambda t: t.filter(pc.less_equal(t["lsn"], cut)),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ),
+        src,
+        spec,
+    )
+    sync_lake(src, dst, spec)
+    replay(log, src, spec)
+    sync_lake(src, dst, spec)
+    return read_lake(dst, spec).select_columns(
+        ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    )
+
+
 def _sql_cdc_change_feed() -> str:
     from raycdc.changelog import CHANGELOG_SQL
 
@@ -3377,6 +3412,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "cdc_colocated_join": q_cdc_colocated_join,
     "cdc_join_view": q_cdc_join_view,
     "cdc_change_feed": q_cdc_change_feed,
+    "cdc_sync_replica": q_cdc_sync_replica,
     "sample_events": q_sample_events,
     "split_events": q_split_events,
     "join_orders_customer": q_join_orders_customer,
