@@ -1545,7 +1545,13 @@ def change_feed(
             lake_dir, part, version=version, columns=[*cols, op_col]
         )
         if t is None:
-            return state_schema.empty_table()
+            # a snapshot PROMISES this version exists — reading a vacuumed
+            # file as an empty state would fabricate inserts/deletes for
+            # every key in the partition (same contract as read_lake as_of)
+            raise FileNotFoundError(
+                f"change_feed: partition {part} version {version} is "
+                f"missing under {lake_dir} (vacuumed past the snapshot?)"
+            )
         if op_col in t.column_names:
             t = t.filter(pc.not_equal(pc.fill_null(t[op_col], ""), M.DELETE))
         for f in state_schema:
@@ -1559,8 +1565,15 @@ def change_feed(
         out = []
         for p in batch["id"].to_pylist():
             part = int(p)
-            old = _state(part, v_from.get(part))
-            new = _state(part, v_to.get(part))
+            fv, tv = v_from.get(part), v_to.get(part)
+            if fv == tv:
+                # versions are per-partition monotone: equal version means
+                # the SAME file — skip without touching data (this is what
+                # makes tailing the feed cheap: unchanged partitions are
+                # metadata-only)
+                continue
+            old = _state(part, fv)
+            new = _state(part, tv)
             if len(old) == 0 and len(new) == 0:
                 continue
             tagged = pa.concat_tables(
@@ -1638,8 +1651,13 @@ def sync_lake(
                 continue
             t = S.read_partition(src_lake, part, version=sv)
             if t is None:
-                rows.append((part, 0, "empty"))
-                continue
+                # checkpoint says version sv exists; a missing file means
+                # the source is corrupt/vacuum-raced — skipping silently
+                # would leave the replica stale while reporting success
+                raise FileNotFoundError(
+                    f"sync_lake: source partition {part} version {sv} is "
+                    f"missing under {src_lake}"
+                )
             nv = (int(dck.get("version", 0)) + 1) if dck else 0
             S.write_partition_atomic(t, dst_lake, part, version=nv)
             S.write_checkpoint(

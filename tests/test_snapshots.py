@@ -144,3 +144,60 @@ def test_change_feed_between_snapshots(tmp_path):
     # same-snapshot feed is empty
     empty = change_feed(lake, s1, s1, spec)
     assert empty.count() == 0
+
+
+def test_change_feed_refuses_vacuumed_snapshot(tmp_path):
+    """A feed source version pruned by vacuum must raise, not read as an
+    empty state (which would fabricate an insert for every live key)."""
+    import pytest
+    import ray
+
+    from raycdc.engine import change_feed
+    from raycdc.sink import write_snapshot
+
+    base = synthetic_changelog(n_events=800, seed=62)
+    head = base.filter(pc.less(base["lsn"], 400))
+    lake = str(tmp_path / "lake")
+    spec = TableSpec(num_partitions=4)
+    replay(ray.data.from_arrow(head), lake, spec)
+    s0 = write_snapshot(lake)
+    replay(
+        ray.data.from_arrow(base.filter(pc.greater_equal(base["lsn"], 400))),
+        lake,
+        spec,
+    )
+    s1 = write_snapshot(lake)
+    # (a) vacuum that drops the s0 snapshot record entirely: loud failure
+    vacuum(lake, keep_snapshots=1)
+    with pytest.raises(FileNotFoundError, match="no snapshot"):
+        change_feed(lake, s0, s1, spec)
+    # (b) a snapshot record whose data FILE was pruned out from under it:
+    # touch one partition (so its versions differ and the feed must read
+    # it), then remove that partition's s1-era from-side file
+    from raycdc.sink import part_file, read_snapshot
+
+    replay(ray.data.from_arrow(head), lake, spec)  # no-op, versions stay
+    v1 = read_snapshot(lake, s1)
+    upd = pa.table(
+        {
+            "conv_id": pa.array(["conv-0"]),
+            "turn_idx": pa.array([0], pa.int32()),
+            "role": pa.array(["user"]),
+            "text": pa.array(["x"]),
+            "tool": pa.array([""]),
+            "ts": pa.array([1_900_000_000_000_000], pa.timestamp("us")),
+            "op": pa.array(["update"]),
+            "lsn": pa.array([10_000_000], pa.int64()),
+            "seg_id": pa.array([9], pa.int32()),
+        }
+    )
+    rep = replay(ray.data.from_arrow(upd), lake, spec)
+    part = next(
+        p
+        for p, st in zip(rep["part"].to_pylist(), rep["status"].to_pylist())
+        if st != "noop"
+    )
+    os.remove(part_file(lake, part, v1[part]))
+    feed = change_feed(lake, s1, None, spec)
+    with pytest.raises(Exception, match="vacuumed|missing"):
+        feed.count()
