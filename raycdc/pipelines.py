@@ -3566,4 +3566,6 @@ def bench_extras() -> dict[str, Callable[[str], Any]]:
         "assemble_convs": lambda sf: q_assemble_convs(sf).count(),
         "cdc_history_lake": lambda sf: q_cdc_history_lake(sf).count(),
         "cdc_colocated_join": lambda sf: q_cdc_colocated_join(sf).count(),
+        "cdc_change_feed": lambda sf: q_cdc_change_feed(sf).count(),
+        "cdc_sync_replica": lambda sf: q_cdc_sync_replica(sf).count(),
     }
