@@ -80,6 +80,12 @@ def main(argv: list[str] | None = None) -> int:
     p_tail.add_argument("--partitions", type=int, default=64)
     p_tail.add_argument("--rounds", type=int, default=None)
     p_tail.add_argument("--interval", type=float, default=5.0)
+    p_tail.add_argument(
+        "--sync-to",
+        default=None,
+        help="replica lake kept in lockstep (incremental sync after every "
+        "round that applied segments)",
+    )
 
     p_compact = sub.add_parser("compact", help="drop applied tombstones")
     p_compact.add_argument("--lake", required=True)
@@ -257,6 +263,7 @@ def main(argv: list[str] | None = None) -> int:
             rounds=args.rounds,
             interval_s=args.interval,
             on_round=report,
+            sync_to=args.sync_to,
         )
         print(json.dumps({"segments_applied": total}))
     elif args.cmd == "diff":

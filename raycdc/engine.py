@@ -902,11 +902,18 @@ def tail(
     rounds: int | None = None,
     interval_s: float = 5.0,
     on_round=None,
+    sync_to: str | None = None,
     **replay_kwargs,
 ) -> int:
     """Continuous tailing loop: poll ``watch_dir``, apply new segments,
     sleep.  ``rounds=None`` runs until interrupted; returns total segments
-    applied."""
+    applied.
+
+    ``sync_to``: replica lake directory kept in lockstep — after every
+    round that applied segments, :func:`sync_lake` copies the touched
+    partitions (steady-state rounds skip the sync entirely).  Continuous
+    replication costs one incremental sync per apply, never a full copy.
+    """
     import time as _time
 
     total = 0
@@ -914,6 +921,8 @@ def tail(
     while rounds is None or i < rounds:
         new, lineage = tail_once(watch_dir, lake_dir, spec, **replay_kwargs)
         total += len(new)
+        if sync_to is not None and new:
+            sync_lake(lake_dir, sync_to, spec)
         if on_round is not None:
             on_round(i, new, lineage)
         i += 1

@@ -131,3 +131,43 @@ def test_tail_pattern_with_directory_components(ray_session, tmp_path):
         str(watch), lake, spec, pattern="day=*/seg-*.parquet"
     )
     assert new == [] and lineage is None
+
+
+def test_tail_sync_to_keeps_replica_in_lockstep(ray_session, tmp_path):
+    """tail(sync_to=...) incrementally replicates after every round that
+    applied segments; rounds with no new segments skip the sync."""
+    from .oracle import lake_state
+
+    watch = tmp_path / "wal"
+    watch.mkdir()
+    lake = str(tmp_path / "lake")
+    replica = str(tmp_path / "replica")
+    spec = TableSpec(num_partitions=4)
+    log = synthetic_changelog(n_events=900, seed=81)
+    _write_seg(str(watch), "seg-0.parquet", log.filter(pc.less(log["lsn"], 450)))
+
+    seen = []
+
+    def on_round(i, new, lineage):
+        seen.append(len(new))
+        if i == 0:
+            # replica synced BEFORE on_round fires
+            assert lake_state(replica) == lake_state(lake)
+            _write_seg(
+                str(watch),
+                "seg-1.parquet",
+                log.filter(pc.greater_equal(log["lsn"], 450)),
+            )
+
+    total = tail(
+        str(watch),
+        lake,
+        spec,
+        rounds=3,  # seg-0, seg-1, then an idle round (sync skipped)
+        interval_s=0.01,
+        on_round=on_round,
+        sync_to=replica,
+    )
+    assert total == 2 and seen == [1, 1, 0]
+    expect = {k: r["text"] for k, r in python_lww_replay([log]).items()}
+    assert lake_state(replica) == expect
