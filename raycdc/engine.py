@@ -1484,10 +1484,11 @@ def refresh_join_view(
 
 def change_feed(
     lake_dir: str,
-    from_snapshot: int,
+    from_snapshot: int | None,
     to_snapshot: int | None = None,
     spec: TableSpec | None = None,
     value_cols: tuple[str, ...] | None = None,
+    include_old: bool = False,
 ) -> "ray.data.Dataset":
     """ZERO-SHUFFLE changelog between two recorded snapshots of ONE lake —
     CDC *out* of the lake, closing the loop: downstream consumers tail the
@@ -1509,6 +1510,13 @@ def change_feed(
     contract as ``diff_snapshots``).  Partition files written before a
     schema evolution are null-padded and widened to the registry schema,
     so both sides compare under one type set.
+
+    ``from_snapshot=None`` diffs against the EMPTY lake — the initial-load
+    feed: every live row arrives as an insert.  ``include_old=True`` adds
+    before-image columns ``old_<c>`` for every value column (null on
+    inserts; populated on updates and deletes) — the before/after envelope
+    downstream incremental aggregation needs to subtract superseded
+    contributions (see :func:`maintain_rollup`).
     """
     import ray
 
@@ -1520,9 +1528,14 @@ def change_feed(
     key_cols = tuple(meta.get("key_cols", spec.key_cols))
     op_col = spec.op_col
 
-    v_from = S.read_snapshot(lake_dir, from_snapshot)
-    if v_from is None:
-        raise FileNotFoundError(f"no snapshot {from_snapshot} under {lake_dir}")
+    if from_snapshot is None:
+        v_from: dict[int, int] = {}
+    else:
+        v_from = S.read_snapshot(lake_dir, from_snapshot)
+        if v_from is None:
+            raise FileNotFoundError(
+                f"no snapshot {from_snapshot} under {lake_dir}"
+            )
     if to_snapshot is None:
         v_to = {
             p: c.get("version", 0)
@@ -1544,7 +1557,12 @@ def change_feed(
     if missing:
         raise ValueError(f"columns {missing} not in lake schema {schema.names}")
     state_schema = pa.schema([schema.field(c) for c in cols])
-    out_schema = pa.schema(list(state_schema) + [pa.field(op_col, pa.string())])
+    out_fields = list(state_schema) + [pa.field(op_col, pa.string())]
+    if include_old:
+        out_fields += [
+            pa.field(f"old_{c}", schema.field(c).type) for c in value_cols
+        ]
+    out_schema = pa.schema(out_fields)
 
     def _state(part: int, version: int | None) -> pa.Table:
         """Live rows of one stored partition version, canonical schema."""
@@ -1595,7 +1613,16 @@ def change_feed(
                     ),
                 ]
             )
-            out.append(diff_tagged(tagged, key_cols, value_cols, op_col))
+            d = diff_tagged(tagged, key_cols, value_cols, op_col)
+            if include_old:
+                # attach before-images with a LOCAL keyed join against the
+                # from-side (keys are unique per snapshot side, and a key
+                # appears at most once in the feed)
+                before = old.rename_columns(
+                    list(key_cols) + [f"old_{c}" for c in value_cols]
+                )
+                d = d.join(before, keys=list(key_cols), join_type="left outer")
+            out.append(d.select(out_schema.names).cast(out_schema))
         if not out:
             return out_schema.empty_table()
         return pa.concat_tables(out).cast(out_schema)
@@ -1603,6 +1630,137 @@ def change_feed(
     return ray.data.range(
         nparts, override_num_blocks=min(nparts, 64)
     ).map_batches(feed_part, batch_format="pyarrow")
+
+
+def maintain_rollup(
+    src_lake: str,
+    rollup_lake: str,
+    group_cols: tuple[str, ...],
+    value_cols: tuple[str, ...],
+    spec: TableSpec | None = None,
+    num_partitions: int = 16,
+    derive: Callable[[pa.Table], pa.Table] | None = None,
+) -> pa.Table:
+    """Incrementally maintained SUM-per-group aggregate of a lake — the
+    materialized-view-maintenance loop, built entirely from existing
+    primitives: ``change_feed(include_old=True)`` → before/after delta
+    algebra → additive-policy :func:`replay`.
+
+    Each call snapshots the source, feeds ONLY the changes since the last
+    consumed snapshot (recorded in the rollup's ``_feed_pos.json``), turns
+    every feed row into signed contributions — ``+after`` for
+    inserts/updates, ``-before`` for updates/deletes, so a row whose group
+    value changes moves its contribution between groups — and replays them
+    into the additive rollup lake.  Exactly-once without coordination: the
+    whole feed batch carries ``lsn = to-snapshot id`` (snapshot ids are
+    monotone), so a crash between the replay and the position write merely
+    re-feeds rows the additive checkpoints prune.  Cost per refresh is
+    proportional to the CHANGE, never to the source size.
+
+    ``group_cols``/``value_cols`` name columns of the feed output;
+    ``derive`` (optional) maps a table carrying the source's key+value
+    columns to the numeric ``value_cols`` (applied identically to the
+    after- and reconstructed before-images — e.g. token counts derived
+    from text).  Deleted-out groups retain an explicit zero row in the
+    rollup (additive lakes never forget a key without a reset delta);
+    filter on a count column when zero-groups should disappear.
+
+    Returns the replay lineage of the rollup apply (empty feed → empty
+    lineage, position still advanced).
+    """
+    import ray
+
+    from raycdc.storage import get_storage, read_json, write_json_atomic
+
+    spec = spec or TableSpec()
+    pos_path = os.path.join(rollup_lake, "_feed_pos.json")
+    st = get_storage(rollup_lake)
+    pos = read_json(st, pos_path)
+    from_snap = pos.get("snapshot") if pos else None
+    to_snap = S.write_snapshot(src_lake)
+
+    feed = change_feed(src_lake, from_snap, to_snap, spec, include_old=True)
+    key_cols = tuple(
+        (S.read_spec_meta(src_lake) or {}).get("key_cols", spec.key_cols)
+    )
+    group_cols = tuple(group_cols)
+    value_cols = tuple(value_cols)
+    op_col = spec.op_col
+
+    def to_deltas(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        if len(t) == 0:
+            return pa.schema(
+                [t.schema.field(c) for c in group_cols]
+                + [pa.field(c, pa.int64()) for c in value_cols]
+                + [
+                    pa.field("ts", pa.timestamp("us")),
+                    pa.field(op_col, pa.string()),
+                    pa.field("lsn", pa.int64()),
+                ]
+            ).empty_table()
+        op = t[op_col]
+        is_ins = pc.equal(op, "insert")
+        is_del = pc.equal(op, M.DELETE)
+        data_cols = [
+            c for c in t.column_names
+            if c != op_col and not c.startswith("old_")
+        ]
+        after = t.select(data_cols).filter(pc.invert(is_del))
+        # reconstruct the before-image under the source column names: keys
+        # keep their after values (keys never change within a key), value
+        # columns come from the old_ images
+        before = pa.table(
+            {
+                c: (t[f"old_{c}"] if f"old_{c}" in t.column_names else t[c])
+                for c in data_cols
+            }
+        ).filter(pc.invert(is_ins))
+        parts = []
+        for side, sign in ((after, 1), (before, -1)):
+            if len(side) == 0:
+                continue
+            vals = derive(side) if derive is not None else side
+            cols = {g: side[g] for g in group_cols}
+            for c in value_cols:
+                v = pc.cast(pc.fill_null(vals[c], 0), pa.int64())
+                cols[c] = pc.multiply(v, pa.scalar(sign, pa.int64()))
+            n = len(side)
+            cols["ts"] = pa.array(
+                np.full(n, 1_700_000_000_000_000, np.int64), pa.timestamp("us")
+            )
+            cols[op_col] = pa.array(np.full(n, "insert"))
+            cols["lsn"] = pa.array(np.full(n, to_snap, np.int64))
+            parts.append(pa.table(cols))
+        if not parts:
+            return to_deltas(t.slice(0, 0))
+        return pa.concat_tables(parts)
+
+    roll_spec = TableSpec(
+        name="rollup_view",
+        schema=pa.schema(
+            [pa.field(g, pa.string()) for g in group_cols]
+            + [pa.field(c, pa.int64()) for c in value_cols]
+            + [pa.field("ts", pa.timestamp("us"))]
+        ),
+        key_cols=group_cols,
+        version_cols=("ts", "lsn"),
+        partition_key=group_cols[0],
+        num_partitions=num_partitions,
+        sort_cols=group_cols,
+        merge_policy="additive",
+        value_cols=value_cols,
+    )
+    lineage = replay(
+        feed.map_batches(to_deltas, batch_format="pyarrow"),
+        rollup_lake,
+        roll_spec,
+    )
+    # advance the consumed position only after the apply landed; a crash
+    # in between re-feeds rows the additive lsn checkpoints prune
+    write_json_atomic(st, pos_path, {"snapshot": to_snap})
+    return lineage
 
 
 def sync_lake(

@@ -887,6 +887,91 @@ def q_cdc_sync_replica(sf_dir: str):
     )
 
 
+def q_cdc_rollup_view(sf_dir: str):
+    """Incremental aggregate-view maintenance
+    (:func:`raycdc.engine.maintain_rollup`): a per-conversation
+    (turn count, total text length) rollup lake is built from the
+    half-log state, then refreshed after the tail replay — each refresh
+    consumes only the change feed since the last snapshot and applies
+    signed before/after deltas through the additive exactly-once lake.
+    The ORACLE recomputes the aggregate from scratch over the full LWW
+    state."""
+    import pyarrow.parquet as pq
+
+    from raycdc.changelog import changelog_from_events
+    from raycdc.engine import maintain_rollup, read_lake, replay
+    from raycdc.schema import TableSpec
+
+    spec = TableSpec(num_partitions=16)
+    src = os.path.join(tempfile.gettempdir(), "raycdc_rollup_src")
+    roll = os.path.join(tempfile.gettempdir(), "raycdc_rollup_view")
+    shutil.rmtree(src, ignore_errors=True)
+    shutil.rmtree(roll, ignore_errors=True)
+    cut = pq.read_metadata(f"{sf_dir}/events.parquet").num_rows // 2
+    log = changelog_from_events(sf_dir)
+
+    def derive(t: pa.Table) -> pa.Table:
+        n = len(t)
+        return pa.table(
+            {
+                "n_turns": pa.array([1] * n, pa.int64()),
+                "text_len": pc.cast(pc.utf8_length(t["text"]), pa.int64()),
+            }
+        )
+
+    kw = dict(
+        group_cols=("conv_id",),
+        value_cols=("n_turns", "text_len"),
+        spec=spec,
+        num_partitions=8,
+        derive=derive,
+    )
+    replay(
+        log.map_batches(
+            lambda t: t.filter(pc.less_equal(t["lsn"], cut)),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ),
+        src,
+        spec,
+    )
+    maintain_rollup(src, roll, **kw)
+    replay(log, src, spec)
+    maintain_rollup(src, roll, **kw)
+
+    def live_groups(t: pa.Table) -> pa.Table:
+        # a group whose every turn was deleted keeps an explicit zero row
+        # in the additive lake; SQL GROUP BY has no such row
+        return t.filter(pc.not_equal(t["n_turns"], 0))
+
+    return (
+        read_lake(roll, with_tombstones=True)
+        .map_batches(live_groups, batch_format="pyarrow", zero_copy_batch=True)
+        .select_columns(["conv_id", "n_turns", "text_len"])
+    )
+
+
+def _sql_cdc_rollup_view() -> str:
+    from raycdc.changelog import CHANGELOG_SQL
+
+    return f"""
+WITH {CHANGELOG_SQL.strip()},
+ranked AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY conv_id, turn_idx
+        ORDER BY ts DESC, lsn DESC
+    ) AS rn
+    FROM changelog
+)
+SELECT conv_id,
+       CAST(COUNT(*) AS BIGINT) AS n_turns,
+       CAST(SUM(length(text)) AS BIGINT) AS text_len
+FROM ranked
+WHERE rn = 1 AND op <> 'delete'
+GROUP BY conv_id
+"""
+
+
 def _sql_cdc_change_feed() -> str:
     from raycdc.changelog import CHANGELOG_SQL
 
@@ -3413,6 +3498,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "cdc_join_view": q_cdc_join_view,
     "cdc_change_feed": q_cdc_change_feed,
     "cdc_sync_replica": q_cdc_sync_replica,
+    "cdc_rollup_view": q_cdc_rollup_view,
     "sample_events": q_sample_events,
     "split_events": q_split_events,
     "join_orders_customer": q_join_orders_customer,
@@ -3494,6 +3580,7 @@ ORACLES: dict[str, str] = {
     "cdc_colocated_join": _sql_cdc_colocated_join(),
     "cdc_join_view": _sql_cdc_colocated_join(),
     "cdc_change_feed": _sql_cdc_change_feed(),
+    "cdc_rollup_view": _sql_cdc_rollup_view(),
     "sample_events": SQL_SAMPLE_EVENTS,
     "split_events": SQL_SPLIT_EVENTS,
     "sessionize_events": SQL_SESSIONIZE_EVENTS,
