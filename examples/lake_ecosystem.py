@@ -13,6 +13,8 @@ same-key lakes are co-located partition-for-partition):
    only partitions whose sources advanced are recomputed
 4. emit a CHANGE FEED (insert/update/delete) between two snapshots
 5. keep a REPLICA in lockstep and fail over to it mid-stream
+6. maintain a per-conversation AGGREGATE VIEW from the feed's
+   before/after images — refresh cost ∝ the change, not the lake
 
     python examples/lake_ecosystem.py
 """
@@ -142,6 +144,40 @@ def main() -> None:
     )
     final = read_lake(replica, spec).to_pandas()
     print("replica after failover:", len(final), "live rows")
+
+    # 6. incremental aggregate view -----------------------------------------
+    from raycdc.engine import maintain_rollup
+
+    rollup = os.path.join(root, "rollup")
+
+    def derive(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "n_turns": pa.array([1] * len(t), pa.int64()),
+                "chars": pc.cast(pc.utf8_length(t["text"]), pa.int64()),
+            }
+        )
+
+    maintain_rollup(
+        replica, rollup, group_cols=("conv_id",),
+        value_cols=("n_turns", "chars"), spec=spec,
+        num_partitions=4, derive=derive,
+    )
+    replay(  # one more edit, then a refresh that feeds ONLY the delta
+        ray.data.from_arrow(turns([("alice", 0, "hi there", "update", 12)])),
+        replica,
+        spec,
+    )
+    maintain_rollup(
+        replica, rollup, group_cols=("conv_id",),
+        value_cols=("n_turns", "chars"), spec=spec,
+        num_partitions=4, derive=derive,
+    )
+    agg = read_lake(rollup, with_tombstones=True).to_pandas()
+    print("rollup view:", sorted(
+        agg[["conv_id", "n_turns", "chars"]].itertuples(index=False)))
 
 
 if __name__ == "__main__":

@@ -3655,4 +3655,5 @@ def bench_extras() -> dict[str, Callable[[str], Any]]:
         "cdc_colocated_join": lambda sf: q_cdc_colocated_join(sf).count(),
         "cdc_change_feed": lambda sf: q_cdc_change_feed(sf).count(),
         "cdc_sync_replica": lambda sf: q_cdc_sync_replica(sf).count(),
+        "cdc_rollup_view": lambda sf: q_cdc_rollup_view(sf).count(),
     }
