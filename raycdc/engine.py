@@ -1661,7 +1661,10 @@ def maintain_rollup(
     ``derive`` (optional) maps a table carrying the source's key+value
     columns to the numeric ``value_cols`` (applied identically to the
     after- and reconstructed before-images — e.g. token counts derived
-    from text).  Deleted-out groups retain an explicit zero row in the
+    from text).  Value columns are int64 counters — floating-point sums
+    drift under re-ordered partial aggregation, so scale fixed-point
+    quantities (cents, micro-units) upstream; a non-integral value fails
+    the cast loudly rather than truncating.  Deleted-out groups retain an explicit zero row in the
     rollup (additive lakes never forget a key without a reset delta);
     filter on a count column when zero-groups should disappear.
 
