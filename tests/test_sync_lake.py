@@ -80,3 +80,24 @@ def test_sync_cli(tmp_path, capsys):
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["copied"] == 4
     assert lake_state(dst) == lake_state(src)
+
+
+def test_sync_across_storage_backends(tmp_path):
+    """The copy goes through the storage interface: a POSIX-backed source
+    replicates into an fsspec-backed (file://) replica, and the replica
+    reads back identically."""
+    t = synthetic_changelog(n_events=500, seed=73)
+    src = str(tmp_path / "src")
+    dst = "file://" + str(tmp_path / "dst")
+    spec = TableSpec(num_partitions=4)
+    replay(ray.data.from_arrow(t), src, spec)
+    lin = sync_lake(src, dst, spec)
+    assert lin["status"].to_pylist().count("copied") >= 1
+
+    from raycdc.engine import read_lake
+
+    got = read_lake(dst, spec).to_pandas()
+    expect = python_lww_replay([t])
+    assert {
+        (r.conv_id, r.turn_idx): r.text for r in got.itertuples()
+    } == {k: r["text"] for k, r in expect.items()}
