@@ -1154,8 +1154,12 @@ def read_lake(
         raise FileNotFoundError(f"no lake partitions under {lake_dir}")
     drop_op_after = False
     if columns is not None and not with_tombstones and spec.op_col not in columns:
-        columns = [*columns, spec.op_col]
-        drop_op_after = True
+        # lakes without an op column (join views) store only live rows —
+        # asking the parquet reader for the missing column would error
+        reg = S.read_lake_schema(lake_dir)
+        if reg is None or spec.op_col in reg.names:
+            columns = [*columns, spec.op_col]
+            drop_op_after = True
     drop_current_after = False
     if columns is not None and current_only and "is_current" not in columns:
         columns = [*columns, "is_current"]

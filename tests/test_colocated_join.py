@@ -366,3 +366,23 @@ def test_join_view_cli_and_vacuum(tmp_path, lakes, capsys):
     write_snapshot(view)
     removed = vacuum(view, keep_snapshots=1)
     assert removed >= 1  # the superseded v0 file of the touched partition
+
+
+def test_read_view_with_column_pruning(tmp_path, lakes):
+    """read_lake(columns=...) on an op-less lake (a join view) must not ask
+    the parquet reader for the missing op column."""
+    left, ls, right, rs, *_ = lakes
+    view = str(tmp_path / "view")
+    refresh_join_view(
+        left,
+        right,
+        view,
+        on=("conv_id",),
+        spec_left=ls,
+        spec_right=rs,
+        left_columns=["conv_id", "turn_idx"],
+        right_columns=["dim"],
+    )
+    got = read_lake(view, columns=["conv_id", "dim"]).to_pandas()
+    assert set(got.columns) == {"conv_id", "dim"}
+    assert len(got) > 0
