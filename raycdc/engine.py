@@ -1288,6 +1288,15 @@ def _join_plan(
     on = tuple(on)
     meta_l = S.read_spec_meta(left_lake) or {}
     meta_r = S.read_spec_meta(right_lake) or {}
+    for side, m in (("left", meta_l), ("right", meta_r)):
+        if m.get("merge_policy") == "history":
+            # every version of every key is stored — a naive join would
+            # silently fan out across superseded versions
+            raise ValueError(
+                f"{side} lake is a history lake; join its CURRENT state "
+                "instead (export read_lake(current_only=True) into an LWW "
+                "lake, or use scd.point_in_time for temporal joins)"
+            )
     nparts_l = int(meta_l.get("num_partitions", spec_left.num_partitions))
     nparts_r = int(meta_r.get("num_partitions", spec_right.num_partitions))
     pk_l = meta_l.get("partition_key", spec_left.partition_key)
@@ -1528,6 +1537,15 @@ def change_feed(
 
     spec = spec or TableSpec()
     meta = S.read_spec_meta(lake_dir) or {}
+    if meta.get("merge_policy") == "history":
+        # history partitions hold every version per key: the state-diff
+        # kernel would raise on duplicate keys (or worse, emit version
+        # churn as data change) — the history lake IS its own change log
+        raise ValueError(
+            "change_feed targets state (lww/additive) lakes; a history "
+            "lake already stores its full change history — read it "
+            "directly, or feed the current-state export"
+        )
     nparts = int(meta.get("num_partitions", spec.num_partitions))
     key_cols = tuple(meta.get("key_cols", spec.key_cols))
     op_col = spec.op_col

@@ -386,3 +386,25 @@ def test_read_view_with_column_pruning(tmp_path, lakes):
     got = read_lake(view, columns=["conv_id", "dim"]).to_pandas()
     assert set(got.columns) == {"conv_id", "dim"}
     assert len(got) > 0
+
+
+def test_history_lakes_refuse_state_ops(tmp_path, lakes):
+    """History lakes store every version per key — joins and state feeds
+    against them must raise instead of silently fanning out across
+    superseded versions."""
+    from raycdc.engine import change_feed
+
+    left, ls, *_ = lakes
+    hist = str(tmp_path / "hist")
+    wal = synthetic_changelog(n_events=300, seed=12)
+    # history replays need per-key event-time order: the fixture is
+    # ts-ordered by construction (no shuffle)
+    replay(
+        ray.data.from_arrow(wal),
+        hist,
+        TableSpec(num_partitions=8, merge_policy="history"),
+    )
+    with pytest.raises(ValueError, match="history"):
+        colocated_join(left, hist, spec_left=ls)
+    with pytest.raises(ValueError, match="history"):
+        change_feed(hist, None)
