@@ -408,3 +408,58 @@ def test_history_lakes_refuse_state_ops(tmp_path, lakes):
         colocated_join(left, hist, spec_left=ls)
     with pytest.raises(ValueError, match="history"):
         change_feed(hist, None)
+
+
+def test_join_view_crash_window_is_consistent(tmp_path, lakes):
+    """Crash between the version-file install and the checkpoint advance:
+    readers stay on the checkpointed version, a no-change refresh stays a
+    no-op, and the next real refresh re-installs the same next version
+    atomically (idempotent overwrite)."""
+    from raycdc import sink as S
+
+    left, ls, right, rs, *_ = lakes
+    view = str(tmp_path / "view")
+    kw = dict(
+        on=("conv_id",),
+        spec_left=ls,
+        spec_right=rs,
+        left_columns=["conv_id", "turn_idx"],
+        right_columns=["dim"],
+    )
+    refresh_join_view(left, right, view, **kw)
+    before = _view_state_rows(view)
+
+    # simulate the torn write: a v+1 file exists, checkpoint still at v
+    part = 0
+    ck = S.read_checkpoint(view, part)
+    garbage = S.read_partition(view, part).slice(0, 1)
+    S.write_partition_atomic(garbage, view, part, version=ck["version"] + 1)
+
+    assert _view_state_rows(view) == before  # readers ignore the orphan
+    lin = refresh_join_view(left, right, view, **kw)
+    assert set(lin["status"].to_pylist()) == {"noop"}
+    assert _view_state_rows(view) == before
+
+    # a real source change now claims that version slot atomically
+    upd = pa.table(
+        {
+            "conv_id": pa.array(["conv-0"]),
+            "turn_idx": pa.array([5], pa.int32()),
+            "role": pa.array(["user"]),
+            "text": pa.array(["new"]),
+            "tool": pa.array([""]),
+            "ts": pa.array([1_900_000_000_000_000], pa.timestamp("us")),
+            "op": pa.array(["insert"]),
+            "lsn": pa.array([30_000_000], pa.int64()),
+            "seg_id": pa.array([101], pa.int32()),
+        }
+    )
+    replay(ray.data.from_arrow(upd), left, ls)
+    refresh_join_view(left, right, view, **kw)
+    after = _view_state_rows(view)
+    assert ("conv-0", 5) in after and after != before
+
+
+def _view_state_rows(view: str) -> set:
+    t = _join_table(read_lake(view, with_tombstones=True))
+    return set(zip(t["conv_id"].to_pylist(), t["turn_idx"].to_pylist()))
