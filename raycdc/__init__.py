@@ -17,7 +17,9 @@ parsers     per-file decode stack (encodings, line surgery, CSV/JSONL, binary)
 registry    handler registry, regex routing, fan-out dispatch, notifiers
 partition   hash partitioning + hot-key salting
 merge       vectorized LWW dedup / merge kernels (combiner + final)
-engine      replay / merged_state / tail / compact / lookup / read_lake
+engine      replay / bootstrap / tail / compact / lookup / read_lake;
+            lake ecosystem: colocated_join, refresh_join_view, change_feed,
+            sync_lake, maintain_rollup
 sink        versioned atomic writes, checkpoints, snapshots, lineage, schema registry
 relational  broadcast + shuffle joins, sessionization, two-phase aggregation
 text        text analysis (langid, quality, tokens, fingerprints)
@@ -43,6 +45,12 @@ _ENGINE_EXPORTS = (
     "tail_once",
     "compact",
     "migrate_lake",
+    "bootstrap",
+    "colocated_join",
+    "refresh_join_view",
+    "change_feed",
+    "sync_lake",
+    "maintain_rollup",
     "detect_hot_keys",
     "MergeApplier",
 )
