@@ -167,6 +167,12 @@ def main(argv: list[str] | None = None) -> int:
         "--right-columns", default=None, help="comma-separated column prune"
     )
 
+    p_dlq = sub.add_parser(
+        "deadletters",
+        help="inspect a dead-letter / late-event quarantine directory",
+    )
+    p_dlq.add_argument("--dir", required=True, help="park directory")
+
     p_sync = sub.add_parser(
         "sync",
         help="incrementally replicate a lake (copies only partitions whose "
@@ -437,6 +443,37 @@ def main(argv: list[str] | None = None) -> int:
                     "refreshed": statuses.count("refreshed"),
                     "noop": statuses.count("noop"),
                     "rows_total": int(sum(lin["rows_total"].to_pylist())),
+                }
+            )
+        )
+    elif args.cmd == "deadletters":
+        from raycdc.engine import read_dead_letters
+        from raycdc.storage import get_storage
+
+        t = read_dead_letters(args.dir)
+        st = get_storage(args.dir)
+        errors: dict[str, int] = {}
+        nfiles = 0
+        for name in sorted(st.listdir(args.dir)):
+            if not (
+                name.startswith(("batch-", "late-"))
+                and name.endswith(".parquet")
+            ):
+                continue
+            nfiles += 1
+            # the park error string travels as parquet schema metadata
+            meta = st.read_parquet_schema(
+                os.path.join(args.dir, name)
+            ).metadata or {}
+            err = meta.get(b"raycdc.error", b"").decode() or "(late event)"
+            errors[err] = errors.get(err, 0) + 1
+        print(
+            json.dumps(
+                {
+                    "rows": 0 if t is None else len(t),
+                    "files": nfiles,
+                    "columns": [] if t is None else t.column_names,
+                    "errors": errors,
                 }
             )
         )

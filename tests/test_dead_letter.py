@@ -91,3 +91,33 @@ def test_default_policy_fails_job(ray_session, tmp_path):
             TableSpec(num_partitions=2),
             projector=bad,
         )
+
+
+def test_deadletters_cli(tmp_path, capsys):
+    """CLI inspection of the park queue: row/file counts plus the error
+    strings recovered from parquet schema metadata."""
+    import json
+
+    import ray.data
+
+    from raycdc.__main__ import main
+    from raycdc.changelog import synthetic_changelog
+    from raycdc.schema import TableSpec
+
+    def bad(t):
+        raise ValueError("projector exploded")
+
+    wal = synthetic_changelog(n_events=200, seed=55)
+    lake = str(tmp_path / "lake")
+    dlq = str(tmp_path / "dlq")
+    replay(
+        ray.data.from_arrow(wal),
+        lake,
+        TableSpec(num_partitions=4),
+        projector=bad,
+        dead_letter_dir=dlq,
+    )
+    assert main(["deadletters", "--dir", dlq]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["rows"] == 200 and out["files"] >= 1
+    assert any("projector exploded" in e for e in out["errors"])
