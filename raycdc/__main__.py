@@ -167,6 +167,38 @@ def main(argv: list[str] | None = None) -> int:
         "--right-columns", default=None, help="comma-separated column prune"
     )
 
+    p_snap = sub.add_parser(
+        "snapshot",
+        help="record the current per-partition versions as a snapshot id "
+        "(time-travel / feed anchor)",
+    )
+    p_snap.add_argument("--lake", required=True)
+
+    p_feed = sub.add_parser(
+        "feed",
+        help="emit the insert/update/delete change feed between two lake "
+        "snapshots as parquet (CDC out)",
+    )
+    p_feed.add_argument("--lake", required=True)
+    p_feed.add_argument(
+        "--from-snapshot",
+        type=int,
+        default=None,
+        help="base snapshot id (omit for the initial-load feed)",
+    )
+    p_feed.add_argument(
+        "--to-snapshot",
+        type=int,
+        default=None,
+        help="target snapshot id (omit for the current state)",
+    )
+    p_feed.add_argument("--out", required=True, help="output directory (parquet)")
+    p_feed.add_argument(
+        "--include-old",
+        action="store_true",
+        help="add old_<col> before-image columns",
+    )
+
     p_dlq = sub.add_parser(
         "deadletters",
         help="inspect a dead-letter / late-event quarantine directory",
@@ -446,6 +478,33 @@ def main(argv: list[str] | None = None) -> int:
                 }
             )
         )
+    elif args.cmd == "snapshot":
+        from raycdc.sink import write_snapshot
+
+        print(json.dumps({"snapshot": write_snapshot(args.lake)}))
+    elif args.cmd == "feed":
+        from raycdc.engine import change_feed
+
+        out = change_feed(
+            args.lake,
+            args.from_snapshot,
+            args.to_snapshot,
+            _lake_spec(args.lake, 64),
+            include_old=args.include_old,
+        )
+        out.write_parquet(args.out)
+        import numpy as np
+
+        counts: dict[str, int] = {}
+        for b in ray.data.read_parquet(args.out).iter_batches(
+            batch_format="pyarrow"
+        ):
+            u, n = np.unique(
+                b["op"].to_numpy(zero_copy_only=False), return_counts=True
+            )
+            for op, c in zip(u, n):
+                counts[str(op)] = counts.get(str(op), 0) + int(c)
+        print(json.dumps({"out": args.out, "events": counts}))
     elif args.cmd == "deadletters":
         from raycdc.engine import read_dead_letters
         from raycdc.storage import get_storage

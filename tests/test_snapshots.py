@@ -201,3 +201,58 @@ def test_change_feed_refuses_vacuumed_snapshot(tmp_path):
     feed = change_feed(lake, s1, None, spec)
     with pytest.raises(Exception, match="vacuumed|missing"):
         feed.count()
+
+
+def test_snapshot_and_feed_cli(tmp_path, capsys):
+    """End-to-end CLI: snapshot -> more replays -> feed between snapshots,
+    written as parquet with per-op counts."""
+    import json
+
+    import ray
+
+    from raycdc.__main__ import main
+
+    base = synthetic_changelog(n_events=800, seed=63, p_delete=0.2)
+    head = base.filter(pc.less(base["lsn"], 400))
+    lake = str(tmp_path / "lake")
+    spec = TableSpec(num_partitions=4)
+    replay(ray.data.from_arrow(head), lake, spec)
+
+    assert main(["snapshot", "--lake", lake]) == 0
+    s0 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])["snapshot"]
+
+    replay(
+        ray.data.from_arrow(base.filter(pc.greater_equal(base["lsn"], 400))),
+        lake,
+        spec,
+    )
+    out_dir = str(tmp_path / "feed")
+    assert (
+        main(
+            [
+                "feed", "--lake", lake, "--from-snapshot", str(s0),
+                "--out", out_dir, "--include-old",
+            ]
+        )
+        == 0
+    )
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert set(res["events"]) <= {"insert", "update", "delete"}
+    assert sum(res["events"].values()) > 0
+
+    # the written feed matches the API's direct output
+    import pyarrow.dataset as pads
+
+    from raycdc.engine import change_feed
+
+    written = pads.dataset(out_dir).to_table()
+    direct = pa.concat_tables(
+        [
+            ray.get(r)
+            for r in change_feed(
+                lake, s0, None, spec, include_old=True
+            ).to_arrow_refs()
+        ]
+    )
+    assert written.num_rows == direct.num_rows
+    assert "old_text" in written.column_names
