@@ -167,6 +167,31 @@ def main(argv: list[str] | None = None) -> int:
         "--right-columns", default=None, help="comma-separated column prune"
     )
 
+    p_roll = sub.add_parser(
+        "rollup",
+        help="incrementally maintain a SUM/COUNT-per-group aggregate view "
+        "of a lake (feeds only the change since the last run)",
+    )
+    p_roll.add_argument("src", help="source lake dir")
+    p_roll.add_argument("dst", help="rollup lake dir")
+    p_roll.add_argument(
+        "--group", required=True, help="comma-separated group columns"
+    )
+    p_roll.add_argument(
+        "--count",
+        default=None,
+        metavar="ALIAS",
+        help="emit a row-count column under this name",
+    )
+    p_roll.add_argument(
+        "--sum",
+        action="append",
+        default=[],
+        metavar="COL[:ALIAS]",
+        help="sum an int64 source column (repeatable)",
+    )
+    p_roll.add_argument("--partitions", type=int, default=16)
+
     p_snap = sub.add_parser(
         "snapshot",
         help="record the current per-partition versions as a snapshot id "
@@ -475,6 +500,50 @@ def main(argv: list[str] | None = None) -> int:
                     "refreshed": statuses.count("refreshed"),
                     "noop": statuses.count("noop"),
                     "rows_total": int(sum(lin["rows_total"].to_pylist())),
+                }
+            )
+        )
+    elif args.cmd == "rollup":
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        from raycdc.engine import maintain_rollup
+
+        sums = [
+            (s.split(":")[0], s.split(":")[-1]) for s in args.sum
+        ]  # COL or COL:ALIAS
+        value_cols = ([args.count] if args.count else []) + [a for _, a in sums]
+        if not value_cols:
+            raise SystemExit("rollup: pass --count and/or --sum")
+
+        def derive(t: pa.Table) -> pa.Table:
+            cols = {}
+            if args.count:
+                cols[args.count] = pa.array([1] * len(t), pa.int64())
+            for col, alias in sums:
+                cols[alias] = pc.cast(t[col], pa.int64())
+            return pa.table(cols)
+
+        lin = maintain_rollup(
+            args.src,
+            args.dst,
+            group_cols=tuple(args.group.split(",")),
+            value_cols=tuple(value_cols),
+            spec=_lake_spec(args.src, 64),
+            num_partitions=args.partitions,
+            derive=derive,
+        )
+        statuses = lin["status"].to_pylist() if lin.num_rows else []
+        print(
+            json.dumps(
+                {
+                    "dst": args.dst,
+                    "partitions_applied": sum(
+                        1 for s in statuses if s != "noop"
+                    ),
+                    "rows_applied": int(sum(lin["rows_applied"].to_pylist()))
+                    if lin.num_rows
+                    else 0,
                 }
             )
         )

@@ -86,3 +86,43 @@ def test_rollup_tracks_source_across_refreshes(tmp_path):
     maintain_rollup(src, roll, **kw)
     maintain_rollup(src, roll, **kw)
     assert _rollup_state(roll) == _expected(python_lww_replay([base]))
+
+
+def test_rollup_cli_count(tmp_path, capsys):
+    import json
+
+    from raycdc.__main__ import main
+
+    wal = synthetic_changelog(n_events=600, seed=92)
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "roll")
+    replay(ray.data.from_arrow(wal), src, TableSpec(num_partitions=4))
+    assert (
+        main(
+            [
+                "rollup", src, dst, "--group", "conv_id",
+                "--count", "n_turns", "--partitions", "4",
+            ]
+        )
+        == 0
+    )
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["rows_applied"] > 0
+
+    live = python_lww_replay([wal])
+    expect: dict = {}
+    for (conv, _), _r in live.items():
+        expect[conv] = expect.get(conv, 0) + 1
+    t = pa.concat_tables(
+        [
+            __import__("ray").get(r)
+            for r in read_lake(dst, with_tombstones=True).to_arrow_refs()
+        ],
+        promote_options="permissive",
+    )
+    got = {
+        c: n
+        for c, n in zip(t["conv_id"].to_pylist(), t["n_turns"].to_pylist())
+        if n != 0
+    }
+    assert got == expect
