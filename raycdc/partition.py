@@ -3,7 +3,7 @@
 The reference's unit of distribution is one file per Cloud Functions
 invocation (``/root/reference/examples/quickstart/deploy.sh:57-63``); there is
 no keyed routing.  Here routing is explicit: every change row gets a stable
-``part_key = siphash(conv_id) % P`` so all changes for a conversation meet in
+``part_key = hash(conv_id) % P`` so all changes for a conversation meet in
 one merge partition, and the lake layout ``part=K`` is a pure function of the
 key — which is what makes partition rewrites idempotent.
 
