@@ -151,11 +151,12 @@ def main() -> None:
     rollup = os.path.join(root, "rollup")
 
     def derive(t: pa.Table) -> pa.Table:
+        import numpy as np
         import pyarrow.compute as pc
 
         return pa.table(
             {
-                "n_turns": pa.array([1] * len(t), pa.int64()),
+                "n_turns": pa.array(np.ones(len(t), np.int64)),
                 "chars": pc.cast(pc.utf8_length(t["text"]), pa.int64()),
             }
         )

@@ -911,10 +911,12 @@ def q_cdc_rollup_view(sf_dir: str):
     log = changelog_from_events(sf_dir)
 
     def derive(t: pa.Table) -> pa.Table:
+        import numpy as np
+
         n = len(t)
         return pa.table(
             {
-                "n_turns": pa.array([1] * n, pa.int64()),
+                "n_turns": pa.array(np.ones(n, np.int64)),
                 "text_len": pc.cast(pc.utf8_length(t["text"]), pa.int64()),
             }
         )
