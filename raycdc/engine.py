@@ -1312,9 +1312,17 @@ def _join_plan(
             f"join key {on!r} must lead with the shared partition key "
             f"{pk_l!r} — co-location only holds for the hash-layout key"
         )
-    if how not in ("inner", "left"):
-        raise ValueError(f"how={how!r}: expected 'inner' or 'left'")
-    join_type = "inner" if how == "inner" else "left outer"
+    _JOIN_TYPES = {
+        "inner": "inner",
+        "left": "left outer",
+        "semi": "left semi",  # left rows WITH a match; no right columns
+        "anti": "left anti",  # left rows WITHOUT a match; no right columns
+    }
+    if how not in _JOIN_TYPES:
+        raise ValueError(
+            f"how={how!r}: expected one of {sorted(_JOIN_TYPES)}"
+        )
+    join_type = _JOIN_TYPES[how]
 
     # canonical pruned schemas, computed ONCE driver-side so every task
     # emits identical block schemas even when old partition files predate a
@@ -1355,13 +1363,15 @@ def _join_plan(
         return t.select(out_schema.names).cast(out_schema)
 
     # canonical join-output schema: left cols + suffixed right non-key cols
+    # (semi/anti are pure left-row filters — no right columns at all)
     fields = list(out_schema_l)
     lnames = set(out_schema_l.names)
-    for f in out_schema_r:
-        if f.name in on:
-            continue
-        name = f.name + right_suffix if f.name in lnames else f.name
-        fields.append(pa.field(name, f.type))
+    if how in ("inner", "left"):
+        for f in out_schema_r:
+            if f.name in on:
+                continue
+            name = f.name + right_suffix if f.name in lnames else f.name
+            fields.append(pa.field(name, f.type))
     out_schema = pa.schema(fields)
 
     def join_one(part: int) -> pa.Table:
@@ -1369,7 +1379,7 @@ def _join_plan(
         if len(lt) == 0:
             return out_schema.empty_table()
         rt = _read_side(right_lake, part, keep_r, out_schema_r, op_r, op_in_r)
-        if len(rt) == 0 and how == "inner":
+        if len(rt) == 0 and how in ("inner", "semi"):
             return out_schema.empty_table()
         joined = lt.join(
             rt,

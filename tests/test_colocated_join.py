@@ -463,3 +463,24 @@ def test_join_view_crash_window_is_consistent(tmp_path, lakes):
 def _view_state_rows(view: str) -> set:
     t = _join_table(read_lake(view, with_tombstones=True))
     return set(zip(t["conv_id"].to_pylist(), t["turn_idx"].to_pylist()))
+
+
+def test_semi_and_anti_join(lakes):
+    """semi keeps covered left rows only (no right columns); anti keeps the
+    complement; together they tile the left lake."""
+    left, ls, right, rs, live, covered = lakes
+    kw = dict(
+        on=("conv_id",),
+        spec_left=ls,
+        spec_right=rs,
+        left_columns=["conv_id", "turn_idx"],
+        right_columns=["dim"],
+    )
+    semi = _join_table(colocated_join(left, right, how="semi", **kw))
+    anti = _join_table(colocated_join(left, right, how="anti", **kw))
+    assert "dim" not in semi.column_names and "dim" not in anti.column_names
+    semi_keys = set(zip(semi["conv_id"].to_pylist(), semi["turn_idx"].to_pylist()))
+    anti_keys = set(zip(anti["conv_id"].to_pylist(), anti["turn_idx"].to_pylist()))
+    assert semi_keys == {k for k in live if k[0] in covered}
+    assert anti_keys == {k for k in live if k[0] not in covered}
+    assert not (semi_keys & anti_keys)
