@@ -159,7 +159,9 @@ def main(argv: list[str] | None = None) -> int:
         default="conv_id",
         help="comma-separated join keys (first must be the shared partition key)",
     )
-    p_view.add_argument("--how", default="inner", choices=["inner", "left"])
+    p_view.add_argument(
+        "--how", default="inner", choices=["inner", "left", "semi", "anti"]
+    )
     p_view.add_argument(
         "--left-columns", default=None, help="comma-separated column prune"
     )

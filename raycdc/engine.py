@@ -1239,10 +1239,12 @@ def colocated_join(
     and the partition key must lead ``on``.  A mismatch raises with a
     pointer to :func:`migrate_lake` (re-layout is a rewrite, never a cast).
 
-    ``how`` is ``'inner'`` or ``'left'`` (left outer: unmatched left rows
-    keep nulls for right columns).  ``left_columns`` / ``right_columns``
-    prune at the partition-file read.  Right-side non-key columns that
-    collide with left names get ``right_suffix``.
+    ``how`` is ``'inner'``, ``'left'`` (left outer: unmatched left rows
+    keep nulls for right columns), ``'semi'`` or ``'anti'`` (pure left-row
+    filters by dimension coverage — no right columns in the output).
+    ``left_columns`` / ``right_columns`` prune at the partition-file read.
+    Right-side non-key columns that collide with left names get
+    ``right_suffix``.
     """
     import ray
 
