@@ -363,6 +363,8 @@ def _make_apply_fn(lake_dir: str, spec: TableSpec, quarantine_dir: str | None = 
                 "row_count": len(merged),
                 "content_hash": chash,
                 "version": next_version,
+                # lets compact() skip clean partitions without reading them
+                "tombstones": tomb,
             },
         )
         return pa.table(
@@ -715,6 +717,7 @@ def bootstrap(
                 "row_count": len(merged),
                 "content_hash": chash,
                 "version": 0,
+                "tombstones": tomb,
             },
         )
         return pa.table(
@@ -748,7 +751,7 @@ def bootstrap(
         S.write_checkpoint(
             lake_dir,
             part,
-            {"max_lsn": snap_lsn, "row_count": 0, "content_hash": 0, "version": -1},
+            {"max_lsn": snap_lsn, "row_count": 0, "content_hash": 0, "version": -1, "tombstones": 0},
         )
         synth.append(
             {
@@ -1047,8 +1050,27 @@ def compact(
         rows = []
         for part in batch["id"].to_pylist():
             part = int(part)
-            existing = S.read_partition(lake_dir, part)
             ckpt = S.read_checkpoint(lake_dir, part) or {"max_lsn": -1}
+            # metadata-only fast path: non-history GC can only drop stored
+            # op='delete' rows, and the apply checkpoint records how many
+            # the partition holds — zero means nothing to read or rewrite.
+            # Older checkpoints lack the key (None) and take the slow path.
+            if policy != "history" and ckpt.get("tombstones") == 0:
+                rows.append(
+                    {
+                        "part": part,
+                        "rows_in": int(ckpt.get("row_count", 0)),
+                        "rows_applied": 0,
+                        "rows_skipped_ckpt": 0,
+                        "rows_total": int(ckpt.get("row_count", 0)),
+                        "tombstones": 0,
+                        "max_lsn": ckpt["max_lsn"],
+                        "content_hash": int(ckpt.get("content_hash", 0)),
+                        "status": "noop",
+                    }
+                )
+                continue
+            existing = S.read_partition(lake_dir, part)
             if existing is None:
                 continue
             n_before = len(existing)
@@ -1067,6 +1089,18 @@ def compact(
                 S.write_partition_atomic(
                     live, lake_dir, part, version=next_version
                 )
+                remaining = (
+                    int(
+                        pc.sum(
+                            pc.equal(
+                                pc.fill_null(live[op_col], ""), M.DELETE
+                            )
+                        ).as_py()
+                        or 0
+                    )
+                    if policy != "history" and op_col in live.column_names
+                    else None
+                )
                 S.write_checkpoint(
                     lake_dir,
                     part,
@@ -1075,6 +1109,7 @@ def compact(
                         "row_count": len(live),
                         "content_hash": chash,
                         "version": next_version,
+                        "tombstones": remaining,
                     },
                 )
             rows.append(
@@ -1874,6 +1909,7 @@ def sync_lake(
                     "content_hash": sck.get("content_hash"),
                     "version": nv,
                     "src_version": sv,
+                    "tombstones": sck.get("tombstones"),
                 },
             )
             rows.append((part, len(t), "copied"))
@@ -1971,6 +2007,12 @@ def migrate_lake(
         part = int(g[PART_KEY][0].as_py())
         g = g.drop_columns([PART_KEY])
         S.write_partition_atomic(g, dst_lake, part, version=0)
+        tomb = int(
+            pc.sum(
+                pc.equal(pc.fill_null(g[spec.op_col], ""), M.DELETE)
+            ).as_py()
+            or 0
+        ) if spec.op_col in g.column_names else 0
         S.write_checkpoint(
             dst_lake,
             part,
@@ -1979,11 +2021,8 @@ def migrate_lake(
                 "row_count": len(g),
                 "content_hash": S.content_hash(g),
                 "version": 0,
+                "tombstones": tomb,
             },
-        )
-        tomb = int(
-            pc.sum(pc.equal(pc.fill_null(g[spec.op_col], ""), M.DELETE)).as_py()
-            or 0
         )
         return pa.table(
             {"part": [part], "rows": [len(g)], "tombstones": [tomb]},

@@ -270,3 +270,26 @@ def test_cli_bootstrap_then_replay(ray_session, tmp_path, capsys):
         read_lake(want_lake, spec).to_pandas().sort_values(["conv_id", "turn_idx"])
     )
     assert got.reset_index(drop=True).equals(want.reset_index(drop=True))
+
+
+def test_compact_fast_path_skips_clean_partitions(ray_session, tmp_path):
+    """After a compact, checkpoints record zero stored tombstones; the next
+    compact must not even READ those partitions — proven by removing a
+    clean partition's data file and compacting anyway."""
+    import os
+
+    from raycdc.sink import part_file, read_checkpoint
+
+    t = synthetic_changelog(n_events=800, seed=51, p_delete=0.25)
+    lake = str(tmp_path / "lake")
+    spec = TableSpec(num_partitions=4)
+    replay(ray.data.from_arrow(t), lake, spec)
+    compact(lake, spec)
+    for p in range(4):
+        assert read_checkpoint(lake, p)["tombstones"] == 0
+
+    victim = 2
+    os.remove(part_file(lake, victim))  # unreadable if compact tried
+    lineage = compact(lake, spec)
+    assert set(lineage["status"].to_pylist()) == {"noop"}
+    assert lineage.num_rows == 4
