@@ -126,3 +126,87 @@ def test_rollup_cli_count(tmp_path, capsys):
         if n != 0
     }
     assert got == expect
+
+
+def test_rollup_group_value_change_moves_contribution(tmp_path):
+    """Group by a VALUE column (role): an update that changes a row's role
+    must subtract its contribution from the old group and add it to the
+    new one (the ±before/after fan-out path)."""
+    import ray
+
+    from raycdc.sink import part_file, read_checkpoint
+
+    rows = {
+        "conv_id": pa.array(["a", "a", "b"]),
+        "turn_idx": pa.array([0, 1, 0], pa.int32()),
+        "role": pa.array(["user", "user", "assistant"]),
+        "text": pa.array(["one", "two", "three"]),
+        "tool": pa.array(["", "", ""]),
+        "ts": pa.array([1_000, 1_001, 1_002], pa.timestamp("us")),
+        "op": pa.array(["insert"] * 3),
+        "lsn": pa.array([0, 1, 2], pa.int64()),
+        "seg_id": pa.array([0] * 3, pa.int32()),
+    }
+    src = str(tmp_path / "src")
+    roll = str(tmp_path / "roll")
+    spec = TableSpec(num_partitions=4)
+    replay(ray.data.from_arrow(pa.table(rows)), src, spec)
+
+    kw = dict(
+        group_cols=("role",),
+        value_cols=("n_turns",),
+        spec=spec,
+        num_partitions=2,
+        derive=lambda t: pa.table(
+            {"n_turns": pa.array([1] * len(t), pa.int64())}
+        ),
+    )
+    maintain_rollup(src, roll, **kw)
+
+    def state() -> dict:
+        t = pa.concat_tables(
+            [
+                ray.get(r)
+                for r in read_lake(roll, with_tombstones=True).to_arrow_refs()
+            ],
+            promote_options="permissive",
+        )
+        return {
+            r: n
+            for r, n in zip(t["role"].to_pylist(), t["n_turns"].to_pylist())
+            if n != 0
+        }
+
+    assert state() == {"user": 2, "assistant": 1}
+
+    # ('a', 1) switches role user -> assistant
+    upd = pa.table(
+        {
+            "conv_id": pa.array(["a"]),
+            "turn_idx": pa.array([1], pa.int32()),
+            "role": pa.array(["assistant"]),
+            "text": pa.array(["two"]),
+            "tool": pa.array([""]),
+            "ts": pa.array([2_000], pa.timestamp("us")),
+            "op": pa.array(["update"]),
+            "lsn": pa.array([10], pa.int64()),
+            "seg_id": pa.array([1], pa.int32()),
+        }
+    )
+    replay(ray.data.from_arrow(upd), src, spec)
+    maintain_rollup(src, roll, **kw)
+    assert state() == {"user": 1, "assistant": 2}
+
+    # and a delete removes its group's contribution entirely
+    dele = upd.set_column(
+        upd.schema.get_field_index("op"), "op", pa.array(["delete"])
+    ).set_column(
+        upd.schema.get_field_index("lsn"), "lsn", pa.array([11], pa.int64())
+    ).set_column(
+        upd.schema.get_field_index("ts"),
+        "ts",
+        pa.array([3_000], pa.timestamp("us")),
+    )
+    replay(ray.data.from_arrow(dele), src, spec)
+    maintain_rollup(src, roll, **kw)
+    assert state() == {"user": 1, "assistant": 1}
