@@ -1453,6 +1453,12 @@ def refresh_join_view(
     partitions the last replays touched, not to the lake size.  Unchanged
     partitions are exact no-ops (file untouched, version unchanged).
 
+    This is the engine-side answer to the reference's model of deferring
+    every derived table to the warehouse (one handler per destination
+    table, ``/root/reference/handler.go:20-48``; re-loading the WHOLE
+    source object per event, ``bqloader.go:96-117``) — here the derived
+    table refreshes from per-partition version metadata instead.
+
     Refresh is idempotent and crash-safe with the same contract as
     ``replay``: the new version file is installed atomically BEFORE the
     view checkpoint advances to it.  Source versions are read BEFORE the
@@ -1563,6 +1569,11 @@ def change_feed(
     two-sided kernel as :func:`raycdc.changelog.diff_snapshots`
     (``diff_tagged``) locally.  No exchange, no driver materialization;
     output volume is proportional to the CHANGE between the snapshots.
+
+    The reference's pipeline is strictly one-way (file event → table,
+    ``/root/reference/bqloader.go:105-137``); a lake that is itself the
+    system of record also needs CDC *out*, which this provides without
+    the upstream WAL.
 
     ``value_cols`` defaults to every non-key, non-envelope column of the
     lake's registered schema.  Output: ``key_cols + value_cols + op``
@@ -1714,6 +1725,10 @@ def maintain_rollup(
     materialized-view-maintenance loop, built entirely from existing
     primitives: ``change_feed(include_old=True)`` → before/after delta
     algebra → additive-policy :func:`replay`.
+
+    The reference recomputes its destination wholesale on every file
+    event (load-and-replace, ``/root/reference/loader.go:33-60``); this
+    keeps an aggregate fresh for the cost of the delta instead.
 
     Each call snapshots the source, feeds ONLY the changes since the last
     consumed snapshot (recorded in the rollup's ``_feed_pos.json``), turns
