@@ -1,0 +1,76 @@
+"""Pin the driver-contract ordering invariant.
+
+The external correctness driver checks only the FIRST 50 ``queries()``
+entries (VERDICT.md round 2, finding #1).  These tests make the window
+contract explicit: every entry inside the window must carry a DuckDB
+oracle (hash-checkable, not rows-only), and the training-data family —
+which went driver-unverified in round 2 — must sit inside it.
+"""
+
+import __ray_entry__ as entrymod
+
+WINDOW = 50
+
+MUST_BE_IN_WINDOW = [
+    # dedup / decontamination / similarity
+    "dedup_exact",
+    "dedup_exact_hash",
+    "dedup_normalized",
+    "dedup_minhash",
+    "dedup_jaccard",
+    "decontaminate",
+    "sim_knn",
+    # text / tokens / embeddings
+    "text_repetition",
+    "text_redact",
+    "text_normalize",
+    "token_vocab",
+    "tfidf_docs",
+    "assemble_convs",
+    "embed_centroids",
+    # relational additions
+    "cdc_snapshot_diff",
+    "join_full_outer",
+    "pivot_user_events",
+    "distinct_props_per_user",
+    # multimodal codecs
+    "media_wav",
+    "media_bmp",
+    "media_resize",
+]
+
+
+def test_window_entries_all_have_oracles():
+    keys = list(entrymod.queries())
+    oracles = entrymod.oracle_sql()
+    window = keys[:WINDOW]
+    missing = [k for k in window if k not in oracles]
+    assert missing == [], f"driver-window entries without an oracle: {missing}"
+
+
+def test_training_data_family_inside_window():
+    window = set(list(entrymod.queries())[:WINDOW])
+    missing = [k for k in MUST_BE_IN_WINDOW if k not in window]
+    assert missing == [], f"training-data queries outside the driver window: {missing}"
+
+
+def test_same_oracle_variants_do_not_crowd_the_window():
+    """At most two of the five lww_final-oracle replay variants may occupy
+    window slots (cdc_replay + cdc_replay_lake); the rest ride behind."""
+    window = list(entrymod.queries())[:WINDOW]
+    lww_variants = {
+        "cdc_replay",
+        "cdc_replay_lake",
+        "cdc_replay_salted",
+        "cdc_replay_actors",
+        "cdc_csv_ingest",
+        "cdc_sync_replica",
+    }
+    in_window = [k for k in window if k in lww_variants]
+    assert len(in_window) <= 2, in_window
+
+
+def test_every_query_name_unique_and_callable():
+    q = entrymod.queries()
+    assert len(q) == len(set(q))
+    assert all(callable(v) for v in q.values())
