@@ -231,6 +231,12 @@ def main(argv: list[str] | None = None) -> int:
         help="inspect a dead-letter / late-event quarantine directory",
     )
     p_dlq.add_argument("--dir", required=True, help="park directory")
+    p_dlq.add_argument(
+        "--queue",
+        choices=["batch", "late"],
+        default=None,
+        help="inspect one queue only (the two carry different schemas)",
+    )
 
     p_sync = sub.add_parser(
         "sync",
@@ -580,13 +586,16 @@ def main(argv: list[str] | None = None) -> int:
         from raycdc.engine import read_dead_letters
         from raycdc.storage import get_storage
 
-        t = read_dead_letters(args.dir)
+        t = read_dead_letters(args.dir, prefix=args.queue)
         st = get_storage(args.dir)
+        want_prefixes = (
+            ("batch-", "late-") if args.queue is None else (f"{args.queue}-",)
+        )
         errors: dict[str, int] = {}
         nfiles = 0
         for name in sorted(st.listdir(args.dir)):
             if not (
-                name.startswith(("batch-", "late-"))
+                name.startswith(want_prefixes)
                 and name.endswith(".parquet")
             ):
                 continue

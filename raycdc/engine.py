@@ -472,6 +472,15 @@ def replay(
             "quarantine_dir only applies to merge_policy='history' — lww "
             "and additive merges have no event-time contract to violate"
         )
+    if S.bootstrap_pending(lake_dir):
+        # a half-initialized lake accepts nothing: replaying it would
+        # silently miss all pre-snapshot state on the partitions the
+        # crashed bootstrap never reached
+        raise RuntimeError(
+            f"lake {lake_dir} has an unfinished bootstrap "
+            "(_bootstrap_pending marker present) — re-run bootstrap to "
+            "completion before replaying"
+        )
     # layout/policy contract: an LWW apply against a history lake would
     # silently collapse every superseded version, and a different
     # num_partitions would orphan rows — validate against the persisted
@@ -656,7 +665,13 @@ def bootstrap(
             "validity intervals cannot be reconstructed from one — replay "
             "the full changelog instead"
         )
-    if S.read_spec_meta(lake_dir) is not None or S.read_all_checkpoints(lake_dir):
+    if not S.bootstrap_pending(lake_dir) and (
+        S.read_spec_meta(lake_dir) is not None or S.read_all_checkpoints(lake_dir)
+    ):
+        # a lake whose _bootstrap_pending marker is still present is a
+        # crashed half-initialization: re-bootstrap overwrites it (every
+        # partition file/checkpoint is rewritten below), but a COMPLETED
+        # lake stays protected
         raise ValueError(
             f"bootstrap target {lake_dir} is not empty — bootstrap only "
             "initializes a fresh lake (use replay on existing ones, or "
@@ -734,6 +749,15 @@ def bootstrap(
             }
         ).cast(S.LINEAGE_SCHEMA)
 
+    # atomicity marker: written BEFORE any metadata/checkpoints land,
+    # cleared only after the snapshot is recorded — a mid-run crash leaves
+    # the marker, which makes replay refuse the half-lake and lets
+    # bootstrap re-initialize it (checked above)
+    from raycdc.storage import get_storage, write_json_atomic
+
+    write_json_atomic(
+        get_storage(lake_dir), S.bootstrap_marker_file(lake_dir), {"lsn": snap_lsn}
+    )
     S.write_spec_meta(lake_dir, spec)
     lineage_ds = (
         snapshot.map_batches(_stamp, batch_format="pyarrow", zero_copy_batch=True)
@@ -779,6 +803,7 @@ def bootstrap(
     if seen_parts:
         S.update_lake_schema(lake_dir, parts=sorted(seen_parts))
     S.write_snapshot(lake_dir)
+    get_storage(lake_dir).remove(S.bootstrap_marker_file(lake_dir))
     return lineage
 
 
@@ -813,24 +838,47 @@ def _with_dead_letter(projector, dead_letter_dir: str):
     return _ops.checked(projector, dead_letter=park)
 
 
-def read_dead_letters(dead_letter_dir: str) -> pa.Table | None:
+def read_dead_letters(
+    dead_letter_dir: str, prefix: str | None = None
+) -> pa.Table | None:
     """All parked batches concatenated (None when the queue is empty).
 
-    Reads BOTH park queues: dead-lettered projector batches (``batch-*``)
-    and quarantined late history events (``late-*``)."""
+    ``prefix`` selects a queue: ``'batch'`` (dead-lettered projector
+    batches, projector-INPUT schema), ``'late'`` (quarantined late history
+    events, folded-history schema), or ``None`` for both.  Each queue is
+    concatenated permissively on its own first — the two queues carry
+    different schemas by design, and a type conflict between them must not
+    make EITHER queue uninspectable."""
     from raycdc.storage import get_storage
 
     st = get_storage(dead_letter_dir)
-    paths = sorted(
-        os.path.join(dead_letter_dir, n)
-        for n in st.listdir(dead_letter_dir)
-        if n.startswith(("batch-", "late-")) and n.endswith(".parquet")
-    )
-    if not paths:
+    prefixes = ("batch-", "late-") if prefix is None else (f"{prefix}-",)
+    queues: list[pa.Table] = []
+    for pfx in prefixes:
+        paths = sorted(
+            os.path.join(dead_letter_dir, n)
+            for n in st.listdir(dead_letter_dir)
+            if n.startswith(pfx) and n.endswith(".parquet")
+        )
+        if paths:
+            queues.append(
+                pa.concat_tables(
+                    [st.read_parquet(p) for p in paths],
+                    promote_options="permissive",
+                )
+            )
+    if not queues:
         return None
-    return pa.concat_tables(
-        [st.read_parquet(p) for p in paths], promote_options="default"
-    )
+    if len(queues) == 1:
+        return queues[0]
+    try:
+        return pa.concat_tables(queues, promote_options="permissive")
+    except (pa.ArrowInvalid, pa.ArrowTypeError) as e:
+        raise ValueError(
+            "the batch- and late- park queues under "
+            f"{dead_letter_dir} carry incompatible schemas — read them "
+            "separately with prefix='batch' / prefix='late'"
+        ) from e
 
 
 def tail_once(
@@ -1646,7 +1694,10 @@ def change_feed(
 
     def _state(part: int, version: int | None) -> pa.Table:
         """Live rows of one stored partition version, canonical schema."""
-        if version is None:
+        if version is None or version < 0:
+            # version < 0 is bootstrap's checkpoint-only marker for a
+            # partition the snapshot held no rows for (no data file yet,
+            # engine.bootstrap) — an empty state, not a vacuumed file
             return state_schema.empty_table()
         t = S.read_partition(
             lake_dir, part, version=version, columns=[*cols, op_col]
@@ -1736,10 +1787,13 @@ def maintain_rollup(
     inserts/updates, ``-before`` for updates/deletes, so a row whose group
     value changes moves its contribution between groups — and replays them
     into the additive rollup lake.  Exactly-once without coordination: the
-    whole feed batch carries ``lsn = to-snapshot id`` (snapshot ids are
-    monotone), so a crash between the replay and the position write merely
-    re-feeds rows the additive checkpoints prune.  Cost per refresh is
-    proportional to the CHANGE, never to the source size.
+    whole feed batch carries ``lsn = to-snapshot id``, and the to-snapshot
+    id is CLAIMED in ``_feed_pos.json`` (``pending``) before the replay —
+    a retry after a crash between the replay and the position promotion
+    reuses the SAME pending snapshot id, so the re-fed rows carry the same
+    lsn and the additive checkpoints prune them instead of double-counting
+    under a freshly minted, higher id.  Cost per refresh is proportional
+    to the CHANGE, never to the source size.
 
     ``group_cols``/``value_cols`` name columns of the feed output;
     ``derive`` (optional) maps a table carrying the source's key+value
@@ -1764,7 +1818,24 @@ def maintain_rollup(
     st = get_storage(rollup_lake)
     pos = read_json(st, pos_path)
     from_snap = pos.get("snapshot") if pos else None
-    to_snap = S.write_snapshot(src_lake)
+    pending = pos.get("pending") if pos else None
+    if pending is not None:
+        # a previous refresh crashed between the additive replay and the
+        # position promotion: reuse the claimed snapshot id so the re-fed
+        # deltas carry the SAME lsn and the checkpoints prune them; minting
+        # a fresh (higher) id here would apply the batch a second time
+        to_snap = int(pending)
+        if S.read_snapshot(src_lake, to_snap) is None:
+            raise FileNotFoundError(
+                f"maintain_rollup: pending snapshot {to_snap} recorded in "
+                f"{pos_path} is missing under {src_lake} (vacuumed?) — the "
+                "crashed refresh may have partially applied; rebuild the "
+                "rollup lake rather than risk double-counting"
+            )
+    else:
+        to_snap = S.write_snapshot(src_lake)
+        # claim BEFORE the replay so a crash-retry reuses this id
+        write_json_atomic(st, pos_path, {"snapshot": from_snap, "pending": to_snap})
 
     feed = change_feed(src_lake, from_snap, to_snap, spec, include_old=True)
     key_cols = tuple(
@@ -1844,8 +1915,8 @@ def maintain_rollup(
         rollup_lake,
         roll_spec,
     )
-    # advance the consumed position only after the apply landed; a crash
-    # in between re-feeds rows the additive lsn checkpoints prune
+    # promote pending → consumed only after the apply landed; a crash in
+    # between re-feeds under the SAME claimed lsn, which checkpoints prune
     write_json_atomic(st, pos_path, {"snapshot": to_snap})
     return lineage
 
@@ -1902,6 +1973,24 @@ def sync_lake(
             dck = S.read_checkpoint(dst_lake, part)
             if dck is not None and dck.get("src_version") == sv:
                 rows.append((part, int(dck.get("row_count", 0)), "noop"))
+                continue
+            if sv < 0:
+                # bootstrap's checkpoint-only marker: no data file exists
+                # yet, but the max_lsn floor is load-bearing for failover
+                # replay — copy the checkpoint alone
+                S.write_checkpoint(
+                    dst_lake,
+                    part,
+                    {
+                        "max_lsn": sck.get("max_lsn"),
+                        "row_count": 0,
+                        "content_hash": sck.get("content_hash", 0),
+                        "version": -1,
+                        "src_version": sv,
+                        "tombstones": 0,
+                    },
+                )
+                rows.append((part, 0, "empty"))
                 continue
             t = S.read_partition(src_lake, part, version=sv)
             if t is None:

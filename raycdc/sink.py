@@ -99,6 +99,16 @@ def ckpt_file(lake_dir: str, part: int) -> str:
     return os.path.join(lake_dir, "_ckpt", f"part-{part:05d}.json")
 
 
+def bootstrap_marker_file(lake_dir: str) -> str:
+    return os.path.join(lake_dir, "_bootstrap_pending.json")
+
+
+def bootstrap_pending(lake_dir: str) -> bool:
+    """True while a bootstrap is in flight (marker written first, cleared
+    last) — replay refuses such a lake, re-bootstrap is allowed."""
+    return get_storage(lake_dir).exists(bootstrap_marker_file(lake_dir))
+
+
 def read_partition(
     lake_dir: str,
     part: int,
