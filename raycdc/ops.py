@@ -36,9 +36,11 @@ import pyarrow.compute as pc
 def clean_number(arr: pa.ChunkedArray | pa.Array) -> pa.ChunkedArray | pa.Array:
     """Strip currency marks / grouping commas from a string column.
 
-    Keeps digits and ``.``; keeps a ``-`` only when it occurs before any
-    digit (a trailing ``-`` as in ``"¥12345-"`` is bank notation, dropped);
-    a value with no digits at all (e.g. ``"-"``) becomes ``""``.
+    Keeps digits and ``.`` anywhere; keeps a ``-`` only when it is the
+    FIRST character of the cell (``i == 0`` in the reference's byte loop —
+    ``"¥-123"→"123"``, and a trailing ``-`` as in ``"¥12345-"`` is bank
+    notation, dropped); the exact result ``"-"`` becomes ``""``, every
+    other digit-free residue (e.g. ``"."``) passes through verbatim.
 
     Cell-for-cell equal to the reference's ``CleanNumber``
     (``/root/reference/contrib/handlers/handlers.go:36-51``; cases
@@ -47,11 +49,13 @@ def clean_number(arr: pa.ChunkedArray | pa.Array) -> pa.ChunkedArray | pa.Array:
     ``"-12,345"→"-12345"``, ``"¥12345-"→"12345"``, ``"-"→""``.
     """
     body = pc.replace_substring_regex(arr, pattern=r"[^0-9.]", replacement="")
-    negative = pc.match_substring_regex(arr, r"^[^0-9.]*-")
-    has_digits = pc.match_substring_regex(body, r"[0-9]")
-    signed = pc.binary_join_element_wise(pa.scalar("-"), body, pa.scalar(""))
-    out = pc.if_else(negative, signed, body)
-    return pc.if_else(has_digits, out, pa.scalar(""))
+    negative = pc.starts_with(arr, "-")
+    signed = pc.if_else(
+        negative,
+        pc.binary_join_element_wise(pa.scalar("-"), body, pa.scalar("")),
+        body,
+    )
+    return pc.if_else(pc.equal(signed, "-"), pa.scalar(""), signed)
 
 
 # ---------------------------------------------------------------------------

@@ -30,12 +30,11 @@ from raycdc import ops
 
 
 def _sql_clean(expr: str) -> str:
+    # reference semantics (handlers.go:36-51): '-' kept only at index 0;
+    # the exact residue '-' maps to '', other digit-free residues pass
     body = f"regexp_replace({expr}, '[^0-9.]', '', 'g')"
-    return (
-        f"CASE WHEN NOT regexp_matches({body}, '[0-9]') THEN '' "
-        f"WHEN regexp_matches({expr}, '^[^0-9.]*-') THEN '-' || {body} "
-        f"ELSE {body} END"
-    )
+    signed = f"(CASE WHEN {expr} LIKE '-%' THEN '-' ELSE '' END || {body})"
+    return f"CASE WHEN {signed} = '-' THEN '' ELSE {signed} END"
 
 
 # ---------------------------------------------------------------------------

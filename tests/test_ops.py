@@ -24,6 +24,14 @@ CLEAN_CASES = [
     ("", ""),
     ("abc", ""),
     ("1,091", "1091"),
+    # reference keeps '-' ONLY at index 0 (handlers.go:41-43): a sign after
+    # a currency mark is dropped, and a digit-free residue like '.' passes
+    # through verbatim (only the exact residue '-' maps to '')
+    ("¥-123", "123"),
+    ("a-12", "12"),
+    ("-a12", "-12"),
+    (".", "."),
+    ("-.", "-."),
 ]
 
 
