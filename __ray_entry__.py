@@ -158,6 +158,7 @@ _DRIVER_WINDOW: list[str] = [
     "proj_dates",
     "proj_wareki",
     "proj_statement",
+    "preset_statement",
     # lake ecosystem
     "cdc_evolve",
     "cdc_additive_rollup",
@@ -180,7 +181,6 @@ _DRIVER_WINDOW: list[str] = [
     "window_hopping",
     "asof_click_purchase",
     "range_join_clicks",
-    "running_value",
     "stratified_sample",
     "pivot_user_events",
     "distinct_props_per_user",

@@ -120,20 +120,26 @@ def decode_segment(data: bytes, path: str, spec: DecodeSpec) -> pa.Table:
             ]
             table = pa.table(arrays, names=list(names))
     else:
+        names = spec.column_names
+        if names is None:
+            # positional untyped records, like the reference's [][]string:
+            # sniff the width from the first record (csv-aware, so a quoted
+            # newline in it is handled) and declare every column as string —
+            # letting Arrow INFER types here would corrupt textual cells
+            # ("" → null through an int column, "1.0000" → "1.0")
+            first = next(
+                _csv.reader(io.StringIO(text), delimiter=spec.delimiter), []
+            )
+            names = tuple(f"f{i}" for i in range(len(first)))
         read_opts = pacsv.ReadOptions(
-            column_names=list(spec.column_names) if spec.column_names else None,
-            autogenerate_column_names=spec.column_names is None,
+            column_names=list(names),
             skip_rows=spec.skip_leading_rows,
         )
         parse_opts = pacsv.ParseOptions(
             delimiter=spec.delimiter, newlines_in_values=True
         )
         conv_opts = pacsv.ConvertOptions(
-            column_types=(
-                {c: pa.string() for c in spec.column_names}
-                if spec.column_names
-                else None
-            ),
+            column_types={c: pa.string() for c in names},
             strings_can_be_null=spec.strings_can_be_null,
         )
         try:
@@ -142,12 +148,8 @@ def decode_segment(data: bytes, path: str, spec: DecodeSpec) -> pa.Table:
             )
         except pa.ArrowInvalid:
             # header-only file after skip_rows consumed every record
-            table = _empty()
-        if spec.column_names is None:
-            # positional untyped records, like the reference's [][]string
-            table = table.rename_columns([f"f{i}" for i in range(table.num_columns)])
-            table = pa.table(
-                {c: table[c].cast(pa.string()) for c in table.column_names}
+            table = _empty() if spec.column_names else pa.table(
+                {c: pa.array([], pa.string()) for c in names}
             )
 
     n = len(table)
@@ -209,9 +211,12 @@ class BinarySegmentDecoder:
     file; here ``decode_fn(data, path) -> pa.Table`` plays that role and any
     heavyweight codec setup belongs in ``__init__`` (once per actor).
 
-    The sandbox has no xls/image codecs, so the default decoder raises
-    ``NotImplementedError`` — the Ray plumbing (schema, per-file granularity,
-    actor signature) is real and tested with fake decoders.
+    Real codecs shipped here: XLSX (:func:`decode_xlsx`), legacy BIFF8
+    ``.xls`` (:func:`raycdc.xls.decode_xls`), both via
+    :func:`statement_workbook_decoder`.  The default (no ``decode_fn``)
+    still raises ``NotImplementedError`` — formats needing external
+    libraries stay stubbed while the Ray plumbing (schema, per-file
+    granularity, actor signature) remains real and tested.
     """
 
     def __init__(
@@ -223,8 +228,9 @@ class BinarySegmentDecoder:
     @staticmethod
     def _unsupported(data: bytes, path: str) -> pa.Table:
         raise NotImplementedError(
-            "no binary codec registered; pass decode_fn=... "
-            "(xls/image/audio libraries are not available in this environment)"
+            "no binary codec registered; pass decode_fn=... (e.g. "
+            "statement_workbook_decoder() for xls/xlsx; image/audio codecs "
+            "beyond WAV/BMP need libraries absent from this environment)"
         )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -341,23 +347,39 @@ def decode_xlsx(data: bytes, path: str = "", sheet_index: int = 0) -> pa.Table:
     return pa.table(cols)
 
 
-def statement_xlsx_decoder(
+def statement_workbook_decoder(
     date_pattern: str = r"^\d\d\d\d/\d\d/\d\d$", sheet_index: int = 0
 ) -> Callable[[bytes, str], pa.Table]:
     """Build a ``decode_fn`` for :class:`BinarySegmentDecoder` replicating
     the reference's AMEX statement semantics
     (``/root/reference/contrib/handlers/amex.go:34-69``): open sheet 0,
     keep only rows whose FIRST cell matches the date pattern (header and
-    footer rows dropped).  The compiled regex is built once per decoder —
-    actor-pool stages need no per-batch setup (Arrow compiles the RE2
-    pattern inside the kernel)."""
+    footer rows dropped).  The container is sniffed per file: ``PK`` →
+    modern XLSX (zip-of-XML, :func:`decode_xlsx`), OLE2 magic → legacy
+    BIFF8 ``.xls`` (:func:`raycdc.xls.decode_xls`).  The compiled regex is
+    built once per decoder — actor-pool stages need no per-batch setup
+    (Arrow compiles the RE2 pattern inside the kernel)."""
     import pyarrow.compute as pc
 
     def decode(data: bytes, path: str) -> pa.Table:
-        t = decode_xlsx(data, path, sheet_index=sheet_index)
+        if data[:2] == b"PK":
+            t = decode_xlsx(data, path, sheet_index=sheet_index)
+        elif data[:4] == b"\xd0\xcf\x11\xe0":
+            from raycdc.xls import decode_xls
+
+            t = decode_xls(data, path, sheet_index=sheet_index)
+        else:
+            raise ValueError(
+                f"{path or 'workbook'}: neither XLSX (zip) nor OLE2 .xls "
+                f"container (magic {data[:4]!r})"
+            )
         if len(t) == 0 or "c0" not in t.column_names:
             return t
         keep = pc.match_substring_regex(t["c0"], date_pattern)
         return t.filter(keep)
 
     return decode
+
+
+# kept for callers written against the XLSX-only round-2 name
+statement_xlsx_decoder = statement_workbook_decoder

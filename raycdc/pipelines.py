@@ -217,6 +217,78 @@ WHERE event_type <> 'click'
 """
 
 
+def _write_statement_csv(sf_dir: str) -> str:
+    """Render the events table as one SMBC-card-style Shift-JIS statement
+    export under /tmp (idempotent per events file): per-card preamble and
+    footer lines the preset's line filter must drop, 7 positional columns,
+    and the ``/(YYYYMM).csv`` object name the payment month derives from."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    src_path = f"{sf_dir}/events.parquet"
+    st = os.stat(src_path)
+    fingerprint = f"{st.st_size}-{st.st_mtime_ns}"
+    out_dir = os.path.join(
+        tempfile.gettempdir(),
+        f"raycdc_stmt_csv_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    marker = os.path.join(out_dir, "_done")
+    path = os.path.join(out_dir, "202401.csv")
+    if os.path.exists(marker):
+        with open(marker) as f:
+            if f.read() == fingerprint:
+                return path
+        shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir, exist_ok=True)
+    events = pq.read_table(src_path, columns=["event_id", "ts", "event_type"])
+    lines = pc.binary_join_element_wise(
+        pc.strftime(events["ts"], format="%Y/%m/%d"),
+        events["event_type"],
+        pc.cast(events["event_id"], pa.string()),
+        "", "", "", "",
+        ",",
+    )
+    body = "\n".join(
+        ["住友　太郎　様,XXXX-XXXX,ＴＥＳＴカード"]  # dropped by the line filter
+        + lines.to_pylist()
+        + ["合計,,,,,,999999"]  # footer, dropped too
+    )
+    with open(path, "w", encoding="cp932", newline="") as f:
+        f.write(body)
+    with open(marker, "w") as f:
+        f.write(fingerprint)
+    return path
+
+
+def q_preset_statement(sf_dir: str):
+    """The contrib preset library end-to-end
+    (/root/reference/contrib/handlers/smbc_card.go:18-100 →
+    raycdc/presets.py): a Shift-JIS card statement with per-card preamble
+    blocks → line filter → CSV decode → vectorized projector (date
+    normalize + payment month from the object name).  Oracle recomputes the
+    same projection straight from events."""
+    from raycdc.presets import PRESETS
+
+    path = _write_statement_csv(sf_dir)
+    ds = PRESETS["smbc_card_statement"]().records([path])
+
+    def strip_meta(t: pa.Table) -> pa.Table:
+        return t.select([f"f{i}" for i in range(8)])
+
+    return ds.map_batches(strip_meta, batch_format="pyarrow")
+
+
+SQL_PRESET_STATEMENT = """
+SELECT strftime(ts, '%Y-%m-%d') AS f0,
+       event_type AS f1,
+       CAST(event_id AS VARCHAR) AS f2,
+       '' AS f3, '' AS f4, '' AS f5, '' AS f6,
+       '2024-01-01' AS f7
+FROM events
+"""
+
+
 # ---------------------------------------------------------------------------
 # end-to-end CSV-segment ingestion — the whole reference pipeline in one
 # query: ragged CSV WAL segments → decode stack → projector → exactly-once
@@ -3486,6 +3558,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "proj_dates": q_proj_dates,
     "proj_wareki": q_proj_wareki,
     "proj_statement": q_proj_statement,
+    "preset_statement": q_preset_statement,
     "cdc_csv_ingest": q_cdc_csv_ingest,
     "cdc_evolve": q_cdc_evolve,
     "cdc_additive_rollup": q_cdc_additive_rollup,
@@ -3568,6 +3641,7 @@ ORACLES: dict[str, str] = {
     "proj_dates": SQL_PROJ_DATES,
     "proj_wareki": SQL_PROJ_WAREKI,
     "proj_statement": SQL_PROJ_STATEMENT,
+    "preset_statement": SQL_PRESET_STATEMENT,
     "join_orders_customer": SQL_JOIN_ORDERS_CUSTOMER,
     "join_shuffle": SQL_JOIN_ORDERS_CUSTOMER,
     "cdc_evolve": _sql_cdc_evolve(),
