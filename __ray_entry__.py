@@ -177,7 +177,6 @@ _DRIVER_WINDOW: list[str] = [
     "top_orders_per_cust",
     "sessionize_events",
     "rollup_lineitem",
-    "zscore_events",
     "window_hopping",
     "asof_click_purchase",
     "range_join_clicks",
@@ -206,6 +205,7 @@ _DRIVER_WINDOW: list[str] = [
     "media_wav",
     "media_bmp",
     "media_resize",
+    "media_frames",
 ]
 
 

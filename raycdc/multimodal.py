@@ -6,12 +6,14 @@ decode / feature-extract / resize / frame-sample are actor-pool
 
 Codec reality in this environment: AUDIO decode is REAL (stdlib ``wave``
 PCM16, :class:`WavDecoder`), IMAGE decode and resize are REAL (pure-numpy
-24-bit BMP, :class:`BmpDecoder`/:class:`BmpResizer`) — each with a
-deterministic synthesizer fixture and an arithmetic DuckDB oracle.  Only
-formats needing external libs (PIL/JPEG, ffmpeg video) remain stubbed
-behind ``codec=None`` (deterministic fake) / ``NotImplementedError``
-(real codec names); for those the Ray-side plumbing — schema, batch
-sizing, actor signature, output layout — is still real and tested.
+24-bit BMP, :class:`BmpDecoder`/:class:`BmpResizer`), VIDEO frame sampling
+is REAL for uncompressed YUV4MPEG2 (:class:`Y4mFrameSampler`, seeking over
+skipped frames) — each with a deterministic synthesizer fixture and an
+arithmetic DuckDB oracle.  Only formats needing external libs (PIL/JPEG,
+ffmpeg-compressed video) remain stubbed behind ``codec=None``
+(deterministic fake) / ``NotImplementedError`` (real codec names); for
+those the Ray-side plumbing — schema, batch sizing, actor signature,
+output layout — is still real and tested.
 
 Batch-size guidance (SURVEY.md §7.3 "wide rows"): binary payloads dominate
 block size; callers should pass ``batch_size`` small enough that
@@ -412,6 +414,160 @@ class BmpDecoder:
                 "mean_r": pa.array(np.floor(m[:, 2] * 1e6) / 1e6),
                 "mean_g": pa.array(np.floor(m[:, 1] * 1e6) / 1e6),
                 "mean_b": pa.array(np.floor(m[:, 0] * 1e6) / 1e6),
+            }
+        )
+
+
+# ---------------------------------------------------------------------------
+# REAL video codec — uncompressed YUV4MPEG2 (.y4m), pure numpy
+
+
+_Y4M_MAGIC = b"YUV4MPEG2"
+_Y4M_PLANE_FACTOR = {
+    # chroma subsampling → bytes per pixel of one frame (Y + U + V)
+    "420": 1.5,  # C420, C420jpeg, C420mpeg2, C420paldv share the layout
+    "422": 2.0,
+    "444": 3.0,
+    "mono": 1.0,
+}
+
+
+def _y4m_frame_bytes(w: int, h: int, cs: str) -> int:
+    key = "mono" if cs.startswith("mono") else cs[:3]
+    factor = _Y4M_PLANE_FACTOR.get(key)
+    if factor is None:
+        raise ValueError(f"unsupported Y4M colorspace C{cs}")
+    n = w * h * factor
+    if n != int(n):
+        raise ValueError(f"odd dimensions {w}x{h} invalid for C{cs}")
+    return int(n)
+
+
+def synth_y4m_batch(
+    batch: pa.Table,
+    id_col: str = "media_id",
+    w_col: str = "width",
+    h_col: str = "height",
+    frames_col: str = "n_frames",
+    base_col: str = "y_base",
+) -> pa.Table:
+    """Deterministic uncompressed Y4M synthesis — the fixture generator for
+    the REAL video frame sampler below.  Frame ``k`` of a clip is a solid
+    C420 image with ``Y = (y_base + 7*k) % 256`` (U=128, V=64), so every
+    sampled frame's luma mean is EXACTLY reconstructible arithmetically —
+    a decode bug cannot hash-match the oracle.  Dimensions must be even
+    (C420).  Container framing is per FILE; plane fills are numpy."""
+    ids = batch[id_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+    ws = batch[w_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+    hs = batch[h_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+    nfs = batch[frames_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+    bases = batch[base_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+    payloads = []
+    for i in range(len(ids)):  # per-FILE container framing
+        w, h, nf, base = int(ws[i]), int(hs[i]), int(nfs[i]), int(bases[i])
+        if w % 2 or h % 2:
+            raise ValueError(f"C420 needs even dimensions, got {w}x{h}")
+        chroma = np.empty((w * h) // 2, dtype=np.uint8)
+        chroma[: (w * h) // 4] = 128  # U
+        chroma[(w * h) // 4 :] = 64  # V
+        parts = [b"YUV4MPEG2 W%d H%d F25:1 Ip A1:1 C420\n" % (w, h)]
+        for k in range(nf):
+            parts.append(b"FRAME\n")
+            parts.append(
+                np.full(w * h, (base + 7 * k) % 256, dtype=np.uint8).tobytes()
+            )
+            parts.append(chroma.tobytes())
+        payloads.append(b"".join(parts))
+    return pa.table(
+        {
+            id_col: batch[id_col].cast(pa.int64()),
+            "payload": pa.array(payloads, pa.binary()),
+        }
+    )
+
+
+class Y4mFrameSampler:
+    """REAL video frame sampling as an actor-pool ``map_batches`` stage:
+    parses the YUV4MPEG2 container (stream header grammar ``W H F I A C``,
+    per-frame ``FRAME`` markers, planar YUV payload) and emits every
+    ``step``-th frame's metadata + luma statistics — the frame-sampling
+    access pattern of a video ingest pipeline with a real (uncompressed)
+    codec, replacing the byte-window :class:`FrameSampler` stub for ``.y4m``
+    input (the reference has no video path; this is a north_rule addition).
+
+    Skipped frames are never materialized: the reader SEEKS over them
+    (offset arithmetic on the flat buffer), so sampling 1-in-N frames
+    reads headers only for the other N-1 — the property that matters when
+    a clip is gigabytes.  Output: ``media_id, frame_idx, width, height,
+    mean_y`` (floor-quantized to 1e-6).
+    """
+
+    def __init__(
+        self, step: int = 2, payload_col: str = "payload", id_col: str = "media_id"
+    ):
+        if step < 1:
+            raise ValueError("step must be >= 1")
+        self._step = step
+        self._payload = payload_col
+        self._id = id_col
+
+    def _parse_clip(self, raw: bytes) -> tuple[int, int, list[tuple[int, float]]]:
+        if not raw.startswith(_Y4M_MAGIC):
+            raise ValueError("not a YUV4MPEG2 payload")
+        nl = raw.index(b"\n")
+        w = h = None
+        cs = "420"
+        for tok in raw[len(_Y4M_MAGIC) : nl].split():
+            tag, val = chr(tok[0]), tok[1:].decode("ascii")
+            if tag == "W":
+                w = int(val)
+            elif tag == "H":
+                h = int(val)
+            elif tag == "C":
+                cs = val
+        if not w or not h:
+            raise ValueError("Y4M header missing W/H")
+        fsize = _y4m_frame_bytes(w, h, cs)
+        buf = np.frombuffer(raw, dtype=np.uint8)
+        pos = nl + 1
+        out: list[tuple[int, float]] = []
+        k = 0
+        n = len(raw)
+        while pos < n:
+            if raw[pos : pos + 5] != b"FRAME":
+                raise ValueError(f"bad FRAME marker at byte {pos}")
+            fnl = raw.index(b"\n", pos)
+            data_start = fnl + 1
+            if data_start + fsize > n:
+                # a silently-averaged partial plane would be a wrong answer
+                raise ValueError(f"truncated frame {k} ({n - data_start}/{fsize} bytes)")
+            if k % self._step == 0:
+                y = buf[data_start : data_start + w * h]
+                out.append((k, float(y.mean()) if len(y) else 0.0))
+            pos = data_start + fsize  # seek: skipped frames are never read
+            k += 1
+        return w, h, out
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        la = batch[self._payload].combine_chunks()
+        ids_in = batch[self._id].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        ids, fidx, ws, hs, means = [], [], [], [], []
+        for i in range(len(la)):  # per-FILE container parse
+            w, h, frames = self._parse_clip(la[i].as_py())
+            for k, m in frames:
+                ids.append(int(ids_in[i]))
+                fidx.append(k)
+                ws.append(w)
+                hs.append(h)
+                means.append(m)
+        means_np = np.array(means, np.float64) if means else np.zeros(0)
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "frame_idx": pa.array(fidx, pa.int64()),
+                "width": pa.array(ws, pa.int64()),
+                "height": pa.array(hs, pa.int64()),
+                "mean_y": pa.array(np.floor(means_np * 1e6) / 1e6),
             }
         )
 

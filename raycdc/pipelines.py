@@ -1539,6 +1539,64 @@ def q_media_resize(sf_dir: str):
     )
 
 
+def q_media_frames(sf_dir: str):
+    """REAL video frame sampling end to end: deterministic uncompressed
+    YUV4MPEG2 clips synthesized from event parameters (solid C420 frames,
+    ``Y = (base + 7k) % 256``), then every 2nd frame sampled by the
+    seeking container parser (:class:`raycdc.multimodal.Y4mFrameSampler`).
+    The oracle regenerates (frame_idx, dims, luma mean) arithmetically
+    with a LATERAL frame-index range — a parser bug cannot hash-match."""
+    from raycdc.multimodal import Y4mFrameSampler, synth_y4m_batch
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id"])
+
+    def to_clips(t: pa.Table) -> pa.Table:
+        eid = t["event_id"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        eid = eid[eid % 13 == 0]
+        return pa.table(
+            {
+                "media_id": pa.array(eid),
+                "width": pa.array(8 + (eid % 5) * 2),  # even, 8..16
+                "height": pa.array(6 + (eid % 4) * 2),  # even, 6..12
+                "n_frames": pa.array(3 + (eid % 5)),  # 3..7
+                "y_base": pa.array(eid % 200),
+            }
+        )
+
+    clips = ds.map_batches(to_clips, batch_format="pyarrow", zero_copy_batch=True)
+    vids = clips.map_batches(
+        synth_y4m_batch, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=256,  # ~1 KB/frame × ≤7 frames: payload-bounded batches
+    )
+    return vids.map_batches(
+        Y4mFrameSampler,
+        fn_constructor_kwargs={"step": 2},
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+        batch_size=256,
+    )
+
+
+SQL_MEDIA_FRAMES = """
+WITH clips AS (
+    SELECT event_id AS media_id,
+           8 + (event_id % 5) * 2 AS width,
+           6 + (event_id % 4) * 2 AS height,
+           3 + (event_id % 5) AS n_frames,
+           event_id % 200 AS y_base
+    FROM events WHERE event_id % 13 = 0
+)
+SELECT c.media_id,
+       CAST(f.k AS BIGINT) AS frame_idx,
+       CAST(c.width AS BIGINT) AS width,
+       CAST(c.height AS BIGINT) AS height,
+       floor(CAST((c.y_base + 7 * f.k) % 256 AS DOUBLE) * 1e6) / 1e6 AS mean_y
+FROM clips c, LATERAL (
+    SELECT unnest(range(0, c.n_frames, 2)) AS k
+) f
+"""
+
+
 SQL_MEDIA_RESIZE = """
 SELECT event_id AS media_id,
        CAST(12 AS BIGINT) AS width,
@@ -3630,6 +3688,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "media_wav": q_media_wav,
     "media_bmp": q_media_bmp,
     "media_resize": q_media_resize,
+    "media_frames": q_media_frames,
     "media_features": q_media_features,
 }
 
@@ -3701,6 +3760,7 @@ ORACLES: dict[str, str] = {
     "media_wav": SQL_MEDIA_WAV,
     "media_bmp": SQL_MEDIA_BMP,
     "media_resize": SQL_MEDIA_RESIZE,
+    "media_frames": SQL_MEDIA_FRAMES,
 }
 
 

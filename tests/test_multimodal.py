@@ -278,3 +278,126 @@ def test_wav_multichannel_rms():
     assert out["n_channels"].to_pylist() == [2]
     assert out["n_samples"].to_pylist() == [500]
     assert abs(out["rms"][0].as_py() - 16000 / 32767) < 1e-4
+
+
+# --- Y4M video frame sampling (real uncompressed codec) ---------------------
+
+
+def _clips_table(ids, ws, hs, nfs, bases):
+    return pa.table(
+        {
+            "media_id": pa.array(ids, pa.int64()),
+            "width": pa.array(ws, pa.int64()),
+            "height": pa.array(hs, pa.int64()),
+            "n_frames": pa.array(nfs, pa.int64()),
+            "y_base": pa.array(bases, pa.int64()),
+        }
+    )
+
+
+def test_y4m_synth_sample_roundtrip():
+    from raycdc.multimodal import Y4mFrameSampler, synth_y4m_batch
+
+    clips = _clips_table([1, 2], [8, 12], [6, 10], [5, 3], [100, 250])
+    vids = synth_y4m_batch(clips)
+    out = Y4mFrameSampler(step=2)(vids)
+    rows = list(
+        zip(
+            out["media_id"].to_pylist(),
+            out["frame_idx"].to_pylist(),
+            out["width"].to_pylist(),
+            out["height"].to_pylist(),
+            out["mean_y"].to_pylist(),
+        )
+    )
+    # clip 1: frames 0,2,4 of 5; clip 2: frames 0,2 of 3; Y=(base+7k)%256
+    assert rows == [
+        (1, 0, 8, 6, 100.0),
+        (1, 2, 8, 6, 114.0),
+        (1, 4, 8, 6, 128.0),
+        (2, 0, 12, 10, 250.0),
+        (2, 2, 12, 10, (250 + 14) % 256 * 1.0),
+    ]
+
+
+def test_y4m_step_one_samples_every_frame():
+    from raycdc.multimodal import Y4mFrameSampler, synth_y4m_batch
+
+    vids = synth_y4m_batch(_clips_table([7], [8], [6], [4], [10]))
+    out = Y4mFrameSampler(step=1)(vids)
+    assert out["frame_idx"].to_pylist() == [0, 1, 2, 3]
+
+
+def test_y4m_seek_never_reads_skipped_frames():
+    """Corrupt the luma plane of an ODD frame: a step-2 sampler that truly
+    seeks must not notice; a step-1 sampler must see the corruption."""
+    from raycdc.multimodal import Y4mFrameSampler, synth_y4m_batch
+
+    vids = synth_y4m_batch(_clips_table([1], [8], [6], [4], [0]))
+    raw = bytearray(vids["payload"][0].as_py())
+    # frame layout: header + 4 x (b"FRAME\n" + 48 Y + 24 UV)
+    hdr = raw.index(b"\n") + 1
+    frame = 6 + 48 + 24
+    # corrupt frame 1's luma
+    start = hdr + frame + 6
+    raw[start : start + 48] = b"\xff" * 48
+    t = pa.table(
+        {"media_id": pa.array([1], pa.int64()), "payload": pa.array([bytes(raw)], pa.binary())}
+    )
+    sampled = Y4mFrameSampler(step=2)(t)
+    assert sampled["mean_y"].to_pylist() == [0.0, 14.0]  # untouched frames
+    every = Y4mFrameSampler(step=1)(t)
+    assert every["mean_y"].to_pylist()[1] == 255.0
+
+
+def test_y4m_colorspaces_and_errors():
+    from raycdc.multimodal import Y4mFrameSampler
+
+    def clip(header: bytes, frames: list[bytes]) -> pa.Table:
+        payload = header + b"".join(b"FRAME\n" + f for f in frames)
+        return pa.table(
+            {
+                "media_id": pa.array([1], pa.int64()),
+                "payload": pa.array([payload], pa.binary()),
+            }
+        )
+
+    # C444: 3*w*h per frame; luma first
+    t = clip(
+        b"YUV4MPEG2 W4 H2 F25:1 C444\n",
+        [bytes([50] * 8) + bytes([128] * 8) + bytes([64] * 8)],
+    )
+    out = Y4mFrameSampler(step=1)(t)
+    assert out["mean_y"].to_pylist() == [50.0]
+    assert out["width"].to_pylist() == [4]
+
+    # Cmono: w*h per frame
+    t = clip(b"YUV4MPEG2 W4 H2 F25:1 Cmono\n", [bytes([9] * 8), bytes([11] * 8)])
+    out = Y4mFrameSampler(step=1)(t)
+    assert out["mean_y"].to_pylist() == [9.0, 11.0]
+
+    with pytest.raises(ValueError, match="not a YUV4MPEG2"):
+        Y4mFrameSampler()(
+            pa.table(
+                {
+                    "media_id": pa.array([1], pa.int64()),
+                    "payload": pa.array([b"RIFFjunk"], pa.binary()),
+                }
+            )
+        )
+    with pytest.raises(ValueError, match="unsupported Y4M colorspace"):
+        Y4mFrameSampler()(clip(b"YUV4MPEG2 W4 H2 C999\n", [bytes(8)]))
+    with pytest.raises(ValueError, match="truncated frame"):
+        Y4mFrameSampler()(clip(b"YUV4MPEG2 W4 H2 C444\n", [bytes(8)]))  # short frame
+    with pytest.raises(ValueError, match="bad FRAME marker"):
+        # frame 0 complete, then garbage instead of the next FRAME marker
+        Y4mFrameSampler()(
+            clip(b"YUV4MPEG2 W4 H2 C444\n", [bytes(24) + b"JUNKJUNKJUNK" + bytes(24)])
+        )
+
+
+def test_y4m_synth_rejects_odd_dims():
+    from raycdc.multimodal import synth_y4m_batch
+
+    with pytest.raises(ValueError, match="even dimensions"):
+        synth_y4m_batch(_clips_table([1], [7], [6], [2], [0]))
