@@ -91,12 +91,24 @@ def word_shingle_hashes(
 # exact dedup
 
 
+def _filter_sorted_losers(t: pa.Table, id_col: str, lid: "np.ndarray") -> pa.Table:
+    """Drop rows whose id appears in the SORTED loser-id array."""
+    if len(lid) == 0:
+        return t
+    ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    pos = np.searchsorted(lid, ids)
+    pos_c = np.minimum(pos, len(lid) - 1)
+    is_loser = lid[pos_c] == ids
+    return t.filter(pa.array(~is_loser))
+
+
 def exact_dedup(
     ds: "ray.data.Dataset",
     text_col: str = "text",
     id_col: str = "doc_id",
     num_partitions: int = 64,
     identity: str = "text",
+    broadcast_max_ids: int = 5_000_000,
 ) -> "ray.data.Dataset":
     """Keep, per distinct ``text_col`` value, the row with the smallest
     ``id_col``.
@@ -110,9 +122,14 @@ def exact_dedup(
     ``(h1, h2, id)`` — two independent 64-bit FNV families as a 128-bit
     content identity — the per-bucket kernel emits the LOSER ids (every id
     but the smallest per identity), and the corpus is filtered streaming
-    against a one-``ray.put`` loser set.  Trades ~2^-128 collision odds
-    for never shuffling payload text; contract: the DUPLICATE id set
-    (not the corpus) must fit the object store."""
+    against the loser set.  Trades ~2^-128 collision odds for never
+    shuffling payload text.  Loser-set delivery is size-guarded: at most
+    ``broadcast_max_ids`` ids (≈40 MB at the default), the sorted array is
+    ``ray.put`` once and shared; above it — a high-duplication corpus whose
+    loser set would break the DRIVER heap — the ids are sorted into
+    disjoint id-range chunks that stay in the OBJECT STORE, and each filter
+    task fetches (zero-copy) only the chunks overlapping its batch's id
+    range.  Nothing ever concentrates the full set in one Python heap."""
     if identity not in ("text", "hash128"):
         raise ValueError(f"exact_dedup: identity must be text|hash128, got {identity!r}")
 
@@ -145,31 +162,68 @@ def exact_dedup(
                 first[1:] = (h1[1:] != h1[:-1]) | (h2[1:] != h2[:-1])
             return g.select([id_col]).filter(pa.array(~first))
 
-        loser_ds = (
+        loser_mat = (
             ds.map_batches(hash_rows, batch_format="pyarrow", zero_copy_batch=True)
             .groupby("__b", num_partitions=num_partitions)
             .map_groups(losers, batch_format="pyarrow")
+            .materialize()  # ids only, lives in the object store
         )
-        pdf = loser_ds.to_pandas()  # LOSER ids only — the documented bound
-        loser_ids = (
-            np.sort(pdf[id_col].to_numpy().astype(np.int64))
-            if len(pdf)
-            else np.empty(0, np.int64)
-        )
-        loser_ref = ray.put(loser_ids)
 
-        def drop_losers(t: pa.Table) -> pa.Table:
-            lid = ray.get(loser_ref)
-            if len(lid) == 0:
+        if loser_mat.count() <= broadcast_max_ids:
+            # small duplicate set: one sorted array, put once, read everywhere
+            pdf = loser_mat.to_pandas()
+            loser_ids = (
+                np.sort(pdf[id_col].to_numpy().astype(np.int64))
+                if len(pdf)
+                else np.empty(0, np.int64)
+            )
+            loser_ref = ray.put(loser_ids)
+
+            def drop_losers(t: pa.Table) -> pa.Table:
+                return _filter_sorted_losers(t, id_col, ray.get(loser_ref))
+
+            return ds.map_batches(
+                drop_losers, batch_format="pyarrow", zero_copy_batch=True
+            )
+
+        # no-broadcast path: sort the loser ids into disjoint-range chunks
+        # held as object-store refs; the driver keeps only (ref, lo, hi)
+        # per chunk and each filter task pulls just the overlapping chunks
+        chunk_refs = loser_mat.sort(id_col).to_arrow_refs()
+
+        @ray.remote
+        def _chunk_bounds(t: pa.Table):
+            if len(t) == 0:
+                return None
+            ids = t[id_col].to_numpy(zero_copy_only=False)
+            return int(ids[0]), int(ids[-1])
+
+        bounds = ray.get([_chunk_bounds.remote(r) for r in chunk_refs])
+        keep = [(r, b) for r, b in zip(chunk_refs, bounds) if b is not None]
+        refs = [r for r, _ in keep]
+        lo = np.array([b[0] for _, b in keep], np.int64)
+        hi = np.array([b[1] for _, b in keep], np.int64)
+
+        def drop_losers_chunked(t: pa.Table) -> pa.Table:
+            if not refs or len(t) == 0:
                 return t
             ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-            pos = np.searchsorted(lid, ids)
-            pos_c = np.minimum(pos, len(lid) - 1)
-            is_loser = lid[pos_c] == ids
-            return t.filter(pa.array(~is_loser))
+            bmin, bmax = int(ids.min()), int(ids.max())
+            sel = np.nonzero((hi >= bmin) & (lo <= bmax))[0]
+            if len(sel) == 0:
+                return t
+            # chunks are disjoint ascending id ranges: concatenation in
+            # chunk order stays globally sorted
+            lid = np.concatenate(
+                [
+                    ray.get(refs[i])[id_col].to_numpy(zero_copy_only=False)
+                    for i in sel
+                ]
+            )
+            return _filter_sorted_losers(t, id_col, lid)
 
         return ds.map_batches(
-            drop_losers, batch_format="pyarrow", zero_copy_batch=True
+            drop_losers_chunked, batch_format="pyarrow", zero_copy_batch=True
         )
 
     def add_hash(t: pa.Table) -> pa.Table:

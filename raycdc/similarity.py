@@ -75,23 +75,18 @@ def knn_brute_force(
         ids = t[id_col].to_numpy(zero_copy_only=False)
         scores = q @ m.T  # (nq, nb)
         kk = min(k, scores.shape[1])
-        out_q, out_id, out_s = [], [], []
-        for qi in range(len(q)):
-            row = scores[qi]
-            part = np.argpartition(-row, kk - 1)[:kk]
-            # tie-correct: include EVERY candidate equal to the k-th score
-            # so the documented vec_id tie-break happens globally, never at
-            # an arbitrary argpartition cutoff
-            kth = row[part].min()
-            cand = np.nonzero(row >= kth)[0]
-            out_q.append(np.full(len(cand), qids[qi]))
-            out_id.append(ids[cand])
-            out_s.append(row[cand])
+        # one 2-D argpartition across every query — no per-query Python loop
+        part = np.argpartition(-scores, kk - 1, axis=1)[:, :kk]
+        # tie-correct: include EVERY candidate equal to the k-th score so
+        # the documented vec_id tie-break happens globally, never at an
+        # arbitrary argpartition cutoff
+        kth = np.take_along_axis(scores, part, axis=1).min(axis=1)
+        rows, cols = np.nonzero(scores >= kth[:, None])
         return pa.table(
             {
-                "q_id": pa.array(np.concatenate(out_q)),
-                id_col: pa.array(np.concatenate(out_id)),
-                "score": pa.array(np.concatenate(out_s)),
+                "q_id": pa.array(np.asarray(qids)[rows]),
+                id_col: pa.array(ids[cols]),
+                "score": pa.array(scores[rows, cols]),
             }
         )
 

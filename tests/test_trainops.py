@@ -672,3 +672,40 @@ def test_cms_d_validation():
 
     with pytest.raises(ValueError, match="count-min d"):
         cms_counts(pa.array(["a"]), d=5)
+
+
+def test_exact_dedup_hash128_chunked_no_broadcast_path(ray_session, dup_corpus):
+    """broadcast_max_ids=0 forces the object-store chunked membership path
+    (the 100 TB loser-set shape): result must equal the broadcast path and
+    the text-compare mode exactly."""
+    want = (
+        D.exact_dedup(ray.data.from_arrow(dup_corpus), num_partitions=8)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    got = (
+        D.exact_dedup(
+            ray.data.from_arrow(dup_corpus),
+            num_partitions=8,
+            identity="hash128",
+            broadcast_max_ids=0,
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert want.equals(got)
+
+
+def test_exact_dedup_hash128_chunked_no_duplicates(ray_session, dup_corpus):
+    """Chunked path on an all-unique corpus: loser set is empty, nothing
+    is dropped."""
+    uniq = dup_corpus.filter(pc.less(dup_corpus["doc_id"], 1000))
+    out = D.exact_dedup(
+        ray.data.from_arrow(uniq),
+        num_partitions=8,
+        identity="hash128",
+        broadcast_max_ids=0,
+    ).to_pandas()
+    assert sorted(out["doc_id"]) == sorted(uniq["doc_id"].to_pylist())
