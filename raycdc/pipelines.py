@@ -3791,4 +3791,12 @@ def bench_extras() -> dict[str, Callable[[str], Any]]:
         "cdc_change_feed": lambda sf: q_cdc_change_feed(sf).count(),
         "cdc_sync_replica": lambda sf: q_cdc_sync_replica(sf).count(),
         "cdc_rollup_view": lambda sf: q_cdc_rollup_view(sf).count(),
+        # media + token families (VERDICT r2 #9: track their cost per round)
+        "media_wav": lambda sf: q_media_wav(sf).count(),
+        "media_bmp": lambda sf: q_media_bmp(sf).count(),
+        "media_resize": lambda sf: q_media_resize(sf).count(),
+        "media_frames": lambda sf: q_media_frames(sf).count(),
+        "token_vocab": lambda sf: q_token_vocab(sf).count(),
+        "tfidf_docs": lambda sf: q_tfidf_docs(sf).count(),
+        "preset_statement": lambda sf: q_preset_statement(sf).count(),
     }
