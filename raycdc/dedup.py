@@ -212,15 +212,16 @@ def exact_dedup(
             sel = np.nonzero((hi >= bmin) & (lo <= bmax))[0]
             if len(sel) == 0:
                 return t
-            # chunks are disjoint ascending id ranges: concatenation in
-            # chunk order stays globally sorted
-            lid = np.concatenate(
-                [
-                    ray.get(refs[i])[id_col].to_numpy(zero_copy_only=False)
-                    for i in sel
-                ]
-            )
-            return _filter_sorted_losers(t, id_col, lid)
+            # probe chunk by chunk and OR the hit masks: ray.get returns
+            # each chunk zero-copy from plasma and nothing is concatenated,
+            # so even a batch spanning EVERY chunk never copies the loser
+            # set into this task's heap
+            is_loser = np.zeros(len(ids), dtype=bool)
+            for i in sel:
+                lid = ray.get(refs[i])[id_col].to_numpy(zero_copy_only=False)
+                pos = np.minimum(np.searchsorted(lid, ids), len(lid) - 1)
+                is_loser |= lid[pos] == ids
+            return t.filter(pa.array(~is_loser))
 
         return ds.map_batches(
             drop_losers_chunked, batch_format="pyarrow", zero_copy_batch=True

@@ -665,13 +665,14 @@ def bootstrap(
             "validity intervals cannot be reconstructed from one — replay "
             "the full changelog instead"
         )
-    if not S.bootstrap_pending(lake_dir) and (
-        S.read_spec_meta(lake_dir) is not None or S.read_all_checkpoints(lake_dir)
-    ):
-        # a lake whose _bootstrap_pending marker is still present is a
-        # crashed half-initialization: re-bootstrap overwrites it (every
-        # partition file/checkpoint is rewritten below), but a COMPLETED
-        # lake stays protected
+    if S.bootstrap_pending(lake_dir):
+        # crashed half-initialization: WIPE the partial state before
+        # re-initializing — the retry may use a different partition count,
+        # and stale part=/checkpoint entries beyond the new count would
+        # otherwise survive as live ghost state
+        S.wipe_lake_state(lake_dir)
+    elif S.read_spec_meta(lake_dir) is not None or S.read_all_checkpoints(lake_dir):
+        # a COMPLETED lake stays protected
         raise ValueError(
             f"bootstrap target {lake_dir} is not empty — bootstrap only "
             "initializes a fresh lake (use replay on existing ones, or "
@@ -1221,6 +1222,11 @@ def read_lake(
         st = get_storage(lake_dir)
         paths = []
         for part, v in sorted(versions.items()):
+            if v < 0:
+                # bootstrap's checkpoint-only marker for an empty partition
+                # (no data file exists yet, engine.bootstrap): empty state,
+                # not a vacuumed file
+                continue
             p = S.part_file(lake_dir, part, v)
             if not st.exists(p):
                 # a snapshot promises EXACTLY this state — a missing file
@@ -1642,6 +1648,11 @@ def change_feed(
     from raycdc.changelog import diff_tagged
 
     spec = spec or TableSpec()
+    if S.bootstrap_pending(lake_dir):
+        raise RuntimeError(
+            f"lake {lake_dir} has an unfinished bootstrap — a feed from a "
+            "half-initialized lake would report partial state as change"
+        )
     meta = S.read_spec_meta(lake_dir) or {}
     if meta.get("merge_policy") == "history":
         # history partitions hold every version per key: the state-diff
@@ -1838,9 +1849,6 @@ def maintain_rollup(
         write_json_atomic(st, pos_path, {"snapshot": from_snap, "pending": to_snap})
 
     feed = change_feed(src_lake, from_snap, to_snap, spec, include_old=True)
-    key_cols = tuple(
-        (S.read_spec_meta(src_lake) or {}).get("key_cols", spec.key_cols)
-    )
     group_cols = tuple(group_cols)
     value_cols = tuple(value_cols)
     op_col = spec.op_col
@@ -1955,6 +1963,13 @@ def sync_lake(
     from raycdc.storage import get_storage, write_json_atomic
 
     spec = spec or TableSpec()
+    if S.bootstrap_pending(src_lake):
+        raise RuntimeError(
+            f"lake {src_lake} has an unfinished bootstrap — replicating a "
+            "half-initialized lake would pin its partial state in the "
+            "replica (re-bootstrap reuses version numbers, so the copy "
+            "would later pass the noop check)"
+        )
     meta = S.read_spec_meta(src_lake)
     nparts = int((meta or {}).get("num_partitions", spec.num_partitions))
     if meta is not None:
@@ -1971,7 +1986,13 @@ def sync_lake(
                 continue
             sv = int(sck.get("version", 0))
             dck = S.read_checkpoint(dst_lake, part)
-            if dck is not None and dck.get("src_version") == sv:
+            if (
+                dck is not None
+                and dck.get("src_version") == sv
+                # content hash too: a re-bootstrapped source reuses version
+                # numbers, so version equality alone could pin stale bytes
+                and dck.get("content_hash") == sck.get("content_hash")
+            ):
                 rows.append((part, int(dck.get("row_count", 0)), "noop"))
                 continue
             if sv < 0:

@@ -123,13 +123,17 @@ def decode_segment(data: bytes, path: str, spec: DecodeSpec) -> pa.Table:
         names = spec.column_names
         if names is None:
             # positional untyped records, like the reference's [][]string:
-            # sniff the width from the first record (csv-aware, so a quoted
-            # newline in it is handled) and declare every column as string —
-            # letting Arrow INFER types here would corrupt textual cells
-            # ("" → null through an int column, "1.0000" → "1.0")
-            first = next(
-                _csv.reader(io.StringIO(text), delimiter=spec.delimiter), []
-            )
+            # sniff the width from the first POST-SKIP record (csv-aware,
+            # so a quoted newline in it is handled) and declare every
+            # column as string — letting Arrow INFER types here would
+            # corrupt textual cells ("" → null through an int column,
+            # "1.0000" → "1.0")
+            reader = _csv.reader(io.StringIO(text), delimiter=spec.delimiter)
+            first: list[str] = []
+            for _ in range(spec.skip_leading_rows + 1):
+                first = next(reader, [])
+            if not first:
+                return _empty()  # record-less + no declared names: raises
             names = tuple(f"f{i}" for i in range(len(first)))
         read_opts = pacsv.ReadOptions(
             column_names=list(names),
@@ -147,9 +151,19 @@ def decode_segment(data: bytes, path: str, spec: DecodeSpec) -> pa.Table:
                 io.BytesIO(text.encode()), read_opts, parse_opts, conv_opts
             )
         except pa.ArrowInvalid:
-            # header-only file after skip_rows consumed every record
-            table = _empty() if spec.column_names else pa.table(
-                {c: pa.array([], pa.string()) for c in names}
+            # empty ONLY when skip_rows genuinely consumed every record
+            # (header-only export); a parse error with records present
+            # (ragged width, torn quoting) must stay LOUD — swallowing it
+            # would silently ingest a corrupt statement as zero rows
+            reader = _csv.reader(io.StringIO(text), delimiter=spec.delimiter)
+            for _ in range(spec.skip_leading_rows):
+                next(reader, None)
+            if next(reader, None) is not None:
+                raise
+            table = (
+                _empty()
+                if spec.column_names
+                else pa.table({c: pa.array([], pa.string()) for c in names})
             )
 
     n = len(table)

@@ -105,8 +105,21 @@ def bootstrap_marker_file(lake_dir: str) -> str:
 
 def bootstrap_pending(lake_dir: str) -> bool:
     """True while a bootstrap is in flight (marker written first, cleared
-    last) — replay refuses such a lake, re-bootstrap is allowed."""
+    last) — replay/sync/feed refuse such a lake, re-bootstrap is allowed."""
     return get_storage(lake_dir).exists(bootstrap_marker_file(lake_dir))
+
+
+def wipe_lake_state(lake_dir: str) -> None:
+    """Remove every partition/metadata artifact of a lake EXCEPT the
+    bootstrap-pending marker — used by re-bootstrap of a crashed
+    half-initialization, where the retry may use a different partition
+    count: stale ``part=``/checkpoint entries beyond the new count would
+    otherwise survive as live ghost state."""
+    st = get_storage(lake_dir)
+    keep = os.path.basename(bootstrap_marker_file(lake_dir))
+    for name in st.listdir(lake_dir):
+        if name != keep:
+            st.remove_tree(os.path.join(lake_dir, name))
 
 
 def read_partition(

@@ -54,6 +54,10 @@ class Storage(Protocol):
 
     def remove(self, path: str) -> None: ...
 
+    def remove_tree(self, path: str) -> None:
+        """Remove a file or directory tree (no-op if absent)."""
+        ...
+
     def read_bytes(self, path: str) -> bytes: ...
 
     def write_bytes_atomic(self, path: str, data: bytes) -> None:
@@ -93,6 +97,14 @@ class LocalStorage:
 
     def remove(self, path: str) -> None:
         os.remove(path)
+
+    def remove_tree(self, path: str) -> None:
+        import shutil
+
+        if os.path.isdir(path):
+            shutil.rmtree(path)
+        elif os.path.exists(path):
+            os.remove(path)
 
     def read_bytes(self, path: str) -> bytes:
         with open(path, "rb") as f:
@@ -161,6 +173,11 @@ class FsspecStorage:
 
     def remove(self, path: str) -> None:
         self.fs.rm(self._p(path))
+
+    def remove_tree(self, path: str) -> None:
+        p = self._p(path)
+        if self.fs.exists(p):
+            self.fs.rm(p, recursive=True)
 
     def read_bytes(self, path: str) -> bytes:
         return self.fs.cat_file(self._p(path))

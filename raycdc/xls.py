@@ -241,11 +241,14 @@ def _records(stream: bytes):
 
 
 def _fmt_num(v: float) -> str:
-    """Render a numeric cell the way Go's FormatFloat(v,'f',-1,64) does for
-    statement-sized values: no decimal point for integral values."""
+    """Render a numeric cell like Go's FormatFloat(v,'f',-1,64): shortest
+    round-trip decimal, ALWAYS positional (never '1e-05' — an exponent
+    form would survive into downstream CleanNumber as corrupt digits)."""
     if v == int(v) and abs(v) < 1e15:
         return str(int(v))
-    return repr(v)
+    import numpy as np
+
+    return np.format_float_positional(v, unique=True, trim="-")
 
 
 def _rk_value(rk: int) -> float:

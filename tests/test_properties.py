@@ -121,9 +121,13 @@ def test_clean_number_idempotent_and_shape(s):
     # output alphabet: digits, dots, at most one leading minus
     body = out[1:] if out.startswith("-") else out
     assert all(c in "0123456789." for c in body)
-    # empty unless it contains a digit
-    if not any(c.isdigit() for c in s):
-        assert out == ""
+    # exact reference semantics, reimplemented as the oracle: the Go byte
+    # loop of /root/reference/contrib/handlers/handlers.go:36-51 ('-' kept
+    # only at index 0; only the exact residue '-' maps to '')
+    ref = "".join(
+        c for i, c in enumerate(s) if c in "0123456789." or (i == 0 and c == "-")
+    )
+    assert out == ("" if ref == "-" else ref)
 
 
 # --- as-of join vs brute-force reference (kernel-level, no Ray) ------------
