@@ -255,6 +255,18 @@ def main(argv: list[str] | None = None) -> int:
         "--quantiles", default="0.01,0.25,0.5,0.75,0.99", help="for numeric columns"
     )
 
+    p_preset = sub.add_parser(
+        "preset",
+        help="run a contrib preset handler (bank/card statement decode + "
+        "projector) over segment files; append records as parquet",
+    )
+    p_preset.add_argument(
+        "name", nargs="?", default=None,
+        help="preset name (omit to list available presets)",
+    )
+    p_preset.add_argument("--paths", nargs="*", default=[], help="input files/globs")
+    p_preset.add_argument("--out", default=None, help="output parquet directory")
+
     args = ap.parse_args(argv)
     owns_ray = _ray_init(args.num_cpus)
 
@@ -642,6 +654,46 @@ def main(argv: list[str] | None = None) -> int:
         spec = _lake_spec(args.lake, args.partitions)
         t = lookup(args.lake, args.key, spec)
         print(json.dumps({"rows": len(t), "columns": t.column_names}))
+    elif args.cmd == "preset":
+        import glob as _glob
+
+        from raycdc.presets import PRESETS
+
+        if args.name is None:
+            print(json.dumps({"presets": sorted(PRESETS)}))
+        else:
+            if args.name not in PRESETS:
+                print(
+                    json.dumps(
+                        {"error": f"unknown preset {args.name}",
+                         "presets": sorted(PRESETS)}
+                    )
+                )
+                if owns_ray:
+                    ray.shutdown()
+                return 2
+            preset = PRESETS[args.name]()
+            paths: list[str] = []
+            for s in args.paths:
+                paths.extend(sorted(_glob.glob(s)) or [s])
+            matched = [p for p in paths if preset.matches(p)]
+            if not matched:
+                print(json.dumps({"error": "no input matches the preset "
+                                  f"pattern {preset.pattern!r}", "inputs": paths}))
+                if owns_ray:
+                    ray.shutdown()
+                return 2
+            ds = preset.records(matched)
+            if args.out:
+                # append-only parquet sink — the reference's BigQuery load
+                # disposition (loader.go:45-57) is append, not merge
+                ds.write_parquet(args.out)
+                print(json.dumps({"preset": args.name, "files": len(matched),
+                                  "out": args.out}))
+            else:
+                n = ds.count()
+                print(json.dumps({"preset": args.name, "files": len(matched),
+                                  "records": n}))
     if owns_ray:
         ray.shutdown()
     return 0

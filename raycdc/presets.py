@@ -118,6 +118,11 @@ class Preset:
     projector: Callable[[pa.Table], pa.Table]
     doc: str = ""
 
+    def matches(self, path: str) -> bool:
+        import re
+
+        return re.search(self.pattern, path) is not None
+
     def records(self, paths: list[str] | str) -> "ray.data.Dataset":
         """Segment files → projected records (the Extract→Parse→Project
         front half of ``/root/reference/handler.go:100-131``), one

@@ -244,3 +244,25 @@ def test_all_presets_constructible():
         assert p.pattern and callable(p.projector)
         seen.add(name)
     assert len(seen) == 10
+
+
+def test_preset_cli_list_run_and_errors(ray_session, tmp_path, capsys):
+    import json
+
+    from raycdc.__main__ import main
+
+    assert main(["preset"]) == 0
+    listed = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert "smbc_card_statement" in listed["presets"]
+
+    src = str(tmp_path / "202012.csv")
+    shutil.copyfile(os.path.join(FIX, "smbc_card_statement.csv"), src)
+    out_dir = str(tmp_path / "out")
+    assert main(["preset", "smbc_card_statement", "--paths", src, "--out", out_dir]) == 0
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(out_dir)
+    assert t.num_rows == 3 and "f7" in t.column_names
+
+    assert main(["preset", "nope", "--paths", src]) == 2
+    assert main(["preset", "smbc_card_statement", "--paths", str(tmp_path / "x.txt")]) == 2
