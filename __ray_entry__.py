@@ -180,7 +180,6 @@ _DRIVER_WINDOW: list[str] = [
     "window_hopping",
     "asof_click_purchase",
     "range_join_clicks",
-    "stratified_sample",
     "pivot_user_events",
     "distinct_props_per_user",
     "json_props_rollup",
@@ -196,6 +195,7 @@ _DRIVER_WINDOW: list[str] = [
     # dedup / decontamination / similarity
     "dedup_exact",
     "dedup_exact_hash",
+    "dedup_incremental",
     "dedup_normalized",
     "dedup_minhash",
     "dedup_jaccard",

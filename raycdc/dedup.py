@@ -253,6 +253,124 @@ def exact_dedup(
 
 
 # ---------------------------------------------------------------------------
+# incremental dedup against a persisted content-hash index lake
+
+
+def _index_spec(num_partitions: int):
+    from raycdc.schema import TableSpec
+
+    return TableSpec(
+        name="dedup_index",
+        schema=pa.schema(
+            [
+                pa.field("h1", pa.int64()),
+                pa.field("h2", pa.int64()),
+                pa.field("first_id", pa.int64()),
+                pa.field("ts", pa.timestamp("us")),
+            ]
+        ),
+        key_cols=("h1", "h2"),
+        version_cols=("ts", "lsn"),
+        partition_key="h1",
+        num_partitions=num_partitions,
+        sort_cols=("h1", "h2"),
+        merge_policy="lww",
+    )
+
+
+def incremental_dedup(
+    ds: "ray.data.Dataset",
+    index_lake: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    batch_lsn: int = 0,
+    num_partitions: int = 16,
+    out_parquet: str | None = None,
+    broadcast_max_ids: int = 5_000_000,
+) -> "ray.data.Dataset":
+    """FIRST-SEEN-WINS exact dedup ACROSS ingest batches: the CDC engine's
+    answer to "we re-crawl continuously — never train on a document we
+    already kept".
+
+    The persisted state is a content-hash INDEX LAKE (key ``(h1, h2)`` —
+    the same 128-bit identity as ``exact_dedup(identity='hash128')`` —
+    payload just the winning id), maintained by the engine's own
+    exactly-once :func:`raycdc.engine.replay`.  Per batch:
+
+    1. hash the batch's texts (two FNV families, payload untouched);
+    2. :func:`raycdc.engine.anti_join_lake` drops rows whose identity is
+       already indexed — one exchange of the batch, co-partitioned with
+       the index layout, index never shuffles;
+    3. in-batch :func:`exact_dedup` (hash128: min ``id_col`` wins, payload
+       never shuffles);
+    4. the winners' identities replay into the index with
+       ``lsn = batch_lsn`` — redelivering a batch with the same lsn is a
+       checkpoint-pruned no-op, so the index is exactly-once even under
+       crash-retry.  ``batch_lsn`` must increase across batches.
+
+    Output: the surviving rows.  ``out_parquet`` streams them to parquet
+    and returns a read-back Dataset (the 100 TB shape: winners are
+    CONSUMED before the index mutates); without it the winners are
+    materialized in the object store first — a lazily re-executed winner
+    set would otherwise re-filter against the already-updated index and
+    come back empty.  Null texts share one identity (hash 0), matching
+    ``exact_dedup`` and SQL GROUP BY semantics.
+    """
+    import ray
+
+    from raycdc.engine import anti_join_lake, replay
+
+    def with_hashes(t: pa.Table) -> pa.Table:
+        h1 = hash_strings(t[text_col])
+        h2 = hash_strings(t[text_col], seed=0x5EED)
+        t = t.append_column("h1", pa.array(h1.view(np.int64)))
+        return t.append_column("h2", pa.array(h2.view(np.int64)))
+
+    hashed = ds.map_batches(with_hashes, batch_format="pyarrow", zero_copy_batch=True)
+    fresh = anti_join_lake(hashed, index_lake, on=("h1", "h2"))
+    winners = exact_dedup(
+        fresh,
+        text_col=text_col,
+        id_col=id_col,
+        num_partitions=num_partitions,
+        identity="hash128",
+        broadcast_max_ids=broadcast_max_ids,
+    )
+    if out_parquet is not None:
+        winners.write_parquet(out_parquet)
+        winners = ray.data.read_parquet(out_parquet)
+    else:
+        winners = winners.materialize()
+
+    def to_index_rows(t: pa.Table) -> pa.Table:
+        n = len(t)
+        return pa.table(
+            {
+                "h1": t["h1"],
+                "h2": t["h2"],
+                "first_id": t[id_col].cast(pa.int64()),
+                "ts": pa.array(
+                    np.full(n, 1_700_000_000_000_000, np.int64), pa.timestamp("us")
+                ),
+                "op": pa.array(np.full(n, "insert", dtype=object), pa.string()),
+                "lsn": pa.array(np.full(n, int(batch_lsn), np.int64)),
+                "seg_id": pa.array(np.zeros(n, np.int32)),
+            }
+        )
+
+    replay(
+        winners.map_batches(to_index_rows, batch_format="pyarrow"),
+        index_lake,
+        _index_spec(num_partitions),
+    )
+
+    def strip(t: pa.Table) -> pa.Table:
+        return t.drop_columns([c for c in ("h1", "h2") if c in t.column_names])
+
+    return winners.map_batches(strip, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
 # MinHash + LSH
 
 

@@ -1357,6 +1357,78 @@ def colocated_join(
     ).map_batches(join_part, batch_format="pyarrow")
 
 
+def anti_join_lake(
+    ds: "ray.data.Dataset",
+    lake_dir: str,
+    on: tuple[str, ...],
+    semi: bool = False,
+) -> "ray.data.Dataset":
+    """Filter a STREAM against a lake's live keys — the stream-vs-state
+    membership pass: ``anti`` keeps rows whose key tuple is ABSENT from
+    the lake (``semi=True`` keeps the present ones instead).
+
+    One exchange of the stream, keyed by the LAKE's own partition hash
+    (``partition.hash_key_column`` of the lake's ``partition_key``, which
+    must lead ``on``), so each group task joins against exactly ONE lake
+    partition's key columns — read column-pruned, live rows only.  The
+    lake side never shuffles and never concentrates anywhere; stream
+    payload crosses the exchange once.  This is the lookup side of
+    :func:`colocated_join` for data that is not yet a lake (fresh ingest
+    batches, quarantine reviews, incremental dedup — see
+    :func:`raycdc.dedup.incremental_dedup`).
+
+    An EMPTY lake (no spec metadata yet) passes everything through for
+    ``anti`` and nothing for ``semi`` — the first-batch semantics.
+    """
+    from raycdc.partition import add_part_key
+
+    _configure_shuffle()
+    meta = S.read_spec_meta(lake_dir)
+    if meta is None:
+        if semi:
+            return ds.limit(0)
+        return ds
+    if S.bootstrap_pending(lake_dir):
+        raise RuntimeError(
+            f"lake {lake_dir} has an unfinished bootstrap — membership "
+            "against a half-initialized lake would be partial"
+        )
+    nparts = int(meta["num_partitions"])
+    pkey = meta.get("partition_key")
+    op_col = TableSpec().op_col
+    if pkey != on[0]:
+        raise ValueError(
+            f"anti_join_lake: lake {lake_dir} is partitioned by {pkey!r}; "
+            f"the join key must lead `on` (got {on!r}) for co-location"
+        )
+    on = tuple(on)
+
+    def tag(t: pa.Table) -> pa.Table:
+        return add_part_key(t, key_col=pkey, num_partitions=nparts)
+
+    join_type = "left semi" if semi else "left anti"
+
+    def filter_group(g: pa.Table) -> pa.Table:
+        if len(g) == 0:
+            return g
+        part = int(g[PART_KEY][0].as_py())
+        g = g.drop_columns([PART_KEY])
+        keys = S.read_partition(lake_dir, part, columns=[*on, op_col])
+        if keys is None or len(keys) == 0:
+            return g if not semi else g.slice(0, 0)
+        if op_col in keys.column_names:
+            keys = keys.filter(
+                pc.not_equal(pc.fill_null(keys[op_col], ""), M.DELETE)
+            ).select(list(on))
+        return g.join(keys, keys=list(on), join_type=join_type)
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(PART_KEY, num_partitions=nparts)
+        .map_groups(filter_group, batch_format="pyarrow")
+    )
+
+
 def _join_plan(
     left_lake: str,
     right_lake: str,

@@ -89,6 +89,31 @@ def hash_strings(
     return h
 
 
+def hash_key_column(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """uint64 hash of one partition-key column: strings via buffer-level
+    FNV-1a (:func:`hash_strings`), integers/timestamps via a splitmix-style
+    golden-ratio mix.  Pure function of the DATA (never of cluster size) —
+    the lake-layout contract."""
+    t = col.type
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return hash_strings(col)
+    vals = col.cast(pa.int64()).to_numpy(zero_copy_only=False).astype(np.int64)
+    h = vals.view(np.uint64)
+    with np.errstate(over="ignore"):
+        h = (h ^ (h >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        h = (h ^ (h >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        h = h ^ (h >> np.uint64(31))
+    if col.null_count:
+        valid = np.asarray(
+            col.combine_chunks().is_valid()
+            if isinstance(col, pa.ChunkedArray)
+            else col.is_valid()
+        )
+        h = h.copy()
+        h[~valid] = 0
+    return h
+
+
 def add_part_key(
     batch: pa.Table,
     key_col: str = "conv_id",
@@ -96,7 +121,9 @@ def add_part_key(
     col_name: str = PART_KEY,
 ) -> pa.Table:
     """map_batches body: append ``part_key = hash(key_col) % P`` (int32)."""
-    pk = (hash_strings(batch[key_col]) % np.uint64(num_partitions)).astype(np.int32)
+    pk = (hash_key_column(batch[key_col]) % np.uint64(num_partitions)).astype(
+        np.int32
+    )
     return batch.append_column(col_name, pa.array(pk))
 
 

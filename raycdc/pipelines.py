@@ -2376,6 +2376,49 @@ SELECT min(doc_id) AS doc_id, text FROM corpus GROUP BY text
 """
 
 
+def q_dedup_incremental(sf_dir: str):
+    """First-seen-wins dedup ACROSS ingest batches: the duplicated corpus
+    arrives in two batches (originals, then the re-crawl copies at
+    id+offset); each batch is filtered against the persisted content-hash
+    index lake (anti_join_lake, co-partitioned), deduped in-batch, and
+    extends the index exactly-once.  Oracle: the winner per text is the
+    min doc_id of the EARLIEST batch containing it (first-seen, then min
+    id) — which a later batch carrying a smaller id must NOT displace."""
+    from raycdc.dedup import incremental_dedup
+
+    corpus = _corpus_with_exact_copies(sf_dir)
+    idx = os.path.join(tempfile.gettempdir(), "raycdc_q_dedup_index")
+    shutil.rmtree(idx, ignore_errors=True)
+
+    def _batch(lo: bool):
+        def f(t: pa.Table) -> pa.Table:
+            m = pc.less(t["doc_id"], _DUP_OFFSET)
+            return t.filter(m if lo else pc.invert(m))
+
+        return corpus.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+    w1 = incremental_dedup(_batch(True), idx, batch_lsn=1, num_partitions=8)
+    w2 = incremental_dedup(_batch(False), idx, batch_lsn=2, num_partitions=8)
+    return w1.union(w2).select_columns(["doc_id", "text"])
+
+
+SQL_DEDUP_INCREMENTAL = f"""
+WITH corpus AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + {_DUP_OFFSET}, text FROM documents
+),
+ranked AS (
+    SELECT doc_id, text, row_number() OVER (
+        PARTITION BY text
+        ORDER BY (CASE WHEN doc_id < {_DUP_OFFSET} THEN 0 ELSE 1 END), doc_id
+    ) AS rn
+    FROM corpus
+)
+SELECT doc_id, text FROM ranked WHERE rn = 1
+"""
+
+
 def q_dedup_minhash(sf_dir: str):
     """MinHash(128) + LSH(32×4) candidates, exact-Jaccard verified ≥ 0.8,
     over a corpus where every doc has a near copy (one appended token).
@@ -3675,6 +3718,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "distinct_props_per_user": q_distinct_props_per_user,
     "dedup_exact": q_dedup_exact,
     "dedup_exact_hash": q_dedup_exact_hash,
+    "dedup_incremental": q_dedup_incremental,
     "dedup_normalized": q_dedup_normalized,
     "dedup_minhash": q_dedup_minhash,
     "dedup_jaccard": q_dedup_jaccard,
@@ -3751,6 +3795,7 @@ ORACLES: dict[str, str] = {
     "distinct_props_per_user": SQL_DISTINCT_PROPS_PER_USER,
     "dedup_exact": SQL_DEDUP_EXACT,
     "dedup_exact_hash": SQL_DEDUP_EXACT,
+    "dedup_incremental": SQL_DEDUP_INCREMENTAL,
     "dedup_normalized": SQL_DEDUP_NORMALIZED,
     "dedup_minhash": SQL_DEDUP_MINHASH,
     "dedup_jaccard": SQL_DEDUP_JACCARD,

@@ -709,3 +709,119 @@ def test_exact_dedup_hash128_chunked_no_duplicates(ray_session, dup_corpus):
         broadcast_max_ids=0,
     ).to_pandas()
     assert sorted(out["doc_id"]) == sorted(uniq["doc_id"].to_pylist())
+
+
+# --- anti_join_lake + incremental dedup --------------------------------------
+
+
+def _mk_index_free_lake(tmp_path, rows):
+    """A tiny lww lake keyed (h1,h2) for anti_join_lake tests."""
+    import datetime
+
+    from raycdc.dedup import _index_spec
+    from raycdc.engine import replay
+
+    t = pa.table(
+        {
+            "h1": pa.array([r[0] for r in rows], pa.int64()),
+            "h2": pa.array([r[1] for r in rows], pa.int64()),
+            "first_id": pa.array([r[2] for r in rows], pa.int64()),
+            "ts": pa.array(
+                [datetime.datetime(2024, 1, 1)] * len(rows), pa.timestamp("us")
+            ),
+            "op": pa.array([r[3] for r in rows]),
+            "lsn": pa.array(list(range(1, len(rows) + 1)), pa.int64()),
+            "seg_id": pa.array([0] * len(rows), pa.int32()),
+        }
+    )
+    lake = str(tmp_path / "idx")
+    replay(ray.data.from_arrow(t), lake, _index_spec(4))
+    return lake
+
+
+def test_anti_join_lake_membership_and_semi(ray_session, tmp_path):
+    from raycdc.engine import anti_join_lake
+
+    lake = _mk_index_free_lake(
+        tmp_path,
+        [(10, 1, 100, "insert"), (20, 2, 200, "insert"), (30, 3, 300, "delete")],
+    )
+    stream = ray.data.from_arrow(
+        pa.table(
+            {
+                "h1": pa.array([10, 20, 30, 40], pa.int64()),
+                "h2": pa.array([1, 2, 3, 4], pa.int64()),
+                "v": pa.array(["a", "b", "c", "d"]),
+            }
+        )
+    )
+    anti = anti_join_lake(stream, lake, on=("h1", "h2")).to_pandas()
+    # 30 is a TOMBSTONE in the lake (dead key) -> counts as absent
+    assert sorted(anti["v"]) == ["c", "d"]
+    semi = anti_join_lake(stream, lake, on=("h1", "h2"), semi=True).to_pandas()
+    assert sorted(semi["v"]) == ["a", "b"]
+    # (10, 999): first key col matches but the tuple differs -> absent
+    probe = ray.data.from_arrow(
+        pa.table(
+            {
+                "h1": pa.array([10], pa.int64()),
+                "h2": pa.array([999], pa.int64()),
+                "v": pa.array(["x"]),
+            }
+        )
+    )
+    assert anti_join_lake(probe, lake, on=("h1", "h2")).count() == 1
+
+
+def test_anti_join_lake_empty_lake_and_key_mismatch(ray_session, tmp_path):
+    from raycdc.engine import anti_join_lake
+
+    stream = ray.data.from_arrow(
+        pa.table({"h1": pa.array([1], pa.int64()), "h2": pa.array([2], pa.int64())})
+    )
+    missing = str(tmp_path / "nolake")
+    assert anti_join_lake(stream, missing, on=("h1", "h2")).count() == 1
+    assert anti_join_lake(stream, missing, on=("h1", "h2"), semi=True).count() == 0
+
+    lake = _mk_index_free_lake(tmp_path, [(1, 2, 3, "insert")])
+    with pytest.raises(ValueError, match="partitioned by"):
+        anti_join_lake(stream, lake, on=("h2", "h1")).count()
+
+
+def test_incremental_dedup_first_seen_wins_and_redelivery(ray_session, tmp_path):
+    from raycdc.dedup import incremental_dedup
+
+    idx = str(tmp_path / "dedup_idx")
+
+    def batch(ids, texts):
+        return ray.data.from_arrow(
+            pa.table({"doc_id": pa.array(ids, pa.int64()), "text": pa.array(texts)})
+        )
+
+    # batch 1: an in-batch duplicate (min id wins) + uniques
+    w1 = incremental_dedup(
+        batch([5, 9, 7], ["alpha", "alpha", "beta"]), idx, batch_lsn=1,
+        num_partitions=4,
+    ).to_pandas()
+    assert sorted(w1["doc_id"]) == [5, 7]
+
+    # batch 2: a SMALLER id for an already-indexed text must NOT displace
+    # the first-seen winner; new text survives
+    w2 = incremental_dedup(
+        batch([1, 2], ["alpha", "gamma"]), idx, batch_lsn=2, num_partitions=4
+    ).to_pandas()
+    assert sorted(w2["doc_id"]) == [2]
+
+    # redelivery of batch 2 (same lsn): nothing new, index unchanged
+    w2r = incremental_dedup(
+        batch([1, 2], ["alpha", "gamma"]), idx, batch_lsn=2, num_partitions=4
+    )
+    assert w2r.count() == 0
+
+    # out_parquet streaming path: batch 3 with a mixed batch
+    out = str(tmp_path / "winners3")
+    w3 = incremental_dedup(
+        batch([11, 12], ["beta", "delta"]), idx, batch_lsn=3, num_partitions=4,
+        out_parquet=out,
+    ).to_pandas()
+    assert sorted(w3["doc_id"]) == [12]
