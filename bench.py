@@ -37,8 +37,13 @@ DEFAULT_SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 DEFAULT_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 AMPLIFY = int(os.environ.get("RAYCDC_BENCH_AMPLIFY", "256"))
 # replicas derived per map task: bigger tasks amortize dispatch overhead and
-# let the per-batch combiner dedup across replicas before the shuffle
-REPS_PER_TASK = int(os.environ.get("RAYCDC_BENCH_REPS_PER_TASK", "4"))
+# let the per-batch combiner dedup across replicas before the shuffle.
+# Measured 2026-08-18 (interleaved, one window, best-of-2 per point):
+# rpt=8 beats rpt=4 by 20-30% at BOTH 8 and 32 CPUs (exchange halves:
+# 6.4M -> 3.2M post-combine rows), rpt=16 regresses at 32 CPUs (16 map
+# tasks < 32 slots starves the map stage).  amplify/rpt must stay >= the
+# CPU count for full map-stage utilization.
+REPS_PER_TASK = int(os.environ.get("RAYCDC_BENCH_REPS_PER_TASK", "8"))
 
 
 def _sf_of(sf_dir: str) -> float:
