@@ -28,7 +28,7 @@ import ray.data
 from raycdc import merge as M
 from raycdc import sink as S
 from raycdc.partition import PART_KEY, SALT_KEY, add_part_key, add_salt_key
-from raycdc.schema import TableSpec, evolve_batch, merge_schemas
+from raycdc.schema import IO_RETRY_ARGS, TableSpec, evolve_batch, merge_schemas
 
 _ENVELOPE = ("op", "lsn", "seg_id", PART_KEY, SALT_KEY)
 
@@ -161,12 +161,13 @@ def prepare(
     # (ValueError etc.) fail fast with provenance or dead-letter, matching
     # the reference's error semantics (handler.go:163-165).  Retries are
     # SAFE here because the sink is idempotent (LWW + checkpoints).
+    # IO_RETRY_ARGS (not inline kwargs) so this stage fuses with upstream
+    # derive stages carrying the same policy — see schema.IO_RETRY_ARGS.
     return ds.map_batches(
         _prep,
         batch_format="pyarrow",
         zero_copy_batch=True,
-        max_retries=3,
-        retry_exceptions=[OSError],
+        **IO_RETRY_ARGS,
     )
 
 

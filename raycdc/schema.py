@@ -40,6 +40,24 @@ CHANGELOG_SCHEMA = pa.schema(
     ]
 )
 
+# Shared map-stage retry policy for transform stages that do (or may be
+# fused with stages that do) real IO inside the UDF.  Transient object-store
+# faults (OSError) retry; data errors fail fast with provenance.  Retries are
+# safe everywhere this is applied because the sink is idempotent (LWW +
+# checkpoints).
+#
+# LOAD-BEARING FUSION CONSTRAINT: Ray Data only fuses adjacent
+# TaskPoolMapOperators when their ray_remote_args match EXACTLY — a stage
+# with these retry args next to a stage without them stays un-fused and its
+# intermediate blocks round-trip through the object store (measured: the
+# amplified-changelog derive stage shipped ~2 GB of pre-combine rows to
+# plasma before `prepare`'s combiner could collapse them).  Every map stage
+# on the replay's derive→prep path must take **IO_RETRY_ARGS verbatim.
+# The one place NOT to apply it: the first map after a native read op
+# (read_parquet / read_binary_files) — retry args on that map break
+# read→map fusion instead (measured on ray 2.49).
+IO_RETRY_ARGS: dict = {"max_retries": 3, "retry_exceptions": [OSError]}
+
 
 @dataclass(frozen=True)
 class TableSpec:
