@@ -40,6 +40,13 @@ def _configure_shuffle() -> None:
     sort 13.5s/6.3s at 8/32 CPUs, push-based 14.5s/4.7s — push-based wins at
     scale (fewer small-object pulls in the reduce phase) and is the strategy
     built for multi-node pipelined exchange.
+
+    ``ShuffleStrategy.HASH_SHUFFLE`` (actor-based, sort-free) was also
+    A/B'd on the fused headline at 32 CPUs (25.6M events, 3 reps each):
+    identical lake content hashes, but 6.3/32.8/19.8 s vs push-based
+    3.0/4.2/7.7 s — the aggregator actor pool thrashes under repeated
+    64-partition exchanges on one node.  Re-evaluate on a real multi-node
+    cluster where persistent aggregators amortize across nodes.
     """
     try:
         from ray.data.context import DataContext, ShuffleStrategy
