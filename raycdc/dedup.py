@@ -294,13 +294,16 @@ def incremental_dedup(
 
     The persisted state is a content-hash INDEX LAKE (key ``(h1, h2)`` —
     the same 128-bit identity as ``exact_dedup(identity='hash128')`` —
-    payload just the winning id), maintained by the engine's own
-    exactly-once :func:`raycdc.engine.replay`.  Per batch:
+    payload the winning id + the claiming ``lsn``), maintained by the
+    engine's own exactly-once :func:`raycdc.engine.replay`.  Per batch:
 
     1. hash the batch's texts (two FNV families, payload untouched);
-    2. :func:`raycdc.engine.anti_join_lake` drops rows whose identity is
-       already indexed — one exchange of the batch, co-partitioned with
-       the index layout, index never shuffles;
+    2. :func:`raycdc.engine.lookup_join_lake` fetches each identity's
+       indexed ``(first_id, lsn)`` — one exchange of the batch,
+       co-partitioned with the index layout, index never shuffles; a row
+       survives iff its identity is UNINDEXED (novel) or was indexed BY
+       THIS BATCH (``first_id == id AND lsn == batch_lsn`` — the
+       crash-retry recovery case);
     3. in-batch :func:`exact_dedup` (hash128: min ``id_col`` wins, payload
        never shuffles);
     4. the winners' identities replay into the index with
@@ -308,17 +311,27 @@ def incremental_dedup(
        checkpoint-pruned no-op, so the index is exactly-once even under
        crash-retry.  ``batch_lsn`` must increase across batches.
 
+    The whole call is IDEMPOTENT, not just the index: re-running a batch
+    (same rows, same ``batch_lsn``) after a crash anywhere — before,
+    during, or after the index replay — returns the SAME winner set, so a
+    retry can rebuild a lost ``out_parquet`` instead of silently
+    overwriting it with an empty one.  A later re-crawl of an
+    already-kept document (same id + text at a HIGHER lsn) still dedups:
+    the recovery clause matches only the index rows this batch claimed.
+
     Output: the surviving rows.  ``out_parquet`` streams them to parquet
     and returns a read-back Dataset (the 100 TB shape: winners are
     CONSUMED before the index mutates); without it the winners are
     materialized in the object store first — a lazily re-executed winner
     set would otherwise re-filter against the already-updated index and
-    come back empty.  Null texts share one identity (hash 0), matching
-    ``exact_dedup`` and SQL GROUP BY semantics.
+    (minus the recovery clause) shift meaning mid-flight.  Null texts
+    share one identity (hash 0), matching ``exact_dedup`` and SQL GROUP
+    BY semantics.
     """
     import ray
 
-    from raycdc.engine import anti_join_lake, replay
+    from raycdc import sink as _S
+    from raycdc.engine import lookup_join_lake, replay
 
     def with_hashes(t: pa.Table) -> pa.Table:
         h1 = hash_strings(t[text_col])
@@ -327,7 +340,29 @@ def incremental_dedup(
         return t.append_column("h2", pa.array(h2.view(np.int64)))
 
     hashed = ds.map_batches(with_hashes, batch_format="pyarrow", zero_copy_batch=True)
-    fresh = anti_join_lake(hashed, index_lake, on=("h1", "h2"))
+    if _S.read_spec_meta(index_lake) is None:
+        fresh = hashed  # first batch ever: nothing indexed yet
+    else:
+        looked = lookup_join_lake(
+            hashed,
+            index_lake,
+            on=("h1", "h2"),
+            carry={"first_id": pa.int64(), "lsn": pa.int64()},
+        )
+
+        def keep_novel_or_own(t: pa.Table) -> pa.Table:
+            fid, ilsn = t["first_id_lake"], t["lsn_lake"]
+            own = pc.cast(t[id_col], pa.int64())
+            novel = pc.is_null(fid)
+            recovered = pc.and_(
+                pc.equal(fid, own), pc.equal(ilsn, pa.scalar(int(batch_lsn)))
+            )
+            mask = pc.or_(novel, pc.fill_null(recovered, False))
+            return t.filter(mask).drop_columns(["first_id_lake", "lsn_lake"])
+
+        fresh = looked.map_batches(
+            keep_novel_or_own, batch_format="pyarrow", zero_copy_batch=True
+        )
     winners = exact_dedup(
         fresh,
         text_col=text_col,
@@ -337,6 +372,13 @@ def incremental_dedup(
         broadcast_max_ids=broadcast_max_ids,
     )
     if out_parquet is not None:
+        from raycdc.storage import get_storage
+
+        # the output dir is OWNED by this call: a crash-retry re-runs the
+        # whole batch and must REPLACE any partial prior write (Ray's
+        # write_parquet otherwise appends new files alongside the old ones
+        # and the winner set double-reads)
+        get_storage(out_parquet).remove_tree(out_parquet)
         winners.write_parquet(out_parquet)
         winners = ray.data.read_parquet(out_parquet)
     else:

@@ -1437,6 +1437,112 @@ def anti_join_lake(
     )
 
 
+def lookup_join_lake(
+    ds: "ray.data.Dataset",
+    lake_dir: str,
+    on: tuple[str, ...],
+    carry: "dict[str, pa.DataType] | tuple[str, ...]",
+    suffix: str = "_lake",
+) -> "ray.data.Dataset":
+    """Enrich a STREAM with columns looked up from a lake's live state —
+    the co-partitioned LEFT OUTER sibling of :func:`anti_join_lake`:
+    every stream row passes through, gaining ``carry`` columns from the
+    matching lake row (null when the key is absent or deleted).
+
+    Same shuffle shape as :func:`anti_join_lake`: ONE exchange of the
+    stream keyed by the lake's own partition hash (``on[0]`` must be the
+    lake's ``partition_key``); each group task joins against exactly one
+    partition file read column-pruned.  The lake side never shuffles —
+    this is the scale-safe form of "broadcast the dimension table" when
+    the dimension IS a lake and may be arbitrarily large.
+
+    ``carry`` maps carried column names to their Arrow types (needed to
+    type the nulls for misses/empty partitions); pass a bare tuple of
+    names to resolve types from the lake's registered schema (raises if
+    the lake never registered one).  Carried columns are ALWAYS renamed
+    ``f"{name}{suffix}"`` in the output — uniform and collision-proof.
+    Lake keys must be unique per ``on`` tuple (true for any merged
+    lake partition) or matches fan out, as in any left outer join.
+    Null join keys never match (Arrow join semantics).
+    """
+    from raycdc.partition import add_part_key
+
+    _configure_shuffle()
+    meta = S.read_spec_meta(lake_dir)
+    if meta is None:
+        raise ValueError(
+            f"lookup_join_lake: {lake_dir} has no lake metadata — guard the "
+            "first-batch case at the call site (every lookup would miss)"
+        )
+    if S.bootstrap_pending(lake_dir):
+        raise RuntimeError(
+            f"lake {lake_dir} has an unfinished bootstrap — lookups against "
+            "a half-initialized lake would be partial"
+        )
+    nparts = int(meta["num_partitions"])
+    pkey = meta.get("partition_key")
+    op_col = TableSpec().op_col
+    on = tuple(on)
+    if pkey != on[0]:
+        raise ValueError(
+            f"lookup_join_lake: lake {lake_dir} is partitioned by {pkey!r}; "
+            f"the join key must lead `on` (got {on!r}) for co-location"
+        )
+    if not isinstance(carry, dict):
+        schema = S.read_lake_schema(lake_dir)
+        if schema is None:
+            raise ValueError(
+                f"lookup_join_lake: {lake_dir} has no registered schema — "
+                "pass `carry` as a {name: pa.DataType} dict instead"
+            )
+        missing = [c for c in carry if c not in schema.names]
+        if missing:
+            raise ValueError(f"carry columns {missing} not in lake schema")
+        carry = {c: schema.field(c).type for c in carry}
+    carry_names = list(carry)
+    out_names = [f"{c}{suffix}" for c in carry_names]
+
+    def tag(t: pa.Table) -> pa.Table:
+        return add_part_key(t, key_col=pkey, num_partitions=nparts)
+
+    def lookup_group(g: pa.Table) -> pa.Table:
+        if PART_KEY in g.column_names:
+            part = int(g[PART_KEY][0].as_py()) if len(g) else -1
+            g = g.drop_columns([PART_KEY])
+        else:  # defensive: shouldn't happen under groupby(PART_KEY)
+            part = -1
+        cols = g.column_names
+
+        def with_null_carries(t: pa.Table) -> pa.Table:
+            for name, outn in zip(carry_names, out_names):
+                t = t.append_column(outn, pa.nulls(len(t), carry[name]))
+            return t
+
+        if len(g) == 0 or part < 0:
+            return with_null_carries(g)
+        lake = S.read_partition(lake_dir, part, columns=[*on, *carry_names, op_col])
+        if lake is None or len(lake) == 0:
+            return with_null_carries(g)
+        if op_col in lake.column_names:
+            lake = lake.filter(
+                pc.not_equal(pc.fill_null(lake[op_col], ""), M.DELETE)
+            ).drop_columns([op_col])
+        # partitions written before a schema evolution may lack a carry
+        # column (read_partition silently skips absent ones) — null-fill
+        for name in carry_names:
+            if name not in lake.column_names:
+                lake = lake.append_column(name, pa.nulls(len(lake), carry[name]))
+        lake = lake.select([*on, *carry_names]).rename_columns([*on, *out_names])
+        joined = g.join(lake, keys=list(on), join_type="left outer")
+        return joined.select([*cols, *out_names])  # stable column order
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(PART_KEY, num_partitions=nparts)
+        .map_groups(lookup_group, batch_format="pyarrow")
+    )
+
+
 def _join_plan(
     left_lake: str,
     right_lake: str,

@@ -788,6 +788,48 @@ def test_anti_join_lake_empty_lake_and_key_mismatch(ray_session, tmp_path):
         anti_join_lake(stream, lake, on=("h2", "h1")).count()
 
 
+def test_lookup_join_lake_enrichment(ray_session, tmp_path):
+    from raycdc.engine import lookup_join_lake
+
+    lake = _mk_index_free_lake(
+        tmp_path,
+        [(10, 1, 100, "insert"), (20, 2, 200, "insert"), (30, 3, 300, "delete")],
+    )
+    stream = ray.data.from_arrow(
+        pa.table(
+            {
+                "h1": pa.array([10, 20, 30, 40], pa.int64()),
+                "h2": pa.array([1, 2, 3, 4], pa.int64()),
+                "v": pa.array(["a", "b", "c", "d"]),
+            }
+        )
+    )
+    out = lookup_join_lake(
+        stream, lake, on=("h1", "h2"), carry={"first_id": pa.int64()}
+    ).to_pandas()
+    # every stream row passes through, carry renamed with the suffix;
+    # tombstoned (30) and absent (40) keys carry null
+    assert len(out) == 4
+    got = {int(r.h1): r.first_id_lake for r in out.itertuples()}
+    assert got[10] == 100 and got[20] == 200
+    assert got[30] != got[30] or got[30] is None  # NaN/None for tombstone
+    assert got[40] != got[40] or got[40] is None
+
+    # carry names resolved from the registered lake schema (tuple form)
+    out2 = lookup_join_lake(stream, lake, on=("h1", "h2"), carry=("first_id",))
+    assert "first_id_lake" in out2.schema().names
+
+    # misuse is loud: empty lake, wrong leading key, unknown carry column
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="no lake metadata"):
+        lookup_join_lake(stream, str(tmp_path / "nolake"), ("h1",), ("first_id",))
+    with _pytest.raises(ValueError, match="partitioned by"):
+        lookup_join_lake(stream, lake, on=("h2", "h1"), carry=("first_id",))
+    with _pytest.raises(ValueError, match="not in lake schema"):
+        lookup_join_lake(stream, lake, on=("h1", "h2"), carry=("nope",))
+
+
 def test_incremental_dedup_first_seen_wins_and_redelivery(ray_session, tmp_path):
     from raycdc.dedup import incremental_dedup
 
@@ -812,11 +854,21 @@ def test_incremental_dedup_first_seen_wins_and_redelivery(ray_session, tmp_path)
     ).to_pandas()
     assert sorted(w2["doc_id"]) == [2]
 
-    # redelivery of batch 2 (same lsn): nothing new, index unchanged
+    # redelivery of batch 2 (same rows, same lsn — the crash-retry case):
+    # the call is IDEMPOTENT, returning the SAME winner set it returned the
+    # first time (recovered from the index rows this batch claimed), never
+    # an empty one — a retry must be able to rebuild a lost output
     w2r = incremental_dedup(
         batch([1, 2], ["alpha", "gamma"]), idx, batch_lsn=2, num_partitions=4
+    ).to_pandas()
+    assert sorted(w2r["doc_id"]) == [2]
+
+    # a LATER re-crawl of an already-kept doc (same id + text, HIGHER lsn)
+    # is a duplicate, not a recovery — it must still dedup away
+    recrawl = incremental_dedup(
+        batch([2], ["gamma"]), idx, batch_lsn=5, num_partitions=4
     )
-    assert w2r.count() == 0
+    assert recrawl.count() == 0
 
     # out_parquet streaming path: batch 3 with a mixed batch
     out = str(tmp_path / "winners3")
@@ -825,3 +877,16 @@ def test_incremental_dedup_first_seen_wins_and_redelivery(ray_session, tmp_path)
         out_parquet=out,
     ).to_pandas()
     assert sorted(w3["doc_id"]) == [12]
+
+    # crash-retry after the index replay landed but before the caller
+    # consumed the output: the retry REWRITES out_parquet with the same
+    # winners instead of clobbering it with an empty set
+    w3r = incremental_dedup(
+        batch([11, 12], ["beta", "delta"]), idx, batch_lsn=3, num_partitions=4,
+        out_parquet=out,
+    ).to_pandas()
+    assert sorted(w3r["doc_id"]) == [12]
+    import pyarrow.parquet as pq
+
+    persisted = pq.read_table(out)
+    assert sorted(persisted["doc_id"].to_pylist()) == [12]
