@@ -2317,6 +2317,16 @@ def migrate_lake(
             return summary_schema.empty_table()
         part = int(g[PART_KEY][0].as_py())
         g = g.drop_columns([PART_KEY])
+        # restore the stored-ordering invariant (key asc, version desc —
+        # merge.lww_dedup's output order): the exchange delivers rows in
+        # nondeterministic order, and an unsorted install would make the
+        # migrated files byte-nondeterministic across runs (content_hash
+        # is order-insensitive, so checkpoints alone would not catch it)
+        sort_keys = [
+            (k, "ascending") for k in spec.key_cols if k in g.column_names
+        ] + [(v, "descending") for v in spec.version_cols if v in g.column_names]
+        if sort_keys:
+            g = g.sort_by(sort_keys)
         S.write_partition_atomic(g, dst_lake, part, version=0)
         tomb = int(
             pc.sum(
