@@ -94,6 +94,55 @@ def test_migrate_lake_repartition(ray_session, tmp_path):
     assert lake_state(dst) == lake_state(fresh)
 
 
+def test_migrate_lake_heterogeneous_partition_schemas(ray_session, tmp_path):
+    """Migration of a lake where SOME partitions never saw a schema
+    evolution (their stored files lack the evolved column): the re-layout
+    must null-fill, not crash or drop — Ray's parquet reader unifies the
+    fragment schemas and the exchange regroups mixed blocks."""
+    import ray.data
+
+    from raycdc import sink as S
+    from raycdc.changelog import synthetic_changelog
+    from raycdc.engine import migrate_lake, replay
+    from raycdc.partition import add_part_key
+    from raycdc.schema import TableSpec
+
+    from .oracle import lake_state
+
+    spec4 = TableSpec(num_partitions=4)
+    log = synthetic_changelog(n_events=400, seed=21, evolve_from_lsn=200)
+    # widened turn_idx everywhere (type evolution is uniform), but deliver
+    # the evolved-COLUMN rows only to partition 0's keys: partitions 1-3
+    # keep pre-evolution files without the `model` column
+    keyed = add_part_key(log, key_col=spec4.partition_key, num_partitions=4)
+    import pyarrow.compute as pc_
+
+    pre = keyed.filter(pc_.less(keyed["lsn"], 200)).drop_columns(
+        ["part_key", "model"]
+    )
+    evolved = keyed.filter(
+        pc_.and_(
+            pc_.greater_equal(keyed["lsn"], 200), pc_.equal(keyed["part_key"], 0)
+        )
+    ).drop_columns(["part_key"])
+
+    src = str(tmp_path / "src_het")
+    replay(ray.data.from_arrow(pre), src, spec4)
+    replay(ray.data.from_arrow(evolved), src, spec4)
+    schemas = {
+        p: set((S.read_partition(src, p) or pa.table({})).column_names)
+        for p in range(4)
+    }
+    has_model = {p for p, s in schemas.items() if "model" in s}
+    assert has_model and has_model != {0, 1, 2, 3}, (
+        "fixture must create genuinely heterogeneous partition files"
+    )
+
+    dst = str(tmp_path / "dst_het")
+    migrate_lake(src, dst, TableSpec(num_partitions=8))
+    assert lake_state(src) == lake_state(dst)
+
+
 def test_migrate_lake_guards(ray_session, tmp_path):
     """migrate_lake refuses additive-policy specs (overlap re-apply would
     double-count deltas) and non-fresh destinations (stale part dirs would
