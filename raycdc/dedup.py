@@ -129,7 +129,14 @@ def exact_dedup(
     loser set would break the DRIVER heap — the ids are sorted into
     disjoint id-range chunks that stay in the OBJECT STORE, and each filter
     task fetches (zero-copy) only the chunks overlapping its batch's id
-    range.  Nothing ever concentrates the full set in one Python heap."""
+    range.  Nothing ever concentrates the full set in one Python heap.
+
+    PRECONDITION for ``hash128``: ``id_col`` values must be UNIQUE (the
+    corpus is filtered by id).  A duplicate id within one text identity is
+    detected in the loser kernel and raises; a duplicate id across two
+    different texts cannot be detected (the ids land in different hash
+    buckets) and would drop an unrelated winner.  Multiset inputs belong
+    on ``identity='text'``, which dedups row-wise exactly."""
     if identity not in ("text", "hash128"):
         raise ValueError(f"exact_dedup: identity must be text|hash128, got {identity!r}")
 
@@ -160,6 +167,22 @@ def exact_dedup(
             first = np.ones(n, dtype=bool)
             if n > 1:
                 first[1:] = (h1[1:] != h1[:-1]) | (h2[1:] != h2[:-1])
+                # hash128 filters the corpus BY ID, so ids must be unique:
+                # a duplicate (identity, id) pair would put the winner's own
+                # id into the loser set and the text would vanish entirely.
+                # Duplicates sort adjacent — fail loudly with provenance
+                # rather than silently losing documents.  (Duplicate ids
+                # across DIFFERENT texts are undetectable inside one hash
+                # bucket and remain a documented precondition violation.)
+                ids = g[id_col].to_numpy(zero_copy_only=False)
+                dup = (~first[1:]) & (ids[1:] == ids[:-1])
+                if dup.any():
+                    bad = int(ids[1:][dup][0])
+                    raise ValueError(
+                        f"exact_dedup(identity='hash128'): duplicate "
+                        f"{id_col}={bad} within one text identity — ids must "
+                        "be unique; use identity='text' for multiset inputs"
+                    )
             return g.select([id_col]).filter(pa.array(~first))
 
         loser_mat = (

@@ -410,6 +410,25 @@ def test_exact_dedup_hash128_equals_text_mode(ray_session, dup_corpus):
         D.exact_dedup(ray.data.from_arrow(dup_corpus), identity="nope")
 
 
+def test_exact_dedup_hash128_duplicate_id_is_loud(ray_session):
+    """hash128 filters the corpus BY ID: a duplicate (id, text) pair would
+    put the winner's own id in the loser set and silently delete the text.
+    The loser kernel detects the adjacent duplicate and raises; the text
+    mode handles the same multiset input exactly (one surviving row)."""
+    t = pa.table(
+        {
+            "doc_id": pa.array([7, 7, 9], pa.int64()),
+            "text": pa.array(["same", "same", "other"]),
+        }
+    )
+    with pytest.raises(Exception, match="duplicate doc_id=7"):
+        D.exact_dedup(
+            ray.data.from_arrow(t), num_partitions=4, identity="hash128"
+        ).count()
+    ok = D.exact_dedup(ray.data.from_arrow(t), num_partitions=4).to_pandas()
+    assert sorted(ok["doc_id"]) == [7, 9]
+
+
 def test_repetition_stats_vs_python():
     b = pa.table(
         {
