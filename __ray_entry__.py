@@ -198,7 +198,10 @@ _DRIVER_WINDOW: list[str] = [
     "dedup_incremental",
     "dedup_normalized",
     "dedup_minhash",
-    "dedup_jaccard",
+    # dedup_components subsumes dedup_jaccard's verify kernel (LSH → exact
+    # Jaccard → transitive clustering, all oracle-hashed); jaccard-in-
+    # isolation stays in the full gate past the window
+    "dedup_components",
     "decontaminate",
     "sim_knn",
     # multimodal (oracle-hashed codecs)

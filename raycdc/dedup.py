@@ -1090,3 +1090,211 @@ def simhash_candidate_pairs(
     )
 
     return pair_distinct_exchange(pairs, num_partitions, extra_cols=("hamming",))
+
+
+# ---------------------------------------------------------------------------
+# near-dup clustering: connected components over the candidate-pair graph
+
+
+_CC_PASS1 = pa.schema(
+    [
+        pa.field("key", pa.int64()),
+        pa.field("other", pa.int64()),
+        pa.field("label", pa.int64()),
+        pa.field("__bk", pa.int64()),
+    ]
+)
+
+_CC_PASS2 = pa.schema(
+    [
+        pa.field("node", pa.int64()),
+        pa.field("label", pa.int64()),
+        pa.field("old", pa.int64()),
+        pa.field("__bk", pa.int64()),
+    ]
+)
+
+_CC_OUT = pa.schema(
+    [
+        pa.field("node", pa.int64()),
+        pa.field("component", pa.int64()),
+        pa.field("changed", pa.int64()),
+    ]
+)
+
+
+def connected_components(
+    pairs: "ray.data.Dataset",
+    a_col: str = "a",
+    b_col: str = "b",
+    num_partitions: int = 32,
+    max_iters: int = 64,
+) -> "ray.data.Dataset":
+    """Connected components over an undirected edge list — the clustering
+    step that turns near-dup PAIRS (LSH candidates, SimHash matches,
+    embedding neighbors) into dedup GROUPS, so one representative per
+    component survives (transitive closure: A~B and B~C dedup A,B,C
+    together even when A~C itself misses the threshold).
+
+    Returns ``(node, component)`` — one row per distinct node of the pair
+    graph, ``component`` = the smallest node id reachable from it.
+
+    Algorithm: min-label propagation to a fixpoint (hash-to-min).  Each
+    round is two bucketed exchanges — (1) adjacency ∪ labels grouped by
+    ``hash(key)``: every edge endpoint reads its own label and proposes it
+    to the opposite endpoint; (2) proposals grouped by ``hash(node)``:
+    segmented min.  Rounds needed = graph diameter in the worst case, and
+    near-dup components are shallow (LSH bands emit cliques), so 2-3 rounds
+    is typical; ``max_iters`` guards pathological chains and raises loudly
+    rather than returning a half-merged labeling.
+
+    Scale shape: nothing ever touches the driver except the per-round
+    scalar ``changed`` count (a Dataset aggregate).  The adjacency (2
+    rows/edge) and the label table (1 row/node of the PAIR GRAPH — docs
+    with at least one near-dup, a small fraction of the corpus) are
+    materialized to the object store once resp. per round: iterative
+    dataflow re-executes its whole lineage otherwise, and both tables are
+    ∝ candidate pairs, never ∝ corpus text.  All groupbys carry explicit
+    ``num_partitions`` per the repo convention.
+    """
+    from raycdc.engine import _configure_shuffle
+
+    _configure_shuffle()
+
+    def adjacency(t: pa.Table) -> pa.Table:
+        a = t[a_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t[b_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        key = np.concatenate([a, b])
+        other = np.concatenate([b, a])
+        return pa.table(
+            {
+                "key": pa.array(key),
+                "other": pa.array(other),
+                "label": pa.nulls(len(key), pa.int64()),
+                "__bk": pa.array(_bucket_of(key, num_partitions)),
+            },
+            schema=_CC_PASS1,
+        )
+
+    def propose(g: pa.Table) -> pa.Table:
+        """One hash bucket of adjacency rows (+ label rows after round 1):
+        emit, per edge row, the key's current label for BOTH endpoints."""
+        is_lab = pc.is_valid(g["label"])
+        lab_rows = g.filter(is_lab)
+        edge_rows = g.filter(pc.invert(is_lab))
+        if len(edge_rows) == 0:
+            return _CC_PASS2.empty_table()
+        keys = edge_rows["key"].to_numpy(zero_copy_only=False)
+        others = edge_rows["other"].to_numpy(zero_copy_only=False)
+        if len(lab_rows):
+            ln = lab_rows["key"].to_numpy(zero_copy_only=False)
+            lv = lab_rows["label"].to_numpy(zero_copy_only=False)
+            order = np.argsort(ln, kind="stable")
+            ln, lv = ln[order], lv[order]
+            pos = np.searchsorted(ln, keys)
+            pos_c = np.minimum(pos, len(ln) - 1)
+            found = ln[pos_c] == keys
+            # every adjacency key received a label in the previous round's
+            # min pass (it proposes at least its own) — absence is a bug
+            if not bool(found.all()):
+                raise AssertionError("connected_components: unlabeled node")
+            lab = lv[pos_c]
+        else:
+            lab = keys  # round 1: identity labels
+        # one "old" row per DISTINCT key (carries the previous label for
+        # change detection) + one proposal per edge row toward `other`
+        ord_k = np.argsort(keys, kind="stable")
+        ks, ls = keys[ord_k], lab[ord_k]
+        first = np.ones(len(ks), dtype=bool)
+        first[1:] = ks[1:] != ks[:-1]
+        node = np.concatenate([others, ks[first]])
+        label = np.concatenate([lab, ls[first]])
+        old = np.concatenate(
+            [np.full(len(others), -1, dtype=np.int64), ls[first]]
+        )
+        return pa.table(
+            {
+                "node": pa.array(node),
+                "label": pa.array(label),
+                "old": pa.array(old),
+                "__bk": pa.array(_bucket_of(node, num_partitions)),
+            },
+            schema=_CC_PASS2,
+        )
+
+    def take_min(g: pa.Table) -> pa.Table:
+        """One hash bucket of proposals: segmented min per node; `changed`
+        compares against the node's unique old-label row (old >= 0)."""
+        if len(g) == 0:
+            return _CC_OUT.empty_table()
+        node = g["node"].to_numpy(zero_copy_only=False)
+        label = g["label"].to_numpy(zero_copy_only=False)
+        old = g["old"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((label, node))
+        ns, ls = node[order], label[order]
+        first = np.ones(len(ns), dtype=bool)
+        first[1:] = ns[1:] != ns[:-1]
+        node_u, new_lab = ns[first], ls[first]
+        # gather each node's old label (exactly one old>=0 row per node)
+        has_old = old >= 0
+        on, ov = node[has_old], old[has_old]
+        oo = np.argsort(on, kind="stable")
+        on, ov = on[oo], ov[oo]
+        pos = np.searchsorted(on, node_u)
+        pos_c = np.minimum(pos, max(len(on) - 1, 0))
+        if len(on) != len(node_u) or not bool((on[pos_c] == node_u).all()):
+            raise AssertionError("connected_components: old-label row missing")
+        changed = (new_lab < ov[pos_c]).astype(np.int64)
+        return pa.table(
+            {
+                "node": pa.array(node_u),
+                "component": pa.array(new_lab),
+                "changed": pa.array(changed),
+            },
+            schema=_CC_OUT,
+        )
+
+    adj = pairs.map_batches(
+        adjacency, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+    if adj.count() == 0:
+        return ray.data.from_arrow(
+            pa.schema([("node", pa.int64()), ("component", pa.int64())])
+            .empty_table()
+        )
+
+    labels = None  # round 1 derives identity labels from the adjacency
+    for _ in range(max_iters):
+        rows = adj if labels is None else adj.union(labels)
+        nxt = (
+            rows.groupby("__bk", num_partitions=num_partitions)
+            .map_groups(propose, batch_format="pyarrow")
+            .groupby("__bk", num_partitions=num_partitions)
+            .map_groups(take_min, batch_format="pyarrow")
+            .materialize()
+        )
+        n_changed = nxt.sum("changed") or 0
+        done = nxt.drop_columns(["changed"])
+        if n_changed == 0:
+            return done
+        # feed back as label rows for the next propose pass
+
+        def to_label_rows(t: pa.Table) -> pa.Table:
+            node = t["node"].to_numpy(zero_copy_only=False)
+            return pa.table(
+                {
+                    "key": t["node"],
+                    "other": pa.nulls(len(t), pa.int64()),
+                    "label": t["component"],
+                    "__bk": pa.array(_bucket_of(node, num_partitions)),
+                },
+                schema=_CC_PASS1,
+            )
+
+        labels = nxt.map_batches(
+            to_label_rows, batch_format="pyarrow", zero_copy_batch=True
+        ).materialize()
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iters} rounds "
+        "(graph diameter exceeds max_iters — raise max_iters)"
+    )

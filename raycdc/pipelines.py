@@ -2534,6 +2534,108 @@ FROM sh x JOIN sh y ON y.doc_id = x.doc_id + 1
 """
 
 
+def _corpus_with_chain_copies(sf_dir: str) -> "ray.data.Dataset":
+    """documents + TWO near copies per doc (one resp. two appended tokens)
+    — the three variants of a doc form a near-dup CHAIN, so clustering must
+    close transitively, not just pair up."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def dup(t: pa.Table) -> pa.Table:
+        v1 = pa.table(
+            {
+                "doc_id": pc.add(t["doc_id"], _DUP_OFFSET),
+                "text": pc.binary_join_element_wise(t["text"], " extradup", ""),
+            }
+        )
+        v2 = pa.table(
+            {
+                "doc_id": pc.add(t["doc_id"], 2 * _DUP_OFFSET),
+                "text": pc.binary_join_element_wise(
+                    t["text"], " extradup extradup2", ""
+                ),
+            }
+        )
+        return pa.concat_tables([t.select(["doc_id", "text"]), v1, v2])
+
+    return ds.map_batches(dup, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_dedup_components(sf_dir: str):
+    """Near-dup CLUSTERS: MinHash+LSH candidates → exact-Jaccard verify
+    (≥ 0.8) → distributed connected components (min-label propagation,
+    :func:`raycdc.dedup.connected_components`) — the transitive-closure step
+    real dedup pipelines run after pair generation, so A~B and B~C collapse
+    A,B,C into ONE group even when A~C alone misses the threshold.  The
+    corpus plants a 3-variant near-dup chain per document; the ORACLE
+    recomputes the ground-truth pair graph via all-pairs SQL Jaccard and
+    closes it with a recursive CTE — checking LSH recall, the verify kernel,
+    and the component labeling end-to-end."""
+    from raycdc.dedup import (
+        connected_components,
+        lsh_candidate_pairs,
+        minhash_signatures,
+        verify_jaccard_pairs,
+    )
+
+    corpus = _corpus_with_chain_copies(sf_dir)
+    sigs = corpus.map_batches(
+        minhash_signatures, batch_format="pyarrow", zero_copy_batch=True
+    )
+    pairs = lsh_candidate_pairs(sigs, bands=32, num_partitions=32, distinct=False)
+    edges = verify_jaccard_pairs(
+        pairs, _corpus_with_chain_copies(sf_dir), threshold=0.8
+    )
+    return connected_components(edges, num_partitions=32)
+
+
+_SQL_CHAIN_SHINGLES = f"""
+corpus AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + {_DUP_OFFSET}, text || ' extradup' FROM documents
+    UNION ALL
+    SELECT doc_id + {2 * _DUP_OFFSET}, text || ' extradup extradup2'
+    FROM documents
+),
+sh AS (
+    SELECT doc_id,
+           list_distinct(
+               list_transform(
+                   range(1, greatest(len(string_split(text, ' ')) - 1, 1)),
+                   i -> string_split(text, ' ')[i] || '|' ||
+                        string_split(text, ' ')[i+1] || '|' ||
+                        string_split(text, ' ')[i+2]
+               )
+           ) AS s
+    FROM corpus
+    WHERE len(string_split(text, ' ')) >= 3
+)
+"""
+
+SQL_DEDUP_COMPONENTS = f"""
+WITH RECURSIVE {_SQL_CHAIN_SHINGLES.strip()},
+jp AS (
+    SELECT x.doc_id AS a, y.doc_id AS b
+    FROM sh x JOIN sh y ON x.doc_id < y.doc_id
+    WHERE floor(
+              CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
+              / CAST(len(list_distinct(list_concat(x.s, y.s))) AS DOUBLE)
+              * 1000000
+          ) / 1000000 >= 0.8
+),
+und AS (SELECT a, b FROM jp UNION SELECT b AS a, a AS b FROM jp),
+reach AS (
+    SELECT a AS node, b AS dst FROM und
+    UNION
+    SELECT r.node, u.b AS dst FROM reach r JOIN und u ON u.a = r.dst
+)
+SELECT node, least(node, min(dst)) AS component
+FROM reach GROUP BY node
+"""
+
+
 def q_decontaminate(sf_dir: str):
     """Benchmark decontamination: every document sharing a distinct 3-token
     shingle with the benchmark split (docs with ``doc_id % 50 == 0`` stand
@@ -3722,6 +3824,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "dedup_normalized": q_dedup_normalized,
     "dedup_minhash": q_dedup_minhash,
     "dedup_jaccard": q_dedup_jaccard,
+    "dedup_components": q_dedup_components,
     "dedup_simhash": q_dedup_simhash,
     "decontaminate": q_decontaminate,
     "sim_knn": q_sim_knn,
@@ -3799,6 +3902,7 @@ ORACLES: dict[str, str] = {
     "dedup_normalized": SQL_DEDUP_NORMALIZED,
     "dedup_minhash": SQL_DEDUP_MINHASH,
     "dedup_jaccard": SQL_DEDUP_JACCARD,
+    "dedup_components": SQL_DEDUP_COMPONENTS,
     "decontaminate": SQL_DECONTAMINATE,
     "sim_knn": SQL_SIM_KNN,
     "media_meta": SQL_MEDIA_META,

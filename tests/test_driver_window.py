@@ -17,7 +17,7 @@ MUST_BE_IN_WINDOW = [
     "dedup_exact_hash",
     "dedup_normalized",
     "dedup_minhash",
-    "dedup_jaccard",
+    "dedup_components",
     "decontaminate",
     "sim_knn",
     # text / tokens / embeddings

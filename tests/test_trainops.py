@@ -909,3 +909,81 @@ def test_incremental_dedup_first_seen_wins_and_redelivery(ray_session, tmp_path)
 
     persisted = pq.read_table(out)
     assert sorted(persisted["doc_id"].to_pylist()) == [12]
+
+
+# --- connected components (near-dup clustering) ------------------------------
+
+
+def _uf_components(edges, nodes=None):
+    """Pure-python union-find reference."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    out = {}
+    for n in nodes if nodes is not None else list(parent):
+        out[n] = find(n)
+    return out
+
+
+def _cc_dict(edges):
+    pairs = ray.data.from_arrow(
+        pa.table(
+            {
+                "a": pa.array([a for a, _ in edges], pa.int64()),
+                "b": pa.array([b for _, b in edges], pa.int64()),
+            }
+        )
+    )
+    res = D.connected_components(pairs, num_partitions=4).to_pandas()
+    return dict(zip(res["node"], res["component"]))
+
+
+def test_connected_components_chain_needs_propagation(ray_session):
+    # a 6-hop chain (diameter 6 > one LSH-clique hop) + an isolated pair,
+    # written high-to-low so min labels must travel the long way
+    edges = [(7, 6), (6, 5), (5, 4), (4, 3), (3, 2), (2, 1), (1, 0), (100, 101)]
+    got = _cc_dict(edges)
+    assert got == {**{n: 0 for n in range(8)}, 100: 100, 101: 100}
+
+
+def test_connected_components_matches_union_find(ray_session):
+    rng = np.random.default_rng(7)
+    edges = [tuple(map(int, e)) for e in rng.integers(0, 60, size=(120, 2))]
+    edges = [(a, b) for a, b in edges if a != b]
+    got = _cc_dict(edges)
+    nodes = sorted({n for e in edges for n in e})
+    assert got == _uf_components(edges, nodes)
+
+
+def test_connected_components_empty_and_duplicate_edges(ray_session):
+    empty = ray.data.from_arrow(
+        pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
+    )
+    assert D.connected_components(empty).count() == 0
+    # duplicate + self-inverse edges must not break the old-row uniqueness
+    got = _cc_dict([(1, 2), (2, 1), (1, 2), (3, 3)])
+    assert got == {1: 1, 2: 1, 3: 3}
+
+
+def test_lsh_pairs_to_components_end_to_end(ray_session, dup_corpus):
+    sigs = ray.data.from_arrow(dup_corpus).map_batches(
+        D.minhash_signatures, batch_format="pyarrow", zero_copy_batch=True
+    )
+    pairs = D.lsh_candidate_pairs(sigs, bands=32, num_partitions=8)
+    edge_rows = [(r["a"], r["b"]) for r in pairs.take_all()]
+    got = _cc_dict(edge_rows)
+    nodes = sorted({n for e in edge_rows for n in e})
+    assert got == _uf_components(edge_rows, nodes)
+    # every doc's planted near-copy landed in the doc's component
+    for a, b in edge_rows:
+        assert got[a] == got[b]
