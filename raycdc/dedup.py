@@ -102,6 +102,82 @@ def _filter_sorted_losers(t: pa.Table, id_col: str, lid: "np.ndarray") -> pa.Tab
     return t.filter(pa.array(~is_loser))
 
 
+def filter_out_ids(
+    ds: "ray.data.Dataset",
+    drop_ids: "ray.data.Dataset",
+    id_col: str,
+    broadcast_max_ids: int = 5_000_000,
+) -> "ray.data.Dataset":
+    """Streaming anti-join: drop every ``ds`` row whose ``id_col`` appears
+    in the ``drop_ids`` Dataset (single ``id_col`` column).  Delivery is
+    size-guarded: at most ``broadcast_max_ids`` ids (≈40 MB at the default)
+    the sorted array is ``ray.put`` once and shared; above it the ids are
+    sorted into disjoint id-range chunks that stay in the OBJECT STORE and
+    each filter task fetches (zero-copy) only the chunks overlapping its
+    batch's id range — nothing ever concentrates the full set in one
+    Python heap.  Shared by :func:`exact_dedup` (hash128 losers) and
+    :func:`dedup_by_components` (near-dup cluster losers)."""
+    drop_mat = drop_ids.materialize()
+
+    if drop_mat.count() <= broadcast_max_ids:
+        # small duplicate set: one sorted array, put once, read everywhere
+        pdf = drop_mat.to_pandas()
+        loser_ids = (
+            np.sort(pdf[id_col].to_numpy().astype(np.int64))
+            if len(pdf)
+            else np.empty(0, np.int64)
+        )
+        loser_ref = ray.put(loser_ids)
+
+        def drop_losers(t: pa.Table) -> pa.Table:
+            return _filter_sorted_losers(t, id_col, ray.get(loser_ref))
+
+        return ds.map_batches(
+            drop_losers, batch_format="pyarrow", zero_copy_batch=True
+        )
+
+    # no-broadcast path: sort the loser ids into disjoint-range chunks
+    # held as object-store refs; the driver keeps only (ref, lo, hi)
+    # per chunk and each filter task pulls just the overlapping chunks
+    chunk_refs = drop_mat.sort(id_col).to_arrow_refs()
+
+    @ray.remote
+    def _chunk_bounds(t: pa.Table):
+        if len(t) == 0:
+            return None
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        return int(ids[0]), int(ids[-1])
+
+    bounds = ray.get([_chunk_bounds.remote(r) for r in chunk_refs])
+    keep = [(r, b) for r, b in zip(chunk_refs, bounds) if b is not None]
+    refs = [r for r, _ in keep]
+    lo = np.array([b[0] for _, b in keep], np.int64)
+    hi = np.array([b[1] for _, b in keep], np.int64)
+
+    def drop_losers_chunked(t: pa.Table) -> pa.Table:
+        if not refs or len(t) == 0:
+            return t
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        bmin, bmax = int(ids.min()), int(ids.max())
+        sel = np.nonzero((hi >= bmin) & (lo <= bmax))[0]
+        if len(sel) == 0:
+            return t
+        # probe chunk by chunk and OR the hit masks: ray.get returns
+        # each chunk zero-copy from plasma and nothing is concatenated,
+        # so even a batch spanning EVERY chunk never copies the loser
+        # set into this task's heap
+        is_loser = np.zeros(len(ids), dtype=bool)
+        for i in sel:
+            lid = ray.get(refs[i])[id_col].to_numpy(zero_copy_only=False)
+            pos = np.minimum(np.searchsorted(lid, ids), len(lid) - 1)
+            is_loser |= lid[pos] == ids
+        return t.filter(pa.array(~is_loser))
+
+    return ds.map_batches(
+        drop_losers_chunked, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
 def exact_dedup(
     ds: "ray.data.Dataset",
     text_col: str = "text",
@@ -191,64 +267,7 @@ def exact_dedup(
             .map_groups(losers, batch_format="pyarrow")
             .materialize()  # ids only, lives in the object store
         )
-
-        if loser_mat.count() <= broadcast_max_ids:
-            # small duplicate set: one sorted array, put once, read everywhere
-            pdf = loser_mat.to_pandas()
-            loser_ids = (
-                np.sort(pdf[id_col].to_numpy().astype(np.int64))
-                if len(pdf)
-                else np.empty(0, np.int64)
-            )
-            loser_ref = ray.put(loser_ids)
-
-            def drop_losers(t: pa.Table) -> pa.Table:
-                return _filter_sorted_losers(t, id_col, ray.get(loser_ref))
-
-            return ds.map_batches(
-                drop_losers, batch_format="pyarrow", zero_copy_batch=True
-            )
-
-        # no-broadcast path: sort the loser ids into disjoint-range chunks
-        # held as object-store refs; the driver keeps only (ref, lo, hi)
-        # per chunk and each filter task pulls just the overlapping chunks
-        chunk_refs = loser_mat.sort(id_col).to_arrow_refs()
-
-        @ray.remote
-        def _chunk_bounds(t: pa.Table):
-            if len(t) == 0:
-                return None
-            ids = t[id_col].to_numpy(zero_copy_only=False)
-            return int(ids[0]), int(ids[-1])
-
-        bounds = ray.get([_chunk_bounds.remote(r) for r in chunk_refs])
-        keep = [(r, b) for r, b in zip(chunk_refs, bounds) if b is not None]
-        refs = [r for r, _ in keep]
-        lo = np.array([b[0] for _, b in keep], np.int64)
-        hi = np.array([b[1] for _, b in keep], np.int64)
-
-        def drop_losers_chunked(t: pa.Table) -> pa.Table:
-            if not refs or len(t) == 0:
-                return t
-            ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-            bmin, bmax = int(ids.min()), int(ids.max())
-            sel = np.nonzero((hi >= bmin) & (lo <= bmax))[0]
-            if len(sel) == 0:
-                return t
-            # probe chunk by chunk and OR the hit masks: ray.get returns
-            # each chunk zero-copy from plasma and nothing is concatenated,
-            # so even a batch spanning EVERY chunk never copies the loser
-            # set into this task's heap
-            is_loser = np.zeros(len(ids), dtype=bool)
-            for i in sel:
-                lid = ray.get(refs[i])[id_col].to_numpy(zero_copy_only=False)
-                pos = np.minimum(np.searchsorted(lid, ids), len(lid) - 1)
-                is_loser |= lid[pos] == ids
-            return t.filter(pa.array(~is_loser))
-
-        return ds.map_batches(
-            drop_losers_chunked, batch_format="pyarrow", zero_copy_batch=True
-        )
+        return filter_out_ids(ds, loser_mat, id_col, broadcast_max_ids)
 
     def add_hash(t: pa.Table) -> pa.Table:
         h = (hash_strings(t[text_col]) % np.uint64(num_partitions)).astype(np.int64)
@@ -1298,3 +1317,27 @@ def connected_components(
         f"connected_components did not converge in {max_iters} rounds "
         "(graph diameter exceeds max_iters — raise max_iters)"
     )
+
+
+def dedup_by_components(
+    docs: "ray.data.Dataset",
+    components: "ray.data.Dataset",
+    id_col: str = "doc_id",
+    broadcast_max_ids: int = 5_000_000,
+) -> "ray.data.Dataset":
+    """Keep ONE representative per near-dup component: given the
+    ``(node, component)`` labeling from :func:`connected_components`, drop
+    every doc whose node is NOT its component's minimum (``node !=
+    component``); docs absent from the pair graph pass through untouched.
+    The corpus never shuffles — losers are delivered via the size-guarded
+    broadcast / object-store-chunk machinery of :func:`filter_out_ids`."""
+
+    def loser_rows(t: pa.Table) -> pa.Table:
+        node = t["node"].to_numpy(zero_copy_only=False)
+        comp = t["component"].to_numpy(zero_copy_only=False)
+        return pa.table({id_col: pa.array(node[node != comp])})
+
+    losers = components.map_batches(
+        loser_rows, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return filter_out_ids(docs, losers, id_col, broadcast_max_ids)

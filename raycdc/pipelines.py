@@ -2636,6 +2636,62 @@ FROM reach GROUP BY node
 """
 
 
+def q_dedup_near_full(sf_dir: str):
+    """The COMPLETE near-dedup pipeline, corpus in → surviving doc ids out:
+    MinHash → LSH candidates → exact-Jaccard verify → connected components
+    → :func:`raycdc.dedup.dedup_by_components` (one representative per
+    cluster, non-duplicated docs pass through, corpus never shuffles).
+    Oracle: recursive-CTE components over the ground-truth pair graph,
+    survivors = docs that are not a non-minimum member of any component."""
+    from raycdc.dedup import (
+        connected_components,
+        dedup_by_components,
+        lsh_candidate_pairs,
+        minhash_signatures,
+        verify_jaccard_pairs,
+    )
+
+    corpus = _corpus_with_chain_copies(sf_dir)
+    sigs = corpus.map_batches(
+        minhash_signatures, batch_format="pyarrow", zero_copy_batch=True
+    )
+    pairs = lsh_candidate_pairs(sigs, bands=32, num_partitions=32, distinct=False)
+    edges = verify_jaccard_pairs(
+        pairs, _corpus_with_chain_copies(sf_dir), threshold=0.8
+    )
+    comps = connected_components(edges, num_partitions=32)
+    survivors = dedup_by_components(
+        _corpus_with_chain_copies(sf_dir), comps, id_col="doc_id"
+    )
+    return survivors.select_columns(["doc_id"])
+
+
+SQL_DEDUP_NEAR_FULL = f"""
+WITH RECURSIVE {_SQL_CHAIN_SHINGLES.strip()},
+jp AS (
+    SELECT x.doc_id AS a, y.doc_id AS b
+    FROM sh x JOIN sh y ON x.doc_id < y.doc_id
+    WHERE floor(
+              CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
+              / CAST(len(list_distinct(list_concat(x.s, y.s))) AS DOUBLE)
+              * 1000000
+          ) / 1000000 >= 0.8
+),
+und AS (SELECT a, b FROM jp UNION SELECT b AS a, a AS b FROM jp),
+reach AS (
+    SELECT a AS node, b AS dst FROM und
+    UNION
+    SELECT r.node, u.b AS dst FROM reach r JOIN und u ON u.a = r.dst
+),
+comp AS (
+    SELECT node, least(node, min(dst)) AS component
+    FROM reach GROUP BY node
+)
+SELECT c.doc_id FROM corpus c
+WHERE c.doc_id NOT IN (SELECT node FROM comp WHERE component <> node)
+"""
+
+
 def q_decontaminate(sf_dir: str):
     """Benchmark decontamination: every document sharing a distinct 3-token
     shingle with the benchmark split (docs with ``doc_id % 50 == 0`` stand
@@ -3825,6 +3881,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "dedup_minhash": q_dedup_minhash,
     "dedup_jaccard": q_dedup_jaccard,
     "dedup_components": q_dedup_components,
+    "dedup_near_full": q_dedup_near_full,
     "dedup_simhash": q_dedup_simhash,
     "decontaminate": q_decontaminate,
     "sim_knn": q_sim_knn,
@@ -3903,6 +3960,7 @@ ORACLES: dict[str, str] = {
     "dedup_minhash": SQL_DEDUP_MINHASH,
     "dedup_jaccard": SQL_DEDUP_JACCARD,
     "dedup_components": SQL_DEDUP_COMPONENTS,
+    "dedup_near_full": SQL_DEDUP_NEAR_FULL,
     "decontaminate": SQL_DECONTAMINATE,
     "sim_knn": SQL_SIM_KNN,
     "media_meta": SQL_MEDIA_META,

@@ -987,3 +987,48 @@ def test_lsh_pairs_to_components_end_to_end(ray_session, dup_corpus):
     # every doc's planted near-copy landed in the doc's component
     for a, b in edge_rows:
         assert got[a] == got[b]
+
+
+def test_dedup_by_components_keeps_representatives(ray_session):
+    docs = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3, 4, 10, 11, 99], pa.int64()),
+                "text": pa.array([f"d{i}" for i in range(7)]),
+            }
+        )
+    )
+    comps = ray.data.from_arrow(
+        pa.table(
+            {
+                "node": pa.array([1, 2, 3, 4, 10, 11], pa.int64()),
+                "component": pa.array([1, 1, 1, 1, 10, 10], pa.int64()),
+            }
+        )
+    )
+    out = D.dedup_by_components(docs, comps).to_pandas()
+    # component minima survive; 99 (not in the pair graph) passes through
+    assert sorted(out["doc_id"]) == [1, 10, 99]
+
+
+def test_dedup_by_components_chunked_no_broadcast_path(ray_session):
+    n = 200
+    docs = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(list(range(n)), pa.int64()),
+                "text": pa.array([f"d{i}" for i in range(n)]),
+            }
+        )
+    )
+    # every odd id loses to its even predecessor
+    comps = ray.data.from_arrow(
+        pa.table(
+            {
+                "node": pa.array(list(range(n)), pa.int64()),
+                "component": pa.array([i - (i % 2) for i in range(n)], pa.int64()),
+            }
+        )
+    )
+    out = D.dedup_by_components(docs, comps, broadcast_max_ids=10).to_pandas()
+    assert sorted(out["doc_id"]) == list(range(0, n, 2))
