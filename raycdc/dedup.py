@@ -1142,12 +1142,36 @@ _CC_OUT = pa.schema(
 )
 
 
+def _solve_components_table(key: np.ndarray, other: np.ndarray) -> pa.Table:
+    """In-memory component solve over a symmetric edge array: vectorized
+    min-propagation + pointer jumping (``lab = lab[lab]`` halves the
+    distance to each component's minimum every round, so convergence is
+    O(log diameter), all numpy — no Python loop over nodes or edges)."""
+    nodes, inv = np.unique(np.concatenate([key, other]), return_inverse=True)
+    ai, bi = inv[: len(key)], inv[len(key):]
+    lab = np.arange(len(nodes), dtype=np.int64)
+    while True:
+        edge_min = np.minimum(lab[ai], lab[bi])
+        new = lab.copy()
+        np.minimum.at(new, ai, edge_min)
+        np.minimum.at(new, bi, edge_min)
+        new = new[new]  # pointer jumping
+        if bool((new == lab).all()):
+            break
+        lab = new
+    # index space is id-ordered (np.unique sorts), so index-min == id-min
+    return pa.table(
+        {"node": pa.array(nodes), "component": pa.array(nodes[lab])}
+    )
+
+
 def connected_components(
     pairs: "ray.data.Dataset",
     a_col: str = "a",
     b_col: str = "b",
     num_partitions: int = 32,
     max_iters: int = 64,
+    single_task_max_edges: int = 20_000_000,
 ) -> "ray.data.Dataset":
     """Connected components over an undirected edge list — the clustering
     step that turns near-dup PAIRS (LSH candidates, SimHash matches,
@@ -1158,23 +1182,31 @@ def connected_components(
     Returns ``(node, component)`` — one row per distinct node of the pair
     graph, ``component`` = the smallest node id reachable from it.
 
-    Algorithm: min-label propagation to a fixpoint (hash-to-min).  Each
-    round is two bucketed exchanges — (1) adjacency ∪ labels grouped by
-    ``hash(key)``: every edge endpoint reads its own label and proposes it
-    to the opposite endpoint; (2) proposals grouped by ``hash(node)``:
-    segmented min.  Rounds needed = graph diameter in the worst case, and
-    near-dup components are shallow (LSH bands emit cliques), so 2-3 rounds
-    is typical; ``max_iters`` guards pathological chains and raises loudly
-    rather than returning a half-merged labeling.
+    Two paths, size-guarded like :func:`exact_dedup`'s loser delivery:
 
-    Scale shape: nothing ever touches the driver except the per-round
-    scalar ``changed`` count (a Dataset aggregate).  The adjacency (2
-    rows/edge) and the label table (1 row/node of the PAIR GRAPH — docs
-    with at least one near-dup, a small fraction of the corpus) are
-    materialized to the object store once resp. per round: iterative
-    dataflow re-executes its whole lineage otherwise, and both tables are
-    ∝ candidate pairs, never ∝ corpus text.  All groupbys carry explicit
-    ``num_partitions`` per the repo convention.
+    * ``≤ single_task_max_edges`` (default 20M ≈ 320 MB of int64 pairs —
+      dedup pair graphs are ∝ duplicates, a small fraction of the corpus):
+      ONE remote task runs vectorized min-propagation with pointer jumping
+      over the materialized adjacency refs.  In/out stays in the object
+      store (``to_arrow_refs`` → task → ``from_arrow_refs``); the driver
+      never holds edges or labels.
+    * above it: distributed min-label propagation to a fixpoint
+      (hash-to-min).  Each round is two bucketed exchanges — (1) adjacency
+      ∪ labels grouped by ``hash(key)``: every edge endpoint reads its own
+      label and proposes it to the opposite endpoint; (2) proposals grouped
+      by ``hash(node)``: segmented min.  Rounds = graph diameter in the
+      worst case, and near-dup components are shallow (LSH bands emit
+      cliques), so 2-3 rounds is typical; ``max_iters`` guards pathological
+      chains and raises loudly rather than returning a half-merged
+      labeling.
+
+    Scale shape (distributed path): nothing ever touches the driver except
+    the per-round scalar ``changed`` count (a Dataset aggregate).  The
+    adjacency (2 rows/edge) and the label table (1 row/node of the PAIR
+    GRAPH) are materialized to the object store once resp. per round:
+    iterative dataflow re-executes its whole lineage otherwise, and both
+    tables are ∝ candidate pairs, never ∝ corpus text.  All groupbys carry
+    explicit ``num_partitions`` per the repo convention.
     """
     from raycdc.engine import _configure_shuffle
 
@@ -1276,11 +1308,28 @@ def connected_components(
     adj = pairs.map_batches(
         adjacency, batch_format="pyarrow", zero_copy_batch=True
     ).materialize()
-    if adj.count() == 0:
+    n_adj = adj.count()
+    if n_adj == 0:
         return ray.data.from_arrow(
             pa.schema([("node", pa.int64()), ("component", pa.int64())])
             .empty_table()
         )
+
+    if n_adj <= 2 * single_task_max_edges:  # adjacency = 2 rows per edge
+        refs = adj.to_arrow_refs()
+
+        @ray.remote
+        def _solve(*tables: pa.Table) -> pa.Table:
+            # drop artifact empty blocks (zero-column schemas appear when an
+            # upstream group produced no rows) before the strict concat
+            parts = [t for t in tables if t.num_columns > 0]
+            t = pa.concat_tables(parts)
+            return _solve_components_table(
+                t["key"].to_numpy(zero_copy_only=False),
+                t["other"].to_numpy(zero_copy_only=False),
+            )
+
+        return ray.data.from_arrow_refs([_solve.remote(*refs)])
 
     labels = None  # round 1 derives identity labels from the adjacency
     for _ in range(max_iters):

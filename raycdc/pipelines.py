@@ -4006,4 +4006,6 @@ def bench_extras() -> dict[str, Callable[[str], Any]]:
         "token_vocab": lambda sf: q_token_vocab(sf).count(),
         "tfidf_docs": lambda sf: q_tfidf_docs(sf).count(),
         "preset_statement": lambda sf: q_preset_statement(sf).count(),
+        # full near-dedup (LSH → verify → components → representative filter)
+        "dedup_near_full": lambda sf: q_dedup_near_full(sf).count(),
     }

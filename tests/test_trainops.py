@@ -935,7 +935,7 @@ def _uf_components(edges, nodes=None):
     return out
 
 
-def _cc_dict(edges):
+def _cc_dict(edges, **kw):
     pairs = ray.data.from_arrow(
         pa.table(
             {
@@ -944,34 +944,42 @@ def _cc_dict(edges):
             }
         )
     )
-    res = D.connected_components(pairs, num_partitions=4).to_pandas()
+    res = D.connected_components(pairs, num_partitions=4, **kw).to_pandas()
     return dict(zip(res["node"], res["component"]))
 
 
-def test_connected_components_chain_needs_propagation(ray_session):
+# single_task_max_edges=0 forces the distributed label-propagation loop;
+# the default takes the single-task vectorized solve — both must agree
+_CC_PATHS = [{}, {"single_task_max_edges": 0}]
+
+
+@pytest.mark.parametrize("kw", _CC_PATHS)
+def test_connected_components_chain_needs_propagation(ray_session, kw):
     # a 6-hop chain (diameter 6 > one LSH-clique hop) + an isolated pair,
     # written high-to-low so min labels must travel the long way
     edges = [(7, 6), (6, 5), (5, 4), (4, 3), (3, 2), (2, 1), (1, 0), (100, 101)]
-    got = _cc_dict(edges)
+    got = _cc_dict(edges, **kw)
     assert got == {**{n: 0 for n in range(8)}, 100: 100, 101: 100}
 
 
-def test_connected_components_matches_union_find(ray_session):
+@pytest.mark.parametrize("kw", _CC_PATHS)
+def test_connected_components_matches_union_find(ray_session, kw):
     rng = np.random.default_rng(7)
     edges = [tuple(map(int, e)) for e in rng.integers(0, 60, size=(120, 2))]
     edges = [(a, b) for a, b in edges if a != b]
-    got = _cc_dict(edges)
+    got = _cc_dict(edges, **kw)
     nodes = sorted({n for e in edges for n in e})
     assert got == _uf_components(edges, nodes)
 
 
-def test_connected_components_empty_and_duplicate_edges(ray_session):
+@pytest.mark.parametrize("kw", _CC_PATHS)
+def test_connected_components_empty_and_duplicate_edges(ray_session, kw):
     empty = ray.data.from_arrow(
         pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
     )
-    assert D.connected_components(empty).count() == 0
+    assert D.connected_components(empty, **kw).count() == 0
     # duplicate + self-inverse edges must not break the old-row uniqueness
-    got = _cc_dict([(1, 2), (2, 1), (1, 2), (3, 3)])
+    got = _cc_dict([(1, 2), (2, 1), (1, 2), (3, 3)], **kw)
     assert got == {1: 1, 2: 1, 3: 3}
 
 
