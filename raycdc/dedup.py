@@ -1184,12 +1184,15 @@ def connected_components(
 
     Two paths, size-guarded like :func:`exact_dedup`'s loser delivery:
 
-    * ``≤ single_task_max_edges`` (default 20M ≈ 320 MB of int64 pairs —
-      dedup pair graphs are ∝ duplicates, a small fraction of the corpus):
-      ONE remote task runs vectorized min-propagation with pointer jumping
-      over the materialized adjacency refs.  In/out stays in the object
-      store (``to_arrow_refs`` → task → ``from_arrow_refs``); the driver
-      never holds edges or labels.
+    * ``≤ single_task_max_edges`` (default 20M — dedup pair graphs are ∝
+      duplicates, a small fraction of the corpus): ONE remote task runs
+      vectorized min-propagation with pointer jumping over the
+      materialized adjacency refs.  In/out stays in the object store
+      (``to_arrow_refs`` → task → ``from_arrow_refs``); the driver never
+      holds edges or labels.  Peak in that task's heap at the default ≈
+      2×20M int64 endpoints (~320 MB) plus ``np.unique``'s sort + inverse
+      scratch (~2-3× that) — budget ~1-1.3 GB; lower the knob on small
+      workers.
     * above it: distributed min-label propagation to a fixpoint
       (hash-to-min).  Each round is two bucketed exchanges — (1) adjacency
       ∪ labels grouped by ``hash(key)``: every edge endpoint reads its own
@@ -1253,21 +1256,28 @@ def connected_components(
         else:
             lab = keys  # round 1: identity labels
         # one "old" row per DISTINCT key (carries the previous label for
-        # change detection) + one proposal per edge row toward `other`
+        # change detection; NULL marks proposal rows — ids may be negative,
+        # so no integer sentinel) + one proposal per edge row toward `other`
         ord_k = np.argsort(keys, kind="stable")
         ks, ls = keys[ord_k], lab[ord_k]
         first = np.ones(len(ks), dtype=bool)
         first[1:] = ks[1:] != ks[:-1]
         node = np.concatenate([others, ks[first]])
         label = np.concatenate([lab, ls[first]])
-        old = np.concatenate(
-            [np.full(len(others), -1, dtype=np.int64), ls[first]]
+        old_vals = np.concatenate(
+            [np.zeros(len(others), dtype=np.int64), ls[first]]
+        )
+        old_null = np.concatenate(
+            [
+                np.ones(len(others), dtype=bool),
+                np.zeros(int(first.sum()), dtype=bool),
+            ]
         )
         return pa.table(
             {
                 "node": pa.array(node),
                 "label": pa.array(label),
-                "old": pa.array(old),
+                "old": pa.array(old_vals, mask=old_null),
                 "__bk": pa.array(_bucket_of(node, num_partitions)),
             },
             schema=_CC_PASS2,
@@ -1275,19 +1285,19 @@ def connected_components(
 
     def take_min(g: pa.Table) -> pa.Table:
         """One hash bucket of proposals: segmented min per node; `changed`
-        compares against the node's unique old-label row (old >= 0)."""
+        compares against the node's unique old-label row (old non-null)."""
         if len(g) == 0:
             return _CC_OUT.empty_table()
         node = g["node"].to_numpy(zero_copy_only=False)
         label = g["label"].to_numpy(zero_copy_only=False)
-        old = g["old"].to_numpy(zero_copy_only=False)
         order = np.lexsort((label, node))
         ns, ls = node[order], label[order]
         first = np.ones(len(ns), dtype=bool)
         first[1:] = ns[1:] != ns[:-1]
         node_u, new_lab = ns[first], ls[first]
-        # gather each node's old label (exactly one old>=0 row per node)
-        has_old = old >= 0
+        # gather each node's old label (exactly one non-null old per node)
+        has_old = pc.is_valid(g["old"]).to_numpy(zero_copy_only=False)
+        old = pc.fill_null(g["old"], 0).to_numpy(zero_copy_only=False)
         on, ov = node[has_old], old[has_old]
         oo = np.argsort(on, kind="stable")
         on, ov = on[oo], ov[oo]
@@ -1320,13 +1330,22 @@ def connected_components(
 
         @ray.remote
         def _solve(*tables: pa.Table) -> pa.Table:
-            # drop artifact empty blocks (zero-column schemas appear when an
-            # upstream group produced no rows) before the strict concat
-            parts = [t for t in tables if t.num_columns > 0]
-            t = pa.concat_tables(parts)
+            # The adjacency stores each edge in BOTH directions; min
+            # propagation only needs one, so keep key <= other per block
+            # (plasma views stay zero-copy; only the kept half is copied)
+            # — halves the solver's working set.  Zero-column blocks are
+            # artifact empties from upstream groups that produced no rows.
+            ks, os_ = [], []
+            for t in tables:
+                if t.num_columns == 0 or len(t) == 0:
+                    continue
+                k = t["key"].to_numpy(zero_copy_only=False)
+                o = t["other"].to_numpy(zero_copy_only=False)
+                m = k <= o
+                ks.append(k[m])
+                os_.append(o[m])
             return _solve_components_table(
-                t["key"].to_numpy(zero_copy_only=False),
-                t["other"].to_numpy(zero_copy_only=False),
+                np.concatenate(ks), np.concatenate(os_)
             )
 
         return ray.data.from_arrow_refs([_solve.remote(*refs)])

@@ -2562,16 +2562,11 @@ def _corpus_with_chain_copies(sf_dir: str) -> "ray.data.Dataset":
     return ds.map_batches(dup, batch_format="pyarrow", zero_copy_batch=True)
 
 
-def q_dedup_components(sf_dir: str):
-    """Near-dup CLUSTERS: MinHash+LSH candidates → exact-Jaccard verify
-    (≥ 0.8) → distributed connected components (min-label propagation,
-    :func:`raycdc.dedup.connected_components`) — the transitive-closure step
-    real dedup pipelines run after pair generation, so A~B and B~C collapse
-    A,B,C into ONE group even when A~C alone misses the threshold.  The
-    corpus plants a 3-variant near-dup chain per document; the ORACLE
-    recomputes the ground-truth pair graph via all-pairs SQL Jaccard and
-    closes it with a recursive CTE — checking LSH recall, the verify kernel,
-    and the component labeling end-to-end."""
+def _chain_components(sf_dir: str):
+    """Shared head of the near-dedup queries: MinHash → LSH candidates →
+    exact-Jaccard verify (≥ 0.8) → connected components over the planted
+    3-variant chain corpus.  ONE definition so the oracled components query
+    and the end-to-end survivors query can never silently diverge."""
     from raycdc.dedup import (
         connected_components,
         lsh_candidate_pairs,
@@ -2588,6 +2583,19 @@ def q_dedup_components(sf_dir: str):
         pairs, _corpus_with_chain_copies(sf_dir), threshold=0.8
     )
     return connected_components(edges, num_partitions=32)
+
+
+def q_dedup_components(sf_dir: str):
+    """Near-dup CLUSTERS: MinHash+LSH candidates → exact-Jaccard verify
+    (≥ 0.8) → distributed connected components (min-label propagation,
+    :func:`raycdc.dedup.connected_components`) — the transitive-closure step
+    real dedup pipelines run after pair generation, so A~B and B~C collapse
+    A,B,C into ONE group even when A~C alone misses the threshold.  The
+    corpus plants a 3-variant near-dup chain per document; the ORACLE
+    recomputes the ground-truth pair graph via all-pairs SQL Jaccard and
+    closes it with a recursive CTE — checking LSH recall, the verify kernel,
+    and the component labeling end-to-end."""
+    return _chain_components(sf_dir)
 
 
 _SQL_CHAIN_SHINGLES = f"""
@@ -2614,60 +2622,10 @@ sh AS (
 )
 """
 
-SQL_DEDUP_COMPONENTS = f"""
-WITH RECURSIVE {_SQL_CHAIN_SHINGLES.strip()},
-jp AS (
-    SELECT x.doc_id AS a, y.doc_id AS b
-    FROM sh x JOIN sh y ON x.doc_id < y.doc_id
-    WHERE floor(
-              CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
-              / CAST(len(list_distinct(list_concat(x.s, y.s))) AS DOUBLE)
-              * 1000000
-          ) / 1000000 >= 0.8
-),
-und AS (SELECT a, b FROM jp UNION SELECT b AS a, a AS b FROM jp),
-reach AS (
-    SELECT a AS node, b AS dst FROM und
-    UNION
-    SELECT r.node, u.b AS dst FROM reach r JOIN und u ON u.a = r.dst
-)
-SELECT node, least(node, min(dst)) AS component
-FROM reach GROUP BY node
-"""
-
-
-def q_dedup_near_full(sf_dir: str):
-    """The COMPLETE near-dedup pipeline, corpus in → surviving doc ids out:
-    MinHash → LSH candidates → exact-Jaccard verify → connected components
-    → :func:`raycdc.dedup.dedup_by_components` (one representative per
-    cluster, non-duplicated docs pass through, corpus never shuffles).
-    Oracle: recursive-CTE components over the ground-truth pair graph,
-    survivors = docs that are not a non-minimum member of any component."""
-    from raycdc.dedup import (
-        connected_components,
-        dedup_by_components,
-        lsh_candidate_pairs,
-        minhash_signatures,
-        verify_jaccard_pairs,
-    )
-
-    corpus = _corpus_with_chain_copies(sf_dir)
-    sigs = corpus.map_batches(
-        minhash_signatures, batch_format="pyarrow", zero_copy_batch=True
-    )
-    pairs = lsh_candidate_pairs(sigs, bands=32, num_partitions=32, distinct=False)
-    edges = verify_jaccard_pairs(
-        pairs, _corpus_with_chain_copies(sf_dir), threshold=0.8
-    )
-    comps = connected_components(edges, num_partitions=32)
-    survivors = dedup_by_components(
-        _corpus_with_chain_copies(sf_dir), comps, id_col="doc_id"
-    )
-    return survivors.select_columns(["doc_id"])
-
-
-SQL_DEDUP_NEAR_FULL = f"""
-WITH RECURSIVE {_SQL_CHAIN_SHINGLES.strip()},
+# ground-truth pair graph + transitive closure, shared by both near-dedup
+# oracles (a fix to the graph definition must hit both or neither)
+_SQL_CHAIN_COMPONENT_CTES = f"""
+{_SQL_CHAIN_SHINGLES.strip()},
 jp AS (
     SELECT x.doc_id AS a, y.doc_id AS b
     FROM sh x JOIN sh y ON x.doc_id < y.doc_id
@@ -2687,6 +2645,32 @@ comp AS (
     SELECT node, least(node, min(dst)) AS component
     FROM reach GROUP BY node
 )
+"""
+
+SQL_DEDUP_COMPONENTS = f"""
+WITH RECURSIVE {_SQL_CHAIN_COMPONENT_CTES.strip()}
+SELECT node, component FROM comp
+"""
+
+
+def q_dedup_near_full(sf_dir: str):
+    """The COMPLETE near-dedup pipeline, corpus in → surviving doc ids out:
+    MinHash → LSH candidates → exact-Jaccard verify → connected components
+    → :func:`raycdc.dedup.dedup_by_components` (one representative per
+    cluster, non-duplicated docs pass through, corpus never shuffles).
+    Oracle: recursive-CTE components over the ground-truth pair graph,
+    survivors = docs that are not a non-minimum member of any component."""
+    from raycdc.dedup import dedup_by_components
+
+    comps = _chain_components(sf_dir)
+    survivors = dedup_by_components(
+        _corpus_with_chain_copies(sf_dir), comps, id_col="doc_id"
+    )
+    return survivors.select_columns(["doc_id"])
+
+
+SQL_DEDUP_NEAR_FULL = f"""
+WITH RECURSIVE {_SQL_CHAIN_COMPONENT_CTES.strip()}
 SELECT c.doc_id FROM corpus c
 WHERE c.doc_id NOT IN (SELECT node FROM comp WHERE component <> node)
 """

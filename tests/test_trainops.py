@@ -973,6 +973,14 @@ def test_connected_components_matches_union_find(ray_session, kw):
 
 
 @pytest.mark.parametrize("kw", _CC_PATHS)
+def test_connected_components_negative_ids(ray_session, kw):
+    # ids are arbitrary int64 — no sentinel may collide with real values
+    edges = [(-5, 3), (3, 7), (-10, -5), (0, -1)]
+    got = _cc_dict(edges, **kw)
+    assert got == {-10: -10, -5: -10, 3: -10, 7: -10, -1: -1, 0: -1}
+
+
+@pytest.mark.parametrize("kw", _CC_PATHS)
 def test_connected_components_empty_and_duplicate_edges(ray_session, kw):
     empty = ray.data.from_arrow(
         pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
