@@ -980,6 +980,116 @@ def contamination_overlap(
     return corpus.map_batches(overlap, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def cross_doc_dup_fraction(
+    corpus: "ray.data.Dataset",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    num_partitions: int = 64,
+) -> "ray.data.Dataset":
+    """Per-document CROSS-corpus repetition: the fraction of a doc's
+    distinct ``shingle_k``-token shingles that also occur in at least one
+    OTHER document — the boilerplate/template signal web-scale pipelines
+    threshold on (a page whose n-grams mostly exist elsewhere is navigation
+    chrome or a mirror, not content).  The within-doc complement is
+    :func:`raycdc.text.repetition_stats`; the reference's transform layer
+    has no corpus-global statistic at all (handlers are per-file:
+    /root/reference/handler.go:100-130), which is exactly why this lives in
+    the engine, not a projector.
+
+    Output: ``(id_col, n_shingles, n_dup, dup_frac)`` — one row per doc
+    with at least one shingle; ``dup_frac = n_dup / n_shingles``
+    floor-quantized to 1e-6 (the repo's oracle convention).
+
+    Scale shape: shingle instances exchange ONCE, hash-bucketed by shingle
+    (a shingle's global doc count is decidable only with all its instances
+    co-located); each bucket task runs one segmented run-length pass and
+    pre-aggregates to ``(doc, n, n_dup)`` partials — ≤ docs×buckets rows —
+    so the second, per-doc exchange moves partials, never shingles.  No
+    broadcast, no driver materialization, both groupbys carry explicit
+    ``num_partitions`` over bounded bucket keys.
+    """
+    from raycdc.engine import _configure_shuffle
+    from raycdc.relational import pre_aggregate
+
+    _configure_shuffle()
+
+    def shingle_rows(t: pa.Table) -> pa.Table:
+        sh, off = word_shingle_hashes(t[text_col], k=shingle_k)
+        ids = t[id_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        doc = np.repeat(ids, np.diff(off))
+        h = sh.view(np.int64)
+        return pa.table(
+            {
+                "h": pa.array(h),
+                "doc_id": pa.array(doc),
+                "__bk": pa.array(_bucket_of(h, num_partitions)),
+            }
+        )
+
+    def bucket_partials(g: pa.Table) -> pa.Table:
+        if len(g) == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "n_shingles": pa.array([], pa.int64()),
+                    "n_dup": pa.array([], pa.int64()),
+                }
+            )
+        h = g["h"].to_numpy(zero_copy_only=False)
+        doc = g["doc_id"].to_numpy(zero_copy_only=False)
+        # rows are distinct per (doc, shingle) by construction
+        # (word_shingle_hashes dedups within each doc), so a shingle's row
+        # count here IS its distinct-doc count
+        order = np.argsort(h, kind="stable")
+        hs, ds_ = h[order], doc[order]
+        first = np.ones(len(hs), dtype=bool)
+        first[1:] = hs[1:] != hs[:-1]
+        seg = np.cumsum(first) - 1
+        runlen = np.bincount(seg)
+        dup = runlen[seg] > 1
+        docs_u, inv = np.unique(ds_, return_inverse=True)
+        n = np.bincount(inv, minlength=len(docs_u))
+        nd = np.bincount(inv, weights=dup, minlength=len(docs_u))
+        return pa.table(
+            {
+                "doc_id": pa.array(docs_u),
+                "n_shingles": pa.array(n.astype(np.int64)),
+                "n_dup": pa.array(nd.astype(np.int64)),
+            }
+        )
+
+    rows = corpus.map_batches(
+        shingle_rows, batch_format="pyarrow", zero_copy_batch=True
+    )
+    partials = rows.groupby("__bk", num_partitions=num_partitions).map_groups(
+        bucket_partials, batch_format="pyarrow"
+    )
+    totals = pre_aggregate(
+        partials,
+        key_cols=["doc_id"],
+        sum_cols=["n_shingles", "n_dup"],
+        num_partitions=num_partitions,
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = t["n_shingles"].to_numpy(zero_copy_only=False).astype(np.float64)
+        nd = t["n_dup"].to_numpy(zero_copy_only=False).astype(np.float64)
+        frac = np.floor(nd / n * 1e6) / 1e6
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_shingles": t["n_shingles"],
+                "n_dup": t["n_dup"],
+                "dup_frac": pa.array(frac),
+            }
+        )
+
+    return totals.map_batches(
+        finish, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 

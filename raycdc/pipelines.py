@@ -2722,6 +2722,49 @@ GROUP BY c.doc_id
 """
 
 
+def q_crossdoc_repetition(sf_dir: str):
+    """Cross-document repetition score: per doc, the fraction of its
+    distinct 3-token shingles that occur in at least one OTHER document —
+    the corpus-global boilerplate/template signal (the within-doc
+    complement is ⊕text_repetition).  One shingle-bucketed exchange with
+    in-bucket run-length counting, then a per-doc partial-sum exchange;
+    the ORACLE recomputes it as an exact SQL shingle join."""
+    from raycdc.dedup import cross_doc_dup_fraction
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return cross_doc_dup_fraction(docs, num_partitions=32)
+
+
+SQL_CROSSDOC_REPETITION = """
+WITH sh AS (
+    SELECT doc_id,
+           list_distinct(
+               list_transform(
+                   range(1, greatest(len(string_split(text, ' ')) - 1, 1)),
+                   i -> string_split(text, ' ')[i] || '|' ||
+                        string_split(text, ' ')[i+1] || '|' ||
+                        string_split(text, ' ')[i+2]
+               )
+           ) AS s
+    FROM documents
+    WHERE len(string_split(text, ' ')) >= 3
+),
+cs AS (SELECT doc_id, unnest(s) AS g FROM sh),
+cnt AS (SELECT g, count(DISTINCT doc_id) AS ndocs FROM cs GROUP BY g)
+SELECT c.doc_id,
+       CAST(count(*) AS BIGINT) AS n_shingles,
+       CAST(sum(CASE WHEN t.ndocs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+       floor(
+           CAST(sum(CASE WHEN t.ndocs > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+           / CAST(count(*) AS DOUBLE) * 1000000
+       ) / 1000000 AS dup_frac
+FROM cs c JOIN cnt t ON c.g = t.g
+GROUP BY c.doc_id
+"""
+
+
 def q_dedup_simhash(sf_dir: str):
     """SimHash near-dup candidate pairs, Hamming ≤ 3 (rows-only check;
     properties verified in pytest against exact copies)."""
@@ -3868,6 +3911,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "dedup_near_full": q_dedup_near_full,
     "dedup_simhash": q_dedup_simhash,
     "decontaminate": q_decontaminate,
+    "crossdoc_repetition": q_crossdoc_repetition,
     "sim_knn": q_sim_knn,
     "sim_knn_lsh": q_sim_knn_lsh,
     "sim_knn_ivf": q_sim_knn_ivf,
@@ -3946,6 +3990,7 @@ ORACLES: dict[str, str] = {
     "dedup_components": SQL_DEDUP_COMPONENTS,
     "dedup_near_full": SQL_DEDUP_NEAR_FULL,
     "decontaminate": SQL_DECONTAMINATE,
+    "crossdoc_repetition": SQL_CROSSDOC_REPETITION,
     "sim_knn": SQL_SIM_KNN,
     "media_meta": SQL_MEDIA_META,
     "media_wav": SQL_MEDIA_WAV,
@@ -3973,6 +4018,7 @@ def bench_extras() -> dict[str, Callable[[str], Any]]:
         "pivot_user_events": lambda sf: q_pivot_user_events(sf).count(),
         "distinct_props_per_user": lambda sf: q_distinct_props_per_user(sf).count(),
         "decontaminate": lambda sf: q_decontaminate(sf).count(),
+        "crossdoc_repetition": lambda sf: q_crossdoc_repetition(sf).count(),
         "range_join_clicks": lambda sf: q_range_join_clicks(sf).count(),
         "cdc_scd2_history": lambda sf: q_cdc_scd2_history(sf).count(),
         "cdc_point_in_time": lambda sf: q_cdc_point_in_time(sf).count(),

@@ -492,6 +492,67 @@ def test_contamination_overlap_semantics(ray_session):
     assert len(empty) == 0
 
 
+def _brute_dup_fraction(texts, k=3):
+    """Per-doc reference: distinct k-token shingles and how many of them
+    occur in at least one OTHER doc — plain Python sets."""
+    shingles = [
+        {
+            "|".join(toks[i : i + k])
+            for i in range(len(toks) - k + 1)
+        }
+        for toks in (t.split(" ") for t in texts)
+    ]
+    out = {}
+    for i, s in enumerate(shingles):
+        if not s:
+            continue
+        others = set().union(*(x for j, x in enumerate(shingles) if j != i))
+        nd = len(s & others)
+        out[i] = (len(s), nd)
+    return out
+
+
+def test_cross_doc_dup_fraction_semantics(ray_session):
+    """Cross-doc repetition: dup = shingle present in >1 DISTINCT doc;
+    within-doc repeats don't self-inflate; sub-k docs are absent; the
+    fraction floor-quantizes to 1e-6."""
+    texts = [
+        "the quick brown fox jumps over",       # shares prefix with doc 1
+        "the quick brown fox sleeps all day",   # and suffix with doc 2
+        "cat sleeps all day long",
+        "completely unrelated tokens entirely here",  # clean: all unique
+        "too short",                            # < 3 tokens: no row
+        "echo echo echo echo",                  # self-repeats only: 1 distinct shingle, no other doc has it
+    ]
+    corpus = pa.table(
+        {
+            "doc_id": pa.array(list(range(len(texts))), pa.int64()),
+            "text": pa.array(texts),
+        }
+    )
+    out = (
+        D.cross_doc_dup_fraction(ray.data.from_arrow(corpus), num_partitions=8)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    want = _brute_dup_fraction(texts)
+    assert list(out["doc_id"]) == sorted(want)
+    for _, row in out.iterrows():
+        n, nd = want[row["doc_id"]]
+        assert (row["n_shingles"], row["n_dup"]) == (n, nd)
+        assert row["dup_frac"] == np.floor(nd / n * 1e6) / 1e6
+    # the self-repeating doc must NOT count as duplicated
+    echo = out[out["doc_id"] == 5].iloc[0]
+    assert echo["n_shingles"] == 1 and echo["n_dup"] == 0
+
+    # single-doc corpus: nothing is cross-duplicated
+    solo = D.cross_doc_dup_fraction(
+        ray.data.from_arrow(corpus.slice(0, 1)), num_partitions=4
+    ).to_pandas()
+    assert len(solo) == 1 and solo["n_dup"].iloc[0] == 0
+
+
 def test_explode_tokens_matches_python_split(docs):
     b = docs.slice(0, 40)
     out = T.explode_tokens(b)
