@@ -2853,12 +2853,9 @@ def q_sim_knn_ivf(sf_dir: str):
     return out.select_columns(["q_id", "vec_id", "rank"])
 
 
-def q_embed_near_dup(sf_dir: str):
-    """Embedding-cosine near-duplicate pairs within LSH buckets (rows-only;
-    the base embeddings are near-orthogonal random vectors, so near-dups are
-    constructed: each vector gets one slightly-perturbed copy)."""
-    from raycdc.similarity import embedding_near_dup_pairs
-
+def _embeddings_with_copies(sf_dir: str) -> "ray.data.Dataset":
+    """embeddings + one slightly-perturbed near-copy per vector (the base
+    vectors are near-orthogonal, so every near-dup is constructed)."""
     ds = ray.data.read_parquet(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
@@ -2888,8 +2885,33 @@ def q_embed_near_dup(sf_dir: str):
         )
         return pa.concat_tables([base, copy])
 
-    corpus = ds.map_batches(with_copies, batch_format="pyarrow", zero_copy_batch=True)
+    return ds.map_batches(with_copies, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_embed_near_dup(sf_dir: str):
+    """Embedding-cosine near-duplicate pairs within LSH buckets (rows-only;
+    the base embeddings are near-orthogonal random vectors, so near-dups are
+    constructed: each vector gets one slightly-perturbed copy)."""
+    from raycdc.similarity import embedding_near_dup_pairs
+
+    corpus = _embeddings_with_copies(sf_dir)
     return embedding_near_dup_pairs(corpus, threshold=0.99, nbits=4, num_partitions=16)
+
+
+def q_semantic_dedup(sf_dir: str):
+    """SemDeDup-style semantic dedup over embeddings with one perturbed
+    near-copy planted per vector: learned k-means clusters confine the
+    pairwise cosine compare, transitive groups collapse to their min-id
+    representative via connected components + the shared anti-join.
+    Rows-only (k-means isn't SQL-expressible); the chain/pass-through
+    semantics are pinned by pytest."""
+    from raycdc.similarity import semantic_dedup
+
+    corpus = _embeddings_with_copies(sf_dir)
+    out = semantic_dedup(
+        corpus, threshold=0.99, n_clusters=16, num_partitions=16
+    )
+    return out.select_columns(["vec_id"])
 
 
 # ---------------------------------------------------------------------------
@@ -3916,6 +3938,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "sim_knn_lsh": q_sim_knn_lsh,
     "sim_knn_ivf": q_sim_knn_ivf,
     "embed_near_dup": q_embed_near_dup,
+    "semantic_dedup": q_semantic_dedup,
     "media_meta": q_media_meta,
     "media_wav": q_media_wav,
     "media_bmp": q_media_bmp,

@@ -472,3 +472,90 @@ def group_centroids(
         )
 
     return agg.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def semantic_dedup(
+    ds: "ray.data.Dataset",
+    threshold: float = 0.95,
+    n_clusters: int = 16,
+    train_sample: int = 10_000,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    num_partitions: int = 32,
+    max_cluster: int = 4096,
+) -> "ray.data.Dataset":
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023, public
+    arXiv 2303.09540): k-means-cluster the embedding space, compare
+    cosine similarity only WITHIN a cluster, and keep one representative
+    (minimum id — the repo's dedup convention) per group of semantic
+    near-duplicates.  vs :func:`embedding_near_dup_pairs`: the quantizer
+    is LEARNED from the corpus, so clustered data (the common case for
+    real embeddings) gets far better candidate recall than fixed random
+    hyperplanes at the same comparison budget.
+
+    Returns the SURVIVOR rows of ``ds`` (all columns).  Transitive
+    closure applies: A~B and B~C collapse A,B,C to one survivor even
+    when A~C alone misses the threshold.
+
+    Scale shape: the quantizer trains driver-side on a BOUNDED
+    ``limit(train_sample)`` sample (centroids are KBs, shipped in the
+    task closure); assignment is one vectorized matmul per batch; ONE
+    groupby on the cluster id with per-cluster pairwise cosine capped at
+    ``max_cluster`` (overflow counted via ``metrics.CAPS``, never
+    silent); the pair graph — ∝ duplicates, not corpus — flows through
+    :func:`raycdc.dedup.connected_components` and the survivors come
+    from the shared size-guarded anti-join
+    (:func:`raycdc.dedup.dedup_by_components`) — the corpus itself never
+    shuffles.
+    """
+    from raycdc.dedup import connected_components, dedup_by_components
+    from raycdc.engine import _configure_shuffle
+
+    _configure_shuffle()
+
+    sample_tbl = ds.limit(train_sample).select_columns([vec_col]).to_pandas()
+    sample = _normalize(
+        np.stack(sample_tbl[vec_col].to_numpy()).astype(np.float64)
+    )
+    centroids = _kmeans(sample, n_clusters)
+
+    def assign(t: pa.Table) -> pa.Table:
+        m = _normalize(_to_matrix(t[vec_col]))
+        c = np.argmax(m @ centroids.T, axis=1)
+        return pa.table(
+            {
+                id_col: t[id_col].cast(pa.int64()),
+                vec_col: t[vec_col],
+                "__cluster": pa.array(c.astype(np.int64)),
+            }
+        )
+
+    def pairs_in_cluster(g: pa.Table) -> pa.Table:
+        m = _normalize(_to_matrix(g[vec_col]))
+        ids = g[id_col].to_numpy(zero_copy_only=False)
+        if len(ids) > max_cluster:
+            from raycdc.metrics import CAPS
+
+            CAPS.record("semantic_dedup", len(ids), max_cluster)
+            m, ids = m[:max_cluster], ids[:max_cluster]
+        if len(ids) < 2:
+            return pa.table(
+                {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())}
+            )
+        s = m @ m.T
+        ai, bi = np.triu_indices(len(ids), k=1)
+        keep = s[ai, bi] >= threshold
+        a, b = ids[ai[keep]], ids[bi[keep]]
+        return pa.table(
+            {
+                "a": pa.array(np.minimum(a, b).astype(np.int64)),
+                "b": pa.array(np.maximum(a, b).astype(np.int64)),
+            }
+        )
+
+    assigned = ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
+    pairs = assigned.groupby("__cluster", num_partitions=num_partitions).map_groups(
+        pairs_in_cluster, batch_format="pyarrow"
+    )
+    comps = connected_components(pairs, num_partitions=num_partitions)
+    return dedup_by_components(ds, comps, id_col=id_col)

@@ -288,6 +288,38 @@ def test_embedding_near_dup_finds_perturbed_copies(ray_session, emb_table):
     assert len(out) == len(found)  # cross-bucket rediscoveries deduped
 
 
+def test_semantic_dedup_keeps_one_per_chain(ray_session, emb_table):
+    """SemDeDup: k-means clusters confine the pairwise compare; a 3-variant
+    near-dup chain collapses transitively to its min-id representative;
+    unduplicated vectors pass through untouched."""
+    m = S._to_matrix(emb_table["embedding"])[:100]
+    ids = np.arange(100, dtype=np.int64)
+    # chain copies for the first 30 ids only: id ~ id+1000 ~ id+2000
+    base = m[:30]
+    v1 = base * 1.01 + 0.001
+    v2 = v1 * 1.02 + 0.002
+    corpus = pa.table(
+        {
+            "vec_id": pa.array(
+                np.concatenate([ids, ids[:30] + 1000, ids[:30] + 2000])
+            ),
+            "embedding": pa.FixedSizeListArray.from_arrays(
+                pa.array(
+                    np.concatenate([m, v1, v2]).reshape(-1).astype(np.float32)
+                ),
+                m.shape[1],
+            ),
+        }
+    )
+    out = S.semantic_dedup(
+        ray.data.from_arrow(corpus),
+        threshold=0.99,
+        n_clusters=8,
+        num_partitions=8,
+    ).to_pandas()
+    assert sorted(out["vec_id"]) == list(range(100))  # copies gone, rest kept
+
+
 def test_cap_counter_records_truncation():
     """Degenerate bucket (one band key shared by > max_bucket docs) must
     increment the process-local CAPS counter and log a raycdc.caps warning —
