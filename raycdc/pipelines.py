@@ -1370,17 +1370,10 @@ def _sql_src_cte(payload: str = "cents") -> str:
 )"""
 
 
-def q_dedup_normalized(sf_dir: str):
-    """Normalization-keyed exact dedup — the composition the canonical
-    form exists for: every document gets a REFORMATTED copy (upper-cased,
-    padded, a tab injected) that only collapses back onto its original
-    through ``normalize_text``; exact dedup on the normalized text then
-    keeps the original's smaller doc_id.  Without the normalization stage
-    the corpus would have 2N distinct texts — the oracle proves the
-    collapse, not just the plumbing."""
-    from raycdc.dedup import exact_dedup
-    from raycdc.text import normalize_text
-
+def _corpus_with_messy_copies(sf_dir: str) -> "ray.data.Dataset":
+    """documents + one REFORMATTED copy per doc (upper-cased, padded, a tab
+    injected) — collapses back onto the original only through
+    ``normalize_text``."""
     ds = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
@@ -1396,9 +1389,25 @@ def q_dedup_normalized(sf_dir: str):
         )
         return pa.concat_tables([t.select(["doc_id", "text"]), messy])
 
-    normalized = ds.map_batches(
+    return ds.map_batches(
         with_messy_copy, batch_format="pyarrow", zero_copy_batch=True
-    ).map_batches(normalize_text, batch_format="pyarrow", zero_copy_batch=True)
+    )
+
+
+def q_dedup_normalized(sf_dir: str):
+    """Normalization-keyed exact dedup — the composition the canonical
+    form exists for: every document gets a REFORMATTED copy (upper-cased,
+    padded, a tab injected) that only collapses back onto its original
+    through ``normalize_text``; exact dedup on the normalized text then
+    keeps the original's smaller doc_id.  Without the normalization stage
+    the corpus would have 2N distinct texts — the oracle proves the
+    collapse, not just the plumbing."""
+    from raycdc.dedup import exact_dedup
+    from raycdc.text import normalize_text
+
+    normalized = _corpus_with_messy_copies(sf_dir).map_batches(
+        normalize_text, batch_format="pyarrow", zero_copy_batch=True
+    )
     return exact_dedup(
         normalized, text_col="text", id_col="doc_id", num_partitions=16
     )
@@ -1417,6 +1426,92 @@ WITH corpus AS (
   FROM corpus
 )
 SELECT MIN(doc_id) AS doc_id, text FROM n GROUP BY text
+"""
+
+
+def q_corpus_curation(sf_dir: str):
+    """END-TO-END curation — the composition a real training-data run
+    executes as one streaming pipeline: normalize (messy reformatted
+    copies collapse onto originals) → exact dedup on the canonical form
+    (min-id winner) → quality scoring → threshold filter (≥ 0.65) →
+    token-count stats for the survivors.  Every stage is oracled alone
+    (⊕text_normalize, ⊕dedup_normalized, ⊕text_quality, ⊕text_stats);
+    this query pins their COMPOSITION — a schema or semantics drift
+    between any two stages breaks the hash even when each stage still
+    passes its own gate.  No extra exchange beyond dedup's single one:
+    scoring, filtering, and stats are per-batch map stages over the
+    winner stream."""
+    from raycdc.dedup import exact_dedup
+    from raycdc.text import normalize_text, quality_score, token_stats
+
+    normalized = _corpus_with_messy_copies(sf_dir).map_batches(
+        normalize_text, batch_format="pyarrow", zero_copy_batch=True
+    )
+    winners = exact_dedup(
+        normalized, text_col="text", id_col="doc_id", num_partitions=16
+    )
+
+    def score_filter_stats(t: pa.Table) -> pa.Table:
+        q = quality_score(t)["quality"]
+        keep = pc.greater_equal(q, 0.65)
+        kept = t.filter(keep)
+        stats = token_stats(kept)
+        return pa.table(
+            {
+                "doc_id": stats["doc_id"],
+                "n_tokens": stats["n_tokens"],
+                "n_uniq_tokens": stats["n_uniq_tokens"],
+                "n_bpe_tokens": stats["n_bpe_tokens"],
+                "quality": q.filter(keep),
+            }
+        )
+
+    return winners.map_batches(
+        score_filter_stats, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+SQL_CORPUS_CURATION = f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {_DUP_OFFSET},
+         '  ' || upper(text) || chr(9) || ' ' AS text
+  FROM documents
+), n AS (
+  SELECT doc_id,
+         trim(regexp_replace(lower(text), '\\s+', ' ', 'g'), ' ') AS text
+  FROM corpus
+), winners AS (
+  SELECT MIN(doc_id) AS doc_id, text FROM n GROUP BY text
+), w AS (
+  SELECT doc_id, text, string_split(text, ' ') AS toks FROM winners
+), c AS (
+  SELECT doc_id,
+         CAST(len(toks) AS BIGINT) AS n_tokens,
+         CAST(len(list_distinct(toks)) AS BIGINT) AS n_uniq_tokens,
+         CAST(len(regexp_extract_all(
+             text, '[a-zA-Z0-9]+|[^a-zA-Z0-9\\s]')) AS BIGINT
+         ) AS n_bpe_tokens,
+         CAST(len(list_filter(toks, x -> x IN ('the', 'a'))) AS DOUBLE)
+             AS n_stop
+  FROM w
+), q AS (
+  SELECT doc_id, n_tokens, n_uniq_tokens, n_bpe_tokens,
+         floor((
+             0.4 * least(greatest((n_tokens - 5) / 45.0, 0.0), 1.0)
+           + 0.4 * (CASE WHEN n_tokens > 0
+                    THEN CAST(n_uniq_tokens AS DOUBLE) / n_tokens
+                    ELSE 0.0 END)
+           + 0.2 * least(
+                 (CASE WHEN n_tokens > 0 THEN n_stop / n_tokens
+                  ELSE 0.0 END) * 10, 1.0
+             )) * 1000000
+         ) / 1000000 AS quality
+  FROM c
+)
+SELECT doc_id, n_tokens, n_uniq_tokens, n_bpe_tokens, quality
+FROM q WHERE quality >= 0.65
 """
 
 
@@ -3927,6 +4022,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "dedup_exact_hash": q_dedup_exact_hash,
     "dedup_incremental": q_dedup_incremental,
     "dedup_normalized": q_dedup_normalized,
+    "corpus_curation": q_corpus_curation,
     "dedup_minhash": q_dedup_minhash,
     "dedup_jaccard": q_dedup_jaccard,
     "dedup_components": q_dedup_components,
@@ -4008,6 +4104,7 @@ ORACLES: dict[str, str] = {
     "dedup_exact_hash": SQL_DEDUP_EXACT,
     "dedup_incremental": SQL_DEDUP_INCREMENTAL,
     "dedup_normalized": SQL_DEDUP_NORMALIZED,
+    "corpus_curation": SQL_CORPUS_CURATION,
     "dedup_minhash": SQL_DEDUP_MINHASH,
     "dedup_jaccard": SQL_DEDUP_JACCARD,
     "dedup_components": SQL_DEDUP_COMPONENTS,
@@ -4042,6 +4139,7 @@ def bench_extras() -> dict[str, Callable[[str], Any]]:
         "distinct_props_per_user": lambda sf: q_distinct_props_per_user(sf).count(),
         "decontaminate": lambda sf: q_decontaminate(sf).count(),
         "crossdoc_repetition": lambda sf: q_crossdoc_repetition(sf).count(),
+        "corpus_curation": lambda sf: q_corpus_curation(sf).count(),
         "range_join_clicks": lambda sf: q_range_join_clicks(sf).count(),
         "cdc_scd2_history": lambda sf: q_cdc_scd2_history(sf).count(),
         "cdc_point_in_time": lambda sf: q_cdc_point_in_time(sf).count(),
