@@ -1218,6 +1218,126 @@ FROM documents
 """
 
 
+def q_conv_stats(sf_dir: str):
+    """Per-conversation statistics over the replayed LWW state — the
+    transcript-curation signals (turn count, role mix, tool-call count,
+    text volume) a training pipeline thresholds on before assembly.
+    Map-side partials (one row per conv per batch: indicator sums over
+    vectorized Arrow kernels) collapse through ONE bucketed exchange
+    (:func:`raycdc.relational.pre_aggregate`); the conv_id key is
+    high-cardinality, so the exchange groups hash buckets, never keys."""
+    from raycdc.changelog import changelog_from_events
+    from raycdc.engine import merged_state
+    from raycdc.relational import pre_aggregate
+    from raycdc.schema import TableSpec
+
+    final = merged_state(
+        changelog_from_events(sf_dir), TableSpec(num_partitions=16)
+    ).select_columns(["conv_id", "role", "tool", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        def ind(mask) -> pa.Array:
+            return pc.cast(mask, pa.int64())
+
+        return pa.table(
+            {
+                "conv_id": t["conv_id"],
+                "n_user": ind(pc.equal(t["role"], "user")),
+                "n_assistant": ind(pc.equal(t["role"], "assistant")),
+                "n_tool_calls": ind(pc.not_equal(t["tool"], "")),
+                "n_chars": pc.cast(pc.utf8_length(t["text"]), pa.int64()),
+                "n_tokens": pc.cast(
+                    pc.list_value_length(pc.split_pattern(t["text"], " ")),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    rows = final.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    return pre_aggregate(
+        rows,
+        key_cols=["conv_id"],
+        sum_cols=["n_user", "n_assistant", "n_tool_calls", "n_chars", "n_tokens"],
+        count_alias="n_turns",
+        num_partitions=16,
+    )
+
+
+def _sql_conv_stats() -> str:
+    from raycdc.changelog import CHANGELOG_SQL
+
+    return f"""
+WITH {CHANGELOG_SQL.strip()},
+ranked AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY conv_id, turn_idx
+        ORDER BY ts DESC, lsn DESC
+    ) AS rn
+    FROM changelog
+), final AS (
+    SELECT conv_id, role, tool, text
+    FROM ranked WHERE rn = 1 AND op <> 'delete'
+)
+SELECT conv_id,
+       CAST(COUNT(*) AS BIGINT) AS n_turns,
+       CAST(SUM(CASE WHEN role = 'user' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_user,
+       CAST(SUM(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_assistant,
+       CAST(SUM(CASE WHEN tool <> '' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_tool_calls,
+       CAST(SUM(length(text)) AS BIGINT) AS n_chars,
+       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+FROM final
+GROUP BY conv_id
+"""
+
+
+def q_turn_dedup(sf_dir: str):
+    """Cross-conversation assistant-turn dedup: identical assistant texts
+    in the replayed LWW state (templated/boilerplate responses repeat
+    across conversations) collapse to the earliest occurrence (min lsn) —
+    :func:`raycdc.dedup.exact_dedup` applied to the transcript payload
+    with the WAL position as the identity column."""
+    from raycdc.changelog import changelog_from_events
+    from raycdc.dedup import exact_dedup
+    from raycdc.engine import merged_state
+    from raycdc.schema import TableSpec
+
+    final = merged_state(
+        changelog_from_events(sf_dir),
+        TableSpec(num_partitions=16),
+        keep_envelope=True,
+    )
+    assistant = final.filter(
+        expr="role == 'assistant'"
+    ).select_columns(["lsn", "text"])
+    return exact_dedup(
+        assistant, text_col="text", id_col="lsn", num_partitions=16
+    )
+
+
+def _sql_turn_dedup() -> str:
+    from raycdc.changelog import CHANGELOG_SQL
+
+    return f"""
+WITH {CHANGELOG_SQL.strip()},
+ranked AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY conv_id, turn_idx
+        ORDER BY ts DESC, lsn DESC
+    ) AS rn
+    FROM changelog
+), final AS (
+    SELECT role, text, lsn
+    FROM ranked WHERE rn = 1 AND op <> 'delete'
+)
+SELECT CAST(MIN(lsn) AS BIGINT) AS lsn, text
+FROM final WHERE role = 'assistant'
+GROUP BY text
+"""
+
+
 def q_assemble_convs(sf_dir: str):
     """Transcript reconstruction: LWW final state of the events-derived
     changelog → one training document per conversation (turn texts joined
@@ -4009,6 +4129,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "text_normalize": q_text_normalize,
     "pack_docs": q_pack_docs,
     "assemble_convs": q_assemble_convs,
+    "conv_stats": q_conv_stats,
+    "turn_dedup": q_turn_dedup,
     "sketch_top_events": q_sketch_top_events,
     "token_vocab": q_token_vocab,
     "json_props_rollup": q_json_props_rollup,
@@ -4092,6 +4214,8 @@ ORACLES: dict[str, str] = {
     "text_redact": SQL_TEXT_REDACT,
     "text_normalize": SQL_TEXT_NORMALIZE,
     "assemble_convs": _sql_assemble_convs(),
+    "conv_stats": _sql_conv_stats(),
+    "turn_dedup": _sql_turn_dedup(),
     "token_vocab": SQL_TOKEN_VOCAB,
     "json_props_rollup": SQL_JSON_PROPS_ROLLUP,
     "tfidf_docs": SQL_TFIDF_DOCS,
