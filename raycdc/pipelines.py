@@ -2457,6 +2457,54 @@ FROM t JOIN d USING (token)
 """
 
 
+def q_unigram_nll(sf_dir: str):
+    """Unigram-LM negative log-likelihood per token (CCNet-style
+    perplexity proxy): documents ranked by how unlike the corpus's own
+    token distribution they read.  Token counts, per-doc contributions,
+    and the global-count join all happen inside ONE token-bucketed
+    exchange (the tfidf shape); N is a shuffle-free streaming aggregate."""
+    from raycdc.text import unigram_nll
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def tok_count(t: pa.Table) -> pa.Table:
+        # non-empty tokens only — the same boundary-whitespace filter
+        # explode_tokens applies, or N drifts from the summed counts
+        flat = pc.list_flatten(pc.utf8_split_whitespace(t["text"]))
+        n = pc.sum(pc.cast(pc.not_equal(flat, ""), pa.int64())).as_py() or 0
+        return pa.table({"n": pa.array([n], pa.int64())})
+
+    n_total = ds.map_batches(
+        tok_count, batch_format="pyarrow", zero_copy_batch=True
+    ).sum("n")
+    return unigram_nll(ds, n_total_tokens=n_total, num_partitions=16)
+
+
+SQL_UNIGRAM_NLL = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS token
+  FROM documents WHERE text IS NOT NULL
+), t AS (
+  SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM toks WHERE token <> '' GROUP BY doc_id, token
+), c AS (
+  SELECT token, CAST(SUM(tf) AS BIGINT) AS cnt FROM t GROUP BY token
+), n AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS total FROM c),
+s AS (
+  SELECT t.doc_id,
+         SUM(t.tf * ln(c.cnt / (SELECT total FROM n))) AS sl,
+         CAST(SUM(t.tf) AS BIGINT) AS n_tokens
+  FROM t JOIN c USING (token)
+  GROUP BY t.doc_id
+)
+SELECT doc_id, n_tokens,
+       floor(-sl / n_tokens * 1000000) / 1000000 AS nll
+FROM s
+"""
+
+
 def q_embed_centroids(sf_dir: str):
     """Per-label embedding centroid, long form (label, idx, c): batches
     reduce to per-(group, dim) sum/count partials before one tiny
@@ -4135,6 +4183,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "token_vocab": q_token_vocab,
     "json_props_rollup": q_json_props_rollup,
     "tfidf_docs": q_tfidf_docs,
+    "unigram_nll": q_unigram_nll,
     "embed_centroids": q_embed_centroids,
     "cdc_snapshot_diff": q_cdc_snapshot_diff,
     "join_full_outer": q_join_full_outer,
@@ -4219,6 +4268,7 @@ ORACLES: dict[str, str] = {
     "token_vocab": SQL_TOKEN_VOCAB,
     "json_props_rollup": SQL_JSON_PROPS_ROLLUP,
     "tfidf_docs": SQL_TFIDF_DOCS,
+    "unigram_nll": SQL_UNIGRAM_NLL,
     "embed_centroids": SQL_EMBED_CENTROIDS,
     "cdc_snapshot_diff": SQL_CDC_SNAPSHOT_DIFF,
     "join_full_outer": SQL_JOIN_FULL_OUTER,

@@ -371,6 +371,118 @@ def tfidf(
     )
 
 
+def unigram_nll(
+    ds,
+    n_total_tokens: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_partitions: int = 16,
+):
+    """Per-document unigram-LM negative log-likelihood per token — the
+    CCNet-style perplexity proxy used to rank web documents by "how much
+    they look like the corpus" (low NLL = common/fluent wording, high NLL
+    = noise, rare-token soup, non-language): ``nll(doc) = -(1/T) Σ_t tf_t
+    · ln(count(t) / N)`` over the doc's token instances, with counts from
+    the corpus ITSELF (self-scoring; score against a reference corpus by
+    passing its counts through the same machinery).
+
+    Scale design mirrors :func:`tfidf`: the exchange is bucketed by a
+    hash of the TOKEN, so global token counts and each doc's
+    contribution rows are computed inside one group task — no vocabulary
+    broadcast, no second token shuffle; per-doc partial sums ride a
+    second tiny exchange of ``(doc, Σ tf·ln c, Σ tf)`` rows through
+    :func:`raycdc.relational.pre_aggregate`.  ``n_total_tokens`` is the
+    corpus token count N — a cheap shuffle-free aggregate the caller
+    supplies.  Score floor-quantized to 1e-6 (repo float-oracle
+    convention).
+    """
+    import polars as pl
+
+    from raycdc.engine import _configure_shuffle
+    from raycdc.partition import bucket_keys
+    from raycdc.relational import pre_aggregate
+
+    _configure_shuffle()
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks = explode_tokens(batch, text_col=text_col, id_col=id_col)
+        agg = (
+            pl.from_arrow(toks)
+            .group_by([id_col, "token"])
+            .agg(pl.len().alias("tf"))
+            .to_arrow()
+        )
+        agg = agg.set_column(
+            agg.schema.get_field_index("token"),
+            "token",
+            agg["token"].cast(pa.string()),
+        ).set_column(
+            agg.schema.get_field_index("tf"), "tf", agg["tf"].cast(pa.int64())
+        )
+        return agg.append_column(
+            "__bucket", bucket_keys(agg, ["token"], num_partitions)
+        )
+
+    def by_token(g: pa.Table) -> pa.Table:
+        df = pl.from_arrow(g.drop_columns(["__bucket"]))
+        tf = df.group_by([id_col, "token"]).agg(pl.col("tf").sum())
+        cnt = tf.group_by("token").agg(pl.col("tf").sum().alias("cnt"))
+        joined = tf.join(cnt, on="token", how="inner").to_arrow()
+        tf_np = joined["tf"].to_numpy().astype(np.float64)
+        c_np = joined["cnt"].combine_chunks().to_numpy().astype(np.float64)
+        contrib = tf_np * np.log(c_np / float(n_total_tokens))
+        per_doc = (
+            pl.from_arrow(
+                pa.table(
+                    {
+                        id_col: joined[id_col],
+                        "sum_log": pa.array(contrib),
+                        "n_inst": joined["tf"].cast(pa.int64()),
+                    }
+                )
+            )
+            .group_by(id_col)
+            .agg(pl.col("sum_log").sum(), pl.col("n_inst").sum())
+            .to_arrow()
+        )
+        return per_doc.set_column(
+            per_doc.schema.get_field_index(id_col),
+            id_col,
+            per_doc[id_col].cast(g.schema.field(id_col).type),
+        ).set_column(
+            per_doc.schema.get_field_index("n_inst"),
+            "n_inst",
+            per_doc["n_inst"].cast(pa.int64()),
+        )
+
+    partials = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__bucket", num_partitions=num_partitions)
+        .map_groups(by_token, batch_format="pyarrow")
+    )
+    totals = pre_aggregate(
+        partials,
+        key_cols=[id_col],
+        sum_cols=["sum_log", "n_inst"],
+        num_partitions=num_partitions,
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        sl = t["sum_log"].to_numpy(zero_copy_only=False)
+        n = t["n_inst"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table(
+            {
+                id_col: t[id_col],
+                "n_tokens": t["n_inst"].cast(pa.int64()),
+                "nll": pa.array(np.floor(-sl / n * 1e6) / 1e6),
+            }
+        )
+
+    return totals.map_batches(
+        finish, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
 def repetition_stats(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """Repetition quality signal (the Gopher-style duplicate-n-gram
     filter): per-doc word-bigram counts — total, distinct, and the

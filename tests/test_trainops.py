@@ -288,6 +288,52 @@ def test_embedding_near_dup_finds_perturbed_copies(ray_session, emb_table):
     assert len(out) == len(found)  # cross-bucket rediscoveries deduped
 
 
+def test_unigram_nll_matches_reference(ray_session):
+    """Self-scored unigram NLL: common-token docs score LOW, rare-token
+    docs HIGH; values match a plain-Python counter reference after the
+    1e-6 floor quantization; empty docs are absent."""
+    import math
+    from collections import Counter
+
+    texts = [
+        "the cat sat on the mat",
+        "the cat sat on the rug",
+        "zq xv wq jj kk",          # all-rare: highest nll
+        "the the the the",         # most-common token only: lowest nll
+        "",                        # no tokens: no row
+    ]
+    corpus = pa.table(
+        {
+            "doc_id": pa.array(list(range(len(texts))), pa.int64()),
+            "text": pa.array(texts),
+        }
+    )
+    counts = Counter(tok for t in texts for tok in t.split() if tok)
+    n_total = sum(counts.values())
+
+    def ref_nll(t):
+        toks = [x for x in t.split() if x]
+        return math.floor(
+            -sum(math.log(counts[x] / n_total) for x in toks)
+            / len(toks) * 1e6
+        ) / 1e6
+
+    out = (
+        T.unigram_nll(ray.data.from_arrow(corpus), n_total, num_partitions=4)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert list(out["doc_id"]) == [0, 1, 2, 3]
+    for _, row in out.iterrows():
+        # iterrows coerces the mixed-dtype row to float — index with int
+        i = int(row["doc_id"])
+        assert row["n_tokens"] == len(texts[i].split())
+        assert abs(row["nll"] - ref_nll(texts[i])) < 2e-6
+    nll = dict(zip(out["doc_id"], out["nll"]))
+    assert nll[3] < nll[0] < nll[2]  # common < mixed < all-rare
+
+
 def test_semantic_dedup_keeps_one_per_chain(ray_session, emb_table):
     """SemDeDup: k-means clusters confine the pairwise compare; a 3-variant
     near-dup chain collapses transitively to its min-id representative;
