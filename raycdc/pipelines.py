@@ -3704,6 +3704,34 @@ WHERE ((event_id * 2654435761) % 4294967296) * 10000 // 4294967296 <
 """
 
 
+def q_sample_quota(sf_dir: str):
+    """Quota downsampling with DATA-DERIVED rates: cap every event_type at
+    ≈500 rows — the per-stratum rate comes from the corpus's own counts
+    (phase 1: bounded count partials), then the same deterministic
+    Knuth-hash filter; thresholds are all-integer (``10000·quota // c``)
+    so the oracle reproduces membership bit-for-bit.  At sf0.001 the
+    strata sit UNDER quota (every row kept); at sf0.01 they're ~4× over
+    (real ~25% sampling) — both regimes gate-checked."""
+    from raycdc.relational import sample_to_quota
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "event_type"]
+    )
+    return sample_to_quota(ds, strata_col="event_type", key_col="event_id", quota=500)
+
+
+SQL_SAMPLE_QUOTA = """
+WITH cnt AS (
+    SELECT event_type, CAST(count(*) AS BIGINT) AS c
+    FROM events GROUP BY event_type
+),
+th AS (SELECT event_type, least(10000, (10000 * 500) // c) AS t FROM cnt)
+SELECT e.event_id, e.user_id, e.event_type
+FROM events e JOIN th USING (event_type)
+WHERE ((e.event_id * 2654435761) % 4294967296) * 10000 // 4294967296 < th.t
+"""
+
+
 def q_anti_join_customers(sf_dir: str):
     """Broadcast ANTI join (NOT EXISTS): customers with no order above
     300k total price.  The build side is the distinct qualifying custkeys
@@ -4165,6 +4193,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "sketch_users": q_sketch_users,
     "sketch_quantiles": q_sketch_quantiles,
     "stratified_sample": q_stratified_sample,
+    "sample_quota": q_sample_quota,
     "anti_join_customers": q_anti_join_customers,
     "semi_join_customers": q_semi_join_customers,
     "top_orders_per_cust": q_top_orders_per_cust,
@@ -4254,6 +4283,7 @@ ORACLES: dict[str, str] = {
     "rolling_value": SQL_ROLLING_VALUE,
     "quantiles_value": SQL_QUANTILES_VALUE,
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
+    "sample_quota": SQL_SAMPLE_QUOTA,
     "anti_join_customers": SQL_ANTI_JOIN_CUSTOMERS,
     "semi_join_customers": SQL_SEMI_JOIN_CUSTOMERS,
     "top_orders_per_cust": SQL_TOP_ORDERS_PER_CUST,

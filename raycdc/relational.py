@@ -704,6 +704,70 @@ def pivot_wide(
     )
 
 
+def sample_to_quota(
+    ds: "ray.data.Dataset",
+    strata_col: str,
+    key_col: str,
+    quota: int,
+) -> "ray.data.Dataset":
+    """Downsample every stratum to ≈ ``quota`` rows with a DETERMINISTIC,
+    data-derived rate — the "cap each domain/source at N documents"
+    mixing step of a training-data pipeline, where the rates cannot be
+    known ahead because they depend on the corpus itself.
+
+    Two phases: (1) per-stratum counts — per-batch partials folded on the
+    driver, bounded by the number of distinct strata (domains/sources are
+    bounded by definition; this is a few KB, not a shuffle); (2) the pure
+    per-batch Knuth-hash filter of :func:`raycdc.ops.stratified_sample`
+    with thresholds ``min(10000, 10000·quota // count)`` — ALL-INTEGER
+    arithmetic, so a SQL oracle reproduces membership bit-for-bit (no
+    float rate ever exists).  Strata under quota keep every row; the kept
+    set is a pure function of the data (stable under re-runs, re-sharding
+    and cluster size, like the lake layout).
+    """
+    import polars as pl
+
+    from raycdc.ops import hash_bucket
+
+    def cnt_partial(t: pa.Table) -> pa.Table:
+        agg = (
+            pl.from_arrow(t.select([strata_col]))
+            .group_by(strata_col)
+            .agg(pl.len().alias("c"))
+            .to_arrow()
+        )
+        return agg.set_column(
+            agg.schema.get_field_index(strata_col),
+            strata_col,
+            agg[strata_col].cast(t.schema.field(strata_col).type),
+        ).set_column(
+            agg.schema.get_field_index("c"), "c", agg["c"].cast(pa.int64())
+        )
+
+    parts = ds.map_batches(
+        cnt_partial, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()
+    counts = parts.groupby(strata_col)["c"].sum().to_dict()
+    thresholds = {
+        s: min(10_000, (10_000 * int(quota)) // int(c))
+        for s, c in counts.items()
+        if c > 0
+    }
+
+    def keep(t: pa.Table) -> pa.Table:
+        b = hash_bucket(t[key_col])
+        strata = t[strata_col]
+        cutoff: pa.Array | pa.ChunkedArray = pc.fill_null(
+            pa.nulls(len(t), pa.int64()), 0
+        )
+        for value, th in thresholds.items():
+            cond = pc.fill_null(pc.equal(strata, value), False)
+            cutoff = pc.if_else(cond, pa.scalar(th, pa.int64()), cutoff)
+        return t.filter(pc.less(b, cutoff))
+
+    return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def pre_aggregate(
     ds: "ray.data.Dataset",
     key_cols: Sequence[str],

@@ -1144,3 +1144,43 @@ def test_scd2_update_chains_across_segments(ray_session):
     )
     cols = ["conv_id", "turn_idx", "lsn", "text", "valid_from", "valid_to", "is_current"]
     assert inc[cols].equals(full[cols])
+
+
+def test_sample_to_quota_rates_and_determinism(ray_session):
+    """Data-derived quota sampling: over-quota strata sample at the exact
+    integer threshold 10000*quota//count, under-quota strata keep every
+    row, membership is the pure Knuth-hash function of the key (so two
+    runs agree row-for-row), and null strata drop."""
+    from raycdc.ops import hash_bucket
+    from raycdc.relational import sample_to_quota
+
+    n_big, n_small = 400, 30
+    t = pa.table(
+        {
+            "k": pa.array(np.arange(n_big + n_small + 2, dtype=np.int64)),
+            "s": pa.array(
+                ["big"] * n_big + ["small"] * n_small + [None, None]
+            ),
+        }
+    )
+    quota = 100
+    out = sample_to_quota(
+        ray.data.from_arrow(t), strata_col="s", key_col="k", quota=quota
+    ).to_pandas()
+
+    th_big = 10_000 * quota // n_big
+    b = hash_bucket(t["k"]).to_numpy(zero_copy_only=False)
+    s = t["s"].to_numpy(zero_copy_only=False)
+    want = set(
+        int(k)
+        for k, bk, st in zip(t["k"].to_numpy(), b, s)
+        if (st == "big" and bk < th_big) or st == "small"
+    )
+    assert set(out["k"]) == want          # exact membership, incl. nulls dropped
+    assert (out["s"] == "small").sum() == n_small  # under quota: all kept
+
+    # deterministic: a second run returns the identical row set
+    again = sample_to_quota(
+        ray.data.from_arrow(t), strata_col="s", key_col="k", quota=quota
+    ).to_pandas()
+    assert set(again["k"]) == want
