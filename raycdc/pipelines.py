@@ -1293,6 +1293,65 @@ GROUP BY conv_id
 """
 
 
+def q_conv_integrity(sf_dir: str):
+    """Transcript-integrity QA over the replayed LWW state: per
+    conversation, turn-index gaps (deletes punch holes), duplicate
+    indices (none — the lake key is unique), and broken role alternation
+    (adjacent same-role turns) — the validation gate a pipeline runs
+    BEFORE assembling transcripts into training documents.  One
+    group-bucketed exchange, all stats from one vectorized lexsort per
+    bucket (:func:`raycdc.relational.sequence_integrity`)."""
+    from raycdc.changelog import changelog_from_events
+    from raycdc.engine import merged_state
+    from raycdc.relational import sequence_integrity
+    from raycdc.schema import TableSpec
+
+    final = merged_state(
+        changelog_from_events(sf_dir), TableSpec(num_partitions=16)
+    ).select_columns(["conv_id", "turn_idx", "role"])
+    return sequence_integrity(
+        final,
+        group_col="conv_id",
+        order_col="turn_idx",
+        value_col="role",
+        num_partitions=16,
+    )
+
+
+def _sql_conv_integrity() -> str:
+    from raycdc.changelog import CHANGELOG_SQL
+
+    return f"""
+WITH {CHANGELOG_SQL.strip()},
+ranked AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY conv_id, turn_idx
+        ORDER BY ts DESC, lsn DESC
+    ) AS rn
+    FROM changelog
+), final AS (
+    SELECT conv_id, turn_idx, role
+    FROM ranked WHERE rn = 1 AND op <> 'delete'
+), lagd AS (
+    SELECT conv_id, turn_idx, role,
+           lag(turn_idx) OVER w AS p_idx,
+           lag(role) OVER w AS p_role
+    FROM final WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+)
+SELECT conv_id,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(min(turn_idx) AS BIGINT) AS min_idx,
+       CAST(max(turn_idx) AS BIGINT) AS max_idx,
+       CAST(sum(CASE WHEN turn_idx = p_idx THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_dup_idx,
+       CAST(sum(CASE WHEN turn_idx - p_idx > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_gaps,
+       CAST(sum(CASE WHEN role = p_role AND turn_idx <> p_idx
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_adjacent_repeats
+FROM lagd GROUP BY conv_id
+"""
+
+
 def q_turn_dedup(sf_dir: str):
     """Cross-conversation assistant-turn dedup: identical assistant texts
     in the replayed LWW state (templated/boilerplate responses repeat
@@ -4207,6 +4266,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "pack_docs": q_pack_docs,
     "assemble_convs": q_assemble_convs,
     "conv_stats": q_conv_stats,
+    "conv_integrity": q_conv_integrity,
     "turn_dedup": q_turn_dedup,
     "sketch_top_events": q_sketch_top_events,
     "token_vocab": q_token_vocab,
@@ -4294,6 +4354,7 @@ ORACLES: dict[str, str] = {
     "text_normalize": SQL_TEXT_NORMALIZE,
     "assemble_convs": _sql_assemble_convs(),
     "conv_stats": _sql_conv_stats(),
+    "conv_integrity": _sql_conv_integrity(),
     "turn_dedup": _sql_turn_dedup(),
     "token_vocab": SQL_TOKEN_VOCAB,
     "json_props_rollup": SQL_JSON_PROPS_ROLLUP,

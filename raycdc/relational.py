@@ -185,6 +185,98 @@ def sessionize(
     )
 
 
+def sequence_integrity(
+    ds: "ray.data.Dataset",
+    group_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    value_col: str = "role",
+    num_partitions: int = 64,
+) -> "ray.data.Dataset":
+    """Per-group ordered-sequence QA — the transcript-integrity report a
+    training pipeline gates assembly on: for each group, the row count,
+    the order-key span, whether the order keys have GAPS or DUPLICATES
+    (a replayed conversation with missing or doubled turns is corrupt
+    input, not training data), and how many ADJACENT rows repeat the same
+    ``value_col`` (e.g. two consecutive 'assistant' turns — broken
+    alternation).
+
+    Output per group: ``(group_col, n_rows, min_idx, max_idx,
+    n_dup_idx, n_gaps, n_adjacent_repeats)`` — all integers, exactly
+    SQL-reproducible (lag/window semantics).
+
+    One exchange: groups are hash-BUCKETED (``num_partitions`` UDF calls,
+    not one per group); inside a bucket one vectorized lexsort + boundary
+    masks compute every stat for all of the bucket's groups at once.
+    """
+    from raycdc.engine import _configure_shuffle
+
+    _configure_shuffle()
+    tag = _tag_bucket(group_col, num_partitions)
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["__bucket"])
+        n = len(g)
+        empty = pa.table(
+            {
+                group_col: pa.array([], pa.large_string()),
+                "n_rows": pa.array([], pa.int64()),
+                "min_idx": pa.array([], pa.int64()),
+                "max_idx": pa.array([], pa.int64()),
+                "n_dup_idx": pa.array([], pa.int64()),
+                "n_gaps": pa.array([], pa.int64()),
+                "n_adjacent_repeats": pa.array([], pa.int64()),
+            }
+        )
+        if n == 0:
+            return empty
+        g = g.sort_by([(group_col, "ascending"), (order_col, "ascending")])
+        grp = g[group_col].to_numpy(zero_copy_only=False)
+        idx = g[order_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        val = g[value_col].to_numpy(zero_copy_only=False)
+        first = np.ones(n, dtype=bool)
+        first[1:] = grp[1:] != grp[:-1]
+        seg = np.cumsum(first) - 1
+        n_groups = int(first.sum())
+        n_rows = np.bincount(seg, minlength=n_groups)
+        # same-group adjacent comparisons (mask out group boundaries)
+        within = ~first
+        d_idx = np.zeros(n, dtype=np.int64)
+        d_idx[1:] = idx[1:] - idx[:-1]
+        dup_idx = within & (d_idx == 0)
+        gaps = within & (d_idx > 1)
+        rep = within & (val == np.roll(val, 1)) & (d_idx != 0)
+        starts = np.flatnonzero(first)
+        ends = np.append(starts[1:], n) - 1
+        return pa.table(
+            {
+                group_col: pa.array(grp[starts]).cast(pa.large_string()),
+                "n_rows": pa.array(n_rows.astype(np.int64)),
+                "min_idx": pa.array(idx[starts]),
+                "max_idx": pa.array(idx[ends]),
+                "n_dup_idx": pa.array(
+                    np.bincount(seg[dup_idx], minlength=n_groups).astype(np.int64)
+                ),
+                "n_gaps": pa.array(
+                    np.bincount(seg[gaps], minlength=n_groups).astype(np.int64)
+                ),
+                "n_adjacent_repeats": pa.array(
+                    np.bincount(seg[rep], minlength=n_groups).astype(np.int64)
+                ),
+            }
+        )
+
+    def cast_back(t: pa.Table) -> pa.Table:
+        i = t.schema.get_field_index(group_col)
+        return t.set_column(i, group_col, t[group_col].cast(pa.string()))
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__bucket", num_partitions=num_partitions)
+        .map_groups(per_bucket, batch_format="pyarrow")
+        .map_batches(cast_back, batch_format="pyarrow", zero_copy_batch=True)
+    )
+
+
 def tumbling_window(
     ds: "ray.data.Dataset",
     ts_col: str = "ts",

@@ -1184,3 +1184,47 @@ def test_sample_to_quota_rates_and_determinism(ray_session):
         ray.data.from_arrow(t), strata_col="s", key_col="k", quota=quota
     ).to_pandas()
     assert set(again["k"]) == want
+
+
+def test_sequence_integrity_semantics(ray_session):
+    """Gaps, duplicate order keys, and adjacent same-value runs are
+    counted per group exactly; clean groups report zeros."""
+    from raycdc.relational import sequence_integrity
+
+    t = pa.table(
+        {
+            # c1: clean alternation, contiguous 0..3
+            # c2: gap (0->2), adjacent repeat ('a','a' at 2,3)
+            # c3: duplicate idx 1 (same value - not an adjacent repeat)
+            "conv_id": pa.array(
+                ["c1"] * 4 + ["c2"] * 3 + ["c3"] * 3
+            ),
+            "turn_idx": pa.array(
+                [0, 1, 2, 3, 0, 2, 3, 0, 1, 1], pa.int64()
+            ),
+            "role": pa.array(
+                ["u", "a", "u", "a", "u", "a", "a", "u", "a", "a"]
+            ),
+        }
+    )
+    out = (
+        sequence_integrity(
+            ray.data.from_arrow(t),
+            group_col="conv_id",
+            order_col="turn_idx",
+            value_col="role",
+            num_partitions=4,
+        )
+        .to_pandas()
+        .set_index("conv_id")
+        .sort_index()
+    )
+    assert out.loc["c1"].tolist() == [4, 0, 3, 0, 0, 0]
+    assert out.loc["c2"].tolist() == [3, 0, 3, 0, 1, 1]
+    # c3: dup idx counted once; the dup pair (same role, same idx) is NOT
+    # an adjacent repeat (d_idx == 0 excluded)
+    assert out.loc["c3"].tolist() == [3, 0, 1, 1, 0, 0]
+    assert list(out.columns) == [
+        "n_rows", "min_idx", "max_idx", "n_dup_idx", "n_gaps",
+        "n_adjacent_repeats",
+    ]
