@@ -196,7 +196,10 @@ _DRIVER_WINDOW: list[str] = [
     "dedup_exact",
     "dedup_exact_hash",
     "dedup_incremental",
-    "dedup_normalized",
+    # dup_spans (positional substring-dedup coverage) displaced
+    # dedup_normalized (a key-normalized variant of dedup_exact, still in
+    # the full gate) — the window favors distinct operator families
+    "dup_spans",
     "dedup_minhash",
     # dedup_components subsumes dedup_jaccard's verify kernel (LSH → exact
     # Jaccard → transitive clustering, all oracle-hashed); jaccard-in-

@@ -3087,6 +3087,76 @@ GROUP BY c.doc_id
 """
 
 
+def q_dup_spans(sf_dir: str):
+    """Duplicated-substring-span stats: per doc, the token coverage and
+    longest merged run of 3-gram shingles that occur in ≥ 2 documents —
+    the positional exact-substring-dedup signal (vs ⊕crossdoc_repetition's
+    count-based fraction).  Two bucketed exchanges of fixed-width instance
+    rows (text never shuffles); the ORACLE recomputes coverage with SQL
+    window-function island detection."""
+    from raycdc.dedup import dup_span_stats
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return dup_span_stats(docs, num_partitions=32)
+
+
+SQL_DUP_SPANS = """
+WITH inst AS (
+    SELECT doc_id, r['pos'] AS pos, r['g'] AS g
+    FROM (
+        SELECT doc_id,
+               unnest(
+                   list_transform(
+                       range(1, greatest(len(string_split(text, ' ')) - 1, 1)),
+                       i -> struct_pack(
+                           pos := i,
+                           g := string_split(text, ' ')[i] || '|' ||
+                                string_split(text, ' ')[i+1] || '|' ||
+                                string_split(text, ' ')[i+2]
+                       )
+                   )
+               ) AS r
+        FROM documents
+        WHERE len(string_split(text, ' ')) >= 3
+    )
+),
+dupg AS (SELECT g FROM inst GROUP BY g HAVING count(DISTINCT doc_id) >= 2),
+d AS (SELECT i.doc_id, i.pos FROM inst i JOIN dupg USING (g)),
+seq AS (
+    SELECT doc_id, pos,
+           pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS gap
+    FROM d
+),
+runs AS (
+    SELECT doc_id, pos,
+           sum(CASE WHEN gap IS NULL OR gap > 3 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY pos) AS run_id
+    FROM seq
+),
+runagg AS (
+    SELECT doc_id, run_id, max(pos) - min(pos) + 3 AS run_len
+    FROM runs GROUP BY doc_id, run_id
+),
+perdoc AS (
+    SELECT doc_id,
+           CAST(sum(run_len) AS BIGINT) AS dup_tokens,
+           CAST(max(run_len) AS BIGINT) AS max_dup_span
+    FROM runagg GROUP BY doc_id
+)
+SELECT n.doc_id,
+       CAST(len(string_split(n.text, ' ')) AS BIGINT) AS n_tokens,
+       COALESCE(p.dup_tokens, 0) AS dup_tokens,
+       floor(
+           CAST(COALESCE(p.dup_tokens, 0) AS DOUBLE)
+           / len(string_split(n.text, ' ')) * 1000000
+       ) / 1000000 AS dup_frac,
+       COALESCE(p.max_dup_span, 0) AS max_dup_span
+FROM documents n LEFT JOIN perdoc p USING (doc_id)
+"""
+
+
 def q_dedup_simhash(sf_dir: str):
     """SimHash near-dup candidate pairs, Hamming ≤ 3 (rows-only check;
     properties verified in pytest against exact copies)."""
@@ -4290,6 +4360,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "dedup_simhash": q_dedup_simhash,
     "decontaminate": q_decontaminate,
     "crossdoc_repetition": q_crossdoc_repetition,
+    "dup_spans": q_dup_spans,
     "sim_knn": q_sim_knn,
     "sim_knn_lsh": q_sim_knn_lsh,
     "sim_knn_ivf": q_sim_knn_ivf,
@@ -4376,6 +4447,7 @@ ORACLES: dict[str, str] = {
     "dedup_near_full": SQL_DEDUP_NEAR_FULL,
     "decontaminate": SQL_DECONTAMINATE,
     "crossdoc_repetition": SQL_CROSSDOC_REPETITION,
+    "dup_spans": SQL_DUP_SPANS,
     "sim_knn": SQL_SIM_KNN,
     "media_meta": SQL_MEDIA_META,
     "media_wav": SQL_MEDIA_WAV,

@@ -15,7 +15,7 @@ MUST_BE_IN_WINDOW = [
     # dedup / decontamination / similarity
     "dedup_exact",
     "dedup_exact_hash",
-    "dedup_normalized",
+    "dup_spans",
     "dedup_minhash",
     "dedup_components",
     "decontaminate",

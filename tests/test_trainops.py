@@ -1187,3 +1187,76 @@ def test_dedup_by_components_chunked_no_broadcast_path(ray_session):
     )
     out = D.dedup_by_components(docs, comps, broadcast_max_ids=10).to_pandas()
     assert sorted(out["doc_id"]) == list(range(0, n, 2))
+
+
+# --- duplicated-substring spans ---------------------------------------------
+
+
+def test_dup_span_stats_matches_bruteforce(ray_session):
+    """dup_span_stats == a per-doc brute-force interval-union oracle,
+    including merged runs, isolated hits, sub-k docs, and zero-dup docs."""
+    import math
+
+    rows = [
+        (1, "a b c d e f g h"),
+        (2, "a b c d x y z q r"),
+        (3, "unique tokens only here none match"),
+        (4, "short"),
+        (5, "x y z q r s t u v w a b c d e"),
+        (6, "a b c d e f g h"),  # exact copy of doc 1 → full coverage
+    ]
+    k = 3
+    t = pa.table(
+        {
+            "doc_id": pa.array([d for d, _ in rows], pa.int64()),
+            "text": pa.array([s for _, s in rows]),
+        }
+    )
+    got = (
+        D.dup_span_stats(ray.data.from_arrow(t), shingle_k=k, num_partitions=4)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+    sh2docs: dict[tuple, set] = {}
+    toks = {d: s.split(" ") for d, s in rows}
+    for d, tk in toks.items():
+        for i in range(len(tk) - k + 1):
+            sh2docs.setdefault(tuple(tk[i : i + k]), set()).add(d)
+    for i, (d, _) in enumerate(rows):
+        tk = toks[d]
+        pos = [
+            j
+            for j in range(len(tk) - k + 1)
+            if len(sh2docs[tuple(tk[j : j + k])]) >= 2
+        ]
+        runs: list[list[int]] = []
+        for p in pos:
+            if runs and p - runs[-1][1] <= k:
+                runs[-1][1] = p
+            else:
+                runs.append([p, p])
+        lens = [b - a + k for a, b in runs]
+        row = got[got.doc_id == d].iloc[0]
+        assert row.n_tokens == len(tk)
+        assert row.dup_tokens == sum(lens)
+        assert row.max_dup_span == (max(lens) if lens else 0)
+        assert row.dup_frac == math.floor(sum(lens) / len(tk) * 1e6) / 1e6
+    # exact copies cover each other fully
+    full = got[got.doc_id.isin([1, 6])]
+    assert (full.dup_tokens == full.n_tokens).all()
+    assert (full.dup_frac == 1.0).all()
+
+
+def test_dup_span_stats_no_duplicates_all_zero(ray_session):
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "text": pa.array(["p q r s t", "u v w x y"]),
+        }
+    )
+    got = D.dup_span_stats(ray.data.from_arrow(t), num_partitions=2).to_pandas()
+    assert len(got) == 2
+    assert (got.dup_tokens == 0).all()
+    assert (got.max_dup_span == 0).all()
