@@ -187,7 +187,10 @@ _DRIVER_WINDOW: list[str] = [
     "text_stats",
     "text_repetition",
     "text_redact",
-    "text_normalize",
+    # sft_pairs (transcript → (context, response) SFT examples) displaced
+    # text_normalize (still in the full gate): the graft's transcript axis
+    # outranks a three-kernel string cleanup
+    "sft_pairs",
     "token_vocab",
     "tfidf_docs",
     "assemble_convs",

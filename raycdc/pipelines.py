@@ -1397,6 +1397,66 @@ GROUP BY text
 """
 
 
+def q_sft_pairs(sf_dir: str):
+    """(context, response) SFT-pair extraction over the replayed LWW
+    state: every assistant turn with ≥ 1 preceding turn becomes one
+    training example, context = the up-to-4 immediately preceding turns
+    rendered ``role: text`` and newline-joined
+    (:func:`raycdc.relational.context_response_pairs`).  Oracle = DuckDB
+    ``list() OVER (ROWS BETWEEN 4 PRECEDING AND 1 PRECEDING)``."""
+    from raycdc.changelog import changelog_from_events
+    from raycdc.engine import merged_state
+    from raycdc.relational import context_response_pairs
+    from raycdc.schema import TableSpec
+
+    final = merged_state(
+        changelog_from_events(sf_dir), TableSpec(num_partitions=16)
+    ).select_columns(["conv_id", "turn_idx", "role", "text"])
+    return context_response_pairs(
+        final,
+        group_col="conv_id",
+        order_col="turn_idx",
+        role_col="role",
+        text_col="text",
+        response_role="assistant",
+        window=4,
+        sep="\n",
+        num_partitions=16,
+    )
+
+
+def _sql_sft_pairs() -> str:
+    from raycdc.changelog import CHANGELOG_SQL
+
+    return f"""
+WITH {CHANGELOG_SQL.strip()},
+ranked AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY conv_id, turn_idx
+        ORDER BY ts DESC, lsn DESC
+    ) AS rn
+    FROM changelog
+), final AS (
+    SELECT conv_id, turn_idx, role, text
+    FROM ranked WHERE rn = 1 AND op <> 'delete'
+), w AS (
+    SELECT conv_id, turn_idx, role, text,
+           list(role || ': ' || text) OVER (
+               PARTITION BY conv_id ORDER BY turn_idx
+               ROWS BETWEEN 4 PRECEDING AND 1 PRECEDING
+           ) AS ctx
+    FROM final
+)
+SELECT conv_id,
+       CAST(turn_idx AS BIGINT) AS turn_idx,
+       array_to_string(ctx, chr(10)) AS context,
+       text AS response,
+       CAST(len(ctx) AS BIGINT) AS n_ctx_turns
+FROM w
+WHERE role = 'assistant' AND len(ctx) > 0
+"""
+
+
 def q_assemble_convs(sf_dir: str):
     """Transcript reconstruction: LWW final state of the events-derived
     changelog → one training document per conversation (turn texts joined
@@ -4338,6 +4398,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "conv_stats": q_conv_stats,
     "conv_integrity": q_conv_integrity,
     "turn_dedup": q_turn_dedup,
+    "sft_pairs": q_sft_pairs,
     "sketch_top_events": q_sketch_top_events,
     "token_vocab": q_token_vocab,
     "json_props_rollup": q_json_props_rollup,
@@ -4427,6 +4488,7 @@ ORACLES: dict[str, str] = {
     "conv_stats": _sql_conv_stats(),
     "conv_integrity": _sql_conv_integrity(),
     "turn_dedup": _sql_turn_dedup(),
+    "sft_pairs": _sql_sft_pairs(),
     "token_vocab": SQL_TOKEN_VOCAB,
     "json_props_rollup": SQL_JSON_PROPS_ROLLUP,
     "tfidf_docs": SQL_TFIDF_DOCS,
@@ -4476,6 +4538,7 @@ def bench_extras() -> dict[str, Callable[[str], Any]]:
         "distinct_props_per_user": lambda sf: q_distinct_props_per_user(sf).count(),
         "decontaminate": lambda sf: q_decontaminate(sf).count(),
         "crossdoc_repetition": lambda sf: q_crossdoc_repetition(sf).count(),
+        "dup_spans": lambda sf: q_dup_spans(sf).count(),
         "corpus_curation": lambda sf: q_corpus_curation(sf).count(),
         "range_join_clicks": lambda sf: q_range_join_clicks(sf).count(),
         "cdc_scd2_history": lambda sf: q_cdc_scd2_history(sf).count(),

@@ -1322,6 +1322,122 @@ def assemble_group_text(
     )
 
 
+def context_response_pairs(
+    ds: "ray.data.Dataset",
+    group_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+    response_role: str = "assistant",
+    window: int = 4,
+    sep: str = "\n",
+    num_partitions: int = 64,
+) -> "ray.data.Dataset":
+    """Extract (context, response) supervised-finetuning pairs from
+    conversation turns: every ``response_role`` turn with at least one
+    preceding turn yields one training example whose context is the
+    ``sep``-joined ``"role: text"`` rendering of up to ``window``
+    immediately preceding turns (chronological order).  The
+    transcript-to-SFT-example op — the reference's transform layer is
+    per-row (handler.go:100-130) and has no cross-row windowing at all.
+
+    Output: ``(group_col, order_col, context, response, n_ctx_turns)``;
+    responses with no preceding turn are dropped (nothing to condition
+    on).  Exactly SQL-reproducible: ``list(role || ': ' || text) OVER
+    (PARTITION BY group ORDER BY order ROWS BETWEEN window PRECEDING AND
+    1 PRECEDING)``.
+
+    One group-bucketed exchange; per bucket one sort of (group, order),
+    then contexts materialize as ONE flat gather: the response rows'
+    window ranges become a flat index array (repeat + offset arithmetic,
+    the _shingle_instances trick), one ``take`` of the formatted column,
+    and one ``pc.binary_join`` over a ListArray — no per-row loop.  (Not
+    ``binary_join_element_wise(null_handling='skip')``: Arrow drops
+    all-null rows from that kernel's output instead of emitting a null —
+    a length-changing footgun.)
+    """
+    from raycdc.engine import _configure_shuffle
+
+    _configure_shuffle()
+    if window < 1:
+        raise ValueError(f"context_response_pairs: window must be ≥ 1, got {window}")
+    tag = _tag_bucket(group_col, num_partitions)
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["__bucket"])
+        out_schema = pa.schema(
+            [
+                g.schema.field(group_col),
+                pa.field(order_col, pa.int64()),
+                pa.field("context", pa.string()),
+                pa.field("response", pa.string()),
+                pa.field("n_ctx_turns", pa.int64()),
+            ]
+        )
+        n = len(g)
+        if n == 0:
+            return out_schema.empty_table()
+        g = g.sort_by([(group_col, "ascending"), (order_col, "ascending")])
+        grp = g[group_col].combine_chunks()
+        new_grp = np.ones(n, dtype=bool)
+        if n > 1:
+            a, b = grp.slice(1), grp.slice(0, n - 1)
+            eq = pc.or_(
+                pc.fill_null(pc.equal(a, b), False),
+                pc.and_(pc.is_null(a), pc.is_null(b)),
+            )
+            new_grp[1:] = ~eq.to_numpy(zero_copy_only=False)
+        seg_id = np.cumsum(new_grp) - 1
+        seg_start = np.where(new_grp)[0][seg_id]
+        formatted = pc.binary_join_element_wise(
+            g[role_col].combine_chunks().cast(pa.string()),
+            g[text_col].combine_chunks().cast(pa.string()),
+            ": ",
+        )
+        idx = np.arange(n, dtype=np.int64)
+        n_ctx = np.minimum(idx - seg_start, window)
+        is_resp = pc.equal(
+            g[role_col].combine_chunks().cast(pa.string()), response_role
+        )
+        keep = pc.and_(pc.fill_null(is_resp, False), pa.array(n_ctx > 0))
+        kept = np.where(keep.to_numpy(zero_copy_only=False))[0]
+        # flat gather of every kept row's window range [i - n_ctx, i)
+        counts = n_ctx[kept]
+        win_starts = kept - counts
+        out_off = np.concatenate([[0], np.cumsum(counts)])
+        flat_idx = np.repeat(win_starts, counts) + (
+            np.arange(int(out_off[-1])) - np.repeat(out_off[:-1], counts)
+        )
+        ctx_lists = pa.ListArray.from_arrays(
+            pa.array(out_off, pa.int32()),
+            formatted.take(pa.array(flat_idx)),
+        )
+        context = pc.binary_join(ctx_lists, sep)
+        take_kept = pa.array(kept)
+        return pa.table(
+            {
+                group_col: grp.take(take_kept),
+                order_col: g[order_col]
+                .combine_chunks()
+                .cast(pa.int64())
+                .take(take_kept),
+                "context": context,
+                "response": g[text_col]
+                .combine_chunks()
+                .cast(pa.string())
+                .take(take_kept),
+                "n_ctx_turns": pa.array(counts),
+            },
+            schema=out_schema,
+        )
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__bucket", num_partitions=num_partitions)
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )
+
+
 def grouping_rollup(
     ds: "ray.data.Dataset",
     key_cols: Sequence[str],

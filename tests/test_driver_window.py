@@ -23,7 +23,7 @@ MUST_BE_IN_WINDOW = [
     # text / tokens / embeddings
     "text_repetition",
     "text_redact",
-    "text_normalize",
+    "sft_pairs",
     "token_vocab",
     "tfidf_docs",
     "assemble_convs",

@@ -1228,3 +1228,62 @@ def test_sequence_integrity_semantics(ray_session):
         "n_rows", "min_idx", "max_idx", "n_dup_idx", "n_gaps",
         "n_adjacent_repeats",
     ]
+
+
+def test_context_response_pairs_semantics(ray_session):
+    """Window truncation, group-boundary isolation, orphan-response drop,
+    chronological context order, and non-response rows excluded."""
+    from raycdc.relational import context_response_pairs
+
+    t = pa.table(
+        {
+            "conv_id": pa.array(["c1"] * 6 + ["c2"]),
+            "turn_idx": pa.array([1, 2, 3, 4, 5, 6, 1], pa.int64()),
+            "role": pa.array(
+                ["user", "assistant", "user", "assistant", "user",
+                 "assistant", "assistant"]
+            ),
+            "text": pa.array(["q1", "a1", "q2", "a2", "q3", "a3", "orphan"]),
+        }
+    )
+    out = (
+        context_response_pairs(
+            ray.data.from_arrow(t), window=4, sep="\n", num_partitions=2
+        )
+        .to_pandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    # c2's assistant turn has no preceding turn -> dropped; user turns never
+    # emit; c1 yields one pair per assistant turn
+    assert out.conv_id.tolist() == ["c1", "c1", "c1"]
+    assert out.turn_idx.tolist() == [2, 4, 6]
+    assert out.response.tolist() == ["a1", "a2", "a3"]
+    assert out.n_ctx_turns.tolist() == [1, 3, 4]
+    assert out.context[0] == "user: q1"
+    assert out.context[1] == "user: q1\nassistant: a1\nuser: q2"
+    # window=4 truncates: turn 6 sees turns 2..5, oldest first
+    assert out.context[2] == "assistant: a1\nuser: q2\nassistant: a2\nuser: q3"
+
+
+def test_context_response_pairs_window_one(ray_session):
+    from raycdc.relational import context_response_pairs
+
+    t = pa.table(
+        {
+            "conv_id": pa.array(["c"] * 3),
+            "turn_idx": pa.array([10, 20, 30], pa.int64()),
+            "role": pa.array(["user", "assistant", "assistant"]),
+            "text": pa.array(["hello", "hi", "again"]),
+        }
+    )
+    out = (
+        context_response_pairs(
+            ray.data.from_arrow(t), window=1, num_partitions=2
+        )
+        .to_pandas()
+        .sort_values("turn_idx")
+    )
+    assert out.context.tolist() == ["user: hello", "assistant: hi"]
+    with pytest.raises(ValueError):
+        context_response_pairs(ray.data.from_arrow(t), window=0)
