@@ -1108,6 +1108,106 @@ def cross_doc_dup_fraction(
     )
 
 
+_DUP_STREAM_SCHEMA = pa.schema(
+    [
+        pa.field("doc_id", pa.int64()),
+        pa.field("h", pa.int64()),
+        pa.field("pos", pa.int64()),
+        pa.field("__bk", pa.int64()),
+    ]
+)
+
+
+def _dup_marked_stream(
+    corpus: "ray.data.Dataset",
+    text_col: str,
+    id_col: str,
+    k: int,
+    num_partitions: int,
+) -> "ray.data.Dataset":
+    """Shared head of :func:`dup_span_stats` and :func:`cut_dup_spans`:
+    the corpus reduced to duplicated-shingle INSTANCE rows co-located with
+    per-doc sentinels.
+
+    One kernel over the corpus emits ``(doc_id, h, pos)`` per shingle
+    instance bucketed by shingle hash, plus one sentinel row per doc
+    (``pos = -1``, ``h`` carries the token count) bucketed by
+    ``hash(doc_id)``; one bucketed exchange later, instances whose hash
+    occurs in ≥ 2 distinct docs are re-keyed by ``hash(doc_id)`` and the
+    sentinels echo through — so the returned stream, grouped once more by
+    ``__bk``, co-locates every doc's sentinel with its duplicated
+    instances.  Text never shuffles."""
+    from raycdc.engine import _configure_shuffle
+
+    _configure_shuffle()
+
+    def instance_rows(t: pa.Table) -> pa.Table:
+        sh, pos, sh_counts, tok_counts = _shingle_instances(t[text_col], k)
+        ids = t[id_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        doc = np.repeat(ids, sh_counts)
+        h = sh.view(np.int64)
+        # sentinel per doc: pos = -1, h column carries n_tokens, bucketed by
+        # hash(doc_id) — the pass-2 key — and echoed through pass 1
+        return pa.table(
+            {
+                "doc_id": pa.array(np.concatenate([doc, ids])),
+                "h": pa.array(
+                    np.concatenate([h, tok_counts.astype(np.int64)])
+                ),
+                "pos": pa.array(
+                    np.concatenate([pos, np.full(len(ids), -1, np.int64)])
+                ),
+                "__bk": pa.array(
+                    np.concatenate(
+                        [_bucket_of(h, num_partitions), _bucket_of(ids, num_partitions)]
+                    )
+                ),
+            },
+            schema=_DUP_STREAM_SCHEMA,
+        )
+
+    def mark_duplicated(g: pa.Table) -> pa.Table:
+        """One hash bucket: keep instances whose shingle hash occurs in ≥ 2
+        distinct docs; re-key them by hash(doc_id); echo sentinels."""
+        pos = g["pos"].to_numpy(zero_copy_only=False)
+        inst_mask = pos >= 0
+        sent = g.filter(pa.array(~inst_mask))
+        if not inst_mask.any():
+            return sent
+        h = g["h"].to_numpy(zero_copy_only=False)[inst_mask]
+        doc = g["doc_id"].to_numpy(zero_copy_only=False)[inst_mask]
+        p = pos[inst_mask]
+        # distinct-doc count per hash: sort by (h, doc); a hash spans ≥ 2
+        # docs iff its segment has ≥ 2 distinct doc runs
+        order = np.lexsort((doc, h))
+        hs, ds_ = h[order], doc[order]
+        seg_first = np.ones(len(hs), dtype=bool)
+        seg_first[1:] = hs[1:] != hs[:-1]
+        doc_first = seg_first.copy()
+        doc_first[1:] |= ds_[1:] != ds_[:-1]
+        seg = np.cumsum(seg_first) - 1
+        ndocs = np.bincount(seg[doc_first])
+        keep = ndocs[seg] >= 2
+        doc_k, p_k = ds_[keep], p[order][keep]
+        kept = pa.table(
+            {
+                "doc_id": pa.array(doc_k),
+                "h": pa.array(np.zeros(len(doc_k), np.int64)),
+                "pos": pa.array(p_k),
+                "__bk": pa.array(_bucket_of(doc_k, num_partitions)),
+            },
+            schema=_DUP_STREAM_SCHEMA,
+        )
+        return pa.concat_tables([sent, kept])
+
+    rows = corpus.map_batches(
+        instance_rows, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return rows.groupby("__bk", num_partitions=num_partitions).map_groups(
+        mark_duplicated, batch_format="pyarrow"
+    )
+
+
 def dup_span_stats(
     corpus: "ray.data.Dataset",
     text_col: str = "text",
@@ -1149,19 +1249,7 @@ def dup_span_stats(
     run boundaries at gap > k).  Both groupbys carry explicit
     ``num_partitions`` over bounded bucket keys per the repo convention.
     """
-    from raycdc.engine import _configure_shuffle
-
-    _configure_shuffle()
     k = int(shingle_k)
-
-    stream_schema = pa.schema(
-        [
-            pa.field("doc_id", pa.int64()),
-            pa.field("h", pa.int64()),
-            pa.field("pos", pa.int64()),
-            pa.field("__bk", pa.int64()),
-        ]
-    )
     out_schema = pa.schema(
         [
             pa.field("doc_id", pa.int64()),
@@ -1171,65 +1259,6 @@ def dup_span_stats(
             pa.field("max_dup_span", pa.int64()),
         ]
     )
-
-    def instance_rows(t: pa.Table) -> pa.Table:
-        sh, pos, sh_counts, tok_counts = _shingle_instances(t[text_col], k)
-        ids = t[id_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
-        doc = np.repeat(ids, sh_counts)
-        h = sh.view(np.int64)
-        # sentinel per doc: pos = -1, h column carries n_tokens, bucketed by
-        # hash(doc_id) — the pass-2 key — and echoed through pass 1
-        return pa.table(
-            {
-                "doc_id": pa.array(np.concatenate([doc, ids])),
-                "h": pa.array(
-                    np.concatenate([h, tok_counts.astype(np.int64)])
-                ),
-                "pos": pa.array(
-                    np.concatenate([pos, np.full(len(ids), -1, np.int64)])
-                ),
-                "__bk": pa.array(
-                    np.concatenate(
-                        [_bucket_of(h, num_partitions), _bucket_of(ids, num_partitions)]
-                    )
-                ),
-            },
-            schema=stream_schema,
-        )
-
-    def mark_duplicated(g: pa.Table) -> pa.Table:
-        """One hash bucket: keep instances whose shingle hash occurs in ≥ 2
-        distinct docs; re-key them by hash(doc_id); echo sentinels."""
-        pos = g["pos"].to_numpy(zero_copy_only=False)
-        inst_mask = pos >= 0
-        sent = g.filter(pa.array(~inst_mask))
-        if not inst_mask.any():
-            return sent
-        h = g["h"].to_numpy(zero_copy_only=False)[inst_mask]
-        doc = g["doc_id"].to_numpy(zero_copy_only=False)[inst_mask]
-        p = pos[inst_mask]
-        # distinct-doc count per hash: sort by (h, doc); a hash spans ≥ 2
-        # docs iff its segment has ≥ 2 distinct doc runs
-        order = np.lexsort((doc, h))
-        hs, ds_ = h[order], doc[order]
-        seg_first = np.ones(len(hs), dtype=bool)
-        seg_first[1:] = hs[1:] != hs[:-1]
-        doc_first = seg_first.copy()
-        doc_first[1:] |= ds_[1:] != ds_[:-1]
-        seg = np.cumsum(seg_first) - 1
-        ndocs = np.bincount(seg[doc_first])
-        keep = ndocs[seg] >= 2
-        doc_k, p_k = ds_[keep], p[order][keep]
-        kept = pa.table(
-            {
-                "doc_id": pa.array(doc_k),
-                "h": pa.array(np.zeros(len(doc_k), np.int64)),
-                "pos": pa.array(p_k),
-                "__bk": pa.array(_bucket_of(doc_k, num_partitions)),
-            },
-            schema=stream_schema,
-        )
-        return pa.concat_tables([sent, kept])
 
     def span_sweep(g: pa.Table) -> pa.Table:
         """One doc bucket: sentinels give the doc universe + token counts;
@@ -1295,15 +1324,161 @@ def dup_span_stats(
             schema=out_schema,
         )
 
-    rows = corpus.map_batches(
-        instance_rows, batch_format="pyarrow", zero_copy_batch=True
-    )
-    pass1 = rows.groupby("__bk", num_partitions=num_partitions).map_groups(
-        mark_duplicated, batch_format="pyarrow"
-    )
-    return pass1.groupby("__bk", num_partitions=num_partitions).map_groups(
+    marked = _dup_marked_stream(corpus, text_col, id_col, k, num_partitions)
+    return marked.groupby("__bk", num_partitions=num_partitions).map_groups(
         span_sweep, batch_format="pyarrow"
     )
+
+
+def cut_dup_spans(
+    corpus: "ray.data.Dataset",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    num_partitions: int = 64,
+) -> "ray.data.Dataset":
+    """REMOVE cross-document duplicated substrings from each document —
+    the exact-substring-dedup TRANSFORM (Lee et al. 2022: cut, don't
+    drop): every token covered by a ``shingle_k``-gram that also occurs
+    in another document is deleted; the survivors re-join into the
+    cleaned text.  :func:`dup_span_stats` is the read-only companion
+    (same duplicated-span model, statistics instead of surgery).
+
+    Output: ``(id_col, text_col, n_removed)`` — one row per input doc
+    (uncut docs pass through verbatim with ``n_removed = 0``; fully
+    duplicated docs become empty strings, for the caller to drop or
+    keep).  Token boundaries are single spaces, matching the repo's
+    tokenizer convention.
+
+    Scale shape: the duplicated RUNS (doc_id, start, end — merged
+    intervals, ∝ duplicated regions only) come from the shared
+    :func:`_dup_marked_stream` exchanges; they are then sorted by doc id
+    into object-store chunks and each corpus task fetches (zero-copy)
+    only the chunks overlapping its batch's id range — the
+    :func:`filter_out_ids` delivery pattern, so the corpus text NEVER
+    shuffles and nothing concentrates the run set in one heap.  The cut
+    itself is one vectorized pass: delta-encoded interval coverage over
+    the flattened token array, one filter, one ``pc.binary_join``.
+    """
+    k = int(shingle_k)
+    runs_schema = pa.schema(
+        [
+            pa.field("doc_id", pa.int64()),
+            pa.field("start", pa.int64()),
+            pa.field("end", pa.int64()),
+        ]
+    )
+
+    def runs_sweep(g: pa.Table) -> pa.Table:
+        """One doc bucket of the marked stream: merged duplicated runs
+        (sentinels carry no run information here — skipped)."""
+        if len(g) == 0:
+            return runs_schema.empty_table()
+        pos = g["pos"].to_numpy(zero_copy_only=False)
+        inst_mask = pos >= 0
+        if not inst_mask.any():
+            return runs_schema.empty_table()
+        doc = g["doc_id"].to_numpy(zero_copy_only=False)[inst_mask]
+        p = pos[inst_mask]
+        order = np.lexsort((p, doc))
+        d, ps = doc[order], p[order]
+        new_doc = d[1:] != d[:-1]
+        gap = np.diff(ps)
+        run_start = np.concatenate([[True], new_doc | (gap > k)])
+        starts = np.where(run_start)[0]
+        ends = np.append(starts[1:], len(ps)) - 1
+        return pa.table(
+            {
+                "doc_id": pa.array(d[starts]),
+                "start": pa.array(ps[starts]),
+                "end": pa.array(ps[ends]),
+            },
+            schema=runs_schema,
+        )
+
+    marked = _dup_marked_stream(corpus, text_col, id_col, k, num_partitions)
+    runs = marked.groupby("__bk", num_partitions=num_partitions).map_groups(
+        runs_sweep, batch_format="pyarrow"
+    )
+    # doc-id-range chunks in the object store (filter_out_ids delivery):
+    # tasks probe only overlapping chunks; the driver keeps (ref, lo, hi)
+    chunk_refs = runs.sort("doc_id").to_arrow_refs()
+
+    @ray.remote
+    def _chunk_bounds(t: pa.Table):
+        if t.num_columns == 0 or len(t) == 0:
+            return None
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        return int(ids[0]), int(ids[-1])
+
+    bounds = ray.get([_chunk_bounds.remote(r) for r in chunk_refs])
+    keep = [(r, b) for r, b in zip(chunk_refs, bounds) if b is not None]
+    refs = [r for r, _ in keep]
+    lo = np.array([b[0] for _, b in keep], np.int64)
+    hi = np.array([b[1] for _, b in keep], np.int64)
+
+    out_schema = pa.schema(
+        [
+            pa.field(id_col, pa.int64()),
+            pa.field(text_col, pa.string()),
+            pa.field("n_removed", pa.int64()),
+        ]
+    )
+
+    def cut(t: pa.Table) -> pa.Table:
+        ids = t[id_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        tok = pc.split_pattern(t[text_col], " ")
+        la = tok.combine_chunks() if isinstance(tok, pa.ChunkedArray) else tok
+        flat = la.flatten()
+        toff = la.offsets.to_numpy().astype(np.int64)
+        toff = toff - toff[0]
+        total = int(toff[-1]) if len(toff) else 0
+        covered = np.zeros(total + 1, dtype=np.int64)
+        if len(ids) and len(refs):
+            bmin, bmax = int(ids.min()), int(ids.max())
+            # batch ids may be unsorted: map run doc ids via sorted view
+            id_order = np.argsort(ids, kind="stable")
+            ids_sorted = ids[id_order]
+            for i in np.nonzero((hi >= bmin) & (lo <= bmax))[0]:
+                rt = ray.get(refs[i])
+                rd = rt["doc_id"].to_numpy(zero_copy_only=False)
+                rs = rt["start"].to_numpy(zero_copy_only=False)
+                re_ = rt["end"].to_numpy(zero_copy_only=False)
+                pos_in = np.searchsorted(ids_sorted, rd)
+                pos_c = np.minimum(pos_in, len(ids_sorted) - 1)
+                m = ids_sorted[pos_c] == rd
+                rows = id_order[pos_c[m]]
+                fs = toff[rows] + rs[m]
+                fe = toff[rows] + re_[m] + k  # exclusive stop; ≤ row end
+                np.add.at(covered, fs, 1)
+                np.add.at(covered, fe, -1)
+        cov_mask = np.cumsum(covered[:-1]) > 0
+        counts = np.diff(toff)
+        if total:
+            row_of_flat = np.repeat(
+                np.arange(len(ids), dtype=np.int64), counts
+            )
+            n_cov = np.bincount(row_of_flat[cov_mask], minlength=len(ids))
+        else:
+            n_cov = np.zeros(len(ids), dtype=np.int64)
+        kept_counts = counts - n_cov
+        new_off = np.concatenate([[0], np.cumsum(kept_counts)])
+        kept_lists = pa.ListArray.from_arrays(
+            pa.array(new_off, pa.int32()),
+            flat.filter(pa.array(~cov_mask)) if total else flat,
+        )
+        cleaned = pc.binary_join(kept_lists, " ")
+        n_removed = n_cov.astype(np.int64)
+        return pa.table(
+            {
+                id_col: pa.array(ids),
+                text_col: cleaned,
+                "n_removed": pa.array(n_removed),
+            },
+            schema=out_schema,
+        )
+
+    return corpus.map_batches(cut, batch_format="pyarrow", zero_copy_batch=True)
 
 
 # ---------------------------------------------------------------------------

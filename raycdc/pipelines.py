@@ -3217,6 +3217,76 @@ FROM documents n LEFT JOIN perdoc p USING (doc_id)
 """
 
 
+def q_cut_dup_spans(sf_dir: str):
+    """Exact-substring-dedup TRANSFORM: delete every token covered by a
+    3-gram occurring in ≥ 2 documents and re-join the survivors
+    (:func:`raycdc.dedup.cut_dup_spans` — runs delivered to the corpus
+    via object-store chunk probes, text never shuffles).  Oracle
+    recomputes the coverage as a positional anti-join + ordered
+    string_agg."""
+    from raycdc.dedup import cut_dup_spans
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return cut_dup_spans(docs, num_partitions=32)
+
+
+SQL_CUT_DUP_SPANS = """
+WITH inst AS (
+    SELECT doc_id, r['pos'] AS pos, r['g'] AS g
+    FROM (
+        SELECT doc_id,
+               unnest(
+                   list_transform(
+                       range(1, greatest(len(string_split(text, ' ')) - 1, 1)),
+                       i -> struct_pack(
+                           pos := i,
+                           g := string_split(text, ' ')[i] || '|' ||
+                                string_split(text, ' ')[i+1] || '|' ||
+                                string_split(text, ' ')[i+2]
+                       )
+                   )
+               ) AS r
+        FROM documents
+        WHERE len(string_split(text, ' ')) >= 3
+    )
+),
+dupg AS (SELECT g FROM inst GROUP BY g HAVING count(DISTINCT doc_id) >= 2),
+d AS (SELECT i.doc_id, i.pos FROM inst i JOIN dupg USING (g)),
+cov AS (SELECT DISTINCT doc_id, pos + o AS t FROM d, unnest([0, 1, 2]) AS u(o)),
+toks AS (
+    SELECT doc_id, r['ti'] AS ti, r['tok'] AS tok
+    FROM (
+        SELECT doc_id,
+               unnest(
+                   list_transform(
+                       range(1, len(string_split(text, ' ')) + 1),
+                       i -> struct_pack(ti := i, tok := string_split(text, ' ')[i])
+                   )
+               ) AS r
+        FROM documents
+    )
+),
+kept AS (
+    SELECT k.doc_id, k.ti, k.tok
+    FROM toks k LEFT JOIN cov c ON c.doc_id = k.doc_id AND c.t = k.ti
+    WHERE c.t IS NULL
+),
+agg AS (
+    SELECT doc_id,
+           string_agg(tok, ' ' ORDER BY ti) AS text,
+           count(*) AS n_kept
+    FROM kept GROUP BY doc_id
+)
+SELECT n.doc_id,
+       COALESCE(a.text, '') AS text,
+       CAST(len(string_split(n.text, ' ')) - COALESCE(a.n_kept, 0) AS BIGINT)
+           AS n_removed
+FROM documents n LEFT JOIN agg a USING (doc_id)
+"""
+
+
 def q_dedup_simhash(sf_dir: str):
     """SimHash near-dup candidate pairs, Hamming ≤ 3 (rows-only check;
     properties verified in pytest against exact copies)."""
@@ -4422,6 +4492,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "decontaminate": q_decontaminate,
     "crossdoc_repetition": q_crossdoc_repetition,
     "dup_spans": q_dup_spans,
+    "cut_dup_spans": q_cut_dup_spans,
     "sim_knn": q_sim_knn,
     "sim_knn_lsh": q_sim_knn_lsh,
     "sim_knn_ivf": q_sim_knn_ivf,
@@ -4510,6 +4581,7 @@ ORACLES: dict[str, str] = {
     "decontaminate": SQL_DECONTAMINATE,
     "crossdoc_repetition": SQL_CROSSDOC_REPETITION,
     "dup_spans": SQL_DUP_SPANS,
+    "cut_dup_spans": SQL_CUT_DUP_SPANS,
     "sim_knn": SQL_SIM_KNN,
     "media_meta": SQL_MEDIA_META,
     "media_wav": SQL_MEDIA_WAV,

@@ -1260,3 +1260,47 @@ def test_dup_span_stats_no_duplicates_all_zero(ray_session):
     assert len(got) == 2
     assert (got.dup_tokens == 0).all()
     assert (got.max_dup_span == 0).all()
+
+
+def test_cut_dup_spans_matches_bruteforce(ray_session):
+    """cut_dup_spans == token-level brute-force removal of all positions
+    covered by a cross-doc shingle; pass-through docs untouched."""
+    rows = [
+        (1, "a b c d e f g h"),
+        (2, "a b c d x y z q r"),
+        (3, "unique tokens only here none match"),
+        (4, "short"),
+        (5, "x y z q r s t u v w a b c d e"),
+        (6, "a b c d e f g h"),
+    ]
+    k = 3
+    t = pa.table(
+        {
+            "doc_id": pa.array([d for d, _ in rows], pa.int64()),
+            "text": pa.array([s for _, s in rows]),
+        }
+    )
+    got = (
+        D.cut_dup_spans(ray.data.from_arrow(t), shingle_k=k, num_partitions=4)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    sh2docs: dict[tuple, set] = {}
+    toks = {d: s.split(" ") for d, s in rows}
+    for d, tk in toks.items():
+        for i in range(len(tk) - k + 1):
+            sh2docs.setdefault(tuple(tk[i : i + k]), set()).add(d)
+    for d, tk in toks.items():
+        cov: set[int] = set()
+        for i in range(len(tk) - k + 1):
+            if len(sh2docs[tuple(tk[i : i + k])]) >= 2:
+                cov.update(range(i, i + k))
+        row = got[got.doc_id == d].iloc[0]
+        assert row.text == " ".join(
+            tok for j, tok in enumerate(tk) if j not in cov
+        )
+        assert row.n_removed == len(cov)
+    # exact copies vanish entirely; clean docs pass through verbatim
+    assert got[got.doc_id.isin([1, 6])].text.tolist() == ["", ""]
+    assert got[got.doc_id == 3].text.iloc[0] == rows[2][1]
