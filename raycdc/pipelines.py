@@ -4611,6 +4611,8 @@ def bench_extras() -> dict[str, Callable[[str], Any]]:
         "decontaminate": lambda sf: q_decontaminate(sf).count(),
         "crossdoc_repetition": lambda sf: q_crossdoc_repetition(sf).count(),
         "dup_spans": lambda sf: q_dup_spans(sf).count(),
+        "cut_dup_spans": lambda sf: q_cut_dup_spans(sf).count(),
+        "sft_pairs": lambda sf: q_sft_pairs(sf).count(),
         "corpus_curation": lambda sf: q_corpus_curation(sf).count(),
         "range_join_clicks": lambda sf: q_range_join_clicks(sf).count(),
         "cdc_scd2_history": lambda sf: q_cdc_scd2_history(sf).count(),
