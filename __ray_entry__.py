@@ -164,7 +164,10 @@ _DRIVER_WINDOW: list[str] = [
     "cdc_additive_rollup",
     "cdc_bootstrap",
     "cdc_scd2_history",
-    "cdc_suppress_noops",
+    # cdc_transcript_view (incrementally maintained transcript documents —
+    # the CDC×transcripts flagship) displaced cdc_suppress_noops (narrow
+    # replica-noop behavior, pytest- and full-gate-covered)
+    "cdc_transcript_view",
     "cdc_point_in_time",
     "cdc_colocated_join",
     "cdc_change_feed",

@@ -194,6 +194,25 @@ def main(argv: list[str] | None = None) -> int:
     )
     p_roll.add_argument("--partitions", type=int, default=16)
 
+    p_tview = sub.add_parser(
+        "transcripts",
+        help="incrementally maintain an assembled-transcript view of a "
+        "turn-level lake (re-assembles only the changed conversations)",
+    )
+    p_tview.add_argument("src", help="source (turn-level) lake dir")
+    p_tview.add_argument("dst", help="transcript-view lake dir")
+    p_tview.add_argument("--group", default="conv_id")
+    p_tview.add_argument("--order", default="turn_idx")
+    p_tview.add_argument("--text", default="text")
+    p_tview.add_argument("--sep", default="\n")
+    p_tview.add_argument(
+        "--role",
+        default="role",
+        help="role column for the n_<value> counter ('' disables)",
+    )
+    p_tview.add_argument("--role-value", default="user")
+    p_tview.add_argument("--partitions", type=int, default=16)
+
     p_snap = sub.add_parser(
         "snapshot",
         help="record the current per-partition versions as a snapshot id "
@@ -552,6 +571,35 @@ def main(argv: list[str] | None = None) -> int:
             spec=_lake_spec(args.src, 64),
             num_partitions=args.partitions,
             derive=derive,
+        )
+        statuses = lin["status"].to_pylist() if lin.num_rows else []
+        print(
+            json.dumps(
+                {
+                    "dst": args.dst,
+                    "partitions_applied": sum(
+                        1 for s in statuses if s != "noop"
+                    ),
+                    "rows_applied": int(sum(lin["rows_applied"].to_pylist()))
+                    if lin.num_rows
+                    else 0,
+                }
+            )
+        )
+    elif args.cmd == "transcripts":
+        from raycdc.engine import maintain_transcripts
+
+        lin = maintain_transcripts(
+            args.src,
+            args.dst,
+            spec=_lake_spec(args.src, 64),
+            group_col=args.group,
+            order_col=args.order,
+            text_col=args.text,
+            sep=args.sep,
+            role_col=args.role or None,
+            role_value=args.role_value,
+            num_partitions=args.partitions,
         )
         statuses = lin["status"].to_pylist() if lin.num_rows else []
         print(

@@ -18,7 +18,7 @@ AND the lake writes run inside distributed group tasks.
 from __future__ import annotations
 
 import os
-from typing import Callable
+from typing import Callable, Sequence
 
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -1207,6 +1207,7 @@ def read_lake(
     columns: list[str] | None = None,
     as_of: int | None = None,
     current_only: bool = False,
+    partitions: "Sequence[int] | None" = None,
 ) -> "ray.data.Dataset":
     """Stream the materialized lake state (tombstones filtered by default).
 
@@ -1218,9 +1219,15 @@ def read_lake(
     even if later applies have advanced the lake.  ``current_only`` (for
     HISTORY lakes) keeps only open versions (``is_current = 1``) — the
     current view of a history lake equals the LWW lake's live state on
-    the same changelog, minus the interval columns.
+    the same changelog, minus the interval columns.  ``partitions``
+    restricts the read to those partition ids — layout is a pure function
+    of the key (``partition.hash_key_column % P``), so a caller that knows
+    its key set can prune the scan to the touched partitions
+    (:func:`maintain_transcripts` reads only the changed conversations'
+    partitions this way).  An empty sequence reads nothing (empty result).
     """
     spec = spec or TableSpec()
+    part_filter = None if partitions is None else {int(p) for p in partitions}
     if as_of is not None:
         versions = S.read_snapshot(lake_dir, as_of)
         if versions is None:
@@ -1230,6 +1237,8 @@ def read_lake(
         st = get_storage(lake_dir)
         paths = []
         for part, v in sorted(versions.items()):
+            if part_filter is not None and int(part) not in part_filter:
+                continue
             if v < 0:
                 # bootstrap's checkpoint-only marker for an empty partition
                 # (no data file exists yet, engine.bootstrap): empty state,
@@ -1247,7 +1256,24 @@ def read_lake(
             paths.append(p)
     else:
         paths = S.current_files(lake_dir)
+        if part_filter is not None:
+            # part=K dir name is the partition id (sink.part_dir layout)
+            paths = [
+                p
+                for p in paths
+                if int(os.path.basename(os.path.dirname(p)).split("=")[1])
+                in part_filter
+            ]
     if not paths:
+        if part_filter is not None:
+            reg = S.read_lake_schema(lake_dir)
+            if reg is not None:
+                empty = reg.empty_table()
+                if columns is not None:
+                    empty = empty.select(
+                        [c for c in columns if c in empty.column_names]
+                    )
+                return ray.data.from_arrow(empty)
         raise FileNotFoundError(f"no lake partitions under {lake_dir}")
     drop_op_after = False
     if columns is not None and not with_tombstones and spec.op_col not in columns:
@@ -1960,6 +1986,45 @@ def change_feed(
     ).map_batches(feed_part, batch_format="pyarrow")
 
 
+def _claim_feed_snapshot(
+    src_lake: str, view_dir: str, caller: str
+) -> tuple[int | None, int, object, str]:
+    """Shared exactly-once position-claim protocol of the incremental
+    view maintainers (:func:`maintain_rollup`, :func:`maintain_transcripts`).
+
+    Returns ``(from_snap, to_snap, storage, pos_path)``.  The to-snapshot
+    id is CLAIMED in the view's ``_feed_pos.json`` (``pending``) BEFORE
+    any apply: a retry after a crash between the apply and the position
+    promotion reuses the SAME pending snapshot id, so the re-fed rows
+    carry the same lsn and the view lake's checkpoints prune them instead
+    of applying the batch a second time under a freshly minted, higher
+    id.  The caller promotes with ``write_json_atomic(storage, pos_path,
+    {"snapshot": to_snap})`` only after its apply landed."""
+    from raycdc.storage import get_storage, read_json, write_json_atomic
+
+    pos_path = os.path.join(view_dir, "_feed_pos.json")
+    st = get_storage(view_dir)
+    pos = read_json(st, pos_path)
+    from_snap = pos.get("snapshot") if pos else None
+    pending = pos.get("pending") if pos else None
+    if pending is not None:
+        to_snap = int(pending)
+        if S.read_snapshot(src_lake, to_snap) is None:
+            raise FileNotFoundError(
+                f"{caller}: pending snapshot {to_snap} recorded in "
+                f"{pos_path} is missing under {src_lake} (vacuumed?) — the "
+                "crashed refresh may have partially applied; rebuild the "
+                "view lake rather than risk a double apply"
+            )
+    else:
+        to_snap = S.write_snapshot(src_lake)
+        # claim BEFORE the apply so a crash-retry reuses this id
+        write_json_atomic(
+            st, pos_path, {"snapshot": from_snap, "pending": to_snap}
+        )
+    return from_snap, to_snap, st, pos_path
+
+
 def maintain_rollup(
     src_lake: str,
     rollup_lake: str,
@@ -2008,31 +2073,12 @@ def maintain_rollup(
     """
     import ray
 
-    from raycdc.storage import get_storage, read_json, write_json_atomic
+    from raycdc.storage import write_json_atomic
 
     spec = spec or TableSpec()
-    pos_path = os.path.join(rollup_lake, "_feed_pos.json")
-    st = get_storage(rollup_lake)
-    pos = read_json(st, pos_path)
-    from_snap = pos.get("snapshot") if pos else None
-    pending = pos.get("pending") if pos else None
-    if pending is not None:
-        # a previous refresh crashed between the additive replay and the
-        # position promotion: reuse the claimed snapshot id so the re-fed
-        # deltas carry the SAME lsn and the checkpoints prune them; minting
-        # a fresh (higher) id here would apply the batch a second time
-        to_snap = int(pending)
-        if S.read_snapshot(src_lake, to_snap) is None:
-            raise FileNotFoundError(
-                f"maintain_rollup: pending snapshot {to_snap} recorded in "
-                f"{pos_path} is missing under {src_lake} (vacuumed?) — the "
-                "crashed refresh may have partially applied; rebuild the "
-                "rollup lake rather than risk double-counting"
-            )
-    else:
-        to_snap = S.write_snapshot(src_lake)
-        # claim BEFORE the replay so a crash-retry reuses this id
-        write_json_atomic(st, pos_path, {"snapshot": from_snap, "pending": to_snap})
+    from_snap, to_snap, st, pos_path = _claim_feed_snapshot(
+        src_lake, rollup_lake, "maintain_rollup"
+    )
 
     feed = change_feed(src_lake, from_snap, to_snap, spec, include_old=True)
     group_cols = tuple(group_cols)
@@ -2109,6 +2155,195 @@ def maintain_rollup(
         rollup_lake,
         roll_spec,
     )
+    # promote pending → consumed only after the apply landed; a crash in
+    # between re-feeds under the SAME claimed lsn, which checkpoints prune
+    write_json_atomic(st, pos_path, {"snapshot": to_snap})
+    return lineage
+
+
+def maintain_transcripts(
+    src_lake: str,
+    view_lake: str,
+    spec: TableSpec | None = None,
+    group_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    text_col: str = "text",
+    sep: str = "\n",
+    role_col: str | None = "role",
+    role_value: str = "user",
+    num_partitions: int = 16,
+) -> pa.Table:
+    """Incrementally maintained TRANSCRIPT view of a turn-level lake —
+    the materialized document a training pipeline reads, kept fresh for
+    the cost of the CHANGE: each refresh re-assembles only the
+    conversations the change feed touched and LWW-upserts them into the
+    view lake; conversations whose every turn was deleted are tombstoned
+    out.  The non-linear sibling of :func:`maintain_rollup` —
+    transcript assembly (ordered string concat) has no before/after
+    delta algebra, so touched groups recompute wholesale from the
+    claimed snapshot while untouched groups are never read.  (The
+    reference recomputes its destination wholesale on every file event:
+    /root/reference/loader.go:33-60.)
+
+    Exactly-once via the shared claim protocol
+    (:func:`_claim_feed_snapshot`): the to-snapshot id is claimed in the
+    view's ``_feed_pos.json`` before the apply and every view row
+    carries ``lsn = to_snap``, so a crash-retry anywhere — including
+    after a partial replay — recomputes the SAME rows from the SAME
+    pinned snapshot (``read_lake(as_of=to_snap)``, immune to source
+    applies that landed after the claim) and redelivery is
+    checkpoint-pruned.
+
+    Scale shape: the feed is zero-shuffle and ∝ change; the touched
+    conversations' state is read with PARTITION PRUNING (layout is a
+    pure function of ``hash(group_col)``, so the touched groups name
+    their partitions exactly — requires the source's ``partition_key ==
+    group_col``, validated); assembly is one group-bucketed exchange of
+    the touched rows only.  The touched-group set itself is driver-held
+    and broadcast via one ``ray.put`` — it is ∝ conversations changed
+    per refresh (bounded by refresh cadence), never ∝ the lake.
+
+    Output row per conversation: ``(group_col, transcript, n_turns,
+    n_chars[, n_<role_value>])`` — the :func:`raycdc.relational.
+    assemble_group_text` contract.  Returns the replay lineage (empty
+    feed → empty lineage, position still advanced).
+    """
+    import numpy as np
+    import ray
+
+    from raycdc.partition import hash_key_column
+    from raycdc.relational import assemble_group_text
+    from raycdc.storage import write_json_atomic
+
+    spec = spec or TableSpec()
+    meta = S.read_spec_meta(src_lake) or {}
+    src_pk = meta.get("partition_key", spec.partition_key)
+    src_nparts = int(meta.get("num_partitions", spec.num_partitions))
+    if src_pk != group_col:
+        raise ValueError(
+            f"maintain_transcripts: source lake partitions by {src_pk!r}, "
+            f"but the view groups by {group_col!r} — partition pruning "
+            "would be unsound; repartition the source (engine.migrate_lake) "
+            "or group by its partition key"
+        )
+    from_snap, to_snap, st, pos_path = _claim_feed_snapshot(
+        src_lake, view_lake, "maintain_transcripts"
+    )
+
+    feed = change_feed(src_lake, from_snap, to_snap, spec)
+    # distinct touched groups: per-batch unique partials, tiny driver fold
+    # (∝ conversations changed this refresh, never ∝ the lake)
+    def group_partials(t: pa.Table) -> pa.Table:
+        return pa.table({group_col: t[group_col].unique()})
+
+    parts = feed.map_batches(
+        group_partials, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()
+    touched = pa.array(parts[group_col].unique()) if len(parts) else None
+
+    reg = S.read_lake_schema(src_lake)
+    if reg is None:
+        raise FileNotFoundError(
+            f"maintain_transcripts: {src_lake} has no schema registry — "
+            "nothing has been applied to the source lake yet"
+        )
+    role_alias = f"n_{role_value}" if role_col else None
+    view_fields = [
+        pa.field("transcript", pa.string()),
+        pa.field("n_turns", pa.int64()),
+        pa.field("n_chars", pa.int64()),
+    ] + ([pa.field(role_alias, pa.int64())] if role_col else [])
+    view_spec = TableSpec(
+        name="transcript_view",
+        schema=pa.schema(
+            [pa.field(group_col, reg.field(group_col).type)] + view_fields
+        ),
+        key_cols=(group_col,),
+        version_cols=("ts", "lsn"),
+        partition_key=group_col,
+        num_partitions=num_partitions,
+        sort_cols=(group_col,),
+        merge_policy="lww",
+    )
+
+    def envelope(t: pa.Table, op: str) -> pa.Table:
+        n = len(t)
+        t = t.append_column(
+            "ts",
+            pa.array(
+                np.full(n, 1_700_000_000_000_000, np.int64), pa.timestamp("us")
+            ),
+        )
+        t = t.append_column(spec.op_col, pa.array(np.full(n, op, dtype=object)))
+        t = t.append_column("lsn", pa.array(np.full(n, to_snap, np.int64)))
+        return t.append_column("seg_id", pa.array(np.zeros(n, np.int32)))
+
+    changes = None
+    gone = pa.array([], view_spec.schema.field(group_col).type)
+    if touched is not None and len(touched):
+        touched_parts = np.unique(
+            hash_key_column(touched) % np.uint64(src_nparts)
+        ).astype(int)
+        cols = [group_col, order_col, text_col] + (
+            [role_col] if role_col else []
+        )
+        state = read_lake(
+            src_lake,
+            spec,
+            columns=cols,
+            as_of=to_snap,
+            partitions=touched_parts.tolist(),
+        )
+        touched_ref = ray.put(touched)
+
+        def only_touched(t: pa.Table) -> pa.Table:
+            return t.filter(pc.is_in(t[group_col], value_set=ray.get(touched_ref)))
+
+        assembled = assemble_group_text(
+            state.map_batches(
+                only_touched, batch_format="pyarrow", zero_copy_batch=True
+            ),
+            group_col=group_col,
+            order_col=order_col,
+            text_col=text_col,
+            sep=sep,
+            role_col=role_col,
+            role_value=role_value,
+            num_partitions=num_partitions,
+        ).materialize()  # ∝ touched conversations; lives in the object store
+        # the driver folds GROUP IDS only — transcripts stay in the store
+        live_ids = assembled.select_columns([group_col]).to_pandas()
+        live_groups = (
+            pa.array(live_ids[group_col]) if len(live_ids) else None
+        )
+        # conversations the feed touched but with NO remaining state rows:
+        # every turn deleted — tombstone them out of the view
+        gone = (
+            touched.filter(
+                pc.invert(pc.is_in(touched, value_set=live_groups))
+            )
+            if live_groups is not None
+            else touched
+        )
+        changes = assembled.map_batches(
+            lambda t: envelope(t, "insert"),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+    if len(gone):
+        gone_payload = pa.table(
+            {group_col: gone.cast(view_spec.schema.field(group_col).type)}
+            | {f.name: pa.nulls(len(gone), f.type) for f in view_fields}
+        )
+        gone_ds = ray.data.from_arrow(envelope(gone_payload, M.DELETE))
+        changes = gone_ds if changes is None else changes.union(gone_ds)
+    if changes is None:
+        # empty feed: nothing to apply — advance the position only (a
+        # replay of a schema-only empty dataset still fans out one noop
+        # task per view partition, pure overhead at steady state)
+        write_json_atomic(st, pos_path, {"snapshot": to_snap})
+        return S.LINEAGE_SCHEMA.empty_table()
+    lineage = replay(changes, view_lake, view_spec)
     # promote pending → consumed only after the apply landed; a crash in
     # between re-feeds under the SAME claimed lsn, which checkpoints prune
     write_json_atomic(st, pos_path, {"snapshot": to_snap})

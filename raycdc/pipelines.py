@@ -1045,6 +1045,46 @@ GROUP BY conv_id
 """
 
 
+def q_cdc_transcript_view(sf_dir: str):
+    """Incrementally maintained TRANSCRIPT view
+    (:func:`raycdc.engine.maintain_transcripts`): a per-conversation
+    assembled-document lake is built from the half-log state, then
+    refreshed after the tail replay — each refresh re-assembles ONLY the
+    conversations the change feed touched (partition-pruned snapshot
+    read), exactly-once under the shared pending-claim protocol.  The
+    ORACLE assembles every transcript from scratch over the full LWW
+    state (same SQL as ⊕assemble_convs) — so the incremental view must
+    equal the full recompute."""
+    import pyarrow.parquet as pq
+
+    from raycdc.changelog import changelog_from_events
+    from raycdc.engine import maintain_transcripts, read_lake, replay
+    from raycdc.schema import TableSpec
+
+    spec = TableSpec(num_partitions=16)
+    src = os.path.join(tempfile.gettempdir(), "raycdc_tview_src")
+    view = os.path.join(tempfile.gettempdir(), "raycdc_tview")
+    shutil.rmtree(src, ignore_errors=True)
+    shutil.rmtree(view, ignore_errors=True)
+    cut = pq.read_metadata(f"{sf_dir}/events.parquet").num_rows // 2
+    log = changelog_from_events(sf_dir)
+    replay(
+        log.map_batches(
+            lambda t: t.filter(pc.less_equal(t["lsn"], cut)),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ),
+        src,
+        spec,
+    )
+    maintain_transcripts(src, view, spec, num_partitions=8)
+    replay(log, src, spec)
+    maintain_transcripts(src, view, spec, num_partitions=8)
+    return read_lake(view).select_columns(
+        ["conv_id", "transcript", "n_turns", "n_chars", "n_user"]
+    )
+
+
 def _sql_cdc_change_feed() -> str:
     from raycdc.changelog import CHANGELOG_SQL
 
@@ -4476,6 +4516,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "unigram_nll": q_unigram_nll,
     "embed_centroids": q_embed_centroids,
     "cdc_snapshot_diff": q_cdc_snapshot_diff,
+    "cdc_transcript_view": q_cdc_transcript_view,
     "join_full_outer": q_join_full_outer,
     "pivot_user_events": q_pivot_user_events,
     "distinct_props_per_user": q_distinct_props_per_user,
@@ -4566,6 +4607,7 @@ ORACLES: dict[str, str] = {
     "unigram_nll": SQL_UNIGRAM_NLL,
     "embed_centroids": SQL_EMBED_CENTROIDS,
     "cdc_snapshot_diff": SQL_CDC_SNAPSHOT_DIFF,
+    "cdc_transcript_view": _sql_assemble_convs(),
     "join_full_outer": SQL_JOIN_FULL_OUTER,
     "pivot_user_events": SQL_PIVOT_USER_EVENTS,
     "distinct_props_per_user": SQL_DISTINCT_PROPS_PER_USER,
@@ -4623,6 +4665,7 @@ def bench_extras() -> dict[str, Callable[[str], Any]]:
         "cdc_change_feed": lambda sf: q_cdc_change_feed(sf).count(),
         "cdc_sync_replica": lambda sf: q_cdc_sync_replica(sf).count(),
         "cdc_rollup_view": lambda sf: q_cdc_rollup_view(sf).count(),
+        "cdc_transcript_view": lambda sf: q_cdc_transcript_view(sf).count(),
         # media + token families (VERDICT r2 #9: track their cost per round)
         "media_wav": lambda sf: q_media_wav(sf).count(),
         "media_bmp": lambda sf: q_media_bmp(sf).count(),
