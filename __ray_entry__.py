@@ -207,10 +207,12 @@ _DRIVER_WINDOW: list[str] = [
     # the full gate) — the window favors distinct operator families
     "dup_spans",
     "dedup_minhash",
-    # dedup_components subsumes dedup_jaccard's verify kernel (LSH → exact
-    # Jaccard → transitive clustering, all oracle-hashed); jaccard-in-
-    # isolation stays in the full gate past the window
-    "dedup_components",
+    # conv_near_dedup (transcript-level near-dedup: assembled conversations
+    # → MinHash → LSH → exact-Jaccard verify → connected components →
+    # representatives, all under one recursive-CTE oracle) displaced
+    # dedup_components — it exercises the identical clustering chain AND the
+    # graft's transcript axis; components-in-isolation stays in the full gate
+    "conv_near_dedup",
     "decontaminate",
     "sim_knn",
     # multimodal (oracle-hashed codecs)

@@ -1437,6 +1437,53 @@ GROUP BY text
 """
 
 
+def q_merge_turns(sf_dir: str):
+    """Merge runs of consecutive same-role turns in the replayed LWW
+    state into single turns (multi-message bursts, retried sends, and
+    streamed tool chunks become one turn each) —
+    :func:`raycdc.relational.merge_adjacent_turns`, the transform
+    companion of ⊕conv_integrity's run *counter*.  LWW winners make the
+    role sequence irregular (the winning lsn varies per turn), so the
+    state carries natural same-role runs; no corpus manipulation."""
+    from raycdc.changelog import changelog_from_events
+    from raycdc.engine import merged_state
+    from raycdc.relational import merge_adjacent_turns
+    from raycdc.schema import TableSpec
+
+    final = merged_state(
+        changelog_from_events(sf_dir), TableSpec(num_partitions=16)
+    ).select_columns(["conv_id", "turn_idx", "role", "text"])
+    return merge_adjacent_turns(final, num_partitions=16)
+
+
+def _sql_merge_turns() -> str:
+    from raycdc.changelog import CHANGELOG_SQL
+
+    return f"""
+WITH {CHANGELOG_SQL.strip()},
+ranked AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY conv_id, turn_idx
+        ORDER BY ts DESC, lsn DESC
+    ) AS rn
+    FROM changelog
+), final AS (
+    SELECT conv_id, turn_idx, role, text
+    FROM ranked WHERE rn = 1 AND op <> 'delete'
+), isl AS (
+    SELECT *,
+           row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx)
+         - row_number() OVER (PARTITION BY conv_id, role ORDER BY turn_idx)
+           AS island
+    FROM final
+)
+SELECT conv_id, MIN(turn_idx) AS turn_idx, role,
+       string_agg(text, chr(10) ORDER BY turn_idx) AS text,
+       CAST(COUNT(*) AS BIGINT) AS n_merged
+FROM isl GROUP BY conv_id, role, island
+"""
+
+
 def q_sft_pairs(sf_dir: str):
     """(context, response) SFT-pair extraction over the replayed LWW
     state: every assistant turn with ≥ 1 preceding turn becomes one
@@ -3098,6 +3145,148 @@ WHERE c.doc_id NOT IN (SELECT node FROM comp WHERE component <> node)
 """
 
 
+def _conv_corpus_with_chain_copies(sf_dir: str) -> "ray.data.Dataset":
+    """Transcript corpus for conversation-level near-dedup: LWW final
+    state → assembled transcripts → ``(doc_id = int(conv_id[1:]),
+    text = transcript)`` plus the planted 3-variant near-dup chain
+    (same offsets/suffixes as :func:`_corpus_with_chain_copies`)."""
+    from raycdc.changelog import changelog_from_events
+    from raycdc.engine import merged_state
+    from raycdc.relational import assemble_group_text
+    from raycdc.schema import TableSpec
+
+    final = merged_state(
+        changelog_from_events(sf_dir), TableSpec(num_partitions=16)
+    ).select_columns(["conv_id", "turn_idx", "text"])
+    convs = assemble_group_text(
+        final,
+        group_col="conv_id",
+        order_col="turn_idx",
+        text_col="text",
+        sep="\n",
+        role_col=None,
+        num_partitions=16,
+    )
+
+    def to_docs(t: pa.Table) -> pa.Table:
+        ids = pc.cast(
+            pc.utf8_slice_codeunits(t["conv_id"], 1, 2**30), pa.int64()
+        )
+        base = pa.table({"doc_id": ids, "text": t["transcript"]})
+        v1 = pa.table(
+            {
+                "doc_id": pc.add(ids, _DUP_OFFSET),
+                "text": pc.binary_join_element_wise(
+                    t["transcript"], " extradup", ""
+                ),
+            }
+        )
+        v2 = pa.table(
+            {
+                "doc_id": pc.add(ids, 2 * _DUP_OFFSET),
+                "text": pc.binary_join_element_wise(
+                    t["transcript"], " extradup extradup2", ""
+                ),
+            }
+        )
+        return pa.concat_tables([base, v1, v2])
+
+    return convs.map_batches(to_docs, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_conv_near_dedup(sf_dir: str):
+    """Conversation-level near-dedup, transcripts in → surviving conv ids
+    out: the full MinHash → LSH → exact-Jaccard verify (≥ 0.8) →
+    connected-components → representative chain of ⊕dedup_near_full run
+    over ASSEMBLED TRANSCRIPTS (templated bot dialogs and mirrored
+    conversations collapse to one representative).  The ORACLE rebuilds
+    the transcripts from the LWW state with string_agg, recomputes the
+    ground-truth pair graph via all-pairs SQL Jaccard, and closes it with
+    a recursive CTE."""
+    from raycdc.dedup import (
+        connected_components,
+        dedup_by_components,
+        lsh_candidate_pairs,
+        minhash_signatures,
+        verify_jaccard_pairs,
+    )
+
+    corpus = _conv_corpus_with_chain_copies(sf_dir)
+    sigs = corpus.map_batches(
+        minhash_signatures, batch_format="pyarrow", zero_copy_batch=True
+    )
+    pairs = lsh_candidate_pairs(sigs, bands=32, num_partitions=32, distinct=False)
+    edges = verify_jaccard_pairs(
+        pairs, _conv_corpus_with_chain_copies(sf_dir), threshold=0.8
+    )
+    comps = connected_components(edges, num_partitions=32)
+    survivors = dedup_by_components(corpus, comps, id_col="doc_id")
+    return survivors.select_columns(["doc_id"])
+
+
+def _sql_conv_near_dedup() -> str:
+    from raycdc.changelog import CHANGELOG_SQL
+
+    return f"""
+WITH RECURSIVE {CHANGELOG_SQL.strip()},
+ranked AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY conv_id, turn_idx
+        ORDER BY ts DESC, lsn DESC
+    ) AS rn
+    FROM changelog
+), final AS (
+    SELECT conv_id, turn_idx, text
+    FROM ranked WHERE rn = 1 AND op <> 'delete'
+), tr AS (
+    SELECT CAST(substr(conv_id, 2) AS BIGINT) AS doc_id,
+           string_agg(text, chr(10) ORDER BY turn_idx) AS text
+    FROM final GROUP BY conv_id
+),
+corpus AS (
+    SELECT doc_id, text FROM tr
+    UNION ALL
+    SELECT doc_id + {_DUP_OFFSET}, text || ' extradup' FROM tr
+    UNION ALL
+    SELECT doc_id + {2 * _DUP_OFFSET}, text || ' extradup extradup2' FROM tr
+),
+sh AS (
+    SELECT doc_id,
+           list_distinct(
+               list_transform(
+                   range(1, greatest(len(string_split(text, ' ')) - 1, 1)),
+                   i -> string_split(text, ' ')[i] || '|' ||
+                        string_split(text, ' ')[i+1] || '|' ||
+                        string_split(text, ' ')[i+2]
+               )
+           ) AS s
+    FROM corpus
+    WHERE len(string_split(text, ' ')) >= 3
+),
+jp AS (
+    SELECT x.doc_id AS a, y.doc_id AS b
+    FROM sh x JOIN sh y ON x.doc_id < y.doc_id
+    WHERE floor(
+              CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
+              / CAST(len(list_distinct(list_concat(x.s, y.s))) AS DOUBLE)
+              * 1000000
+          ) / 1000000 >= 0.8
+),
+und AS (SELECT a, b FROM jp UNION SELECT b AS a, a AS b FROM jp),
+reach AS (
+    SELECT a AS node, b AS dst FROM und
+    UNION
+    SELECT r.node, u.b AS dst FROM reach r JOIN und u ON u.a = r.dst
+),
+comp AS (
+    SELECT node, least(node, min(dst)) AS component
+    FROM reach GROUP BY node
+)
+SELECT c.doc_id FROM corpus c
+WHERE c.doc_id NOT IN (SELECT node FROM comp WHERE component <> node)
+"""
+
+
 def q_decontaminate(sf_dir: str):
     """Benchmark decontamination: every document sharing a distinct 3-token
     shingle with the benchmark split (docs with ``doc_id % 50 == 0`` stand
@@ -4508,6 +4697,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "conv_stats": q_conv_stats,
     "conv_integrity": q_conv_integrity,
     "turn_dedup": q_turn_dedup,
+    "merge_turns": q_merge_turns,
     "sft_pairs": q_sft_pairs,
     "sketch_top_events": q_sketch_top_events,
     "token_vocab": q_token_vocab,
@@ -4529,6 +4719,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "dedup_jaccard": q_dedup_jaccard,
     "dedup_components": q_dedup_components,
     "dedup_near_full": q_dedup_near_full,
+    "conv_near_dedup": q_conv_near_dedup,
     "dedup_simhash": q_dedup_simhash,
     "decontaminate": q_decontaminate,
     "crossdoc_repetition": q_crossdoc_repetition,
@@ -4600,6 +4791,7 @@ ORACLES: dict[str, str] = {
     "conv_stats": _sql_conv_stats(),
     "conv_integrity": _sql_conv_integrity(),
     "turn_dedup": _sql_turn_dedup(),
+    "merge_turns": _sql_merge_turns(),
     "sft_pairs": _sql_sft_pairs(),
     "token_vocab": SQL_TOKEN_VOCAB,
     "json_props_rollup": SQL_JSON_PROPS_ROLLUP,
@@ -4620,6 +4812,7 @@ ORACLES: dict[str, str] = {
     "dedup_jaccard": SQL_DEDUP_JACCARD,
     "dedup_components": SQL_DEDUP_COMPONENTS,
     "dedup_near_full": SQL_DEDUP_NEAR_FULL,
+    "conv_near_dedup": _sql_conv_near_dedup(),
     "decontaminate": SQL_DECONTAMINATE,
     "crossdoc_repetition": SQL_CROSSDOC_REPETITION,
     "dup_spans": SQL_DUP_SPANS,
@@ -4676,4 +4869,7 @@ def bench_extras() -> dict[str, Callable[[str], Any]]:
         "preset_statement": lambda sf: q_preset_statement(sf).count(),
         # full near-dedup (LSH → verify → components → representative filter)
         "dedup_near_full": lambda sf: q_dedup_near_full(sf).count(),
+        # transcript-level near-dedup (CDC state → assembly → full chain)
+        "conv_near_dedup": lambda sf: q_conv_near_dedup(sf).count(),
+        "merge_turns": lambda sf: q_merge_turns(sf).count(),
     }

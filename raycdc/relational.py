@@ -1322,6 +1322,98 @@ def assemble_group_text(
     )
 
 
+def merge_adjacent_turns(
+    ds: "ray.data.Dataset",
+    group_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+    sep: str = "\n",
+    num_partitions: int = 64,
+) -> "ray.data.Dataset":
+    """Merge each run of consecutive same-role turns into ONE turn — the
+    transcript-normalization transform (multi-message assistant bursts,
+    retried user sends, and streamed tool chunks become a single turn
+    before assembly / SFT extraction).  The read-only companion is
+    :func:`sequence_integrity`, which *counts* these runs.
+
+    Same shape as :func:`assemble_group_text`: one group-bucketed
+    exchange, per bucket ONE sort of ``(group, order)``; run boundaries
+    (group change OR role change, null-safe) and the per-run ``sep`` join
+    are pure offset arithmetic over a ``ListArray`` — no per-group loop.
+
+    Output: ``group_col``, ``order_col`` (the run's FIRST order value),
+    ``role_col``, ``text_col`` (run texts ``sep``-joined in order, nulls
+    skipped with string_agg semantics), ``n_merged`` (int64 run length).
+    """
+    from raycdc.engine import _configure_shuffle
+
+    _configure_shuffle()
+    tag = _tag_bucket(group_col, num_partitions)
+
+    def merge(g: pa.Table) -> pa.Table:
+        out_schema = pa.schema(
+            [
+                g.schema.field(group_col),
+                g.schema.field(order_col),
+                g.schema.field(role_col),
+                pa.field(text_col, pa.string()),
+                pa.field("n_merged", pa.int64()),
+            ]
+        )
+        n = len(g)
+        if n == 0:
+            return out_schema.empty_table()
+        g = g.drop_columns(["__bucket"]).sort_by(
+            [(group_col, "ascending"), (order_col, "ascending")]
+        )
+        grp = g[group_col].combine_chunks()
+        role = g[role_col].combine_chunks()
+        new_seg = np.ones(n, dtype=bool)
+        if n > 1:
+
+            def eq_prev(col: pa.Array):
+                a, b = col.slice(1), col.slice(0, n - 1)
+                return pc.or_(
+                    pc.fill_null(pc.equal(a, b), False),
+                    pc.and_(pc.is_null(a), pc.is_null(b)),
+                )
+
+            eq = pc.and_(eq_prev(grp), eq_prev(role))
+            new_seg[1:] = ~eq.to_numpy(zero_copy_only=False)
+        seg_starts = np.where(new_seg)[0]
+        offsets = np.append(seg_starts, n).astype(np.int32)
+        texts = g[text_col].combine_chunks().cast(pa.string())
+        valid = texts.is_valid().to_numpy(zero_copy_only=False)
+        vcum = np.concatenate([[0], np.cumsum(valid.astype(np.int64))])
+        voffsets = vcum[offsets].astype(np.int32)
+        lists = pa.ListArray.from_arrays(
+            pa.array(voffsets, pa.int32()), texts.drop_null()
+        )
+        joined = pc.if_else(
+            pa.array(np.diff(voffsets) > 0),
+            pc.binary_join(lists, sep),
+            pa.scalar(None, pa.string()),
+        )
+        starts = pa.array(seg_starts)
+        return pa.table(
+            {
+                group_col: grp.take(starts),
+                order_col: g[order_col].combine_chunks().take(starts),
+                role_col: role.take(starts),
+                text_col: joined,
+                "n_merged": pa.array(np.diff(offsets).astype(np.int64)),
+            },
+            schema=out_schema,
+        )
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__bucket", num_partitions=num_partitions)
+        .map_groups(merge, batch_format="pyarrow")
+    )
+
+
 def context_response_pairs(
     ds: "ray.data.Dataset",
     group_col: str = "conv_id",

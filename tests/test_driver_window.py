@@ -17,7 +17,7 @@ MUST_BE_IN_WINDOW = [
     "dedup_exact_hash",
     "dup_spans",
     "dedup_minhash",
-    "dedup_components",
+    "conv_near_dedup",
     "decontaminate",
     "sim_knn",
     # text / tokens / embeddings

@@ -1287,3 +1287,55 @@ def test_context_response_pairs_window_one(ray_session):
     assert out.context.tolist() == ["user: hello", "assistant: hi"]
     with pytest.raises(ValueError):
         context_response_pairs(ray.data.from_arrow(t), window=0)
+
+
+def test_merge_adjacent_turns_islands(ray_session):
+    from raycdc.relational import merge_adjacent_turns
+
+    t = pa.table(
+        {
+            "conv_id": pa.array(["a"] * 5 + ["b"] * 2),
+            "turn_idx": pa.array([0, 1, 2, 3, 4, 0, 1], pa.int32()),
+            "role": pa.array(
+                ["user", "user", "assistant", "assistant", "user",
+                 "user", "user"]
+            ),
+            "text": pa.array(["q1", "q2", "a1", None, "q3", "x", "y"]),
+        }
+    )
+    out = (
+        merge_adjacent_turns(ray.data.from_arrow(t), num_partitions=2)
+        .to_pandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    # conv a: runs (user 0-1), (assistant 2-3), (user 4); conv b: (user 0-1)
+    assert out.conv_id.tolist() == ["a", "a", "a", "b"]
+    assert out.turn_idx.tolist() == [0, 2, 4, 0]
+    assert out.role.tolist() == ["user", "assistant", "user", "user"]
+    # null text is SKIPPED inside a run (string_agg semantics)
+    assert out.text.tolist() == ["q1\nq2", "a1", "q3", "x\ny"]
+    assert out.n_merged.tolist() == [2, 2, 1, 2]
+
+
+def test_merge_adjacent_turns_all_null_run_and_single_roles(ray_session):
+    from raycdc.relational import merge_adjacent_turns
+
+    t = pa.table(
+        {
+            "conv_id": pa.array(["c"] * 3),
+            "turn_idx": pa.array([1, 2, 3], pa.int32()),
+            "role": pa.array(["tool", "tool", "user"]),
+            "text": pa.array([None, None, "ok"], pa.string()),
+        }
+    )
+    out = (
+        merge_adjacent_turns(ray.data.from_arrow(t), num_partitions=2)
+        .to_pandas()
+        .sort_values("turn_idx")
+        .reset_index(drop=True)
+    )
+    assert out.turn_idx.tolist() == [1, 3]
+    # a run with zero non-null texts keeps a null transcript
+    assert out.text.isna().tolist() == [True, False]
+    assert out.n_merged.tolist() == [2, 1]
