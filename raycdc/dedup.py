@@ -432,17 +432,14 @@ def incremental_dedup(
         broadcast_max_ids=broadcast_max_ids,
     )
     if out_parquet is not None:
-        from raycdc.storage import get_storage
-
         # the output dir is OWNED by this call: a crash-retry re-runs the
         # whole batch and must REPLACE any partial prior write (Ray's
         # write_parquet otherwise appends new files alongside the old ones
-        # and the winner set double-reads)
-        get_storage(out_parquet).remove_tree(out_parquet)
-        winners.write_parquet(out_parquet)
-        winners = ray.data.read_parquet(out_parquet)
+        # and the winner set double-reads); an all-duplicate batch falls
+        # back to an empty Dataset instead of read_parquet raising
+        winners = _persist_winners(winners, out_parquet, hashed)
     else:
-        winners = winners.materialize()
+        winners = _materialize_winners(winners, hashed)
 
     def to_index_rows(t: pa.Table) -> pa.Table:
         n = len(t)
@@ -469,7 +466,452 @@ def incremental_dedup(
     def strip(t: pa.Table) -> pa.Table:
         return t.drop_columns([c for c in ("h1", "h2") if c in t.column_names])
 
+    if winners.count() == 0:
+        # a lazy map over zero blocks never runs and its schema() comes
+        # back None — short-circuit the all-duplicate batch with the
+        # input's schema (the strip result by construction)
+        from raycdc.relational import dataset_schema
+
+        return ray.data.from_arrow(dataset_schema(ds).empty_table())
     return winners.map_batches(strip, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _persist_winners(
+    winners: "ray.data.Dataset", out_parquet: str, schema_like: "ray.data.Dataset"
+) -> "ray.data.Dataset":
+    """Replace ``out_parquet`` with the winner rows and return a read-back
+    Dataset (crash-retry REWRITES a partial prior output rather than
+    appending).  An ALL-DUPLICATE batch writes no files at all — fall back
+    to an empty Dataset with the input's schema instead of letting
+    ``read_parquet`` raise on the empty directory."""
+    from raycdc.storage import get_storage
+
+    get_storage(out_parquet).remove_tree(out_parquet)
+    winners.write_parquet(out_parquet)
+    try:
+        return ray.data.read_parquet(out_parquet)
+    except FileNotFoundError:
+        from raycdc.relational import dataset_schema
+
+        return ray.data.from_arrow(dataset_schema(schema_like).empty_table())
+
+
+def _materialize_winners(
+    winners: "ray.data.Dataset", schema_like: "ray.data.Dataset"
+) -> "ray.data.Dataset":
+    """Materialize the winner set (the index is about to mutate — a lazy
+    winner Dataset would re-filter against the UPDATED index on every
+    re-execution and shift meaning mid-flight).  An ALL-DUPLICATE batch
+    materializes to zero blocks and Ray forgets the schema entirely
+    (``schema()`` comes back nameless) — fall back to an empty Dataset
+    carrying the input's schema, same contract as
+    :func:`_persist_winners`.  (``to_pandas()`` on ANY empty Dataset
+    still yields a column-less frame — Ray's ``iter_batches`` skips
+    empty blocks — so ``schema()`` is the discoverable contract.)"""
+    winners = winners.materialize()
+    if winners.count() == 0:
+        from raycdc.relational import dataset_schema
+
+        return ray.data.from_arrow(dataset_schema(schema_like).empty_table())
+    return winners
+
+
+def _band_index_spec(num_partitions: int):
+    from raycdc.schema import TableSpec
+
+    return TableSpec(
+        name="near_dedup_bands",
+        schema=pa.schema(
+            [
+                pa.field("band_key", pa.int64()),
+                pa.field("doc_id", pa.int64()),
+                pa.field("ts", pa.timestamp("us")),
+            ]
+        ),
+        key_cols=("band_key", "doc_id"),
+        version_cols=("ts", "lsn"),
+        partition_key="band_key",
+        num_partitions=num_partitions,
+        sort_cols=("band_key", "doc_id"),
+        merge_policy="lww",
+    )
+
+
+def _sig_index_spec(num_partitions: int, num_perm: int):
+    from raycdc.schema import TableSpec
+
+    return TableSpec(
+        name="near_dedup_sigs",
+        schema=pa.schema(
+            [
+                pa.field("doc_id", pa.int64()),
+                pa.field("sig", pa.binary(num_perm * 8)),
+                pa.field("ts", pa.timestamp("us")),
+            ]
+        ),
+        key_cols=("doc_id",),
+        version_cols=("ts", "lsn"),
+        partition_key="doc_id",
+        num_partitions=num_partitions,
+        sort_cols=("doc_id",),
+        merge_policy="lww",
+    )
+
+
+def _sig_fsl_to_fsb(col, num_perm: int) -> pa.Array:
+    """fixed_size_list<int64> signature column → fixed_size_binary blobs
+    (Arrow acero joins reject list payloads; fixed-width binary passes)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    flat = col.flatten().to_numpy(zero_copy_only=False)
+    return pa.Array.from_buffers(
+        pa.binary(num_perm * 8), len(col), [None, pa.py_buffer(flat.tobytes())]
+    )
+
+
+def _sig_fsb_to_np(col, num_perm: int) -> np.ndarray:
+    """fixed_size_binary signature column (no nulls) → (n, num_perm)
+    uint64 matrix, zero-copy from the Arrow buffer."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    buf = np.frombuffer(col.buffers()[1], np.uint64)
+    return buf[col.offset * num_perm : (col.offset + len(col)) * num_perm].reshape(
+        len(col), num_perm
+    )
+
+
+def incremental_near_dedup(
+    ds: "ray.data.Dataset",
+    index_lake: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    batch_lsn: int = 0,
+    threshold: float = 0.8,
+    num_perm: int = 128,
+    bands: int = 32,
+    shingle_k: int = 3,
+    num_partitions: int = 16,
+    out_parquet: str | None = None,
+    broadcast_max_ids: int = 5_000_000,
+) -> "ray.data.Dataset":
+    """FIRST-SEEN-WINS **near**-dedup ACROSS ingest batches — the MinHash
+    sibling of :func:`incremental_dedup`: "we re-crawl continuously —
+    never train on a document that NEARLY duplicates one we already kept".
+
+    Persisted state under ``index_lake`` (two engine lakes, maintained by
+    the exactly-once :func:`raycdc.engine.replay`):
+
+    * ``bands/`` — one ``(band_key, doc_id)`` row per LSH band of every
+      KEPT doc, partitioned by ``band_key``: the probe entry point.
+    * ``sigs/``  — ``doc_id → minhash signature`` (fixed-width binary),
+      partitioned by ``doc_id``: the verification payload.  Signatures,
+      never text, are what the index stores — ~1 KB/doc at the defaults.
+
+    Per batch:
+
+    1. one signature pass over the batch (docs shorter than ``shingle_k``
+       tokens never participate — mirroring the exact verifier's
+       inner-join semantics);
+    2. IN-BATCH candidates (:func:`lsh_candidate_pairs`) verified by
+       exact shingle Jaccard (:func:`verify_jaccard_pairs` — the batch's
+       text is at hand) ≥ ``threshold``;
+    3. CROSS-BATCH probe: the batch's band rows look up the bands lake
+       (:func:`raycdc.engine.lookup_join_lake`, fan-out by ``band_key``,
+       co-partitioned — the index never shuffles), excluding rows claimed
+       by THIS ``batch_lsn`` (crash-retry must not self-suppress);
+       candidates fetch the indexed signature (one co-partitioned lookup
+       by ``doc_id``) and their own (one tagged-union exchange bucketed by
+       the new id), and match when the SIGNATURE-ESTIMATED Jaccard (fraction of equal
+       minhash components — unbiased, σ≈0.035 at J=0.8/128 perms) ≥
+       ``threshold``;
+    4. ONE :func:`connected_components` over the union of in-batch edges
+       and (new, indexed) match edges.  A whole component dies when it
+       touches ANY indexed doc (transitive first-seen-wins); otherwise
+       its min-id member survives.  Losers are delivered by the
+       size-guarded :func:`filter_out_ids` — the corpus never shuffles;
+    5. survivors' signatures and band rows replay into the index with
+       ``lsn = batch_lsn`` (sigs FIRST, bands second — a band row without
+       a signature would be a dangling pointer for later batches; a
+       signature without band rows is unreachable and harmless).
+       Redelivery at the same lsn is a checkpoint-pruned no-op, and the
+       step-3 lsn exclusion keeps the winner set identical under
+       crash-retry anywhere in the flow, so the call is IDEMPOTENT like
+       its exact sibling.  ``batch_lsn`` must increase across batches;
+       ids must be globally unique across batches.
+
+    Scale shape: shuffles carry band keys, ids, and signatures — never
+    payload text; the pair graph is ∝ duplicates; hot (degenerate) bands
+    fan out the probe join, bounded upstream by the banding constant and
+    deduped by :func:`pair_distinct_exchange`.
+    """
+    import ray
+
+    from raycdc import sink as _S
+    from raycdc.engine import lookup_join_lake, replay
+
+    root = index_lake.rstrip("/")
+    bands_lake, sigs_lake = f"{root}/bands", f"{root}/sigs"
+    sig_width = num_perm * 8
+
+    def to_sigs(t: pa.Table) -> pa.Table:
+        out = minhash_signatures(
+            t, text_col, id_col, num_perm=num_perm, shingle_k=shingle_k,
+            with_count=True,
+        )
+        out = out.filter(pc.greater(out["n_sh"], 0)).drop_columns(["n_sh"])
+        return pa.table(
+            {
+                id_col: out[id_col].cast(pa.int64()),
+                "sig": out["sig"],
+            }
+        )
+
+    # consumed by the in-batch LSH, the cross-batch probe, and the index
+    # update — materialize once (batch-scale: ~1 KB/doc) instead of
+    # re-hashing every shingle three times
+    sigs_new = ds.map_batches(
+        to_sigs, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+
+    # --- in-batch edges: exact verification (the text is at hand) ---------
+    cand_in = lsh_candidate_pairs(
+        sigs_new, bands=bands, id_col=id_col,
+        num_partitions=num_partitions, distinct=False,
+    )
+    edges_in = verify_jaccard_pairs(
+        cand_in, ds, threshold=threshold, shingle_k=shingle_k,
+        text_col=text_col, id_col=id_col, num_partitions=num_partitions,
+    ).select_columns(["a", "b"])
+
+    # --- cross-batch match edges: signature-estimated verification --------
+    match_edges = None
+    if _S.read_spec_meta(bands_lake) is not None:
+        def to_band_rows(t: pa.Table) -> pa.Table:
+            return lsh_band_rows(t, bands=bands, id_col=id_col)
+
+        band_rows = sigs_new.map_batches(
+            to_band_rows, batch_format="pyarrow", zero_copy_batch=True
+        )
+        looked = lookup_join_lake(
+            band_rows, bands_lake, on=("band_key",),
+            carry={"doc_id": pa.int64(), "lsn": pa.int64()},
+        )
+
+        def cand_rows(t: pa.Table) -> pa.Table:
+            mask = pc.and_(
+                pc.is_valid(t["doc_id_lake"]),
+                pc.not_equal(
+                    pc.fill_null(t["lsn_lake"], -1), pa.scalar(int(batch_lsn))
+                ),
+            )
+            t = t.filter(mask)
+            return pa.table(
+                {
+                    "a": t[id_col].cast(pa.int64()),
+                    "b": t["doc_id_lake"].cast(pa.int64()),
+                }
+            )
+
+        cand_x = pair_distinct_exchange(
+            looked.map_batches(
+                cand_rows, batch_format="pyarrow", zero_copy_batch=True
+            ),
+            num_partitions,
+        )
+
+        def key_by_old(t: pa.Table) -> pa.Table:
+            return pa.table({"doc_id": t["b"], "a": t["a"]})
+
+        with_old = lookup_join_lake(
+            cand_x.map_batches(
+                key_by_old, batch_format="pyarrow", zero_copy_batch=True
+            ),
+            sigs_lake,
+            on=("doc_id",),
+            carry={"sig": pa.binary(sig_width)},
+        )
+
+        # attach the batch's own signature and estimate — ONE tagged-union
+        # exchange bucketed by the new id (the verify_jaccard_pairs shape;
+        # Ray's native hash join rejects the schemaless empty bundles that
+        # map_groups stages emit on no-candidate partitions)
+        fsb = pa.binary(sig_width)
+        sj_schema = pa.schema(
+            [
+                pa.field("key", pa.int64()),
+                pa.field("b", pa.int64()),
+                pa.field("sig_old", fsb),
+                pa.field("sig_new", fsb),
+                pa.field("__bk", pa.int64()),
+            ]
+        )
+
+        def old_rows(t: pa.Table) -> pa.Table:
+            t = t.filter(pc.is_valid(t["sig_lake"]))
+            a = t["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+            return pa.table(
+                {
+                    "key": pa.array(a),
+                    "b": t["doc_id"].cast(pa.int64()),
+                    "sig_old": t["sig_lake"].cast(fsb),
+                    "sig_new": pa.nulls(len(t), fsb),
+                    "__bk": pa.array(_bucket_of(a, num_partitions)),
+                },
+                schema=sj_schema,
+            )
+
+        def new_rows(t: pa.Table) -> pa.Table:
+            ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            return pa.table(
+                {
+                    "key": pa.array(ids),
+                    "b": pa.nulls(len(t), pa.int64()),
+                    "sig_old": pa.nulls(len(t), fsb),
+                    "sig_new": _sig_fsl_to_fsb(t["sig"], num_perm),
+                    "__bk": pa.array(_bucket_of(ids, num_partitions)),
+                },
+                schema=sj_schema,
+            )
+
+        def estimate(g: pa.Table) -> pa.Table:
+            out_schema = pa.schema(
+                [pa.field("a", pa.int64()), pa.field("b", pa.int64())]
+            )
+            is_new = pc.is_valid(g["sig_new"])
+            new_part, pair_part = g.filter(is_new), g.filter(pc.invert(is_new))
+            if len(new_part) == 0 or len(pair_part) == 0:
+                return out_schema.empty_table()
+            ids = new_part["key"].to_numpy(zero_copy_only=False)
+            order = np.argsort(ids, kind="stable")
+            ids_sorted = ids[order]
+            sig_mat = _sig_fsb_to_np(
+                new_part["sig_new"].combine_chunks().drop_null(), num_perm
+            )[order]
+            keys = pair_part["key"].to_numpy(zero_copy_only=False)
+            pos = np.minimum(
+                np.searchsorted(ids_sorted, keys), len(ids_sorted) - 1
+            )
+            found = ids_sorted[pos] == keys
+            pair_part = pair_part.filter(pa.array(found))
+            if len(pair_part) == 0:
+                return out_schema.empty_table()
+            sn = sig_mat[pos[found]]
+            so = _sig_fsb_to_np(
+                pair_part["sig_old"].combine_chunks().drop_null(), num_perm
+            )
+            keep = pa.array((sn == so).mean(axis=1) >= threshold)
+            return pa.table(
+                {
+                    "a": pair_part["key"].filter(keep),
+                    "b": pair_part["b"].filter(keep),
+                },
+                schema=out_schema,
+            )
+
+        match_edges = (
+            with_old.map_batches(
+                old_rows, batch_format="pyarrow", zero_copy_batch=True
+            )
+            .union(
+                sigs_new.map_batches(
+                    new_rows, batch_format="pyarrow", zero_copy_batch=True
+                )
+            )
+            .groupby("__bk", num_partitions=num_partitions)
+            .map_groups(estimate, batch_format="pyarrow")
+        )
+
+    edges = edges_in if match_edges is None else edges_in.union(match_edges)
+    comps = connected_components(edges, num_partitions=num_partitions)
+
+    # --- losers: non-representatives + whole components touching the index.
+    # Resolved in ONE remote task over object-store refs — the same
+    # pair-graph-scale budget as connected_components' single-task path
+    # (labels and match endpoints are ∝ duplicates, never the corpus); the
+    # driver holds only refs.
+    comp_refs = comps.materialize().to_arrow_refs()
+    old_refs = (
+        match_edges.materialize().to_arrow_refs()
+        if match_edges is not None
+        else []
+    )
+
+    @ray.remote
+    def _resolve_losers(n_comp: int, *tabs: pa.Table) -> pa.Table:
+        comp_t = [t for t in tabs[:n_comp] if len(t)]
+        old_t = [t for t in tabs[n_comp:] if len(t)]
+        if not comp_t:
+            return pa.table({id_col: pa.array([], pa.int64())})
+        nodes = np.concatenate(
+            [t["node"].to_numpy(zero_copy_only=False) for t in comp_t]
+        )
+        labels = np.concatenate(
+            [t["component"].to_numpy(zero_copy_only=False) for t in comp_t]
+        )
+        lose = nodes != labels
+        if old_t:
+            old = np.unique(
+                np.concatenate(
+                    [t["b"].to_numpy(zero_copy_only=False) for t in old_t]
+                )
+            )
+            contam = np.unique(labels[np.isin(nodes, old)])
+            lose |= np.isin(labels, contam)
+        return pa.table({id_col: pa.array(np.unique(nodes[lose]))})
+
+    losers = ray.data.from_arrow_refs(
+        [_resolve_losers.remote(len(comp_refs), *comp_refs, *old_refs)]
+    ).materialize()
+
+    winners = filter_out_ids(ds, losers, id_col, broadcast_max_ids)
+    if out_parquet is not None:
+        winners = _persist_winners(winners, out_parquet, ds)
+    else:
+        winners = _materialize_winners(winners, ds)
+
+    win_sigs = filter_out_ids(sigs_new, losers, id_col, broadcast_max_ids)
+    ts_fixed = 1_700_000_000_000_000
+
+    def envelope(t: pa.Table, n: int) -> dict:
+        return {
+            "ts": pa.array(np.full(n, ts_fixed, np.int64), pa.timestamp("us")),
+            "op": pa.array(np.full(n, "insert", dtype=object), pa.string()),
+            "lsn": pa.array(np.full(n, int(batch_lsn), np.int64)),
+            "seg_id": pa.array(np.zeros(n, np.int32)),
+        }
+
+    def sig_index_rows(t: pa.Table) -> pa.Table:
+        n = len(t)
+        return pa.table(
+            {
+                "doc_id": t[id_col].cast(pa.int64()),
+                "sig": _sig_fsl_to_fsb(t["sig"], num_perm),
+                **envelope(t, n),
+            }
+        )
+
+    def band_index_rows(t: pa.Table) -> pa.Table:
+        br = lsh_band_rows(t, bands=bands, id_col=id_col)
+        n = len(br)
+        return pa.table(
+            {
+                "band_key": br["band_key"],
+                "doc_id": br[id_col].cast(pa.int64()),
+                **envelope(br, n),
+            }
+        )
+
+    replay(
+        win_sigs.map_batches(sig_index_rows, batch_format="pyarrow"),
+        sigs_lake,
+        _sig_index_spec(num_partitions, num_perm),
+    )
+    replay(
+        win_sigs.map_batches(band_index_rows, batch_format="pyarrow"),
+        bands_lake,
+        _band_index_spec(num_partitions),
+    )
+    return winners
 
 
 # ---------------------------------------------------------------------------
@@ -482,8 +924,14 @@ def minhash_signatures(
     id_col: str = "doc_id",
     num_perm: int = 128,
     shingle_k: int = 3,
+    with_count: bool = False,
 ) -> pa.Table:
-    """Per-doc minhash signature (fixed-size list<uint64>)."""
+    """Per-doc minhash signature (fixed-size list<uint64>).
+
+    ``with_count=True`` appends ``n_sh`` (int64 shingle count) so callers
+    can exclude docs shorter than ``shingle_k`` tokens — their signature
+    is the all-MAX sentinel, which would otherwise band-collide with
+    every other short doc."""
     sh, off = word_shingle_hashes(batch[text_col], k=shingle_k)
     a, b = _perm_params(num_perm)
     n = len(batch)
@@ -495,14 +943,15 @@ def minhash_signatures(
             if len(v):
                 mins = np.minimum.reduceat(v, off[:-1][nonempty])
                 sigs[nonempty, j] = mins
-    return pa.table(
-        {
-            id_col: batch[id_col],
-            "sig": pa.FixedSizeListArray.from_arrays(
-                pa.array(sigs.reshape(-1).view(np.int64)), num_perm
-            ),
-        }
-    )
+    cols = {
+        id_col: batch[id_col],
+        "sig": pa.FixedSizeListArray.from_arrays(
+            pa.array(sigs.reshape(-1).view(np.int64)), num_perm
+        ),
+    }
+    if with_count:
+        cols["n_sh"] = pa.array(np.diff(off).astype(np.int64))
+    return pa.table(cols)
 
 
 def lsh_band_rows(

@@ -3145,6 +3145,135 @@ WHERE c.doc_id NOT IN (SELECT node FROM comp WHERE component <> node)
 """
 
 
+def q_dedup_incr_near(sf_dir: str):
+    """Two-batch INCREMENTAL near-dedup
+    (:func:`raycdc.dedup.incremental_near_dedup`) under one oracle: batch 1
+    is the base corpus (in-batch chain dedups the planted natural
+    near-dups, survivors index their signatures + LSH band rows); batch 2
+    is a one-token-suffix variant of every base doc, which must dedup
+    against the INDEX — candidates via the co-partitioned band-lake probe,
+    matches via signature-estimated Jaccard.  Returns the union of both
+    batches' winner ids.
+
+    Threshold 0.6 puts every decided pair ≥7σ from the estimator's noise
+    (the corpus's pair-similarity distribution is bimodal: <0.1 or ≥0.89),
+    so the signature-estimate decisions coincide deterministically with
+    the ORACLE's exact Jaccard — a two-phase recursive CTE in which phase
+    2's min-labeling encodes first-seen-wins for free (indexed ids sort
+    below variant ids, so any component touching the index has a
+    sub-offset label and no variant node can be its own component)."""
+    import os
+    import tempfile
+
+    from raycdc.dedup import incremental_near_dedup
+    from raycdc.storage import get_storage
+
+    idx = os.path.join(
+        tempfile.gettempdir(),
+        f"raycdc_incr_near_idx_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    get_storage(idx).remove_tree(idx)
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    w1 = incremental_near_dedup(
+        docs, idx, batch_lsn=1, threshold=0.6, num_partitions=16
+    )
+
+    def to_variants(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": pc.add(t["doc_id"], _DUP_OFFSET),
+                "text": pc.binary_join_element_wise(t["text"], " extradup", ""),
+            }
+        )
+
+    batch2 = docs.map_batches(
+        to_variants, batch_format="pyarrow", zero_copy_batch=True
+    )
+    w2 = incremental_near_dedup(
+        batch2, idx, batch_lsn=2, threshold=0.6, num_partitions=16
+    )
+    return w1.select_columns(["doc_id"]).union(w2.select_columns(["doc_id"]))
+
+
+def _incr_shingles(src: str) -> str:
+    return f"""
+    SELECT doc_id,
+           list_distinct(
+               list_transform(
+                   range(1, greatest(len(string_split(text, ' ')) - 1, 1)),
+                   i -> string_split(text, ' ')[i] || '|' ||
+                        string_split(text, ' ')[i+1] || '|' ||
+                        string_split(text, ' ')[i+2]
+               )
+           ) AS s
+    FROM {src}
+    WHERE len(string_split(text, ' ')) >= 3
+"""
+
+
+_SQL_INCR_JAC = """floor(
+              CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
+              / CAST(len(list_distinct(list_concat(x.s, y.s))) AS DOUBLE)
+              * 1000000
+          ) / 1000000 >= 0.6"""
+
+SQL_DEDUP_INCR_NEAR = f"""
+WITH RECURSIVE
+sh1 AS ({_incr_shingles("documents").strip()}),
+jp1 AS (
+    SELECT x.doc_id AS a, y.doc_id AS b
+    FROM sh1 x JOIN sh1 y ON x.doc_id < y.doc_id
+    WHERE {_SQL_INCR_JAC}
+),
+und1 AS (SELECT a, b FROM jp1 UNION SELECT b AS a, a AS b FROM jp1),
+reach1 AS (
+    SELECT a AS node, b AS dst FROM und1
+    UNION
+    SELECT r.node, u.b AS dst FROM reach1 r JOIN und1 u ON u.a = r.dst
+),
+comp1 AS (
+    SELECT node, least(node, min(dst)) AS component
+    FROM reach1 GROUP BY node
+),
+s1 AS (
+    SELECT doc_id FROM documents
+    WHERE doc_id NOT IN (SELECT node FROM comp1 WHERE component <> node)
+),
+var AS (
+    SELECT doc_id + {_DUP_OFFSET} AS doc_id, text || ' extradup' AS text
+    FROM documents
+),
+sh2v AS ({_incr_shingles("var").strip()}),
+sh2 AS (
+    SELECT * FROM sh2v
+    UNION ALL
+    SELECT sh1.* FROM sh1 JOIN s1 USING (doc_id)
+),
+jp2 AS (
+    SELECT x.doc_id AS a, y.doc_id AS b
+    FROM sh2 x JOIN sh2 y ON x.doc_id < y.doc_id
+    WHERE y.doc_id >= {_DUP_OFFSET} AND {_SQL_INCR_JAC}
+),
+und2 AS (SELECT a, b FROM jp2 UNION SELECT b AS a, a AS b FROM jp2),
+reach2 AS (
+    SELECT a AS node, b AS dst FROM und2
+    UNION
+    SELECT r.node, u.b AS dst FROM reach2 r JOIN und2 u ON u.a = r.dst
+),
+comp2 AS (
+    SELECT node, least(node, min(dst)) AS component
+    FROM reach2 GROUP BY node
+)
+SELECT doc_id FROM s1
+UNION ALL
+SELECT doc_id FROM var
+WHERE doc_id NOT IN (SELECT node FROM comp2 WHERE component <> node)
+"""
+
+
 def _conv_corpus_with_chain_copies(sf_dir: str) -> "ray.data.Dataset":
     """Transcript corpus for conversation-level near-dedup: LWW final
     state → assembled transcripts → ``(doc_id = int(conv_id[1:]),
@@ -4749,6 +4878,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "dedup_jaccard": q_dedup_jaccard,
     "dedup_components": q_dedup_components,
     "dedup_near_full": q_dedup_near_full,
+    "dedup_incr_near": q_dedup_incr_near,
     "conv_near_dedup": q_conv_near_dedup,
     "dedup_simhash": q_dedup_simhash,
     "decontaminate": q_decontaminate,
@@ -4842,6 +4972,7 @@ ORACLES: dict[str, str] = {
     "dedup_jaccard": SQL_DEDUP_JACCARD,
     "dedup_components": SQL_DEDUP_COMPONENTS,
     "dedup_near_full": SQL_DEDUP_NEAR_FULL,
+    "dedup_incr_near": SQL_DEDUP_INCR_NEAR,
     "conv_near_dedup": _sql_conv_near_dedup(),
     "decontaminate": SQL_DECONTAMINATE,
     "crossdoc_repetition": SQL_CROSSDOC_REPETITION,

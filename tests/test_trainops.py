@@ -1027,6 +1027,11 @@ def test_incremental_dedup_first_seen_wins_and_redelivery(ray_session, tmp_path)
         batch([2], ["gamma"]), idx, batch_lsn=5, num_partitions=4
     )
     assert recrawl.count() == 0
+    # an ALL-DUPLICATE batch must still carry the input schema (a plain
+    # materialize yields zero blocks and schema() comes back nameless);
+    # to_pandas() column loss on ANY empty Dataset is a Ray limitation
+    # (iter_batches skips empty blocks) — schema() is the contract
+    assert recrawl.schema().names == ["doc_id", "text"]
 
     # out_parquet streaming path: batch 3 with a mixed batch
     out = str(tmp_path / "winners3")
@@ -1304,3 +1309,100 @@ def test_cut_dup_spans_matches_bruteforce(ray_session):
     # exact copies vanish entirely; clean docs pass through verbatim
     assert got[got.doc_id.isin([1, 6])].text.tolist() == ["", ""]
     assert got[got.doc_id == 3].text.iloc[0] == rows[2][1]
+
+
+def _near_batch(ids, texts):
+    return ray.data.from_arrow(
+        pa.table({"doc_id": pa.array(ids, pa.int64()), "text": pa.array(texts)})
+    )
+
+
+_BASE = "the quick brown fox jumps over the lazy dog near the river bank today"
+_OTHER = "completely different subject matter covering ships sailing across wide oceans tonight"
+_THIRD = "yet another unrelated topic about mountain climbing gear and alpine weather patterns"
+
+
+def test_incremental_near_dedup_batches(ray_session, tmp_path):
+    from raycdc.dedup import incremental_near_dedup
+
+    idx = str(tmp_path / "near_idx")
+
+    # batch 1: B(9) is a near-dup of A(5) (one-word suffix); C(7) distinct
+    w1 = incremental_near_dedup(
+        _near_batch([5, 9, 7], [_BASE, _BASE + " extra", _OTHER]),
+        idx, batch_lsn=1, num_partitions=4,
+    ).to_pandas()
+    assert sorted(w1["doc_id"]) == [5, 7]
+
+    # batch 2: D(1) near-dups the INDEXED A(5) — first-seen wins even at a
+    # smaller id; E(11) is novel; F(12) near-dups E in-batch (min id keeps E)
+    w2 = incremental_near_dedup(
+        _near_batch(
+            [1, 11, 12], [_BASE + " again", _THIRD, _THIRD + " appended"]
+        ),
+        idx, batch_lsn=2, num_partitions=4,
+    ).to_pandas()
+    assert sorted(w2["doc_id"]) == [11]
+
+    # redelivery of batch 2 (same rows, same lsn — crash-retry): idempotent,
+    # same winner set, index rows claimed by this lsn don't self-suppress
+    w2r = incremental_near_dedup(
+        _near_batch(
+            [1, 11, 12], [_BASE + " again", _THIRD, _THIRD + " appended"]
+        ),
+        idx, batch_lsn=2, num_partitions=4,
+    ).to_pandas()
+    assert sorted(w2r["doc_id"]) == [11]
+
+    # batch 3: G(20) near-dups the indexed E(11) -> dies; H(21) near-dups G
+    # in-batch but NOT E closely enough on its own -> its whole component
+    # touches the index, so it dies too (transitive first-seen-wins);
+    # I(22) is novel and survives
+    w3 = incremental_near_dedup(
+        _near_batch(
+            [20, 21, 22],
+            [_THIRD + " tonight", _THIRD + " tonight also", _BASE.replace(
+                "quick brown fox", "slow green turtle"
+            ) + " in unrelated words entirely changed everywhere"],
+        ),
+        idx, batch_lsn=3, num_partitions=4,
+    ).to_pandas()
+    assert 20 not in set(w3["doc_id"]) and 21 not in set(w3["doc_id"])
+
+    # out_parquet path + later re-crawl of a kept doc still dedups
+    out = str(tmp_path / "near_w4")
+    w4 = incremental_near_dedup(
+        _near_batch([30], [_OTHER + " word"]), idx, batch_lsn=4,
+        num_partitions=4, out_parquet=out,
+    )
+    assert w4.count() == 0
+    assert w4.schema().names == ["doc_id", "text"]
+
+    # all-duplicate batch WITHOUT out_parquet: the materialize path must
+    # also preserve the input schema (zero blocks would otherwise erase it;
+    # schema() is the contract — empty-Dataset to_pandas drops columns in
+    # Ray itself)
+    w5 = incremental_near_dedup(
+        _near_batch([31], [_OTHER + " words"]), idx, batch_lsn=5,
+        num_partitions=4,
+    )
+    assert w5.count() == 0
+    assert w5.schema().names == ["doc_id", "text"]
+
+
+def test_incremental_near_dedup_short_docs_pass(ray_session, tmp_path):
+    from raycdc.dedup import incremental_near_dedup
+
+    idx = str(tmp_path / "near_idx_short")
+    # docs shorter than shingle_k tokens never participate: identical
+    # two-word docs pass through in BOTH batches (matching the exact
+    # verifier's inner-join semantics)
+    w1 = incremental_near_dedup(
+        _near_batch([1, 2], ["hi there", "hi there"]), idx, batch_lsn=1,
+        num_partitions=4,
+    ).to_pandas()
+    assert sorted(w1["doc_id"]) == [1, 2]
+    w2 = incremental_near_dedup(
+        _near_batch([3], ["hi there"]), idx, batch_lsn=2, num_partitions=4
+    ).to_pandas()
+    assert sorted(w2["doc_id"]) == [3]
