@@ -200,7 +200,12 @@ _DRIVER_WINDOW: list[str] = [
     "embed_centroids",
     # dedup / decontamination / similarity
     "dedup_exact",
-    "dedup_exact_hash",
+    # dedup_incr_near (cross-batch MinHash near-dedup against a persisted
+    # signature/band index lake — the richest CDC×dedup composite)
+    # displaced dedup_exact_hash: the hash128 identity path stays
+    # driver-covered via dedup_incremental (which runs it internally),
+    # and dedup_exact_hash stays in the full gate
+    "dedup_incr_near",
     "dedup_incremental",
     # dup_spans (positional substring-dedup coverage) displaced
     # dedup_normalized (a key-normalized variant of dedup_exact, still in

@@ -14,7 +14,7 @@ WINDOW = 50
 MUST_BE_IN_WINDOW = [
     # dedup / decontamination / similarity
     "dedup_exact",
-    "dedup_exact_hash",
+    "dedup_incr_near",
     "dup_spans",
     "dedup_minhash",
     "conv_near_dedup",
