@@ -22,6 +22,8 @@ engine      replay / bootstrap / tail / compact / lookup / read_lake;
             sync_lake, maintain_rollup
 sink        versioned atomic writes, checkpoints, snapshots, lineage, schema registry
 relational  broadcast + shuffle joins, sessionization, two-phase aggregation
+trajectory  ordered per-conversation analytics (transition matrices,
+            token-budget context trimming, sliding turn windows)
 text        text analysis (langid, quality, tokens, fingerprints)
 dedup       exact / MinHash-LSH / SimHash / n-gram / embedding dedup
 similarity  cosine top-k ANN (brute-force, multi-probe LSH, IVF), embedding near-dup

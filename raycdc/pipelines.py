@@ -4796,6 +4796,153 @@ def q_media_features(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# trajectory: transition matrices, context trimming, sliding windows
+# (raycdc.trajectory — ordered per-conversation sequence analytics)
+
+
+def q_role_transitions(sf_dir: str):
+    """First-order role-transition matrix over the replayed LWW state —
+    the trajectory statistic (user→assistant→tool chains vs broken
+    alternation) agent-log curation thresholds on.  One conv-bucketed
+    exchange + a near-empty combine over the bounded (from, to) key space
+    (:func:`raycdc.trajectory.transition_counts`)."""
+    from raycdc.changelog import changelog_from_events
+    from raycdc.engine import merged_state
+    from raycdc.schema import TableSpec
+    from raycdc.trajectory import transition_counts
+
+    final = merged_state(
+        changelog_from_events(sf_dir), TableSpec(num_partitions=16)
+    ).select_columns(["conv_id", "turn_idx", "role"])
+    return transition_counts(final, num_partitions=16)
+
+
+def _sql_role_transitions() -> str:
+    from raycdc.changelog import CHANGELOG_SQL
+
+    return f"""
+WITH {CHANGELOG_SQL.strip()},
+ranked AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY conv_id, turn_idx
+        ORDER BY ts DESC, lsn DESC
+    ) AS rn
+    FROM changelog
+), final AS (
+    SELECT conv_id, turn_idx, role
+    FROM ranked WHERE rn = 1 AND op <> 'delete'
+), lagged AS (
+    SELECT lag(role) OVER (
+               PARTITION BY conv_id ORDER BY turn_idx
+           ) AS from_role,
+           role AS to_role
+    FROM final
+)
+SELECT from_role, to_role, CAST(COUNT(*) AS BIGINT) AS n_transitions
+FROM lagged WHERE from_role IS NOT NULL
+GROUP BY from_role, to_role
+"""
+
+
+def q_trim_context(sf_dir: str):
+    """Token-budget context truncation: each replayed conversation keeps
+    the maximal SUFFIX of turns whose cumulative whitespace-token count
+    fits a 64-token budget — the "last turns that fit" windowing an SFT
+    packer applies before assembly.  One conv-bucketed exchange; suffix
+    sums for all of a bucket's conversations come from one global
+    prefix-sum (:func:`raycdc.trajectory.trim_to_token_budget`)."""
+    from raycdc.changelog import changelog_from_events
+    from raycdc.engine import merged_state
+    from raycdc.schema import TableSpec
+    from raycdc.trajectory import trim_to_token_budget
+
+    final = merged_state(
+        changelog_from_events(sf_dir), TableSpec(num_partitions=16)
+    ).select_columns(["conv_id", "turn_idx", "role", "text", "tool", "ts"])
+    return trim_to_token_budget(final, budget=64, num_partitions=16)
+
+
+def _sql_trim_context() -> str:
+    from raycdc.changelog import CHANGELOG_SQL
+
+    return f"""
+WITH {CHANGELOG_SQL.strip()},
+ranked AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY conv_id, turn_idx
+        ORDER BY ts DESC, lsn DESC
+    ) AS rn
+    FROM changelog
+), final AS (
+    SELECT conv_id, turn_idx, role, text, tool, ts,
+           len(string_split(coalesce(text, ''), ' ')) AS n_tok
+    FROM ranked WHERE rn = 1 AND op <> 'delete'
+), suffixed AS (
+    SELECT *, SUM(n_tok) OVER (
+        PARTITION BY conv_id ORDER BY turn_idx DESC
+    ) AS rsum
+    FROM final
+)
+SELECT conv_id, turn_idx, role, text, tool, ts
+FROM suffixed WHERE rsum <= 64
+"""
+
+
+def q_conv_windows(sf_dir: str):
+    """Sliding turn windows (window=4, stride=2) over the replayed LWW
+    state, each joined into one training document — the chunking
+    alternative to whole-transcript assembly for long conversations.
+    Window starts are dense within-conversation POSITIONS (delete-punched
+    turn-index gaps don't misalign windows); only full windows emit.  One
+    conv-bucketed exchange; all of a bucket's windows come from one
+    gather + one ``binary_join``
+    (:func:`raycdc.trajectory.sliding_windows`)."""
+    from raycdc.changelog import changelog_from_events
+    from raycdc.engine import merged_state
+    from raycdc.schema import TableSpec
+    from raycdc.trajectory import sliding_windows
+
+    final = merged_state(
+        changelog_from_events(sf_dir), TableSpec(num_partitions=16)
+    ).select_columns(["conv_id", "turn_idx", "text"])
+    return sliding_windows(final, window=4, stride=2, num_partitions=16)
+
+
+def _sql_conv_windows() -> str:
+    from raycdc.changelog import CHANGELOG_SQL
+
+    return f"""
+WITH {CHANGELOG_SQL.strip()},
+ranked AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY conv_id, turn_idx
+        ORDER BY ts DESC, lsn DESC
+    ) AS rn
+    FROM changelog
+), final AS (
+    SELECT conv_id, turn_idx, text
+    FROM ranked WHERE rn = 1 AND op <> 'delete'
+), positioned AS (
+    SELECT conv_id, text,
+           CAST(row_number() OVER (
+               PARTITION BY conv_id ORDER BY turn_idx
+           ) - 1 AS BIGINT) AS pos
+    FROM final
+)
+SELECT a.conv_id,
+       a.pos AS win_start,
+       string_agg(coalesce(b.text, ''), chr(10) ORDER BY b.pos) AS window_text,
+       CAST(COUNT(*) AS BIGINT) AS n_turns
+FROM positioned a
+JOIN positioned b
+  ON b.conv_id = a.conv_id AND b.pos >= a.pos AND b.pos < a.pos + 4
+WHERE a.pos % 2 = 0
+GROUP BY a.conv_id, a.pos
+HAVING COUNT(*) = 4
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 
 
@@ -4896,6 +5043,9 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "media_resize": q_media_resize,
     "media_frames": q_media_frames,
     "media_features": q_media_features,
+    "role_transitions": q_role_transitions,
+    "trim_context": q_trim_context,
+    "conv_windows": q_conv_windows,
 }
 
 # queries without an entry here get the driver's weaker rows-only check
@@ -4984,6 +5134,9 @@ ORACLES: dict[str, str] = {
     "media_bmp": SQL_MEDIA_BMP,
     "media_resize": SQL_MEDIA_RESIZE,
     "media_frames": SQL_MEDIA_FRAMES,
+    "role_transitions": _sql_role_transitions(),
+    "trim_context": _sql_trim_context(),
+    "conv_windows": _sql_conv_windows(),
 }
 
 
