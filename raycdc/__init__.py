@@ -24,6 +24,7 @@ sink        versioned atomic writes, checkpoints, snapshots, lineage, schema reg
 relational  broadcast + shuffle joins, sessionization, two-phase aggregation
 trajectory  ordered per-conversation analytics (transition matrices,
             token-budget context trimming, sliding turn windows)
+audit       changelog observability (per-key churn, delivery-order stats)
 text        text analysis (langid, quality, tokens, fingerprints)
 dedup       exact / MinHash-LSH / SimHash / n-gram / embedding dedup
 similarity  cosine top-k ANN (brute-force, multi-probe LSH, IVF), embedding near-dup

@@ -4943,6 +4943,75 @@ HAVING COUNT(*) = 4
 
 
 # ---------------------------------------------------------------------------
+# audit: changelog observability (raycdc.audit)
+
+
+def q_key_churn(sf_dir: str):
+    """Per-key churn profile of the raw changelog — insert/update/delete
+    counts plus first/last WAL position per (conv_id, turn_idx).  Pure
+    map-side indicator projection + mergeable partial aggregates through
+    ONE bucketed exchange (:func:`raycdc.audit.key_churn` over the
+    extended :func:`raycdc.relational.pre_aggregate`)."""
+    from raycdc.audit import key_churn
+    from raycdc.changelog import changelog_from_events
+
+    return key_churn(changelog_from_events(sf_dir), num_partitions=16)
+
+
+def _sql_key_churn() -> str:
+    from raycdc.changelog import CHANGELOG_SQL
+
+    return f"""
+WITH {CHANGELOG_SQL.strip()}
+SELECT conv_id, turn_idx,
+       CAST(SUM(CASE WHEN op = 'insert' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_inserts,
+       CAST(SUM(CASE WHEN op = 'update' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_updates,
+       CAST(SUM(CASE WHEN op = 'delete' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_deletes,
+       MIN(lsn) AS first_lsn,
+       MAX(lsn) AS last_lsn,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM changelog
+GROUP BY conv_id, turn_idx
+"""
+
+
+def q_event_order(sf_dir: str):
+    """Delivery-order audit of the raw changelog: per conversation, how
+    many events arrived with an event time EARLIER than the previous event
+    of the same key in WAL order — the late-event risk signal for
+    ``history``-policy lakes.  One conv-bucketed exchange; groups finalize
+    inside their bucket (:func:`raycdc.audit.event_order_stats`)."""
+    from raycdc.audit import event_order_stats
+    from raycdc.changelog import changelog_from_events
+
+    return event_order_stats(changelog_from_events(sf_dir), num_partitions=16)
+
+
+def _sql_event_order() -> str:
+    from raycdc.changelog import CHANGELOG_SQL
+
+    return f"""
+WITH {CHANGELOG_SQL.strip()},
+lagged AS (
+    SELECT conv_id, ts,
+           lag(ts) OVER (
+               PARTITION BY conv_id, turn_idx ORDER BY lsn
+           ) AS prev_ts
+    FROM changelog
+)
+SELECT conv_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CASE WHEN prev_ts IS NOT NULL AND ts < prev_ts
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_ts_inversions
+FROM lagged
+GROUP BY conv_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 
 
@@ -5046,6 +5115,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "role_transitions": q_role_transitions,
     "trim_context": q_trim_context,
     "conv_windows": q_conv_windows,
+    "key_churn": q_key_churn,
+    "event_order": q_event_order,
 }
 
 # queries without an entry here get the driver's weaker rows-only check
@@ -5137,6 +5208,8 @@ ORACLES: dict[str, str] = {
     "role_transitions": _sql_role_transitions(),
     "trim_context": _sql_trim_context(),
     "conv_windows": _sql_conv_windows(),
+    "key_churn": _sql_key_churn(),
+    "event_order": _sql_event_order(),
 }
 
 

@@ -866,10 +866,19 @@ def pre_aggregate(
     sum_cols: Sequence[str],
     count_alias: str = "n_rows",
     num_partitions: int = 64,
+    min_cols: dict[str, str] | None = None,
+    max_cols: dict[str, str] | None = None,
 ) -> "ray.data.Dataset":
     """Two-phase aggregation: per-batch partial sums/counts (map-side
     combine), then ONE bucketed exchange — the explicit form of "push
     aggregation before the shuffle".
+
+    ``min_cols`` / ``max_cols`` map source column → output alias and add
+    mergeable MIN / MAX aggregates (min-of-partial-mins ==
+    min-of-all-rows, so they combine map-side exactly like the sums); the
+    same source column may feed both (e.g. ``min_cols={"lsn":
+    "first_lsn"}, max_cols={"lsn": "last_lsn"}``).  Aliases must not
+    collide with key / sum / count names.
 
     Scale-critical detail: the final stage groups by a HASH BUCKET of the
     key tuple (``num_partitions`` groups total), and each bucket task runs
@@ -883,17 +892,41 @@ def pre_aggregate(
     from raycdc.partition import bucket_keys
 
     _configure_shuffle()
+    min_cols = min_cols or {}
+    max_cols = max_cols or {}
+    extrema_aliases = list(min_cols.values()) + list(max_cols.values())
+    reserved = set(key_cols) | set(sum_cols) | {count_alias}
+    clash = reserved.intersection(extrema_aliases)
+    if clash or len(set(extrema_aliases)) != len(extrema_aliases):
+        raise ValueError(
+            f"pre_aggregate: min/max aliases must be unique and distinct "
+            f"from key/sum/count columns (clash: {sorted(clash)})"
+        )
 
     def _polars_agg(t: pa.Table, is_partial: bool) -> pa.Table:
-        # partial pass counts rows (pl.len); the final pass SUMS the
-        # partial counts it receives (the count column already exists)
+        # partial pass counts rows (pl.len) and takes min/max of the raw
+        # source columns; the final pass SUMS the partial counts and takes
+        # min/max OF THE PARTIAL extrema (both are mergeable)
         import polars as pl
 
+        extra_srcs = (
+            sorted({*min_cols, *max_cols} - set(sum_cols) - set(key_cols))
+            if is_partial
+            else extrema_aliases
+        )
         df = pl.from_arrow(t.select(list(key_cols) + list(sum_cols) + (
-            [] if is_partial else [count_alias]
+            extra_srcs + ([] if is_partial else [count_alias])
         )))
         agg = df.group_by(list(key_cols)).agg(
             [pl.col(c).sum().alias(c) for c in sum_cols]
+            + [
+                pl.col(src if is_partial else alias).min().alias(alias)
+                for src, alias in min_cols.items()
+            ]
+            + [
+                pl.col(src if is_partial else alias).max().alias(alias)
+                for src, alias in max_cols.items()
+            ]
             + [
                 (pl.len() if is_partial else pl.col(count_alias).sum()).alias(
                     count_alias
