@@ -5011,6 +5011,40 @@ GROUP BY conv_id
 """
 
 
+def q_edit_pairs(sf_dir: str):
+    """(before, after) edit-pair mining from the raw changelog: every
+    ``update`` event paired with the text of the version it overwrote in
+    LWW order — the WAL is the only place superseded turn text survives
+    (replay destroys it), so this is the CDC-native source of
+    edit/preference training examples.  One conv-bucketed exchange
+    (:func:`raycdc.trajectory.edit_pairs`)."""
+    from raycdc.changelog import changelog_from_events
+    from raycdc.trajectory import edit_pairs
+
+    return edit_pairs(changelog_from_events(sf_dir), num_partitions=16)
+
+
+def _sql_edit_pairs() -> str:
+    from raycdc.changelog import CHANGELOG_SQL
+
+    return f"""
+WITH {CHANGELOG_SQL.strip()},
+lagged AS (
+    SELECT conv_id, turn_idx, text, op, lsn,
+           lag(text) OVER w AS before_text,
+           lag(op) OVER w AS prev_op
+    FROM changelog
+    WINDOW w AS (PARTITION BY conv_id, turn_idx ORDER BY ts, lsn)
+)
+SELECT conv_id, turn_idx,
+       COALESCE(before_text, '') AS before_text,
+       COALESCE(text, '') AS after_text,
+       lsn
+FROM lagged
+WHERE op = 'update' AND prev_op IS NOT NULL AND prev_op <> 'delete'
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -5117,6 +5151,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "conv_windows": q_conv_windows,
     "key_churn": q_key_churn,
     "event_order": q_event_order,
+    "edit_pairs": q_edit_pairs,
 }
 
 # queries without an entry here get the driver's weaker rows-only check
@@ -5210,6 +5245,7 @@ ORACLES: dict[str, str] = {
     "conv_windows": _sql_conv_windows(),
     "key_churn": _sql_key_churn(),
     "event_order": _sql_event_order(),
+    "edit_pairs": _sql_edit_pairs(),
 }
 
 

@@ -16,6 +16,12 @@ training:
 - :func:`sliding_windows` — fixed-size stride-advanced windows of
   consecutive turns, each joined into one training document (the
   long-conversation chunking alternative to whole-transcript assembly).
+- :func:`edit_pairs` — mine the CHANGELOG (not the replayed state) for
+  (before, after) text pairs: every ``update`` event paired with the
+  version it replaced in the engine's LWW order.  The WAL is the only
+  place the superseded text still exists — replay destroys it — so this
+  is the CDC-native source of edit/preference training examples
+  (regenerated assistant turns, human corrections).
 
 All three follow this repo's segmented-kernel contract (CLAUDE.md): ONE
 group-bucketed exchange (``num_partitions`` UDF calls, never one per
@@ -144,6 +150,105 @@ def transition_counts(
         lambda t: t.drop_columns(["__n_partials"]),
         batch_format="pyarrow",
         zero_copy_batch=True,
+    )
+
+
+def edit_pairs(
+    ds: "ray.data.Dataset",
+    group_col: str = "conv_id",
+    key_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
+    ts_col: str = "ts",
+    lsn_col: str = "lsn",
+    op_col: str = "op",
+    text_col: str = "text",
+    num_partitions: int = 64,
+) -> "ray.data.Dataset":
+    """(before, after) edit pairs from a changelog's update events.
+
+    For every ``update`` event, the pair of the text it carried and the
+    text of the SAME key's immediately-preceding version in the engine's
+    LWW merge order (``ts`` then ``lsn`` — :func:`raycdc.merge.lww_dedup`),
+    i.e. exactly the row the update overwrote in the lake.  Updates with
+    no prior version in the log, or whose predecessor is a ``delete``
+    (the key was dead — the update re-creates it, there is no "before"),
+    emit nothing.  SQL: ``lag(text) / lag(op) OVER (PARTITION BY key
+    ORDER BY ts, lsn)`` filtered to live-predecessor updates.
+
+    Output: ``key_cols`` + ``before_text, after_text`` + ``lsn_col`` (the
+    update's WAL position — unique, so downstream dedup/sampling can key
+    on it).
+
+    Shape at scale: one group-bucketed exchange of (key, ts, lsn, op,
+    text) rows — a key's events co-locate because ``group_col`` is a
+    prefix of ``key_cols`` — then one vectorized sort + boundary-mask +
+    two gathers per bucket.  No second exchange, no per-key loop."""
+    from raycdc.engine import _configure_shuffle
+    from raycdc.relational import _tag_bucket
+
+    _configure_shuffle()
+    if key_cols[0] != group_col:
+        raise ValueError(
+            "edit_pairs: key_cols must start with group_col so a key's "
+            "events co-locate in one bucket"
+        )
+    tag = _tag_bucket(group_col, num_partitions)
+    sort_keys = [(k, "ascending") for k in key_cols] + [
+        (ts_col, "ascending"),
+        (lsn_col, "ascending"),
+    ]
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["__bucket"]).sort_by(sort_keys)
+        n = len(g)
+        text = pc.fill_null(g[text_col].combine_chunks().cast(pa.string()), "")
+        out_schema = pa.schema(
+            [pa.field(k, g.schema.field(k).type) for k in key_cols]
+            + [
+                pa.field("before_text", pa.string()),
+                pa.field("after_text", pa.string()),
+                pa.field(lsn_col, g.schema.field(lsn_col).type),
+            ]
+        )
+        if n < 2:
+            return out_schema.empty_table()
+        # boundary whenever ANY key column changes (null-aware, Arrow-native)
+        new_key = np.zeros(n, dtype=bool)
+        new_key[0] = True
+        for k in key_cols:
+            col = g[k].combine_chunks()
+            a, b = col.slice(1), col.slice(0, n - 1)
+            same = pc.or_(
+                pc.fill_null(pc.equal(a, b), False),
+                pc.and_(pc.is_null(a), pc.is_null(b)),
+            ).to_numpy(zero_copy_only=False)
+            new_key[1:] |= ~same
+        op = g[op_col].combine_chunks()
+        is_update = pc.equal(op, "update").to_numpy(zero_copy_only=False)
+        prev_is_delete = np.zeros(n, dtype=bool)
+        prev_is_delete[1:] = pc.equal(op, "delete").to_numpy(
+            zero_copy_only=False
+        )[:-1]
+        idx = np.where(is_update & ~new_key & ~prev_is_delete)[0]
+        if len(idx) == 0:
+            return out_schema.empty_table()
+        take_cur = pa.array(idx)
+        return pa.table(
+            {
+                **{
+                    k: g[k].combine_chunks().take(take_cur)
+                    for k in key_cols
+                },
+                "before_text": text.take(pa.array(idx - 1)),
+                "after_text": text.take(take_cur),
+                lsn_col: g[lsn_col].combine_chunks().take(take_cur),
+            },
+            schema=out_schema,
+        )
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__bucket", num_partitions=num_partitions)
+        .map_groups(per_bucket, batch_format="pyarrow")
     )
 
 

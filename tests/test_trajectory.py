@@ -137,3 +137,113 @@ def test_sliding_windows_short_groups_and_validation(table):
         TJ.sliding_windows(ds, 0, 1)
     with pytest.raises(ValueError):
         TJ.sliding_windows(ds, 2, 0)
+
+
+# ---------------------------------------------------------------------------
+# edit_pairs
+
+
+def _make_changelog(n_convs: int = 17, n_events: int = 400) -> pa.Table:
+    """Random changelog with enough per-key event stacking that updates
+    regularly chain onto inserts, other updates, and deletes."""
+    rng = np.random.default_rng(97)
+    conv = [f"c{int(c)}" for c in rng.integers(0, n_convs, size=n_events)]
+    turn = rng.integers(0, 4, size=n_events).astype("int32")  # heavy stacking
+    op = np.array(["insert", "update", "delete"])[
+        rng.choice(3, size=n_events, p=[0.4, 0.45, 0.15])
+    ]
+    text = [f"t{i}" for i in range(n_events)]
+    ts = rng.integers(0, 10_000, size=n_events)  # duplicate ts values occur
+    return pa.table(
+        {
+            "conv_id": pa.array(conv),
+            "turn_idx": pa.array(turn),
+            "text": pa.array(text),
+            "ts": pa.array(ts, pa.timestamp("us")),
+            "op": pa.array(op),
+            "lsn": pa.array(np.arange(n_events, dtype=np.int64)),
+        }
+    )
+
+
+def _edit_pairs_reference(tbl: pa.Table) -> set[tuple]:
+    rows = sorted(
+        tbl.to_pylist(),
+        key=lambda r: (r["conv_id"], r["turn_idx"], r["ts"], r["lsn"]),
+    )
+    out = set()
+    for prev, cur in zip(rows, rows[1:]):
+        if (
+            cur["op"] == "update"
+            and (prev["conv_id"], prev["turn_idx"])
+            == (cur["conv_id"], cur["turn_idx"])
+            and prev["op"] != "delete"
+        ):
+            out.add(
+                (
+                    cur["conv_id"],
+                    cur["turn_idx"],
+                    prev["text"],
+                    cur["text"],
+                    cur["lsn"],
+                )
+            )
+    return out
+
+
+def test_edit_pairs_match_python_reference():
+    tbl = _make_changelog()
+    ds = ray.data.from_arrow(tbl).random_shuffle(seed=7).repartition(6)
+    got = {
+        (
+            r["conv_id"],
+            r["turn_idx"],
+            r["before_text"],
+            r["after_text"],
+            r["lsn"],
+        )
+        for r in TJ.edit_pairs(ds, num_partitions=4).take_all()
+    }
+    want = _edit_pairs_reference(tbl)
+    assert want, "fixture must actually produce edit pairs"
+    assert got == want
+
+
+def test_edit_pairs_semantics_pinned():
+    """Hand-built log: update-after-insert pairs, update-after-update
+    chains, update-after-delete and first-event updates emit nothing."""
+    tbl = pa.table(
+        {
+            "conv_id": pa.array(["a", "a", "a", "a", "a", "b", "c", "c", "c"]),
+            "turn_idx": pa.array([0, 0, 0, 0, 0, 1, 2, 2, 2], pa.int32()),
+            "text": pa.array(
+                ["v1", "v2", "v3", None, "v4", "orphan", "x1", "x2", "x3"]
+            ),
+            "ts": pa.array([1, 2, 3, 4, 5, 1, 1, 2, 3], pa.timestamp("us")),
+            "op": pa.array(
+                [
+                    "insert",
+                    "update",  # (v1 -> v2)
+                    "update",  # (v2 -> v3)
+                    "delete",
+                    "update",  # after delete: no before, emits nothing
+                    "update",  # first event of its key: nothing
+                    "insert",
+                    "delete",
+                    "insert",  # re-insert: not an update, nothing
+                ]
+            ),
+            "lsn": pa.array(range(9), pa.int64()),
+        }
+    )
+    got = sorted(
+        TJ.edit_pairs(
+            ray.data.from_arrow(tbl), num_partitions=2
+        ).take_all(),
+        key=lambda r: r["lsn"],
+    )
+    assert [(r["before_text"], r["after_text"]) for r in got] == [
+        ("v1", "v2"),
+        ("v2", "v3"),
+    ]
+    assert [r["lsn"] for r in got] == [1, 2]
