@@ -97,6 +97,14 @@ def main(argv: list[str] | None = None) -> int:
         "(history) at or before it; required for history lakes",
     )
 
+    p_verify = sub.add_parser(
+        "verify",
+        help="fsck: audit each partition's file against its checkpoint "
+        "and the layout invariants (read-only)",
+    )
+    p_verify.add_argument("--lake", required=True)
+    p_verify.add_argument("--partitions", type=int, default=64)
+
     p_show = sub.add_parser("show", help="print lake state summary")
     p_show.add_argument("--lake", required=True)
     p_show.add_argument("--partitions", type=int, default=64)
@@ -488,6 +496,29 @@ def main(argv: list[str] | None = None) -> int:
                 }
             )
         )
+    elif args.cmd == "verify":
+        from raycdc.engine import verify_lake
+
+        spec = _lake_spec(args.lake, args.partitions)
+        report = verify_lake(args.lake, spec)
+        statuses = report["status"].to_pylist()
+        bad = [
+            {"part": r["part"], "issues": r["issues"]}
+            for r in report.to_pylist()
+            if r["status"] == "corrupt"
+        ]
+        print(
+            json.dumps(
+                {
+                    "partitions": len(statuses),
+                    "ok": statuses.count("ok"),
+                    "empty": statuses.count("empty"),
+                    "corrupt": bad,
+                }
+            )
+        )
+        if bad:
+            return 3
     elif args.cmd == "show":
         spec = _lake_spec(args.lake, args.partitions)
         ds = read_lake(args.lake, spec, as_of=args.as_of)

@@ -1200,6 +1200,167 @@ def compact(
     return lineage
 
 
+VERIFY_SCHEMA = pa.schema(
+    [
+        pa.field("part", pa.int32()),
+        pa.field("status", pa.string()),  # ok | empty | corrupt
+        pa.field("n_rows", pa.int64()),
+        pa.field("issues", pa.string()),  # ';'-joined, '' when ok
+    ]
+)
+
+
+def verify_lake(lake_dir: str, spec: TableSpec | None = None) -> pa.Table:
+    """Lake fsck: audit every partition's stored file against its
+    checkpoint and the layout invariants the engine relies on, WITHOUT
+    trusting any of them.  The ops counterpart of the reference's
+    post-load row-count notification (`/root/reference/notifier.go:83-99`)
+    — but checked against the data, not reported from the writer.
+
+    Per partition (one Ray task each, like :func:`compact`):
+
+    - checkpoint present; ``version<0`` ⇒ empty state (no data file —
+      the bootstrap empty-partition contract);
+    - the checkpointed version's file exists and is readable;
+    - ``row_count`` and ``content_hash`` match a recomputation from the
+      file (bit rot, manual edits, partial writes);
+    - every row's ``partition_key`` hashes to THIS partition (orphaned
+      rows from an out-of-band re-layout — the failure
+      :func:`migrate_lake` exists to prevent);
+    - for ``lww``/``additive`` lakes: keys are unique and rows are
+      stored in sorted key order (the deterministic-materialization
+      invariant); ``history`` lakes legitimately hold many versions per
+      key and skip both;
+    - every stored ``lsn`` is ≤ the checkpoint's ``max_lsn`` floor
+      (a row from the future means the checkpoint lies and replay would
+      double-apply).
+
+    Also flags a pending bootstrap marker and a missing spec meta (as
+    partition -1).  Returns one row per partition: ``part, status,
+    n_rows, issues``.  Read-only — never repairs; repair = re-replay or
+    :func:`migrate_lake` into a fresh dir.
+    """
+    import ray
+
+    spec = spec or TableSpec()
+    meta = S.read_spec_meta(lake_dir)
+    nparts = int((meta or {}).get("num_partitions", spec.num_partitions))
+    policy = (meta or {}).get("merge_policy", spec.merge_policy)
+    key_cols = list((meta or {}).get("key_cols", spec.key_cols))
+    part_key = (meta or {}).get("partition_key", spec.partition_key)
+
+    lake_issues: list[dict] = []
+    if meta is None:
+        lake_issues.append(
+            {"part": -1, "status": "corrupt", "n_rows": 0,
+             "issues": "spec meta missing"}
+        )
+    if S.bootstrap_pending(lake_dir):
+        lake_issues.append(
+            {"part": -1, "status": "corrupt", "n_rows": 0,
+             "issues": "bootstrap pending marker set (half-initialized lake)"}
+        )
+
+    def verify_part(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        from raycdc.partition import hash_key_column
+
+        rows = []
+        for part in batch["id"].to_pylist():
+            part = int(part)
+            issues: list[str] = []
+            ckpt = S.read_checkpoint(lake_dir, part)
+            if ckpt is None:
+                st = "corrupt" if S.read_partition(lake_dir, part) is not None else "empty"
+                rows.append(
+                    {"part": part, "status": st, "n_rows": 0,
+                     "issues": "no checkpoint" if st == "corrupt" else ""}
+                )
+                continue
+            version = int(ckpt.get("version", 0))
+            if version < 0 or int(ckpt.get("row_count", 0)) == 0:
+                # bootstrap empty-state contract: checkpoint-only partition
+                tbl = S.read_partition(lake_dir, part, version=max(version, 0))
+                if version < 0 and tbl is not None:
+                    issues.append("empty checkpoint but a data file exists")
+                if version >= 0 and tbl is not None and len(tbl) != 0:
+                    issues.append(
+                        f"checkpoint row_count=0 but file holds {len(tbl)} rows"
+                    )
+                rows.append(
+                    {"part": part,
+                     "status": "corrupt" if issues else "empty",
+                     "n_rows": 0, "issues": "; ".join(issues)}
+                )
+                continue
+            tbl = S.read_partition(lake_dir, part, version=version)
+            if tbl is None:
+                rows.append(
+                    {"part": part, "status": "corrupt", "n_rows": 0,
+                     "issues": f"data file for checkpointed version {version} missing"}
+                )
+                continue
+            if len(tbl) != int(ckpt["row_count"]):
+                issues.append(
+                    f"row_count {int(ckpt['row_count'])} != stored {len(tbl)}"
+                )
+            chash = S.content_hash(tbl)
+            if "content_hash" in ckpt and chash != int(ckpt["content_hash"]):
+                issues.append("content hash mismatch (stored rows differ from checkpoint)")
+            if part_key in tbl.column_names:
+                pk = hash_key_column(tbl[part_key]) % np.uint64(nparts)
+                bad = int((pk != np.uint64(part)).sum())
+                if bad:
+                    issues.append(f"{bad} row(s) hash to another partition")
+            else:
+                issues.append(f"partition key {part_key!r} not in stored schema")
+            have_keys = [k for k in key_cols if k in tbl.column_names]
+            if len(have_keys) == len(key_cols) and len(tbl) > 1:
+                sorted_tbl = tbl.sort_by([(k, "ascending") for k in key_cols])
+                if policy != "history":
+                    import polars as pl
+
+                    ndup = len(tbl) - (
+                        pl.from_arrow(tbl.select(key_cols)).unique().height
+                    )
+                    if ndup:
+                        issues.append(f"{ndup} duplicate key row(s)")
+                    if not tbl.select(key_cols).equals(sorted_tbl.select(key_cols)):
+                        issues.append("rows not stored in sorted key order")
+            elif len(have_keys) != len(key_cols):
+                issues.append("key column(s) missing from stored schema")
+            if "lsn" in tbl.column_names and len(tbl):
+                mx = pc.max(tbl["lsn"]).as_py()
+                if mx is not None and mx > int(ckpt["max_lsn"]):
+                    issues.append(
+                        f"stored lsn {mx} beyond checkpoint max_lsn "
+                        f"{int(ckpt['max_lsn'])} (replay would double-apply)"
+                    )
+            rows.append(
+                {"part": part, "status": "corrupt" if issues else "ok",
+                 "n_rows": len(tbl), "issues": "; ".join(issues)}
+            )
+        if not rows:
+            return VERIFY_SCHEMA.empty_table()
+        return pa.Table.from_pylist(rows, schema=VERIFY_SCHEMA)
+
+    report_ds = ray.data.range(
+        nparts, override_num_blocks=min(nparts, 64)
+    ).map_batches(verify_part, batch_format="pyarrow")
+    pdf = report_ds.to_pandas()  # bounded: one row per partition
+    parts_tbl = (
+        pa.Table.from_pandas(pdf, schema=VERIFY_SCHEMA, preserve_index=False)
+        if len(pdf)
+        else VERIFY_SCHEMA.empty_table()
+    )
+    if lake_issues:
+        parts_tbl = pa.concat_tables(
+            [pa.Table.from_pylist(lake_issues, schema=VERIFY_SCHEMA), parts_tbl]
+        )
+    return parts_tbl.sort_by([("part", "ascending")])
+
+
 def read_lake(
     lake_dir: str,
     spec: TableSpec | None = None,

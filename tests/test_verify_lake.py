@@ -1,0 +1,139 @@
+"""Lake fsck (`engine.verify_lake`): a clean lake audits green; every
+tampering mode the checker claims to catch is actually caught; the CLI
+`verify` command exits non-zero on corruption.  Read-only: verifying must
+never change lake bytes."""
+
+import json
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray.data
+
+from raycdc.changelog import synthetic_changelog
+from raycdc.engine import bootstrap, replay, verify_lake
+from raycdc.schema import TableSpec
+from raycdc.sink import current_files, part_file, read_all_checkpoints
+from raycdc.__main__ import main
+
+
+def _make_lake(tmp_path, n_events=900, num_partitions=4, seed=71):
+    t = synthetic_changelog(n_events=n_events, seed=seed)
+    lake = str(tmp_path / "lake")
+    spec = TableSpec(num_partitions=num_partitions)
+    replay(ray.data.from_arrow(t), lake, spec)
+    return lake, spec
+
+
+def _current_path(lake, part):
+    ck = read_all_checkpoints(lake)[part]
+    return part_file(lake, part, ck["version"])
+
+
+def test_verify_clean_lake_all_ok(ray_session, tmp_path):
+    lake, spec = _make_lake(tmp_path)
+    report = verify_lake(lake, spec)
+    rows = report.to_pylist()
+    assert len(rows) == spec.num_partitions
+    assert all(r["status"] == "ok" for r in rows), rows
+    assert all(r["issues"] == "" for r in rows)
+    assert sum(r["n_rows"] for r in rows) > 0
+
+
+def test_verify_detects_key_tamper_and_stays_readonly(ray_session, tmp_path):
+    """Flip one stored turn_idx: the content hash (keys+lsn digest) must
+    catch it, and verify_lake must not rewrite anything while looking."""
+    lake, spec = _make_lake(tmp_path)
+    path = _current_path(lake, 0)
+    t = pq.read_table(path)
+    col = t["turn_idx"].to_pylist()
+    col[0] += 1000  # a key the log never wrote
+    t = t.set_column(
+        t.schema.get_field_index("turn_idx"), "turn_idx",
+        pa.array(col, t.schema.field("turn_idx").type),
+    )
+    pq.write_table(t, path)
+    mtimes = {p: os.path.getmtime(p) for p in current_files(lake)}
+    report = verify_lake(lake, spec).to_pylist()
+    bad = [r for r in report if r["part"] == 0][0]
+    assert bad["status"] == "corrupt"
+    assert "content hash mismatch" in bad["issues"]
+    assert [r["status"] for r in report if r["part"] != 0] == ["ok"] * (
+        spec.num_partitions - 1
+    )
+    assert {p: os.path.getmtime(p) for p in current_files(lake)} == mtimes
+
+
+def test_verify_detects_missing_file_and_row_count(ray_session, tmp_path):
+    lake, spec = _make_lake(tmp_path)
+    os.remove(_current_path(lake, 1))
+    path2 = _current_path(lake, 2)
+    t2 = pq.read_table(path2)
+    pq.write_table(t2.slice(0, len(t2) - 1), path2)  # drop one row
+    report = {r["part"]: r for r in verify_lake(lake, spec).to_pylist()}
+    assert report[1]["status"] == "corrupt"
+    assert "missing" in report[1]["issues"]
+    assert report[2]["status"] == "corrupt"
+    assert "row_count" in report[2]["issues"]
+
+
+def test_verify_detects_foreign_partition_rows(ray_session, tmp_path):
+    """Graft a row stored under the wrong partition (the orphaned-row
+    failure an out-of-band re-layout causes): the routing check fires."""
+    lake, spec = _make_lake(tmp_path)
+    src = pq.read_table(_current_path(lake, 3)).slice(0, 1)
+    dst_path = _current_path(lake, 0)
+    dst = pq.read_table(dst_path)
+    pq.write_table(pa.concat_tables([dst, src.cast(dst.schema)]), dst_path)
+    bad = [r for r in verify_lake(lake, spec).to_pylist() if r["part"] == 0][0]
+    assert bad["status"] == "corrupt"
+    assert "hash to another partition" in bad["issues"]
+
+
+def test_verify_detects_lsn_beyond_checkpoint(ray_session, tmp_path):
+    lake, spec = _make_lake(tmp_path)
+    path = _current_path(lake, 0)
+    t = pq.read_table(path)
+    lsn = t["lsn"].to_pylist()
+    lsn[0] = max(lsn) + 10_000  # a row "from the future"
+    t = t.set_column(
+        t.schema.get_field_index("lsn"), "lsn", pa.array(lsn, pa.int64())
+    )
+    pq.write_table(t, path)
+    bad = [r for r in verify_lake(lake, spec).to_pylist() if r["part"] == 0][0]
+    assert bad["status"] == "corrupt"
+    assert "beyond checkpoint max_lsn" in bad["issues"]
+
+
+def test_verify_accepts_bootstrap_empty_partitions(ray_session, tmp_path):
+    """Bootstrap with one key: untouched partitions hold checkpoint-only
+    empty state (version -1) and must audit as 'empty', never corrupt."""
+    snap = pa.table(
+        {
+            "conv_id": ["c1"],
+            "turn_idx": pa.array([0], pa.int32()),
+            "role": ["user"],
+            "text": ["hello"],
+            "tool": [""],
+            "ts": pa.array([1], pa.timestamp("us")),
+        }
+    )
+    lake = str(tmp_path / "boot")
+    spec = TableSpec(num_partitions=8)
+    bootstrap(ray.data.from_arrow(snap), lake, spec, snapshot_lsn=100)
+    rows = verify_lake(lake, spec).to_pylist()
+    statuses = {r["part"]: r["status"] for r in rows}
+    assert "corrupt" not in statuses.values()
+    assert sorted(statuses.values()).count("ok") == 1
+    assert sorted(statuses.values()).count("empty") == spec.num_partitions - 1
+
+
+def test_verify_cli_exit_codes(ray_session, tmp_path, capsys):
+    lake, spec = _make_lake(tmp_path)
+    assert main(["verify", "--lake", lake, "--partitions", "4"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["ok"] == 4 and out["corrupt"] == []
+    os.remove(_current_path(lake, 1))
+    assert main(["verify", "--lake", lake, "--partitions", "4"]) == 3
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["corrupt"] and out["corrupt"][0]["part"] == 1
