@@ -5011,6 +5011,33 @@ GROUP BY conv_id
 """
 
 
+def q_sketch_membership(sf_dir: str):
+    """Bloom-filter anti-join: build one mergeable filter over the English
+    docs' ids (shuffle-free register fold), broadcast it ONCE via ray.put,
+    and keep the corpus rows that are DEFINITELY outside the set — the
+    one-sided guarantee that makes a 100 TB pre-filter in front of an
+    exact dedup/decontamination pass safe (no survivor is wrongly
+    dropped).  Rows-only: false positives drop a hash-dependent handful
+    from the anti side; the exact envelopes live in pytest."""
+    from raycdc.relational import pre_aggregate
+    from raycdc.sketch import bloom_build, bloom_semi_join
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]
+    )
+    en_ids = docs.filter(expr="lang == 'en'")
+    words = bloom_build(en_ids, "doc_id", num_bits=1 << 18)
+    survivors = bloom_semi_join(docs, "doc_id", words, negate=True)
+    out = pre_aggregate(
+        survivors,
+        key_cols=["lang"],
+        sum_cols=[],
+        count_alias="n_docs",
+        num_partitions=4,
+    )
+    return out
+
+
 def q_edit_pairs(sf_dir: str):
     """(before, after) edit-pair mining from the raw changelog: every
     ``update`` event paired with the text of the version it overwrote in
@@ -5152,6 +5179,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "key_churn": q_key_churn,
     "event_order": q_event_order,
     "edit_pairs": q_edit_pairs,
+    "sketch_membership": q_sketch_membership,
 }
 
 # queries without an entry here get the driver's weaker rows-only check

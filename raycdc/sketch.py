@@ -305,3 +305,148 @@ def approx_top_counts(
     cand = pa.array(candidates) if not isinstance(candidates, pa.Array) else candidates
     est = cms_estimate(acc, cand)
     return pa.table({col: cand, "approx_count": pa.array(est)})
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter — mergeable approximate membership (Bloom, CACM 1970)
+
+
+def _bloom_hash_pair(values) -> tuple[np.ndarray, np.ndarray]:
+    """Two independent 64-bit hash streams per value (Kirsch–Mitzenmacher
+    double hashing: k indices from h1 + j*h2).  Same base hash path as the
+    other sketches (buffer-level FNV for strings, bit pattern for ints),
+    split into two streams by distinct splitmix64 finalizers."""
+    from raycdc.partition import hash_strings
+
+    if isinstance(values, pa.ChunkedArray):
+        values = values.combine_chunks()
+    if pa.types.is_string(values.type) or pa.types.is_large_string(values.type):
+        h = hash_strings(values).copy()
+    else:
+        h = (
+            values.cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+            .view(np.uint64)
+            .copy()
+        )
+
+    def mix(x: np.ndarray, salt: int) -> np.ndarray:
+        with np.errstate(over="ignore"):
+            x = x ^ np.uint64(salt)
+            x ^= x >> np.uint64(30)
+            x *= np.uint64(0xBF58476D1CE4E5B9)
+            x ^= x >> np.uint64(27)
+            x *= np.uint64(0x94D049BB133111EB)
+            x ^= x >> np.uint64(31)
+        return x
+
+    h1 = mix(h, 0x9E3779B97F4A7C15)
+    h2 = mix(h, 0xD1B54A32D192ED03) | np.uint64(1)  # odd: full-period stride
+    return h1, h2
+
+
+def bloom_bits(values, num_bits: int, k: int = 7) -> np.ndarray:
+    """One batch's Bloom register array, packed as uint64 words
+    (``num_bits/64`` of them).  Mergeable by elementwise OR — associative,
+    commutative, idempotent — so batch partials fold in any order and
+    REBUILDS over overlapping data cost nothing (unlike CMS sums)."""
+    if num_bits % 64:
+        raise ValueError(f"num_bits must be a multiple of 64, got {num_bits}")
+    words = np.zeros(num_bits // 64, dtype=np.uint64)
+    if len(values) == 0:
+        return words
+    h1, h2 = _bloom_hash_pair(values)
+    with np.errstate(over="ignore"):
+        for j in range(k):  # k is a small constant; each pass is whole-batch
+            idx = (h1 + np.uint64(j) * h2) % np.uint64(num_bits)
+            np.bitwise_or.at(
+                words, (idx >> np.uint64(6)).astype(np.int64),
+                np.uint64(1) << (idx & np.uint64(63)),
+            )
+    return words
+
+
+def bloom_merge(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    return np.bitwise_or(a, b)
+
+
+def bloom_contains(words: np.ndarray, values, k: int = 7) -> np.ndarray:
+    """Vectorized membership probe: True = maybe present (false-positive
+    rate ~(1-e^{-kn/m})^k), False = DEFINITELY absent — Bloom's one-sided
+    guarantee, which is what makes the anti-join safe."""
+    num_bits = len(words) * 64
+    if len(values) == 0:
+        return np.zeros(0, dtype=bool)
+    h1, h2 = _bloom_hash_pair(values)
+    out = np.ones(len(h1), dtype=bool)
+    with np.errstate(over="ignore"):
+        for j in range(k):
+            idx = (h1 + np.uint64(j) * h2) % np.uint64(num_bits)
+            bit = (
+                words[(idx >> np.uint64(6)).astype(np.int64)]
+                >> (idx & np.uint64(63))
+            ) & np.uint64(1)
+            out &= bit.astype(bool)
+    return out
+
+
+def bloom_build(
+    ds: "ray.data.Dataset", col: str, num_bits: int = 1 << 20, k: int = 7
+) -> np.ndarray:
+    """Build one Bloom filter over ``ds[col]`` shuffle-free: each batch
+    collapses to a packed register row inside ``map_batches``; the driver
+    ORs ``num_blocks`` fixed-size partials (``num_bits/8`` bytes each —
+    the data never moves).  Size for ~1% FPR: ``num_bits ≈ 9.6 × n``,
+    ``k = 7``."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        regs = bloom_bits(t[col], num_bits=num_bits, k=k)
+        return pa.table({"regs": pa.array([regs.tobytes()], pa.binary())})
+
+    rows = (
+        ds.select_columns([col])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .take_all()
+    )
+    acc = np.zeros(num_bits // 64, dtype=np.uint64)
+    for r in rows:
+        acc = bloom_merge(acc, np.frombuffer(r["regs"], dtype=np.uint64))
+    return acc
+
+
+def bloom_semi_join(
+    ds: "ray.data.Dataset",
+    col: str,
+    words: np.ndarray,
+    k: int = 7,
+    negate: bool = False,
+) -> "ray.data.Dataset":
+    """Filter ``ds`` by approximate membership of ``col`` in a built
+    filter — the 100 TB pre-filter in front of an exact join/dedup: the
+    filter broadcasts ONCE via ``ray.put`` (never per batch), each batch
+    probes locally, nothing shuffles.
+
+    ``negate=False`` (semi): keeps maybe-members — exact false positives
+    survive for a downstream exact pass to kill.  ``negate=True`` (anti):
+    keeps DEFINITE non-members — no false negatives means no survivor is
+    wrongly dropped, so an anti-join against a dedup index / eval set is
+    SAFE without any second pass."""
+    import ray
+
+    ref = ray.put(words)
+
+    class Probe:
+        def __init__(self):
+            self.words = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            hit = bloom_contains(self.words, t[col], k=k)
+            return t.filter(pa.array(~hit if negate else hit))
+
+    return ds.map_batches(
+        Probe,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=(1, 8),
+    )

@@ -1406,3 +1406,71 @@ def test_incremental_near_dedup_short_docs_pass(ray_session, tmp_path):
         _near_batch([3], ["hi there"]), idx, batch_lsn=2, num_partitions=4
     ).to_pandas()
     assert sorted(w2["doc_id"]) == [3]
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter (sketch.bloom_*)
+
+
+def test_bloom_no_false_negatives_and_fpr_envelope():
+    from raycdc import sketch as SK
+
+    members = pa.array([f"m{i}" for i in range(5000)])
+    others = pa.array([f"x{i}" for i in range(5000)])
+    num_bits, k = 1 << 16, 7  # m/n ≈ 13 → theoretical FPR ≈ 0.3%
+    words = SK.bloom_bits(members, num_bits=num_bits, k=k)
+    assert SK.bloom_contains(words, members, k=k).all()  # one-sided guarantee
+    fpr = SK.bloom_contains(words, others, k=k).mean()
+    assert fpr < 0.02, fpr
+
+
+def test_bloom_merge_equals_union_build():
+    from raycdc import sketch as SK
+
+    a = pa.array([f"a{i}" for i in range(1000)])
+    b = pa.array([f"b{i}" for i in range(1000)])
+    both = pa.concat_arrays([a, b])
+    m = SK.bloom_merge(
+        SK.bloom_bits(a, 1 << 14), SK.bloom_bits(b, 1 << 14)
+    )
+    assert np.array_equal(m, SK.bloom_bits(both, 1 << 14))
+    # idempotent under re-OR (rebuild over overlapping data is free)
+    assert np.array_equal(SK.bloom_merge(m, SK.bloom_bits(a, 1 << 14)), m)
+
+
+def test_bloom_int_columns_and_empty():
+    from raycdc import sketch as SK
+
+    vals = pa.array(np.arange(2000, dtype=np.int64))
+    words = SK.bloom_bits(vals, 1 << 15)
+    assert SK.bloom_contains(words, vals).all()
+    assert not SK.bloom_contains(
+        words, pa.array(np.arange(10_000, 12_000, dtype=np.int64))
+    ).all()
+    assert SK.bloom_bits(pa.array([], pa.string()), 1 << 10).sum() == 0
+    assert len(SK.bloom_contains(words, pa.array([], pa.int64()))) == 0
+
+
+def test_bloom_build_and_semi_anti_join(ray_session):
+    from raycdc import sketch as SK
+
+    members = pa.table({"doc_id": [f"d{i}" for i in range(3000)]})
+    probe = pa.table(
+        {"doc_id": [f"d{i}" for i in range(2000, 5000)], "v": list(range(3000))}
+    )
+    words = SK.bloom_build(
+        ray.data.from_arrow(members).repartition(5), "doc_id", num_bits=1 << 16
+    )
+    kept = SK.bloom_semi_join(
+        ray.data.from_arrow(probe).repartition(4), "doc_id", words
+    ).take_all()
+    kept_ids = {r["doc_id"] for r in kept}
+    true_members = {f"d{i}" for i in range(2000, 3000)}
+    assert true_members <= kept_ids  # no false negatives
+    assert len(kept_ids) < 1200  # few false positives beyond the 1000 true
+    anti = SK.bloom_semi_join(
+        ray.data.from_arrow(probe).repartition(4), "doc_id", words, negate=True
+    ).take_all()
+    anti_ids = {r["doc_id"] for r in anti}
+    assert anti_ids.isdisjoint(true_members)  # anti side is exact-safe
+    assert kept_ids | anti_ids == {f"d{i}" for i in range(2000, 5000)}
