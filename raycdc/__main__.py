@@ -501,7 +501,10 @@ def main(argv: list[str] | None = None) -> int:
 
         spec = _lake_spec(args.lake, args.partitions)
         report = verify_lake(args.lake, spec)
-        statuses = report["status"].to_pylist()
+        # part=-1 rows are lake-level findings, not partitions
+        statuses = [
+            r["status"] for r in report.to_pylist() if r["part"] >= 0
+        ]
         bad = [
             {"part": r["part"], "issues": r["issues"]}
             for r in report.to_pylist()

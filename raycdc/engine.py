@@ -1227,10 +1227,17 @@ def verify_lake(lake_dir: str, spec: TableSpec | None = None) -> pa.Table:
     - every row's ``partition_key`` hashes to THIS partition (orphaned
       rows from an out-of-band re-layout — the failure
       :func:`migrate_lake` exists to prevent);
-    - for ``lww``/``additive`` lakes: keys are unique and rows are
-      stored in sorted key order (the deterministic-materialization
-      invariant); ``history`` lakes legitimately hold many versions per
-      key and skip both;
+    - uniqueness per policy: ``lww`` stores one row per key;
+      ``additive`` one per (key, op) — a key legitimately holds both a
+      tombstone and an ``op='agg'`` row; ``history`` holds many versions
+      per key and skips the check.  Both non-history policies also store
+      rows in sorted key order (the deterministic-materialization
+      invariant);
+    - version-aware file census: data files at versions ≤ the checkpoint
+      are snapshot history (legitimate until :func:`raycdc.sink.vacuum`),
+      ONE file at checkpoint+1 is a crash-consistent pending install
+      (retry rewrites it atomically), anything past that — or any file
+      in a partition with no checkpoint — is unaccounted state;
     - every stored ``lsn`` is ≤ the checkpoint's ``max_lsn`` floor
       (a row from the future means the checkpoint lies and replay would
       double-apply).
@@ -1265,29 +1272,63 @@ def verify_lake(lake_dir: str, spec: TableSpec | None = None) -> pa.Table:
         import numpy as np
 
         from raycdc.partition import hash_key_column
+        from raycdc.storage import get_storage
+
+        st = get_storage(lake_dir)
+
+        def data_versions(part: int) -> list[int]:
+            """ALL stored data-file versions in a partition dir — the
+            census that catches state a version-0 probe would miss."""
+            try:
+                names = st.listdir(S.part_dir(lake_dir, part))
+            except (FileNotFoundError, OSError):
+                return []
+            return sorted(
+                int(n[6:-8])
+                for n in names
+                if n.startswith("data-v") and n.endswith(".parquet")
+            )
 
         rows = []
         for part in batch["id"].to_pylist():
             part = int(part)
             issues: list[str] = []
             ckpt = S.read_checkpoint(lake_dir, part)
+            versions = data_versions(part)
             if ckpt is None:
-                st = "corrupt" if S.read_partition(lake_dir, part) is not None else "empty"
                 rows.append(
-                    {"part": part, "status": st, "n_rows": 0,
-                     "issues": "no checkpoint" if st == "corrupt" else ""}
+                    {"part": part,
+                     "status": "corrupt" if versions else "empty",
+                     "n_rows": 0,
+                     "issues": (
+                         f"no checkpoint but data file version(s) {versions} exist"
+                         if versions else ""
+                     )}
                 )
                 continue
             version = int(ckpt.get("version", 0))
+            # files past checkpoint+1 are unaccounted; exactly checkpoint+1
+            # is the documented crash-consistent pending install (replay
+            # writes the file, THEN advances the checkpoint — retry
+            # rewrites it atomically)
+            stray = [v for v in versions if v > version + 1]
+            if stray:
+                issues.append(
+                    f"data file version(s) {stray} beyond checkpoint "
+                    f"version {version}+1 (unaccounted state)"
+                )
             if version < 0 or int(ckpt.get("row_count", 0)) == 0:
                 # bootstrap empty-state contract: checkpoint-only partition
-                tbl = S.read_partition(lake_dir, part, version=max(version, 0))
-                if version < 0 and tbl is not None:
-                    issues.append("empty checkpoint but a data file exists")
-                if version >= 0 and tbl is not None and len(tbl) != 0:
-                    issues.append(
-                        f"checkpoint row_count=0 but file holds {len(tbl)} rows"
-                    )
+                if version >= 0:
+                    tbl = S.read_partition(lake_dir, part, version=version)
+                    if tbl is None:
+                        issues.append(
+                            f"data file for checkpointed version {version} missing"
+                        )
+                    elif len(tbl) != 0:
+                        issues.append(
+                            f"checkpoint row_count=0 but file holds {len(tbl)} rows"
+                        )
                 rows.append(
                     {"part": part,
                      "status": "corrupt" if issues else "empty",
@@ -1316,20 +1357,30 @@ def verify_lake(lake_dir: str, spec: TableSpec | None = None) -> pa.Table:
             else:
                 issues.append(f"partition key {part_key!r} not in stored schema")
             have_keys = [k for k in key_cols if k in tbl.column_names]
-            if len(have_keys) == len(key_cols) and len(tbl) > 1:
-                sorted_tbl = tbl.sort_by([(k, "ascending") for k in key_cols])
-                if policy != "history":
-                    import polars as pl
-
-                    ndup = len(tbl) - (
-                        pl.from_arrow(tbl.select(key_cols)).unique().height
-                    )
-                    if ndup:
-                        issues.append(f"{ndup} duplicate key row(s)")
-                    if not tbl.select(key_cols).equals(sorted_tbl.select(key_cols)):
-                        issues.append("rows not stored in sorted key order")
-            elif len(have_keys) != len(key_cols):
+            if len(have_keys) != len(key_cols):
                 issues.append("key column(s) missing from stored schema")
+            elif len(tbl) > 1 and policy != "history":
+                import polars as pl
+
+                # lww stores ONE row per key (live or tombstone); additive
+                # stores one per (key, op) — a key may hold both a
+                # tombstone and its op='agg' row; history keeps every
+                # version and skips the check entirely
+                uniq_cols = list(key_cols)
+                if policy == "additive" and spec.op_col in tbl.column_names:
+                    uniq_cols.append(spec.op_col)
+                ndup = len(tbl) - (
+                    pl.from_arrow(tbl.select(uniq_cols)).unique().height
+                )
+                if ndup:
+                    issues.append(
+                        f"{ndup} duplicate row(s) on ({', '.join(uniq_cols)})"
+                    )
+                sorted_keys = tbl.select(key_cols).sort_by(
+                    [(k, "ascending") for k in key_cols]
+                )
+                if not tbl.select(key_cols).equals(sorted_keys):
+                    issues.append("rows not stored in sorted key order")
             if "lsn" in tbl.column_names and len(tbl):
                 mx = pc.max(tbl["lsn"]).as_py()
                 if mx is not None and mx > int(ckpt["max_lsn"]):

@@ -23,7 +23,7 @@ training:
   is the CDC-native source of edit/preference training examples
   (regenerated assistant turns, human corrections).
 
-All three follow this repo's segmented-kernel contract (CLAUDE.md): ONE
+All four follow this repo's segmented-kernel contract (CLAUDE.md): ONE
 group-bucketed exchange (``num_partitions`` UDF calls, never one per
 conversation — :func:`raycdc.partition.bucket_keys`), then a single
 vectorized sort + segment-boundary pass inside each bucket; no Python row
@@ -192,6 +192,10 @@ def edit_pairs(
             "events co-locate in one bucket"
         )
     tag = _tag_bucket(group_col, num_partitions)
+    # only these five columns ride the exchange — role/tool/etc. stay home
+    ds = ds.select_columns(
+        list(dict.fromkeys([*key_cols, ts_col, lsn_col, op_col, text_col]))
+    )
     sort_keys = [(k, "ascending") for k in key_cols] + [
         (ts_col, "ascending"),
         (lsn_col, "ascending"),

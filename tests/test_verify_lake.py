@@ -137,3 +137,71 @@ def test_verify_cli_exit_codes(ray_session, tmp_path, capsys):
     assert main(["verify", "--lake", lake, "--partitions", "4"]) == 3
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["corrupt"] and out["corrupt"][0]["part"] == 1
+
+
+def test_verify_additive_lake_audits_green(ray_session, tmp_path):
+    """Additive lakes legitimately store BOTH a tombstone and an op='agg'
+    row for a key (delete followed by newer contributions) — the
+    uniqueness check must be per (key, op), never flag policy-valid state."""
+    import datetime as dt
+
+    t = pa.table(
+        {
+            "conv_id": ["u1", "u1", "u1", "u2"],
+            "turn_idx": pa.array([0, 0, 0, 1], pa.int32()),
+            "ts": pa.array(
+                [dt.datetime(2024, 1, 1, 0, 0, s) for s in range(4)],
+                pa.timestamp("us"),
+            ),
+            "op": pa.array(["insert", "delete", "insert", "insert"]),
+            "lsn": pa.array([0, 1, 2, 3], pa.int64()),
+            "cents": pa.array([10, 0, 5, 7], pa.int64()),
+        }
+    )
+    lake = str(tmp_path / "addlake")
+    spec = TableSpec(
+        num_partitions=2, merge_policy="additive", value_cols=("cents",)
+    )
+    replay(ray.data.from_arrow(t), lake, spec)
+    rows = verify_lake(lake, spec).to_pylist()
+    assert all(r["status"] != "corrupt" for r in rows), rows
+    # the u1 partition really does hold two rows for the key
+    assert sum(r["n_rows"] for r in rows) >= 3
+
+
+def test_verify_catches_orphaned_versioned_state(ray_session, tmp_path):
+    """Checkpoint gone while data sits at version>=1: a version-0 probe
+    would miss it; the file census must not."""
+    lake, spec = _make_lake(tmp_path)
+    t = synthetic_changelog(n_events=300, seed=72)
+    t = t.set_column(  # fresh WAL range so the apply advances to version 1
+        t.schema.get_field_index("lsn"), "lsn",
+        pa.compute.add(t["lsn"], 10_000).cast(pa.int64()),
+    )
+    replay(ray.data.from_arrow(t), lake, spec)
+    ck = read_all_checkpoints(lake)
+    part = next(p for p, c in ck.items() if c["version"] >= 1)
+    v0 = part_file(lake, part, 0)
+    if os.path.exists(v0):
+        os.remove(v0)  # simulate vacuum of the old version
+    os.remove(os.path.join(lake, "_ckpt", f"part-{part:05d}.json"))
+    bad = [r for r in verify_lake(lake, spec).to_pylist() if r["part"] == part][0]
+    assert bad["status"] == "corrupt"
+    assert "no checkpoint but data file version(s)" in bad["issues"]
+
+
+def test_verify_pending_install_ok_stray_future_corrupt(ray_session, tmp_path):
+    """A file at checkpoint+1 is the documented crash-consistent pending
+    install (never corrupt); files beyond that are unaccounted state."""
+    import shutil
+
+    lake, spec = _make_lake(tmp_path)
+    cur = _current_path(lake, 0)
+    ver = read_all_checkpoints(lake)[0]["version"]
+    shutil.copy(cur, part_file(lake, 0, ver + 1))  # pending install
+    rows = {r["part"]: r for r in verify_lake(lake, spec).to_pylist()}
+    assert rows[0]["status"] == "ok", rows[0]
+    shutil.copy(cur, part_file(lake, 0, ver + 5))  # unaccounted
+    rows = {r["part"]: r for r in verify_lake(lake, spec).to_pylist()}
+    assert rows[0]["status"] == "corrupt"
+    assert "unaccounted state" in rows[0]["issues"]
