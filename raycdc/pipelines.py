@@ -5323,4 +5323,7 @@ def bench_extras() -> dict[str, Callable[[str], Any]]:
         # transcript-level near-dedup (CDC state → assembly → full chain)
         "conv_near_dedup": lambda sf: q_conv_near_dedup(sf).count(),
         "merge_turns": lambda sf: q_merge_turns(sf).count(),
+        # WAL mining + sketch membership (round-3 additions)
+        "edit_pairs": lambda sf: q_edit_pairs(sf).count(),
+        "sketch_membership": lambda sf: q_sketch_membership(sf).count(),
     }
