@@ -105,6 +105,17 @@ def main(argv: list[str] | None = None) -> int:
     p_verify.add_argument("--lake", required=True)
     p_verify.add_argument("--partitions", type=int, default=64)
 
+    p_repair = sub.add_parser(
+        "repair",
+        help="reset corrupt partitions (from `verify`) so a full-WAL "
+        "replay or re-bootstrap rebuilds them exactly-once",
+    )
+    p_repair.add_argument("--lake", required=True)
+    p_repair.add_argument(
+        "--part", action="append", type=int, required=True,
+        help="partition id to reset (repeatable)",
+    )
+
     p_show = sub.add_parser("show", help="print lake state summary")
     p_show.add_argument("--lake", required=True)
     p_show.add_argument("--partitions", type=int, default=64)
@@ -522,6 +533,19 @@ def main(argv: list[str] | None = None) -> int:
         )
         if bad:
             return 3
+    elif args.cmd == "repair":
+        from raycdc.engine import repair_partition
+
+        reset = repair_partition(args.lake, args.part)
+        print(
+            json.dumps(
+                {
+                    "reset": reset,
+                    "next": "replay the full retained WAL (or re-bootstrap) "
+                    "to rebuild the reset partitions",
+                }
+            )
+        )
     elif args.cmd == "show":
         spec = _lake_spec(args.lake, args.partitions)
         ds = read_lake(args.lake, spec, as_of=args.as_of)

@@ -1412,6 +1412,42 @@ def verify_lake(lake_dir: str, spec: TableSpec | None = None) -> pa.Table:
     return parts_tbl.sort_by([("part", "ascending")])
 
 
+def repair_partition(lake_dir: str, parts: Sequence[int]) -> list[int]:
+    """Reset corrupt partitions flagged by :func:`verify_lake` so a replay
+    of the full retained WAL (or a re-bootstrap) rebuilds them from
+    scratch: removes the partition's data files AND its checkpoint, making
+    it indistinguishable from never-written — the per-partition lsn filter
+    then re-applies every event that hashes there while every healthy
+    partition no-ops (exactly the crash-resume path, scoped to the reset
+    partitions).
+
+    The repair unit is the partition because the partition is the
+    exactly-once unit: state, versions, and the checkpoint floor all live
+    per partition, so surgically resetting one cannot disturb another.
+    Time travel to snapshots predating the repair is lost for the reset
+    partitions (their versioned files are removed — reads via
+    ``read_lake(as_of=...)`` fail loudly, same contract as
+    :func:`raycdc.sink.vacuum`).  Returns the partitions actually reset."""
+    from raycdc.storage import get_storage
+
+    st = get_storage(lake_dir)
+    reset: list[int] = []
+    for part in parts:
+        part = int(part)
+        touched = False
+        pdir = S.part_dir(lake_dir, part)
+        if st.exists(pdir):
+            st.remove_tree(pdir)
+            touched = True
+        ck = S.ckpt_file(lake_dir, part)
+        if st.exists(ck):
+            st.remove(ck)
+            touched = True
+        if touched:
+            reset.append(part)
+    return reset
+
+
 def read_lake(
     lake_dir: str,
     spec: TableSpec | None = None,
