@@ -1230,7 +1230,10 @@ def verify_lake(lake_dir: str, spec: TableSpec | None = None) -> pa.Table:
     - uniqueness per policy: ``lww`` stores one row per key;
       ``additive`` one per (key, op) — a key legitimately holds both a
       tombstone and an ``op='agg'`` row; ``history`` holds many versions
-      per key and skips the check.  Both non-history policies also store
+      per key, so it is checked against the SCD2 interval algebra
+      instead: non-overlapping ``[valid_from, valid_to)`` intervals, an
+      open interval only as a key's last version, at most one
+      ``is_current`` row per key (zero when a delete closed it out).  Both non-history policies also store
       rows in sorted key order (the deterministic-materialization
       invariant);
     - version-aware file census: data files at versions ≤ the checkpoint
@@ -1381,6 +1384,67 @@ def verify_lake(lake_dir: str, spec: TableSpec | None = None) -> pa.Table:
                 )
                 if not tbl.select(key_cols).equals(sorted_keys):
                     issues.append("rows not stored in sorted key order")
+            elif (
+                len(tbl) > 1
+                and policy == "history"
+                and {"valid_from", "valid_to"} <= set(tbl.column_names)
+            ):
+                # SCD2 interval algebra: per key the version intervals are
+                # non-overlapping, an OPEN interval (null valid_to) can
+                # only be the key's last version, and exactly one row per
+                # key carries is_current
+                h = tbl.sort_by(
+                    [(k, "ascending") for k in key_cols]
+                    + [("valid_from", "ascending")]
+                )
+                nh = len(h)
+                same_next = np.ones(nh - 1, dtype=bool)
+                for k in key_cols:
+                    col = h[k].combine_chunks()
+                    a, b = col.slice(1), col.slice(0, nh - 1)
+                    same_next &= pc.or_(
+                        pc.fill_null(pc.equal(a, b), False),
+                        pc.and_(pc.is_null(a), pc.is_null(b)),
+                    ).to_numpy(zero_copy_only=False)
+                vf = (
+                    h["valid_from"].combine_chunks()
+                    .cast(pa.timestamp("us")).cast(pa.int64())
+                    .to_numpy(zero_copy_only=False)
+                )
+                vtc = h["valid_to"].combine_chunks()
+                vtv = vtc.is_valid().to_numpy(zero_copy_only=False)
+                vt = (
+                    pc.fill_null(
+                        vtc.cast(pa.timestamp("us")).cast(pa.int64()), 0
+                    ).to_numpy(zero_copy_only=False)
+                )
+                open_mid = int((same_next & ~vtv[:-1]).sum())
+                if open_mid:
+                    issues.append(
+                        f"{open_mid} open interval(s) with a later version"
+                    )
+                overlap = int(
+                    (same_next & vtv[:-1] & (vt[:-1] > vf[1:])).sum()
+                )
+                if overlap:
+                    issues.append(
+                        f"{overlap} overlapping validity interval(s)"
+                    )
+                if "is_current" in h.column_names:
+                    cur = (
+                        h["is_current"].combine_chunks().cast(pa.int64())
+                        .to_numpy(zero_copy_only=False)
+                    )
+                    starts = np.concatenate(
+                        ([0], np.where(~same_next)[0] + 1)
+                    )
+                    # at most one current row per key — ZERO is legitimate
+                    # (a delete closed the key's history; nothing is current)
+                    badcur = int((np.add.reduceat(cur, starts) > 1).sum())
+                    if badcur:
+                        issues.append(
+                            f"{badcur} key(s) with multiple is_current rows"
+                        )
             if "lsn" in tbl.column_names and len(tbl):
                 mx = pc.max(tbl["lsn"]).as_py()
                 if mx is not None and mx > int(ckpt["max_lsn"]):

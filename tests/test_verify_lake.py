@@ -250,3 +250,76 @@ def test_repair_cli(ray_session, tmp_path, capsys):
     assert out["reset"] == [2]
     # empty after reset; not corrupt
     assert main(["verify", "--lake", lake, "--partitions", "4"]) == 0
+
+
+def test_verify_history_lake_interval_invariants(ray_session, tmp_path):
+    """A clean history lake audits green; tampered SCD2 interval algebra
+    (overlap, mid-chain open interval, broken is_current) is caught."""
+    log = synthetic_changelog(n_events=500, seed=73, p_delete=0.15).sort_by(
+        [("ts", "ascending"), ("lsn", "ascending")]
+    )
+    lake = str(tmp_path / "hist")
+    spec = TableSpec(num_partitions=4, merge_policy="history")
+    replay(ray.data.from_arrow(log), lake, spec)
+    rows = verify_lake(lake, spec).to_pylist()
+    assert all(r["status"] != "corrupt" for r in rows), rows
+
+    # find a partition holding a key with >= 2 versions and tamper it
+    import collections
+
+    for part in range(4):
+        path = _current_path(lake, part)
+        t = pq.read_table(path)
+        counts = collections.Counter(
+            zip(t["conv_id"].to_pylist(), t["turn_idx"].to_pylist())
+        )
+        multi = [k for k, c in counts.items() if c >= 2]
+        if multi:
+            break
+    assert multi, "fixture must produce a multi-version key"
+    conv, turn = multi[0]
+    keymask = [
+        c == conv and x == turn
+        for c, x in zip(t["conv_id"].to_pylist(), t["turn_idx"].to_pylist())
+    ]
+    first = keymask.index(True)
+    # open the key's FIRST version while later versions exist
+    vt = t["valid_to"].to_pylist()
+    vt[first] = None
+    bad = t.set_column(
+        t.schema.get_field_index("valid_to"), "valid_to",
+        pa.array(vt, t.schema.field("valid_to").type),
+    )
+    pq.write_table(bad, path)
+    rep = [r for r in verify_lake(lake, spec).to_pylist() if r["part"] == part][0]
+    assert rep["status"] == "corrupt"
+    assert "open interval(s) with a later version" in rep["issues"]
+
+    # restore, then make the first interval overlap its successor
+    ts_of = t["valid_from"].to_pylist()
+    later = [i for i, m in enumerate(keymask) if m and i != first]
+    vt2 = t["valid_to"].to_pylist()
+    import datetime as dt
+
+    vt2[first] = max(ts_of[i] for i in later) + dt.timedelta(seconds=1)
+    bad2 = t.set_column(
+        t.schema.get_field_index("valid_to"), "valid_to",
+        pa.array(vt2, t.schema.field("valid_to").type),
+    )
+    pq.write_table(bad2, path)
+    rep2 = [r for r in verify_lake(lake, spec).to_pylist() if r["part"] == part][0]
+    assert rep2["status"] == "corrupt"
+    assert "overlapping validity interval(s)" in rep2["issues"]
+
+    # restore, then double-mark is_current on the key
+    cur = t["is_current"].to_pylist()
+    for i in (first, later[0]):
+        cur[i] = 1
+    bad3 = t.set_column(
+        t.schema.get_field_index("is_current"), "is_current",
+        pa.array(cur, t.schema.field("is_current").type),
+    )
+    pq.write_table(bad3, path)
+    rep3 = [r for r in verify_lake(lake, spec).to_pylist() if r["part"] == part][0]
+    assert rep3["status"] == "corrupt"
+    assert "multiple is_current" in rep3["issues"]
