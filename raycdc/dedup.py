@@ -338,12 +338,44 @@ def _index_spec(num_partitions: int):
     )
 
 
+def _require_batch_lsn(batch_lsn, *lakes: str) -> int:
+    """Validate an incremental-dedup batch position against the persisted
+    index.  ``None`` (no position) and a position BEHIND the index are
+    both caller bugs with SILENT consequences if allowed through: the
+    index replay would be checkpoint-pruned (the index stops growing) and
+    the lsn-based retry exclusion would mis-classify the batch — later
+    batches then keep documents they should have dropped.  Reusing the
+    CURRENT position stays legal: that is the documented crash-retry
+    recovery path (same batch, same lsn)."""
+    from raycdc import sink as _S
+
+    if batch_lsn is None:
+        raise ValueError(
+            "batch_lsn is required: pass a strictly increasing WAL-style "
+            "position per batch (reuse a position ONLY to retry that same "
+            "batch after a crash)"
+        )
+    batch_lsn = int(batch_lsn)
+    floor = -1
+    for lake in lakes:
+        if _S.read_spec_meta(lake) is not None:
+            for c in _S.read_all_checkpoints(lake).values():
+                floor = max(floor, int(c.get("max_lsn", -1)))
+    if batch_lsn < floor:
+        raise ValueError(
+            f"batch_lsn={batch_lsn} is behind the index position {floor}: "
+            "the index update would be checkpoint-pruned and later batches "
+            "would silently skip dedup against this one — use a larger lsn"
+        )
+    return batch_lsn
+
+
 def incremental_dedup(
     ds: "ray.data.Dataset",
     index_lake: str,
     text_col: str = "text",
     id_col: str = "doc_id",
-    batch_lsn: int = 0,
+    batch_lsn: int | None = None,
     num_partitions: int = 16,
     out_parquet: str | None = None,
     broadcast_max_ids: int = 5_000_000,
@@ -392,6 +424,8 @@ def incremental_dedup(
 
     from raycdc import sink as _S
     from raycdc.engine import lookup_join_lake, replay
+
+    batch_lsn = _require_batch_lsn(batch_lsn, index_lake)
 
     def with_hashes(t: pa.Table) -> pa.Table:
         h1 = hash_strings(t[text_col])
@@ -585,7 +619,7 @@ def incremental_near_dedup(
     index_lake: str,
     text_col: str = "text",
     id_col: str = "doc_id",
-    batch_lsn: int = 0,
+    batch_lsn: int | None = None,
     threshold: float = 0.8,
     num_perm: int = 128,
     bands: int = 32,
@@ -651,6 +685,7 @@ def incremental_near_dedup(
 
     root = index_lake.rstrip("/")
     bands_lake, sigs_lake = f"{root}/bands", f"{root}/sigs"
+    batch_lsn = _require_batch_lsn(batch_lsn, bands_lake, sigs_lake)
     sig_width = num_perm * 8
 
     def to_sigs(t: pa.Table) -> pa.Table:
@@ -820,6 +855,11 @@ def incremental_near_dedup(
             .groupby("__bk", num_partitions=num_partitions)
             .map_groups(estimate, batch_format="pyarrow")
         )
+        # consumed twice below (component graph + contaminated-component
+        # resolve): materialize ONCE — Ray re-executes common
+        # subexpressions, and this one costs two lake lookups and two
+        # exchanges per run (edge rows are ∝ duplicates, tiny to hold)
+        match_edges = match_edges.materialize()
 
     edges = edges_in if match_edges is None else edges_in.union(match_edges)
     comps = connected_components(edges, num_partitions=num_partitions)
@@ -831,7 +871,7 @@ def incremental_near_dedup(
     # driver holds only refs.
     comp_refs = comps.materialize().to_arrow_refs()
     old_refs = (
-        match_edges.materialize().to_arrow_refs()
+        match_edges.to_arrow_refs()  # materialized above
         if match_edges is not None
         else []
     )
@@ -964,6 +1004,14 @@ def lsh_band_rows(
     sig_col = sig_batch["sig"].combine_chunks()
     n = len(sig_batch)
     num_perm = sig_col.type.list_size
+    if bands < 1 or bands > num_perm or num_perm % bands:
+        # bands > num_perm would give r=0 (a CONSTANT band key for every
+        # doc — all-pairs blowup); a non-divisor silently ignores the
+        # trailing permutations and loosens the banding S-curve
+        raise ValueError(
+            f"bands={bands} must divide num_perm={num_perm} "
+            f"(and be in [1, {num_perm}])"
+        )
     rows = sig_col.flatten().to_numpy(zero_copy_only=False).view(np.uint64).reshape(n, num_perm)
     r = num_perm // bands
     ids = sig_batch[id_col].to_numpy(zero_copy_only=False)
@@ -1940,7 +1988,12 @@ def simhash_signatures(
     id_col: str = "doc_id",
     shingle_k: int = 2,
 ) -> pa.Table:
-    """64-bit Charikar SimHash over word shingles (vectorized bit-vote)."""
+    """64-bit Charikar SimHash over word shingles (vectorized bit-vote).
+
+    Output carries ``n_sh`` (the doc's shingle count): zero-shingle docs
+    all vote to the SAME all-zero signature, so downstream banding must
+    exclude them (``simhash_candidate_pairs`` does) — otherwise every
+    sub-``shingle_k`` document pairs with every other at hamming 0."""
     sh, off = word_shingle_hashes(batch[text_col], k=shingle_k)
     n = len(batch)
     # bits (total, 64) as ±1 votes, segment-summed per doc
@@ -1960,6 +2013,7 @@ def simhash_signatures(
         {
             id_col: batch[id_col],
             "simhash": pa.array(sig.view(np.int64)),
+            "n_sh": pa.array(np.diff(off).astype(np.int64)),
         }
     )
 
@@ -1978,6 +2032,9 @@ def simhash_candidate_pairs(
     _configure_shuffle()
 
     def chunk_rows(t: pa.Table) -> pa.Table:
+        if "n_sh" in t.column_names:
+            # zero-shingle docs share the all-zero signature — not a match
+            t = t.filter(pc.greater(t["n_sh"], 0))
         s = t["simhash"].to_numpy(zero_copy_only=False).view(np.uint64)
         ids = t[id_col].to_numpy(zero_copy_only=False)
         keys, out_ids = [], []
