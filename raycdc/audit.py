@@ -124,17 +124,9 @@ def event_order_stats(
         )
         if n == 0:
             return out_schema.empty_table()
-        # segment boundary whenever ANY key column changes
-        new_key = np.zeros(n, dtype=bool)
-        new_key[0] = True
-        for k in key_cols:
-            col = g[k].combine_chunks()
-            a, b = col.slice(1), col.slice(0, n - 1)
-            same = pc.or_(
-                pc.fill_null(pc.equal(a, b), False),
-                pc.and_(pc.is_null(a), pc.is_null(b)),
-            ).to_numpy(zero_copy_only=False)
-            new_key[1:] |= ~same
+        from raycdc.relational import _key_boundaries
+
+        new_key = _key_boundaries(g, key_cols)
         ts = (
             g[ts_col]
             .combine_chunks()

@@ -120,6 +120,32 @@ def _filter_sorted_losers(t: pa.Table, id_col: str, lid: "np.ndarray") -> pa.Tab
     return t.filter(pa.array(~is_loser))
 
 
+def _range_chunked_refs(ds: "ray.data.Dataset", col: str):
+    """Park a (small, ∝ duplicates) Dataset in the object store as
+    disjoint ``col``-range chunks: sort, take block refs, and compute each
+    chunk's [lo, hi] in a remote task so the driver holds only (ref, lo,
+    hi) triples.  Filter tasks then fetch (zero-copy) just the chunks
+    overlapping their batch's range — the shared delivery layer of
+    :func:`filter_out_ids` and :func:`cut_dup_spans`."""
+    chunk_refs = ds.sort(col).to_arrow_refs()
+
+    @ray.remote
+    def _chunk_bounds(t: pa.Table):
+        # map_groups stages emit schemaless empty bundles on no-row
+        # partitions — treat them like empty chunks
+        if t.num_columns == 0 or len(t) == 0:
+            return None
+        ids = t[col].to_numpy(zero_copy_only=False)
+        return int(ids[0]), int(ids[-1])
+
+    bounds = ray.get([_chunk_bounds.remote(r) for r in chunk_refs])
+    keep = [(r, b) for r, b in zip(chunk_refs, bounds) if b is not None]
+    refs = [r for r, _ in keep]
+    lo = np.array([b[0] for _, b in keep], np.int64)
+    hi = np.array([b[1] for _, b in keep], np.int64)
+    return refs, lo, hi
+
+
 def filter_out_ids(
     ds: "ray.data.Dataset",
     drop_ids: "ray.data.Dataset",
@@ -157,20 +183,7 @@ def filter_out_ids(
     # no-broadcast path: sort the loser ids into disjoint-range chunks
     # held as object-store refs; the driver keeps only (ref, lo, hi)
     # per chunk and each filter task pulls just the overlapping chunks
-    chunk_refs = drop_mat.sort(id_col).to_arrow_refs()
-
-    @ray.remote
-    def _chunk_bounds(t: pa.Table):
-        if len(t) == 0:
-            return None
-        ids = t[id_col].to_numpy(zero_copy_only=False)
-        return int(ids[0]), int(ids[-1])
-
-    bounds = ray.get([_chunk_bounds.remote(r) for r in chunk_refs])
-    keep = [(r, b) for r, b in zip(chunk_refs, bounds) if b is not None]
-    refs = [r for r, _ in keep]
-    lo = np.array([b[0] for _, b in keep], np.int64)
-    hi = np.array([b[1] for _, b in keep], np.int64)
+    refs, lo, hi = _range_chunked_refs(drop_mat, id_col)
 
     def drop_losers_chunked(t: pa.Table) -> pa.Table:
         if not refs or len(t) == 0:
@@ -1899,20 +1912,7 @@ def cut_dup_spans(
     )
     # doc-id-range chunks in the object store (filter_out_ids delivery):
     # tasks probe only overlapping chunks; the driver keeps (ref, lo, hi)
-    chunk_refs = runs.sort("doc_id").to_arrow_refs()
-
-    @ray.remote
-    def _chunk_bounds(t: pa.Table):
-        if t.num_columns == 0 or len(t) == 0:
-            return None
-        ids = t["doc_id"].to_numpy(zero_copy_only=False)
-        return int(ids[0]), int(ids[-1])
-
-    bounds = ray.get([_chunk_bounds.remote(r) for r in chunk_refs])
-    keep = [(r, b) for r, b in zip(chunk_refs, bounds) if b is not None]
-    refs = [r for r, _ in keep]
-    lo = np.array([b[0] for _, b in keep], np.int64)
-    hi = np.array([b[1] for _, b in keep], np.int64)
+    refs, lo, hi = _range_chunked_refs(runs, "doc_id")
 
     out_schema = pa.schema(
         [

@@ -122,6 +122,29 @@ def _tag_bucket(key_col: str, num_partitions: int):
     return tag
 
 
+def _key_boundaries(g: pa.Table, cols) -> np.ndarray:
+    """Boolean mask over a table SORTED by ``cols``: True where row i
+    starts a new key run (ANY key column changes).  Null-aware — nulls
+    group together, matching SQL PARTITION BY — and Arrow-native, so
+    int64 keys beyond 2^53 compare exactly (a numpy float round-trip
+    would NaN-ify nulls and lose precision).  Shared by the lag-style
+    kernels (``trajectory.edit_pairs``, ``audit.event_order_stats``)."""
+    n = len(g)
+    new_key = np.zeros(n, dtype=bool)
+    if n == 0:
+        return new_key
+    new_key[0] = True
+    for k in cols:
+        col = g[k].combine_chunks()
+        a, b = col.slice(1), col.slice(0, n - 1)
+        same = pc.or_(
+            pc.fill_null(pc.equal(a, b), False),
+            pc.and_(pc.is_null(a), pc.is_null(b)),
+        ).to_numpy(zero_copy_only=False)
+        new_key[1:] |= ~same
+    return new_key
+
+
 def sessionize(
     ds: "ray.data.Dataset",
     entity_col: str = "user_id",

@@ -215,17 +215,9 @@ def edit_pairs(
         )
         if n < 2:
             return out_schema.empty_table()
-        # boundary whenever ANY key column changes (null-aware, Arrow-native)
-        new_key = np.zeros(n, dtype=bool)
-        new_key[0] = True
-        for k in key_cols:
-            col = g[k].combine_chunks()
-            a, b = col.slice(1), col.slice(0, n - 1)
-            same = pc.or_(
-                pc.fill_null(pc.equal(a, b), False),
-                pc.and_(pc.is_null(a), pc.is_null(b)),
-            ).to_numpy(zero_copy_only=False)
-            new_key[1:] |= ~same
+        from raycdc.relational import _key_boundaries
+
+        new_key = _key_boundaries(g, key_cols)
         op = g[op_col].combine_chunks()
         is_update = pc.equal(op, "update").to_numpy(zero_copy_only=False)
         prev_is_delete = np.zeros(n, dtype=bool)
