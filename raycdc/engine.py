@@ -1013,20 +1013,31 @@ def lookup(
     The lake layout is a pure function of ``hash(partition_key)`` — the
     hash routing IS the index, so a conversation lookup reads exactly one
     partition file regardless of lake size (at 10^10 rows: one file of
-    ~rows/P).  Tombstones are filtered; rows come back in the stored
-    (sorted) order."""
+    ~rows/P).  Tombstones are filtered (a null op is a LIVE row — the
+    schema-evolution padding contract ``read_lake`` documents); rows come
+    back in the stored (sorted) order.
+
+    Layout comes from the lake's persisted spec metadata when present
+    (same as :func:`compact` / :func:`verify_lake`): a stale caller
+    ``num_partitions`` would hash to the wrong partition and silently
+    return "not found" for a key that exists."""
     spec = spec or TableSpec()
-    part = int(
-        hash_part(key_value, spec.num_partitions)
-    )
+    meta = S.read_spec_meta(lake_dir)
+    nparts = int((meta or {}).get("num_partitions", spec.num_partitions))
+    part_key = (meta or {}).get("partition_key", spec.partition_key)
+    part = int(hash_part(key_value, nparts))
     t = S.read_partition(lake_dir, part)
     if t is None:
         return spec.changelog_schema().empty_table()
-    mask = pc.equal(t[spec.partition_key], key_value)
+    mask = pc.equal(t[part_key], key_value)
     if turn_idx is not None:
         mask = pc.and_(mask, pc.equal(t[spec.key_cols[-1]], turn_idx))
     t = t.filter(mask)
-    return t.filter(pc.not_equal(t[spec.op_col], M.DELETE))
+    if spec.op_col not in t.column_names:
+        return t  # op-less lake (e.g. a join view): every row is live
+    return t.filter(
+        pc.not_equal(pc.fill_null(t[spec.op_col], ""), M.DELETE)
+    )
 
 
 def hash_part(key_value: str, num_partitions: int) -> int:
@@ -2391,6 +2402,17 @@ def maintain_rollup(
     from_snap, to_snap, st, pos_path = _claim_feed_snapshot(
         src_lake, rollup_lake, "maintain_rollup"
     )
+
+    # steady-state guard: identical per-partition version maps mean the
+    # feed is empty by construction (change_feed diffs only
+    # version-advanced partitions) — advance the position for the cost of
+    # two snapshot manifests instead of fanning out one noop merge task
+    # per rollup partition on every idle refresh
+    if from_snap is not None and S.read_snapshot(
+        src_lake, from_snap
+    ) == S.read_snapshot(src_lake, to_snap):
+        write_json_atomic(st, pos_path, {"snapshot": to_snap})
+        return S.LINEAGE_SCHEMA.empty_table()
 
     feed = change_feed(src_lake, from_snap, to_snap, spec, include_old=True)
     group_cols = tuple(group_cols)

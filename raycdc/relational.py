@@ -183,12 +183,13 @@ def sessionize(
             .cast(pa.int64())
             .to_numpy(zero_copy_only=False)
         )
-        ent_np = g[entity_col].to_numpy(zero_copy_only=False)
         n = len(g)
         if n == 0:
             return g.append_column("session_idx", pa.array([], pa.int64()))
-        new_entity = np.ones(n, dtype=bool)
-        new_entity[1:] = ent_np[1:] != ent_np[:-1]
+        # Arrow-native boundary compare: null entities group together
+        # (SQL PARTITION BY) and int64 ids beyond 2^53 stay exact — the
+        # raw numpy round-trip would float-ify on any null
+        new_entity = _key_boundaries(g, [entity_col])
         gap = np.zeros(n, dtype=bool)
         gap[1:] = (ts[1:] - ts[:-1]) > gap_us
         new_session = new_entity | gap
@@ -239,25 +240,30 @@ def sequence_integrity(
     def per_bucket(g: pa.Table) -> pa.Table:
         g = g.drop_columns(["__bucket"])
         n = len(g)
-        empty = pa.table(
-            {
-                group_col: pa.array([], pa.large_string()),
-                "n_rows": pa.array([], pa.int64()),
-                "min_idx": pa.array([], pa.int64()),
-                "max_idx": pa.array([], pa.int64()),
-                "n_dup_idx": pa.array([], pa.int64()),
-                "n_gaps": pa.array([], pa.int64()),
-                "n_adjacent_repeats": pa.array([], pa.int64()),
-            }
+        grp_type = g.schema.field(group_col).type
+        out_schema = pa.schema(
+            [pa.field(group_col, grp_type)]
+            + [
+                pa.field(c, pa.int64())
+                for c in (
+                    "n_rows", "min_idx", "max_idx",
+                    "n_dup_idx", "n_gaps", "n_adjacent_repeats",
+                )
+            ]
         )
         if n == 0:
-            return empty
+            return out_schema.empty_table()
+        if g[order_col].null_count:
+            # a null order key is itself corrupt input, and letting it
+            # through would NaN-poison the diffs and UNDERCOUNT — the one
+            # thing a QA gate must never do
+            raise ValueError(
+                f"sequence_integrity: {g[order_col].null_count} null "
+                f"{order_col!r} value(s) — the order key must be non-null"
+            )
         g = g.sort_by([(group_col, "ascending"), (order_col, "ascending")])
-        grp = g[group_col].to_numpy(zero_copy_only=False)
         idx = g[order_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
-        val = g[value_col].to_numpy(zero_copy_only=False)
-        first = np.ones(n, dtype=bool)
-        first[1:] = grp[1:] != grp[:-1]
+        first = _key_boundaries(g, [group_col])
         seg = np.cumsum(first) - 1
         n_groups = int(first.sum())
         n_rows = np.bincount(seg, minlength=n_groups)
@@ -267,12 +273,19 @@ def sequence_integrity(
         d_idx[1:] = idx[1:] - idx[:-1]
         dup_idx = within & (d_idx == 0)
         gaps = within & (d_idx > 1)
-        rep = within & (val == np.roll(val, 1)) & (d_idx != 0)
+        # SQL lag semantics: NULL = NULL is not a repeat
+        same_val = np.zeros(n, dtype=bool)
+        if n > 1:
+            vcol = g[value_col].combine_chunks()
+            same_val[1:] = pc.fill_null(
+                pc.equal(vcol.slice(1), vcol.slice(0, n - 1)), False
+            ).to_numpy(zero_copy_only=False)
+        rep = within & same_val & (d_idx != 0)
         starts = np.flatnonzero(first)
         ends = np.append(starts[1:], n) - 1
         return pa.table(
             {
-                group_col: pa.array(grp[starts]).cast(pa.large_string()),
+                group_col: g[group_col].combine_chunks().take(pa.array(starts)),
                 "n_rows": pa.array(n_rows.astype(np.int64)),
                 "min_idx": pa.array(idx[starts]),
                 "max_idx": pa.array(idx[ends]),
@@ -285,18 +298,14 @@ def sequence_integrity(
                 "n_adjacent_repeats": pa.array(
                     np.bincount(seg[rep], minlength=n_groups).astype(np.int64)
                 ),
-            }
+            },
+            schema=out_schema,
         )
-
-    def cast_back(t: pa.Table) -> pa.Table:
-        i = t.schema.get_field_index(group_col)
-        return t.set_column(i, group_col, t[group_col].cast(pa.string()))
 
     return (
         ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("__bucket", num_partitions=num_partitions)
         .map_groups(per_bucket, batch_format="pyarrow")
-        .map_batches(cast_back, batch_format="pyarrow", zero_copy_batch=True)
     )
 
 
@@ -528,23 +537,38 @@ def asof_join(
     )
 
     def match(g: pa.Table) -> pa.Table:
+        from raycdc.partition import key_codes
+
+        # a right row with a null ts can never match (SQL ASOF: l.ts >=
+        # NULL is never true) — drop it before any array work so the
+        # int64 ts path below stays NaN-free
+        ts_null0 = (
+            g[ts_col].combine_chunks().is_null().to_numpy(zero_copy_only=False)
+        )
+        side0 = g["__side"].to_numpy(zero_copy_only=False)
+        bad_right = (side0 == 0) & ts_null0
+        if bad_right.any():
+            g = g.filter(pa.array(~bad_right))
         n = len(g)
         if n == 0:
             return out_schema.empty_table()
         side = g["__side"].to_numpy(zero_copy_only=False)
+        ts_col_arr = g[ts_col].cast(pa.timestamp("us")).cast(pa.int64())
+        ts_is_null = (
+            ts_col_arr.combine_chunks().is_null().to_numpy(zero_copy_only=False)
+        )
+        # null left ts sorts first as int64-min and is force-unmatched
+        # below (a NaN float round-trip would sort LAST and grab the
+        # key's latest right row instead)
         ts = (
-            g[ts_col]
-            .cast(pa.timestamp("us"))
-            .cast(pa.int64())
+            pc.fill_null(ts_col_arr, np.iinfo(np.int64).min)
             .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
         )
         # dense key codes (groups can hold several entities; keys may be
-        # strings) — dictionary_encode gives int32 codes in one pass
-        codes = (
-            g[on].combine_chunks().dictionary_encode().indices.to_numpy(
-                zero_copy_only=False
-            )
-        )
+        # strings): null-safe via key_codes — nulls get -1 and NEVER match
+        # (SQL equality), instead of NaN-float garbage codes
+        codes = key_codes(g[on])
         if right_tiebreak is not None:
             # secondary key under (key, ts, side): among duplicate right
             # rows the greatest tiebreak sorts last, and the forward-fill
@@ -571,7 +595,13 @@ def asof_join(
         filled = np.maximum.accumulate(right_pos)
         is_left = s_side == 1
         lf = filled[is_left]
-        matched = (lf >= 0) & (s_codes[np.maximum(lf, 0)] == s_codes[is_left])
+        s_ts_null = ts_is_null[order]
+        matched = (
+            (lf >= 0)
+            & (s_codes[np.maximum(lf, 0)] == s_codes[is_left])
+            & (s_codes[is_left] >= 0)  # null key never matches
+            & ~s_ts_null[is_left]  # null left ts matches nothing
+        )
         left_orig = order[is_left]  # row ids in g of the left rows
         match_orig = order[np.maximum(lf, 0)]  # row ids in g of matched right
         take_left = pa.array(left_orig)
@@ -862,18 +892,27 @@ def sample_to_quota(
     parts = ds.map_batches(
         cnt_partial, batch_format="pyarrow", zero_copy_batch=True
     ).to_pandas()
-    counts = parts.groupby(strata_col)["c"].sum().to_dict()
-    thresholds = {
-        s: min(10_000, (10_000 * int(quota)) // int(c))
-        for s, c in counts.items()
-        if c > 0
-    }
+    # dropna=False: a null stratum is a stratum (SQL GROUP BY semantics) —
+    # the default would silently DELETE every null-stratum row downstream
+    counts = parts.groupby(strata_col, dropna=False)["c"].sum().to_dict()
+    thresholds: dict = {}
+    null_threshold = 0
+    for s, c in counts.items():
+        if c <= 0:
+            continue
+        th = min(10_000, (10_000 * int(quota)) // int(c))
+        if s is None or (isinstance(s, float) and np.isnan(s)):
+            null_threshold = th
+        else:
+            thresholds[s] = th
 
     def keep(t: pa.Table) -> pa.Table:
         b = hash_bucket(t[key_col])
         strata = t[strata_col]
-        cutoff: pa.Array | pa.ChunkedArray = pc.fill_null(
-            pa.nulls(len(t), pa.int64()), 0
+        cutoff: pa.Array | pa.ChunkedArray = pc.if_else(
+            pc.is_null(strata),
+            pa.scalar(null_threshold, pa.int64()),
+            pa.scalar(0, pa.int64()),
         )
         for value, th in thresholds.items():
             cond = pc.fill_null(pc.equal(strata, value), False)
@@ -1358,9 +1397,15 @@ def assemble_group_text(
             "n_chars": pc.utf8_length(joined).cast(pa.int64()),
         }
         if role_col:
+            # null roles count as non-matches — without the fill, the null
+            # propagates through the cast into a float NaN that poisons
+            # every later group's cumsum
             is_role = (
                 pc.cast(
-                    pc.equal(g[role_col].combine_chunks(), role_value),
+                    pc.fill_null(
+                        pc.equal(g[role_col].combine_chunks(), role_value),
+                        False,
+                    ),
                     pa.int64(),
                 )
                 .to_numpy(zero_copy_only=False)
@@ -1740,9 +1785,21 @@ def standardize(
             s1 = np.add.reduceat(np.where(valid, vi, 0), seg_starts).astype(
                 np.float64
             )
-            s2 = np.add.reduceat(
-                np.where(valid, vi * vi, 0), seg_starts
-            ).astype(np.float64)
+            # int64-exact squares only while they provably cannot wrap
+            # (vi*vi silently overflows past |v|≈3e9 and the np.maximum
+            # clamp below would turn the garbage into sd=0, z=null);
+            # larger magnitudes take the float64 path like float inputs
+            max_abs = int(np.abs(vi).max()) if n else 0
+            if max_abs == 0 or max_abs * max_abs <= (2**62) // n:
+                s2 = np.add.reduceat(
+                    np.where(valid, vi * vi, 0), seg_starts
+                ).astype(np.float64)
+            else:
+                # raw float squares would ALSO fail here — var ~ s2/n -
+                # mean² cancels catastrophically when mean² >> var — so
+                # the large-magnitude path computes a CENTERED second
+                # moment below (s2 = None sentinel)
+                s2 = None
             v = vi.astype(np.float64)
         else:
             vf = (
@@ -1758,7 +1815,11 @@ def standardize(
         )
         with np.errstate(divide="ignore", invalid="ignore"):
             mean = s1 / n_valid
-            var = s2 / n_valid - mean * mean
+            if s2 is None:
+                dev = np.where(valid, v - np.repeat(mean, seg_lens), 0.0)
+                var = np.add.reduceat(dev * dev, seg_starts) / n_valid
+            else:
+                var = s2 / n_valid - mean * mean
             sd = np.sqrt(np.maximum(var, 0.0))
             row_mean = np.repeat(mean, seg_lens)
             row_sd = np.repeat(sd, seg_lens)

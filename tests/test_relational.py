@@ -1150,7 +1150,9 @@ def test_sample_to_quota_rates_and_determinism(ray_session):
     """Data-derived quota sampling: over-quota strata sample at the exact
     integer threshold 10000*quota//count, under-quota strata keep every
     row, membership is the pure Knuth-hash function of the key (so two
-    runs agree row-for-row), and null strata drop."""
+    runs agree row-for-row).  A NULL stratum is a stratum (SQL GROUP BY
+    semantics) — it caps at the quota like any other instead of silently
+    vanishing."""
     from raycdc.ops import hash_bucket
     from raycdc.relational import sample_to_quota
 
@@ -1174,9 +1176,9 @@ def test_sample_to_quota_rates_and_determinism(ray_session):
     want = set(
         int(k)
         for k, bk, st in zip(t["k"].to_numpy(), b, s)
-        if (st == "big" and bk < th_big) or st == "small"
+        if (st == "big" and bk < th_big) or st == "small" or st is None
     )
-    assert set(out["k"]) == want          # exact membership, incl. nulls dropped
+    assert set(out["k"]) == want          # exact membership, incl. null stratum
     assert (out["s"] == "small").sum() == n_small  # under quota: all kept
 
     # deterministic: a second run returns the identical row set

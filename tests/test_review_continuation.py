@@ -3,6 +3,8 @@ batch_lsn misuse in the incremental dedup paths must fail fast (silent
 index stagnation otherwise), zero-shingle docs must not SimHash-pair,
 and degenerate LSH band counts must be rejected."""
 
+import os
+
 import numpy as np
 import pyarrow as pa
 import pytest
@@ -96,3 +98,221 @@ def test_lsh_band_rows_rejects_degenerate_bands():
         D.lsh_band_rows(sig, bands=48)
     out = D.lsh_band_rows(sig, bands=32)  # valid divisor unchanged
     assert len(out) == 32
+
+
+# ---------------------------------------------------------------------------
+# engine/relational review fixes
+
+
+def test_assemble_group_text_survives_null_role(ray_session):
+    from raycdc.relational import assemble_group_text
+
+    t = pa.table(
+        {
+            "conv_id": ["a", "a", "b"],
+            "turn_idx": pa.array([0, 1, 0], pa.int32()),
+            "text": ["hi", "there", "solo"],
+            "role": pa.array(["user", None, "user"]),
+        }
+    )
+    out = {
+        r["conv_id"]: r
+        for r in assemble_group_text(
+            ray.data.from_arrow(t), role_col="role", num_partitions=2
+        ).take_all()
+    }
+    assert out["a"]["transcript"] == "hi\nthere"
+    assert out["a"]["n_user"] == 1  # the null role is not a user turn
+    assert out["b"]["n_user"] == 1
+
+
+def test_lookup_uses_persisted_layout_and_keeps_null_op(ray_session, tmp_path):
+    from raycdc.changelog import synthetic_changelog
+    from raycdc.engine import lookup, replay
+    from raycdc.schema import TableSpec
+
+    t = synthetic_changelog(n_events=400, seed=81)
+    lake = str(tmp_path / "lake128")
+    replay(ray.data.from_arrow(t), lake, TableSpec(num_partitions=16))
+    key = t["conv_id"][0].as_py()
+    # caller passes a STALE partition count: the persisted meta must win
+    got = lookup(lake, key, TableSpec(num_partitions=4))
+    assert len(got) > 0
+    assert set(got["conv_id"].to_pylist()) == {key}
+    # a null op (schema-evolution padding) is a LIVE row
+    import pyarrow.parquet as pq
+    from raycdc.engine import hash_part
+    from raycdc.sink import part_file, read_all_checkpoints
+
+    part = hash_part(key, 16)
+    path = part_file(lake, part, read_all_checkpoints(lake)[part]["version"])
+    pt = pq.read_table(path)
+    ops = pt["op"].to_pylist()
+    ops[pt["conv_id"].to_pylist().index(key)] = None
+    pt = pt.set_column(
+        pt.schema.get_field_index("op"), "op", pa.array(ops, pa.string())
+    )
+    pq.write_table(pt, path)
+    got2 = lookup(lake, key, TableSpec(num_partitions=16))
+    assert len(got2) == len(got)  # the nulled-op row did not vanish
+
+
+def test_asof_join_null_ts_and_null_key_never_match(ray_session):
+    from raycdc.relational import asof_join
+
+    left = ray.data.from_arrow(
+        pa.table(
+            {
+                "k": pa.array(["a", "a", None]),
+                "ts": pa.array([10, None, 10], pa.timestamp("us")),
+                "lv": [1, 2, 3],
+            }
+        )
+    )
+    right = ray.data.from_arrow(
+        pa.table(
+            {
+                "k": pa.array(["a", "a", None]),
+                "ts": pa.array([5, None, 5], pa.timestamp("us")),
+                "rv": [100, 200, 300],
+            }
+        )
+    )
+    out = {
+        r["lv"]: r
+        for r in asof_join(
+            left, right, on="k", ts_col="ts", right_cols=("rv",),
+            num_partitions=2, how="left",
+        ).take_all()
+    }
+    assert out[1]["r_rv"] == 100  # real match: ts 10 >= 5
+    assert out[2]["r_rv"] is None  # null left ts matches nothing
+    assert out[3]["r_rv"] is None  # null key matches nothing
+
+
+def test_sessionize_null_and_large_entities(ray_session):
+    from raycdc.relational import sessionize
+
+    big = 2**53
+    t = pa.table(
+        {
+            "user_id": pa.array([big, big + 1, None, None], pa.int64()),
+            "ts": pa.array([0, 0, 0, 10_000_000_000], pa.timestamp("us")),
+        }
+    )
+    rows = sessionize(
+        ray.data.from_arrow(t), gap_seconds=1800, num_partitions=2
+    ).take_all()
+    by_ent = {}
+    for r in rows:
+        by_ent.setdefault(r["user_id"], []).append(r["session_idx"])
+    # 2^53 and 2^53+1 are DISTINCT entities (no float collapse)
+    assert by_ent[big] == [0] and by_ent[big + 1] == [0]
+    # nulls group together (SQL PARTITION BY): second event is a new session
+    assert sorted(by_ent[None]) == [0, 1]
+
+
+def test_sequence_integrity_null_order_fails_fast_and_keeps_type(ray_session):
+    from raycdc.relational import sequence_integrity
+
+    ok = pa.table(
+        {
+            "conv_id": pa.array([7, 7, 8], pa.int64()),
+            "turn_idx": pa.array([0, 2, 0], pa.int32()),
+            "role": pa.array(["user", None, None]),
+        }
+    )
+    out = sequence_integrity(
+        ray.data.from_arrow(ok), num_partitions=2
+    )
+    tbl = out.to_arrow() if hasattr(out, "to_arrow") else out
+    rows = {r["conv_id"]: r for r in out.take_all()}
+    assert isinstance(rows[7]["conv_id"], int)  # int group type preserved
+    assert rows[7]["n_gaps"] == 1
+    assert rows[7]["n_adjacent_repeats"] == 0  # NULL = NULL is not a repeat
+
+    bad = ok.set_column(
+        1, "turn_idx", pa.array([0, None, 0], pa.int32())
+    )
+    with pytest.raises(Exception, match="must be non-null"):
+        sequence_integrity(
+            ray.data.from_arrow(bad), num_partitions=2
+        ).take_all()
+
+
+def test_sample_to_quota_null_stratum_is_a_stratum(ray_session):
+    from raycdc.relational import sample_to_quota
+
+    t = pa.table(
+        {
+            "src": pa.array(["a"] * 50 + [None] * 50),
+            "doc_id": pa.array(range(100), pa.int64()),
+        }
+    )
+    kept = sample_to_quota(
+        ray.data.from_arrow(t), "src", "doc_id", quota=1000
+    ).take_all()
+    # both strata are under quota: EVERY row survives, nulls included
+    assert len(kept) == 100
+
+
+def test_standardize_huge_magnitudes_no_overflow(ray_session):
+    from raycdc.relational import standardize
+
+    v = 10_000_000_000  # v*v wraps int64
+    t = pa.table(
+        {
+            "user_id": ["u"] * 3,
+            "value": pa.array([v, v + 1, v + 2], pa.int64()),
+        }
+    )
+    rows = sorted(
+        standardize(ray.data.from_arrow(t), num_partitions=2).take_all(),
+        key=lambda r: r["value"],
+    )
+    zs = [r["z"] for r in rows]
+    assert all(z is not None for z in zs), zs
+    import math
+
+    sd = math.sqrt(2 / 3)
+    assert abs(zs[0] - (-1 / sd)) < 1e-9 and abs(zs[2] - (1 / sd)) < 1e-9
+
+
+def test_maintain_rollup_steady_state_is_metadata_only(ray_session, tmp_path):
+    import datetime as dt
+
+    from raycdc.changelog import synthetic_changelog
+    from raycdc.engine import maintain_rollup, replay
+    from raycdc.schema import TableSpec
+
+    lake = str(tmp_path / "src")
+    roll = str(tmp_path / "roll")
+    spec = TableSpec(num_partitions=4)
+    replay(
+        ray.data.from_arrow(synthetic_changelog(n_events=300, seed=82)),
+        lake,
+        spec,
+    )
+
+    def derive(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"n": pa.array(np.ones(len(t), dtype=np.int64))}
+        )
+
+    l1 = maintain_rollup(lake, roll, ("conv_id",), ("n",), spec, derive=derive)
+    assert l1.num_rows > 0
+    import glob
+
+    files_before = {
+        p: os.path.getmtime(p)
+        for p in glob.glob(os.path.join(roll, "**", "*"), recursive=True)
+        if os.path.isfile(p) and "_feed_pos" not in p
+    }
+    l2 = maintain_rollup(lake, roll, ("conv_id",), ("n",), spec, derive=derive)
+    assert l2.num_rows == 0  # no change -> empty lineage
+    files_after = {
+        p: os.path.getmtime(p)
+        for p in glob.glob(os.path.join(roll, "**", "*"), recursive=True)
+        if os.path.isfile(p) and "_feed_pos" not in p
+    }
+    assert files_after == files_before  # nothing re-applied, nothing touched
