@@ -49,9 +49,9 @@ def _first_occurrence_mask(table: pa.Table, key_cols: Sequence[str]) -> pa.Array
         # practice; this keeps the mask total)
         neq = pc.fill_null(neq, True)
         changed = neq if changed is None else pc.or_(changed, neq)
-    return pa.concat_arrays(
-        [pa.array([True]), changed.combine_chunks().chunk(0) if isinstance(changed, pa.ChunkedArray) else changed]
-    )
+    # `changed` is always a plain Array here: combine_chunks() upstream
+    # yields Arrays and pc kernels preserve that
+    return pa.concat_arrays([pa.array([True]), changed])
 
 
 def lww_dedup(
@@ -343,8 +343,16 @@ def policy_merge(
     drop_deletes: bool = False,
     late_out: list | None = None,
 ) -> pa.Table:
-    """Dispatch to the configured merge policy (both usable as combiner —
-    tombstones kept — and as the final merge with ``drop_deletes``).
+    """Dispatch to the configured merge policy.
+
+    Combiner safety differs BY POLICY (CLAUDE.md): only ``lww`` may run
+    map-side as a per-batch combiner.  ``additive`` must see every delta
+    row, and ``history`` silently CONSUMES a delete whose predecessor
+    lives in another batch (no row to close → the orphan tombstone
+    vanishes before the shuffle and the other batch's version stays open
+    forever) — the engine keeps the combiner OFF for both
+    (engine.py ``_prep``).  All policies support ``drop_deletes`` for the
+    final merge.
 
     ``late_out`` (history policy only): a mutable list; when given, fresh
     events violating the per-key event-time contract are APPENDED to it as
@@ -535,7 +543,7 @@ def history_extend(
     rows = pa.array(all_src[order2][keep])
     cols = {c: table[c].combine_chunks().take(rows) for c in carry}
     vf = pa.array(ts2[keep], pa.int64()).cast(pa.timestamp("us"))
-    cols[op_col] = pa.array(["insert"] * len(keep), pa.string())
+    cols[op_col] = pa.repeat(pa.scalar("insert", pa.string()), len(keep))
     cols[ts_col] = vf
     cols[valid_from] = vf
     has_next = same_next2[keep]

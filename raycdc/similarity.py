@@ -49,6 +49,52 @@ def _normalize(m: np.ndarray) -> np.ndarray:
     return m / np.where(norms == 0, 1, norms)
 
 
+def _empty_candidates(id_col: str) -> pa.Table:
+    return pa.table(
+        {
+            "q_id": pa.array([], pa.int64()),
+            id_col: pa.array([], pa.int64()),
+            "score": pa.array([], pa.float64()),
+        }
+    )
+
+
+def _topk_candidates(
+    scores: np.ndarray, qids, ids: np.ndarray, k: int, id_col: str
+) -> pa.Table:
+    """Tie-corrected per-query top-k candidates from one (nq, nb) score
+    matrix via a single 2-D argpartition — no per-query Python loop.
+    Every candidate equal to the k-th score is included so the vec_id
+    tie-break happens globally, never at an arbitrary argpartition cutoff.
+    Shared by the brute-force, LSH-bucket, and IVF-list search kernels."""
+    nq, nb = scores.shape
+    if nq == 0 or nb == 0:
+        return _empty_candidates(id_col)
+    kk = min(k, nb)
+    part = np.argpartition(-scores, kk - 1, axis=1)[:, :kk]
+    kth = np.take_along_axis(scores, part, axis=1).min(axis=1)
+    rows, cols = np.nonzero(scores >= kth[:, None])
+    return pa.table(
+        {
+            "q_id": pa.array(np.asarray(qids)[rows]),
+            id_col: pa.array(ids[cols]),
+            "score": pa.array(scores[rows, cols]),
+        }
+    )
+
+
+def _rank_topk(g: pa.Table, k: int, id_col: str, dedup: bool) -> pa.Table:
+    """Final per-query ranking over gathered candidates; ``dedup`` drops
+    the per-probe repeats of one vector (same score) before ranking."""
+    g = g.sort_by([("score", "descending"), (id_col, "ascending")])
+    if dedup:
+        ids = g[id_col].to_numpy(zero_copy_only=False)
+        _, first = np.unique(ids, return_index=True)
+        g = g.take(pa.array(np.sort(first)))
+    g = g.slice(0, k)
+    return g.append_column("rank", pa.array(np.arange(1, len(g) + 1)))
+
+
 def knn_brute_force(
     ds: "ray.data.Dataset",
     queries: np.ndarray,
@@ -70,30 +116,15 @@ def knn_brute_force(
     ref = ray.put((qn, np.asarray(query_ids)))
 
     def partial_topk(t: pa.Table) -> pa.Table:
+        if len(t) == 0:  # empty fragment / post-filter block
+            return _empty_candidates(id_col)
         q, qids = ray.get(ref)
         m = _normalize(_to_matrix(t[vec_col]))
         ids = t[id_col].to_numpy(zero_copy_only=False)
-        scores = q @ m.T  # (nq, nb)
-        kk = min(k, scores.shape[1])
-        # one 2-D argpartition across every query — no per-query Python loop
-        part = np.argpartition(-scores, kk - 1, axis=1)[:, :kk]
-        # tie-correct: include EVERY candidate equal to the k-th score so
-        # the documented vec_id tie-break happens globally, never at an
-        # arbitrary argpartition cutoff
-        kth = np.take_along_axis(scores, part, axis=1).min(axis=1)
-        rows, cols = np.nonzero(scores >= kth[:, None])
-        return pa.table(
-            {
-                "q_id": pa.array(np.asarray(qids)[rows]),
-                id_col: pa.array(ids[cols]),
-                "score": pa.array(scores[rows, cols]),
-            }
-        )
+        return _topk_candidates(q @ m.T, qids, ids, k, id_col)
 
     def final_topk(g: pa.Table) -> pa.Table:
-        g = g.sort_by([("score", "descending"), (id_col, "ascending")])
-        g = g.slice(0, k)
-        return g.append_column("rank", pa.array(np.arange(1, len(g) + 1)))
+        return _rank_topk(g, k, id_col, dedup=False)
 
     return (
         ds.map_batches(partial_topk, batch_format="pyarrow", zero_copy_batch=True)
@@ -119,6 +150,8 @@ def rp_lsh_buckets(
     vec_col: str = "embedding",
 ) -> pa.Table:
     """Append the sign-pattern bucket id (int64) of each vector."""
+    if len(batch) == 0:
+        return batch.append_column("bucket", pa.array([], pa.int64()))
     m = _to_matrix(batch[vec_col])
     signs = (m @ planes.T) > 0  # (n, nbits)
     weights = (1 << np.arange(planes.shape[0])).astype(np.int64)
@@ -179,48 +212,23 @@ def knn_lsh(
     )
 
     def search_bucket(g: pa.Table) -> pa.Table:
+        if len(g) == 0:
+            return _empty_candidates(id_col)
         q, qids, qp = ray.get(ref)
         b = int(g["bucket"][0].as_py())
         sel = (qp == b).any(axis=1)
         if not sel.any():
-            return pa.table(
-                {
-                    "q_id": pa.array([], pa.int64()),
-                    id_col: pa.array([], pa.int64()),
-                    "score": pa.array([], pa.float64()),
-                }
-            )
+            return _empty_candidates(id_col)
         m = _normalize(_to_matrix(g[vec_col]))
         ids = g[id_col].to_numpy(zero_copy_only=False)
-        scores = q[sel] @ m.T
-        kk = min(k, scores.shape[1])
-        sel_qids = np.asarray(qids)[sel]
-        out_q, out_id, out_s = [], [], []
-        for qi in range(scores.shape[0]):
-            row = scores[qi]
-            part = np.argpartition(-row, kk - 1)[:kk]
-            kth = row[part].min()
-            cand = np.nonzero(row >= kth)[0]  # tie-correct (see brute force)
-            out_q.append(np.full(len(cand), sel_qids[qi]))
-            out_id.append(ids[cand])
-            out_s.append(row[cand])
-        return pa.table(
-            {
-                "q_id": pa.array(np.concatenate(out_q)),
-                id_col: pa.array(np.concatenate(out_id)),
-                "score": pa.array(np.concatenate(out_s)),
-            }
+        return _topk_candidates(
+            q[sel] @ m.T, np.asarray(qids)[sel], ids, k, id_col
         )
 
     def final_topk(g: pa.Table) -> pa.Table:
         # a vector reached via several probed buckets appears once per
         # bucket with the SAME score — dedup on vec_id before ranking
-        g = g.sort_by([("score", "descending"), (id_col, "ascending")])
-        ids = g[id_col].to_numpy(zero_copy_only=False)
-        _, first = np.unique(ids, return_index=True)
-        g = g.take(pa.array(np.sort(first)))
-        g = g.slice(0, k)
-        return g.append_column("rank", pa.array(np.arange(1, len(g) + 1)))
+        return _rank_topk(g, k, id_col, dedup=True)
 
     partial = bucketed.groupby("bucket", num_partitions=num_partitions).map_groups(
         search_bucket, batch_format="pyarrow"
@@ -286,48 +294,30 @@ def knn_ivf(
     ref = ray.put((qn, np.asarray(query_ids), q_lists, centroids))
 
     def assign(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return t.append_column("ivf_list", pa.array([], pa.int64()))
         m = _normalize(_to_matrix(t[vec_col]))
         lists = np.argmax(m @ centroids.T, axis=1)
         return t.append_column("ivf_list", pa.array(lists.astype(np.int64)))
 
     def search_list(g: pa.Table) -> pa.Table:
+        if len(g) == 0:
+            return _empty_candidates(id_col)
         q, qids, ql, _ = ray.get(ref)
         lid = int(g["ivf_list"][0].as_py())
         sel = (ql == lid).any(axis=1)
         if not sel.any():
-            return pa.table(
-                {
-                    "q_id": pa.array([], pa.int64()),
-                    id_col: pa.array([], pa.int64()),
-                    "score": pa.array([], pa.float64()),
-                }
-            )
+            return _empty_candidates(id_col)
         m = _normalize(_to_matrix(g[vec_col]))
         ids = g[id_col].to_numpy(zero_copy_only=False)
-        scores = q[sel] @ m.T
-        kk = min(k, scores.shape[1])
-        sel_qids = np.asarray(qids)[sel]
-        out_q, out_id, out_s = [], [], []
-        for qi in range(scores.shape[0]):
-            row = scores[qi]
-            part = np.argpartition(-row, kk - 1)[:kk]
-            kth = row[part].min()
-            cand = np.nonzero(row >= kth)[0]  # tie-correct (see brute force)
-            out_q.append(np.full(len(cand), sel_qids[qi]))
-            out_id.append(ids[cand])
-            out_s.append(row[cand])
-        return pa.table(
-            {
-                "q_id": pa.array(np.concatenate(out_q)),
-                id_col: pa.array(np.concatenate(out_id)),
-                "score": pa.array(np.concatenate(out_s)),
-            }
+        return _topk_candidates(
+            q[sel] @ m.T, np.asarray(qids)[sel], ids, k, id_col
         )
 
     def final_topk(g: pa.Table) -> pa.Table:
-        g = g.sort_by([("score", "descending"), (id_col, "ascending")])
-        g = g.slice(0, k)
-        return g.append_column("rank", pa.array(np.arange(1, len(g) + 1)))
+        # no dedup: each corpus vector lives in exactly ONE list (probing
+        # is query-side), so (q, vec) candidates never repeat
+        return _rank_topk(g, k, id_col, dedup=False)
 
     assigned = ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
     partial = assigned.groupby("ivf_list", num_partitions=num_partitions).map_groups(
@@ -361,6 +351,8 @@ def embedding_near_dup_pairs(
     planes_cache: dict[int, np.ndarray] = {}
 
     def bucketize(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return t.append_column("bucket", pa.array([], pa.int64()))
         m = _to_matrix(t[vec_col])
         p = planes_cache.setdefault(m.shape[1], _planes(m.shape[1], nbits))
         probes = _probe_buckets(m, p, nprobe)  # (n, nprobe)
@@ -430,6 +422,17 @@ def group_centroids(
     _configure_shuffle()
 
     def partial(batch: pa.Table) -> pa.Table:
+        grp_type = batch.schema.field(group_col).type
+        empty = pa.table(
+            {
+                group_col: pa.array([], grp_type),
+                "idx": pa.array([], pa.int64()),
+                "s": pa.array([], pa.float64()),
+                "n": pa.array([], pa.int64()),
+            }
+        )
+        if len(batch) == 0:
+            return empty
         mat = _to_matrix(batch[vec_col])
         n, d = mat.shape
         gcol = batch[group_col]
@@ -444,7 +447,9 @@ def group_centroids(
         uniq = sg[starts]
         return pa.table(
             {
-                group_col: pa.array(np.repeat(uniq, d), pa.int64()),
+                # mirror the input's group type — hardcoding int64 broke
+                # the advertised per-DOMAIN (string label) centroids
+                group_col: pa.array(np.repeat(uniq, d)).cast(grp_type),
                 "idx": pa.array(np.tile(np.arange(d, dtype=np.int64), len(uniq))),
                 "s": pa.array(sums.ravel()),
                 "n": pa.array(np.repeat(counts.astype(np.int64), d)),

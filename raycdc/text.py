@@ -247,8 +247,17 @@ def fingerprints(
     fp_min = np.zeros(n_docs, dtype=np.int64)
     fp_max = np.zeros(n_docs, dtype=np.int64)
     has = n_fp > 0
-    fp_min[has] = (m_u[fp_off[:-1][has]] & _FP_SIGN_MASK).astype(np.int64)
-    fp_max[has] = (m_u[fp_off[1:][has] - 1] & _FP_SIGN_MASK).astype(np.int64)
+    if len(m_u):
+        # extremes over the SIGN-MASKED values: the sort order above is
+        # unsigned, so taking segment endpoints first and masking after
+        # could yield fp_min > fp_max whenever a doc's prints straddle 2^63
+        masked = (m_u & _FP_SIGN_MASK).astype(np.int64)
+        # reduceat over the NON-EMPTY segment starts only: an empty
+        # segment's successor start equals its predecessor's end, so the
+        # reduced spans are exactly the non-empty docs' print runs
+        nz_starts = fp_off[:-1][has]
+        fp_min[has] = np.minimum.reduceat(masked, nz_starts)
+        fp_max[has] = np.maximum.reduceat(masked, nz_starts)
     return pa.table(
         {
             "doc_id": batch["doc_id"],
@@ -298,6 +307,36 @@ def explode_tokens(
     return out.filter(pc.not_equal(flat, ""))
 
 
+def _tf_partials(
+    batch: pa.Table, text_col: str, id_col: str, num_partitions: int
+) -> pa.Table:
+    """One batch's ``(doc, token, tf_partial)`` rows, token-bucket tagged —
+    the shared map-side combine of :func:`tfidf` and :func:`unigram_nll`
+    (their exchanges must stay in lockstep: both bucket by the token hash
+    so counts and contributions co-locate)."""
+    import polars as pl
+
+    from raycdc.partition import bucket_keys
+
+    toks = explode_tokens(batch, text_col=text_col, id_col=id_col)
+    agg = (
+        pl.from_arrow(toks)
+        .group_by([id_col, "token"])
+        .agg(pl.len().alias("tf"))
+        .to_arrow()
+    )
+    agg = agg.set_column(
+        agg.schema.get_field_index("token"),
+        "token",
+        agg["token"].cast(pa.string()),
+    ).set_column(
+        agg.schema.get_field_index("tf"), "tf", agg["tf"].cast(pa.int64())
+    )
+    return agg.append_column(
+        "__bucket", bucket_keys(agg, ["token"], num_partitions)
+    )
+
+
 def tfidf(
     ds,
     n_docs: int,
@@ -323,28 +362,11 @@ def tfidf(
     import polars as pl
 
     from raycdc.engine import _configure_shuffle
-    from raycdc.partition import bucket_keys
 
     _configure_shuffle()
 
     def partial(batch: pa.Table) -> pa.Table:
-        toks = explode_tokens(batch, text_col=text_col, id_col=id_col)
-        agg = (
-            pl.from_arrow(toks)
-            .group_by([id_col, "token"])
-            .agg(pl.len().alias("tf"))
-            .to_arrow()
-        )
-        agg = agg.set_column(
-            agg.schema.get_field_index("token"),
-            "token",
-            agg["token"].cast(pa.string()),
-        ).set_column(
-            agg.schema.get_field_index("tf"), "tf", agg["tf"].cast(pa.int64())
-        )
-        return agg.append_column(
-            "__bucket", bucket_keys(agg, ["token"], num_partitions)
-        )
+        return _tf_partials(batch, text_col, id_col, num_partitions)
 
     def final(g: pa.Table) -> pa.Table:
         df = pl.from_arrow(g.drop_columns(["__bucket"]))
@@ -399,29 +421,12 @@ def unigram_nll(
     import polars as pl
 
     from raycdc.engine import _configure_shuffle
-    from raycdc.partition import bucket_keys
     from raycdc.relational import pre_aggregate
 
     _configure_shuffle()
 
     def partial(batch: pa.Table) -> pa.Table:
-        toks = explode_tokens(batch, text_col=text_col, id_col=id_col)
-        agg = (
-            pl.from_arrow(toks)
-            .group_by([id_col, "token"])
-            .agg(pl.len().alias("tf"))
-            .to_arrow()
-        )
-        agg = agg.set_column(
-            agg.schema.get_field_index("token"),
-            "token",
-            agg["token"].cast(pa.string()),
-        ).set_column(
-            agg.schema.get_field_index("tf"), "tf", agg["tf"].cast(pa.int64())
-        )
-        return agg.append_column(
-            "__bucket", bucket_keys(agg, ["token"], num_partitions)
-        )
+        return _tf_partials(batch, text_col, id_col, num_partitions)
 
     def by_token(g: pa.Table) -> pa.Table:
         df = pl.from_arrow(g.drop_columns(["__bucket"]))
@@ -548,8 +553,10 @@ def redact_text(
         total = np.zeros(len(batch), dtype=np.int64)
     for _, rx, repl in patterns:
         if count_col:
+            # null texts count 0 matches — the raw null would round-trip
+            # to a float NaN and crash the int64 accumulator
             total += (
-                pc.count_substring_regex(col, rx)
+                pc.fill_null(pc.count_substring_regex(col, rx), 0)
                 .cast(pa.int64())
                 .to_numpy(zero_copy_only=False)
             )

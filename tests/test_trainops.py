@@ -102,8 +102,11 @@ def test_fingerprints_match_per_row_reference(docs):
         fps = np.unique(mins)
         mask = np.uint64(0x7FFFFFFFFFFFFFFF)
         assert out["n_fingerprints"][i].as_py() == len(fps)
-        assert out["fp_min"][i].as_py() == int(fps.min() & mask)
-        assert out["fp_max"][i].as_py() == int(fps.max() & mask)
+        # extremes over the MASKED domain (mask-then-max): masking after
+        # the unsigned max could yield fp_min > fp_max across the 2^63 line
+        assert out["fp_min"][i].as_py() == int((fps & mask).min())
+        assert out["fp_max"][i].as_py() == int((fps & mask).max())
+        assert out["fp_min"][i].as_py() <= out["fp_max"][i].as_py()
 
 
 def test_shingle_hashes_match_python_sets(docs):
