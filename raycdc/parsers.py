@@ -53,6 +53,13 @@ class DecodeSpec:
     lazy_quotes: bool = False  # malformed quoting (P6)
     strings_can_be_null: bool = False  # empty CSV cell → NULL (else "")
     column_names: tuple[str, ...] | None = None
+    # optional Arrow types aligned with column_names: REQUIRED for stable
+    # schemas when format='jsonl' segments can be empty (jsonl columns are
+    # type-inferred from data, so an empty file has no way to reproduce
+    # them); non-empty jsonl tables are CAST to these so every task's
+    # block carries the identical schema.  CSV paths ignore it (always
+    # string columns by design).
+    column_types: tuple = ()
     path_meta: tuple[tuple[str, str], ...] = ()  # (col, regex-with-1-group) (M1-M4)
 
 
@@ -86,7 +93,16 @@ def decode_segment(data: bytes, path: str, spec: DecodeSpec) -> pa.Table:
                 f"empty/record-less segment {path!r} requires "
                 "DecodeSpec.column_names for a stable schema"
             )
-        return pa.table({c: pa.array([], pa.string()) for c in spec.column_names})
+        # column_types applies to jsonl only — CSV paths always produce
+        # string columns, so a typed empty would itself break homogeneity
+        types = (
+            spec.column_types
+            if (spec.format == "jsonl" and spec.column_types)
+            else tuple(pa.string() for _ in spec.column_names)
+        )
+        return pa.table(
+            {c: pa.array([], t) for c, t in zip(spec.column_names, types)}
+        )
 
     if not text.strip():
         table = _empty()
@@ -103,11 +119,31 @@ def decode_segment(data: bytes, path: str, spec: DecodeSpec) -> pa.Table:
             table = pajson.read_json(io.BytesIO("\n".join(lines).encode()))
             if spec.column_names:
                 table = table.select(list(spec.column_names))
+                if spec.column_types:
+                    # pin the declared types so empty and non-empty
+                    # segments produce ONE schema across tasks
+                    table = table.cast(
+                        pa.schema(
+                            [
+                                pa.field(c, t)
+                                for c, t in zip(
+                                    spec.column_names, spec.column_types
+                                )
+                            ]
+                        )
+                    )
     elif spec.lazy_quotes:
-        # python csv in permissive mode — the LazyQuotes analog
-        rows = list(
-            _csv.reader(io.StringIO(text), delimiter=spec.delimiter, strict=False)
-        )
+        # python csv in permissive mode — the LazyQuotes analog.  Blank
+        # physical lines produce NO record (Go encoding/csv and the Arrow
+        # path's ignore_empty_lines agree) — an unfiltered [] would become
+        # a spurious all-null row
+        rows = [
+            r
+            for r in _csv.reader(
+                io.StringIO(text), delimiter=spec.delimiter, strict=False
+            )
+            if r
+        ]
         rows = rows[spec.skip_leading_rows :]
         if not rows:
             table = _empty()
@@ -133,7 +169,7 @@ def decode_segment(data: bytes, path: str, spec: DecodeSpec) -> pa.Table:
             for _ in range(spec.skip_leading_rows + 1):
                 first = next(reader, [])
             if not first:
-                return _empty()  # record-less + no declared names: raises
+                _empty()  # ALWAYS raises here (no declared names)
             names = tuple(f"f{i}" for i in range(len(first)))
         read_opts = pacsv.ReadOptions(
             column_names=list(names),
@@ -160,11 +196,11 @@ def decode_segment(data: bytes, path: str, spec: DecodeSpec) -> pa.Table:
                 next(reader, None)
             if next(reader, None) is not None:
                 raise
-            table = (
-                _empty()
-                if spec.column_names
-                else pa.table({c: pa.array([], pa.string()) for c in names})
-            )
+            # names were either declared (spec.column_names) or sniffed —
+            # and a successful sniff implies a record exists, which the
+            # replay above would have found and re-raised, so only the
+            # declared-names case can reach here
+            table = _empty()
 
     n = len(table)
     table = table.append_column(SEG_PATH, pa.repeat(pa.scalar(path), n))
@@ -238,6 +274,7 @@ class BinarySegmentDecoder:
         decode_fn: Callable[[bytes, str], pa.Table] | None = None,
     ):
         self.decode_fn = decode_fn or self._unsupported
+        self._out_schema: pa.Schema | None = None  # last non-empty output
 
     @staticmethod
     def _unsupported(data: bytes, path: str) -> pa.Table:
@@ -255,8 +292,18 @@ class BinarySegmentDecoder:
                 t.append_column(SEG_PATH, pa.repeat(pa.scalar(path), len(t)))
             )
         if not tables:  # zero-row input batch
+            # reuse the last decoded schema so this block unifies with the
+            # actor's data-carrying blocks (a seg_path-only table would
+            # drop the c0..cN columns and KeyError downstream projectors);
+            # a cold actor that has only ever seen empties can't know the
+            # codec's width — seg_path-only is the documented last resort
+            if self._out_schema is not None:
+                return self._out_schema.empty_table()
             return pa.table({SEG_PATH: pa.array([], pa.string())})
-        return pa.concat_tables(tables, promote_options="default")
+        out = pa.concat_tables(tables, promote_options="default")
+        if len(out):
+            self._out_schema = out.schema
+        return out
 
 
 # ---------------------------------------------------------------------------

@@ -190,7 +190,16 @@ def write_snapshot(lake_dir: str) -> int:
         int(n[5:-5]) for n in st.listdir(snaps_dir)
         if n.startswith("snap-") and n.endswith(".json")
     )
-    snap_id = (existing[-1] + 1) if existing else 0
+    # monotonicity must survive vacuum: ids derived from surviving FILES
+    # alone would reset after vacuum(keep_snapshots=0) and a reused id
+    # would silently time-travel to the WRONG state — a persisted
+    # high-water mark (never pruned; 'snap-' prefix filter skips it)
+    # keeps the counter moving forward
+    hwm = read_json(st, os.path.join(snaps_dir, "_hwm.json")) or {"next": 0}
+    snap_id = max((existing[-1] + 1) if existing else 0, int(hwm["next"]))
+    write_json_atomic(
+        st, os.path.join(snaps_dir, "_hwm.json"), {"next": snap_id + 1}
+    )
     write_json_atomic(
         st,
         os.path.join(snaps_dir, f"snap-{snap_id:06d}.json"),
@@ -243,6 +252,12 @@ def vacuum(lake_dir: str, keep_snapshots: int = 1) -> int:
                 if v not in keep.get(part, set()):
                     st.remove(os.path.join(pdir, fn))
                     removed += 1
+            elif fn.startswith(".tmp-"):
+                # orphaned publish temp from a crashed/killed writer —
+                # nothing else ever deletes these (vacuum already assumes
+                # no concurrent apply, same as the version pruning above)
+                st.remove(os.path.join(pdir, fn))
+                removed += 1
     return removed
 
 
@@ -271,10 +286,28 @@ def content_hash(table: pa.Table, key_cols=("conv_id", "turn_idx", "lsn")) -> in
             if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
                 h = hash_strings(col)
             else:
+                cc = (
+                    col.combine_chunks()
+                    if isinstance(col, pa.ChunkedArray)
+                    else col
+                )
+                arr = cc.cast(pa.int64())
+                # null cells get a fixed marker BEFORE the numpy round-trip:
+                # a raw null would go float64 NaN and astype(int64) of NaN
+                # is platform-dependent (INT64_MIN on x86, 0 on some ARM) —
+                # the digest must agree across heterogeneous nodes
+                import pyarrow.compute as _pc
+
                 vals = (
-                    col.cast(pa.int64()).to_numpy(zero_copy_only=False).astype(np.int64)
+                    _pc.fill_null(arr, 0)
+                    .to_numpy(zero_copy_only=False)
+                    .astype(np.int64)
                 )
                 h = vals.view(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+                if cc.null_count:
+                    valid = cc.is_valid().to_numpy(zero_copy_only=False)
+                    h = h.copy()
+                    h[~valid] = np.uint64(0xA5A5A5A55A5A5A5A)
             # positional combine: column index participates in the mix
             row_h = (row_h ^ h) * np.uint64(1099511628211 + 2 * ci)
         # avalanche (splitmix64-style) before the commutative row sum

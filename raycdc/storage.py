@@ -110,13 +110,39 @@ class LocalStorage:
         with open(path, "rb") as f:
             return f.read()
 
+    @staticmethod
+    def _publish(tmp: str, path: str) -> None:
+        """fsync-then-rename: without the data fsync the rename can become
+        durable BEFORE the data blocks on ext4/xfs, and a power loss
+        publishes an empty/torn file at the final path — exactly the state
+        the atomic contract forbids.  The directory fsync makes the rename
+        itself durable."""
+        try:
+            with open(tmp, "rb") as f:
+                os.fsync(f.fileno())
+            os.replace(tmp, path)
+            dfd = os.open(os.path.dirname(path), os.O_DIRECTORY)
+            try:
+                os.fsync(dfd)
+            finally:
+                os.close(dfd)
+        except BaseException:
+            if os.path.exists(tmp):
+                os.remove(tmp)
+            raise
+
     def write_bytes_atomic(self, path: str, data: bytes) -> None:
         d = os.path.dirname(path)
         os.makedirs(d, exist_ok=True)
         tmp = os.path.join(d, f".tmp-{uuid.uuid4().hex}")
-        with open(tmp, "wb") as f:
-            f.write(data)
-        os.replace(tmp, path)
+        try:
+            with open(tmp, "wb") as f:
+                f.write(data)
+        except BaseException:
+            if os.path.exists(tmp):
+                os.remove(tmp)
+            raise
+        self._publish(tmp, path)
 
     def append_bytes(self, path: str, data: bytes) -> None:
         os.makedirs(os.path.dirname(path), exist_ok=True)
@@ -135,8 +161,13 @@ class LocalStorage:
         d = os.path.dirname(path)
         os.makedirs(d, exist_ok=True)
         tmp = os.path.join(d, f".tmp-{uuid.uuid4().hex}.parquet")
-        pq.write_table(table, tmp, **kwargs)
-        os.replace(tmp, path)
+        try:
+            pq.write_table(table, tmp, **kwargs)
+        except BaseException:
+            if os.path.exists(tmp):
+                os.remove(tmp)
+            raise
+        self._publish(tmp, path)
 
 
 class FsspecStorage:
@@ -236,6 +267,16 @@ def resolve_uri_paths(paths: list[str]) -> tuple[list[str], "object | None"]:
     (ArrowInvalid 'Expected a local filesystem path, got a URI').  Resolve
     the filesystem from the first URI ourselves and hand Ray plain paths +
     the filesystem object.  Plain paths pass through with fs=None."""
+    schemes = {p.split("://", 1)[0] if "://" in p else "" for p in paths}
+    if len(schemes) > 1:
+        # deciding from paths[0] alone would either pass later URIs
+        # through unresolved (plain-first) or silently read them against
+        # the WRONG filesystem (s3-first + gs later) — the exact failures
+        # this helper exists to prevent
+        raise ValueError(
+            f"resolve_uri_paths: mixed path schemes {sorted(schemes)!r} — "
+            "a read resolves ONE filesystem; split the list per scheme"
+        )
     if not paths or "://" not in paths[0]:
         return list(paths), None
     import pyarrow.fs as pafs

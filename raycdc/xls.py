@@ -358,11 +358,15 @@ def decode_xls(data: bytes, path: str = "", sheet_index: int = 0) -> pa.Table:
 
     if not cells:
         return pa.table({"c0": pa.array([], pa.string())})
-    n_rows = max(r for r, _ in cells) + 1
+    # emit only rows that CARRY cell records (decode_xlsx parity: the XML
+    # path appends one output row per <row> element, so a sheet whose
+    # first data lands at row 100 must not grow 100 phantom all-"" rows
+    # here); gap CELLS within a present row still fill as ""
+    present = sorted({r for r, _ in cells})
     width = max(c for _, c in cells) + 1
     cols = {
         f"c{j}": pa.array(
-            [cells.get((i, j), "") for i in range(n_rows)], pa.string()
+            [cells.get((i, j), "") for i in present], pa.string()
         )
         for j in range(width)
     }

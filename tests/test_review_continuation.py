@@ -375,3 +375,118 @@ def test_knn_kernels_survive_empty_blocks(ray_session):
         ds, q, qid, k=3, n_lists=4, num_partitions=4, train_sample=20
     ).take_all()
     assert len(ivf) <= 3
+
+
+# ---------------------------------------------------------------------------
+# sink/storage/parsers review fixes
+
+
+def test_jsonl_empty_segments_keep_declared_types():
+    from raycdc.parsers import DecodeSpec, decode_segment
+
+    spec = DecodeSpec(
+        format="jsonl",
+        column_names=("a", "b"),
+        column_types=(pa.int64(), pa.string()),
+    )
+    full = decode_segment(b'{"a": 1, "b": "x"}', "p1", spec)
+    empty = decode_segment(b"", "p2", spec)
+    # identical schemas -> blocks from mixed tasks concat cleanly
+    merged = pa.concat_tables([full, empty])
+    assert merged.schema.field("a").type == pa.int64()
+    assert len(merged) == 1
+
+
+def test_lazy_quotes_blank_lines_produce_no_rows():
+    from raycdc.parsers import DecodeSpec, decode_segment
+
+    spec = DecodeSpec(lazy_quotes=True, column_names=("x", "y"))
+    t = decode_segment(b"a,b\n\nc,d\n", "p", spec)
+    assert t["x"].to_pylist() == ["a", "c"]  # the blank line is NOT a row
+
+
+def test_snapshot_ids_stay_monotone_after_vacuum(ray_session, tmp_path):
+    from raycdc.changelog import synthetic_changelog
+    from raycdc.engine import replay
+    from raycdc.schema import TableSpec
+    from raycdc.sink import vacuum, write_snapshot
+
+    lake = str(tmp_path / "lake")
+    replay(
+        ray.data.from_arrow(synthetic_changelog(n_events=200, seed=90)),
+        lake,
+        TableSpec(num_partitions=2),
+    )
+    s0, s1 = write_snapshot(lake), write_snapshot(lake)
+    assert s1 == s0 + 1
+    vacuum(lake, keep_snapshots=0)
+    s2 = write_snapshot(lake)
+    # NOT reset to 0: a reused id would time-travel to the wrong state
+    assert s2 == s1 + 1
+
+
+def test_vacuum_removes_orphaned_publish_temps(ray_session, tmp_path):
+    from raycdc.changelog import synthetic_changelog
+    from raycdc.engine import replay
+    from raycdc.schema import TableSpec
+    from raycdc.sink import part_dir, vacuum
+
+    lake = str(tmp_path / "lake")
+    replay(
+        ray.data.from_arrow(synthetic_changelog(n_events=200, seed=91)),
+        lake,
+        TableSpec(num_partitions=2),
+    )
+    orphan = os.path.join(part_dir(lake, 0), ".tmp-deadbeef.parquet")
+    with open(orphan, "wb") as f:
+        f.write(b"torn")
+    vacuum(lake)
+    assert not os.path.exists(orphan)
+
+
+def test_resolve_uri_paths_rejects_mixed_schemes():
+    from raycdc.storage import resolve_uri_paths
+
+    with pytest.raises(ValueError, match="mixed path schemes"):
+        resolve_uri_paths(["/plain/x.csv", "file:///y.csv"])
+    with pytest.raises(ValueError, match="mixed path schemes"):
+        resolve_uri_paths(["s3://b/x", "gs://b/y"])
+    paths, fs = resolve_uri_paths(["/a", "/b"])
+    assert paths == ["/a", "/b"] and fs is None
+
+
+def test_content_hash_null_keys_deterministic():
+    import warnings
+
+    from raycdc.sink import content_hash
+
+    t_null = pa.table(
+        {
+            "conv_id": ["a", "b"],
+            "turn_idx": pa.array([1, None], pa.int32()),
+            "lsn": pa.array([10, 11], pa.int64()),
+        }
+    )
+    t_zero = t_null.set_column(
+        1, "turn_idx", pa.array([1, 0], pa.int32())
+    )
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # the old NaN cast warned here
+        h1 = content_hash(t_null)
+        h2 = content_hash(t_null)
+    assert h1 == h2
+    assert h1 != content_hash(t_zero)  # null is not the same key as 0
+
+
+def test_binary_decoder_empty_batch_reuses_schema():
+    from raycdc.parsers import BinarySegmentDecoder
+
+    def fake_codec(data: bytes, path: str) -> pa.Table:
+        return pa.table({"c0": pa.array(["x"]), "c1": pa.array(["y"])})
+
+    d = BinarySegmentDecoder(fake_codec)
+    full = d(pa.table({"path": ["p"], "bytes": [b"z"]}))
+    empty = d(pa.table({"path": pa.array([], pa.string()),
+                        "bytes": pa.array([], pa.binary())}))
+    assert empty.schema.names == full.schema.names  # c0/c1 survive
+    assert pa.concat_tables([full, empty]).num_rows == 1

@@ -182,3 +182,19 @@ def test_workbook_decoder_sniffs_container():
     assert t["c0"].to_pylist() == ["20221231"]
     with pytest.raises(ValueError, match="neither XLSX"):
         dec(b"garbage-bytes", "x.bin")
+
+
+def test_decode_xls_skips_absent_rows_like_xlsx():
+    """A sheet whose data starts at row 100 must not grow 100 phantom
+    all-'' rows (decode_xlsx parity: one output row per present row)."""
+    wb = _biff_workbook(
+        [
+            (100, 0, ("s", "first")),
+            (100, 1, ("n", 1.0)),
+            (205, 0, ("s", "second")),
+        ]
+    )
+    t = decode_xls(_cfb_wrap(wb))
+    assert t.num_rows == 2
+    assert t["c0"].to_pylist() == ["first", "second"]
+    assert t["c1"].to_pylist() == ["1", ""]
