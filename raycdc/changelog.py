@@ -141,8 +141,13 @@ def diff_tagged(
     changed = None
     for k in key_cols:
         col = g[k].combine_chunks()
+        # null == null is the SAME key (fill False): the validity xor
+        # already flags null-vs-value; filling True would make every
+        # null-key row its own group — identical null-key rows on the two
+        # sides would churn a spurious delete+insert on every diff AND
+        # bypass the duplicate-key guard
         neq = pc.fill_null(
-            pc.not_equal(col.slice(1), col.slice(0, n - 1)), True
+            pc.not_equal(col.slice(1), col.slice(0, n - 1)), False
         )
         vd = pc.xor(pc.is_valid(col.slice(1)), pc.is_valid(col.slice(0, n - 1)))
         d = pc.or_(neq, vd).to_numpy(zero_copy_only=False)

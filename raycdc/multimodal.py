@@ -80,9 +80,7 @@ class MediaFeatureExtractor:
     def __call__(self, batch: pa.Table) -> pa.Table:
         from raycdc.text import _utf8_bytes_and_offsets
 
-        col = batch["content"].combine_chunks()
-        if isinstance(col, pa.ChunkedArray):
-            col = col.combine_chunks()
+        col = batch["content"]  # _utf8_bytes_and_offsets normalizes chunks
         # width-aware offsets: binary AND large_binary columns both valid
         data, off = _utf8_bytes_and_offsets(col)
         row_idx = np.repeat(np.arange(len(col)), np.diff(off))

@@ -186,12 +186,22 @@ def hash_bucket(arr: pa.ChunkedArray | pa.Array, buckets: int = 10_000):
     """Deterministic bucket in [0, buckets) from an INTEGER key column via
     Knuth multiplicative hashing — reproducible in any engine with 64-bit
     integer arithmetic (the property that makes the sample auditable:
-    ``(key * 2654435761) % 2^32 * buckets / 2^32``)."""
+    ``(key * 2654435761) % 2^32 * buckets / 2^32``).
+
+    Null keys yield a NULL bucket — exactly what the SQL oracle formula
+    produces — so downstream ``<`` filters drop them on every engine
+    identically (the raw NaN→uint64 cast was platform-dependent)."""
     import numpy as np
 
-    k = arr.to_numpy(zero_copy_only=False).astype(np.uint64)
+    from raycdc.partition import int64_values
+
+    vals, valid = int64_values(arr)
+    k = vals.astype(np.uint64)
     h = (k * np.uint64(_KNUTH)) % np.uint64(_MOD)
-    return pa.array(((h * np.uint64(buckets)) // np.uint64(_MOD)).astype(np.int64))
+    b = ((h * np.uint64(buckets)) // np.uint64(_MOD)).astype(np.int64)
+    if valid is not None:
+        return pa.array(b, mask=~valid)
+    return pa.array(b)
 
 
 def hash_sample(batch: pa.Table, key_col: str, fraction: float) -> pa.Table:
@@ -317,19 +327,25 @@ def extract_json_field(
 
     One ``pc.extract_regex`` pass (RE2, no Python row loop); rows where the
     key is absent or the payload is null yield null.  Scalar string/number
-    values only — nested objects need a real JSON kernel, which Arrow
-    lacks; at that point parse the column once into typed columns at ingest
-    (the better lake design anyway).
+    values only; string values may carry escaped quotes/backslashes (the
+    escapes are preserved verbatim, not unescaped).  KNOWN LIMIT: a regex
+    has no nesting awareness, so the FIRST occurrence of the key wins —
+    if a nested object contains the same key name earlier in the payload,
+    that inner value is returned.  Payloads with nested shadowing keys
+    need a real JSON kernel: parse the column once into typed columns at
+    ingest (the better lake design anyway).
     """
     import re as _re
 
     # "key": <number|"string"> — RE2 via Arrow requires every group named.
-    # Caveat: extract_regex fills UNMATCHED alternation groups with ""
-    # (not null), so the quoted/bare discrimination must come from the
-    # outer `q` group's leading quote, and non-matching rows from the
-    # struct's own validity.
+    # The string arm consumes escape PAIRS (\\.) so an escaped quote inside
+    # the value does not truncate it.  Caveat: extract_regex fills
+    # UNMATCHED alternation groups with "" (not null), so the quoted/bare
+    # discrimination must come from the outer `q` group's leading quote,
+    # and non-matching rows from the struct's own validity.
     pat = (
-        f'"{_re.escape(key)}":\\s*(?P<q>"(?P<s>[^"]*)"|(?P<v>[^,}}\\s]+))'
+        f'"{_re.escape(key)}":\\s*'
+        f'(?P<q>"(?P<s>(?:[^"\\\\]|\\\\.)*)"|(?P<v>[^,}}\\s]+))'
     )
     st = pc.extract_regex(batch[col], pat)
     qval = pc.struct_field(st, "q")

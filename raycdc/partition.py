@@ -81,12 +81,46 @@ def hash_strings(
     h = np.full(len(arr), offset, np.uint64)
     maxlen = int(lens.max())
     with np.errstate(over="ignore"):
-        for pos in range(maxlen):
-            m = lens > pos
-            h[m] = (h[m] ^ data[starts[m] + pos].astype(np.uint64)) * _FNV_PRIME
+        if maxlen:
+            # length-sorted sweep: position p touches ONLY the rows longer
+            # than p (a contiguous suffix of the sort), so total work is
+            # O(sum(lens) + n log n).  The naive `lens > pos` mask per
+            # position is O(n·maxlen): one long outlier document in a
+            # batch (dedup hashes whole texts) made every position pass
+            # rescan the entire batch.
+            order = np.argsort(lens, kind="stable")
+            starts_s, lens_s = starts[order], lens[order]
+            h_s = h[order]
+            for pos in range(maxlen):
+                lo = int(np.searchsorted(lens_s, pos + 1, side="left"))
+                seg = slice(lo, len(h_s))
+                h_s[seg] = (
+                    h_s[seg] ^ data[starts_s[seg] + pos].astype(np.uint64)
+                ) * _FNV_PRIME
+            h[order] = h_s
     if arr.null_count:
         h[~np.asarray(arr.is_valid())] = 0
     return h
+
+
+def int64_values(
+    col: pa.ChunkedArray | pa.Array,
+) -> tuple[np.ndarray, np.ndarray | None]:
+    """Null-safe int64 extraction for hashing: nulls are filled with 0
+    BEFORE the numpy round-trip — a null-bearing int column otherwise
+    converts to float64, silently corrupting every value above 2^53 and
+    making the result BATCH-dependent (the same key hashing differently
+    because a NEIGHBORING row is null breaks the lake-layout purity
+    contract).  Returns ``(int64 values, validity mask or None)``; callers
+    assign null positions their own fixed hash."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    arr = col.cast(pa.int64())
+    valid = None
+    if arr.null_count:
+        valid = np.asarray(arr.is_valid())
+        arr = pc.fill_null(arr, 0)
+    return arr.to_numpy(zero_copy_only=False).astype(np.int64), valid
 
 
 def hash_key_column(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
@@ -97,19 +131,13 @@ def hash_key_column(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
     t = col.type
     if pa.types.is_string(t) or pa.types.is_large_string(t):
         return hash_strings(col)
-    vals = col.cast(pa.int64()).to_numpy(zero_copy_only=False).astype(np.int64)
+    vals, valid = int64_values(col)
     h = vals.view(np.uint64)
     with np.errstate(over="ignore"):
         h = (h ^ (h >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
         h = (h ^ (h >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
         h = h ^ (h >> np.uint64(31))
-    if col.null_count:
-        valid = np.asarray(
-            col.combine_chunks().is_valid()
-            if isinstance(col, pa.ChunkedArray)
-            else col.is_valid()
-        )
-        h = h.copy()
+    if valid is not None:
         h[~valid] = 0
     return h
 
@@ -175,12 +203,12 @@ def bucket_keys(
             if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
                 kh = hash_strings(col)
             else:
-                kh = (
-                    col.cast(pa.int64())
-                    .to_numpy(zero_copy_only=False)
-                    .astype(np.int64)
-                    .view(np.uint64)
-                ) * np.uint64(0x9E3779B97F4A7C15)
+                vals, valid = int64_values(col)
+                kh = vals.view(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+                if valid is not None:
+                    # fixed null marker: nulls group together (SQL
+                    # PARTITION BY) and never inherit float-NaN garbage
+                    kh[~valid] = np.uint64(0x5851F42D4C957F2D)
             h = (h ^ kh) * np.uint64(1099511628211 + 2 * ci)
     return pa.array((h % np.uint64(num_buckets)).astype(np.int64))
 

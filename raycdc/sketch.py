@@ -56,8 +56,12 @@ def hll_registers(values, p: int = 12) -> np.ndarray:
         v = arr.cast(pa.float64()).to_numpy(zero_copy_only=False).astype(np.float64)
         h = v.view(np.uint64).copy()
     else:
-        v = arr.cast(pa.int64()).to_numpy(zero_copy_only=False).astype(np.int64)
+        from raycdc.partition import int64_values
+
+        v, valid = int64_values(arr)
         h = v.view(np.uint64).copy()
+        if valid is not None:
+            h[~valid] = 0  # nulls count as ONE deterministic value
     # splitmix64 finalizer on EVERY input: HLL reads the TOP p bits, and
     # FNV-1a's high bits barely avalanche for short similar strings (100
     # distinct user-ids landed in 4 of 4096 registers without this)
@@ -241,12 +245,13 @@ def _cms_hash(values, d: int, w: int) -> np.ndarray:
     if pa.types.is_string(values.type) or pa.types.is_large_string(values.type):
         h = hash_strings(values)
     else:
-        h = (
-            values.cast(pa.int64())
-            .to_numpy(zero_copy_only=False)
-            .astype(np.int64)
-            .view(np.uint64)
-        )
+        from raycdc.partition import int64_values
+
+        v, valid = int64_values(values)
+        h = v.view(np.uint64)
+        if valid is not None:
+            h = h.copy()
+            h[~valid] = 0  # deterministic null hash (never NaN garbage)
     with np.errstate(over="ignore"):
         mixed = h[None, :] * _CMS_SEEDS[:d, None]
         mixed ^= mixed >> np.uint64(29)
@@ -323,13 +328,12 @@ def _bloom_hash_pair(values) -> tuple[np.ndarray, np.ndarray]:
     if pa.types.is_string(values.type) or pa.types.is_large_string(values.type):
         h = hash_strings(values).copy()
     else:
-        h = (
-            values.cast(pa.int64())
-            .to_numpy(zero_copy_only=False)
-            .astype(np.int64)
-            .view(np.uint64)
-            .copy()
-        )
+        from raycdc.partition import int64_values
+
+        v, valid = int64_values(values)
+        h = v.view(np.uint64).copy()
+        if valid is not None:
+            h[~valid] = 0  # deterministic null hash (never NaN garbage)
 
     def mix(x: np.ndarray, salt: int) -> np.ndarray:
         with np.errstate(over="ignore"):

@@ -490,3 +490,92 @@ def test_binary_decoder_empty_batch_reuses_schema():
                         "bytes": pa.array([], pa.binary())}))
     assert empty.schema.names == full.schema.names  # c0/c1 survive
     assert pa.concat_tables([full, empty]).num_rows == 1
+
+
+# ---------------------------------------------------------------------------
+# hashing/core review fixes (null-bearing int columns, long outliers)
+
+
+def test_int_hashes_ignore_null_neighbors_and_keep_big_keys():
+    from raycdc.partition import bucket_keys, hash_key_column
+
+    big = 2**60 + 1
+    solo = hash_key_column(pa.array([big], pa.int64()))
+    with_null = hash_key_column(pa.array([big, None], pa.int64()))
+    # the SAME key hashes identically whether or not a NEIGHBOR is null
+    # (the float64 round-trip used to corrupt values above 2^53)
+    assert solo[0] == with_null[0]
+    t1 = pa.table({"k": pa.array([big], pa.int64())})
+    t2 = pa.table({"k": pa.array([big, None], pa.int64())})
+    b1 = bucket_keys(t1, ["k"], 64).to_pylist()
+    b2 = bucket_keys(t2, ["k"], 64).to_pylist()
+    assert b1[0] == b2[0]
+    assert b2[1] is not None  # nulls get a deterministic bucket
+
+
+def test_hash_bucket_null_keys_and_big_keys():
+    from raycdc.ops import hash_bucket
+
+    big = 2**60 + 1
+    b = hash_bucket(pa.array([big, None, big], pa.int64()))
+    assert b[0].as_py() == b[2].as_py()
+    assert b[1].as_py() is None  # SQL formula on NULL -> NULL
+    # exact Knuth formula parity for big keys (what the SQL oracle computes)
+    want = (((big * 2654435761) % 2**32) * 10_000) // 2**32
+    assert b[0].as_py() == want
+
+
+def test_diff_tagged_null_key_rows_do_not_churn():
+    from raycdc.changelog import diff_tagged
+
+    g = pa.table(
+        {
+            "k": pa.array([None, None], pa.string()),
+            "v": pa.array(["same", "same"]),
+            "__side": pa.array([0, 1], pa.int8()),
+        }
+    )
+    out = diff_tagged(g, key_cols=("k",), value_cols=("v",))
+    assert len(out) == 0  # identical null-key rows emit nothing
+    g2 = pa.table(
+        {
+            "k": pa.array([None, None], pa.string()),
+            "v": pa.array(["old", "new"]),
+            "__side": pa.array([0, 1], pa.int8()),
+        }
+    )
+    out2 = diff_tagged(g2, key_cols=("k",), value_cols=("v",))
+    assert out2["op"].to_pylist() == ["update"]
+
+
+def test_extract_json_field_escaped_quotes():
+    from raycdc.ops import extract_json_field
+
+    t = pa.table({"props": [r'{"k": "a\"b", "x": 1}', '{"x": 2}']})
+    out = extract_json_field(t, "props", "k", "val")
+    assert out["val"].to_pylist() == [r'a\"b', None]
+
+
+def test_hash_strings_long_outlier_consistent():
+    from raycdc.partition import hash_strings
+
+    texts = ["short", "x" * 200_000, "", "another one"]
+    batch = hash_strings(pa.array(texts))
+    solo = np.concatenate(
+        [hash_strings(pa.array([t])) for t in texts]
+    )
+    assert np.array_equal(batch, solo)  # sweep order never changes values
+
+
+def test_sketches_null_and_big_int_determinism():
+    from raycdc import sketch as SK
+
+    big = 2**60 + 1
+    a = pa.array([big, None, big + 2], pa.int64())
+    regs1 = SK.hll_registers(a, p=8)
+    regs2 = SK.hll_registers(pa.array([big, big + 2], pa.int64()), p=8)
+    # the two real values hash identically with or without the null row
+    merged = SK.hll_merge(regs2, SK.hll_registers(pa.array([None], pa.int64()), p=8))
+    assert np.array_equal(regs1, merged)
+    words = SK.bloom_bits(a, 1 << 10)
+    assert SK.bloom_contains(words, pa.array([big], pa.int64()))[0]
