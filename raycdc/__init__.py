@@ -47,6 +47,7 @@ _ENGINE_EXPORTS = (
     "tail",
     "tail_once",
     "compact",
+    "restore_lake",
     "migrate_lake",
     "bootstrap",
     "colocated_join",

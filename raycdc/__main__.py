@@ -239,6 +239,18 @@ def main(argv: list[str] | None = None) -> int:
     )
     p_snap.add_argument("--lake", required=True)
 
+    p_restore = sub.add_parser(
+        "restore",
+        help="rewind the lake's CURRENT state to a snapshot (checkpoints "
+        "rewind with it, so replaying the corrected WAL suffix resumes "
+        "exactly-once; crash-safe, re-run to complete)",
+    )
+    p_restore.add_argument("--lake", required=True)
+    p_restore.add_argument(
+        "--as-of", type=int, required=True, dest="as_of",
+        help="snapshot id to rewind to (see the _snapshots/ manifests)",
+    )
+
     p_feed = sub.add_parser(
         "feed",
         help="emit the insert/update/delete change feed between two lake "
@@ -677,6 +689,17 @@ def main(argv: list[str] | None = None) -> int:
         from raycdc.sink import write_snapshot
 
         print(json.dumps({"snapshot": write_snapshot(args.lake)}))
+    elif args.cmd == "restore":
+        import pyarrow.compute as pc
+
+        from raycdc.engine import restore_lake
+
+        lineage = restore_lake(args.lake, args.as_of)
+        counts = {
+            s: lineage.filter(pc.equal(lineage["status"], s)).num_rows
+            for s in ("restored", "reset_empty", "noop")
+        }
+        print(json.dumps({"as_of": args.as_of, **counts}))
     elif args.cmd == "feed":
         from raycdc.engine import change_feed
 

@@ -118,6 +118,19 @@ def _ensure_parallel_input(ds: "ray.data.Dataset") -> "ray.data.Dataset":
     return ray.data.from_arrow_refs(out)
 
 
+def _refuse_pending_restore(lake_dir: str, doing: str) -> None:
+    """Raise while a crashed :func:`restore_lake` left the lake a MIX of
+    rewound and tip-state partitions (see ``_restore_pending.json``)."""
+    pend = S.restore_pending(lake_dir)
+    if pend is not None:
+        raise RuntimeError(
+            f"lake {lake_dir} has an unfinished restore to snapshot {pend} "
+            "(_restore_pending.json present) — its partitions are a mix of "
+            "rewound and tip state; re-run restore_lake to complete the "
+            f"rewind before {doing}"
+        )
+
+
 def prepare(
     ds: "ray.data.Dataset",
     spec: TableSpec,
@@ -489,6 +502,7 @@ def replay(
             "(_bootstrap_pending marker present) — re-run bootstrap to "
             "completion before replaying"
         )
+    _refuse_pending_restore(lake_dir, "replaying")
     # layout/policy contract: an LWW apply against a history lake would
     # silently collapse every superseded version, and a different
     # num_partitions would orphan rows — validate against the persisted
@@ -1075,6 +1089,7 @@ def compact(
     import ray
 
     spec = spec or TableSpec()
+    _refuse_pending_restore(lake_dir, "compacting it")
     op_col = spec.op_col
     ts_col = spec.version_cols[0]
     meta = S.read_spec_meta(lake_dir)
@@ -1280,6 +1295,12 @@ def verify_lake(lake_dir: str, spec: TableSpec | None = None) -> pa.Table:
         lake_issues.append(
             {"part": -1, "status": "corrupt", "n_rows": 0,
              "issues": "bootstrap pending marker set (half-initialized lake)"}
+        )
+    if S.restore_pending(lake_dir) is not None:
+        lake_issues.append(
+            {"part": -1, "status": "corrupt", "n_rows": 0,
+             "issues": "restore pending marker set (partitions are a mix of "
+                       "rewound and tip state; re-run restore_lake)"}
         )
 
     def verify_part(batch: pa.Table) -> pa.Table:
@@ -1745,6 +1766,7 @@ def anti_join_lake(
         if semi:
             return ds.limit(0)
         return ds
+    _refuse_pending_restore(lake_dir, "probing membership against it")
     if S.bootstrap_pending(lake_dir):
         raise RuntimeError(
             f"lake {lake_dir} has an unfinished bootstrap — membership "
@@ -1823,6 +1845,7 @@ def lookup_join_lake(
             f"lookup_join_lake: {lake_dir} has no lake metadata — guard the "
             "first-batch case at the call site (every lookup would miss)"
         )
+    _refuse_pending_restore(lake_dir, "looking up against it")
     if S.bootstrap_pending(lake_dir):
         raise RuntimeError(
             f"lake {lake_dir} has an unfinished bootstrap — lookups against "
@@ -2183,6 +2206,7 @@ def change_feed(
     from raycdc.changelog import diff_tagged
 
     spec = spec or TableSpec()
+    _refuse_pending_restore(lake_dir, "feeding changes from it")
     if S.bootstrap_pending(lake_dir):
         raise RuntimeError(
             f"lake {lake_dir} has an unfinished bootstrap — a feed from a "
@@ -2718,6 +2742,7 @@ def sync_lake(
     from raycdc.storage import get_storage, write_json_atomic
 
     spec = spec or TableSpec()
+    _refuse_pending_restore(src_lake, "replicating it")
     if S.bootstrap_pending(src_lake):
         raise RuntimeError(
             f"lake {src_lake} has an unfinished bootstrap — replicating a "
@@ -2810,6 +2835,205 @@ def sync_lake(
         )
     )
     S.update_lake_schema(dst_lake)
+    return lineage.sort_by([("part", "ascending")])
+
+
+def restore_lake(
+    lake_dir: str,
+    as_of: int,
+    spec: TableSpec | None = None,
+) -> pa.Table:
+    """Rewind the lake's CURRENT state to snapshot ``as_of`` — the
+    bad-deploy recovery path (a corrupt projector replayed garbage:
+    restore, fix, replay the corrected WAL suffix).  The reference's
+    recovery story is "re-upload the file and load again" (load jobs
+    replace the destination wholesale, ``/root/reference/loader.go:33-60``);
+    a self-hosted incremental lake needs an explicit rewind.
+
+    Per partition the snapshot's data file is re-published as a NEW
+    monotone version and the checkpoint rewinds to the snapshot's payload
+    (``max_lsn`` floor, ``row_count``, ``content_hash``), so a subsequent
+    :func:`replay` of WAL events with ``lsn`` above the rewound floors
+    resumes exactly-once from the snapshot position.  Partitions created
+    after the snapshot reset to empty at floor ``-1`` (every one of their
+    events re-applies).  Versions only move FORWARD — the rewind never
+    deletes or overwrites a file another snapshot references — so every
+    other snapshot stays time-travelable and :func:`raycdc.sink.vacuum`
+    semantics are unchanged.
+
+    Crash-safe: ``_restore_pending.json`` is written before any mutation
+    and cleared last; :func:`replay` / :func:`change_feed` /
+    :func:`sync_lake` / :func:`compact` / :func:`verify_lake` refuse the
+    lake while it is present, and re-running restore (same or different
+    target) completes the rewind — per-partition noop detection makes the
+    retry idempotent.
+
+    Downstream incremental views (:func:`maintain_rollup`,
+    :func:`maintain_transcripts`, :func:`refresh_join_view`) must be
+    rebuilt — or restored to a matching position — after a source
+    restore: rows they already consumed carry lsns above the rewound
+    floors, so the next feed's compensating deltas would be pruned by the
+    view's own checkpoints.
+
+    Returns one row per touched partition: ``(part, rows_total, version,
+    status ∈ {restored, reset_empty, noop})``.  Raises on a snapshot
+    written before manifests carried checkpoint payloads, or whose data
+    files were vacuumed.
+    """
+    import ray
+
+    from raycdc.storage import get_storage, write_json_atomic
+
+    if S.bootstrap_pending(lake_dir):
+        raise RuntimeError(
+            f"lake {lake_dir} has an unfinished bootstrap — complete or "
+            "re-run bootstrap before restoring"
+        )
+    payload = S.read_snapshot_payload(lake_dir, as_of)
+    if payload is None:
+        raise FileNotFoundError(f"no snapshot {as_of} under {lake_dir}")
+    if payload.get("checkpoints") is None:
+        raise ValueError(
+            f"snapshot {as_of} predates restore support (its manifest has "
+            "no per-partition checkpoint payloads) — only time-travel "
+            "reads (read_lake(as_of=...)) are possible against it"
+        )
+    snap_ckpts = {int(k): v for k, v in payload["checkpoints"].items()}
+    cur_parts = set(S.read_all_checkpoints(lake_dir).keys())
+    all_parts = sorted(set(snap_ckpts) | cur_parts)
+    if not all_parts:
+        return pa.table(
+            {
+                "part": pa.array([], pa.int32()),
+                "rows_total": pa.array([], pa.int64()),
+                "version": pa.array([], pa.int64()),
+                "status": pa.array([], pa.string()),
+            }
+        )
+    st = get_storage(lake_dir)
+    # marker BEFORE any mutation: replay/feed/sync refuse the half-rewound
+    # lake, and a crashed restore is completed by simply re-running it
+    write_json_atomic(
+        st, S.restore_marker_file(lake_dir), {"snapshot": int(as_of)}
+    )
+    reg_schema = S.read_lake_schema(lake_dir)
+
+    def restore_part(batch: pa.Table) -> pa.Table:
+        rows = []
+        for p in batch["id"].to_pylist():
+            part = int(p)
+            snap_ck = snap_ckpts.get(part)
+            cur_ck = S.read_checkpoint(lake_dir, part)
+            if snap_ck is None and cur_ck is None:
+                continue  # never existed on either side of the rewind
+            if snap_ck is not None:
+                sv = int(snap_ck.get("version", 0))
+                target = {
+                    "max_lsn": snap_ck.get("max_lsn", -1),
+                    "row_count": snap_ck.get("row_count", 0),
+                    "content_hash": snap_ck.get("content_hash", 0),
+                    "tombstones": snap_ck.get("tombstones", 0),
+                }
+            else:
+                # created after the snapshot: reset to empty, floor -1 so
+                # the partition's whole event stream re-applies on resume
+                sv = -1
+                target = {
+                    "max_lsn": -1,
+                    "row_count": 0,
+                    "content_hash": 0,
+                    "tombstones": 0,
+                }
+            want_file = sv >= 0
+            if cur_ck is not None and all(
+                cur_ck.get(k) == target[k]
+                for k in ("max_lsn", "row_count", "content_hash")
+            ):
+                cv = int(cur_ck.get("version", -1))
+                has_file = cv >= 0 and st.exists(
+                    S.part_file(lake_dir, part, cv)
+                )
+                if has_file == want_file:
+                    # already at the snapshot state (untouched partition,
+                    # or a previous restore's work) — retry-idempotence
+                    rows.append((part, int(target["row_count"]), cv, "noop"))
+                    continue
+            pdir = S.part_dir(lake_dir, part)
+            existing = [
+                int(fn[6:-8])
+                for fn in st.listdir(pdir)
+                if fn.startswith("data-v") and fn.endswith(".parquet")
+            ]
+            base = max(existing) if existing else -1
+            if cur_ck is not None:
+                base = max(base, int(cur_ck.get("version", -1)))
+            if want_file:
+                t = S.read_partition(lake_dir, part, version=sv)
+                if t is None:
+                    # the snapshot promises EXACTLY this state — a missing
+                    # file must fail the rewind, not silently shrink it
+                    raise FileNotFoundError(
+                        f"restore_lake: snapshot {as_of} references missing "
+                        f"partition file part={part} v{sv} (vacuumed?)"
+                    )
+                status = "restored"
+            else:
+                if not existing:
+                    # no data files at all: checkpoint-only rewind, same
+                    # convention as bootstrap's empty partitions
+                    S.write_checkpoint(
+                        lake_dir, part, {**target, "version": -1}
+                    )
+                    rows.append((part, 0, -1, "reset_empty"))
+                    continue
+                # files exist but the target is empty: publish an explicit
+                # empty table — rewinding the version pointer alone would
+                # either resolve to stale bytes or make the next apply
+                # clobber a snapshot-referenced file
+                t = (
+                    reg_schema.empty_table()
+                    if reg_schema is not None
+                    else S.read_partition(
+                        lake_dir, part, version=max(existing)
+                    ).slice(0, 0)
+                )
+                status = "reset_empty"
+            new_v = base + 1
+            S.write_partition_atomic(t, lake_dir, part, version=new_v)
+            S.write_checkpoint(lake_dir, part, {**target, "version": new_v})
+            rows.append((part, len(t), new_v, status))
+        if not rows:
+            return pa.table(
+                {
+                    "part": pa.array([], pa.int32()),
+                    "rows_total": pa.array([], pa.int64()),
+                    "version": pa.array([], pa.int64()),
+                    "status": pa.array([], pa.string()),
+                }
+            )
+        part_c, rows_c, ver_c, st_c = zip(*rows)
+        return pa.table(
+            {
+                "part": pa.array(part_c, pa.int32()),
+                "rows_total": pa.array(rows_c, pa.int64()),
+                "version": pa.array(ver_c, pa.int64()),
+                "status": pa.array(st_c),
+            }
+        )
+
+    hi = max(all_parts) + 1
+    lineage = pa.concat_tables(
+        ray.get(
+            ray.data.range(hi, override_num_blocks=min(hi, 64))
+            .map_batches(restore_part, batch_format="pyarrow")
+            .to_arrow_refs()
+        )
+    )
+    S.update_lake_schema(lake_dir)
+    # record the restored state as its own snapshot (a restorable point,
+    # and the coherent base for any REBUILT downstream view)
+    S.write_snapshot(lake_dir)
+    st.remove(S.restore_marker_file(lake_dir))
     return lineage.sort_by([("part", "ascending")])
 
 

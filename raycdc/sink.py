@@ -109,6 +109,19 @@ def bootstrap_pending(lake_dir: str) -> bool:
     return get_storage(lake_dir).exists(bootstrap_marker_file(lake_dir))
 
 
+def restore_marker_file(lake_dir: str) -> str:
+    return os.path.join(lake_dir, "_restore_pending.json")
+
+
+def restore_pending(lake_dir: str) -> int | None:
+    """The snapshot id a crashed :func:`raycdc.engine.restore_lake` was
+    rewinding to, or None.  While present the lake is a MIX of restored
+    and tip-state partitions — replay/sync/feed refuse it; re-running
+    restore (any target snapshot) completes the rewind and clears it."""
+    payload = read_json(get_storage(lake_dir), restore_marker_file(lake_dir))
+    return None if payload is None else int(payload["snapshot"])
+
+
 def wipe_lake_state(lake_dir: str) -> None:
     """Remove every partition/metadata artifact of a lake EXCEPT the
     bootstrap-pending marker — used by re-bootstrap of a crashed
@@ -179,12 +192,18 @@ def write_partition_atomic(
 def write_snapshot(lake_dir: str) -> int:
     """Record the current per-partition versions as a snapshot; returns the
     snapshot id (monotone).  Readers can later open the lake ``as_of`` this
-    id and see exactly this state regardless of later applies."""
+    id and see exactly this state regardless of later applies.
+
+    The full per-partition checkpoint payloads (``max_lsn`` floors,
+    ``row_count``, ``content_hash``) ride along under ``checkpoints`` —
+    they are what :func:`raycdc.engine.restore_lake` rewinds to, so a
+    restored lake resumes WAL replay exactly-once from the snapshot's
+    position, not from the abandoned tip."""
     st = get_storage(lake_dir)
     snaps_dir = os.path.join(lake_dir, "_snapshots")
+    ckpts = read_all_checkpoints(lake_dir)
     versions = {
-        str(part): ckpt.get("version", 0)
-        for part, ckpt in read_all_checkpoints(lake_dir).items()
+        str(part): ckpt.get("version", 0) for part, ckpt in ckpts.items()
     }
     existing = sorted(
         int(n[5:-5]) for n in st.listdir(snaps_dir)
@@ -203,16 +222,26 @@ def write_snapshot(lake_dir: str) -> int:
     write_json_atomic(
         st,
         os.path.join(snaps_dir, f"snap-{snap_id:06d}.json"),
-        {"id": snap_id, "versions": versions},
+        {
+            "id": snap_id,
+            "versions": versions,
+            "checkpoints": {str(p): c for p, c in ckpts.items()},
+        },
     )
     return snap_id
 
 
-def read_snapshot(lake_dir: str, snap_id: int) -> dict[int, int] | None:
-    payload = read_json(
+def read_snapshot_payload(lake_dir: str, snap_id: int) -> dict | None:
+    """Full snapshot manifest (``versions`` + ``checkpoints`` when the
+    snapshot was written by a restore-aware build); None if absent."""
+    return read_json(
         get_storage(lake_dir),
         os.path.join(lake_dir, "_snapshots", f"snap-{snap_id:06d}.json"),
     )
+
+
+def read_snapshot(lake_dir: str, snap_id: int) -> dict[int, int] | None:
+    payload = read_snapshot_payload(lake_dir, snap_id)
     if payload is None:
         return None
     return {int(k): int(v) for k, v in payload["versions"].items()}

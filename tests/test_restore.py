@@ -1,0 +1,233 @@
+"""restore_lake: snapshot rollback with exactly-once replay resume.
+
+The bad-deploy drill: replay a good prefix, snapshot, replay a garbage
+suffix, RESTORE to the snapshot, replay the corrected suffix — the lake
+must equal a one-shot replay of prefix + corrected suffix, and every
+other snapshot must stay time-travelable (restore never deletes or
+overwrites a referenced file).
+"""
+
+import os
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pytest
+import ray.data
+
+from raycdc.changelog import synthetic_changelog
+from raycdc.engine import change_feed, read_lake, replay, restore_lake, sync_lake
+from raycdc.schema import TableSpec
+from raycdc.sink import (
+    list_snapshots,
+    read_snapshot_payload,
+    restore_marker_file,
+    restore_pending,
+    write_snapshot,
+)
+from raycdc.storage import get_storage, write_json_atomic
+
+from .oracle import python_lww_replay
+
+
+def _state_of(ds):
+    pdf = ds.to_pandas()
+    return {(r.conv_id, r.turn_idx): r.text for r in pdf.itertuples()}
+
+
+def _garbage(log: pa.Table, lo: int) -> pa.Table:
+    """A corrupt-projector suffix: same envelope, mangled text."""
+    suffix = log.filter(pc.greater_equal(log["lsn"], lo))
+    return suffix.set_column(
+        suffix.schema.get_field_index("text"),
+        "text",
+        pc.binary_join_element_wise(suffix["text"], " CORRUPTED", "|"),
+    )
+
+
+def test_restore_then_corrected_replay_equals_one_shot(ray_session, tmp_path):
+    log = synthetic_changelog(n_events=1500, seed=140)
+    prefix = log.filter(pc.less(log["lsn"], 900))
+    suffix = log.filter(pc.greater_equal(log["lsn"], 900))
+    spec = TableSpec(num_partitions=4)
+
+    lake = str(tmp_path / "lake")
+    replay(ray.data.from_arrow(prefix), lake, spec)
+    snap = list_snapshots(lake)[-1]
+    good_half = _state_of(read_lake(lake, spec))
+
+    replay(ray.data.from_arrow(_garbage(log, 900)), lake, spec)
+    assert _state_of(read_lake(lake, spec)) != good_half
+
+    lineage = restore_lake(lake, snap)
+    assert restore_pending(lake) is None
+    sts = set(lineage["status"].to_pylist())
+    assert "restored" in sts
+    assert _state_of(read_lake(lake, spec)) == good_half
+
+    # corrected suffix resumes exactly-once from the snapshot floors
+    replay(ray.data.from_arrow(suffix), lake, spec)
+    expect = {k: r["text"] for k, r in python_lww_replay([log]).items()}
+    assert _state_of(read_lake(lake, spec)) == expect
+
+    # one-shot reference lake agrees
+    ref = str(tmp_path / "ref")
+    replay(ray.data.from_arrow(log), ref, spec)
+    assert _state_of(read_lake(ref, spec)) == expect
+
+
+def test_restore_is_idempotent_and_noops_second_time(ray_session, tmp_path):
+    log = synthetic_changelog(n_events=800, seed=141)
+    spec = TableSpec(num_partitions=4)
+    lake = str(tmp_path / "lake")
+    replay(
+        ray.data.from_arrow(log.filter(pc.less(log["lsn"], 400))), lake, spec
+    )
+    snap = list_snapshots(lake)[-1]
+    replay(ray.data.from_arrow(_garbage(log, 400)), lake, spec)
+
+    restore_lake(lake, snap)
+    state1 = _state_of(read_lake(lake, spec))
+    lineage2 = restore_lake(lake, snap)
+    assert set(lineage2["status"].to_pylist()) <= {"noop"}
+    assert _state_of(read_lake(lake, spec)) == state1
+
+
+def test_restore_resets_partition_created_after_snapshot(ray_session, tmp_path):
+    # 3 conversations over 8 partitions: the snapshot covers only the few
+    # partitions base touched, so extra's new conversations are guaranteed
+    # to create post-snapshot partitions that restore must reset to empty
+    spec = TableSpec(num_partitions=8)
+    lake = str(tmp_path / "lake")
+    base = synthetic_changelog(n_events=400, n_convs=3, seed=142)
+    replay(ray.data.from_arrow(base), lake, spec)
+    snap = list_snapshots(lake)[-1]
+    snap_parts = set(read_snapshot_payload(lake, snap)["checkpoints"])
+
+    extra = synthetic_changelog(n_events=300, n_convs=40, seed=143)
+    extra = extra.set_column(
+        extra.schema.get_field_index("lsn"),
+        "lsn",
+        pc.add(extra["lsn"], 400),
+    )
+    replay(ray.data.from_arrow(extra), lake, spec)
+
+    lineage = restore_lake(lake, snap)
+    assert len(snap_parts) < spec.num_partitions  # fixture sanity
+    reset = lineage.filter(pc.equal(lineage["status"], "reset_empty"))
+    assert reset.num_rows > 0  # the post-snapshot partitions were reset
+    expect = {k: r["text"] for k, r in python_lww_replay([base]).items()}
+    assert _state_of(read_lake(lake, spec)) == expect
+
+    # replaying the extra segment again rebuilds the tip exactly-once
+    replay(ray.data.from_arrow(extra), lake, spec)
+    both = pa.concat_tables([base, extra])
+    expect_tip = {k: r["text"] for k, r in python_lww_replay([both]).items()}
+    assert _state_of(read_lake(lake, spec)) == expect_tip
+
+
+def test_restore_preserves_other_snapshots_time_travel(ray_session, tmp_path):
+    log = synthetic_changelog(n_events=900, seed=144)
+    spec = TableSpec(num_partitions=4)
+    lake = str(tmp_path / "lake")
+    thirds = [
+        log.filter(
+            pc.and_(pc.greater_equal(log["lsn"], lo), pc.less(log["lsn"], hi))
+        )
+        for lo, hi in ((0, 300), (300, 600), (600, 900))
+    ]
+    states, snaps = [], []
+    acc = []
+    for part in thirds:
+        replay(ray.data.from_arrow(part), lake, spec)
+        acc.append(part)
+        snaps.append(list_snapshots(lake)[-1])
+        states.append(
+            {k: r["text"] for k, r in python_lww_replay(list(acc)).items()}
+        )
+
+    restore_lake(lake, snaps[0])
+    # every pre-restore snapshot still reads its exact state
+    for sid, want in zip(snaps, states):
+        assert _state_of(read_lake(lake, spec, as_of=sid)) == want
+    # and the current state is the restored one
+    assert _state_of(read_lake(lake, spec)) == states[0]
+    # the restore recorded its own snapshot of the rewound state
+    assert list_snapshots(lake)[-1] > snaps[-1]
+
+
+def test_pending_marker_blocks_consumers_and_rerun_completes(
+    ray_session, tmp_path
+):
+    log = synthetic_changelog(n_events=600, seed=145)
+    spec = TableSpec(num_partitions=4)
+    lake = str(tmp_path / "lake")
+    replay(
+        ray.data.from_arrow(log.filter(pc.less(log["lsn"], 300))), lake, spec
+    )
+    snap = list_snapshots(lake)[-1]
+    replay(ray.data.from_arrow(_garbage(log, 300)), lake, spec)
+
+    # simulate a crash mid-restore: marker present, partitions untouched
+    write_json_atomic(
+        get_storage(lake), restore_marker_file(lake), {"snapshot": snap}
+    )
+    with pytest.raises(RuntimeError, match="unfinished restore"):
+        replay(ray.data.from_arrow(log), lake, spec)
+    with pytest.raises(RuntimeError, match="unfinished restore"):
+        change_feed(lake, None, None, spec)
+    with pytest.raises(RuntimeError, match="unfinished restore"):
+        sync_lake(lake, str(tmp_path / "replica"), spec)
+
+    # re-running restore completes the rewind and clears the marker
+    restore_lake(lake, snap)
+    assert restore_pending(lake) is None
+    expect = {
+        k: r["text"]
+        for k, r in python_lww_replay(
+            [log.filter(pc.less(log["lsn"], 300))]
+        ).items()
+    }
+    assert _state_of(read_lake(lake, spec)) == expect
+
+
+def test_restore_cli_smoke(ray_session, tmp_path, capsys):
+    from raycdc.__main__ import main
+
+    log = synthetic_changelog(n_events=500, seed=147)
+    spec = TableSpec(num_partitions=4)
+    lake = str(tmp_path / "lake")
+    replay(
+        ray.data.from_arrow(log.filter(pc.less(log["lsn"], 250))), lake, spec
+    )
+    snap = list_snapshots(lake)[-1]
+    replay(ray.data.from_arrow(_garbage(log, 250)), lake, spec)
+    assert main(["restore", "--lake", lake, "--as-of", str(snap)]) == 0
+    out = capsys.readouterr().out
+    assert '"restored"' in out
+    expect = {
+        k: r["text"]
+        for k, r in python_lww_replay(
+            [log.filter(pc.less(log["lsn"], 250))]
+        ).items()
+    }
+    assert _state_of(read_lake(lake, spec)) == expect
+
+
+def test_restore_rejects_checkpointless_manifest(ray_session, tmp_path):
+    log = synthetic_changelog(n_events=300, seed=146)
+    spec = TableSpec(num_partitions=4)
+    lake = str(tmp_path / "lake")
+    replay(ray.data.from_arrow(log), lake, spec)
+    snap = write_snapshot(lake)
+    # strip the checkpoint payloads (an old-format manifest)
+    payload = read_snapshot_payload(lake, snap)
+    payload.pop("checkpoints")
+    write_json_atomic(
+        get_storage(lake),
+        os.path.join(lake, "_snapshots", f"snap-{snap:06d}.json"),
+        payload,
+    )
+    with pytest.raises(ValueError, match="predates restore support"):
+        restore_lake(lake, snap)
+    with pytest.raises(FileNotFoundError, match="no snapshot"):
+        restore_lake(lake, snap + 999)
