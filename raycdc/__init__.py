@@ -46,6 +46,7 @@ _ENGINE_EXPORTS = (
     "lookup",
     "tail",
     "tail_once",
+    "prune_segments",
     "compact",
     "restore_lake",
     "migrate_lake",

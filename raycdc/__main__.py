@@ -251,6 +251,15 @@ def main(argv: list[str] | None = None) -> int:
         help="snapshot id to rewind to (see the _snapshots/ manifests)",
     )
 
+    p_prune = sub.add_parser(
+        "prune",
+        help="WAL retention GC: delete segment files the lake's journal "
+        "records as fully applied (keep the newest N as a margin)",
+    )
+    p_prune.add_argument("--lake", required=True)
+    p_prune.add_argument("--keep-last", type=int, default=0, dest="keep_last")
+    p_prune.add_argument("--dry-run", action="store_true", dest="dry_run")
+
     p_feed = sub.add_parser(
         "feed",
         help="emit the insert/update/delete change feed between two lake "
@@ -700,6 +709,19 @@ def main(argv: list[str] | None = None) -> int:
             for s in ("restored", "reset_empty", "noop")
         }
         print(json.dumps({"as_of": args.as_of, **counts}))
+    elif args.cmd == "prune":
+        import pyarrow.compute as pc
+
+        from raycdc.engine import prune_segments
+
+        out = prune_segments(
+            args.lake, keep_last=args.keep_last, dry_run=args.dry_run
+        )
+        counts = {
+            s: out.filter(pc.equal(out["status"], s)).num_rows
+            for s in ("pruned", "kept", "missing")
+        }
+        print(json.dumps({"dry_run": args.dry_run, **counts}))
     elif args.cmd == "feed":
         from raycdc.engine import change_feed
 

@@ -969,6 +969,73 @@ def tail_once(
     return new, lineage
 
 
+def prune_segments(
+    lake_dir: str,
+    keep_last: int = 0,
+    dry_run: bool = False,
+) -> pa.Table:
+    """WAL retention GC: delete segment files the lake has fully applied.
+
+    A 10^10-event log cannot be retained forever; the safe-to-delete set
+    is exactly the ``_segments.jsonl`` journal (:func:`tail_once` appends
+    a segment only AFTER its replay returned, so journaled ⇒ folded into
+    the lake and re-reading it would be a checkpoint no-op anyway).
+    ``keep_last`` retains the N newest journaled segments as an
+    operational margin (WAL-mining jobs like
+    :func:`raycdc.trajectory.edit_pairs` read raw segments; point their
+    window inside the retained margin).  ``dry_run`` lists without
+    deleting.
+
+    What pruning gives up — and the docstring is the contract: a pruned
+    segment can never be replayed again, so (1)
+    :func:`repair_partition`'s full-WAL healing replay only works over
+    the RETAINED suffix — pair pruning with lake snapshots
+    (:func:`restore_lake`) or a dump (:func:`bootstrap`) as the deep
+    recovery path; (2) :func:`restore_lake` to a snapshot older than the
+    retention horizon leaves no WAL to roll forward from.  Prune to a
+    horizon you would restore to, never past it.
+
+    The journal itself is untouched (append-only contract; entries for
+    deleted files are inert — the tail glob no longer sees them).
+    Returns one row per journaled segment: ``(path, status ∈ {pruned,
+    kept, missing})``; ``missing`` = journaled but already gone.
+    """
+    import json
+
+    from raycdc.storage import get_storage
+
+    lake_st = get_storage(lake_dir)
+    journal_path = os.path.join(lake_dir, "_segments.jsonl")
+    if not lake_st.exists(journal_path):
+        return pa.table(
+            {"path": pa.array([], pa.string()), "status": pa.array([], pa.string())}
+        )
+    # journal order IS apply order (append-only): the retention margin is
+    # the tail of the file, not a lexicographic guess over paths
+    applied = [
+        json.loads(line)
+        for line in lake_st.read_bytes(journal_path).decode().splitlines()
+        if line.strip()
+    ]
+    keep_set = set(applied[len(applied) - keep_last :]) if keep_last > 0 else set()
+    rows = []
+    for p in applied:
+        st = get_storage(p)
+        if p in keep_set:
+            rows.append((p, "kept"))
+        elif not st.exists(p):
+            rows.append((p, "missing"))
+        elif dry_run:
+            rows.append((p, "pruned"))
+        else:
+            st.remove(p)
+            rows.append((p, "pruned"))
+    path_c, st_c = zip(*rows) if rows else ((), ())
+    return pa.table(
+        {"path": pa.array(path_c, pa.string()), "status": pa.array(st_c)}
+    )
+
+
 def tail(
     watch_dir: str,
     lake_dir: str,

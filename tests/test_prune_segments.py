@@ -1,0 +1,88 @@
+"""WAL retention GC: prune applied segment files behind the tail journal."""
+
+import os
+
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from raycdc.changelog import synthetic_changelog
+from raycdc.engine import prune_segments, read_lake, tail_once
+from raycdc.schema import TableSpec
+
+from .oracle import python_lww_replay
+
+
+def _state_of(ds):
+    pdf = ds.to_pandas()
+    return {(r.conv_id, r.turn_idx): r.text for r in pdf.itertuples()}
+
+
+def _three_segments(tmp_path):
+    watch = tmp_path / "wal"
+    watch.mkdir()
+    log = synthetic_changelog(n_events=900, seed=150)
+    for i, (lo, hi) in enumerate(((0, 300), (300, 600), (600, 900))):
+        seg = log.filter(
+            pc.and_(pc.greater_equal(log["lsn"], lo), pc.less(log["lsn"], hi))
+        )
+        pq.write_table(seg, os.path.join(str(watch), f"seg-{i:03d}.parquet"))
+    return str(watch), log
+
+
+def test_prune_deletes_only_applied_keeps_margin(ray_session, tmp_path):
+    watch, log = _three_segments(tmp_path)
+    lake = str(tmp_path / "lake")
+    spec = TableSpec(num_partitions=4)
+    new, _ = tail_once(watch, lake, spec)
+    assert len(new) == 3
+    # an UNJOURNALED file (arrived after the round) must never be touched
+    late = synthetic_changelog(n_events=50, seed=151)
+    pq.write_table(late, os.path.join(watch, "seg-999.parquet"))
+
+    state = _state_of(read_lake(lake, spec))
+
+    dry = prune_segments(lake, keep_last=1, dry_run=True)
+    assert sorted(dry["status"].to_pylist()) == ["kept", "pruned", "pruned"]
+    assert os.path.exists(os.path.join(watch, "seg-000.parquet"))  # dry run
+
+    out = prune_segments(lake, keep_last=1)
+    got = dict(zip(out["path"].to_pylist(), out["status"].to_pylist()))
+    assert got[os.path.join(watch, "seg-000.parquet")] == "pruned"
+    assert got[os.path.join(watch, "seg-001.parquet")] == "pruned"
+    assert got[os.path.join(watch, "seg-002.parquet")] == "kept"
+    assert not os.path.exists(os.path.join(watch, "seg-000.parquet"))
+    assert os.path.exists(os.path.join(watch, "seg-002.parquet"))
+    assert os.path.exists(os.path.join(watch, "seg-999.parquet"))
+
+    # lake state untouched; journal untouched (append-only contract)
+    assert _state_of(read_lake(lake, spec)) == state
+    assert os.path.exists(os.path.join(lake, "_segments.jsonl"))
+
+    # the next tail round sees only the unjournaled newcomer — pruned
+    # files neither re-apply nor error
+    new2, _ = tail_once(watch, lake, spec)
+    assert [os.path.basename(p) for p in new2] == ["seg-999.parquet"]
+
+    # re-prune reports the already-deleted files as missing, not an error
+    again = prune_segments(lake, keep_last=1)
+    sts = dict(zip(again["path"].to_pylist(), again["status"].to_pylist()))
+    assert sts[os.path.join(watch, "seg-000.parquet")] == "missing"
+    assert sts[os.path.join(watch, "seg-999.parquet")] == "kept"
+
+
+def test_prune_without_journal_is_empty_noop(ray_session, tmp_path):
+    lake = str(tmp_path / "lake")
+    os.makedirs(lake, exist_ok=True)
+    out = prune_segments(lake)
+    assert out.num_rows == 0
+
+
+def test_prune_cli_smoke(ray_session, tmp_path, capsys):
+    from raycdc.__main__ import main
+
+    watch, _ = _three_segments(tmp_path)
+    lake = str(tmp_path / "lake")
+    tail_once(watch, lake, TableSpec(num_partitions=4))
+    assert main(["prune", "--lake", lake, "--keep-last", "2"]) == 0
+    out = capsys.readouterr().out
+    assert '"pruned": 1' in out and '"kept": 2' in out
