@@ -654,6 +654,53 @@ def q_cdc_bootstrap(sf_dir: str):
     )
 
 
+def q_cdc_restore(sf_dir: str):
+    """Disaster-recovery drill under the oracle
+    (:func:`raycdc.engine.restore_lake`): replay the WAL head, snapshot,
+    replay a CORRUPTED tail (the bad-deploy), restore the lake to the
+    snapshot, then replay the TRUE tail.  The final live state must equal
+    one-shot LWW over the whole log — which proves the rewind restored
+    both the data files and the checkpoint floors exactly (a floor left
+    too high would prune the true tail's events; stale data would leak
+    corrupted text into the final hash)."""
+    import pyarrow.parquet as pq
+
+    from raycdc.changelog import changelog_from_events
+    from raycdc.engine import read_lake, replay, restore_lake
+    from raycdc.schema import TableSpec
+    from raycdc.sink import list_snapshots
+
+    cut = pq.read_metadata(f"{sf_dir}/events.parquet").num_rows // 2
+    spec = TableSpec(num_partitions=16)
+    log = changelog_from_events(sf_dir)
+
+    def head(t: pa.Table) -> pa.Table:
+        return t.filter(pc.less_equal(t["lsn"], cut))
+
+    def tail_true(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater(t["lsn"], cut))
+
+    def tail_corrupt(t: pa.Table) -> pa.Table:
+        t = tail_true(t)
+        return t.set_column(
+            t.schema.get_field_index("text"),
+            "text",
+            pc.binary_join_element_wise(t["text"], "CORRUPTED", "|"),
+        )
+
+    lake = os.path.join(tempfile.gettempdir(), "raycdc_restore_lake")
+    shutil.rmtree(lake, ignore_errors=True)
+    kw = dict(batch_format="pyarrow", zero_copy_batch=True)
+    replay(log.map_batches(head, **kw), lake, spec)
+    snap = list_snapshots(lake)[-1]
+    replay(log.map_batches(tail_corrupt, **kw), lake, spec)
+    restore_lake(lake, snap)
+    replay(log.map_batches(tail_true, **kw), lake, spec)
+    return read_lake(lake, spec).select_columns(
+        ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    )
+
+
 def q_cdc_enriched_replay(sf_dir: str):
     """Dimension enrichment INSIDE the exactly-once replay path: the
     replay's projector broadcast-joins every changelog batch against the
@@ -5086,6 +5133,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "cdc_evolve": q_cdc_evolve,
     "cdc_additive_rollup": q_cdc_additive_rollup,
     "cdc_bootstrap": q_cdc_bootstrap,
+    "cdc_restore": q_cdc_restore,
     "cdc_enriched_replay": q_cdc_enriched_replay,
     "cdc_scd2_history": q_cdc_scd2_history,
     "cdc_history_lake": q_cdc_history_lake,
@@ -5196,6 +5244,9 @@ ORACLES: dict[str, str] = {
     "cdc_evolve": _sql_cdc_evolve(),
     "cdc_additive_rollup": SQL_CDC_ADDITIVE_ROLLUP,
     "cdc_bootstrap": _sql_cdc_bootstrap(),
+    # restore drill lands on the same one-shot LWW final state: the
+    # corrupted interlude must leave zero trace after the rewind
+    "cdc_restore": _sql_cdc_bootstrap(),
     "cdc_enriched_replay": _sql_cdc_enriched_replay(),
     "cdc_scd2_history": SQL_CDC_SCD2_HISTORY,
     "cdc_history_lake": SQL_CDC_SCD2_HISTORY,
