@@ -1305,6 +1305,109 @@ FROM documents
 """
 
 
+def q_dedup_paragraphs(sf_dir: str):
+    """INTRA-document paragraph dedup (:func:`raycdc.text.dedup_paragraphs`):
+    repeats of a paragraph inside one document collapse to the first
+    occurrence, original order kept — a pure per-batch map, zero
+    exchanges.  The fixture has no paragraph structure, so both engines
+    first plant one deterministically (text ‖ marker ‖ text ‖ marker):
+    the expected survivor is exactly text ‖ marker."""
+    from raycdc.text import dedup_paragraphs
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    sep = "\n\n"
+
+    def plant(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t["text"]))
+        marker = pc.binary_join_element_wise(
+            "para-", pc.cast(t["doc_id"], pa.string()), ""
+        )
+        doubled = pc.binary_join_element_wise(
+            t["text"], marker, t["text"], marker, sep
+        )
+        return pa.table({"doc_id": t["doc_id"], "text": doubled})
+
+    return ds.map_batches(
+        plant, batch_format="pyarrow", zero_copy_batch=True
+    ).map_batches(
+        lambda t: dedup_paragraphs(t, sep=sep),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+SQL_DEDUP_PARAGRAPHS = """
+WITH synth AS (
+    SELECT doc_id,
+           text || chr(10) || chr(10) || 'para-' || CAST(doc_id AS VARCHAR)
+                || chr(10) || chr(10) || text
+                || chr(10) || chr(10) || 'para-' || CAST(doc_id AS VARCHAR)
+               AS t
+    FROM documents WHERE text IS NOT NULL
+),
+exploded AS (
+    SELECT doc_id,
+           unnest(string_split(t, chr(10) || chr(10))) AS p,
+           unnest(range(1, len(string_split(t, chr(10) || chr(10))) + 1)) AS ord
+    FROM synth
+),
+firsts AS (
+    SELECT doc_id, p, ord,
+           row_number() OVER (PARTITION BY doc_id, p ORDER BY ord) AS rn
+    FROM exploded
+)
+SELECT doc_id,
+       string_agg(p, chr(10) || chr(10) ORDER BY ord) AS text
+FROM firsts WHERE rn = 1
+GROUP BY doc_id
+"""
+
+
+def q_text_strip_markup(sf_dir: str):
+    """HTML boilerplate strip (:func:`raycdc.text.strip_markup`): tags →
+    space, common entities decoded, whitespace collapsed — all Arrow RE2
+    / literal-replace kernels.  Both engines wrap the fixture text in the
+    same deterministic markup first, so the strip is observable and the
+    oracle runs the identical RE2 chain in SQL."""
+    from raycdc.text import strip_markup
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def wrap(t: pa.Table) -> pa.Table:
+        html = pc.binary_join_element_wise(
+            '<div id="',
+            pc.cast(t["doc_id"], pa.string()),
+            '"><p>',
+            t["text"],
+            " &amp; more</p><br/></div>",
+            "",
+        )
+        return pa.table({"doc_id": t["doc_id"], "text": html})
+
+    return ds.map_batches(
+        wrap, batch_format="pyarrow", zero_copy_batch=True
+    ).map_batches(strip_markup, batch_format="pyarrow", zero_copy_batch=True)
+
+
+SQL_TEXT_STRIP_MARKUP = """
+SELECT doc_id,
+       trim(regexp_replace(
+           replace(replace(replace(replace(replace(replace(
+               regexp_replace(
+                   '<div id="' || CAST(doc_id AS VARCHAR) || '"><p>'
+                       || text || ' &amp; more</p><br/></div>',
+                   '<[^>]*>', ' ', 'g'),
+               '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+               '&#39;', chr(39)), '&nbsp;', ' '), '&amp;', '&'),
+           '\\s+', ' ', 'g'), ' ') AS text
+FROM documents
+"""
+
+
 def q_conv_stats(sf_dir: str):
     """Per-conversation statistics over the replayed LWW state — the
     transcript-curation signals (turn count, role mix, tool-call count,
@@ -5176,6 +5279,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "text_repetition": q_text_repetition,
     "text_redact": q_text_redact,
     "text_normalize": q_text_normalize,
+    "dedup_paragraphs": q_dedup_paragraphs,
+    "text_strip_markup": q_text_strip_markup,
     "pack_docs": q_pack_docs,
     "assemble_convs": q_assemble_convs,
     "conv_stats": q_conv_stats,
@@ -5282,6 +5387,8 @@ ORACLES: dict[str, str] = {
     "text_repetition": SQL_TEXT_REPETITION,
     "text_redact": SQL_TEXT_REDACT,
     "text_normalize": SQL_TEXT_NORMALIZE,
+    "dedup_paragraphs": SQL_DEDUP_PARAGRAPHS,
+    "text_strip_markup": SQL_TEXT_STRIP_MARKUP,
     "assemble_convs": _sql_assemble_convs(),
     "conv_stats": _sql_conv_stats(),
     "conv_integrity": _sql_conv_integrity(),

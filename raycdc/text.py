@@ -591,6 +591,82 @@ def normalize_text(
     )
 
 
+def dedup_paragraphs(
+    batch: pa.Table,
+    text_col: str = "text",
+    sep: str = "\n\n",
+    out_col: str | None = None,
+) -> pa.Table:
+    """INTRA-document paragraph dedup: drop every repeat of a paragraph
+    within the same document (first occurrence wins, original order
+    kept) and re-join the survivors — the boilerplate-scrub that removes
+    repeated headers/footers/navigation blocks pasted multiple times
+    into one crawled page (the within-doc sibling of the cross-doc
+    :func:`raycdc.dedup.dup_span_stats` family).
+
+    A pure per-batch map (each document is wholly inside its row): split
+    → explode → exact first-occurrence unique per (row, paragraph) →
+    ordered re-join, all in vectorized polars/Arrow kernels — zero
+    exchanges, so the op costs the same per byte at 100 TB as at 100 MB.
+    Exact string comparison (no hash-collision risk).  Null text stays
+    null; a paragraph-free document round-trips unchanged.
+    """
+    import polars as pl
+
+    col = batch[text_col]
+    df = pl.DataFrame(
+        {"__i": np.arange(len(batch), dtype=np.int64)}
+    ).with_columns(pl.from_arrow(col).alias("__t"))
+    kept = (
+        df.filter(pl.col("__t").is_not_null())
+        .with_columns(pl.col("__t").str.split(sep).alias("__p"))
+        .explode("__p")
+        .unique(subset=["__i", "__p"], keep="first", maintain_order=True)
+        .group_by("__i", maintain_order=True)
+        .agg(pl.col("__p").str.join(sep).alias("__out"))
+    )
+    # polars emits large_string — cast back to the stored offset width
+    joined = df.join(kept, on="__i", how="left")["__out"].to_arrow().cast(col.type)
+    if out_col and out_col != text_col:
+        return batch.append_column(out_col, joined)
+    return batch.set_column(
+        batch.schema.get_field_index(text_col), text_col, joined
+    )
+
+
+# entity subset every engine agrees on; '&amp;' must decode LAST so
+# '&amp;lt;' yields the literal '&lt;', not a double-decoded '<'
+_MARKUP_ENTITIES: tuple[tuple[str, str], ...] = (
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&nbsp;", " "),
+    ("&amp;", "&"),
+)
+
+
+def strip_markup(
+    batch: pa.Table, text_col: str = "text", out_col: str | None = None
+) -> pa.Table:
+    """HTML/XML boilerplate strip: drop tags, decode the common entity
+    subset, collapse whitespace — the first transform a crawled-page
+    ingest runs before any quality scoring or dedup.  Entirely Arrow RE2
+    / literal-replace kernels (one pass per pattern, no row loop); the
+    same chain is expressible verbatim in SQL ``regexp_replace``/
+    ``replace``, which is what the oracle runs.
+    """
+    col = pc.replace_substring_regex(batch[text_col], r"<[^>]*>", " ")
+    for ent, repl in _MARKUP_ENTITIES:
+        col = pc.replace_substring(col, ent, repl)
+    col = pc.utf8_trim(pc.replace_substring_regex(col, r"\s+", " "), " ")
+    if out_col and out_col != text_col:
+        return batch.append_column(out_col, col)
+    return batch.set_column(
+        batch.schema.get_field_index(text_col), text_col, col
+    )
+
+
 # ---------------------------------------------------------------------------
 # sequence packing (fixed token-budget training bins)
 

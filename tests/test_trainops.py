@@ -752,6 +752,63 @@ def test_normalize_text_canonical_form():
     assert out2["norm"].to_pylist()[0] == "hello world mixed case"
 
 
+def test_dedup_paragraphs_first_occurrence_order_and_nulls():
+    t = pa.table(
+        {
+            "text": pa.array(
+                [
+                    "a\n\nb\n\na\n\nc\n\nb",  # repeats collapse, order kept
+                    "solo",                    # separator-free: unchanged
+                    None,                      # null stays null
+                    "",                        # empty round-trips
+                    "x\n\n\n\nx",              # empty paragraph is a paragraph
+                ]
+            )
+        }
+    )
+    out = T.dedup_paragraphs(t)
+    assert out["text"].to_pylist() == [
+        "a\n\nb\n\nc",
+        "solo",
+        None,
+        "",
+        "x\n\n",  # ['x','','x'] -> first 'x' + the empty paragraph
+    ]
+    # large_string offsets round-trip through the same kernel
+    big = pa.table({"text": t["text"].cast(pa.large_string())})
+    assert (
+        T.dedup_paragraphs(big)["text"].to_pylist()
+        == out["text"].to_pylist()
+    )
+    # out_col mode keeps the original
+    out2 = T.dedup_paragraphs(t, out_col="clean")
+    assert out2["text"].to_pylist()[0] == "a\n\nb\n\na\n\nc\n\nb"
+    assert out2["clean"].to_pylist()[0] == "a\n\nb\n\nc"
+
+
+def test_strip_markup_tags_entities_whitespace():
+    t = pa.table(
+        {
+            "text": pa.array(
+                [
+                    '<div class="x"><p>hello   <b>world</b></p></div>',
+                    "no markup",
+                    "a &lt;tag&gt; &amp;lt; literal &quot;q&#39;s&quot;&nbsp;end",
+                    None,
+                ]
+            )
+        }
+    )
+    out = T.strip_markup(t)
+    assert out["text"].to_pylist() == [
+        "hello world",
+        "no markup",
+        # &amp;lt; must decode to the LITERAL '&lt;', never double-decode
+        "a <tag> &lt; literal \"q's\" end",
+        None,
+    ]
+
+
 def test_pack_sequences_invariants(ray_session):
     """Next-fit packing: every doc exactly once; per-pack token sums within
     budget except solo oversize docs; offsets are the prefix sums of pack
