@@ -213,6 +213,117 @@ def test_restore_cli_smoke(ray_session, tmp_path, capsys):
     assert _state_of(read_lake(lake, spec)) == expect
 
 
+def test_restore_additive_policy_floors_protect_resums(ray_session, tmp_path):
+    """Additive lakes are the acid test for floor exactness: a floor one
+    event too low double-counts (addition is not idempotent), one too
+    high drops a delta.  Restore + true-suffix replay must equal the
+    one-shot rollup bit-for-bit."""
+    import datetime as dt
+
+    import numpy as np
+
+    rng = np.random.default_rng(33)
+    n = 600
+    users = rng.integers(0, 12, n)
+    deltas = pa.table(
+        {
+            "conv_id": pa.array([f"u{u}" for u in users]),
+            "turn_idx": pa.array(rng.integers(0, 3, n).astype(np.int32)),
+            "ts": pa.array(
+                [
+                    dt.datetime(2024, 1, 1) + dt.timedelta(seconds=int(s))
+                    for s in range(n)
+                ],
+                pa.timestamp("us"),
+            ),
+            "op": pa.array(["insert"] * n),
+            "lsn": pa.array(np.arange(n, dtype=np.int64)),
+            "cents": pa.array(rng.integers(-50, 200, n).astype(np.int64)),
+        }
+    )
+    spec = TableSpec(
+        num_partitions=4, merge_policy="additive", value_cols=("cents",)
+    )
+    half = deltas.filter(pc.less(deltas["lsn"], 300))
+    rest = deltas.filter(pc.greater_equal(deltas["lsn"], 300))
+    garbage = rest.set_column(
+        rest.schema.get_field_index("cents"),
+        "cents",
+        pc.multiply(rest["cents"], 1000),
+    )
+
+    lake = str(tmp_path / "lake")
+    replay(ray.data.from_arrow(half), lake, spec)
+    snap = list_snapshots(lake)[-1]
+    replay(ray.data.from_arrow(garbage), lake, spec)
+    restore_lake(lake, snap)
+    replay(ray.data.from_arrow(rest), lake, spec)
+
+    ref = str(tmp_path / "ref")
+    replay(ray.data.from_arrow(deltas), ref, spec)
+
+    def sums(lk):
+        pdf = read_lake(lk, spec).to_pandas()
+        return {
+            (r.conv_id, r.turn_idx): r.cents for r in pdf.itertuples()
+        }
+
+    assert sums(lake) == sums(ref)
+
+
+def test_restore_history_policy_rewinds_scd2_intervals(ray_session, tmp_path):
+    """History lakes store every version with validity intervals; restore
+    must rewind to EXACTLY the snapshot's interval state (a leaked
+    closed-version row from the garbage interlude would corrupt PIT
+    queries forever), and ts-ordered replay of the true suffix must then
+    land on the one-shot SCD2 history."""
+    import pandas as pd
+
+    from raycdc.scd import scd2_history
+
+    log = synthetic_changelog(n_events=400, seed=148, p_delete=0.2).sort_by(
+        [("ts", "ascending"), ("lsn", "ascending")]
+    )
+    spec = TableSpec(num_partitions=4, merge_policy="history")
+    head, rest = log.slice(0, 200), log.slice(200)
+    garbage = rest.set_column(
+        rest.schema.get_field_index("text"),
+        "text",
+        pc.binary_join_element_wise(rest["text"], "CORRUPTED", "|"),
+    )
+
+    def canon(df):
+        return df.sort_values(
+            ["conv_id", "turn_idx", "valid_from", "lsn"]
+        ).reset_index(drop=True)[
+            ["conv_id", "turn_idx", "lsn", "text", "valid_from",
+             "valid_to", "is_current"]
+        ]
+
+    lake = str(tmp_path / "histlake")
+    replay(ray.data.from_arrow(head), lake, spec)
+    snap = list_snapshots(lake)[-1]
+    head_state = canon(
+        read_lake(lake, spec, with_tombstones=True).to_pandas()
+    )
+    replay(ray.data.from_arrow(garbage), lake, spec)
+    restore_lake(lake, snap)
+    pd.testing.assert_frame_equal(
+        canon(read_lake(lake, spec, with_tombstones=True).to_pandas()),
+        head_state,
+    )
+    replay(ray.data.from_arrow(rest), lake, spec)
+    want = canon(
+        scd2_history(
+            ray.data.from_arrow(log), key_cols=("conv_id", "turn_idx"),
+            num_partitions=4,
+        ).to_pandas()
+    )
+    pd.testing.assert_frame_equal(
+        canon(read_lake(lake, spec, with_tombstones=True).to_pandas()), want
+    )
+
+
 def test_restore_rejects_checkpointless_manifest(ray_session, tmp_path):
     log = synthetic_changelog(n_events=300, seed=146)
     spec = TableSpec(num_partitions=4)
