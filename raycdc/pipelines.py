@@ -469,6 +469,86 @@ FROM c
 """
 
 
+def q_quality_gate(sf_dir: str):
+    """Per-language quality-percentile ADMISSION GATE: keep only documents
+    at or above their own language's median quality — the data-derived
+    (not hand-tuned) threshold form of the C4/Gopher quality filter,
+    where each language cohort sets its own bar.  Composition:
+    :func:`raycdc.text.quality_score` partials →
+    :func:`raycdc.relational.group_quantiles` (one bounded-key exchange;
+    languages are bounded-cardinality, so the medians table is a few
+    rows) → broadcast threshold lookup inside a per-batch filter.  The
+    score map re-runs for the gate pass instead of materializing the
+    scored corpus — the right trade at lake scale (recompute a cheap map,
+    never persist a corpus-sized intermediate).  Exact float parity:
+    quality is floor-quantized at the source (both engines), and the
+    median interpolation is the same IEEE arithmetic ⊕quantiles_value
+    already proves."""
+    from raycdc.relational import group_quantiles
+    from raycdc.text import quality_score
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+
+    def score(t: pa.Table) -> pa.Table:
+        return quality_score(t).append_column("lang", t["lang"])
+
+    scored = ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+    med = group_quantiles(
+        scored, group_col="lang", value_col="quality",
+        qs=(0.5,), aliases=("med",), num_partitions=8,
+    )
+    # empty quantile buckets surface as zero-column blocks — drop them
+    parts = [t for t in ray.get(med.to_arrow_refs()) if t.num_rows]
+    med_t = (
+        pa.concat_tables(parts)
+        if parts
+        else pa.schema(
+            [pa.field("lang", pa.string()), pa.field("med", pa.float64())]
+        ).empty_table()
+    )
+    langs_arr = med_t["lang"].combine_chunks()
+    meds_arr = med_t["med"].combine_chunks()
+
+    def gate(t: pa.Table) -> pa.Table:
+        idx = pc.index_in(t["lang"], value_set=langs_arr)
+        thr = pc.take(meds_arr, idx)
+        # null lang → null threshold → dropped, = SQL inner JOIN USING(lang)
+        keep = pc.fill_null(pc.greater_equal(t["quality"], thr), False)
+        return t.filter(keep).select(["doc_id", "lang", "quality"])
+
+    return scored.map_batches(gate, batch_format="pyarrow", zero_copy_batch=True)
+
+
+SQL_QUALITY_GATE = """
+WITH w AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
+c AS (
+    SELECT doc_id, lang,
+           CAST(len(toks) AS DOUBLE) AS n_tok,
+           CAST(len(list_distinct(toks)) AS DOUBLE) AS n_uniq,
+           CAST(len(list_filter(toks, x -> x IN ('the', 'a'))) AS DOUBLE) AS n_stop
+    FROM w
+),
+q AS (
+    SELECT doc_id, lang,
+           floor((
+               0.4 * least(greatest((n_tok - 5) / 45.0, 0.0), 1.0)
+             + 0.4 * (CASE WHEN n_tok > 0 THEN n_uniq / n_tok ELSE 0.0 END)
+             + 0.2 * least(
+                   (CASE WHEN n_tok > 0 THEN n_stop / n_tok ELSE 0.0 END) * 10,
+                   1.0
+               )) * 1000000
+           ) / 1000000 AS quality
+    FROM c
+),
+m AS (SELECT lang, quantile_cont(quality, 0.5) AS med FROM q GROUP BY lang)
+SELECT q.doc_id, q.lang, q.quality
+FROM q JOIN m USING (lang)
+WHERE q.quality >= m.med
+"""
+
+
 def q_text_langid(sf_dir: str):
     """Letter-frequency language ID (heuristic; rows-only check)."""
     from raycdc.text import lang_id
@@ -5281,6 +5361,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "text_normalize": q_text_normalize,
     "dedup_paragraphs": q_dedup_paragraphs,
     "text_strip_markup": q_text_strip_markup,
+    "quality_gate": q_quality_gate,
     "pack_docs": q_pack_docs,
     "assemble_convs": q_assemble_convs,
     "conv_stats": q_conv_stats,
@@ -5389,6 +5470,7 @@ ORACLES: dict[str, str] = {
     "text_normalize": SQL_TEXT_NORMALIZE,
     "dedup_paragraphs": SQL_DEDUP_PARAGRAPHS,
     "text_strip_markup": SQL_TEXT_STRIP_MARKUP,
+    "quality_gate": SQL_QUALITY_GATE,
     "assemble_convs": _sql_assemble_convs(),
     "conv_stats": _sql_conv_stats(),
     "conv_integrity": _sql_conv_integrity(),
