@@ -151,7 +151,12 @@ def _q_cdc_lineage(sf_dir: str):
 _DRIVER_WINDOW: list[str] = [
     # CDC core — exactly-once replay + lineage
     "cdc_replay",
-    "cdc_replay_lake",
+    # cdc_restore (head replay → snapshot → corrupted-tail replay →
+    # restore → true-tail replay under the one-shot LWW oracle) displaced
+    # cdc_replay_lake: it exercises the identical lake apply path THREE
+    # times plus snapshot manifests and the checkpoint rewind;
+    # cdc_replay_lake stays in the full gate
+    "cdc_restore",
     "cdc_lineage",
     # reference projector/parse family (handlers.go semantics)
     "proj_clean_number",
@@ -187,7 +192,11 @@ _DRIVER_WINDOW: list[str] = [
     "distinct_props_per_user",
     "json_props_rollup",
     # text / tokens / embeddings
-    "text_stats",
+    # quality_gate (per-language median-quality admission filter) displaced
+    # text_stats: the gate runs the token_stats kernel internally AND adds
+    # group_quantiles + broadcast-threshold coverage the window lacked;
+    # text_stats stays in the full gate
+    "quality_gate",
     "text_repetition",
     "text_redact",
     # sft_pairs (transcript → (context, response) SFT examples) displaced

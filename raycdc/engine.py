@@ -904,6 +904,22 @@ def read_dead_letters(
         ) from e
 
 
+def _read_segment_journal(lake_st, journal_path: str) -> list[str]:
+    """Applied-segment paths in APPLY ORDER (the journal is append-only).
+    One definition shared by tail_once (dedup set) and prune_segments
+    (retention order) so a journal-format change can never desynchronize
+    what tail considers seen from what prune considers deletable."""
+    import json
+
+    if not lake_st.exists(journal_path):
+        return []
+    return [
+        json.loads(line)
+        for line in lake_st.read_bytes(journal_path).decode().splitlines()
+        if line.strip()
+    ]
+
+
 def tail_once(
     watch_dir: str,
     lake_dir: str,
@@ -934,13 +950,7 @@ def tail_once(
     lake_st = get_storage(lake_dir)
     watch_st = get_storage(watch_dir)
     journal_path = os.path.join(lake_dir, "_segments.jsonl")
-    seen: set[str] = set()
-    if lake_st.exists(journal_path):
-        seen = {
-            json.loads(line)
-            for line in lake_st.read_bytes(journal_path).decode().splitlines()
-            if line.strip()
-        }
+    seen = set(_read_segment_journal(lake_st, journal_path))
     # pattern may carry directory components ("day=*/seg-*.parquet") —
     # walk it segment-by-segment through the storage layer (plain listdir
     # on basenames would silently match nothing for such patterns)
@@ -1000,24 +1010,22 @@ def prune_segments(
     Returns one row per journaled segment: ``(path, status ∈ {pruned,
     kept, missing})``; ``missing`` = journaled but already gone.
     """
-    import json
-
     from raycdc.storage import get_storage
 
     lake_st = get_storage(lake_dir)
     journal_path = os.path.join(lake_dir, "_segments.jsonl")
-    if not lake_st.exists(journal_path):
+    # journal order IS apply order (append-only): the retention margin is
+    # the tail of the file, not a lexicographic guess over paths
+    applied = _read_segment_journal(lake_st, journal_path)
+    if not applied:
         return pa.table(
             {"path": pa.array([], pa.string()), "status": pa.array([], pa.string())}
         )
-    # journal order IS apply order (append-only): the retention margin is
-    # the tail of the file, not a lexicographic guess over paths
-    applied = [
-        json.loads(line)
-        for line in lake_st.read_bytes(journal_path).decode().splitlines()
-        if line.strip()
-    ]
-    keep_set = set(applied[len(applied) - keep_last :]) if keep_last > 0 else set()
+    # max(0, ...): keep_last beyond the journal length means keep ALL —
+    # a bare negative slice start would wrap and DELETE the oldest files
+    keep_set = (
+        set(applied[max(0, len(applied) - keep_last) :]) if keep_last > 0 else set()
+    )
     rows = []
     for p in applied:
         st = get_storage(p)
@@ -1593,6 +1601,9 @@ def repair_partition(lake_dir: str, parts: Sequence[int]) -> list[int]:
     :func:`raycdc.sink.vacuum`).  Returns the partitions actually reset."""
     from raycdc.storage import get_storage
 
+    # a half-rewound lake must finish its restore first: repairing now
+    # would delete versioned files the pending rewind still references
+    _refuse_pending_restore(lake_dir, "repairing partitions")
     st = get_storage(lake_dir)
     reset: list[int] = []
     for part in parts:
@@ -2978,6 +2989,22 @@ def restore_lake(
             }
         )
     st = get_storage(lake_dir)
+    # non-destructive pre-flight: a vacuumed snapshot must fail BEFORE the
+    # marker lands, or an un-runnable restore would block every consumer
+    # behind a marker only hand-deletion clears (the in-task check stays —
+    # this is a courtesy sweep, not the correctness barrier)
+    gone = [
+        (part, int(ck.get("version", 0)))
+        for part, ck in sorted(snap_ckpts.items())
+        if int(ck.get("version", 0)) >= 0
+        and not st.exists(S.part_file(lake_dir, part, int(ck.get("version", 0))))
+    ]
+    if gone:
+        raise FileNotFoundError(
+            f"restore_lake: snapshot {as_of} references missing partition "
+            f"file(s) {gone[:5]}{'...' if len(gone) > 5 else ''} (vacuumed?) "
+            "— nothing was mutated"
+        )
     # marker BEFORE any mutation: replay/feed/sync refuse the half-rewound
     # lake, and a crashed restore is completed by simply re-running it
     write_json_atomic(
@@ -3020,9 +3047,12 @@ def restore_lake(
                 has_file = cv >= 0 and st.exists(
                     S.part_file(lake_dir, part, cv)
                 )
-                if has_file == want_file:
-                    # already at the snapshot state (untouched partition,
-                    # or a previous restore's work) — retry-idempotence
+                # floors match ⇒ state matches.  want_file=False with a
+                # file present is a COMPLETED reset (a previous run
+                # published the explicit empty table — row_count is 0 by
+                # the floor match); only a missing file under want_file
+                # means work remains.  retry-idempotence.
+                if has_file or not want_file:
                     rows.append((part, int(target["row_count"]), cv, "noop"))
                     continue
             pdir = S.part_dir(lake_dir, part)
@@ -3132,6 +3162,9 @@ def migrate_lake(
 
     spec = spec or TableSpec()
     _configure_shuffle()
+    # migrating a half-rewound lake would launder its mixed rewound/tip
+    # state into a fresh dir with NO marker — permanent, invisible
+    _refuse_pending_restore(src_lake, "migrating it")
     if spec.merge_policy != "lww":
         # the conservative floor is safe ONLY because LWW re-application is
         # idempotent; additive would SUM the (floor, old-max] overlap again

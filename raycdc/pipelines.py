@@ -492,6 +492,11 @@ def q_quality_gate(sf_dir: str):
     )
 
     def score(t: pa.Table) -> pa.Table:
+        # drop null text BEFORE scoring: quality_score yields NaN there
+        # (non-null!), which group_quantiles would fold into the median
+        # while SQL's quantile_cont ignores the NULL quality row — the
+        # one float-parity hole in this composition
+        t = t.filter(pc.is_valid(t["text"]))
         return quality_score(t).append_column("lang", t["lang"])
 
     scored = ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)

@@ -258,6 +258,15 @@ def list_snapshots(lake_dir: str) -> list[int]:
 def vacuum(lake_dir: str, keep_snapshots: int = 1) -> int:
     """Prune old snapshots and any partition-file version no snapshot (nor
     the current checkpoint) references; returns files removed."""
+    pend = restore_pending(lake_dir)
+    if pend is not None:
+        # vacuuming now could delete the very snapshot the crashed restore
+        # must be re-run against — bricking the lake behind its marker
+        raise RuntimeError(
+            f"lake {lake_dir} has an unfinished restore to snapshot {pend} "
+            "(_restore_pending.json present) — re-run restore_lake to "
+            "complete the rewind before vacuuming"
+        )
     st = get_storage(lake_dir)
     snaps = list_snapshots(lake_dir)
     drop_snaps = snaps[:-keep_snapshots] if keep_snapshots > 0 else snaps

@@ -625,8 +625,15 @@ def dedup_paragraphs(
         .group_by("__i", maintain_order=True)
         .agg(pl.col("__p").str.join(sep).alias("__out"))
     )
-    # polars emits large_string — cast back to the stored offset width
-    joined = df.join(kept, on="__i", how="left")["__out"].to_arrow().cast(col.type)
+    # sort: polars documents join row order as UNDEFINED (maintain_order
+    # defaults off) and set_column realigns purely by position; cast:
+    # polars emits large_string — return the stored offset width
+    joined = (
+        df.join(kept, on="__i", how="left")
+        .sort("__i")["__out"]
+        .to_arrow()
+        .cast(col.type)
+    )
     if out_col and out_col != text_col:
         return batch.append_column(out_col, joined)
     return batch.set_column(

@@ -20,7 +20,10 @@ MUST_BE_IN_WINDOW = [
     "conv_near_dedup",
     "decontaminate",
     "sim_knn",
+    # CDC disaster recovery (round-3 continuation)
+    "cdc_restore",
     # text / tokens / embeddings
+    "quality_gate",
     "text_repetition",
     "text_redact",
     "sft_pairs",
@@ -65,6 +68,9 @@ def test_same_oracle_variants_do_not_crowd_the_window():
         "cdc_replay_actors",
         "cdc_csv_ingest",
         "cdc_sync_replica",
+        # same final-state oracle, but the query itself exercises the
+        # snapshot-restore machinery on top of the lake apply path
+        "cdc_restore",
     }
     in_window = [k for k in window if k in lww_variants]
     assert len(in_window) <= 2, in_window

@@ -70,6 +70,18 @@ def test_prune_deletes_only_applied_keeps_margin(ray_session, tmp_path):
     assert sts[os.path.join(watch, "seg-999.parquet")] == "kept"
 
 
+def test_prune_keep_last_beyond_history_keeps_everything(ray_session, tmp_path):
+    """keep_last larger than the journal must keep ALL segments — the raw
+    negative slice would wrap and delete the OLDEST files instead."""
+    watch, _ = _three_segments(tmp_path)
+    lake = str(tmp_path / "lake")
+    tail_once(watch, lake, TableSpec(num_partitions=4))
+    out = prune_segments(lake, keep_last=5)
+    assert out["status"].to_pylist() == ["kept", "kept", "kept"]
+    for i in range(3):
+        assert os.path.exists(os.path.join(watch, f"seg-{i:03d}.parquet"))
+
+
 def test_prune_without_journal_is_empty_noop(ray_session, tmp_path):
     lake = str(tmp_path / "lake")
     os.makedirs(lake, exist_ok=True)

@@ -118,6 +118,11 @@ def test_restore_resets_partition_created_after_snapshot(ray_session, tmp_path):
     expect = {k: r["text"] for k, r in python_lww_replay([base]).items()}
     assert _state_of(read_lake(lake, spec)) == expect
 
+    # retry-idempotence THROUGH the reset path: the published explicit
+    # empty file must count as a completed reset, not trigger another one
+    lineage2 = restore_lake(lake, snap)
+    assert set(lineage2["status"].to_pylist()) == {"noop"}
+
     # replaying the extra segment again rebuilds the tip exactly-once
     replay(ray.data.from_arrow(extra), lake, spec)
     both = pa.concat_tables([base, extra])
@@ -177,6 +182,18 @@ def test_pending_marker_blocks_consumers_and_rerun_completes(
         change_feed(lake, None, None, spec)
     with pytest.raises(RuntimeError, match="unfinished restore"):
         sync_lake(lake, str(tmp_path / "replica"), spec)
+    # vacuum could delete the very snapshot the re-run needs (bricking the
+    # lake behind its marker); migrate would launder the mixed state into
+    # a fresh dir with NO marker; repair would delete referenced versions
+    from raycdc.engine import migrate_lake, repair_partition
+    from raycdc.sink import vacuum
+
+    with pytest.raises(RuntimeError, match="unfinished restore"):
+        vacuum(lake)
+    with pytest.raises(RuntimeError, match="unfinished restore"):
+        migrate_lake(lake, str(tmp_path / "migrated"), spec)
+    with pytest.raises(RuntimeError, match="unfinished restore"):
+        repair_partition(lake, [0])
 
     # re-running restore completes the rewind and clears the marker
     restore_lake(lake, snap)
@@ -322,6 +339,49 @@ def test_restore_history_policy_rewinds_scd2_intervals(ray_session, tmp_path):
     pd.testing.assert_frame_equal(
         canon(read_lake(lake, spec, with_tombstones=True).to_pandas()), want
     )
+
+
+def test_restore_to_vacuumed_snapshot_fails_preflight_no_marker(
+    ray_session, tmp_path
+):
+    """Restoring to a snapshot whose files were vacuumed must fail BEFORE
+    the pending marker lands — otherwise an un-runnable restore blocks
+    every consumer behind a marker only hand-deletion clears."""
+    from raycdc.sink import vacuum
+
+    log = synthetic_changelog(n_events=600, seed=149)
+    spec = TableSpec(num_partitions=4)
+    lake = str(tmp_path / "lake")
+    for lo, hi in ((0, 200), (200, 400), (400, 600)):
+        seg = log.filter(
+            pc.and_(pc.greater_equal(log["lsn"], lo), pc.less(log["lsn"], hi))
+        )
+        replay(ray.data.from_arrow(seg), lake, spec)
+    old_snap = list_snapshots(lake)[0]
+    vacuum(lake, keep_snapshots=1)  # drops old snapshots' files
+    # the old manifest is gone entirely -> plain FileNotFoundError; fake a
+    # surviving manifest pointing at vacuumed files to hit the pre-flight
+    payload = read_snapshot_payload(lake, list_snapshots(lake)[-1])
+    stale = {
+        **payload,
+        "checkpoints": {
+            k: {**c, "version": 0} for k, c in payload["checkpoints"].items()
+        },
+    }
+    import os as _os
+
+    write_json_atomic(
+        get_storage(lake),
+        _os.path.join(lake, "_snapshots", f"snap-{old_snap:06d}.json"),
+        stale,
+    )
+    state = _state_of(read_lake(lake, spec))
+    with pytest.raises(FileNotFoundError, match="nothing was mutated"):
+        restore_lake(lake, old_snap)
+    assert restore_pending(lake) is None  # no marker left behind
+    # lake fully usable: consumers not blocked, state untouched
+    assert _state_of(read_lake(lake, spec)) == state
+    replay(ray.data.from_arrow(log.slice(0, 1)), lake, spec)
 
 
 def test_restore_rejects_checkpointless_manifest(ray_session, tmp_path):
