@@ -180,6 +180,30 @@ def main() -> None:
     print("rollup view:", sorted(
         agg[["conv_id", "n_turns", "chars"]].itertuples(index=False)))
 
+    # 7. disaster recovery: snapshot restore --------------------------------
+    # a corrupt projector ships garbage; rewind the PRIMARY to its last
+    # good snapshot (s1) and replay the corrected event exactly-once
+    from raycdc.engine import restore_lake
+
+    replay(
+        ray.data.from_arrow(
+            turns([("alice", 1, "GARBAGE-DEPLOY", "insert", 13)])
+        ),
+        facts,
+        spec,
+    )
+    restored = restore_lake(facts, s1)
+    replay(  # corrected WAL suffix resumes from the rewound floors
+        ray.data.from_arrow(turns([("alice", 1, "fixed text", "insert", 13)])),
+        facts,
+        spec,
+    )
+    statuses = restored["status"].to_pylist()
+    print("restore:", statuses.count("restored"), "restored,",
+          statuses.count("noop"), "noop; final:",
+          sorted(read_lake(facts, spec).to_pandas()
+                 [["conv_id", "turn_idx", "text"]].itertuples(index=False)))
+
 
 if __name__ == "__main__":
     if not ray.is_initialized():

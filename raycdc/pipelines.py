@@ -2114,6 +2114,59 @@ def q_media_wav(sf_dir: str):
     )
 
 
+def q_media_spectrogram(sf_dir: str):
+    """REAL audio feature extraction end to end: bin-aligned sine clips
+    are synthesized from event parameters, then framed + windowed +
+    rFFT'd by :class:`raycdc.multimodal.SpectrogramExtractor` (actor
+    pool, one vectorized FFT per batch).  Frequencies are multiples of
+    125 Hz = 2 bins at n_fft=256/rate=16000, so the peak bin of a correct
+    spectrogram is EXACTLY ``freq*n_fft/rate`` and the frame count is
+    pure integer arithmetic — the oracle recomputes both, an FFT /
+    windowing / framing bug cannot hash-match."""
+    import numpy as np
+
+    from raycdc.multimodal import SpectrogramExtractor, synth_wav_batch
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id"])
+
+    def to_clips(t: pa.Table) -> pa.Table:
+        eid = t["event_id"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        eid = eid[eid % 9 == 0]
+        return pa.table(
+            {
+                "media_id": pa.array(eid),
+                # 250..3875 Hz, every one an exact rFFT bin (2m at 62.5 Hz)
+                "freq_hz": pa.array(125 * (2 + eid % 30)),
+                "dur_ms": pa.array(40 + (eid % 40)),
+                "rate_hz": pa.array(np.full(len(eid), 16_000, np.int64)),
+            }
+        )
+
+    clips = ds.map_batches(to_clips, batch_format="pyarrow", zero_copy_batch=True)
+    wavs = clips.map_batches(
+        synth_wav_batch, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=256,  # ~40 KB/clip: bound payload bytes per batch
+    )
+    return wavs.map_batches(
+        SpectrogramExtractor, batch_format="pyarrow",
+        concurrency=(1, 4), batch_size=256,
+    )
+
+
+SQL_MEDIA_SPECTROGRAM = """
+WITH clips AS (
+    SELECT event_id AS media_id,
+           125 * (2 + event_id % 30) AS f,
+           16 * (40 + (event_id % 40)) AS n      -- samples at 16 kHz
+    FROM events WHERE event_id % 9 = 0
+)
+SELECT media_id,
+       1 + (n - 256) // 128 AS n_frames,
+       (f * 256) // 16000 AS peak_bin
+FROM clips
+"""
+
+
 def q_media_bmp(sf_dir: str):
     """REAL image decode end to end: solid-color 24-bit BMPs synthesized
     from event parameters, parsed back by the pure-numpy
@@ -5411,6 +5464,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "media_bmp": q_media_bmp,
     "media_resize": q_media_resize,
     "media_frames": q_media_frames,
+    "media_spectrogram": q_media_spectrogram,
     "media_features": q_media_features,
     "role_transitions": q_role_transitions,
     "trim_context": q_trim_context,
@@ -5513,6 +5567,7 @@ ORACLES: dict[str, str] = {
     "media_bmp": SQL_MEDIA_BMP,
     "media_resize": SQL_MEDIA_RESIZE,
     "media_frames": SQL_MEDIA_FRAMES,
+    "media_spectrogram": SQL_MEDIA_SPECTROGRAM,
     "role_transitions": _sql_role_transitions(),
     "trim_context": _sql_trim_context(),
     "conv_windows": _sql_conv_windows(),
@@ -5571,4 +5626,8 @@ def bench_extras() -> dict[str, Callable[[str], Any]]:
         # WAL mining + sketch membership (round-3 additions)
         "edit_pairs": lambda sf: q_edit_pairs(sf).count(),
         "sketch_membership": lambda sf: q_sketch_membership(sf).count(),
+        # disaster-recovery drill + curation gates (round-3 continuation)
+        "cdc_restore": lambda sf: q_cdc_restore(sf).count(),
+        "quality_gate": lambda sf: q_quality_gate(sf).count(),
+        "dedup_paragraphs": lambda sf: q_dedup_paragraphs(sf).count(),
     }

@@ -401,3 +401,37 @@ def test_y4m_synth_rejects_odd_dims():
 
     with pytest.raises(ValueError, match="even dimensions"):
         synth_y4m_batch(_clips_table([1], [7], [6], [2], [0]))
+
+
+def test_spectrogram_peak_bin_exact_for_bin_aligned_sines():
+    """A bin-aligned sine's peak bin must be EXACTLY freq*n_fft/rate —
+    leakage from the hann window is symmetric and cannot move the argmax;
+    clips shorter than one window emit n_frames=0, peak_bin=-1."""
+    import pyarrow as pa
+
+    from raycdc.multimodal import SpectrogramExtractor, synth_wav_batch
+
+    rate, n_fft, hop = 16_000, 256, 128
+    freqs = [500, 1000, 3000, 125 * 31]  # all multiples of 62.5 Hz
+    clips = pa.table(
+        {
+            "media_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+            "freq_hz": pa.array(freqs + [440], pa.int64()),
+            "dur_ms": pa.array([80, 50, 100, 64, 10], pa.int64()),  # 10ms < 1 window
+            "rate_hz": pa.array([rate] * 5, pa.int64()),
+        }
+    )
+    wavs = synth_wav_batch(clips)
+    out = SpectrogramExtractor(n_fft=n_fft, hop=hop)(wavs)
+    got = {
+        m: (n, p)
+        for m, n, p in zip(
+            out["media_id"].to_pylist(),
+            out["n_frames"].to_pylist(),
+            out["peak_bin"].to_pylist(),
+        )
+    }
+    for mid, f, ms in ((1, 500, 80), (2, 1000, 50), (3, 3000, 100), (4, 3875, 64)):
+        n = rate * ms // 1000
+        assert got[mid] == (1 + (n - n_fft) // hop, f * n_fft // rate)
+    assert got[5] == (0, -1)  # sub-window clip: no frames, sentinel bin
