@@ -393,6 +393,104 @@ class WavDecoder:
 # REAL image codec — uncompressed 24-bit BMP (pure numpy, no external libs)
 
 
+class DHashExtractor:
+    """Perceptual image fingerprint (difference hash) as an actor-pool
+    ``map_batches`` stage: decode BMP → integer luma → nearest-neighbor
+    downsample to ``(hash_h, hash_w+1)`` → horizontal gradient sign →
+    packed 64-bit hash.  The classic dHash property holds EXACTLY here:
+    a global brightness shift (no clipping) preserves every gradient
+    sign, so re-exposed copies hash IDENTICALLY, and near-identical
+    images land within a few bits — feed the hashes to
+    :func:`raycdc.dedup.simhash_candidate_pairs` for banded hamming
+    pairing (image near-dup without embeddings).
+
+    Output: ``media_id``, ``dhash`` (int64 bit-pattern of the uint64
+    hash).  Integer arithmetic end to end — no float in the hash path.
+    """
+
+    def __init__(
+        self,
+        hash_w: int = 8,
+        hash_h: int = 8,
+        payload_col: str = "payload",
+        id_col: str = "media_id",
+    ):
+        if hash_w * hash_h != 64:
+            raise ValueError("hash_w x hash_h must be 64 (one uint64)")
+        self._hw, self._hh = int(hash_w), int(hash_h)
+        self._payload = payload_col
+        self._id = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        la = batch[self._payload].combine_chunks()
+        hashes = np.zeros(len(la), dtype=np.uint64)
+        for i in range(len(la)):  # per-FILE container parse
+            w, h, px = _bmp_parse(np.frombuffer(la[i].as_py(), dtype=np.uint8))
+            p = px.astype(np.int64)
+            # integer luma; BMP rows are BGR
+            gray = (299 * p[:, :, 2] + 587 * p[:, :, 1] + 114 * p[:, :, 0]) // 1000
+            rows = (np.arange(self._hh, dtype=np.int64) * h) // self._hh
+            cols = (np.arange(self._hw + 1, dtype=np.int64) * w) // (
+                self._hw + 1
+            )
+            small = gray[rows][:, cols]
+            bits = (small[:, 1:] > small[:, :-1]).reshape(-1)
+            hashes[i] = np.packbits(bits).view(">u8")[0]
+        return pa.table(
+            {
+                "media_id": batch[self._id].cast(pa.int64()),
+                "dhash": pa.array(hashes.view(np.int64)),
+            }
+        )
+
+
+def synth_pattern_bmp_batch(
+    batch: pa.Table,
+    id_col: str = "media_id",
+    seed_col: str = "seed",
+    w_col: str = "width",
+    h_col: str = "height",
+    shift_col: str = "shift",
+) -> pa.Table:
+    """Deterministic TEXTURED BMP synthesis (multiplicative-hash pixel
+    pattern, all three channels equal so luma == the pattern value) — the
+    fixture generator for the dHash path.  ``shift`` adds a global
+    brightness offset WITHOUT clipping (pattern values stay ≤ 199, shift
+    ≤ 55), so two images with the same seed and different shifts are
+    exposure variants whose dHash is bit-identical."""
+    ids = batch[id_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+    seeds = batch[seed_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+    ws = batch[w_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+    hs = batch[h_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+    shifts = batch[shift_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+    if (shifts < 0).any() or (shifts > 55).any():
+        raise ValueError("shift must be in [0, 55] (no luma clipping)")
+    payloads = []
+    for i in range(len(ids)):  # per-FILE encode
+        x = np.arange(int(ws[i]), dtype=np.uint64)
+        y = np.arange(int(hs[i]), dtype=np.uint64)
+        # splitmix-style avalanche: a LINEAR pattern would make gradient
+        # signs nearly seed-independent (the x-step adds the same constant
+        # for every seed) and cross-seed dHashes would collide en masse
+        h = (
+            y[:, None] * np.uint64(0x9E3779B97F4A7C15)
+            + x[None, :] * np.uint64(0xBF58476D1CE4E5B9)
+            + np.uint64(int(seeds[i])) * np.uint64(0x94D049BB133111EB)
+        )
+        h ^= h >> np.uint64(33)
+        h *= np.uint64(0xFF51AFD7ED558CCD)
+        h ^= h >> np.uint64(29)
+        v = h % np.uint64(200) + np.uint64(int(shifts[i]))
+        px = np.repeat(v.astype(np.uint8)[:, :, None], 3, axis=2)
+        payloads.append(_bmp_encode(px))
+    return pa.table(
+        {
+            id_col: batch[id_col].cast(pa.int64()),
+            "payload": pa.array(payloads, pa.binary()),
+        }
+    )
+
+
 def _bmp_encode(px: "np.ndarray") -> bytes:
     """Encode an (h, w, 3) uint8 BGR pixel array as an uncompressed
     24-bit BMP (the ONE encoder shared by the synthesizer and the

@@ -2167,6 +2167,68 @@ FROM clips
 """
 
 
+_IMG_TWIN_OFFSET = 10_000_000
+
+
+def q_image_near_dup(sf_dir: str):
+    """IMAGE near-dup without embeddings: perceptual difference-hash
+    (:class:`raycdc.multimodal.DHashExtractor`) over textured BMPs, then
+    the existing banded-hamming pair machinery
+    (:func:`raycdc.dedup.simhash_candidate_pairs`) — the whole pipeline is
+    integer arithmetic, so it is oracle-EXACT: every planted exposure
+    twin (same texture, +shift brightness, no clipping) hashes
+    bit-identically (hamming 0) and must pair, while distinct textures
+    give ~uniform 64-bit hashes whose probability of a ≤2-bit collision
+    is ~1e-16 — the oracle is simply the planted twin list."""
+    import numpy as np
+
+    from raycdc.dedup import simhash_candidate_pairs
+    from raycdc.multimodal import DHashExtractor, synth_pattern_bmp_batch
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id"])
+
+    def to_imgs(t: pa.Table) -> pa.Table:
+        eid = t["event_id"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        eid = eid[eid % 6 == 0]
+        n = len(eid)
+        return pa.table(
+            {
+                "media_id": pa.array(np.concatenate([eid, eid + _IMG_TWIN_OFFSET])),
+                "seed": pa.array(np.tile(eid, 2)),
+                "width": pa.array(np.tile(32 + (eid % 32), 2)),
+                "height": pa.array(np.tile(24 + (eid % 24), 2)),
+                # twin = exposure variant: +20..55 luma, never clipped
+                "shift": pa.array(
+                    np.concatenate(
+                        [np.zeros(n, np.int64), 20 + (eid % 36)]
+                    )
+                ),
+            }
+        )
+
+    imgs = ds.map_batches(to_imgs, batch_format="pyarrow", zero_copy_batch=True)
+    bmps = imgs.map_batches(
+        synth_pattern_bmp_batch, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=256,  # ~3 KB/image: bound payload bytes per batch
+    )
+    sigs = bmps.map_batches(
+        DHashExtractor, batch_format="pyarrow", concurrency=(1, 4), batch_size=256
+    ).map_batches(
+        lambda t: t.rename_columns(["doc_id", "simhash"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return simhash_candidate_pairs(sigs, max_hamming=2, num_partitions=32)
+
+
+SQL_IMAGE_NEAR_DUP = f"""
+SELECT event_id AS a,
+       event_id + {_IMG_TWIN_OFFSET} AS b,
+       CAST(0 AS BIGINT) AS hamming
+FROM events WHERE event_id % 6 = 0
+"""
+
+
 def q_media_bmp(sf_dir: str):
     """REAL image decode end to end: solid-color 24-bit BMPs synthesized
     from event parameters, parsed back by the pure-numpy
@@ -5465,6 +5527,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "media_resize": q_media_resize,
     "media_frames": q_media_frames,
     "media_spectrogram": q_media_spectrogram,
+    "image_near_dup": q_image_near_dup,
     "media_features": q_media_features,
     "role_transitions": q_role_transitions,
     "trim_context": q_trim_context,
@@ -5568,6 +5631,7 @@ ORACLES: dict[str, str] = {
     "media_resize": SQL_MEDIA_RESIZE,
     "media_frames": SQL_MEDIA_FRAMES,
     "media_spectrogram": SQL_MEDIA_SPECTROGRAM,
+    "image_near_dup": SQL_IMAGE_NEAR_DUP,
     "role_transitions": _sql_role_transitions(),
     "trim_context": _sql_trim_context(),
     "conv_windows": _sql_conv_windows(),

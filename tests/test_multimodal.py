@@ -435,3 +435,45 @@ def test_spectrogram_peak_bin_exact_for_bin_aligned_sines():
         n = rate * ms // 1000
         assert got[mid] == (1 + (n - n_fft) // hop, f * n_fft // rate)
     assert got[5] == (0, -1)  # sub-window clip: no frames, sentinel bin
+
+
+def test_dhash_exposure_invariant_and_seed_decorrelated():
+    """The dHash contract: a global brightness shift (no clipping) flips
+    ZERO bits; distinct textures give ~uniform hashes (hamming near 32,
+    never near 0); shift validation rejects clipping territory."""
+    import numpy as np
+    import pyarrow as pa
+    import pytest as _pytest
+
+    from raycdc.multimodal import DHashExtractor, synth_pattern_bmp_batch
+
+    seeds = [7, 7, 99, 100, 101]
+    t = pa.table(
+        {
+            "media_id": pa.array(list(range(1, 6)), pa.int64()),
+            "seed": pa.array(seeds, pa.int64()),
+            "width": pa.array([40] * 5, pa.int64()),
+            "height": pa.array([30] * 5, pa.int64()),
+            "shift": pa.array([0, 55, 0, 0, 0], pa.int64()),
+        }
+    )
+    out = DHashExtractor()(synth_pattern_bmp_batch(t))
+    h = np.array(out["dhash"].to_pylist(), dtype=np.int64).view(np.uint64)
+    assert h[0] == h[1]  # exposure twin: bit-identical
+    for i, j in ((0, 2), (2, 3), (3, 4)):
+        d = int(bin(int(h[i] ^ h[j])).count("1"))
+        assert 10 <= d <= 54, (i, j, d)  # distinct seeds decorrelate
+    with _pytest.raises(ValueError, match="no luma clipping"):
+        synth_pattern_bmp_batch(
+            pa.table(
+                {
+                    "media_id": pa.array([1], pa.int64()),
+                    "seed": pa.array([1], pa.int64()),
+                    "width": pa.array([8], pa.int64()),
+                    "height": pa.array([8], pa.int64()),
+                    "shift": pa.array([99], pa.int64()),
+                }
+            )
+        )
+    with _pytest.raises(ValueError, match="must be 64"):
+        DHashExtractor(hash_w=5, hash_h=5)
