@@ -229,10 +229,15 @@ _DRIVER_WINDOW: list[str] = [
     "conv_near_dedup",
     "decontaminate",
     "sim_knn",
-    # multimodal (oracle-hashed codecs)
-    "media_wav",
+    # multimodal (oracle-hashed codecs + features)
+    # media_spectrogram displaced media_wav (it parses the same WAV
+    # containers AND adds the framed-FFT feature path); image_near_dup
+    # displaced media_resize (it decodes the same BMPs AND adds the
+    # perceptual-hash + banded-hamming dedup path); both displaced
+    # queries stay in the full gate
+    "media_spectrogram",
     "media_bmp",
-    "media_resize",
+    "image_near_dup",
     "media_frames",
 ]
 

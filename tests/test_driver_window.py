@@ -36,10 +36,11 @@ MUST_BE_IN_WINDOW = [
     "join_full_outer",
     "pivot_user_events",
     "distinct_props_per_user",
-    # multimodal codecs
-    "media_wav",
+    # multimodal codecs + features
+    "media_spectrogram",
     "media_bmp",
-    "media_resize",
+    "image_near_dup",
+    "media_frames",
 ]
 
 
