@@ -61,6 +61,17 @@ class DecodeSpec:
     # string columns by design).
     column_types: tuple = ()
     path_meta: tuple[tuple[str, str], ...] = ()  # (col, regex-with-1-group) (M1-M4)
+    # segment-file compression: "auto" (default) sniffs the MAGIC BYTES
+    # (gzip \\x1f\\x8b\\x08, bz2 "BZh"+level+π-digits), or force with
+    # "gzip"/"bz2"/None — WAL exports and bank dumps commonly arrive
+    # gzipped, and the reference reads whatever bytes GCS hands it
+    # (extractor.go:16-37).  Magic-based, NOT extension-based, because
+    # transport layers (Ray's binary reader / Arrow filesystems) may have
+    # already decompressed a ``.gz`` path — extension sniffing would then
+    # double-decompress; magic bytes are right in both worlds.
+    # Decompression runs per segment file, inside the same distributed
+    # read task that decodes it.
+    compression: str | None = "auto"
 
 
 def split_physical_lines(text: str) -> list[str]:
@@ -72,6 +83,30 @@ def split_physical_lines(text: str) -> list[str]:
 
 def decode_segment(data: bytes, path: str, spec: DecodeSpec) -> pa.Table:
     """bytes → Arrow table for ONE segment file."""
+    comp = spec.compression
+    if comp == "auto":
+        if data[:3] == b"\x1f\x8b\x08":
+            comp = "gzip"
+        elif (
+            data[:3] == b"BZh"
+            and data[3:4].isdigit()
+            and data[4:10] == b"\x31\x41\x59\x26\x53\x59"
+        ):
+            comp = "bz2"
+        else:
+            comp = None
+    if comp == "gzip":
+        import gzip
+
+        data = gzip.decompress(data)
+    elif comp == "bz2":
+        import bz2
+
+        data = bz2.decompress(data)
+    elif comp is not None:
+        raise ValueError(
+            f"unsupported compression {comp!r} (None | 'auto' | 'gzip' | 'bz2')"
+        )
     text = data.decode(spec.encoding)
     if spec.skip_head_lines or spec.skip_tail_lines or spec.line_filter:
         lines = split_physical_lines(text)

@@ -261,3 +261,39 @@ def test_statement_xlsx_decoder_filters_like_reference(ray_session, tmp_path):
     assert list(out["c0"]) == ["2024/01/05", "2024/01/09"]
     assert list(out["c1"]) == ["coffee", "books"]
     assert all(out["seg_path"].str.endswith("2024-01.xlsx"))
+
+
+def test_compressed_segments_auto_and_forced():
+    """WAL exports commonly arrive gzipped: 'auto' sniffs the extension,
+    an explicit mode overrides it, and the decoded table is byte-equal to
+    the uncompressed decode."""
+    import bz2
+    import gzip
+
+    import pytest as _pytest
+
+    raw = b"a,b\n1,2\n3,4\n"
+
+    def cells(t):  # drop the seg_path provenance column (carries the name)
+        return t.drop_columns(["seg_path"])
+
+    plain = cells(decode_segment(raw, "p.csv", DecodeSpec()))
+    assert cells(
+        decode_segment(gzip.compress(raw), "p.csv.gz", DecodeSpec())
+    ).equals(plain)
+    assert cells(
+        decode_segment(bz2.compress(raw), "p.csv.bz2", DecodeSpec())
+    ).equals(plain)
+    # auto on a plain extension: stored as-is
+    assert cells(
+        decode_segment(raw, "p.csv", DecodeSpec(compression="auto"))
+    ).equals(plain)
+    # forced mode beats the (wrong) extension
+    assert cells(
+        decode_segment(gzip.compress(raw), "p.csv", DecodeSpec(compression="gzip"))
+    ).equals(plain)
+    # compression=None reads bytes verbatim even under a .gz name
+    with _pytest.raises(UnicodeDecodeError):
+        decode_segment(gzip.compress(raw), "p.csv.gz", DecodeSpec(compression=None))
+    with _pytest.raises(ValueError, match="unsupported compression"):
+        decode_segment(raw, "p.csv", DecodeSpec(compression="zstd"))
