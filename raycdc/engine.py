@@ -1630,8 +1630,18 @@ def read_lake(
     as_of: int | None = None,
     current_only: bool = False,
     partitions: "Sequence[int] | None" = None,
+    predicate=None,
 ) -> "ray.data.Dataset":
     """Stream the materialized lake state (tombstones filtered by default).
+
+    ``predicate`` (a ``pyarrow.dataset`` expression, e.g.
+    ``pyarrow.dataset.field("ts") >= cutoff``) pushes a row filter into
+    the parquet scan itself: row groups whose column statistics exclude
+    the predicate never leave storage — the intra-file complement of
+    ``partitions`` pruning (zone-map semantics the stored files get for
+    free from ``write_statistics=True``).  It filters STORED rows, so it
+    sees the ``op`` column and pre-tombstone state; the default
+    tombstone filter still runs afterwards.
 
     ``columns`` prunes at the read (pass only what the consumer needs — a
     full-width read for a two-column transform is wrong at lake scale);
@@ -1712,13 +1722,18 @@ def read_lake(
     from raycdc.storage import resolve_uri_paths
 
     paths, fs = resolve_uri_paths(paths)
+    pred_kw = {} if predicate is None else {"filter": predicate}
     if columns is not None:
         # with an explicit column list the hive 'part' dir column is simply
         # not selected (partitioning=None + columns trips a Ray parquet bug)
-        ds = ray.data.read_parquet(paths, columns=columns, filesystem=fs)
+        ds = ray.data.read_parquet(
+            paths, columns=columns, filesystem=fs, **pred_kw
+        )
     else:
         # partitioning=None: the part=K dir name is layout, not a data column
-        ds = ray.data.read_parquet(paths, partitioning=None, filesystem=fs)
+        ds = ray.data.read_parquet(
+            paths, partitioning=None, filesystem=fs, **pred_kw
+        )
     if not with_tombstones:
         op_col = spec.op_col
 

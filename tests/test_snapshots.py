@@ -256,3 +256,38 @@ def test_snapshot_and_feed_cli(tmp_path, capsys):
     )
     assert written.num_rows == direct.num_rows
     assert "old_text" in written.column_names
+
+
+def test_read_lake_predicate_pushdown(ray_session, tmp_path):
+    """predicate pushes the row filter into the parquet scan (zone-map
+    pruning) and must equal the post-hoc filter of a full read — alone,
+    with column pruning, and against a time-travel snapshot."""
+    import pyarrow.dataset as pds
+
+    log = synthetic_changelog(n_events=800, seed=95)
+    lake = str(tmp_path / "lake")
+    spec = TableSpec(num_partitions=4)
+    replay(ray.data.from_arrow(log.filter(pc.less(log["lsn"], 400))), lake, spec)
+    snap = list_snapshots(lake)[-1]
+    replay(ray.data.from_arrow(log.filter(pc.greater_equal(log["lsn"], 400))), lake, spec)
+
+    full = read_lake(lake, spec).to_pandas()
+    convs = sorted(full["conv_id"].unique())[:3]
+    pred = pds.field("conv_id").isin(convs)
+
+    got = read_lake(lake, spec, predicate=pred).to_pandas()
+    want = full[full["conv_id"].isin(convs)]
+    assert sorted(map(tuple, got[["conv_id", "turn_idx"]].values.tolist())) == sorted(
+        map(tuple, want[["conv_id", "turn_idx"]].values.tolist())
+    )
+
+    # composes with column pruning (op col auto-added for the tombstone
+    # filter then dropped) and with time travel
+    cols = read_lake(
+        lake, spec, columns=["conv_id", "text"], predicate=pred
+    ).to_pandas()
+    assert set(cols.columns) == {"conv_id", "text"}
+    assert len(cols) == len(want)
+    old_full = read_lake(lake, spec, as_of=snap).to_pandas()
+    old_got = read_lake(lake, spec, as_of=snap, predicate=pred).to_pandas()
+    assert len(old_got) == int(old_full["conv_id"].isin(convs).sum())
