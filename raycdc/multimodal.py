@@ -198,6 +198,26 @@ class FrameSampler:
 # REAL audio codec — stdlib `wave` (PCM16 WAV), no external libs
 
 
+def _wav_parse(payload: bytes) -> tuple[int, int, "np.ndarray"]:
+    """Parse one PCM16 WAV container → ``(rate, channels, int16 samples)``
+    — the ONE parser shared by :class:`WavDecoder` and
+    :class:`SpectrogramExtractor`, so container validation cannot drift
+    between the metadata path and the feature path."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        if w.getsampwidth() != 2:
+            raise ValueError(
+                f"16-bit PCM WAV only, got {8 * w.getsampwidth()}-bit"
+            )
+        return (
+            w.getframerate(),
+            w.getnchannels(),
+            np.frombuffer(w.readframes(w.getnframes()), dtype=np.int16),
+        )
+
+
 class SpectrogramExtractor:
     """REAL audio feature extraction: framed magnitude spectrogram via
     numpy rFFT over PCM16 mono WAV clips — the stage a model-input
@@ -230,21 +250,17 @@ class SpectrogramExtractor:
         self._id = id_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        import io
-        import wave
-
         n_fft, hop = self._n_fft, self._hop
         sigs: list[np.ndarray] = []
         la = batch[self._payload].combine_chunks()
         for i in range(len(la)):  # per-FILE container parse
-            with wave.open(io.BytesIO(la[i].as_py()), "rb") as w:
-                if w.getsampwidth() != 2 or w.getnchannels() != 1:
-                    raise ValueError(
-                        "SpectrogramExtractor supports 16-bit mono PCM only"
-                    )
-                sigs.append(
-                    np.frombuffer(w.readframes(w.getnframes()), dtype=np.int16)
+            _, channels, samples = _wav_parse(la[i].as_py())
+            if channels != 1:
+                raise ValueError(
+                    "SpectrogramExtractor supports mono PCM only "
+                    f"(got {channels} channels)"
                 )
+            sigs.append(samples)
         n_clips = len(sigs)
         lens = np.array([len(s) for s in sigs], dtype=np.int64)
         k = np.where(lens >= n_fft, 1 + (lens - n_fft) // hop, 0)
@@ -344,23 +360,14 @@ class WavDecoder:
         self._id = id_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        import io
-        import wave
-
         rates, chans, counts, frames = [], [], [], []
         la = batch[self._payload].combine_chunks()
         for i in range(len(la)):  # per-FILE container parse
-            with wave.open(io.BytesIO(la[i].as_py()), "rb") as w:
-                if w.getsampwidth() != 2:
-                    raise ValueError(
-                        "WavDecoder supports 16-bit PCM only, got "
-                        f"{8 * w.getsampwidth()}-bit"
-                    )
-                rates.append(w.getframerate())
-                chans.append(w.getnchannels())
-                n = w.getnframes()
-                counts.append(n)
-                frames.append(np.frombuffer(w.readframes(n), dtype=np.int16))
+            rate, channels, samples = _wav_parse(la[i].as_py())
+            rates.append(rate)
+            chans.append(channels)
+            counts.append(len(samples) // max(channels, 1))
+            frames.append(samples)
         counts_np = np.array(counts, dtype=np.int64)
         rates_np = np.array(rates, dtype=np.int64)
         chans_np = np.array(chans, dtype=np.int64)
@@ -472,10 +479,15 @@ def synth_pattern_bmp_batch(
         # splitmix-style avalanche: a LINEAR pattern would make gradient
         # signs nearly seed-independent (the x-step adds the same constant
         # for every seed) and cross-seed dHashes would collide en masse
+        # seed term mixed in python ints (mod 2^64): a numpy SCALAR uint64
+        # multiply warns on overflow (array ops wrap silently)
+        seed_mix = np.uint64(
+            (int(seeds[i]) * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
+        )
         h = (
             y[:, None] * np.uint64(0x9E3779B97F4A7C15)
             + x[None, :] * np.uint64(0xBF58476D1CE4E5B9)
-            + np.uint64(int(seeds[i])) * np.uint64(0x94D049BB133111EB)
+            + seed_mix
         )
         h ^= h >> np.uint64(33)
         h *= np.uint64(0xFF51AFD7ED558CCD)

@@ -264,9 +264,10 @@ def test_statement_xlsx_decoder_filters_like_reference(ray_session, tmp_path):
 
 
 def test_compressed_segments_auto_and_forced():
-    """WAL exports commonly arrive gzipped: 'auto' sniffs the extension,
-    an explicit mode overrides it, and the decoded table is byte-equal to
-    the uncompressed decode."""
+    """WAL exports commonly arrive gzipped: 'auto' sniffs the MAGIC BYTES
+    (never the extension — transport layers may pre-decompress a .gz
+    path), an explicit mode forces one codec, and the decoded cells are
+    byte-equal to the uncompressed decode."""
     import bz2
     import gzip
 
