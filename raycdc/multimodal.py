@@ -296,6 +296,144 @@ class SpectrogramExtractor:
         )
 
 
+class AudioFingerprinter:
+    """Acoustic fingerprint as an actor-pool ``map_batches`` stage: split
+    each PCM16 mono clip into NON-overlapping ``n_fft`` windows, take the
+    per-frame rFFT peak bin (the dominant tone), and fold the peak-bin
+    sequence through FNV-1a into one 64-bit fingerprint — the
+    melody-shaped core of a Shazam/Chromaprint-style audio near-dup.
+    The fingerprint is GAIN-INVARIANT by construction (argmax is
+    unchanged under amplitude scaling), so re-mastered / re-normalized
+    copies of a clip fingerprint identically and pair at hamming 0
+    through :func:`raycdc.dedup.simhash_candidate_pairs`.
+
+    Output: ``media_id``, ``fingerprint`` (int64), ``n_frames``.  Clips
+    shorter than one window emit ``n_frames=0`` and the FNV basis as the
+    fingerprint.
+    """
+
+    def __init__(
+        self,
+        n_fft: int = 256,
+        payload_col: str = "payload",
+        id_col: str = "media_id",
+    ):
+        if n_fft <= 0:
+            raise ValueError("n_fft must be positive")
+        self._n_fft = int(n_fft)
+        self._win = np.hanning(self._n_fft)  # plan once per actor
+        self._payload = payload_col
+        self._id = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n_fft = self._n_fft
+        la = batch[self._payload].combine_chunks()
+        sigs: list[np.ndarray] = []
+        for i in range(len(la)):  # per-FILE container parse
+            _, channels, samples = _wav_parse(la[i].as_py())
+            if channels != 1:
+                raise ValueError(
+                    "AudioFingerprinter supports mono PCM only "
+                    f"(got {channels} channels)"
+                )
+            sigs.append(samples)
+        lens = np.array([len(s) for s in sigs], dtype=np.int64)
+        k = lens // n_fft  # non-overlapping full windows
+        fps = np.full(len(sigs), np.uint64(0xCBF29CE484222325))  # FNV basis
+        total = int(k.sum())
+        if total:
+            frames = np.concatenate(
+                [s[: k_i * n_fft] for s, k_i in zip(sigs, k) if k_i]
+            ).astype(np.float64).reshape(total, n_fft)
+            peaks = np.argmax(
+                np.abs(np.fft.rfft(frames * self._win, axis=1)), axis=1
+            ).astype(np.uint64)
+            # FNV-1a fold per clip: sequential in the sequence dimension
+            # (a hash chain), but vectorized ACROSS clips via reduceat-style
+            # grouping — clips are short (tens of frames), so iterate the
+            # frame INDEX, not the clips
+            owner = np.repeat(np.arange(len(sigs)), k)
+            pos = np.arange(total) - np.repeat(
+                np.concatenate([[0], np.cumsum(k)[:-1]]), k
+            )
+            prime = np.uint64(0x100000001B3)
+            for step in range(int(k.max())):
+                m = pos == step
+                who = owner[m]
+                fps[who] = (fps[who] ^ peaks[m]) * prime
+        return pa.table(
+            {
+                "media_id": batch[self._id].cast(pa.int64()),
+                "fingerprint": pa.array(fps.view(np.int64)),
+                "n_frames": pa.array(k),
+            }
+        )
+
+
+def synth_melody_wav_batch(
+    batch: pa.Table,
+    id_col: str = "media_id",
+    seed_col: str = "seed",
+    notes_col: str = "n_notes",
+    amp_col: str = "amp_milli",
+    rate: int = 16_000,
+    note_samples: int = 256,
+) -> pa.Table:
+    """Deterministic 'melody' clip synthesis: a sequence of pure sine
+    notes, one per ``note_samples`` window, each note's frequency a
+    bin-aligned multiple of 125 Hz drawn by a splitmix hash of
+    ``(seed, note_idx)`` — the fixture generator for
+    :class:`AudioFingerprinter` (frames align with notes, so the peak-bin
+    sequence IS the melody).  ``amp_milli`` scales amplitude (‰ of full
+    scale): two clips with the same seed and different amplitudes are the
+    gain twins the fingerprint must treat as identical."""
+    import io
+    import wave
+
+    ids = batch[id_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+    seeds = batch[seed_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+    notes = batch[notes_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+    amps = batch[amp_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+    if (amps <= 0).any() or (amps > 1000).any():
+        raise ValueError("amp_milli must be in (0, 1000]")
+    payloads = []
+    t_local = np.arange(note_samples, dtype=np.float64)
+    for i in range(len(ids)):  # per-FILE framing
+        n = int(notes[i])
+        idx = np.arange(n, dtype=np.uint64)
+        h = idx * np.uint64(0xBF58476D1CE4E5B9) + np.uint64(
+            (int(seeds[i]) * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
+        )
+        h ^= h >> np.uint64(33)
+        h *= np.uint64(0xFF51AFD7ED558CCD)
+        h ^= h >> np.uint64(29)
+        freqs = 125.0 * (2.0 + (h % np.uint64(30)).astype(np.float64))
+        # each note spans exactly one analysis window
+        pcm = (
+            (amps[i] / 1000.0 * 32767.0)
+            * np.sin(
+                2.0
+                * np.pi
+                * freqs[:, None]
+                * t_local[None, :]
+                / float(rate)
+            )
+        ).astype(np.int16)
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(rate)
+            w.writeframes(pcm.reshape(-1).tobytes())
+        payloads.append(buf.getvalue())
+    return pa.table(
+        {
+            id_col: batch[id_col].cast(pa.int64()),
+            "payload": pa.array(payloads, pa.binary()),
+        }
+    )
+
+
 def synth_wav_batch(
     batch: pa.Table,
     id_col: str = "media_id",

@@ -2170,6 +2170,69 @@ FROM clips
 _IMG_TWIN_OFFSET = 10_000_000
 
 
+def q_audio_near_dup(sf_dir: str):
+    """AUDIO near-dup via acoustic fingerprinting
+    (:class:`raycdc.multimodal.AudioFingerprinter`): melody clips (a
+    bin-aligned sine note per analysis window) are fingerprinted by
+    their per-frame rFFT peak-bin sequence folded through FNV-1a — a
+    gain-INVARIANT hash, so each planted re-mastered twin (same melody,
+    1/4 the amplitude) fingerprints identically and pairs at hamming 0
+    through the shared banded-hamming exchange.  Integer-exact end to
+    end: the oracle is simply the planted twin list (distinct 16-note
+    melodies collide with probability ~2^-64)."""
+    import numpy as np
+
+    from raycdc.dedup import simhash_candidate_pairs
+    from raycdc.multimodal import AudioFingerprinter, synth_melody_wav_batch
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id"])
+
+    def to_clips(t: pa.Table) -> pa.Table:
+        eid = t["event_id"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        eid = eid[eid % 8 == 0]
+        n = len(eid)
+        return pa.table(
+            {
+                "media_id": pa.array(
+                    np.concatenate([eid, eid + _IMG_TWIN_OFFSET])
+                ),
+                "seed": pa.array(np.tile(eid, 2)),
+                "n_notes": pa.array(np.tile(12 + (eid % 8), 2)),
+                # twin = re-mastered at quarter gain: peak bins invariant
+                "amp_milli": pa.array(
+                    np.concatenate(
+                        [np.full(n, 500, np.int64), np.full(n, 125, np.int64)]
+                    )
+                ),
+            }
+        )
+
+    clips = ds.map_batches(to_clips, batch_format="pyarrow", zero_copy_batch=True)
+    wavs = clips.map_batches(
+        synth_melody_wav_batch, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=256,  # ~10 KB/clip: bound payload bytes per batch
+    )
+    sigs = wavs.map_batches(
+        AudioFingerprinter, batch_format="pyarrow",
+        concurrency=(1, 4), batch_size=256,
+    ).map_batches(
+        lambda t: pa.table(
+            {"doc_id": t["media_id"], "simhash": t["fingerprint"]}
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return simhash_candidate_pairs(sigs, max_hamming=0, num_partitions=32)
+
+
+SQL_AUDIO_NEAR_DUP = f"""
+SELECT event_id AS a,
+       event_id + {_IMG_TWIN_OFFSET} AS b,
+       CAST(0 AS BIGINT) AS hamming
+FROM events WHERE event_id % 8 = 0
+"""
+
+
 def q_image_near_dup(sf_dir: str):
     """IMAGE near-dup without embeddings: perceptual difference-hash
     (:class:`raycdc.multimodal.DHashExtractor`) over textured BMPs, then
@@ -5528,6 +5591,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "media_frames": q_media_frames,
     "media_spectrogram": q_media_spectrogram,
     "image_near_dup": q_image_near_dup,
+    "audio_near_dup": q_audio_near_dup,
     "media_features": q_media_features,
     "role_transitions": q_role_transitions,
     "trim_context": q_trim_context,
@@ -5632,6 +5696,7 @@ ORACLES: dict[str, str] = {
     "media_frames": SQL_MEDIA_FRAMES,
     "media_spectrogram": SQL_MEDIA_SPECTROGRAM,
     "image_near_dup": SQL_IMAGE_NEAR_DUP,
+    "audio_near_dup": SQL_AUDIO_NEAR_DUP,
     "role_transitions": _sql_role_transitions(),
     "trim_context": _sql_trim_context(),
     "conv_windows": _sql_conv_windows(),

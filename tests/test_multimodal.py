@@ -477,3 +477,59 @@ def test_dhash_exposure_invariant_and_seed_decorrelated():
         )
     with _pytest.raises(ValueError, match="must be 64"):
         DHashExtractor(hash_w=5, hash_h=5)
+
+
+def test_audio_fingerprint_gain_invariant_and_melody_sensitive():
+    """Fingerprint contract: gain scaling flips ZERO bits (argmax per
+    frame is amplitude-invariant); any note change gives a different
+    fingerprint; sub-window clips emit n_frames=0 with the FNV basis;
+    multichannel input is rejected."""
+    import numpy as np
+    import pyarrow as pa
+    import pytest as _pytest
+
+    from raycdc.multimodal import (
+        AudioFingerprinter,
+        synth_melody_wav_batch,
+        synth_wav_batch,
+    )
+
+    t = pa.table(
+        {
+            "media_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "seed": pa.array([9, 9, 9, 10], pa.int64()),
+            "n_notes": pa.array([16, 16, 8, 16], pa.int64()),
+            "amp_milli": pa.array([500, 50, 500, 500], pa.int64()),
+        }
+    )
+    out = AudioFingerprinter()(synth_melody_wav_batch(t))
+    f = dict(zip(out["media_id"].to_pylist(), out["fingerprint"].to_pylist()))
+    n = dict(zip(out["media_id"].to_pylist(), out["n_frames"].to_pylist()))
+    assert f[1] == f[2]  # 10x gain difference: identical fingerprint
+    assert f[1] != f[3]  # prefix melody (8 notes) differs
+    assert f[1] != f[4]  # different seed differs
+    assert n[1] == 16 and n[3] == 8
+    # sub-window clip: zero frames, basis fingerprint
+    tiny = synth_wav_batch(
+        pa.table(
+            {
+                "media_id": pa.array([7], pa.int64()),
+                "freq_hz": pa.array([500], pa.int64()),
+                "dur_ms": pa.array([10], pa.int64()),  # 160 samples < 256
+                "rate_hz": pa.array([16_000], pa.int64()),
+            }
+        )
+    )
+    out2 = AudioFingerprinter()(tiny)
+    assert out2["n_frames"].to_pylist() == [0]
+    with _pytest.raises(ValueError, match="amp_milli"):
+        synth_melody_wav_batch(
+            pa.table(
+                {
+                    "media_id": pa.array([1], pa.int64()),
+                    "seed": pa.array([1], pa.int64()),
+                    "n_notes": pa.array([4], pa.int64()),
+                    "amp_milli": pa.array([0], pa.int64()),
+                }
+            )
+        )
