@@ -5759,4 +5759,8 @@ def bench_extras() -> dict[str, Callable[[str], Any]]:
         "cdc_restore": lambda sf: q_cdc_restore(sf).count(),
         "quality_gate": lambda sf: q_quality_gate(sf).count(),
         "dedup_paragraphs": lambda sf: q_dedup_paragraphs(sf).count(),
+        # media feature family (FFT + perceptual/acoustic near-dup)
+        "media_spectrogram": lambda sf: q_media_spectrogram(sf).count(),
+        "image_near_dup": lambda sf: q_image_near_dup(sf).count(),
+        "audio_near_dup": lambda sf: q_audio_near_dup(sf).count(),
     }

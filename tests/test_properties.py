@@ -480,3 +480,75 @@ def test_scd2_update_equals_full_recompute(inputs, cut_raw):
     ] == [
         {k: (None if pd.isna(v) else v) for k, v in r.items()} for r in canon(full)
     ]
+
+
+# --- crawl-cleanup text maps -------------------------------------------------
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(
+        st.one_of(
+            st.none(),
+            st.text(
+                alphabet="ab \nx<>&;lt=\"'é日",
+                max_size=40,
+            ),
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_dedup_paragraphs_equals_per_row_reference(texts):
+    """The vectorized split/explode/unique/rejoin must equal the obvious
+    per-row reference (split, keep first occurrence in order, join) for
+    arbitrary text — unicode, nulls, empty paragraphs, no separator."""
+    from raycdc.text import dedup_paragraphs
+
+    t = pa.table({"text": pa.array(texts, pa.string())})
+    got = dedup_paragraphs(t)["text"].to_pylist()
+
+    def ref(s):
+        if s is None:
+            return None
+        seen, out = set(), []
+        for p in s.split("\n\n"):
+            if p not in seen:
+                seen.add(p)
+                out.append(p)
+        return "\n\n".join(out)
+
+    assert got == [ref(s) for s in texts]
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(
+        st.one_of(
+            st.none(),
+            st.text(alphabet="ab <>&;ltgtampquonbs#39/\"'x\t\n", max_size=60),
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_strip_markup_equals_per_row_reference(texts):
+    """The Arrow RE2/literal chain must equal the same chain in python
+    re/str.replace — tags first, entities in the pinned order (&amp;
+    last), whitespace collapse, edge trim."""
+    import re as _re
+
+    from raycdc.text import _MARKUP_ENTITIES, strip_markup
+
+    t = pa.table({"text": pa.array(texts, pa.string())})
+    got = strip_markup(t)["text"].to_pylist()
+
+    def ref(s):
+        if s is None:
+            return None
+        s = _re.sub(r"<[^>]*>", " ", s)
+        for ent, repl in _MARKUP_ENTITIES:
+            s = s.replace(ent, repl)
+        return _re.sub(r"\s+", " ", s).strip(" ")
+
+    assert got == [ref(s) for s in texts]
