@@ -28,7 +28,9 @@ audit       changelog observability (per-key churn, delivery-order stats)
 text        text analysis (langid, quality, tokens, fingerprints)
 dedup       exact / MinHash-LSH / SimHash / n-gram / embedding dedup
 similarity  cosine top-k ANN (brute-force, multi-probe LSH, IVF), embedding near-dup
-multimodal  binary-column plumbing (decode stages stubbed)
+multimodal  real WAV/BMP/Y4M codecs, spectrogram + dHash + acoustic
+            fingerprint features, image/audio near-dup (lib-less formats
+            stay stubbed behind NotImplementedError)
 storage     pluggable lake storage (POSIX temp+rename / fsspec atomic PUT)
 metrics     process-local observability counters (candidate-cap truncation)
 """
