@@ -339,7 +339,7 @@ class AudioFingerprinter:
             sigs.append(samples)
         lens = np.array([len(s) for s in sigs], dtype=np.int64)
         k = lens // n_fft  # non-overlapping full windows
-        fps = np.full(len(sigs), np.uint64(0xCBF29CE484222325))  # FNV basis
+        fps = np.full(len(sigs), np.uint64(0xCBF29CE484222325))  # basis
         total = int(k.sum())
         if total:
             frames = np.concatenate(
@@ -348,19 +348,22 @@ class AudioFingerprinter:
             peaks = np.argmax(
                 np.abs(np.fft.rfft(frames * self._win, axis=1)), axis=1
             ).astype(np.uint64)
-            # FNV-1a fold per clip: sequential in the sequence dimension
-            # (a hash chain), but vectorized ACROSS clips via reduceat-style
-            # grouping — clips are short (tens of frames), so iterate the
-            # frame INDEX, not the clips
-            owner = np.repeat(np.arange(len(sigs)), k)
-            pos = np.arange(total) - np.repeat(
-                np.concatenate([[0], np.cumsum(k)[:-1]]), k
+            # order-sensitive fold WITHOUT a sequential hash chain: salt
+            # each peak with its frame position through a splitmix
+            # avalanche, then ONE xor-reduceat per clip — a 1-hour clip
+            # (230k frames) folds in pure numpy, no per-frame Python loop
+            offs = np.concatenate([[0], np.cumsum(k)[:-1]])
+            pos = (np.arange(total, dtype=np.uint64)
+                   - np.repeat(offs, k).astype(np.uint64))
+            h = (
+                peaks * np.uint64(0x9E3779B97F4A7C15)
+                + pos * np.uint64(0xBF58476D1CE4E5B9)
             )
-            prime = np.uint64(0x100000001B3)
-            for step in range(int(k.max())):
-                m = pos == step
-                who = owner[m]
-                fps[who] = (fps[who] ^ peaks[m]) * prime
+            h ^= h >> np.uint64(33)
+            h *= np.uint64(0xFF51AFD7ED558CCD)
+            h ^= h >> np.uint64(29)
+            nz = k > 0
+            fps[nz] ^= np.bitwise_xor.reduceat(h, offs[nz])
         return pa.table(
             {
                 "media_id": batch[self._id].cast(pa.int64()),
