@@ -384,6 +384,48 @@ def test_restore_to_vacuumed_snapshot_fails_preflight_no_marker(
     replay(ray.data.from_arrow(log.slice(0, 1)), lake, spec)
 
 
+def test_fsck_clean_and_consumers_work_after_restore(ray_session, tmp_path):
+    """A restored lake is a NORMAL lake: fsck must report zero issues
+    (restore's version jumps and the extra retained files are legitimate
+    snapshot history, not orphans), vacuum must prune the garbage
+    versions without disturbing the restored state, and the change feed
+    must produce deltas from the restored base."""
+    from raycdc.engine import change_feed, verify_lake
+    from raycdc.sink import vacuum, write_snapshot
+
+    log = synthetic_changelog(n_events=600, seed=151)
+    spec = TableSpec(num_partitions=4)
+    lake = str(tmp_path / "lake")
+    replay(
+        ray.data.from_arrow(log.filter(pc.less(log["lsn"], 300))), lake, spec
+    )
+    snap = list_snapshots(lake)[-1]
+    replay(ray.data.from_arrow(_garbage(log, 300)), lake, spec)
+    restore_lake(lake, snap)
+
+    audit = verify_lake(lake)
+    bad = audit.filter(pc.equal(audit["status"], "corrupt"))
+    assert bad.num_rows == 0, bad.to_pylist()
+
+    state = _state_of(read_lake(lake, spec))
+    # vacuum keeps the restored current state readable
+    vacuum(lake, keep_snapshots=1)
+    assert _state_of(read_lake(lake, spec)) == state
+    audit2 = verify_lake(lake)
+    assert audit2.filter(pc.equal(audit2["status"], "corrupt")).num_rows == 0
+
+    # the restored lake still feeds: corrected suffix -> snapshot -> feed
+    base_snap = list_snapshots(lake)[-1]
+    replay(
+        ray.data.from_arrow(log.filter(pc.greater_equal(log["lsn"], 300))),
+        lake,
+        spec,
+    )
+    tip_snap = write_snapshot(lake)
+    feed = change_feed(lake, base_snap, tip_snap, spec).to_pandas()
+    assert len(feed) > 0
+
+
 def test_restore_rejects_checkpointless_manifest(ray_session, tmp_path):
     log = synthetic_changelog(n_events=300, seed=146)
     spec = TableSpec(num_partitions=4)
