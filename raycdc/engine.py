@@ -3007,13 +3007,43 @@ def restore_lake(
     # non-destructive pre-flight: a vacuumed snapshot must fail BEFORE the
     # marker lands, or an un-runnable restore would block every consumer
     # behind a marker only hand-deletion clears (the in-task check stays —
-    # this is a courtesy sweep, not the correctness barrier)
-    gone = [
+    # this is a courtesy sweep, not the correctness barrier).  Distributed
+    # like the rewind itself: one sequential stat per partition on the
+    # driver would serialize 100k HEAD requests on an object-store lake.
+    want = sorted(
         (part, int(ck.get("version", 0)))
-        for part, ck in sorted(snap_ckpts.items())
+        for part, ck in snap_ckpts.items()
         if int(ck.get("version", 0)) >= 0
-        and not st.exists(S.part_file(lake_dir, part, int(ck.get("version", 0))))
-    ]
+    )
+
+    def probe(batch: pa.Table) -> pa.Table:
+        miss_p, miss_v = [], []
+        for j in batch["id"].to_pylist():
+            part, v = want[int(j)]
+            if not st.exists(S.part_file(lake_dir, part, v)):
+                miss_p.append(part)
+                miss_v.append(v)
+        return pa.table(
+            {
+                "part": pa.array(miss_p, pa.int64()),
+                "version": pa.array(miss_v, pa.int64()),
+            }
+        )
+
+    gone: list[tuple[int, int]] = []
+    if want:
+        probe_t = pa.concat_tables(
+            ray.get(
+                ray.data.range(
+                    len(want), override_num_blocks=min(len(want), 64)
+                )
+                .map_batches(probe, batch_format="pyarrow")
+                .to_arrow_refs()
+            )
+        )
+        gone = sorted(
+            zip(probe_t["part"].to_pylist(), probe_t["version"].to_pylist())
+        )
     if gone:
         raise FileNotFoundError(
             f"restore_lake: snapshot {as_of} references missing partition "
