@@ -86,6 +86,14 @@ def main(argv: list[str] | None = None) -> int:
         help="replica lake kept in lockstep (incremental sync after every "
         "round that applied segments)",
     )
+    p_tail.add_argument(
+        "--prune-keep-last",
+        type=int,
+        default=None,
+        dest="prune_keep_last",
+        help="WAL self-retention: after every applying round delete "
+        "journaled segment files past the newest N (see `prune`)",
+    )
 
     p_compact = sub.add_parser("compact", help="drop applied tombstones")
     p_compact.add_argument("--lake", required=True)
@@ -406,6 +414,7 @@ def main(argv: list[str] | None = None) -> int:
             interval_s=args.interval,
             on_round=report,
             sync_to=args.sync_to,
+            prune_keep_last=args.prune_keep_last,
         )
         print(json.dumps({"segments_applied": total}))
     elif args.cmd == "diff":

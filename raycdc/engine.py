@@ -1052,6 +1052,7 @@ def tail(
     interval_s: float = 5.0,
     on_round=None,
     sync_to: str | None = None,
+    prune_keep_last: int | None = None,
     **replay_kwargs,
 ) -> int:
     """Continuous tailing loop: poll ``watch_dir``, apply new segments,
@@ -1062,6 +1063,12 @@ def tail(
     round that applied segments, :func:`sync_lake` copies the touched
     partitions (steady-state rounds skip the sync entirely).  Continuous
     replication costs one incremental sync per apply, never a full copy.
+
+    ``prune_keep_last``: WAL self-retention — after every round that
+    applied segments, :func:`prune_segments` deletes applied files past
+    the newest N, so an unattended tail never accumulates an unbounded
+    WAL directory (read the prune docstring for what retention gives up:
+    deep recovery becomes snapshot restore / dump bootstrap).
     """
     import time as _time
 
@@ -1072,6 +1079,8 @@ def tail(
         total += len(new)
         if sync_to is not None and new:
             sync_lake(lake_dir, sync_to, spec)
+        if prune_keep_last is not None and new:
+            prune_segments(lake_dir, keep_last=prune_keep_last)
         if on_round is not None:
             on_round(i, new, lineage)
         i += 1

@@ -89,6 +89,37 @@ def test_prune_without_journal_is_empty_noop(ray_session, tmp_path):
     assert out.num_rows == 0
 
 
+def test_tail_self_retention(ray_session, tmp_path):
+    """tail(prune_keep_last=N): each applying round GCs applied WAL files
+    past the newest N; the lake state is unaffected and later rounds keep
+    working against the pruned directory."""
+    import pyarrow as pa
+
+    from raycdc.engine import tail
+
+    watch, log = _three_segments(tmp_path)
+    lake = str(tmp_path / "lake")
+    spec = TableSpec(num_partitions=4)
+    total = tail(
+        watch, lake, spec, rounds=1, interval_s=0, prune_keep_last=1
+    )
+    assert total == 3
+    kept = sorted(os.listdir(watch))
+    assert kept == ["seg-002.parquet"]  # newest journaled file only
+    expect = {k: r["text"] for k, r in python_lww_replay([log]).items()}
+    assert _state_of(read_lake(lake, spec)) == expect
+
+    # a later round applies a new segment and prunes the previous one
+    late = log.slice(0, 10).set_column(
+        log.schema.get_field_index("lsn"),
+        "lsn",
+        pa.array([900 + i for i in range(10)], pa.int64()),
+    )
+    pq.write_table(late, os.path.join(watch, "seg-900.parquet"))
+    tail(watch, lake, spec, rounds=1, interval_s=0, prune_keep_last=1)
+    assert sorted(os.listdir(watch)) == ["seg-900.parquet"]
+
+
 def test_prune_cli_smoke(ray_session, tmp_path, capsys):
     from raycdc.__main__ import main
 
