@@ -50,6 +50,14 @@ def main() -> None:
     )
     n0 = docs.count()
 
+    # 0. crawl cleanup: strip markup, collapse repeated in-doc paragraphs
+    # (pure per-batch maps — zero exchanges)
+    from raycdc.text import dedup_paragraphs, strip_markup
+
+    docs = docs.map_batches(
+        strip_markup, batch_format="pyarrow", zero_copy_batch=True
+    ).map_batches(dedup_paragraphs, batch_format="pyarrow", zero_copy_batch=True)
+
     # 1. exact dedup
     docs = exact_dedup(docs, num_partitions=8)
     n1 = docs.count()
