@@ -125,6 +125,12 @@ def main(argv: list[str] | None = None) -> int:
     )
 
     p_show = sub.add_parser("show", help="print lake state summary")
+    p_show.add_argument(
+        "--du",
+        action="store_true",
+        help="metadata-only storage census instead of a data read: rows, "
+        "current vs retained bytes, versions, snapshots, journal length",
+    )
     p_show.add_argument("--lake", required=True)
     p_show.add_argument("--partitions", type=int, default=64)
     p_show.add_argument("--as-of", type=int, default=None, help="snapshot id")
@@ -577,6 +583,11 @@ def main(argv: list[str] | None = None) -> int:
             )
         )
     elif args.cmd == "show":
+        if args.du:
+            from raycdc.sink import storage_census
+
+            print(json.dumps(storage_census(args.lake)))
+            return 0
         spec = _lake_spec(args.lake, args.partitions)
         ds = read_lake(args.lake, spec, as_of=args.as_of)
         print(json.dumps({"live_rows": ds.count(), "schema": ds.schema().names}))

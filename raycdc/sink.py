@@ -255,6 +255,58 @@ def list_snapshots(lake_dir: str) -> list[int]:
     )
 
 
+def storage_census(lake_dir: str) -> dict:
+    """Metadata-only storage report (the ``show --du`` payload): per-lake
+    totals of live rows (from checkpoints — no data file is opened),
+    current vs retained bytes, version counts, snapshots, lineage files
+    and WAL-journal length.  The current/retained split is the vacuum
+    planning signal: retained − current is what `vacuum` could reclaim
+    (minus whatever snapshots still pin)."""
+    st = get_storage(lake_dir)
+    ckpts = read_all_checkpoints(lake_dir)
+    parts = 0
+    stored_rows = 0  # checkpoint row counts (INCLUDES stored tombstones)
+    tombstones = 0
+    cur_bytes = 0
+    ret_bytes = 0
+    n_versions = 0
+    for name in st.listdir(lake_dir):
+        if not name.startswith("part="):
+            continue
+        parts += 1
+        part = int(name.split("=")[1])
+        pdir = os.path.join(lake_dir, name)
+        ck = ckpts.get(part) or {}
+        cur_v = int(ck.get("version", -1))
+        stored_rows += int(ck.get("row_count", 0))
+        t = ck.get("tombstones", 0)
+        tombstones += int(t) if t is not None and int(t) >= 0 else 0
+        for fn in st.listdir(pdir):
+            if fn.startswith("data-v") and fn.endswith(".parquet"):
+                n_versions += 1
+                b = st.size(os.path.join(pdir, fn))
+                ret_bytes += b
+                if int(fn[6:-8]) == cur_v:
+                    cur_bytes += b
+    journal = os.path.join(lake_dir, "_segments.jsonl")
+    n_journal = (
+        len(st.read_bytes(journal).decode().splitlines())
+        if st.exists(journal)
+        else 0
+    )
+    return {
+        "partitions": parts,
+        "stored_rows": stored_rows,
+        "stored_tombstones": tombstones,
+        "current_bytes": cur_bytes,
+        "retained_bytes": ret_bytes,
+        "data_file_versions": n_versions,
+        "snapshots": len(list_snapshots(lake_dir)),
+        "lineage_files": len(lineage_files(lake_dir)),
+        "wal_journal_entries": n_journal,
+    }
+
+
 def vacuum(lake_dir: str, keep_snapshots: int = 1) -> int:
     """Prune old snapshots and any partition-file version no snapshot (nor
     the current checkpoint) references; returns files removed."""

@@ -60,6 +60,10 @@ class Storage(Protocol):
 
     def read_bytes(self, path: str) -> bytes: ...
 
+    def size(self, path: str) -> int:
+        """File size in bytes (storage census; raises if absent)."""
+        ...
+
     def write_bytes_atomic(self, path: str, data: bytes) -> None:
         """Publish ``data`` at ``path`` atomically (old-or-new, never torn)."""
         ...
@@ -109,6 +113,9 @@ class LocalStorage:
     def read_bytes(self, path: str) -> bytes:
         with open(path, "rb") as f:
             return f.read()
+
+    def size(self, path: str) -> int:
+        return os.path.getsize(path)
 
     @staticmethod
     def _publish(tmp: str, path: str) -> None:
@@ -212,6 +219,9 @@ class FsspecStorage:
 
     def read_bytes(self, path: str) -> bytes:
         return self.fs.cat_file(self._p(path))
+
+    def size(self, path: str) -> int:
+        return int(self.fs.size(self._p(path)))
 
     def write_bytes_atomic(self, path: str, data: bytes) -> None:
         p = self._p(path)

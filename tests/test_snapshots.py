@@ -291,3 +291,37 @@ def test_read_lake_predicate_pushdown(ray_session, tmp_path):
     old_full = read_lake(lake, spec, as_of=snap).to_pandas()
     old_got = read_lake(lake, spec, as_of=snap, predicate=pred).to_pandas()
     assert len(old_got) == int(old_full["conv_id"].isin(convs).sum())
+
+
+def test_storage_census_tracks_versions_and_vacuum(ray_session, tmp_path, capsys):
+    """show --du: metadata-only census — rows match checkpoints, retained
+    bytes shrink after vacuum while current bytes are unchanged."""
+    from raycdc.__main__ import main
+    from raycdc.sink import storage_census
+
+    log = synthetic_changelog(n_events=600, seed=96)
+    lake = str(tmp_path / "lake")
+    spec = TableSpec(num_partitions=4)
+    for lo, hi in ((0, 200), (200, 400), (400, 600)):
+        part = log.filter(
+            pc.and_(pc.greater_equal(log["lsn"], lo), pc.less(log["lsn"], hi))
+        )
+        replay(ray.data.from_arrow(part), lake, spec)
+
+    c = storage_census(lake)
+    assert c["partitions"] == 4
+    assert c["data_file_versions"] > 4  # three applies retained history
+    assert c["retained_bytes"] > c["current_bytes"] > 0
+    assert c["snapshots"] == 3
+    live = read_lake(lake, spec, with_tombstones=True).count()
+    assert c["stored_rows"] == live
+
+    vacuum(lake, keep_snapshots=1)
+    c2 = storage_census(lake)
+    assert c2["current_bytes"] == c["current_bytes"]
+    assert c2["retained_bytes"] < c["retained_bytes"]
+    assert c2["snapshots"] == 1
+
+    assert main(["show", "--lake", lake, "--du"]) == 0
+    out = capsys.readouterr().out
+    assert '"stored_rows"' in out and '"retained_bytes"' in out
