@@ -58,6 +58,7 @@ _ENGINE_EXPORTS = (
     "change_feed",
     "sync_lake",
     "maintain_rollup",
+    "maintain_distinct",
     "detect_hot_keys",
     "MergeApplier",
 )

@@ -2621,6 +2621,202 @@ def maintain_rollup(
     return lineage
 
 
+def maintain_distinct(
+    src_lake: str,
+    view_lake: str,
+    group_col: str,
+    value_col: str,
+    spec: TableSpec | None = None,
+    p: int = 12,
+    num_partitions: int = 4,
+) -> pa.Table:
+    """Incrementally maintained APPROXIMATE-DISTINCT view: per-group
+    HyperLogLog registers kept fresh from the lake's own change feed —
+    "distinct ``value_col`` EVER SEEN per ``group_col``" for the cost of
+    the change, never a source rescan.  The streaming-analytics sibling
+    of :func:`maintain_rollup` (which keeps exact additive counters).
+
+    GROW-ONLY semantics by construction: an HLL cannot decrement, so
+    deletes leave the estimate unchanged (the value *was* seen) — this is
+    a "distinct ever" view, not "distinct currently live"; rebuild from
+    scratch when the latter is required.  ``group_col`` must be
+    bounded-cardinality (event types, languages, sources — same contract
+    as ``maintain_rollup``'s group columns): the registers table is
+    ``groups × 2^p`` bytes and folds on the driver.
+
+    Exactly-once without coordination, via the shared pending-claim
+    protocol (:func:`_claim_feed_snapshot`) plus TWO idempotence layers:
+    the whole refresh carries ``lsn = to-snapshot id`` (the view lake's
+    checkpoints prune a full redelivery), and register max-merge is
+    idempotent (``max(old ∪ delta, delta) = max(old, delta)``), so a
+    crash-retry that recomputes its delta against a partially-applied
+    view still converges to the identical rows.
+
+    View rows: ``(group_col, regs: binary, n_distinct: int64)`` in an LWW
+    lake keyed on ``group_col`` — every refresh REPLACES a touched
+    group's registers.  Returns the current ``(group, n_distinct)``
+    estimates table.
+    """
+    import ray
+
+    from raycdc.sketch import hll_estimate, hll_merge, hll_registers
+    from raycdc.storage import write_json_atomic
+
+    spec = spec or TableSpec()
+    m = 1 << p
+    from_snap, to_snap, st, pos_path = _claim_feed_snapshot(
+        src_lake, view_lake, "maintain_distinct"
+    )
+
+    def _current() -> pa.Table:
+        try:
+            view = read_lake(
+                view_lake,
+                TableSpec(num_partitions=num_partitions),
+                columns=[group_col, "n_distinct"],
+            )
+        except FileNotFoundError:
+            return pa.table(
+                {
+                    group_col: pa.array([], pa.string()),
+                    "n_distinct": pa.array([], pa.int64()),
+                }
+            )
+        # bounded by the group cardinality — a few rows, not a corpus
+        # (empty blocks surface as zero-column tables — drop them)
+        parts = [t for t in ray.get(view.to_arrow_refs()) if t.num_rows]
+        if not parts:
+            return pa.table(
+                {
+                    group_col: pa.array([], pa.string()),
+                    "n_distinct": pa.array([], pa.int64()),
+                }
+            )
+        return pa.concat_tables(parts).select([group_col, "n_distinct"])
+
+    # steady-state guard (identical version maps ⇒ empty feed by
+    # construction): advance the position for two manifest reads
+    if from_snap is not None and S.read_snapshot(
+        src_lake, from_snap
+    ) == S.read_snapshot(src_lake, to_snap):
+        write_json_atomic(st, pos_path, {"snapshot": to_snap})
+        return _current()
+
+    feed = change_feed(src_lake, from_snap, to_snap, spec)
+    op_col = spec.op_col
+
+    def partial(t: pa.Table) -> pa.Table:
+        # deletes fold nothing (grow-only: their value was counted at
+        # insert time); updates fold the NEW value
+        t = t.filter(
+            pc.not_equal(pc.fill_null(t[op_col], ""), M.DELETE)
+        ).select([group_col, value_col])
+        if len(t) == 0:
+            return pa.table(
+                {
+                    "g": pa.array([], pa.string()),
+                    "regs": pa.array([], pa.binary()),
+                }
+            )
+        gs, rs = [], []
+        grp = t[group_col]
+        # bounded distinct groups per batch (the documented contract);
+        # register folding per group is one vectorized pass
+        for g in pc.unique(grp).to_pylist():
+            sub = t.filter(
+                pc.equal(grp, g)
+                if g is not None
+                else pc.is_null(grp)
+            )
+            gs.append("" if g is None else str(g))
+            rs.append(hll_registers(sub[value_col], p=p).tobytes())
+        return pa.table({"g": pa.array(gs), "regs": pa.array(rs, pa.binary())})
+
+    import numpy as np
+
+    rows = feed.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    ).take_all()  # bounded: blocks × groups register rows
+    deltas: dict[str, np.ndarray] = {}
+    for r in rows:
+        regs = np.frombuffer(r["regs"], dtype=np.uint8)
+        deltas[r["g"]] = (
+            hll_merge(deltas[r["g"]], regs) if r["g"] in deltas else regs
+        )
+    if deltas:
+        # fold the touched groups' EXISTING registers (max-merge is
+        # idempotent — see the crash-retry note above)
+        try:
+            view = read_lake(
+                view_lake,
+                TableSpec(num_partitions=num_partitions),
+                columns=[group_col, "regs"],
+            )
+            cur_parts = [
+                t for t in ray.get(view.to_arrow_refs()) if t.num_rows
+            ]
+            cur = (
+                pa.concat_tables(cur_parts)
+                if cur_parts
+                else pa.table(
+                    {
+                        group_col: pa.array([], pa.string()),
+                        "regs": pa.array([], pa.binary()),
+                    }
+                )
+            )
+            for g, regs in zip(
+                cur[group_col].to_pylist(), cur["regs"].to_pylist()
+            ):
+                if g in deltas:
+                    deltas[g] = hll_merge(
+                        deltas[g], np.frombuffer(regs, dtype=np.uint8)
+                    )
+        except FileNotFoundError:
+            pass  # first refresh: the view lake does not exist yet
+        n = len(deltas)
+        groups = sorted(deltas)
+        out = pa.table(
+            {
+                group_col: pa.array(groups, pa.string()),
+                "regs": pa.array(
+                    [deltas[g].tobytes() for g in groups], pa.binary()
+                ),
+                "n_distinct": pa.array(
+                    [int(round(hll_estimate(deltas[g]))) for g in groups],
+                    pa.int64(),
+                ),
+                "ts": pa.array(
+                    np.full(n, 1_700_000_000_000_000, np.int64),
+                    pa.timestamp("us"),
+                ),
+                op_col: pa.array(np.full(n, "insert")),
+                "lsn": pa.array(np.full(n, to_snap, np.int64)),
+            }
+        )
+        view_spec = TableSpec(
+            name="distinct_view",
+            schema=pa.schema(
+                [
+                    pa.field(group_col, pa.string()),
+                    pa.field("regs", pa.binary()),
+                    pa.field("n_distinct", pa.int64()),
+                    pa.field("ts", pa.timestamp("us")),
+                ]
+            ),
+            key_cols=(group_col,),
+            version_cols=("ts", "lsn"),
+            partition_key=group_col,
+            num_partitions=num_partitions,
+            sort_cols=(group_col,),
+            merge_policy="lww",
+        )
+        replay(ray.data.from_arrow(out), view_lake, view_spec)
+    # promote pending → consumed only after the apply landed
+    write_json_atomic(st, pos_path, {"snapshot": to_snap})
+    return _current()
+
+
 def maintain_transcripts(
     src_lake: str,
     view_lake: str,

@@ -786,6 +786,47 @@ def q_cdc_restore(sf_dir: str):
     )
 
 
+def q_cdc_distinct_view(sf_dir: str):
+    """Incrementally maintained APPROXIMATE-DISTINCT view
+    (:func:`raycdc.engine.maintain_distinct`): per-role HyperLogLog
+    registers of distinct conversations, kept fresh from the lake's own
+    change feed across two refreshes — exactly-once via the shared
+    pending-claim plus register max-merge idempotence.  Rows-only (an HLL
+    estimate is not SQL-expressible); the register-level invariants are
+    pinned in tests/test_distinct_view.py."""
+    import tempfile as _tf
+
+    from raycdc.changelog import changelog_from_events
+    from raycdc.engine import maintain_distinct, replay
+    from raycdc.schema import TableSpec
+
+    cut = None
+    spec = TableSpec(num_partitions=16)
+    root = os.path.join(_tf.gettempdir(), "raycdc_distinct_view")
+    shutil.rmtree(root, ignore_errors=True)
+    src, view = os.path.join(root, "src"), os.path.join(root, "view")
+    log = changelog_from_events(sf_dir)
+    import pyarrow.parquet as _pq
+
+    cut = _pq.read_metadata(f"{sf_dir}/events.parquet").num_rows // 2
+    kw = dict(batch_format="pyarrow", zero_copy_batch=True)
+    replay(
+        log.map_batches(lambda t: t.filter(pc.less_equal(t["lsn"], cut)), **kw),
+        src,
+        spec,
+    )
+    maintain_distinct(src, view, group_col="role", value_col="conv_id", spec=spec)
+    replay(
+        log.map_batches(lambda t: t.filter(pc.greater(t["lsn"], cut)), **kw),
+        src,
+        spec,
+    )
+    est = maintain_distinct(
+        src, view, group_col="role", value_col="conv_id", spec=spec
+    )
+    return est.sort_by([("role", "ascending")])
+
+
 def q_cdc_enriched_replay(sf_dir: str):
     """Dimension enrichment INSIDE the exactly-once replay path: the
     replay's projector broadcast-joins every changelog batch against the
@@ -5500,6 +5541,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "cdc_additive_rollup": q_cdc_additive_rollup,
     "cdc_bootstrap": q_cdc_bootstrap,
     "cdc_restore": q_cdc_restore,
+    "cdc_distinct_view": q_cdc_distinct_view,
     "cdc_enriched_replay": q_cdc_enriched_replay,
     "cdc_scd2_history": q_cdc_scd2_history,
     "cdc_history_lake": q_cdc_history_lake,

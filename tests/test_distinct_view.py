@@ -1,0 +1,141 @@
+"""Incrementally maintained approximate-distinct view (maintain_distinct)."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+from raycdc.changelog import synthetic_changelog
+from raycdc.engine import maintain_distinct, replay
+from raycdc.schema import TableSpec
+from raycdc.storage import get_storage, read_json
+
+SPEC = dict(group_col="role", value_col="conv_id")
+
+
+def _as_dict(t: pa.Table) -> dict:
+    return dict(zip(t["role"].to_pylist(), t["n_distinct"].to_pylist()))
+
+
+def test_incremental_equals_boundary_union_reference(ray_session, tmp_path):
+    """The maintained view's estimates must EXACTLY equal HLL over the
+    union of (group, value) pairs live at ANY refresh boundary — the
+    grow-only "distinct ever seen" contract, computed independently from
+    python LWW prefix states (register max-merge is order- and
+    multiplicity-insensitive, so identical value sets mean identical
+    registers and identical estimates).  The fixture has deletes AND
+    group-reassigning updates (role = lsn % 3), both of which make a
+    naive from-scratch rebuild legitimately smaller."""
+    from raycdc.sketch import hll_estimate, hll_registers
+
+    from .oracle import python_lww_replay
+
+    log = synthetic_changelog(n_events=1500, n_convs=120, seed=160)
+    spec = TableSpec(num_partitions=4)
+    src_inc = str(tmp_path / "src_inc")
+    view_inc = str(tmp_path / "view_inc")
+
+    cuts = ((0, 500), (500, 1000), (1000, 1500))
+    for lo, hi in cuts:
+        seg = log.filter(
+            pc.and_(pc.greater_equal(log["lsn"], lo), pc.less(log["lsn"], hi))
+        )
+        replay(ray.data.from_arrow(seg), src_inc, spec)
+        est = maintain_distinct(src_inc, view_inc, **SPEC, spec=spec)
+
+    # reference: (role, conv_id) pairs present in any prefix LWW state
+    pairs: set = set()
+    for _, hi in cuts:
+        state = python_lww_replay([log.filter(pc.less(log["lsn"], hi))])
+        for (conv, _turn), row in state.items():
+            pairs.add((row["role"], conv))
+    expect = {}
+    for g in sorted({p[0] for p in pairs}):
+        vals = pa.array(sorted(v for r, v in pairs if r == g))
+        expect[g] = int(round(hll_estimate(hll_registers(vals))))
+    got = _as_dict(est)
+    assert got == expect
+
+    # and the estimate tracks the exact pair count within the envelope
+    rse = 1.04 / np.sqrt(1 << 12)
+    for g, e in expect.items():
+        exact_g = len({v for r, v in pairs if r == g})
+        assert abs(got[g] - exact_g) <= max(5, 6 * rse * exact_g)
+
+
+def test_steady_state_noop_and_redelivery(ray_session, tmp_path):
+    log = synthetic_changelog(n_events=600, seed=161)
+    spec = TableSpec(num_partitions=4)
+    src = str(tmp_path / "src")
+    view = str(tmp_path / "view")
+    replay(ray.data.from_arrow(log), src, spec)
+    est1 = _as_dict(maintain_distinct(src, view, **SPEC, spec=spec))
+    # no source change: refresh is a metadata-only noop, estimates stable
+    est2 = _as_dict(maintain_distinct(src, view, **SPEC, spec=spec))
+    assert est1 == est2
+
+    # crash-retry: reinstate the pending claim and re-run — max-merge
+    # idempotence + the lsn claim must converge to the same registers
+    pos_path = f"{view}/_feed_pos.json"
+    st = get_storage(view)
+    pos = read_json(st, pos_path)
+    from raycdc.storage import write_json_atomic
+
+    write_json_atomic(
+        st, pos_path, {"snapshot": None, "pending": pos["snapshot"]}
+    )
+    est3 = _as_dict(maintain_distinct(src, view, **SPEC, spec=spec))
+    assert est3 == est1
+    # and the pending claim was promoted
+    assert read_json(st, pos_path).get("pending") is None
+
+
+def test_grow_only_deletes_do_not_decrement(ray_session, tmp_path):
+    spec = TableSpec(num_partitions=4)
+    src = str(tmp_path / "src")
+    view = str(tmp_path / "view")
+    import datetime as dt
+
+    def seg(rows, lsn0):
+        n = len(rows)
+        return pa.table(
+            {
+                "conv_id": pa.array([r[0] for r in rows]),
+                "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+                "role": pa.array([r[2] for r in rows]),
+                "text": pa.array([r[3] for r in rows]),
+                "tool": pa.array([""] * n),
+                "ts": pa.array(
+                    [dt.datetime(2024, 1, 1, 0, 0, i) for i in range(n)],
+                    pa.timestamp("us"),
+                ),
+                "op": pa.array([r[4] for r in rows]),
+                "lsn": pa.array(
+                    np.arange(lsn0, lsn0 + n, dtype=np.int64)
+                ),
+            }
+        )
+
+    replay(
+        ray.data.from_arrow(
+            seg(
+                [
+                    ("c1", 0, "user", "hi", "insert"),
+                    ("c2", 0, "user", "yo", "insert"),
+                ],
+                0,
+            )
+        ),
+        src,
+        spec,
+    )
+    est1 = _as_dict(maintain_distinct(src, view, **SPEC, spec=spec))
+    assert est1["user"] == 2
+    # delete one conversation: the view must NOT decrement
+    replay(
+        ray.data.from_arrow(seg([("c2", 0, "user", "", "delete")], 2)),
+        src,
+        spec,
+    )
+    est2 = _as_dict(maintain_distinct(src, view, **SPEC, spec=spec))
+    assert est2["user"] == 2
