@@ -202,6 +202,18 @@ def main(argv: list[str] | None = None) -> int:
         "--right-columns", default=None, help="comma-separated column prune"
     )
 
+    p_distinct = sub.add_parser(
+        "distinct",
+        help="incrementally maintain an approximate-distinct (HyperLogLog) "
+        "view of a lake: distinct VALUE per GROUP ever seen, refreshed "
+        "from the change feed (grow-only; deletes cannot decrement)",
+    )
+    p_distinct.add_argument("src", help="source lake dir")
+    p_distinct.add_argument("dst", help="distinct-view lake dir")
+    p_distinct.add_argument("--group", required=True, help="group column")
+    p_distinct.add_argument("--value", required=True, help="counted column")
+    p_distinct.add_argument("--partitions", type=int, default=4)
+
     p_roll = sub.add_parser(
         "rollup",
         help="incrementally maintain a SUM/COUNT-per-group aggregate view "
@@ -639,6 +651,27 @@ def main(argv: list[str] | None = None) -> int:
                     "noop": statuses.count("noop"),
                     "rows_total": int(sum(lin["rows_total"].to_pylist())),
                 }
+            )
+        )
+    elif args.cmd == "distinct":
+        from raycdc.engine import maintain_distinct
+
+        est = maintain_distinct(
+            args.src,
+            args.dst,
+            group_col=args.group,
+            value_col=args.value,
+            spec=_lake_spec(args.src, 64),
+            num_partitions=args.partitions,
+        )
+        print(
+            json.dumps(
+                dict(
+                    zip(
+                        est[args.group].to_pylist(),
+                        est["n_distinct"].to_pylist(),
+                    )
+                )
             )
         )
     elif args.cmd == "rollup":

@@ -90,6 +90,26 @@ def test_steady_state_noop_and_redelivery(ray_session, tmp_path):
     assert read_json(st, pos_path).get("pending") is None
 
 
+def test_distinct_cli_smoke(ray_session, tmp_path, capsys):
+    from raycdc.__main__ import main
+
+    log = synthetic_changelog(n_events=400, seed=162)
+    spec = TableSpec(num_partitions=4)
+    src = str(tmp_path / "src")
+    replay(ray.data.from_arrow(log), src, spec)
+    assert (
+        main(
+            [
+                "distinct", src, str(tmp_path / "view"),
+                "--group", "role", "--value", "conv_id",
+            ]
+        )
+        == 0
+    )
+    out = capsys.readouterr().out
+    assert '"user"' in out
+
+
 def test_grow_only_deletes_do_not_decrement(ray_session, tmp_path):
     spec = TableSpec(num_partitions=4)
     src = str(tmp_path / "src")
