@@ -230,12 +230,13 @@ _DRIVER_WINDOW: list[str] = [
     "decontaminate",
     "sim_knn",
     # multimodal (oracle-hashed codecs + features)
-    # media_spectrogram displaced media_wav (it parses the same WAV
-    # containers AND adds the framed-FFT feature path); image_near_dup
-    # displaced media_resize (it decodes the same BMPs AND adds the
-    # perceptual-hash + banded-hamming dedup path); both displaced
-    # queries stay in the full gate
-    "media_spectrogram",
+    # audio_near_dup displaced media_spectrogram (the fingerprinter runs
+    # the same WAV parse + framed FFT + peak-bin path AND adds the
+    # gain-invariant fingerprint + banded-hamming pairing on top), which
+    # had itself displaced media_wav; image_near_dup displaced
+    # media_resize (same BMP decode + the perceptual-hash dedup path).
+    # Every displaced query stays in the full gate.
+    "audio_near_dup",
     "media_bmp",
     "image_near_dup",
     "media_frames",

@@ -353,6 +353,14 @@ def main(argv: list[str] | None = None) -> int:
     p_preset.add_argument("--out", default=None, help="output parquet directory")
 
     args = ap.parse_args(argv)
+    if args.cmd == "show" and args.du:
+        # metadata-only census: never touches Ray — answer before any
+        # session is started (an early return after _ray_init would also
+        # LEAK the session this process owns)
+        from raycdc.sink import storage_census
+
+        print(json.dumps(storage_census(args.lake)))
+        return 0
     owns_ray = _ray_init(args.num_cpus)
 
     import ray
@@ -595,11 +603,6 @@ def main(argv: list[str] | None = None) -> int:
             )
         )
     elif args.cmd == "show":
-        if args.du:
-            from raycdc.sink import storage_census
-
-            print(json.dumps(storage_census(args.lake)))
-            return 0
         spec = _lake_spec(args.lake, args.partitions)
         ds = read_lake(args.lake, spec, as_of=args.as_of)
         print(json.dumps({"live_rows": ds.count(), "schema": ds.schema().names}))

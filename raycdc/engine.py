@@ -2632,17 +2632,21 @@ def maintain_distinct(
 ) -> pa.Table:
     """Incrementally maintained APPROXIMATE-DISTINCT view: per-group
     HyperLogLog registers kept fresh from the lake's own change feed —
-    "distinct ``value_col`` EVER SEEN per ``group_col``" for the cost of
-    the change, never a source rescan.  The streaming-analytics sibling
-    of :func:`maintain_rollup` (which keeps exact additive counters).
+    "distinct ``value_col`` ever LIVE AT A REFRESH BOUNDARY per
+    ``group_col``" for the cost of the change, never a source rescan.
+    The streaming-analytics sibling of :func:`maintain_rollup` (which
+    keeps exact additive counters).
 
-    GROW-ONLY semantics by construction: an HLL cannot decrement, so
-    deletes leave the estimate unchanged (the value *was* seen) — this is
-    a "distinct ever" view, not "distinct currently live"; rebuild from
-    scratch when the latter is required.  ``group_col`` must be
-    bounded-cardinality (event types, languages, sources — same contract
-    as ``maintain_rollup``'s group columns): the registers table is
-    ``groups × 2^p`` bytes and folds on the driver.
+    The precise contract: the feed diffs snapshot-boundary states, so a
+    (group, value) pair inserted and deleted entirely BETWEEN two
+    refreshes appears in no feed and is not counted — refresh more often
+    for a tighter "ever seen" approximation.  GROW-ONLY by construction:
+    an HLL cannot decrement, so deletes never reduce the estimate; this
+    is not "distinct currently live" — rebuild from scratch when that is
+    required.  ``group_col`` must be bounded-cardinality and non-null
+    (event types, languages, sources — same contract as
+    ``maintain_rollup``'s group columns; null groups raise): the
+    registers table is ``groups × 2^p`` bytes and folds on the driver.
 
     Exactly-once without coordination, via the shared pending-claim
     protocol (:func:`_claim_feed_snapshot`) plus TWO idempotence layers:
@@ -2663,36 +2667,36 @@ def maintain_distinct(
     from raycdc.storage import write_json_atomic
 
     spec = spec or TableSpec()
-    m = 1 << p
     from_snap, to_snap, st, pos_path = _claim_feed_snapshot(
         src_lake, view_lake, "maintain_distinct"
     )
 
-    def _current() -> pa.Table:
+    _EMPTY_VIEW = pa.table(
+        {
+            group_col: pa.array([], pa.string()),
+            "regs": pa.array([], pa.binary()),
+            "n_distinct": pa.array([], pa.int64()),
+        }
+    )
+
+    def _read_view() -> pa.Table:
+        """ONE bounded read serves both the register merge and the
+        returned estimates (empty blocks surface as zero-column tables —
+        drop them)."""
         try:
             view = read_lake(
                 view_lake,
                 TableSpec(num_partitions=num_partitions),
-                columns=[group_col, "n_distinct"],
+                columns=[group_col, "regs", "n_distinct"],
             )
         except FileNotFoundError:
-            return pa.table(
-                {
-                    group_col: pa.array([], pa.string()),
-                    "n_distinct": pa.array([], pa.int64()),
-                }
-            )
-        # bounded by the group cardinality — a few rows, not a corpus
-        # (empty blocks surface as zero-column tables — drop them)
+            return _EMPTY_VIEW  # first refresh: view lake not created yet
         parts = [t for t in ray.get(view.to_arrow_refs()) if t.num_rows]
         if not parts:
-            return pa.table(
-                {
-                    group_col: pa.array([], pa.string()),
-                    "n_distinct": pa.array([], pa.int64()),
-                }
-            )
-        return pa.concat_tables(parts).select([group_col, "n_distinct"])
+            return _EMPTY_VIEW
+        return pa.concat_tables(parts).select(
+            [group_col, "regs", "n_distinct"]
+        )
 
     # steady-state guard (identical version maps ⇒ empty feed by
     # construction): advance the position for two manifest reads
@@ -2700,7 +2704,7 @@ def maintain_distinct(
         src_lake, from_snap
     ) == S.read_snapshot(src_lake, to_snap):
         write_json_atomic(st, pos_path, {"snapshot": to_snap})
-        return _current()
+        return _read_view().select([group_col, "n_distinct"])
 
     feed = change_feed(src_lake, from_snap, to_snap, spec)
     op_col = spec.op_col
@@ -2718,17 +2722,20 @@ def maintain_distinct(
                     "regs": pa.array([], pa.binary()),
                 }
             )
-        gs, rs = [], []
         grp = t[group_col]
+        if grp.null_count:
+            # a null group would silently collide with the empty-string
+            # group in the string-keyed view — refuse instead
+            raise ValueError(
+                "maintain_distinct: null group values are unsupported — "
+                "filter or fill them upstream"
+            )
+        gs, rs = [], []
         # bounded distinct groups per batch (the documented contract);
         # register folding per group is one vectorized pass
         for g in pc.unique(grp).to_pylist():
-            sub = t.filter(
-                pc.equal(grp, g)
-                if g is not None
-                else pc.is_null(grp)
-            )
-            gs.append("" if g is None else str(g))
+            sub = t.filter(pc.equal(grp, g))
+            gs.append(str(g))
             rs.append(hll_registers(sub[value_col], p=p).tobytes())
         return pa.table({"g": pa.array(gs), "regs": pa.array(rs, pa.binary())})
 
@@ -2743,37 +2750,24 @@ def maintain_distinct(
         deltas[r["g"]] = (
             hll_merge(deltas[r["g"]], regs) if r["g"] in deltas else regs
         )
+    cur = _read_view()
+    # fold the touched groups' EXISTING registers (max-merge is
+    # idempotent — see the crash-retry note above); untouched groups
+    # (including ALL of them on a deletes-only feed) pass through to the
+    # returned estimates unchanged
+    untouched: dict[str, int] = {}
+    for g, regs, nd in zip(
+        cur[group_col].to_pylist(),
+        cur["regs"].to_pylist(),
+        cur["n_distinct"].to_pylist(),
+    ):
+        if g in deltas:
+            deltas[g] = hll_merge(
+                deltas[g], np.frombuffer(regs, dtype=np.uint8)
+            )
+        else:
+            untouched[g] = int(nd)
     if deltas:
-        # fold the touched groups' EXISTING registers (max-merge is
-        # idempotent — see the crash-retry note above)
-        try:
-            view = read_lake(
-                view_lake,
-                TableSpec(num_partitions=num_partitions),
-                columns=[group_col, "regs"],
-            )
-            cur_parts = [
-                t for t in ray.get(view.to_arrow_refs()) if t.num_rows
-            ]
-            cur = (
-                pa.concat_tables(cur_parts)
-                if cur_parts
-                else pa.table(
-                    {
-                        group_col: pa.array([], pa.string()),
-                        "regs": pa.array([], pa.binary()),
-                    }
-                )
-            )
-            for g, regs in zip(
-                cur[group_col].to_pylist(), cur["regs"].to_pylist()
-            ):
-                if g in deltas:
-                    deltas[g] = hll_merge(
-                        deltas[g], np.frombuffer(regs, dtype=np.uint8)
-                    )
-        except FileNotFoundError:
-            pass  # first refresh: the view lake does not exist yet
         n = len(deltas)
         groups = sorted(deltas)
         out = pa.table(
@@ -2814,7 +2808,19 @@ def maintain_distinct(
         replay(ray.data.from_arrow(out), view_lake, view_spec)
     # promote pending → consumed only after the apply landed
     write_json_atomic(st, pos_path, {"snapshot": to_snap})
-    return _current()
+    est = {
+        **untouched,
+        **{g: int(round(hll_estimate(deltas[g]))) for g in deltas},
+    }
+    groups_all = sorted(est)
+    return pa.table(
+        {
+            group_col: pa.array(groups_all, pa.string()),
+            "n_distinct": pa.array(
+                [est[g] for g in groups_all], pa.int64()
+            ),
+        }
+    )
 
 
 def maintain_transcripts(

@@ -300,16 +300,18 @@ class AudioFingerprinter:
     """Acoustic fingerprint as an actor-pool ``map_batches`` stage: split
     each PCM16 mono clip into NON-overlapping ``n_fft`` windows, take the
     per-frame rFFT peak bin (the dominant tone), and fold the peak-bin
-    sequence through FNV-1a into one 64-bit fingerprint — the
-    melody-shaped core of a Shazam/Chromaprint-style audio near-dup.
+    sequence into one 64-bit fingerprint via a POSITION-SALTED splitmix
+    xor (order-sensitive yet fully vectorized — no sequential hash
+    chain) — the melody-shaped core of a Shazam/Chromaprint-style audio
+    near-dup.
     The fingerprint is GAIN-INVARIANT by construction (argmax is
     unchanged under amplitude scaling), so re-mastered / re-normalized
     copies of a clip fingerprint identically and pair at hamming 0
     through :func:`raycdc.dedup.simhash_candidate_pairs`.
 
     Output: ``media_id``, ``fingerprint`` (int64), ``n_frames``.  Clips
-    shorter than one window emit ``n_frames=0`` and the FNV basis as the
-    fingerprint.
+    shorter than one window emit ``n_frames=0`` and the init constant as
+    the fingerprint.
     """
 
     def __init__(
@@ -339,7 +341,7 @@ class AudioFingerprinter:
             sigs.append(samples)
         lens = np.array([len(s) for s in sigs], dtype=np.int64)
         k = lens // n_fft  # non-overlapping full windows
-        fps = np.full(len(sigs), np.uint64(0xCBF29CE484222325))  # basis
+        fps = np.full(len(sigs), np.uint64(0xCBF29CE484222325))  # init constant
         total = int(k.sum())
         if total:
             frames = np.concatenate(

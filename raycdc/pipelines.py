@@ -800,7 +800,6 @@ def q_cdc_distinct_view(sf_dir: str):
     from raycdc.engine import maintain_distinct, replay
     from raycdc.schema import TableSpec
 
-    cut = None
     spec = TableSpec(num_partitions=16)
     root = os.path.join(_tf.gettempdir(), "raycdc_distinct_view")
     shutil.rmtree(root, ignore_errors=True)
@@ -2215,7 +2214,8 @@ def q_audio_near_dup(sf_dir: str):
     """AUDIO near-dup via acoustic fingerprinting
     (:class:`raycdc.multimodal.AudioFingerprinter`): melody clips (a
     bin-aligned sine note per analysis window) are fingerprinted by
-    their per-frame rFFT peak-bin sequence folded through FNV-1a — a
+    their per-frame rFFT peak-bin sequence folded through a
+    position-salted splitmix xor — a
     gain-INVARIANT hash, so each planted re-mastered twin (same melody,
     1/4 the amplitude) fingerprints identically and pairs at hamming 0
     through the shared banded-hamming exchange.  Integer-exact end to

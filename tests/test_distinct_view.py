@@ -90,6 +90,59 @@ def test_steady_state_noop_and_redelivery(ray_session, tmp_path):
     assert read_json(st, pos_path).get("pending") is None
 
 
+def test_deletes_only_feed_keeps_estimates(ray_session, tmp_path):
+    """A refresh whose feed carries ONLY deletes must leave every group's
+    estimate in place (grow-only), not return an empty table."""
+    log = synthetic_changelog(n_events=400, seed=163, p_delete=0.0)
+    spec = TableSpec(num_partitions=4)
+    src = str(tmp_path / "src")
+    view = str(tmp_path / "view")
+    replay(ray.data.from_arrow(log), src, spec)
+    est1 = _as_dict(maintain_distinct(src, view, **SPEC, spec=spec))
+    # delete one existing key -> the next feed is deletes-only
+    state = log.to_pylist()[0]
+    import datetime as dt
+
+    d = pa.table(
+        {
+            "conv_id": pa.array([state["conv_id"]]),
+            "turn_idx": pa.array([state["turn_idx"]], pa.int32()),
+            "role": pa.array([state["role"]]),
+            "text": pa.array([""]),
+            "tool": pa.array([""]),
+            "ts": pa.array([dt.datetime(2030, 1, 1)], pa.timestamp("us")),
+            "op": pa.array(["delete"]),
+            "lsn": pa.array([10_000], pa.int64()),
+        }
+    )
+    replay(ray.data.from_arrow(d), src, spec)
+    est2 = _as_dict(maintain_distinct(src, view, **SPEC, spec=spec))
+    assert est2 == est1
+
+
+def test_null_group_values_raise(ray_session, tmp_path):
+    import datetime as dt
+    import pytest
+
+    spec = TableSpec(num_partitions=4)
+    src = str(tmp_path / "src")
+    t = pa.table(
+        {
+            "conv_id": pa.array(["c1"]),
+            "turn_idx": pa.array([0], pa.int32()),
+            "role": pa.array([None], pa.string()),
+            "text": pa.array(["x"]),
+            "tool": pa.array([""]),
+            "ts": pa.array([dt.datetime(2024, 1, 1)], pa.timestamp("us")),
+            "op": pa.array(["insert"]),
+            "lsn": pa.array([0], pa.int64()),
+        }
+    )
+    replay(ray.data.from_arrow(t), src, spec)
+    with pytest.raises(Exception, match="null group"):
+        maintain_distinct(src, str(tmp_path / "view"), **SPEC, spec=spec)
+
+
 def test_distinct_cli_smoke(ray_session, tmp_path, capsys):
     from raycdc.__main__ import main
 

@@ -37,7 +37,7 @@ MUST_BE_IN_WINDOW = [
     "pivot_user_events",
     "distinct_props_per_user",
     # multimodal codecs + features
-    "media_spectrogram",
+    "audio_near_dup",
     "media_bmp",
     "image_near_dup",
     "media_frames",

@@ -482,7 +482,7 @@ def test_dhash_exposure_invariant_and_seed_decorrelated():
 def test_audio_fingerprint_gain_invariant_and_melody_sensitive():
     """Fingerprint contract: gain scaling flips ZERO bits (argmax per
     frame is amplitude-invariant); any note change gives a different
-    fingerprint; sub-window clips emit n_frames=0 with the FNV basis;
+    fingerprint; sub-window clips emit n_frames=0 with the init-constant fingerprint;
     multichannel input is rejected."""
     import numpy as np
     import pyarrow as pa
@@ -509,7 +509,7 @@ def test_audio_fingerprint_gain_invariant_and_melody_sensitive():
     assert f[1] != f[3]  # prefix melody (8 notes) differs
     assert f[1] != f[4]  # different seed differs
     assert n[1] == 16 and n[3] == 8
-    # sub-window clip: zero frames, basis fingerprint
+    # sub-window clip: zero frames, init-constant fingerprint
     tiny = synth_wav_batch(
         pa.table(
             {
