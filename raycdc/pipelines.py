@@ -5465,6 +5465,62 @@ GROUP BY conv_id
 """
 
 
+def q_sketch_overlap(sf_dir: str):
+    """Cross-corpus overlap profile via KMV (bottom-k) sketches
+    (:func:`raycdc.sketch.approx_overlap`) — the dedup/decontamination
+    PLANNING signal: estimate |A∩B| / Jaccard between two corpora in one
+    cheap pass per side, before paying for the exact pipeline.  The
+    fixture keeps both corpora under ``k``, where a KMV sketch holds
+    every distinct hash and the estimates are EXACT — so the oracle
+    recomputes them with plain set arithmetic (the at-scale behavior
+    above ``k`` is pinned by accuracy-envelope pytests instead)."""
+    import numpy as np
+    import pyarrow.parquet as _pq
+
+    from raycdc.sketch import approx_overlap
+
+    half = _pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows // 2
+    ids = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    )
+    shifted = ids.map_batches(
+        lambda t: pa.table({"doc_id": pc.add(t["doc_id"], half)}),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    o = approx_overlap(ids, "doc_id", shifted, "doc_id", k=16384)
+    return pa.table(
+        {
+            "distinct_a": pa.array([int(o["distinct_a"])], pa.int64()),
+            "distinct_b": pa.array([int(o["distinct_b"])], pa.int64()),
+            "union_est": pa.array([int(o["union"])], pa.int64()),
+            "intersection_est": pa.array(
+                [int(o["intersection"])], pa.int64()
+            ),
+            # floor-quantize: float hashing convention (CLAUDE.md)
+            "jaccard": pa.array(
+                [float(np.floor(o["jaccard"] * 1e6) / 1e6)], pa.float64()
+            ),
+        }
+    )
+
+
+SQL_SKETCH_OVERLAP = """
+WITH half AS (SELECT COUNT(*) // 2 AS h FROM documents),
+a AS (SELECT DISTINCT doc_id AS v FROM documents),
+b AS (SELECT DISTINCT doc_id + (SELECT h FROM half) AS v FROM documents),
+i AS (SELECT COUNT(*) AS x FROM a JOIN b USING (v)),
+u AS (SELECT COUNT(*) AS x FROM (SELECT v FROM a UNION SELECT v FROM b))
+SELECT CAST((SELECT COUNT(*) FROM a) AS BIGINT) AS distinct_a,
+       CAST((SELECT COUNT(*) FROM b) AS BIGINT) AS distinct_b,
+       CAST((SELECT x FROM u) AS BIGINT) AS union_est,
+       CAST((SELECT x FROM i) AS BIGINT) AS intersection_est,
+       floor(CAST((SELECT x FROM i) AS DOUBLE)
+             / CAST((SELECT x FROM u) AS DOUBLE) * 1000000) / 1000000
+           AS jaccard
+"""
+
+
 def q_sketch_membership(sf_dir: str):
     """Bloom-filter anti-join: build one mergeable filter over the English
     docs' ids (shuffle-free register fold), broadcast it ONCE via ray.put,
@@ -5642,6 +5698,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "event_order": q_event_order,
     "edit_pairs": q_edit_pairs,
     "sketch_membership": q_sketch_membership,
+    "sketch_overlap": q_sketch_overlap,
 }
 
 # queries without an entry here get the driver's weaker rows-only check

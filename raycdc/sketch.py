@@ -36,14 +36,12 @@ def _alpha(m: int) -> float:
     return 0.7213 / (1 + 1.079 / m)
 
 
-def hll_registers(values, p: int = 12) -> np.ndarray:
-    """One HLL register array (uint8[2^p]) for a column chunk.
-
-    Vectorized: one hash pass (``raycdc.partition.hash_strings`` for
-    strings, a splitmix64 avalanche for integers), top ``p`` bits pick the
-    register, the rank of the remaining bits' leading zeros updates it via
-    ``np.maximum.at``.
-    """
+def _hash64(values) -> np.ndarray:
+    """Avalanched 64-bit value hashes — the ONE hashing prelude shared by
+    the HLL and KMV sketches (``raycdc.partition.hash_strings`` for
+    strings, float bit patterns, splitmix64 finalizer on everything so
+    both the top bits (HLL registers) and the total order (KMV minima)
+    are uniform)."""
     from raycdc.partition import hash_strings
 
     arr = values.combine_chunks() if isinstance(values, pa.ChunkedArray) else values
@@ -71,6 +69,17 @@ def hll_registers(values, p: int = 12) -> np.ndarray:
         h ^= h >> np.uint64(27)
         h *= np.uint64(0x94D049BB133111EB)
         h ^= h >> np.uint64(31)
+    return h
+
+
+def hll_registers(values, p: int = 12) -> np.ndarray:
+    """One HLL register array (uint8[2^p]) for a column chunk.
+
+    Vectorized: one hash pass (:func:`_hash64`), top ``p`` bits pick the
+    register, the rank of the remaining bits' leading zeros updates it via
+    ``np.maximum.at``.
+    """
+    h = _hash64(values)
     m = 1 << p
     idx = (h >> np.uint64(64 - p)).astype(np.int64)
     rest = (h << np.uint64(p)) | np.uint64((1 << p) - 1)  # pad so rank <= 64-p+1
@@ -90,6 +99,100 @@ def hll_registers(values, p: int = 12) -> np.ndarray:
 
 def hll_merge(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     return np.maximum(a, b)
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values / bottom-k theta sketch) — SET-OPERATION estimates
+#
+# HLL answers "how many distinct"; KMV additionally answers "how much do
+# two corpora OVERLAP" (|A∩B|, Jaccard) from two independently-built
+# sketches — the dedup/decontamination PLANNING signal: estimate the
+# cross-corpus duplicate mass in one cheap pass per corpus before paying
+# for the exact pipeline.  (Beyer et al., "On synopses for distinct-value
+# estimation under multiset operations", SIGMOD 2007.)
+
+
+def kmv_sketch(values, k: int = 1024) -> np.ndarray:
+    """Bottom-k sketch of a column chunk: the ``k`` smallest DISTINCT
+    64-bit value hashes (sorted uint64; shorter when the chunk has fewer
+    distinct values).  One hash pass + one unique-sort — no row loop."""
+    h = np.unique(_hash64(values))  # unique also sorts
+    return h[:k]
+
+
+def kmv_merge(a: np.ndarray, b: np.ndarray, k: int) -> np.ndarray:
+    """k smallest distinct hashes of the union — associative, commutative,
+    idempotent (the mergeable-sketch contract)."""
+    return np.unique(np.concatenate([a, b]))[:k]
+
+
+def kmv_estimate(sk: np.ndarray, k: int) -> float:
+    """Distinct-count estimate: EXACT below ``k`` (the sketch simply holds
+    every distinct hash), else the order-statistics estimator
+    ``(k-1) / kth_min`` on the unit interval."""
+    if len(sk) < k:
+        return float(len(sk))
+    kth = float(sk[k - 1]) / float(1 << 64)  # k-th minimum mapped to (0,1)
+    return (k - 1) / kth
+
+
+def kmv_overlap(a: np.ndarray, b: np.ndarray, k: int) -> dict:
+    """Set-operation estimates from two independently built sketches:
+    ``{distinct_a, distinct_b, union, intersection, jaccard}``.
+
+    The union sketch's members are a uniform sample of A∪B; the fraction
+    of them present in BOTH input sketches estimates Jaccard, and
+    intersection = jaccard × union.  Exact when both sides fit in k.
+    """
+    u = kmv_merge(a, b, k)
+    est_a, est_b = kmv_estimate(a, k), kmv_estimate(b, k)
+    est_u = kmv_estimate(u, k)
+    if len(u) == 0:
+        return {
+            "distinct_a": 0.0, "distinct_b": 0.0,
+            "union": 0.0, "intersection": 0.0, "jaccard": 0.0,
+        }
+    in_both = np.isin(u, a, assume_unique=True) & np.isin(
+        u, b, assume_unique=True
+    )
+    jac = float(in_both.sum()) / float(len(u))
+    return {
+        "distinct_a": est_a,
+        "distinct_b": est_b,
+        "union": est_u,
+        "intersection": jac * est_u,
+        "jaccard": jac,
+    }
+
+
+def approx_overlap(
+    ds_a: "ray.data.Dataset",
+    col_a: str,
+    ds_b: "ray.data.Dataset",
+    col_b: str,
+    k: int = 4096,
+) -> dict:
+    """Cross-corpus overlap profile in ONE cheap pass per corpus: each
+    batch collapses to its bottom-k hashes inside ``map_batches``, the
+    driver folds ``num_blocks`` tiny rows per side (≤ 8k·k bytes), and
+    :func:`kmv_overlap` turns the two sketches into distinct/union/
+    intersection/Jaccard estimates — the planning signal for "is exact
+    dedup/decontamination between these corpora worth running"."""
+
+    def build(ds, col) -> np.ndarray:
+        def partial(t: pa.Table) -> pa.Table:
+            sk = kmv_sketch(t[col], k=k)
+            return pa.table({"sk": pa.array([sk.tobytes()], pa.binary())})
+
+        acc = np.empty(0, dtype=np.uint64)
+        rows = ds.select_columns([col]).map_batches(
+            partial, batch_format="pyarrow", zero_copy_batch=True
+        ).take_all()
+        for r in rows:
+            acc = kmv_merge(acc, np.frombuffer(r["sk"], dtype=np.uint64), k)
+        return acc
+
+    return kmv_overlap(build(ds_a, col_a), build(ds_b, col_b), k)
 
 
 def hll_estimate(regs: np.ndarray) -> float:
