@@ -166,7 +166,13 @@ _DRIVER_WINDOW: list[str] = [
     "preset_statement",
     # lake ecosystem
     "cdc_evolve",
-    "cdc_additive_rollup",
+    # cdc_tail_route (the reference's actual production loop: tail_once
+    # incremental pickup + Router regex fan-out through the CSV decode
+    # stack into per-table lakes, redelivery noop pinned in-query)
+    # displaced cdc_additive_rollup — the additive merge policy stays
+    # driver-covered via cdc_rollup_view (maintain_rollup replays into an
+    # additive lake); cdc_additive_rollup stays in the full gate
+    "cdc_tail_route",
     "cdc_bootstrap",
     "cdc_scd2_history",
     # cdc_transcript_view (incrementally maintained transcript documents —

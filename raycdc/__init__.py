@@ -59,6 +59,9 @@ _ENGINE_EXPORTS = (
     "sync_lake",
     "maintain_rollup",
     "maintain_distinct",
+    "maintain_transcripts",
+    "maintain_view",
+    "ViewContext",
     "detect_hot_keys",
     "MergeApplier",
 )

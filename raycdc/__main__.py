@@ -51,6 +51,14 @@ def _lake_spec(lake_dir: str, partitions: int):
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="raycdc")
     ap.add_argument("--num-cpus", type=int, default=None)
+    # option parity with the reference (/root/reference/option.go:17-47):
+    # WithLogLevel (default error) + WithPrettyLogging
+    ap.add_argument(
+        "--log-level",
+        default="error",
+        choices=["trace", "debug", "info", "warn", "error", "fatal", "panic"],
+    )
+    ap.add_argument("--pretty-logging", action="store_true")
     sub = ap.add_subparsers(dest="cmd", required=True)
 
     p_replay = sub.add_parser("replay", help="apply changelog segments into a lake")
@@ -353,6 +361,9 @@ def main(argv: list[str] | None = None) -> int:
     p_preset.add_argument("--out", default=None, help="output parquet directory")
 
     args = ap.parse_args(argv)
+    from raycdc.runlog import configure_logging
+
+    configure_logging(level=args.log_level, pretty=args.pretty_logging)
     if args.cmd == "show" and args.du:
         # metadata-only census: never touches Ray — answer before any
         # session is started (an early return after _ray_init would also

@@ -970,12 +970,17 @@ def tail_once(
     if not new:
         return [], None
     read_paths, fs = resolve_uri_paths(new)
+    from raycdc.runlog import RunLog, lineage_summary
+
+    rl = RunLog(watch=watch_dir, lake=lake_dir)
+    rl.info("tail round started", n_new_segments=len(new))
     lineage = replay(
         ray.data.read_parquet(read_paths, filesystem=fs), lake_dir, spec, **replay_kwargs
     )
     lake_st.append_bytes(
         journal_path, "".join(json.dumps(p) + "\n" for p in new).encode()
     )
+    rl.finish("tail round finished", **lineage_summary(lineage))
     return new, lineage
 
 
@@ -1027,16 +1032,38 @@ def prune_segments(
         set(applied[max(0, len(applied) - keep_last) :]) if keep_last > 0 else set()
     )
     rows = []
+    # Resolve the storage ONCE per scheme and batch existence with ONE
+    # listdir per segment directory: the previous per-path loop cost one
+    # client construction plus one HEAD request per journal entry on an
+    # object-store lake (mirrors restore_lake's pre-flight sweep).
+    by_scheme: dict[str, object] = {}
+
+    def _st(p: str):
+        scheme = p.split("://", 1)[0] if "://" in p else ""
+        st = by_scheme.get(scheme)
+        if st is None:
+            st = by_scheme[scheme] = get_storage(p)
+        return st
+
+    listed: dict[str, set[str]] = {}
+
+    def _exists(p: str) -> bool:
+        d, _, name = p.rpartition("/")
+        if not d:
+            return _st(p).exists(p)
+        if d not in listed:
+            listed[d] = set(_st(p).listdir(d))
+        return name in listed[d]
+
     for p in applied:
-        st = get_storage(p)
         if p in keep_set:
             rows.append((p, "kept"))
-        elif not st.exists(p):
+        elif not _exists(p):
             rows.append((p, "missing"))
         elif dry_run:
             rows.append((p, "pruned"))
         else:
-            st.remove(p)
+            _st(p).remove(p)
             rows.append((p, "pruned"))
     path_c, st_c = zip(*rows) if rows else ((), ())
     return pa.table(
@@ -1129,7 +1156,11 @@ def lookup(
         return spec.changelog_schema().empty_table()
     mask = pc.equal(t[part_key], key_value)
     if turn_idx is not None:
-        mask = pc.and_(mask, pc.equal(t[spec.key_cols[-1]], turn_idx))
+        # key_cols from the persisted meta too (same staleness hazard as
+        # num_partitions): a caller's default spec against a lake keyed on
+        # other columns would filter a wrong or missing column.
+        key_cols = (meta or {}).get("key_cols", spec.key_cols)
+        mask = pc.and_(mask, pc.equal(t[key_cols[-1]], turn_idx))
     t = t.filter(mask)
     if spec.op_col not in t.column_names:
         return t  # op-less lake (e.g. a join view): every row is live
@@ -2474,6 +2505,121 @@ def _claim_feed_snapshot(
     return from_snap, to_snap, st, pos_path
 
 
+class ViewContext:
+    """What a :func:`maintain_view` fold function gets to see: the claimed
+    snapshot window, the source layout spec, and the envelope stamp that
+    makes its output rows exactly-once (every row carries ``lsn =
+    to_snap``, so a crash-retry's redelivery is checkpoint-pruned)."""
+
+    def __init__(
+        self,
+        src_lake: str,
+        view_lake: str,
+        spec: TableSpec,
+        from_snap: int | None,
+        to_snap: int,
+    ) -> None:
+        self.src_lake = src_lake
+        self.view_lake = view_lake
+        self.spec = spec
+        self.from_snap = from_snap
+        self.to_snap = to_snap
+
+    def envelope(self, t: pa.Table, op: str, seg: bool = False) -> pa.Table:
+        """Stamp view rows with the claim's identity: fixed ``ts``, the
+        given ``op``, ``lsn = to_snap`` (the idempotence key), optionally
+        a zero ``seg_id``."""
+        import numpy as np
+
+        n = len(t)
+        t = t.append_column(
+            "ts",
+            pa.array(
+                np.full(n, 1_700_000_000_000_000, np.int64), pa.timestamp("us")
+            ),
+        )
+        t = t.append_column(
+            self.spec.op_col, pa.array(np.full(n, op, dtype=object))
+        )
+        t = t.append_column("lsn", pa.array(np.full(n, self.to_snap, np.int64)))
+        if seg:
+            t = t.append_column("seg_id", pa.array(np.zeros(n, np.int32)))
+        return t
+
+
+def maintain_view(
+    src_lake: str,
+    view_lake: str,
+    fold: "Callable[[ray.data.Dataset, ViewContext], tuple[ray.data.Dataset | None, TableSpec | None]]",
+    spec: TableSpec | None = None,
+    caller: str = "maintain_view",
+    include_old: bool = False,
+    steady: "Callable[[], object] | None" = None,
+    finish: "Callable[[pa.Table], object] | None" = None,
+):
+    """THE incremental-view-maintenance skeleton — claim → feed → fold →
+    install → promote — shared by :func:`maintain_rollup`,
+    :func:`maintain_distinct` and :func:`maintain_transcripts`, and open
+    to user-defined views: a new view costs a ``fold`` function, not a
+    re-implementation of the exactly-once protocol.  (The reference's
+    whole design is pluggable closures around a fixed pipeline —
+    /root/reference/handler.go:20-58; this is that shape for views.)
+
+    Protocol per refresh:
+
+    1. CLAIM: :func:`_claim_feed_snapshot` snapshots the source and
+       records the to-snapshot id as ``pending`` in the view's
+       ``_feed_pos.json`` BEFORE any apply — a crash-retry reuses the
+       same id, so redelivered rows are checkpoint-pruned, never
+       double-applied.
+    2. STEADY-STATE GUARD (when ``steady`` is given): identical
+       per-partition version maps between the from/to snapshots mean the
+       feed is empty by construction — promote the position for the cost
+       of two manifest reads and return ``steady()``.
+    3. FEED: ``change_feed(from, to)`` — zero-shuffle, ∝ the change.
+    4. FOLD: ``fold(feed, ctx) -> (changes, view_spec)`` — the
+       view-specific part.  ``changes`` must already be in the view
+       schema with the envelope stamped (``ctx.envelope``); return
+       ``(None, _)`` for nothing-to-apply (position still advances).
+    5. INSTALL: :func:`replay` of ``changes`` into the view lake —
+       atomic per partition, idempotent under the claimed lsn.
+    6. PROMOTE: position advances only after the apply landed.
+
+    Returns ``finish(lineage)`` when given, else the replay lineage
+    (empty-feed refreshes return an empty lineage table).
+    """
+    from raycdc.storage import write_json_atomic
+
+    spec = spec or TableSpec()
+    from_snap, to_snap, st, pos_path = _claim_feed_snapshot(
+        src_lake, view_lake, caller
+    )
+    if (
+        steady is not None
+        and from_snap is not None
+        and S.read_snapshot(src_lake, from_snap)
+        == S.read_snapshot(src_lake, to_snap)
+    ):
+        write_json_atomic(st, pos_path, {"snapshot": to_snap})
+        return steady()
+    ctx = ViewContext(src_lake, view_lake, spec, from_snap, to_snap)
+    feed = change_feed(src_lake, from_snap, to_snap, spec, include_old=include_old)
+    changes, view_spec = fold(feed, ctx)
+    if changes is None:
+        # nothing to apply — advance the position only (a replay of a
+        # schema-only empty dataset still fans out one noop task per view
+        # partition, pure overhead at steady state)
+        write_json_atomic(st, pos_path, {"snapshot": to_snap})
+        lineage = S.LINEAGE_SCHEMA.empty_table()
+    else:
+        lineage = replay(changes, view_lake, view_spec)
+        # promote pending → consumed only after the apply landed; a crash
+        # in between re-feeds under the SAME claimed lsn, which
+        # checkpoints prune
+        write_json_atomic(st, pos_path, {"snapshot": to_snap})
+    return finish(lineage) if finish is not None else lineage
+
+
 def maintain_rollup(
     src_lake: str,
     rollup_lake: str,
@@ -2520,80 +2666,10 @@ def maintain_rollup(
     Returns the replay lineage of the rollup apply (empty feed → empty
     lineage, position still advanced).
     """
-    import ray
-
-    from raycdc.storage import write_json_atomic
-
     spec = spec or TableSpec()
-    from_snap, to_snap, st, pos_path = _claim_feed_snapshot(
-        src_lake, rollup_lake, "maintain_rollup"
-    )
-
-    # steady-state guard: identical per-partition version maps mean the
-    # feed is empty by construction (change_feed diffs only
-    # version-advanced partitions) — advance the position for the cost of
-    # two snapshot manifests instead of fanning out one noop merge task
-    # per rollup partition on every idle refresh
-    if from_snap is not None and S.read_snapshot(
-        src_lake, from_snap
-    ) == S.read_snapshot(src_lake, to_snap):
-        write_json_atomic(st, pos_path, {"snapshot": to_snap})
-        return S.LINEAGE_SCHEMA.empty_table()
-
-    feed = change_feed(src_lake, from_snap, to_snap, spec, include_old=True)
     group_cols = tuple(group_cols)
     value_cols = tuple(value_cols)
     op_col = spec.op_col
-
-    def to_deltas(t: pa.Table) -> pa.Table:
-        import numpy as np
-
-        if len(t) == 0:
-            return pa.schema(
-                [t.schema.field(c) for c in group_cols]
-                + [pa.field(c, pa.int64()) for c in value_cols]
-                + [
-                    pa.field("ts", pa.timestamp("us")),
-                    pa.field(op_col, pa.string()),
-                    pa.field("lsn", pa.int64()),
-                ]
-            ).empty_table()
-        op = t[op_col]
-        is_ins = pc.equal(op, "insert")
-        is_del = pc.equal(op, M.DELETE)
-        data_cols = [
-            c for c in t.column_names
-            if c != op_col and not c.startswith("old_")
-        ]
-        after = t.select(data_cols).filter(pc.invert(is_del))
-        # reconstruct the before-image under the source column names: keys
-        # keep their after values (keys never change within a key), value
-        # columns come from the old_ images
-        before = pa.table(
-            {
-                c: (t[f"old_{c}"] if f"old_{c}" in t.column_names else t[c])
-                for c in data_cols
-            }
-        ).filter(pc.invert(is_ins))
-        parts = []
-        for side, sign in ((after, 1), (before, -1)):
-            if len(side) == 0:
-                continue
-            vals = derive(side) if derive is not None else side
-            cols = {g: side[g] for g in group_cols}
-            for c in value_cols:
-                v = pc.cast(pc.fill_null(vals[c], 0), pa.int64())
-                cols[c] = pc.multiply(v, pa.scalar(sign, pa.int64()))
-            n = len(side)
-            cols["ts"] = pa.array(
-                np.full(n, 1_700_000_000_000_000, np.int64), pa.timestamp("us")
-            )
-            cols[op_col] = pa.array(np.full(n, "insert"))
-            cols["lsn"] = pa.array(np.full(n, to_snap, np.int64))
-            parts.append(pa.table(cols))
-        if not parts:
-            return to_deltas(t.slice(0, 0))
-        return pa.concat_tables(parts)
 
     roll_spec = TableSpec(
         name="rollup_view",
@@ -2610,15 +2686,72 @@ def maintain_rollup(
         merge_policy="additive",
         value_cols=value_cols,
     )
-    lineage = replay(
-        feed.map_batches(to_deltas, batch_format="pyarrow"),
+
+    def fold(feed, ctx: ViewContext):
+        to_snap = ctx.to_snap
+
+        def to_deltas(t: pa.Table) -> pa.Table:
+            import numpy as np
+
+            if len(t) == 0:
+                return pa.schema(
+                    [t.schema.field(c) for c in group_cols]
+                    + [pa.field(c, pa.int64()) for c in value_cols]
+                    + [
+                        pa.field("ts", pa.timestamp("us")),
+                        pa.field(op_col, pa.string()),
+                        pa.field("lsn", pa.int64()),
+                    ]
+                ).empty_table()
+            op = t[op_col]
+            is_ins = pc.equal(op, "insert")
+            is_del = pc.equal(op, M.DELETE)
+            data_cols = [
+                c for c in t.column_names
+                if c != op_col and not c.startswith("old_")
+            ]
+            after = t.select(data_cols).filter(pc.invert(is_del))
+            # reconstruct the before-image under the source column names:
+            # keys keep their after values (keys never change within a
+            # key), value columns come from the old_ images
+            before = pa.table(
+                {
+                    c: (t[f"old_{c}"] if f"old_{c}" in t.column_names else t[c])
+                    for c in data_cols
+                }
+            ).filter(pc.invert(is_ins))
+            parts = []
+            for side, sign in ((after, 1), (before, -1)):
+                if len(side) == 0:
+                    continue
+                vals = derive(side) if derive is not None else side
+                cols = {g: side[g] for g in group_cols}
+                for c in value_cols:
+                    v = pc.cast(pc.fill_null(vals[c], 0), pa.int64())
+                    cols[c] = pc.multiply(v, pa.scalar(sign, pa.int64()))
+                n = len(side)
+                cols["ts"] = pa.array(
+                    np.full(n, 1_700_000_000_000_000, np.int64),
+                    pa.timestamp("us"),
+                )
+                cols[op_col] = pa.array(np.full(n, "insert"))
+                cols["lsn"] = pa.array(np.full(n, to_snap, np.int64))
+                parts.append(pa.table(cols))
+            if not parts:
+                return to_deltas(t.slice(0, 0))
+            return pa.concat_tables(parts)
+
+        return feed.map_batches(to_deltas, batch_format="pyarrow"), roll_spec
+
+    return maintain_view(
+        src_lake,
         rollup_lake,
-        roll_spec,
+        fold,
+        spec=spec,
+        caller="maintain_rollup",
+        include_old=True,
+        steady=S.LINEAGE_SCHEMA.empty_table,
     )
-    # promote pending → consumed only after the apply landed; a crash in
-    # between re-feeds under the SAME claimed lsn, which checkpoints prune
-    write_json_atomic(st, pos_path, {"snapshot": to_snap})
-    return lineage
 
 
 def maintain_distinct(
@@ -2663,13 +2796,7 @@ def maintain_distinct(
     """
     import ray
 
-    from raycdc.sketch import hll_estimate, hll_merge, hll_registers
-    from raycdc.storage import write_json_atomic
-
     spec = spec or TableSpec()
-    from_snap, to_snap, st, pos_path = _claim_feed_snapshot(
-        src_lake, view_lake, "maintain_distinct"
-    )
 
     _EMPTY_VIEW = pa.table(
         {
@@ -2698,128 +2825,168 @@ def maintain_distinct(
             [group_col, "regs", "n_distinct"]
         )
 
-    # steady-state guard (identical version maps ⇒ empty feed by
-    # construction): advance the position for two manifest reads
-    if from_snap is not None and S.read_snapshot(
-        src_lake, from_snap
-    ) == S.read_snapshot(src_lake, to_snap):
-        write_json_atomic(st, pos_path, {"snapshot": to_snap})
-        return _read_view().select([group_col, "n_distinct"])
-
-    feed = change_feed(src_lake, from_snap, to_snap, spec)
     op_col = spec.op_col
+    m = 1 << p
+
+    import numpy as np
+
+    from raycdc.partition import bucket_keys
+    from raycdc.sketch import (
+        hll_estimate_many,
+        hll_idx_rank,
+        matrix_to_binary,
+        registers_matrix,
+    )
+
+    _EMPTY_PARTIAL = pa.table(
+        {
+            "g": pa.array([], pa.string()),
+            "regs": pa.array([], pa.binary()),
+            "b": pa.array([], pa.int64()),
+        }
+    )
 
     def partial(t: pa.Table) -> pa.Table:
         # deletes fold nothing (grow-only: their value was counted at
-        # insert time); updates fold the NEW value
+        # insert time); updates fold the NEW value.  One vectorized pass
+        # regardless of distinct groups: dictionary-encode the group,
+        # scatter (group code, register idx) → rank with np.maximum.at —
+        # the repo's segmented convention, no per-group filter scans.
         t = t.filter(
             pc.not_equal(pc.fill_null(t[op_col], ""), M.DELETE)
         ).select([group_col, value_col])
-        if len(t) == 0:
-            return pa.table(
-                {
-                    "g": pa.array([], pa.string()),
-                    "regs": pa.array([], pa.binary()),
-                }
-            )
-        grp = t[group_col]
-        if grp.null_count:
+        grp_raw = t[group_col]
+        if grp_raw.null_count:
             # a null group would silently collide with the empty-string
             # group in the string-keyed view — refuse instead
             raise ValueError(
                 "maintain_distinct: null group values are unsupported — "
                 "filter or fill them upstream"
             )
-        gs, rs = [], []
-        # bounded distinct groups per batch (the documented contract);
-        # register folding per group is one vectorized pass
-        for g in pc.unique(grp).to_pylist():
-            sub = t.filter(pc.equal(grp, g))
-            gs.append(str(g))
-            rs.append(hll_registers(sub[value_col], p=p).tobytes())
-        return pa.table({"g": pa.array(gs), "regs": pa.array(rs, pa.binary())})
+        # SQL COUNT(DISTINCT) ignores null values; drop them WITH their
+        # group rows so codes stay aligned with the hash pass
+        t = t.filter(pc.is_valid(t[value_col]))
+        if len(t) == 0:
+            return _EMPTY_PARTIAL
+        enc = t[group_col].combine_chunks().dictionary_encode()
+        codes = np.asarray(enc.indices)
+        gvals = enc.dictionary.cast(pa.string())
+        idx, rank = hll_idx_rank(t[value_col], p=p)
+        regs = np.zeros((len(gvals), m), dtype=np.uint8)
+        np.maximum.at(regs, (codes, idx), rank)
+        out = pa.table({"g": gvals, "regs": matrix_to_binary(regs)})
+        return out.append_column("b", bucket_keys(out, ["g"], num_partitions))
 
-    import numpy as np
-
-    rows = feed.map_batches(
-        partial, batch_format="pyarrow", zero_copy_batch=True
-    ).take_all()  # bounded: blocks × groups register rows
-    deltas: dict[str, np.ndarray] = {}
-    for r in rows:
-        regs = np.frombuffer(r["regs"], dtype=np.uint8)
-        deltas[r["g"]] = (
-            hll_merge(deltas[r["g"]], regs) if r["g"] in deltas else regs
+    def fold_bucket(t: pa.Table) -> pa.Table:
+        # many groups per bucket: sort + segmented max-merge in one pass
+        t = t.take(pc.sort_indices(t["g"]))
+        gv = t["g"].combine_chunks()
+        mat = registers_matrix(t["regs"], m)
+        neq = np.asarray(
+            pc.not_equal(gv.slice(1), gv.slice(0, len(gv) - 1))
         )
-    cur = _read_view()
-    # fold the touched groups' EXISTING registers (max-merge is
-    # idempotent — see the crash-retry note above); untouched groups
-    # (including ALL of them on a deletes-only feed) pass through to the
-    # returned estimates unchanged
-    untouched: dict[str, int] = {}
-    for g, regs, nd in zip(
-        cur[group_col].to_pylist(),
-        cur["regs"].to_pylist(),
-        cur["n_distinct"].to_pylist(),
-    ):
-        if g in deltas:
-            deltas[g] = hll_merge(
-                deltas[g], np.frombuffer(regs, dtype=np.uint8)
+        starts = np.r_[0, np.flatnonzero(neq) + 1]
+        merged = np.maximum.reduceat(mat, starts, axis=0)
+        return pa.table(
+            {"g": gv.take(pa.array(starts)), "regs": matrix_to_binary(merged)}
+        )
+
+    view_spec = TableSpec(
+        name="distinct_view",
+        schema=pa.schema(
+            [
+                pa.field(group_col, pa.string()),
+                pa.field("regs", pa.binary()),
+                pa.field("n_distinct", pa.int64()),
+                pa.field("ts", pa.timestamp("us")),
+            ]
+        ),
+        key_cols=(group_col,),
+        version_cols=("ts", "lsn"),
+        partition_key=group_col,
+        num_partitions=num_partitions,
+        sort_cols=(group_col,),
+        merge_policy="lww",
+    )
+    est: dict[str, int] = {}
+
+    def fold(feed, ctx: ViewContext):
+        # tiny bucketed exchange over (g, regs) partial rows — the driver
+        # receives ONE row per touched group, never blocks × groups blobs
+        merged_ds = (
+            feed.map_batches(
+                partial, batch_format="pyarrow", zero_copy_batch=True
             )
-        else:
-            untouched[g] = int(nd)
-    if deltas:
-        n = len(deltas)
-        groups = sorted(deltas)
-        out = pa.table(
+            .groupby("b", num_partitions=num_partitions)
+            .map_groups(fold_bucket, batch_format="pyarrow")
+        )
+        parts = [t for t in ray.get(merged_ds.to_arrow_refs()) if t.num_rows]
+        delta_t = (
+            pa.concat_tables(parts).combine_chunks()
+            if parts
+            else _EMPTY_PARTIAL.select(["g", "regs"])
+        )
+        delta_groups: list[str] = delta_t["g"].to_pylist()
+        delta_mat = registers_matrix(delta_t["regs"], m).copy()
+        pos = {g: i for i, g in enumerate(delta_groups)}
+        cur = _read_view()
+        # fold the touched groups' EXISTING registers (max-merge is
+        # idempotent — see the crash-retry note above); untouched groups
+        # (including ALL of them on a deletes-only feed) pass through to
+        # the returned estimates unchanged.  Vectorized: one gather +
+        # np.maximum over the matched submatrices, no per-group blob
+        # folding.
+        untouched: dict[str, int] = {}
+        if cur.num_rows:
+            cur_groups = cur[group_col].to_pylist()
+            hit = [(pos[g], j) for j, g in enumerate(cur_groups) if g in pos]
+            if hit:
+                di, cj = (np.array(x, dtype=np.int64) for x in zip(*hit))
+                cur_mat = registers_matrix(cur["regs"], m)
+                delta_mat[di] = np.maximum(delta_mat[di], cur_mat[cj])
+            nd = cur["n_distinct"].to_pylist()
+            untouched = {
+                g: int(nd[j]) for j, g in enumerate(cur_groups) if g not in pos
+            }
+        order = np.argsort(np.array(delta_groups, dtype=object), kind="stable")
+        groups = [delta_groups[i] for i in order]
+        delta_mat_s = delta_mat[order] if len(order) else delta_mat
+        est_arr = np.rint(hll_estimate_many(delta_mat_s)).astype(np.int64)
+        est.update(untouched)
+        est.update({g: int(e) for g, e in zip(groups, est_arr)})
+        if not groups:
+            return None, None
+        out = ctx.envelope(
+            pa.table(
+                {
+                    group_col: pa.array(groups, pa.string()),
+                    "regs": matrix_to_binary(delta_mat_s),
+                    "n_distinct": pa.array(est_arr),
+                }
+            ),
+            "insert",
+        )
+        return ray.data.from_arrow(out), view_spec
+
+    def finish(_lineage: pa.Table) -> pa.Table:
+        groups_all = sorted(est)
+        return pa.table(
             {
-                group_col: pa.array(groups, pa.string()),
-                "regs": pa.array(
-                    [deltas[g].tobytes() for g in groups], pa.binary()
-                ),
+                group_col: pa.array(groups_all, pa.string()),
                 "n_distinct": pa.array(
-                    [int(round(hll_estimate(deltas[g]))) for g in groups],
-                    pa.int64(),
+                    [est[g] for g in groups_all], pa.int64()
                 ),
-                "ts": pa.array(
-                    np.full(n, 1_700_000_000_000_000, np.int64),
-                    pa.timestamp("us"),
-                ),
-                op_col: pa.array(np.full(n, "insert")),
-                "lsn": pa.array(np.full(n, to_snap, np.int64)),
             }
         )
-        view_spec = TableSpec(
-            name="distinct_view",
-            schema=pa.schema(
-                [
-                    pa.field(group_col, pa.string()),
-                    pa.field("regs", pa.binary()),
-                    pa.field("n_distinct", pa.int64()),
-                    pa.field("ts", pa.timestamp("us")),
-                ]
-            ),
-            key_cols=(group_col,),
-            version_cols=("ts", "lsn"),
-            partition_key=group_col,
-            num_partitions=num_partitions,
-            sort_cols=(group_col,),
-            merge_policy="lww",
-        )
-        replay(ray.data.from_arrow(out), view_lake, view_spec)
-    # promote pending → consumed only after the apply landed
-    write_json_atomic(st, pos_path, {"snapshot": to_snap})
-    est = {
-        **untouched,
-        **{g: int(round(hll_estimate(deltas[g]))) for g in deltas},
-    }
-    groups_all = sorted(est)
-    return pa.table(
-        {
-            group_col: pa.array(groups_all, pa.string()),
-            "n_distinct": pa.array(
-                [est[g] for g in groups_all], pa.int64()
-            ),
-        }
+
+    return maintain_view(
+        src_lake,
+        view_lake,
+        fold,
+        spec=spec,
+        caller="maintain_distinct",
+        steady=lambda: _read_view().select([group_col, "n_distinct"]),
+        finish=finish,
     )
 
 
@@ -2875,7 +3042,6 @@ def maintain_transcripts(
 
     from raycdc.partition import hash_key_column
     from raycdc.relational import assemble_group_text
-    from raycdc.storage import write_json_atomic
 
     spec = spec or TableSpec()
     meta = S.read_spec_meta(src_lake) or {}
@@ -2888,128 +3054,115 @@ def maintain_transcripts(
             "would be unsound; repartition the source (engine.migrate_lake) "
             "or group by its partition key"
         )
-    from_snap, to_snap, st, pos_path = _claim_feed_snapshot(
-        src_lake, view_lake, "maintain_transcripts"
-    )
+    def fold(feed, ctx: ViewContext):
+        # distinct touched groups: per-batch unique partials, tiny driver
+        # fold (∝ conversations changed this refresh, never ∝ the lake)
+        def group_partials(t: pa.Table) -> pa.Table:
+            return pa.table({group_col: t[group_col].unique()})
 
-    feed = change_feed(src_lake, from_snap, to_snap, spec)
-    # distinct touched groups: per-batch unique partials, tiny driver fold
-    # (∝ conversations changed this refresh, never ∝ the lake)
-    def group_partials(t: pa.Table) -> pa.Table:
-        return pa.table({group_col: t[group_col].unique()})
+        parts = feed.map_batches(
+            group_partials, batch_format="pyarrow", zero_copy_batch=True
+        ).to_pandas()
+        touched = pa.array(parts[group_col].unique()) if len(parts) else None
 
-    parts = feed.map_batches(
-        group_partials, batch_format="pyarrow", zero_copy_batch=True
-    ).to_pandas()
-    touched = pa.array(parts[group_col].unique()) if len(parts) else None
-
-    reg = S.read_lake_schema(src_lake)
-    if reg is None:
-        raise FileNotFoundError(
-            f"maintain_transcripts: {src_lake} has no schema registry — "
-            "nothing has been applied to the source lake yet"
-        )
-    role_alias = f"n_{role_value}" if role_col else None
-    view_fields = [
-        pa.field("transcript", pa.string()),
-        pa.field("n_turns", pa.int64()),
-        pa.field("n_chars", pa.int64()),
-    ] + ([pa.field(role_alias, pa.int64())] if role_col else [])
-    view_spec = TableSpec(
-        name="transcript_view",
-        schema=pa.schema(
-            [pa.field(group_col, reg.field(group_col).type)] + view_fields
-        ),
-        key_cols=(group_col,),
-        version_cols=("ts", "lsn"),
-        partition_key=group_col,
-        num_partitions=num_partitions,
-        sort_cols=(group_col,),
-        merge_policy="lww",
-    )
-
-    def envelope(t: pa.Table, op: str) -> pa.Table:
-        n = len(t)
-        t = t.append_column(
-            "ts",
-            pa.array(
-                np.full(n, 1_700_000_000_000_000, np.int64), pa.timestamp("us")
-            ),
-        )
-        t = t.append_column(spec.op_col, pa.array(np.full(n, op, dtype=object)))
-        t = t.append_column("lsn", pa.array(np.full(n, to_snap, np.int64)))
-        return t.append_column("seg_id", pa.array(np.zeros(n, np.int32)))
-
-    changes = None
-    gone = pa.array([], view_spec.schema.field(group_col).type)
-    if touched is not None and len(touched):
-        touched_parts = np.unique(
-            hash_key_column(touched) % np.uint64(src_nparts)
-        ).astype(int)
-        cols = [group_col, order_col, text_col] + (
-            [role_col] if role_col else []
-        )
-        state = read_lake(
-            src_lake,
-            spec,
-            columns=cols,
-            as_of=to_snap,
-            partitions=touched_parts.tolist(),
-        )
-        touched_ref = ray.put(touched)
-
-        def only_touched(t: pa.Table) -> pa.Table:
-            return t.filter(pc.is_in(t[group_col], value_set=ray.get(touched_ref)))
-
-        assembled = assemble_group_text(
-            state.map_batches(
-                only_touched, batch_format="pyarrow", zero_copy_batch=True
-            ),
-            group_col=group_col,
-            order_col=order_col,
-            text_col=text_col,
-            sep=sep,
-            role_col=role_col,
-            role_value=role_value,
-            num_partitions=num_partitions,
-        ).materialize()  # ∝ touched conversations; lives in the object store
-        # the driver folds GROUP IDS only — transcripts stay in the store
-        live_ids = assembled.select_columns([group_col]).to_pandas()
-        live_groups = (
-            pa.array(live_ids[group_col]) if len(live_ids) else None
-        )
-        # conversations the feed touched but with NO remaining state rows:
-        # every turn deleted — tombstone them out of the view
-        gone = (
-            touched.filter(
-                pc.invert(pc.is_in(touched, value_set=live_groups))
+        reg = S.read_lake_schema(src_lake)
+        if reg is None:
+            raise FileNotFoundError(
+                f"maintain_transcripts: {src_lake} has no schema registry — "
+                "nothing has been applied to the source lake yet"
             )
-            if live_groups is not None
-            else touched
+        role_alias = f"n_{role_value}" if role_col else None
+        view_fields = [
+            pa.field("transcript", pa.string()),
+            pa.field("n_turns", pa.int64()),
+            pa.field("n_chars", pa.int64()),
+        ] + ([pa.field(role_alias, pa.int64())] if role_col else [])
+        view_spec = TableSpec(
+            name="transcript_view",
+            schema=pa.schema(
+                [pa.field(group_col, reg.field(group_col).type)] + view_fields
+            ),
+            key_cols=(group_col,),
+            version_cols=("ts", "lsn"),
+            partition_key=group_col,
+            num_partitions=num_partitions,
+            sort_cols=(group_col,),
+            merge_policy="lww",
         )
-        changes = assembled.map_batches(
-            lambda t: envelope(t, "insert"),
-            batch_format="pyarrow",
-            zero_copy_batch=True,
-        )
-    if len(gone):
-        gone_payload = pa.table(
-            {group_col: gone.cast(view_spec.schema.field(group_col).type)}
-            | {f.name: pa.nulls(len(gone), f.type) for f in view_fields}
-        )
-        gone_ds = ray.data.from_arrow(envelope(gone_payload, M.DELETE))
-        changes = gone_ds if changes is None else changes.union(gone_ds)
-    if changes is None:
-        # empty feed: nothing to apply — advance the position only (a
-        # replay of a schema-only empty dataset still fans out one noop
-        # task per view partition, pure overhead at steady state)
-        write_json_atomic(st, pos_path, {"snapshot": to_snap})
-        return S.LINEAGE_SCHEMA.empty_table()
-    lineage = replay(changes, view_lake, view_spec)
-    # promote pending → consumed only after the apply landed; a crash in
-    # between re-feeds under the SAME claimed lsn, which checkpoints prune
-    write_json_atomic(st, pos_path, {"snapshot": to_snap})
-    return lineage
+
+        changes = None
+        gone = pa.array([], view_spec.schema.field(group_col).type)
+        if touched is not None and len(touched):
+            touched_parts = np.unique(
+                hash_key_column(touched) % np.uint64(src_nparts)
+            ).astype(int)
+            cols = [group_col, order_col, text_col] + (
+                [role_col] if role_col else []
+            )
+            state = read_lake(
+                src_lake,
+                spec,
+                columns=cols,
+                as_of=ctx.to_snap,
+                partitions=touched_parts.tolist(),
+            )
+            touched_ref = ray.put(touched)
+
+            def only_touched(t: pa.Table) -> pa.Table:
+                return t.filter(
+                    pc.is_in(t[group_col], value_set=ray.get(touched_ref))
+                )
+
+            assembled = assemble_group_text(
+                state.map_batches(
+                    only_touched, batch_format="pyarrow", zero_copy_batch=True
+                ),
+                group_col=group_col,
+                order_col=order_col,
+                text_col=text_col,
+                sep=sep,
+                role_col=role_col,
+                role_value=role_value,
+                num_partitions=num_partitions,
+            ).materialize()  # ∝ touched conversations; in the object store
+            # the driver folds GROUP IDS only — transcripts stay remote
+            live_ids = assembled.select_columns([group_col]).to_pandas()
+            live_groups = (
+                pa.array(live_ids[group_col]) if len(live_ids) else None
+            )
+            # conversations the feed touched but with NO remaining state
+            # rows: every turn deleted — tombstone them out of the view
+            gone = (
+                touched.filter(
+                    pc.invert(pc.is_in(touched, value_set=live_groups))
+                )
+                if live_groups is not None
+                else touched
+            )
+            changes = assembled.map_batches(
+                lambda t: ctx.envelope(t, "insert", seg=True),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            )
+        if len(gone):
+            gone_payload = pa.table(
+                {group_col: gone.cast(view_spec.schema.field(group_col).type)}
+                | {f.name: pa.nulls(len(gone), f.type) for f in view_fields}
+            )
+            gone_ds = ray.data.from_arrow(
+                ctx.envelope(gone_payload, M.DELETE, seg=True)
+            )
+            changes = gone_ds if changes is None else changes.union(gone_ds)
+        return changes, view_spec
+
+    return maintain_view(
+        src_lake,
+        view_lake,
+        fold,
+        spec=spec,
+        caller="maintain_transcripts",
+        steady=S.LINEAGE_SCHEMA.empty_table,
+    )
 
 
 def sync_lake(

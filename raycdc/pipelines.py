@@ -25,6 +25,14 @@ import ray.data
 
 from raycdc import ops
 
+def _scratch_path(sf_dir: str, name: str) -> str:
+    """Per-fixture scratch dir scoped by the sf_dir basename so gate runs
+    against different fixture dirs (sf0.01 vs sf0.001) never collide — two
+    interleaved runs would otherwise rmtree each other's live lakes."""
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    return os.path.join(tempfile.gettempdir(), f"raycdc_{name}_{tag}")
+
+
 # ---------------------------------------------------------------------------
 # DuckDB-side reimplementation of clean_number (independent of the Arrow one)
 
@@ -229,10 +237,7 @@ def _write_statement_csv(sf_dir: str) -> str:
     src_path = f"{sf_dir}/events.parquet"
     st = os.stat(src_path)
     fingerprint = f"{st.st_size}-{st.st_mtime_ns}"
-    out_dir = os.path.join(
-        tempfile.gettempdir(),
-        f"raycdc_stmt_csv_{os.path.basename(os.path.normpath(sf_dir))}",
-    )
+    out_dir = _scratch_path(sf_dir, "stmt_csv")
     marker = os.path.join(out_dir, "_done")
     path = os.path.join(out_dir, "202401.csv")
     if os.path.exists(marker):
@@ -323,10 +328,7 @@ def _write_csv_segments(sf_dir: str) -> str:
     src_path = f"{sf_dir}/events.parquet"
     st = os.stat(src_path)
     fingerprint = f"{st.st_size}-{st.st_mtime_ns}"
-    seg_dir = os.path.join(
-        tempfile.gettempdir(),
-        f"raycdc_csv_segments_{os.path.basename(os.path.normpath(sf_dir))}",
-    )
+    seg_dir = _scratch_path(sf_dir, "csv_segments")
     marker = os.path.join(seg_dir, "_done")
     if os.path.exists(marker):
         with open(marker) as f:
@@ -366,6 +368,33 @@ def _write_csv_segments(sf_dir: str) -> str:
     return seg_dir
 
 
+def _csv_wal_projector(t: pa.Table) -> pa.Table:
+    """String→typed reprojection of a CSV-decoded WAL segment (the
+    reference's date-normalize/cast analog) — shared by the direct CSV
+    ingest and the Router's statement handlers."""
+    return pa.table(
+        {
+            "conv_id": t["conv_id"],
+            "turn_idx": pc.cast(t["turn_idx"], pa.int32()),
+            "role": t["role"],
+            "text": t["text"],
+            "tool": pc.fill_null(t["tool"], ""),  # empty CSV cell → ""
+            "ts": pc.cast(t["ts"], pa.int64()).cast(pa.timestamp("us")),
+            "op": t["op"],
+            "lsn": pc.cast(t["lsn"], pa.int64()),
+            "seg_id": pc.cast(t["seg_id"], pa.int32()),
+        }
+    )
+
+
+_CSV_WAL_DECODE = dict(
+    skip_head_lines=1,  # preamble
+    skip_leading_rows=1,  # header row
+    column_names=_CSV_COLS,
+    strings_can_be_null=True,  # NULL round-trips (tool '' is refilled)
+)
+
+
 def q_cdc_csv_ingest(sf_dir: str):
     """Full front-to-back path: CSV segments with preamble + header →
     per-file decode (skip lines, typed re-parse) → projector (string→typed
@@ -380,36 +409,178 @@ def q_cdc_csv_ingest(sf_dir: str):
 
     seg_dir = _write_csv_segments(sf_dir)
     paths = sorted(glob.glob(f"{seg_dir}/seg-*.csv"))
-    spec_decode = DecodeSpec(
-        skip_head_lines=1,  # preamble
-        skip_leading_rows=1,  # header row
-        column_names=_CSV_COLS,
-        strings_can_be_null=True,  # NULL round-trips (tool '' is refilled)
-    )
+    spec_decode = DecodeSpec(**_CSV_WAL_DECODE)
     records = parse_segments(read_segments(paths), spec_decode)
+    projector = _csv_wal_projector
 
-    def projector(t: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "conv_id": t["conv_id"],
-                "turn_idx": pc.cast(t["turn_idx"], pa.int32()),
-                "role": t["role"],
-                "text": t["text"],
-                "tool": pc.fill_null(t["tool"], ""),  # empty CSV cell → ""
-                "ts": pc.cast(t["ts"], pa.int64()).cast(pa.timestamp("us")),
-                "op": t["op"],
-                "lsn": pc.cast(t["lsn"], pa.int64()),
-                "seg_id": pc.cast(t["seg_id"], pa.int32()),
-            }
-        )
-
-    lake = os.path.join(tempfile.gettempdir(), "raycdc_csv_ingest_lake")
+    lake = _scratch_path(sf_dir, "csv_ingest_lake")
     shutil.rmtree(lake, ignore_errors=True)
     spec = TableSpec(num_partitions=16)
     replay(records, lake, spec, projector=projector)
     return read_lake(lake, spec).select_columns(
         ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
     )
+
+
+def _write_parquet_segments(sf_dir: str, n_files: int = 4) -> str:
+    """Parquet WAL segment fixture for the tail/route path: the changelog
+    rows with ``seg_id`` in 0–3, sliced into ``n_files`` files by
+    CONTIGUOUS lsn range (a real WAL's delivery order — checkpoint
+    pruning assumes later files carry later lsns, so a mod-interleaved
+    split would be wrongly pruned on the second tail round).  Cached per
+    events-file fingerprint (same pattern as :func:`_write_csv_segments`)."""
+    import pyarrow.parquet as pq
+
+    from raycdc.changelog import derive_changelog_batch
+
+    src_path = f"{sf_dir}/events.parquet"
+    st = os.stat(src_path)
+    # "lsnsliced" marks the fixture FORMAT — bump it when the slicing
+    # changes so stale caches from older formats never validate
+    fingerprint = f"{st.st_size}-{st.st_mtime_ns}-lsnsliced-{n_files}"
+    seg_dir = _scratch_path(sf_dir, "wal_segments")
+    marker = os.path.join(seg_dir, "_done")
+    if os.path.exists(marker):
+        with open(marker) as f:
+            if f.read() == fingerprint:
+                return seg_dir
+        shutil.rmtree(seg_dir, ignore_errors=True)
+    os.makedirs(seg_dir, exist_ok=True)
+    events = pq.read_table(
+        src_path, columns=["event_id", "ts", "user_id", "event_type", "props"]
+    )
+    log = derive_changelog_batch(events)
+    log = log.filter(pc.less_equal(log["seg_id"], 3))
+    log = log.take(pc.sort_indices(log["lsn"]))
+    per = -(-log.num_rows // n_files)  # ceil
+    for k in range(n_files):
+        pq.write_table(
+            log.slice(k * per, per),
+            os.path.join(seg_dir, f"seg-{k:03d}.parquet"),
+        )
+    with open(marker, "w") as f:
+        f.write(fingerprint)
+    return seg_dir
+
+
+def q_cdc_tail_route(sf_dir: str):
+    """The reference's PRODUCTION path under the oracle gate
+    (/root/reference/bqloader.go:105-137 → handler.go:100-131): WAL
+    segments appearing in a watch directory are picked up INCREMENTALLY by
+    ``tail_once`` (append-only segment journal + per-partition checkpoints
+    = exactly-once across rounds), while CSV statement segments fan out
+    through the ``Router``'s regex dispatch (every matching handler fires
+    concurrently, bqloader.go:119-134) into per-table lakes through the
+    CSV decode stack + projector.
+
+    Three routes, three lakes:
+
+    * ``tail`` — parquet segments 0–3 via three ``tail_once`` rounds
+      (partial pickup → rest → an idle round that must find nothing new);
+    * ``route45`` / ``route67`` — CSV segments 4–5 / 6–7 via two Router
+      handlers with disjoint regexes, run TWICE (the redelivery must be a
+      checkpoint noop).
+
+    Oracle: per-route LWW over the seg-filtered changelog, UNION ALL.
+    """
+    import glob
+
+    from raycdc.engine import read_lake, tail_once
+    from raycdc.parsers import DecodeSpec
+    from raycdc.registry import PipelineHandler, Router
+    from raycdc.schema import TableSpec
+
+    spec = TableSpec(num_partitions=8)
+
+    # --- tail path: incremental parquet pickup -----------------------------
+    wal_dir = _write_parquet_segments(sf_dir, n_files=4)
+    lake_tail = _scratch_path(sf_dir, "tailroute_tail")
+    shutil.rmtree(lake_tail, ignore_errors=True)
+    new1, _ = tail_once(wal_dir, lake_tail, spec, pattern="seg-00[01].parquet")
+    new2, _ = tail_once(wal_dir, lake_tail, spec, pattern="seg-00[0-3].parquet")
+    new3, lin3 = tail_once(wal_dir, lake_tail, spec, pattern="seg-00[0-3].parquet")
+    if len(new1) != 2 or len(new2) != 2 or new3 or lin3 is not None:
+        raise AssertionError(
+            f"tail_once pickup contract violated: {new1} {new2} {new3}"
+        )
+
+    # --- Router fan-out: regex-routed CSV statement handlers ---------------
+    csv_dir = _write_csv_segments(sf_dir)
+    lake_45 = _scratch_path(sf_dir, "tailroute_45")
+    lake_67 = _scratch_path(sf_dir, "tailroute_67")
+    for lk in (lake_45, lake_67):
+        shutil.rmtree(lk, ignore_errors=True)
+    router = Router()
+    for name, pat, lk in (
+        ("route45", r"seg-00[45]\.csv$", lake_45),
+        ("route67", r"seg-00[67]\.csv$", lake_67),
+    ):
+        router.add_handler(
+            PipelineHandler(
+                name=name,
+                pattern=pat,
+                lake_dir=lk,
+                spec=spec,
+                decode=DecodeSpec(**_CSV_WAL_DECODE),
+                projector=_csv_wal_projector,
+            )
+        )
+    paths = sorted(glob.glob(f"{csv_dir}/seg-*.csv"))
+    results = router.run(paths)
+    if sorted(len(r.paths) for r in results) != [2, 2]:
+        raise AssertionError(f"router dispatch wrong: {results}")
+    redelivery = router.run(paths)  # same segments again: checkpoint noop
+    for r in redelivery:
+        applied = r.lineage.filter(
+            pc.not_equal(r.lineage["status"], "noop")
+        ).num_rows
+        if applied:
+            raise AssertionError(f"redelivery applied rows via {r.handler}")
+
+    cols = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+
+    def tag(route: str):
+        def fn(t: pa.Table) -> pa.Table:
+            return t.select(cols).add_column(
+                0, "route", pa.array([route] * len(t), pa.string())
+            )
+
+        return fn
+
+    kw = dict(batch_format="pyarrow", zero_copy_batch=True)
+    out = (
+        read_lake(lake_tail, spec).map_batches(tag("tail"), **kw)
+        .union(read_lake(lake_45, spec).map_batches(tag("route45"), **kw))
+        .union(read_lake(lake_67, spec).map_batches(tag("route67"), **kw))
+    )
+    return out
+
+
+def _sql_cdc_tail_route() -> str:
+    from raycdc.changelog import CHANGELOG_SQL
+
+    # per-route LWW over the seg-filtered changelog — must equal the
+    # union of the tail lake + the two Router-handler lakes
+    return f"""
+WITH {CHANGELOG_SQL.strip()},
+ranked AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY route, conv_id, turn_idx
+        ORDER BY ts DESC, lsn DESC
+    ) AS rn
+    FROM (
+        SELECT *, CASE
+            WHEN seg_id BETWEEN 0 AND 3 THEN 'tail'
+            WHEN seg_id IN (4, 5) THEN 'route45'
+            ELSE 'route67'
+        END AS route
+        FROM changelog
+    )
+)
+SELECT route, conv_id, turn_idx, role, text, tool, ts
+FROM ranked
+WHERE rn = 1 AND op <> 'delete'
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -654,7 +825,7 @@ def q_cdc_additive_rollup(sf_dir: str):
             }
         )
 
-    lake = os.path.join(tempfile.gettempdir(), "raycdc_additive_lake")
+    lake = _scratch_path(sf_dir, "additive_lake")
     shutil.rmtree(lake, ignore_errors=True)
     spec = TableSpec(
         num_partitions=16, merge_policy="additive", value_cols=("cents",)
@@ -729,7 +900,7 @@ def q_cdc_bootstrap(sf_dir: str):
     )
     snapshot = merged_state(head, spec, keep_envelope=True, drop_deletes=False)
 
-    lake = os.path.join(tempfile.gettempdir(), "raycdc_bootstrap_lake")
+    lake = _scratch_path(sf_dir, "bootstrap_lake")
     shutil.rmtree(lake, ignore_errors=True)
     bootstrap(snapshot, lake, spec, snapshot_lsn=cut)
     # replay the WHOLE log, not just the tail: the head must prune to noops
@@ -773,7 +944,7 @@ def q_cdc_restore(sf_dir: str):
             pc.binary_join_element_wise(t["text"], "CORRUPTED", "|"),
         )
 
-    lake = os.path.join(tempfile.gettempdir(), "raycdc_restore_lake")
+    lake = _scratch_path(sf_dir, "restore_lake")
     shutil.rmtree(lake, ignore_errors=True)
     kw = dict(batch_format="pyarrow", zero_copy_batch=True)
     replay(log.map_batches(head, **kw), lake, spec)
@@ -801,7 +972,7 @@ def q_cdc_distinct_view(sf_dir: str):
     from raycdc.schema import TableSpec
 
     spec = TableSpec(num_partitions=16)
-    root = os.path.join(_tf.gettempdir(), "raycdc_distinct_view")
+    root = _scratch_path(sf_dir, "distinct_view")
     shutil.rmtree(root, ignore_errors=True)
     src, view = os.path.join(root, "src"), os.path.join(root, "view")
     log = changelog_from_events(sf_dir)
@@ -857,7 +1028,7 @@ def q_cdc_enriched_replay(sf_dir: str):
         seg = seg.combine_chunks() if isinstance(seg, pa.ChunkedArray) else seg
         return t.append_column("segment", pc.take(seg, idx))
 
-    lake = os.path.join(tempfile.gettempdir(), "raycdc_enriched_lake")
+    lake = _scratch_path(sf_dir, "enriched_lake")
     shutil.rmtree(lake, ignore_errors=True)
     spec = TableSpec(num_partitions=16)
     replay(changelog_from_events(sf_dir), lake, spec, projector=enrich)
@@ -922,7 +1093,7 @@ def q_cdc_colocated_join(sf_dir: str):
     from raycdc.schema import TableSpec
 
     spec = TableSpec(num_partitions=16)
-    left = os.path.join(tempfile.gettempdir(), "raycdc_coloc_left")
+    left = _scratch_path(sf_dir, "coloc_left")
     shutil.rmtree(left, ignore_errors=True)
     replay(changelog_from_events(sf_dir), left, spec)
 
@@ -957,7 +1128,7 @@ def q_cdc_colocated_join(sf_dir: str):
             }
         )
 
-    right = os.path.join(tempfile.gettempdir(), "raycdc_coloc_right")
+    right = _scratch_path(sf_dir, "coloc_right")
     shutil.rmtree(right, ignore_errors=True)
     dim = ray.data.read_parquet(
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
@@ -991,7 +1162,7 @@ def q_cdc_join_view(sf_dir: str):
     from raycdc.schema import TableSpec
 
     spec = TableSpec(num_partitions=16)
-    left = os.path.join(tempfile.gettempdir(), "raycdc_view_left")
+    left = _scratch_path(sf_dir, "view_left")
     shutil.rmtree(left, ignore_errors=True)
     cut = pq.read_metadata(f"{sf_dir}/events.parquet").num_rows // 2
     log = changelog_from_events(sf_dir)
@@ -1035,7 +1206,7 @@ def q_cdc_join_view(sf_dir: str):
             }
         )
 
-    right = os.path.join(tempfile.gettempdir(), "raycdc_view_right")
+    right = _scratch_path(sf_dir, "view_right")
     shutil.rmtree(right, ignore_errors=True)
     replay(
         ray.data.read_parquet(
@@ -1045,7 +1216,7 @@ def q_cdc_join_view(sf_dir: str):
         dim_spec,
     )
 
-    view = os.path.join(tempfile.gettempdir(), "raycdc_join_view")
+    view = _scratch_path(sf_dir, "join_view")
     shutil.rmtree(view, ignore_errors=True)
     kw = dict(
         on=("conv_id",),
@@ -1076,7 +1247,7 @@ def q_cdc_change_feed(sf_dir: str):
     from raycdc.sink import write_snapshot
 
     spec = TableSpec(num_partitions=16)
-    lake = os.path.join(tempfile.gettempdir(), "raycdc_feed_lake")
+    lake = _scratch_path(sf_dir, "feed_lake")
     shutil.rmtree(lake, ignore_errors=True)
     cut = pq.read_metadata(f"{sf_dir}/events.parquet").num_rows // 2
     log = changelog_from_events(sf_dir)
@@ -1107,8 +1278,8 @@ def q_cdc_sync_replica(sf_dir: str):
     from raycdc.schema import TableSpec
 
     spec = TableSpec(num_partitions=16)
-    src = os.path.join(tempfile.gettempdir(), "raycdc_sync_src")
-    dst = os.path.join(tempfile.gettempdir(), "raycdc_sync_dst")
+    src = _scratch_path(sf_dir, "sync_src")
+    dst = _scratch_path(sf_dir, "sync_dst")
     shutil.rmtree(src, ignore_errors=True)
     shutil.rmtree(dst, ignore_errors=True)
     cut = pq.read_metadata(f"{sf_dir}/events.parquet").num_rows // 2
@@ -1146,8 +1317,8 @@ def q_cdc_rollup_view(sf_dir: str):
     from raycdc.schema import TableSpec
 
     spec = TableSpec(num_partitions=16)
-    src = os.path.join(tempfile.gettempdir(), "raycdc_rollup_src")
-    roll = os.path.join(tempfile.gettempdir(), "raycdc_rollup_view")
+    src = _scratch_path(sf_dir, "rollup_src")
+    roll = _scratch_path(sf_dir, "rollup_view")
     shutil.rmtree(src, ignore_errors=True)
     shutil.rmtree(roll, ignore_errors=True)
     cut = pq.read_metadata(f"{sf_dir}/events.parquet").num_rows // 2
@@ -1234,8 +1405,8 @@ def q_cdc_transcript_view(sf_dir: str):
     from raycdc.schema import TableSpec
 
     spec = TableSpec(num_partitions=16)
-    src = os.path.join(tempfile.gettempdir(), "raycdc_tview_src")
-    view = os.path.join(tempfile.gettempdir(), "raycdc_tview")
+    src = _scratch_path(sf_dir, "tview_src")
+    view = _scratch_path(sf_dir, "tview")
     shutil.rmtree(src, ignore_errors=True)
     shutil.rmtree(view, ignore_errors=True)
     cut = pq.read_metadata(f"{sf_dir}/events.parquet").num_rows // 2
@@ -2930,7 +3101,7 @@ def q_cdc_history_lake(sf_dir: str):
     from raycdc.schema import TableSpec
 
     log = _derived_changelog(sf_dir)
-    lake = os.path.join(tempfile.gettempdir(), "raycdc_q_history_lake")
+    lake = _scratch_path(sf_dir, "q_history_lake")
     shutil.rmtree(lake, ignore_errors=True)
     spec = TableSpec(num_partitions=16, merge_policy="history")
     replay(log, lake, spec)
@@ -3310,7 +3481,7 @@ def q_dedup_incremental(sf_dir: str):
     from raycdc.dedup import incremental_dedup
 
     corpus = _corpus_with_exact_copies(sf_dir)
-    idx = os.path.join(tempfile.gettempdir(), "raycdc_q_dedup_index")
+    idx = _scratch_path(sf_dir, "q_dedup_index")
     shutil.rmtree(idx, ignore_errors=True)
 
     def _batch(lo: bool):
@@ -3622,10 +3793,7 @@ def q_dedup_incr_near(sf_dir: str):
     from raycdc.dedup import incremental_near_dedup
     from raycdc.storage import get_storage
 
-    idx = os.path.join(
-        tempfile.gettempdir(),
-        f"raycdc_incr_near_idx_{os.path.basename(os.path.normpath(sf_dir))}",
-    )
+    idx = _scratch_path(sf_dir, "incr_near_idx")
     get_storage(idx).remove_tree(idx)
 
     docs = ray.data.read_parquet(
@@ -3751,10 +3919,7 @@ def _conv_corpus_with_chain_copies(sf_dir: str) -> "ray.data.Dataset":
     from raycdc.schema import TableSpec
     from raycdc.storage import get_storage
 
-    stage = os.path.join(
-        tempfile.gettempdir(),
-        f"raycdc_conv_corpus_{os.path.basename(os.path.normpath(sf_dir))}",
-    )
+    stage = _scratch_path(sf_dir, "conv_corpus")
 
     final = merged_state(
         changelog_from_events(sf_dir), TableSpec(num_partitions=16)
@@ -5593,6 +5758,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "proj_statement": q_proj_statement,
     "preset_statement": q_preset_statement,
     "cdc_csv_ingest": q_cdc_csv_ingest,
+    "cdc_tail_route": q_cdc_tail_route,
     "cdc_evolve": q_cdc_evolve,
     "cdc_additive_rollup": q_cdc_additive_rollup,
     "cdc_bootstrap": q_cdc_bootstrap,
@@ -5722,6 +5888,7 @@ ORACLES: dict[str, str] = {
     "cdc_scd2_history": SQL_CDC_SCD2_HISTORY,
     "cdc_history_lake": SQL_CDC_SCD2_HISTORY,
     "cdc_suppress_noops": SQL_CDC_SUPPRESS_NOOPS,
+    "cdc_tail_route": _sql_cdc_tail_route(),
     "cdc_point_in_time": SQL_CDC_POINT_IN_TIME,
     "cdc_colocated_join": _sql_cdc_colocated_join(),
     "cdc_join_view": _sql_cdc_colocated_join(),

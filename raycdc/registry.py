@@ -152,14 +152,27 @@ class Router:
         import logging
         from concurrent.futures import ThreadPoolExecutor
 
+        from raycdc.runlog import RunLog, lineage_summary
+
         routed = self.route(paths)
         active = [h for h in self.handlers if routed[h.name]]
         if not active:
             return []
         _stabilize_fsspec_http()  # concurrent builds trip a lazy-import race
+        # contextual run logger (bqloader.go:104-116,151-180): one record
+        # pair per run, one per handler, all carrying structured fields
+        rl = RunLog(
+            n_segments=len(paths), handlers=[h.name for h in active]
+        )
+        rl.info("router started to handle a segment batch")
 
         def run_one(h: PipelineHandler) -> Result:
             res = Result(handler=h.name, paths=routed[h.name])
+            hl = rl.handler(h.name, h.pattern, lake=h.lake_dir)
+            hl.info(
+                f"handler {h.name} started to handle an event",
+                n_segments=len(routed[h.name]),
+            )
             try:
                 ds = h.build(routed[h.name])
                 res.lineage = replay(
@@ -167,6 +180,12 @@ class Router:
                 )
             except Exception:  # noqa: BLE001 — boundary: collected into Result
                 res.error = traceback.format_exc(limit=8)
+                hl.error(f"handler {h.name} failed", error=res.error)
+            else:
+                hl.finish(
+                    f"handler {h.name} finished to handle an event",
+                    **lineage_summary(res.lineage),
+                )
             if h.notifier is not None:
                 try:
                     h.notifier(res)
@@ -180,6 +199,9 @@ class Router:
         with ThreadPoolExecutor(max_workers=workers) as pool:
             results = list(pool.map(run_one, active))
         errors = [r for r in results if not r.ok]
+        rl.finish(
+            "router finished to handle a segment batch", n_errors=len(errors)
+        )
         if errors and raise_on_error:
             raise RuntimeError(
                 f"{len(errors)} handler(s) failed; first: {errors[0].handler}: "

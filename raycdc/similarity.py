@@ -564,3 +564,123 @@ def semantic_dedup(
     )
     comps = connected_components(pairs, num_partitions=num_partitions)
     return dedup_by_components(ds, comps, id_col=id_col)
+
+
+# ---------------------------------------------------------------------------
+# embedding GENERATION — deterministic hashing-trick featurizer
+
+
+class HashingEmbedder:
+    """Deterministic text→vector featurizer: signed feature hashing over
+    word n-grams (Weinberger et al., "Feature hashing for large scale
+    multitask learning", ICML'09) — the embedding-GENERATION stage that
+    lets :func:`semantic_dedup` / :func:`knn_brute_force` /
+    :func:`group_centroids` run text-in → vectors → decisions end-to-end
+    instead of reading pre-made embedding tables.
+
+    Each n-gram instance hashes to one of ``dim`` buckets with a ±1 sign
+    from an independent hash bit (the signed construction keeps the
+    inner product unbiased); the bucket histogram is L2-normalized, so
+    cosine over the output approximates n-gram-profile similarity.  No
+    model, no RNG — a pure function of the text, reproducible across
+    processes and rounds.
+
+    ACTOR-POOL STAGE: pass the CLASS to ``map_batches(HashingEmbedder,
+    fn_constructor_kwargs=..., concurrency=N)`` — per-n-gram salts and
+    the output type are built once per actor in ``__init__``, each
+    ``__call__`` is one vectorized pass (Arrow split + numpy scatter-add)
+    per batch.  Vectors never shuffle: the stage emits (id, embedding)
+    and every downstream consumer is bucketed/clustered.
+    """
+
+    def __init__(
+        self,
+        dim: int = 256,
+        ngrams: tuple[int, ...] = (1, 2),
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        out_col: str = "embedding",
+        keep_cols: tuple[str, ...] = (),
+    ) -> None:
+        if dim <= 0:
+            raise ValueError(f"dim must be positive, got {dim}")
+        self.dim = dim
+        self.ngrams = tuple(ngrams)
+        self.text_col, self.id_col, self.out_col = text_col, id_col, out_col
+        self.keep_cols = tuple(keep_cols)
+        # one odd splitmix salt per n-gram order, fixed at construction
+        self.salts = {
+            k: np.uint64((0x9E3779B97F4A7C15 * (2 * k + 1)) & 0xFFFFFFFFFFFFFFFF)
+            for k in self.ngrams
+        }
+        self.out_type = pa.list_(pa.float32(), dim)
+
+    def _matrix(self, texts) -> np.ndarray:
+        from raycdc.dedup import _shingle_instances
+
+        n = len(texts)
+        acc = np.zeros((n, self.dim), dtype=np.float32)
+        for k in self.ngrams:
+            sh, _pos, sh_counts, _tok = _shingle_instances(texts, k)
+            if len(sh) == 0:
+                continue
+            h = sh.copy()
+            with np.errstate(over="ignore"):
+                h ^= self.salts[k]
+                h ^= h >> np.uint64(30)
+                h *= np.uint64(0xBF58476D1CE4E5B9)
+                h ^= h >> np.uint64(27)
+                h *= np.uint64(0x94D049BB133111EB)
+                h ^= h >> np.uint64(31)
+            doc = np.repeat(np.arange(n, dtype=np.int64), sh_counts)
+            bucket = (h % np.uint64(self.dim)).astype(np.int64)
+            sign = (((h >> np.uint64(63)) & np.uint64(1)).astype(np.float32) * 2) - 1
+            np.add.at(acc, (doc, bucket), sign)
+        norms = np.linalg.norm(acc, axis=1, keepdims=True)
+        np.divide(acc, norms, out=acc, where=norms > 0)  # zero vectors stay zero
+        return acc
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        texts = t[self.text_col]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        mat = self._matrix(texts)
+        vec = pa.FixedSizeListArray.from_arrays(
+            pa.array(mat.reshape(-1), pa.float32()), self.dim
+        )
+        cols = {self.id_col: t[self.id_col], self.out_col: vec}
+        for c in self.keep_cols:
+            cols[c] = t[c]
+        return pa.table(cols)
+
+
+def embed_text(
+    ds: "ray.data.Dataset",
+    dim: int = 256,
+    ngrams: tuple[int, ...] = (1, 2),
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    out_col: str = "embedding",
+    keep_cols: tuple[str, ...] = (),
+    concurrency=(1, 8),
+    batch_size: int = 4096,
+) -> "ray.data.Dataset":
+    """Actor-pool embedding stage over a text Dataset: state once per
+    actor in ``HashingEmbedder.__init__``, one vectorized pass per batch;
+    output rows are (id, embedding[, keep_cols]) — the text column is
+    DROPPED so downstream similarity stages never ship it."""
+    return ds.map_batches(
+        HashingEmbedder,
+        fn_constructor_kwargs=dict(
+            dim=dim,
+            ngrams=ngrams,
+            text_col=text_col,
+            id_col=id_col,
+            out_col=out_col,
+            keep_cols=keep_cols,
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )

@@ -45,6 +45,11 @@ def _hash64(values) -> np.ndarray:
     from raycdc.partition import hash_strings
 
     arr = values.combine_chunks() if isinstance(values, pa.ChunkedArray) else values
+    # SQL COUNT(DISTINCT) / set-op semantics: nulls are NOT values — drop
+    # them before hashing so an all-null column estimates 0 distinct and a
+    # null on both sides of approx_overlap never inflates the intersection.
+    if arr.null_count:
+        arr = arr.drop_null()
     if pa.types.is_string(arr.type) or pa.types.is_large_string(arr.type):
         h = hash_strings(arr).copy()
     elif pa.types.is_floating(arr.type):
@@ -72,29 +77,77 @@ def _hash64(values) -> np.ndarray:
     return h
 
 
-def hll_registers(values, p: int = 12) -> np.ndarray:
-    """One HLL register array (uint8[2^p]) for a column chunk.
+def hll_idx_rank(values, p: int = 12) -> tuple[np.ndarray, np.ndarray]:
+    """Per-value ``(register index, rank)`` pairs — the vectorizable core
+    of :func:`hll_registers`, exposed so GROUPED folds
+    (:func:`raycdc.engine.maintain_distinct`) can scatter ranks into a
+    ``(group, register)`` matrix in one ``np.maximum.at`` pass instead of
+    filtering per group.
 
-    Vectorized: one hash pass (:func:`_hash64`), top ``p`` bits pick the
-    register, the rank of the remaining bits' leading zeros updates it via
-    ``np.maximum.at``.
+    One hash pass (:func:`_hash64`), top ``p`` bits pick the register,
+    the leading-zero rank of the remaining bits is the value.  NULLs are
+    dropped by the hash prelude, so the output may be SHORTER than the
+    input — callers that need row alignment must drop nulls first.
     """
     h = _hash64(values)
-    m = 1 << p
-    idx = (h >> np.uint64(64 - p)).astype(np.int64)
     rest = (h << np.uint64(p)) | np.uint64((1 << p) - 1)  # pad so rank <= 64-p+1
     # rank = leading zeros of rest + 1, via float64 exponent-free bit trick:
     # position of highest set bit
-    rank = np.zeros(len(h), dtype=np.uint8)
     nz = rest != 0
     # log2 via float conversion is exact for the leading-bit position
     high = np.zeros(len(h), dtype=np.int64)
     high[nz] = 63 - np.floor(np.log2(rest[nz].astype(np.float64))).astype(np.int64)
     # float rounding at 2^63 boundary: clamp into the valid rank range
     rank = (np.clip(high, 0, 64 - p) + 1).astype(np.uint8)
-    regs = np.zeros(m, dtype=np.uint8)
+    idx = (h >> np.uint64(64 - p)).astype(np.int64)
+    return idx, rank
+
+
+def hll_registers(values, p: int = 12) -> np.ndarray:
+    """One HLL register array (uint8[2^p]) for a column chunk.
+
+    Vectorized: one hash pass (:func:`_hash64`), top ``p`` bits pick the
+    register, the rank of the remaining bits' leading zeros updates it via
+    ``np.maximum.at``.  NULLs are ignored (SQL COUNT(DISTINCT)).
+    """
+    idx, rank = hll_idx_rank(values, p=p)
+    regs = np.zeros(1 << p, dtype=np.uint8)
     np.maximum.at(regs, idx, rank)
     return regs
+
+
+def registers_matrix(arr, m: int) -> np.ndarray:
+    """Zero-copy view of a binary column of fixed-size register blobs as a
+    ``(rows, m)`` uint8 matrix — the input shape for segmented register
+    folds (``np.maximum.reduceat``).  Raises if any blob's length differs
+    from ``m`` (a corrupt register row must never silently mis-slice)."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if arr.null_count:
+        raise ValueError("registers_matrix: null register blob")
+    n = len(arr)
+    if n == 0:
+        return np.zeros((0, m), dtype=np.uint8)
+    width = np.int64 if pa.types.is_large_binary(arr.type) else np.int32
+    off = np.frombuffer(arr.buffers()[1], dtype=width)[
+        arr.offset : arr.offset + n + 1
+    ]
+    if not np.all(np.diff(off) == m):
+        raise ValueError(f"registers_matrix: blob lengths differ from m={m}")
+    data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+    return data[int(off[0]) : int(off[0]) + n * m].reshape(n, m)
+
+
+def matrix_to_binary(mat: np.ndarray) -> pa.Array:
+    """Inverse of :func:`registers_matrix`: a ``(rows, m)`` uint8 matrix
+    as a binary array of ``rows`` fixed-size blobs — built from buffers,
+    no per-row ``tobytes`` loop."""
+    rows, m = mat.shape
+    data = pa.py_buffer(np.ascontiguousarray(mat).tobytes())
+    offsets = pa.py_buffer(
+        np.arange(0, (rows + 1) * m, m, dtype=np.int32).tobytes()
+    )
+    return pa.Array.from_buffers(pa.binary(), rows, [None, offsets, data])
 
 
 def hll_merge(a: np.ndarray, b: np.ndarray) -> np.ndarray:
@@ -177,7 +230,10 @@ def approx_overlap(
     driver folds ``num_blocks`` tiny rows per side (≤ 8k·k bytes), and
     :func:`kmv_overlap` turns the two sketches into distinct/union/
     intersection/Jaccard estimates — the planning signal for "is exact
-    dedup/decontamination between these corpora worth running"."""
+    dedup/decontamination between these corpora worth running".
+
+    NULLs are ignored on both sides (SQL COUNT(DISTINCT)/set semantics):
+    a null column value never counts as a member or an overlap."""
 
     def build(ds, col) -> np.ndarray:
         def partial(t: pa.Table) -> pa.Table:
@@ -193,6 +249,25 @@ def approx_overlap(
         return acc
 
     return kmv_overlap(build(ds_a, col_a), build(ds_b, col_b), k)
+
+
+def hll_estimate_many(mat: np.ndarray) -> np.ndarray:
+    """Row-wise :func:`hll_estimate` over a ``(groups, m)`` register
+    matrix — one vectorized pass, bit-identical per row to the scalar
+    function (pinned by tests): same alpha, same harmonic-mean sum
+    order (C-contiguous axis=-1 reduction), same linear-counting branch."""
+    mat = np.ascontiguousarray(mat, dtype=np.uint8)
+    g, m = mat.shape
+    if g == 0:
+        return np.zeros(0, dtype=np.float64)
+    est = _alpha(m) * m * m / np.sum(2.0 ** -mat.astype(np.float64), axis=-1)
+    zeros = np.sum(mat == 0, axis=-1)
+    small = (est <= 2.5 * m) & (zeros > 0)
+    out = est
+    if small.any():
+        out = est.copy()
+        out[small] = m * np.log(m / zeros[small])
+    return out
 
 
 def hll_estimate(regs: np.ndarray) -> float:
@@ -213,7 +288,8 @@ def approx_ndistinct(
 
     Shuffle-free: each batch collapses to one register row inside
     ``map_batches``; the driver folds ``num_blocks`` tiny rows with
-    elementwise max.  Returns ``(estimate, relative_standard_error)``.
+    elementwise max.  NULLs are ignored (SQL COUNT(DISTINCT) semantics).
+    Returns ``(estimate, relative_standard_error)``.
     """
 
     def partial(t: pa.Table) -> pa.Table:
@@ -365,7 +441,13 @@ def cms_counts(values, d: int = 4, w: int = 2048) -> np.ndarray:
     """One batch's count-min register matrix (d rows of w counters):
     every value increments one counter per row.  Mergeable by elementwise
     SUM (associative/commutative), so batch partials fold in any order —
-    the frequency analog of the HLL register fold above."""
+    the frequency analog of the HLL register fold above.
+
+    Null contract: NULLs all hash to ONE deterministic slot, i.e. they
+    count as a single pseudo-value (cms_estimate of a null-heavy column
+    reflects the null count) — unlike the HLL/KMV/Bloom sketches, which
+    ignore nulls; CMS keeps them because per-row alignment in
+    cms_estimate cannot drop rows."""
     regs = np.zeros((d, w), dtype=np.int64)
     idx = _cms_hash(values, d, w)
     for r in range(d):  # d is a small constant (4), each iteration whole-batch
@@ -461,6 +543,13 @@ def bloom_bits(values, num_bits: int, k: int = 7) -> np.ndarray:
     if num_bits % 64:
         raise ValueError(f"num_bits must be a multiple of 64, got {num_bits}")
     words = np.zeros(num_bits // 64, dtype=np.uint64)
+    # SQL join-key semantics: a NULL key never matches anything, so null
+    # build-side rows must not set bits (they'd make probe-side nulls or
+    # hash-collisions look like members).
+    if isinstance(values, pa.ChunkedArray):
+        values = values.combine_chunks()
+    if values.null_count:
+        values = values.drop_null()
     if len(values) == 0:
         return words
     h1, h2 = _bloom_hash_pair(values)
@@ -481,10 +570,19 @@ def bloom_merge(a: np.ndarray, b: np.ndarray) -> np.ndarray:
 def bloom_contains(words: np.ndarray, values, k: int = 7) -> np.ndarray:
     """Vectorized membership probe: True = maybe present (false-positive
     rate ~(1-e^{-kn/m})^k), False = DEFINITELY absent — Bloom's one-sided
-    guarantee, which is what makes the anti-join safe."""
+    guarantee, which is what makes the anti-join safe.
+
+    NULL keys probe as False (definitely absent): SQL equality never
+    matches a NULL, so a semi-join drops null-key rows and an anti-join
+    keeps them — same as an exact hash join would."""
     num_bits = len(words) * 64
     if len(values) == 0:
         return np.zeros(0, dtype=bool)
+    if isinstance(values, pa.ChunkedArray):
+        values = values.combine_chunks()
+    null_mask = None
+    if values.null_count:
+        null_mask = ~np.asarray(values.is_valid())
     h1, h2 = _bloom_hash_pair(values)
     out = np.ones(len(h1), dtype=bool)
     with np.errstate(over="ignore"):
@@ -495,6 +593,8 @@ def bloom_contains(words: np.ndarray, values, k: int = 7) -> np.ndarray:
                 >> (idx & np.uint64(63))
             ) & np.uint64(1)
             out &= bit.astype(bool)
+    if null_mask is not None:
+        out[null_mask] = False
     return out
 
 
@@ -504,8 +604,8 @@ def bloom_build(
     """Build one Bloom filter over ``ds[col]`` shuffle-free: each batch
     collapses to a packed register row inside ``map_batches``; the driver
     ORs ``num_blocks`` fixed-size partials (``num_bits/8`` bytes each —
-    the data never moves).  Size for ~1% FPR: ``num_bits ≈ 9.6 × n``,
-    ``k = 7``."""
+    the data never moves).  NULL keys set no bits (a NULL never joins).
+    Size for ~1% FPR: ``num_bits ≈ 9.6 × n``, ``k = 7``."""
 
     def partial(t: pa.Table) -> pa.Table:
         regs = bloom_bits(t[col], num_bits=num_bits, k=k)
@@ -538,7 +638,11 @@ def bloom_semi_join(
     survive for a downstream exact pass to kill.  ``negate=True`` (anti):
     keeps DEFINITE non-members — no false negatives means no survivor is
     wrongly dropped, so an anti-join against a dedup index / eval set is
-    SAFE without any second pass."""
+    SAFE without any second pass.
+
+    NULL probe keys are definite non-members (SQL: NULL = x is never
+    true), so semi drops them and anti keeps them — matching the exact
+    hash join both modes pre-filter for."""
     import ray
 
     ref = ray.put(words)

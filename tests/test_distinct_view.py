@@ -212,3 +212,48 @@ def test_grow_only_deletes_do_not_decrement(ray_session, tmp_path):
     )
     est2 = _as_dict(maintain_distinct(src, view, **SPEC, spec=spec))
     assert est2["user"] == 2
+
+
+def test_high_cardinality_groups_contract_edge(ray_session, tmp_path):
+    """~10k distinct groups (the bounded-groups contract's edge): the
+    bucketed exchange must deliver ONE register row per group to the
+    driver and the estimates must equal the per-group HLL reference —
+    this is the scale the old per-group ``t.filter`` fold could not take."""
+    from raycdc.sketch import hll_estimate, hll_registers
+
+    n_groups = 10_000
+    spec = TableSpec(num_partitions=8)
+    src = str(tmp_path / "src")
+    view = str(tmp_path / "view")
+    import datetime as dt
+
+    n = 2 * n_groups  # two values per group
+    conv = pa.array([f"g{i % n_groups:05d}" for i in range(n)])
+    val = pa.array([f"v{i // n_groups}" for i in range(n)])
+    t = pa.table(
+        {
+            "conv_id": conv,
+            "turn_idx": pa.array(
+                np.arange(n, dtype=np.int64).astype(np.int32) // n_groups,
+                pa.int32(),
+            ),
+            "role": val,
+            "text": pa.array(["x"] * n),
+            "tool": pa.array([""] * n),
+            "ts": pa.array(
+                [dt.datetime(2024, 1, 1)] * n, pa.timestamp("us")
+            ),
+            "op": pa.array(["insert"] * n),
+            "lsn": pa.array(np.arange(n, dtype=np.int64)),
+        }
+    )
+    replay(ray.data.from_arrow(t), src, spec)
+    est = maintain_distinct(
+        src, view, group_col="conv_id", value_col="role", spec=spec
+    )
+    assert est.num_rows == n_groups
+    got = dict(zip(est["conv_id"].to_pylist(), est["n_distinct"].to_pylist()))
+    expect = int(
+        round(hll_estimate(hll_registers(pa.array(["v0", "v1"]))))
+    )
+    assert set(got.values()) == {expect}

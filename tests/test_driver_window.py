@@ -22,6 +22,8 @@ MUST_BE_IN_WINDOW = [
     "sim_knn",
     # CDC disaster recovery (round-3 continuation)
     "cdc_restore",
+    # the reference's production loop: tail + Router fan-out (round 4)
+    "cdc_tail_route",
     # text / tokens / embeddings
     "quality_gate",
     "text_repetition",

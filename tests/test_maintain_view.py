@@ -1,0 +1,146 @@
+"""The unified incremental-view skeleton (engine.maintain_view): the three
+shipped maintainers run on it (their own test files pin semantics); this
+file pins the skeleton's contract for a USER-DEFINED view — the reference's
+pluggable-closure design (/root/reference/handler.go:20-58) applied to view
+maintenance: a new view costs a fold function, not a protocol
+re-implementation."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pytest
+import ray
+import ray.data
+
+from raycdc.changelog import synthetic_changelog
+from raycdc.engine import maintain_view, read_lake, replay
+from raycdc.schema import TableSpec
+from raycdc.storage import get_storage, read_json, write_json_atomic
+
+from .oracle import python_lww_replay
+
+VIEW_SPEC = TableSpec(
+    name="live_rows",
+    schema=pa.schema(
+        [pa.field("conv_id", pa.string()), pa.field("n_live", pa.int64())]
+    ),
+    key_cols=("conv_id",),
+    version_cols=("ts", "lsn"),
+    partition_key="conv_id",
+    num_partitions=4,
+    sort_cols=("conv_id",),
+    merge_policy="additive",
+    value_cols=("n_live",),
+)
+
+
+def _live_rows_view(src, view, spec):
+    """User-defined view: LIVE ROW COUNT per conversation, maintained
+    additively from the change feed (+1 per feed insert, -1 per feed
+    delete; updates keep the key live — delta 0).  Exactly-once comes
+    entirely from the skeleton: claimed lsn + additive checkpoints."""
+
+    def fold(feed, ctx):
+        def partial(t: pa.Table) -> pa.Table:
+            op = pc.fill_null(t[ctx.spec.op_col], "")
+            sign = np.zeros(len(t), np.int64)
+            sign[np.asarray(pc.equal(op, "insert"))] = 1
+            sign[np.asarray(pc.equal(op, "delete"))] = -1
+            t2 = pa.table({"conv_id": t["conv_id"], "n_live": pa.array(sign)})
+            t2 = t2.filter(pa.array(sign != 0))
+            if len(t2) == 0:
+                return ctx.envelope(t2, "insert")
+            # per-batch combine: sort + segmented sum
+            t2 = t2.take(pc.sort_indices(t2["conv_id"]))
+            cv = t2["conv_id"].combine_chunks()
+            neq = np.asarray(pc.not_equal(cv.slice(1), cv.slice(0, len(cv) - 1)))
+            starts = np.r_[0, np.flatnonzero(neq) + 1]
+            sums = np.add.reduceat(np.asarray(t2["n_live"]), starts)
+            out = pa.table(
+                {
+                    "conv_id": cv.take(pa.array(starts)),
+                    "n_live": pa.array(sums.astype(np.int64)),
+                }
+            )
+            return ctx.envelope(out, "insert")
+
+        return (
+            feed.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+            VIEW_SPEC,
+        )
+
+    return maintain_view(
+        src,
+        view,
+        fold,
+        spec=spec,
+        caller="live_rows",
+        steady=lambda: "STEADY",
+    )
+
+
+def _view_state(view) -> dict:
+    parts = [
+        t
+        for t in ray.get(
+            read_lake(view, TableSpec(num_partitions=4)).to_arrow_refs()
+        )
+        if t.num_rows
+    ]
+    t = pa.concat_tables(parts)
+    return dict(zip(t["conv_id"].to_pylist(), t["n_live"].to_pylist()))
+
+
+def test_user_defined_view_exactly_once(ray_session, tmp_path):
+    log = synthetic_changelog(n_events=900, n_convs=60, seed=170)
+    spec = TableSpec(num_partitions=4)
+    src, view = str(tmp_path / "src"), str(tmp_path / "view")
+
+    pos_path = f"{view}/_feed_pos.json"
+    st = get_storage(view)
+    pos_after: list = []
+    for lo, hi in ((0, 450), (450, 900)):
+        seg = log.filter(
+            pc.and_(pc.greater_equal(log["lsn"], lo), pc.less(log["lsn"], hi))
+        )
+        replay(ray.data.from_arrow(seg), src, spec)
+        lin = _live_rows_view(src, view, spec)
+        assert lin is not None
+        pos_after.append(read_json(st, pos_path)["snapshot"])
+
+    # reference: live keys per conversation in the final LWW state
+    # (boundary cancellation nets out in the additive deltas)
+    expect: dict = {}
+    for (conv, _turn), _row in python_lww_replay([log]).items():
+        expect[conv] = expect.get(conv, 0) + 1
+    got = {k: v for k, v in _view_state(view).items() if v != 0}
+    assert got == expect
+
+    # crash-retry: reinstate refresh 2's EXACT pre-promotion state (claim
+    # written, apply landed, promotion lost) — the skeleton must reuse the
+    # SAME pending snapshot id, so the re-fed rows carry the same lsn and
+    # the additive checkpoints prune them: NO double-count
+    write_json_atomic(
+        st, pos_path, {"snapshot": pos_after[0], "pending": pos_after[1]}
+    )
+    _live_rows_view(src, view, spec)
+    got2 = {k: v for k, v in _view_state(view).items() if v != 0}
+    assert got2 == expect
+    assert read_json(st, pos_path).get("pending") is None
+
+    # steady state: identical manifests short-circuit through steady()
+    assert _live_rows_view(src, view, spec) == "STEADY"
+
+
+def test_vacuumed_pending_snapshot_raises(ray_session, tmp_path):
+    log = synthetic_changelog(n_events=200, seed=171)
+    spec = TableSpec(num_partitions=4)
+    src, view = str(tmp_path / "src"), str(tmp_path / "view")
+    replay(ray.data.from_arrow(log), src, spec)
+    _live_rows_view(src, view, spec)
+    st = get_storage(view)
+    write_json_atomic(
+        st, f"{view}/_feed_pos.json", {"snapshot": None, "pending": 9999}
+    )
+    with pytest.raises(FileNotFoundError, match="pending snapshot"):
+        _live_rows_view(src, view, spec)
