@@ -95,6 +95,7 @@ class MediaFeatureExtractor:
                 "features": pa.FixedSizeListArray.from_arrays(
                     pa.array(hist.reshape(-1)), self.n_buckets
                 ),
+                "n_bytes": pa.array(np.diff(off).astype(np.int64)),
             }
         )
 

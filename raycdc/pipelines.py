@@ -583,6 +583,30 @@ WHERE rn = 1 AND op <> 'delete'
 """
 
 
+def q_text_embed_near_dup(sf_dir: str):
+    """END-TO-END semantic near-dup: raw text → deterministic
+    hashing-trick embeddings (:class:`raycdc.similarity.HashingEmbedder`,
+    an actor-pool stage — no pre-made embeddings table) → LSH-bucketed
+    cosine pair generation.  Rows-only (feature hashing is not
+    SQL-expressible); the planted-twin recall contract is pinned in
+    tests/test_embed_text.py."""
+    from raycdc.similarity import embed_text, embedding_near_dup_pairs
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    vecs = embed_text(docs, dim=256, id_col="doc_id", concurrency=(1, 4))
+    pairs = embedding_near_dup_pairs(
+        vecs,
+        threshold=0.8,
+        nbits=6,
+        nprobe=3,
+        id_col="doc_id",
+        num_partitions=8,
+    )
+    return pairs.sort(["a", "b"])
+
+
 # ---------------------------------------------------------------------------
 # text analysis (documents table)
 
@@ -2064,8 +2088,11 @@ def q_pack_docs(sf_dir: str):
     """Sequence packing for training: documents → token counts → fixed
     256-token next-fit packs (:func:`raycdc.text.pack_sequences`).
     Deterministic (pack assignment is a pure function of the data), one
-    bucketed exchange; rows-only (next-fit's sequential reset is not
-    window-SQL-expressible) — invariants are pytest-verified
+    bucketed exchange.  ORACLE-EXACT since round 4: the bucket hash is
+    pure integer arithmetic (golden-ratio multiply mod 2^64, HUGEINT in
+    DuckDB) and next-fit's sequential reset is a recursive CTE over
+    id-ordered rows per bucket — SQL_PACK_DOCS mirrors the kernel cell
+    for cell; invariants additionally pytest-pinned
     (tests/test_trainops.py::test_pack_sequences_invariants)."""
     from raycdc.text import pack_sequences, token_stats
 
@@ -2076,6 +2103,45 @@ def q_pack_docs(sf_dir: str):
         token_stats, batch_format="pyarrow", zero_copy_batch=True
     ).select_columns(["doc_id", "n_tokens"])
     return pack_sequences(counts, budget=256, num_partitions=16)
+
+
+# next-fit packing mirrored in SQL: bucket = ((doc_id * golden) mod 2^64
+# * fnv_prime) mod 2^64 mod 16 (raycdc.partition.bucket_keys' numeric
+# path, HUGEINT arithmetic), then the per-bucket sequential reset as a
+# recursive CTE in doc_id order — pack_id = bucket << 32 | local_bin.
+SQL_PACK_DOCS = """
+WITH RECURSIVE
+tok AS (
+    SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+    FROM documents
+),
+bkt AS (
+    SELECT doc_id, n_tokens,
+        CAST((((CAST(doc_id AS HUGEINT) * 11400714819323198485)
+             % 18446744073709551616)
+             * 1099511628211) % 18446744073709551616 % 16 AS BIGINT) AS bucket
+    FROM tok
+),
+ord AS (
+    SELECT *, row_number() OVER (PARTITION BY bucket ORDER BY doc_id) AS rn
+    FROM bkt
+),
+rec AS (
+    SELECT bucket, rn, doc_id, n_tokens,
+           CAST(0 AS BIGINT) AS bin, CAST(0 AS BIGINT) AS pos,
+           n_tokens AS fill
+    FROM ord WHERE rn = 1
+    UNION ALL
+    SELECT o.bucket, o.rn, o.doc_id, o.n_tokens,
+        CASE WHEN r.fill + o.n_tokens > 256 THEN r.bin + 1 ELSE r.bin END,
+        CASE WHEN r.fill + o.n_tokens > 256 THEN CAST(0 AS BIGINT) ELSE r.fill END,
+        CASE WHEN r.fill + o.n_tokens > 256 THEN o.n_tokens
+             ELSE r.fill + o.n_tokens END
+    FROM rec r JOIN ord o ON o.bucket = r.bucket AND o.rn = r.rn + 1
+)
+SELECT doc_id, n_tokens, (bucket * 4294967296 + bin) AS pack_id, pos AS seq_pos
+FROM rec
+"""
 
 
 def _derived_changelog(sf_dir: str, payload: str = "cents"):
@@ -4382,6 +4448,22 @@ def q_sim_knn_ivf(sf_dir: str):
     return out.select_columns(["q_id", "vec_id", "rank"])
 
 
+def q_sim_knn_ivfpq(sf_dir: str):
+    """IVF-PQ approximate top-k (product-quantized codes in the exchange +
+    exact distributed re-rank; rows-only — recall >= IVF at equal probe
+    cost pinned in tests/test_ivfpq.py)."""
+    from raycdc.similarity import knn_ivfpq
+
+    q, qids = _query_matrix(sf_dir)
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    out = knn_ivfpq(
+        ds, q, qids, k=_TOP_K, n_lists=8, nprobe=3, m_sub=4, num_partitions=16
+    )
+    return out.select_columns(["q_id", "vec_id", "rank"])
+
+
 def _embeddings_with_copies(sf_dir: str) -> "ray.data.Dataset":
     """embeddings + one slightly-perturbed near-copy per vector (the base
     vectors are near-orthogonal, so every near-dup is constructed)."""
@@ -5373,8 +5455,13 @@ FROM documents
 
 
 def q_media_features(sf_dir: str):
-    """Actor-pool feature extraction over binary payloads (stub codec;
-    rows-only): small batches + bounded concurrency, the wide-row pattern."""
+    """Actor-pool feature extraction over binary payloads (stub codec):
+    small batches + bounded concurrency, the wide-row pattern.
+    ORACLE-EXACT since round 4: the stub histogram is byte arithmetic —
+    per-bucket counts divided by total bytes (one IEEE division each side,
+    floor-quantized per the repo convention), payloads are the documents'
+    ASCII text bytes so DuckDB recomputes the same histogram by character
+    unnest (SQL_MEDIA_FEATURES)."""
     from raycdc.multimodal import MediaFeatureExtractor, payload_from_text
 
     ds = ray.data.read_parquet(
@@ -5388,7 +5475,7 @@ def q_media_features(sf_dir: str):
         batch_format="pyarrow",
         concurrency=2,
         batch_size=256,
-    )
+    ).select_columns(["media_id", "features", "n_bytes"])
 
     def flat(t: pa.Table) -> pa.Table:
         import numpy as np
@@ -5397,8 +5484,9 @@ def q_media_features(sf_dir: str):
             return pa.table(
                 {
                     "media_id": pa.array([], pa.int64()),
+                    "n_bytes": pa.array([], pa.int64()),
                     "f0": pa.array([], pa.float64()),
-                    "f_sum": pa.array([], pa.float64()),
+                    "f_max": pa.array([], pa.float64()),
                 }
             )
         f = t["features"].combine_chunks()
@@ -5406,12 +5494,36 @@ def q_media_features(sf_dir: str):
         return pa.table(
             {
                 "media_id": t["media_id"],
+                "n_bytes": t["n_bytes"],
                 "f0": pa.array(np.floor(mat[:, 0] * 1e6) / 1e6),
-                "f_sum": pa.array(np.floor(mat.sum(axis=1) * 1e6) / 1e6),
+                "f_max": pa.array(np.floor(mat.max(axis=1) * 1e6) / 1e6),
             }
         )
 
     return feats.map_batches(flat, batch_format="pyarrow")
+
+
+SQL_MEDIA_FEATURES = """
+WITH chars AS (
+    SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents
+),
+buckets AS (
+    SELECT doc_id, ord(ch) // 16 AS bucket, COUNT(*) AS c
+    FROM chars GROUP BY doc_id, bucket
+),
+tot AS (
+    SELECT doc_id, CAST(SUM(c) AS DOUBLE) AS n, CAST(SUM(c) AS BIGINT) AS n_bytes
+    FROM buckets GROUP BY doc_id
+)
+SELECT b.doc_id AS media_id,
+       t.n_bytes,
+       floor(COALESCE(
+           MAX(CASE WHEN b.bucket = 0 THEN CAST(b.c AS DOUBLE) / t.n END), 0.0
+       ) * 1000000) / 1000000 AS f0,
+       floor(MAX(CAST(b.c AS DOUBLE) / t.n) * 1000000) / 1000000 AS f_max
+FROM buckets b JOIN tot t USING (doc_id)
+GROUP BY b.doc_id, t.n_bytes
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -5759,6 +5871,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "preset_statement": q_preset_statement,
     "cdc_csv_ingest": q_cdc_csv_ingest,
     "cdc_tail_route": q_cdc_tail_route,
+    "text_embed_near_dup": q_text_embed_near_dup,
     "cdc_evolve": q_cdc_evolve,
     "cdc_additive_rollup": q_cdc_additive_rollup,
     "cdc_bootstrap": q_cdc_bootstrap,
@@ -5846,6 +5959,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "sim_knn": q_sim_knn,
     "sim_knn_lsh": q_sim_knn_lsh,
     "sim_knn_ivf": q_sim_knn_ivf,
+    "sim_knn_ivfpq": q_sim_knn_ivfpq,
     "embed_near_dup": q_embed_near_dup,
     "semantic_dedup": q_semantic_dedup,
     "media_meta": q_media_meta,
@@ -5888,6 +6002,8 @@ ORACLES: dict[str, str] = {
     "cdc_scd2_history": SQL_CDC_SCD2_HISTORY,
     "cdc_history_lake": SQL_CDC_SCD2_HISTORY,
     "cdc_suppress_noops": SQL_CDC_SUPPRESS_NOOPS,
+    "pack_docs": SQL_PACK_DOCS,
+    "media_features": SQL_MEDIA_FEATURES,
     "cdc_tail_route": _sql_cdc_tail_route(),
     "cdc_point_in_time": SQL_CDC_POINT_IN_TIME,
     "cdc_colocated_join": _sql_cdc_colocated_join(),
@@ -6029,4 +6145,9 @@ def bench_extras() -> dict[str, Callable[[str], Any]]:
         "media_spectrogram": lambda sf: q_media_spectrogram(sf).count(),
         "image_near_dup": lambda sf: q_image_near_dup(sf).count(),
         "audio_near_dup": lambda sf: q_audio_near_dup(sf).count(),
+        # round-4 additions: production tail+route loop, end-to-end
+        # embedding generation, compressed-index ANN
+        "cdc_tail_route": lambda sf: q_cdc_tail_route(sf).count(),
+        "text_embed_near_dup": lambda sf: q_text_embed_near_dup(sf).count(),
+        "sim_knn_ivfpq": lambda sf: q_sim_knn_ivfpq(sf).count(),
     }

@@ -616,8 +616,17 @@ class HashingEmbedder:
         self.out_type = pa.list_(pa.float32(), dim)
 
     def _matrix(self, texts) -> np.ndarray:
+        import pyarrow.compute as pc
+
         from raycdc.dedup import _shingle_instances
 
+        # no content → zero vector: an empty string would otherwise split
+        # into one empty token and embed as a spurious unit vector
+        texts = pc.if_else(
+            pc.equal(pc.fill_null(texts, ""), ""),
+            pa.scalar(None, pa.string()),
+            texts,
+        )
         n = len(texts)
         acc = np.zeros((n, self.dim), dtype=np.float32)
         for k in self.ngrams:
@@ -683,4 +692,276 @@ def embed_text(
         zero_copy_batch=True,
         batch_size=batch_size,
         concurrency=concurrency,
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ — compressed-index ANN (the 100 TB memory/bandwidth path)
+
+
+def _kmeans_l2(sample: np.ndarray, k: int, iters: int = 8, seed: int = 7) -> np.ndarray:
+    """Deterministic Lloyd's k-means under L2 (PQ subspace codebooks —
+    subvectors are NOT unit-normalized, so the cosine variant above would
+    train the wrong geometry)."""
+    rng = np.random.default_rng(seed)
+    k_eff = min(k, len(sample))
+    centroids = sample[rng.choice(len(sample), size=k_eff, replace=False)].copy()
+    for _ in range(iters):
+        # ||x-c||² = ||x||² - 2x·c + ||c||²; ||x||² constant per row
+        d = -2 * (sample @ centroids.T) + (centroids**2).sum(axis=1)[None, :]
+        assign = np.argmin(d, axis=1)
+        for c in range(k_eff):
+            members = sample[assign == c]
+            if len(members):
+                centroids[c] = members.mean(axis=0)
+    if k_eff < k:  # pad duplicate centroids so code values stay in [0, k)
+        centroids = np.vstack([centroids, np.repeat(centroids[:1], k - k_eff, 0)])
+    return centroids
+
+
+def _pq_encode(m: np.ndarray, codebooks: np.ndarray) -> np.ndarray:
+    """(n, d) → (n, m_sub) uint8 codes: per subspace, nearest codeword."""
+    n_sub, n_codes, d_sub = codebooks.shape
+    codes = np.empty((len(m), n_sub), dtype=np.uint8)
+    for j in range(n_sub):  # m_sub is a small constant; each pass whole-batch
+        sub = m[:, j * d_sub : (j + 1) * d_sub]
+        d = -2 * (sub @ codebooks[j].T) + (codebooks[j] ** 2).sum(axis=1)[None, :]
+        codes[:, j] = np.argmin(d, axis=1).astype(np.uint8)
+    return codes
+
+
+def knn_ivfpq(
+    ds: "ray.data.Dataset",
+    queries: np.ndarray,
+    query_ids: np.ndarray,
+    k: int = 5,
+    n_lists: int = 16,
+    nprobe: int = 2,
+    m_sub: int = 4,
+    n_codes: int = 256,
+    rerank: int | None = None,
+    train_sample: int = 10_000,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    num_partitions: int = 32,
+) -> "ray.data.Dataset":
+    """IVF-PQ approximate top-k (Jégou et al., "Product quantization for
+    nearest neighbor search", TPAMI 2011) — the COMPRESSED-index scale
+    path complementing :func:`knn_lsh` / :func:`knn_ivf`: every corpus
+    vector is stored in the exchange as ``m_sub`` uint8 codes (e.g. 4
+    bytes instead of d×4), so at 10^10 vectors the candidate scan streams
+    codes, not vectors.
+
+    Stages (all distributed; no driver-side index — the driver holds only
+    the KB-scale quantizer, broadcast once):
+
+    1. TRAIN on a bounded ``limit(train_sample)`` sample: coarse k-means
+       (cosine) for the IVF lists + per-subspace L2 codebooks for PQ.
+    2. ASSIGN (map_batches): list id + PQ codes per vector; the original
+       vector column is DROPPED before the exchange.
+    3. SCAN (one groupby on list id): per list, asymmetric-distance
+       scoring — each probing query builds one (m_sub × n_codes) LUT of
+       subspace inner products and scores candidates by LUT gathers;
+       emits per-list approximate top-``rerank`` candidates.
+    4. RERANK (exact, distributed): the approximate candidates — ∝
+       queries × rerank, never ∝ corpus — are broadcast via ``ray.put``;
+       one corpus pass computes exact cosines for matched (query, id)
+       pairs only, and a final tiny groupby picks exact top-k.
+
+    With ``rerank`` ≥ the per-query candidate depth the result equals
+    :func:`knn_ivf` at the same ``nprobe`` (identical candidate lists,
+    exact final scores) while the list scan moved ~d×4/m_sub× fewer
+    bytes — the "equal probe cost, better recall-per-byte" trade pinned
+    in tests/test_ivfpq.py.
+    """
+    from raycdc.engine import _configure_shuffle
+
+    _configure_shuffle()
+    if rerank is None:
+        rerank = 4 * k
+    qn = _normalize(np.asarray(queries, np.float64))
+    nq = len(qn)
+
+    sample_tbl = ds.limit(train_sample).select_columns([vec_col]).to_pandas()
+    sample = _normalize(np.stack(sample_tbl[vec_col].to_numpy()).astype(np.float64))
+    d = sample.shape[1]
+    if d % m_sub:
+        raise ValueError(f"dim {d} not divisible by m_sub {m_sub}")
+    centroids = _kmeans(sample, n_lists)
+    d_sub = d // m_sub
+    codebooks = np.stack(
+        [
+            _kmeans_l2(sample[:, j * d_sub : (j + 1) * d_sub], n_codes, seed=7 + j)
+            for j in range(m_sub)
+        ]
+    )
+
+    q_lists = np.argsort(-(qn @ centroids.T), axis=1)[:, :nprobe]
+    # per-query ADC lookup tables, built ONCE driver-side (nq × m_sub ×
+    # n_codes float32 — KBs per query), broadcast with the rest
+    luts = np.stack(
+        [qn[:, j * d_sub : (j + 1) * d_sub] @ codebooks[j].T for j in range(m_sub)],
+        axis=1,
+    ).astype(np.float32)  # (nq, m_sub, n_codes)
+    ref = ray.put((np.asarray(query_ids), q_lists, luts))
+
+    code_type = pa.list_(pa.uint8(), m_sub)
+
+    def assign(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], t.schema.field(id_col).type),
+                    "ivf_list": pa.array([], pa.int64()),
+                    "pq": pa.array([], code_type),
+                }
+            )
+        m = _normalize(_to_matrix(t[vec_col]))
+        lists = np.argmax(m @ centroids.T, axis=1)
+        codes = _pq_encode(m, codebooks)
+        return pa.table(
+            {
+                id_col: t[id_col],
+                "ivf_list": pa.array(lists.astype(np.int64)),
+                "pq": pa.FixedSizeListArray.from_arrays(
+                    pa.array(codes.reshape(-1), pa.uint8()), m_sub
+                ),
+            }
+        )
+
+    def scan_list(g: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "q_id": pa.array([], pa.int64()),
+                id_col: pa.array([], pa.int64()),
+                "approx": pa.array([], pa.float64()),
+            }
+        )
+        if len(g) == 0:
+            return empty
+        qids, ql, lut = ray.get(ref)
+        lid = int(g["ivf_list"][0].as_py())
+        sel = np.flatnonzero((ql == lid).any(axis=1))
+        if not len(sel):
+            return empty
+        codes = np.asarray(
+            g["pq"].combine_chunks().flatten(), dtype=np.uint8
+        ).reshape(len(g), m_sub)
+        ids = g[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        out_q, out_i, out_s = [], [], []
+        depth = min(rerank, len(ids))
+        for qi in sel:  # queries probing this list: nq×nprobe/n_lists rows
+            s = np.zeros(len(ids), dtype=np.float32)
+            for j in range(m_sub):
+                s += lut[qi, j][codes[:, j]]
+            top = np.argpartition(-s, depth - 1)[:depth] if depth < len(s) else np.arange(len(s))
+            out_q.append(np.full(len(top), qids[qi], np.int64))
+            out_i.append(ids[top])
+            out_s.append(s[top].astype(np.float64))
+        return pa.table(
+            {
+                "q_id": pa.array(np.concatenate(out_q)),
+                id_col: pa.array(np.concatenate(out_i)),
+                "approx": pa.array(np.concatenate(out_s)),
+            }
+        )
+
+    def approx_topk(g: pa.Table) -> pa.Table:
+        # per-query approximate top-`rerank` across probed lists
+        if len(g) == 0:
+            return g
+        s = g["approx"].to_numpy()
+        depth = min(rerank, len(s))
+        top = np.argpartition(-s, depth - 1)[:depth] if depth < len(s) else np.arange(len(s))
+        return g.take(pa.array(np.sort(top)))
+
+    assigned = ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
+    cand = (
+        assigned.groupby("ivf_list", num_partitions=num_partitions)
+        .map_groups(scan_list, batch_format="pyarrow")
+        .groupby("q_id", num_partitions=8)
+        .map_groups(approx_topk, batch_format="pyarrow")
+    )
+    # ---- exact distributed rerank: candidates are tiny (≤ nq × rerank) --
+    cand_parts = [t for t in ray.get(cand.to_arrow_refs()) if t.num_rows]
+    if not cand_parts:
+        return ray.data.from_arrow(_empty_candidates(id_col))
+    cand_t = pa.concat_tables(cand_parts).combine_chunks()
+    cand_ids = np.sort(np.unique(cand_t[id_col].to_numpy(zero_copy_only=False)))
+    # (sorted candidate ids, per-candidate query lists) broadcast once
+    pairs_ref = ray.put(
+        (
+            cand_ids,
+            cand_t["q_id"].to_numpy(zero_copy_only=False).astype(np.int64),
+            cand_t[id_col].to_numpy(zero_copy_only=False).astype(np.int64),
+            qn,
+            np.asarray(query_ids, dtype=np.int64),
+        )
+    )
+
+    def exact_scores(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "q_id": pa.array([], pa.int64()),
+                id_col: pa.array([], pa.int64()),
+                "cosine": pa.array([], pa.float64()),
+            }
+        )
+        if len(t) == 0:
+            return empty
+        cids, pq_q, pq_i, q, qid_arr = ray.get(pairs_ref)
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.searchsorted(cids, ids)
+        pos_c = np.minimum(pos, len(cids) - 1)
+        hit = cids[pos_c] == ids
+        if not hit.any():
+            return empty
+        m = _normalize(_to_matrix(t[vec_col]))[hit]
+        ids_h = ids[hit]
+        # all exact scores for this batch's candidate rows vs ALL queries,
+        # then select the (q, id) pairs the approx stage nominated
+        s = q @ m.T  # (nq, n_hit)
+        order = np.argsort(ids_h)
+        ids_sorted = ids_h[order]
+        sel = np.searchsorted(ids_sorted, pq_i)
+        sel_c = np.minimum(sel, len(ids_sorted) - 1)
+        in_batch = ids_sorted[sel_c] == pq_i
+        if not in_batch.any():
+            return empty
+        qrow = np.searchsorted(qid_arr, pq_q[in_batch])
+        col = order[sel_c[in_batch]]
+        return pa.table(
+            {
+                "q_id": pa.array(pq_q[in_batch]),
+                id_col: pa.array(pq_i[in_batch]),
+                "cosine": pa.array(s[qrow, col].astype(np.float64)),
+            }
+        )
+
+    exact = ds.map_batches(exact_scores, batch_format="pyarrow", zero_copy_batch=True)
+
+    def final_topk(g: pa.Table) -> pa.Table:
+        if len(g) == 0:
+            return pa.table(
+                {
+                    "q_id": pa.array([], pa.int64()),
+                    id_col: pa.array([], pa.int64()),
+                    "rank": pa.array([], pa.int64()),
+                }
+            )
+        s = g["cosine"].to_numpy()
+        ids = g[id_col].to_numpy(zero_copy_only=False)
+        kk = min(k, len(s))
+        top = np.argpartition(-s, kk - 1)[:kk] if kk < len(s) else np.arange(len(s))
+        order = top[np.lexsort((ids[top], -s[top]))]
+        return pa.table(
+            {
+                "q_id": pa.array(np.full(kk, g["q_id"][0].as_py(), np.int64)),
+                id_col: pa.array(ids[order].astype(np.int64)),
+                "rank": pa.array(np.arange(1, kk + 1, dtype=np.int64)),
+            }
+        )
+
+    return exact.groupby("q_id", num_partitions=8).map_groups(
+        final_topk, batch_format="pyarrow"
     )

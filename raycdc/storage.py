@@ -21,6 +21,31 @@ the checkpoint names it) and each tiny checkpoint JSON has exactly one
 writer (the engine partitions applies by ``part``), so atomic
 single-object publish suffices on every backend.
 
+Consistency requirements per backend class (race-tested in
+tests/test_storage_races.py):
+
+* **All backends** — atomic single-object visibility (reader sees old or
+  new, never torn) and read-after-write consistency on the lake prefix
+  (S3 provides both since 2020; POSIX rename gives them natively).
+  Listing may lag writes (S3 lists are only eventually exhaustive under
+  heavy churn) — the layout tolerates that because every read resolves
+  via checkpoints, never via listing.
+* **Per-partition single writer AT A TIME** — the apply path is
+  read-checkpoint → merge → publish data-v(N+1) → publish checkpoint,
+  with no compare-and-swap.  Two writers racing DIFFERENT batches into
+  the SAME partition can interleave those steps and the loser's rows
+  silently vanish under the winner's checkpoint; the engine guarantees
+  the one-writer-per-partition discipline (one replay per lake at a
+  time; Ray's groupby gives each partition to exactly one task).  Racing
+  the SAME batch (duplicate delivery, crash-retry) is safe on every
+  backend: both writers derive byte-identical files and an identical
+  checkpoint, so any interleaving converges — pinned by the race tests.
+* **Journal appends are single-appender** — object-store ``append_bytes``
+  is read-modify-write (no append primitive), so concurrent appenders
+  can lose entries; run ONE tail process per lake.  A lost journal entry
+  is re-delivery, not corruption (checkpoints make the re-replay a
+  no-op), but the discipline keeps the journal an honest WAL record.
+
 Resolution is by URI scheme: plain paths → :class:`LocalStorage`;
 ``scheme://...`` → :class:`FsspecStorage` (whatever fsspec has installed:
 ``file``, ``memory``, ``s3``, ``gcs``...).  Library code asks
