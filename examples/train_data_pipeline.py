@@ -110,7 +110,19 @@ def main() -> None:
     )
     n_packs = len(packs.select_columns(["pack_id"]).unique("pack_id"))
 
-    # 6. shuffle-free profiles of the events stream
+    # 6. SEMANTIC layer, no model required: deterministic hashing-trick
+    # embeddings (actor-pool stage, text dropped before the exchange) →
+    # LSH-bucketed cosine near-dup pairs — the embedding-space sibling of
+    # stage 2's MinHash pass
+    from raycdc.similarity import embed_text, embedding_near_dup_pairs
+
+    vecs = embed_text(kept, dim=256, id_col="doc_id", concurrency=(1, 4))
+    sem_pairs = embedding_near_dup_pairs(
+        vecs, threshold=0.9, nbits=4, nprobe=3, id_col="doc_id", num_partitions=8
+    )
+    n_sem_pairs = sem_pairs.count()
+
+    # 7. shuffle-free profiles of the events stream
     events = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
     n_users, rse = approx_ndistinct(events, "user_id", p=12)
 
@@ -119,6 +131,7 @@ def main() -> None:
     print(f"after near-dup:    {n2}  (dropped {len(drop)} near-duplicates)")
     print(f"after quality/lang gates: {n3}")
     print(f"kept-corpus tokens: {total_tokens} in {n_packs} packs of <=512")
+    print(f"semantic near-dup pairs (cos>=0.9 on hashed embeddings): {n_sem_pairs}")
     print(f"distinct users (HLL ±{rse:.1%}): {n_users}")
     assert n0 >= n1 >= n2 >= n3 and total_tokens > 0 and n_packs > 0
     print("train_data_pipeline OK")

@@ -60,6 +60,7 @@ _ENGINE_EXPORTS = (
     "maintain_rollup",
     "maintain_distinct",
     "maintain_transcripts",
+    "maintain_extrema",
     "maintain_view",
     "ViewContext",
     "detect_hot_keys",

@@ -222,6 +222,18 @@ def main(argv: list[str] | None = None) -> int:
     p_distinct.add_argument("--value", required=True, help="counted column")
     p_distinct.add_argument("--partitions", type=int, default=4)
 
+    p_ext = sub.add_parser(
+        "extrema",
+        help="incrementally maintain a MIN/MAX/COUNT-per-group view of a "
+        "lake (non-invertible aggregates: touched groups recompute from "
+        "the pinned snapshot with partition pruning)",
+    )
+    p_ext.add_argument("src", help="source lake dir")
+    p_ext.add_argument("dst", help="extrema-view lake dir")
+    p_ext.add_argument("--group", default="conv_id", help="group column (must equal the source partition key)")
+    p_ext.add_argument("--value", default="turn_idx", help="min/max column")
+    p_ext.add_argument("--partitions", type=int, default=8)
+
     p_roll = sub.add_parser(
         "rollup",
         help="incrementally maintain a SUM/COUNT-per-group aggregate view "
@@ -688,6 +700,18 @@ def main(argv: list[str] | None = None) -> int:
                 )
             )
         )
+    elif args.cmd == "extrema":
+        from raycdc.engine import maintain_extrema
+
+        lin = maintain_extrema(
+            args.src,
+            args.dst,
+            group_col=args.group,
+            value_col=args.value,
+            spec=_lake_spec(args.src, 64),
+            num_partitions=args.partitions,
+        )
+        print(json.dumps({"applied_partitions": lin.num_rows}))
     elif args.cmd == "rollup":
         import pyarrow as pa
         import pyarrow.compute as pc

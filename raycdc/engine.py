@@ -3165,6 +3165,216 @@ def maintain_transcripts(
     )
 
 
+def maintain_extrema(
+    src_lake: str,
+    view_lake: str,
+    group_col: str = "conv_id",
+    value_col: str = "turn_idx",
+    spec: TableSpec | None = None,
+    num_partitions: int = 8,
+) -> pa.Table:
+    """Incrementally maintained MIN/MAX/COUNT-per-group view — the
+    non-invertible-aggregate case on the :func:`maintain_view` skeleton:
+    a delete can remove the current extremum, so there is no delta
+    algebra (unlike :func:`maintain_rollup`'s signed sums); touched
+    groups recompute from the pinned snapshot with PARTITION PRUNING
+    (requires the source's ``partition_key == group_col``, validated —
+    same contract as :func:`maintain_transcripts`), untouched groups are
+    never read.  Groups whose every row was deleted are tombstoned out.
+
+    View rows: ``(group_col, vmin, vmax, n_rows)`` in an LWW lake keyed
+    on ``group_col``.  Returns the replay lineage (empty feed → empty
+    lineage, position still advanced).  Exactly-once via the shared
+    pending-claim (crash-retry recomputes the SAME rows from the SAME
+    pinned snapshot; redelivery is checkpoint-pruned).
+    """
+    import numpy as np
+    import ray
+
+    from raycdc.partition import hash_key_column
+
+    spec = spec or TableSpec()
+    meta = S.read_spec_meta(src_lake) or {}
+    src_pk = meta.get("partition_key", spec.partition_key)
+    src_nparts = int(meta.get("num_partitions", spec.num_partitions))
+    if src_pk != group_col:
+        raise ValueError(
+            f"maintain_extrema: source lake partitions by {src_pk!r}, "
+            f"but the view groups by {group_col!r} — partition pruning "
+            "would be unsound; repartition the source (engine.migrate_lake) "
+            "or group by its partition key"
+        )
+
+    def fold(feed, ctx: ViewContext):
+        def group_partials(t: pa.Table) -> pa.Table:
+            return pa.table({group_col: t[group_col].unique()})
+
+        parts = feed.map_batches(
+            group_partials, batch_format="pyarrow", zero_copy_batch=True
+        ).to_pandas()
+        touched = pa.array(parts[group_col].unique()) if len(parts) else None
+
+        reg = S.read_lake_schema(src_lake)
+        if reg is None:
+            raise FileNotFoundError(
+                f"maintain_extrema: {src_lake} has no schema registry — "
+                "nothing has been applied to the source lake yet"
+            )
+        vtype = reg.field(value_col).type
+        view_fields = [
+            pa.field("vmin", vtype),
+            pa.field("vmax", vtype),
+            pa.field("n_rows", pa.int64()),
+        ]
+        view_spec = TableSpec(
+            name="extrema_view",
+            schema=pa.schema(
+                [pa.field(group_col, reg.field(group_col).type)] + view_fields
+            ),
+            key_cols=(group_col,),
+            version_cols=("ts", "lsn"),
+            partition_key=group_col,
+            num_partitions=num_partitions,
+            sort_cols=(group_col,),
+            merge_policy="lww",
+        )
+
+        changes = None
+        gone = pa.array([], view_spec.schema.field(group_col).type)
+        if touched is not None and len(touched):
+            touched_parts = np.unique(
+                hash_key_column(touched) % np.uint64(src_nparts)
+            ).astype(int)
+            state = read_lake(
+                src_lake,
+                spec,
+                columns=[group_col, value_col],
+                as_of=ctx.to_snap,
+                partitions=touched_parts.tolist(),
+            )
+            touched_ref = ray.put(touched)
+
+            def extrema_partial(t: pa.Table) -> pa.Table:
+                t = t.filter(
+                    pc.is_in(t[group_col], value_set=ray.get(touched_ref))
+                )
+                empty = pa.table(
+                    {
+                        group_col: pa.array([], t.schema.field(group_col).type),
+                        "vmin": pa.array([], vtype),
+                        "vmax": pa.array([], vtype),
+                        "n_rows": pa.array([], pa.int64()),
+                    }
+                )
+                if len(t) == 0:
+                    return empty
+                # sorted segmented pass: one reduceat per bound, no
+                # per-group filters (the repo's segmented convention)
+                t = t.take(pc.sort_indices(t[group_col]))
+                gv = t[group_col].combine_chunks()
+                vals = t[value_col].to_numpy(zero_copy_only=False)
+                neq = np.asarray(
+                    pc.not_equal(gv.slice(1), gv.slice(0, len(gv) - 1))
+                )
+                starts = np.r_[0, np.flatnonzero(neq) + 1]
+                return pa.table(
+                    {
+                        group_col: gv.take(pa.array(starts)),
+                        "vmin": pa.array(
+                            np.minimum.reduceat(vals, starts)
+                        ).cast(vtype),
+                        "vmax": pa.array(
+                            np.maximum.reduceat(vals, starts)
+                        ).cast(vtype),
+                        "n_rows": pa.array(
+                            np.diff(np.r_[starts, len(gv)]).astype(np.int64)
+                        ),
+                    }
+                )
+
+            def combine_partials(g: pa.Table) -> pa.Table:
+                # one row per (bucket's) group across source partitions:
+                # same segmented pass over the partials
+                g = g.take(pc.sort_indices(g[group_col]))
+                gv = g[group_col].combine_chunks()
+                neq = np.asarray(
+                    pc.not_equal(gv.slice(1), gv.slice(0, len(gv) - 1))
+                )
+                starts = np.r_[0, np.flatnonzero(neq) + 1]
+                vmin = np.minimum.reduceat(
+                    g["vmin"].to_numpy(zero_copy_only=False), starts
+                )
+                vmax = np.maximum.reduceat(
+                    g["vmax"].to_numpy(zero_copy_only=False), starts
+                )
+                n = np.add.reduceat(
+                    g["n_rows"].to_numpy(zero_copy_only=False), starts
+                )
+                return pa.table(
+                    {
+                        group_col: gv.take(pa.array(starts)),
+                        "vmin": pa.array(vmin).cast(vtype),
+                        "vmax": pa.array(vmax).cast(vtype),
+                        "n_rows": pa.array(n.astype(np.int64)),
+                    }
+                )
+
+            from raycdc.partition import bucket_keys
+
+            partials = state.map_batches(
+                extrema_partial, batch_format="pyarrow", zero_copy_batch=True
+            ).map_batches(
+                lambda t: t.append_column(
+                    "__b", bucket_keys(t, [group_col], num_partitions)
+                ),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            )
+            combined = (
+                partials.groupby("__b", num_partitions=num_partitions)
+                .map_groups(
+                    lambda g: combine_partials(g.drop_columns(["__b"])),
+                    batch_format="pyarrow",
+                )
+                .materialize()
+            )
+            live_ids = combined.select_columns([group_col]).to_pandas()
+            live_groups = (
+                pa.array(live_ids[group_col]) if len(live_ids) else None
+            )
+            gone = (
+                touched.filter(
+                    pc.invert(pc.is_in(touched, value_set=live_groups))
+                )
+                if live_groups is not None
+                else touched
+            )
+            changes = combined.map_batches(
+                lambda t: ctx.envelope(t, "insert", seg=True),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            )
+        if len(gone):
+            gone_payload = pa.table(
+                {group_col: gone.cast(view_spec.schema.field(group_col).type)}
+                | {f.name: pa.nulls(len(gone), f.type) for f in view_fields}
+            )
+            gone_ds = ray.data.from_arrow(
+                ctx.envelope(gone_payload, M.DELETE, seg=True)
+            )
+            changes = gone_ds if changes is None else changes.union(gone_ds)
+        return changes, view_spec
+
+    return maintain_view(
+        src_lake,
+        view_lake,
+        fold,
+        spec=spec,
+        caller="maintain_extrema",
+        steady=S.LINEAGE_SCHEMA.empty_table,
+    )
+
+
 def sync_lake(
     src_lake: str,
     dst_lake: str,

@@ -1412,6 +1412,67 @@ GROUP BY conv_id
 """
 
 
+def q_cdc_extrema_view(sf_dir: str):
+    """Incremental MIN/MAX/COUNT-per-conversation view
+    (:func:`raycdc.engine.maintain_extrema`, on the shared maintain_view
+    skeleton): built from the half-log state, refreshed after the tail
+    replay — the NON-INVERTIBLE aggregate case (a delete can remove the
+    current extremum, so touched conversations recompute from the pinned
+    snapshot with partition pruning; no delta algebra exists).  ORACLE
+    recomputes min/max/count from scratch over the full LWW state."""
+    import pyarrow.parquet as pq
+
+    from raycdc.changelog import changelog_from_events
+    from raycdc.engine import maintain_extrema, read_lake, replay
+    from raycdc.schema import TableSpec
+
+    spec = TableSpec(num_partitions=16)
+    src = _scratch_path(sf_dir, "extrema_src")
+    view = _scratch_path(sf_dir, "extrema_view")
+    shutil.rmtree(src, ignore_errors=True)
+    shutil.rmtree(view, ignore_errors=True)
+    cut = pq.read_metadata(f"{sf_dir}/events.parquet").num_rows // 2
+    log = changelog_from_events(sf_dir)
+    kw = dict(group_col="conv_id", value_col="turn_idx", spec=spec)
+    replay(
+        log.map_batches(
+            lambda t: t.filter(pc.less_equal(t["lsn"], cut)),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ),
+        src,
+        spec,
+    )
+    maintain_extrema(src, view, **kw)
+    replay(log, src, spec)
+    maintain_extrema(src, view, **kw)
+    return read_lake(view, TableSpec(num_partitions=8)).select_columns(
+        ["conv_id", "vmin", "vmax", "n_rows"]
+    )
+
+
+def _sql_cdc_extrema_view() -> str:
+    from raycdc.changelog import CHANGELOG_SQL
+
+    return f"""
+WITH {CHANGELOG_SQL.strip()},
+ranked AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY conv_id, turn_idx
+        ORDER BY ts DESC, lsn DESC
+    ) AS rn
+    FROM changelog
+)
+SELECT conv_id,
+       MIN(turn_idx) AS vmin,
+       MAX(turn_idx) AS vmax,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM ranked
+WHERE rn = 1 AND op <> 'delete'
+GROUP BY conv_id
+"""
+
+
 def q_cdc_transcript_view(sf_dir: str):
     """Incrementally maintained TRANSCRIPT view
     (:func:`raycdc.engine.maintain_transcripts`): a per-conversation
@@ -5872,6 +5933,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "cdc_csv_ingest": q_cdc_csv_ingest,
     "cdc_tail_route": q_cdc_tail_route,
     "text_embed_near_dup": q_text_embed_near_dup,
+    "cdc_extrema_view": q_cdc_extrema_view,
     "cdc_evolve": q_cdc_evolve,
     "cdc_additive_rollup": q_cdc_additive_rollup,
     "cdc_bootstrap": q_cdc_bootstrap,
@@ -6004,6 +6066,7 @@ ORACLES: dict[str, str] = {
     "cdc_suppress_noops": SQL_CDC_SUPPRESS_NOOPS,
     "pack_docs": SQL_PACK_DOCS,
     "media_features": SQL_MEDIA_FEATURES,
+    "cdc_extrema_view": _sql_cdc_extrema_view(),
     "cdc_tail_route": _sql_cdc_tail_route(),
     "cdc_point_in_time": SQL_CDC_POINT_IN_TIME,
     "cdc_colocated_join": _sql_cdc_colocated_join(),
@@ -6150,4 +6213,5 @@ def bench_extras() -> dict[str, Callable[[str], Any]]:
         "cdc_tail_route": lambda sf: q_cdc_tail_route(sf).count(),
         "text_embed_near_dup": lambda sf: q_text_embed_near_dup(sf).count(),
         "sim_knn_ivfpq": lambda sf: q_sim_knn_ivfpq(sf).count(),
+        "cdc_extrema_view": lambda sf: q_cdc_extrema_view(sf).count(),
     }

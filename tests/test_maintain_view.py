@@ -144,3 +144,128 @@ def test_vacuumed_pending_snapshot_raises(ray_session, tmp_path):
     )
     with pytest.raises(FileNotFoundError, match="pending snapshot"):
         _live_rows_view(src, view, spec)
+
+
+def test_maintain_extrema_delete_removes_extremum(ray_session, tmp_path):
+    """The non-invertible case on the skeleton: deleting the current MAX
+    must shrink vmax on the next refresh (recompute, not delta), and a
+    fully-deleted conversation must be tombstoned out of the view."""
+    import datetime as dt
+
+    from raycdc.engine import maintain_extrema
+
+    spec = TableSpec(num_partitions=4)
+    src, view = str(tmp_path / "src"), str(tmp_path / "view")
+
+    def seg(rows, lsn0):
+        n = len(rows)
+        return pa.table(
+            {
+                "conv_id": pa.array([r[0] for r in rows]),
+                "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+                "role": pa.array(["user"] * n),
+                "text": pa.array(["x"] * n),
+                "tool": pa.array([""] * n),
+                "ts": pa.array(
+                    [dt.datetime(2024, 1, 1) + dt.timedelta(seconds=lsn0 + i) for i in range(n)],
+                    pa.timestamp("us"),
+                ),
+                "op": pa.array([r[2] for r in rows]),
+                "lsn": pa.array(
+                    np.arange(lsn0, lsn0 + n, dtype=np.int64)
+                ),
+            }
+        )
+
+    replay(
+        ray.data.from_arrow(
+            seg(
+                [
+                    ("c1", 0, "insert"),
+                    ("c1", 5, "insert"),
+                    ("c1", 9, "insert"),
+                    ("c2", 3, "insert"),
+                ],
+                0,
+            )
+        ),
+        src,
+        spec,
+    )
+    maintain_extrema(src, view, spec=spec, num_partitions=4)
+
+    def view_state():
+        parts = [
+            t
+            for t in ray.get(
+                read_lake(view, TableSpec(num_partitions=4)).to_arrow_refs()
+            )
+            if t.num_rows
+        ]
+        t = pa.concat_tables(parts) if parts else None
+        if t is None:
+            return {}
+        return {
+            g: (mn, mx, n)
+            for g, mn, mx, n in zip(
+                t["conv_id"].to_pylist(),
+                t["vmin"].to_pylist(),
+                t["vmax"].to_pylist(),
+                t["n_rows"].to_pylist(),
+            )
+        }
+
+    assert view_state() == {"c1": (0, 9, 3), "c2": (3, 3, 1)}
+
+    # delete c1's MAX turn and ALL of c2
+    replay(
+        ray.data.from_arrow(
+            seg([("c1", 9, "delete"), ("c2", 3, "delete")], 100)
+        ),
+        src,
+        spec,
+    )
+    maintain_extrema(src, view, spec=spec, num_partitions=4)
+    assert view_state() == {"c1": (0, 5, 2)}  # vmax shrank; c2 tombstoned
+
+    # steady state + redelivered claim stay exactly-once
+    lin = maintain_extrema(src, view, spec=spec, num_partitions=4)
+    assert lin.num_rows == 0
+    pos_path = f"{view}/_feed_pos.json"
+    st = get_storage(view)
+    pos = read_json(st, pos_path)
+    write_json_atomic(
+        st, pos_path, {"snapshot": None, "pending": pos["snapshot"]}
+    )
+    maintain_extrema(src, view, spec=spec, num_partitions=4)
+    assert view_state() == {"c1": (0, 5, 2)}
+
+
+def test_maintain_extrema_wrong_partition_key_raises(ray_session, tmp_path):
+    from raycdc.engine import maintain_extrema
+
+    spec = TableSpec(num_partitions=4)
+    src = str(tmp_path / "src")
+    replay(
+        ray.data.from_arrow(synthetic_changelog(n_events=50, seed=1)), src, spec
+    )
+    with pytest.raises(ValueError, match="partition pruning"):
+        maintain_extrema(src, str(tmp_path / "v"), group_col="role", spec=spec)
+
+
+def test_extrema_cli_smoke(ray_session, tmp_path, capsys):
+    from raycdc.__main__ import main
+
+    spec = TableSpec(num_partitions=4)
+    src = str(tmp_path / "src")
+    replay(
+        ray.data.from_arrow(synthetic_changelog(n_events=300, seed=172)),
+        src,
+        spec,
+    )
+    rc = main(
+        ["extrema", src, str(tmp_path / "view"), "--group", "conv_id",
+         "--value", "turn_idx", "--partitions", "4"]
+    )
+    assert rc == 0
+    assert "applied_partitions" in capsys.readouterr().out
