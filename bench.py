@@ -43,7 +43,20 @@ AMPLIFY = int(os.environ.get("RAYCDC_BENCH_AMPLIFY", "256"))
 # 6.4M -> 3.2M post-combine rows), rpt=16 regresses at 32 CPUs (16 map
 # tasks < 32 slots starves the map stage).  amplify/rpt must stay >= the
 # CPU count for full map-stage utilization.
-REPS_PER_TASK = int(os.environ.get("RAYCDC_BENCH_REPS_PER_TASK", "8"))
+# Round-4 endurance ladder (2026-08-20, interleaved): at amplify 4096 a
+# FIXED rpt=8 leaves 512+ sorted runs for the push-based sort to merge
+# and the exchange turns superlinear (Sort 28 s @ 24.9M rows -> 73 s @
+# 49.9M; end-to-end 64.5 s = 6.4M ev/s), while rpt=32 (128 map tasks = 4
+# waves) runs 17.7 s = 23.1M ev/s — 3.6x.  So rpt SCALES with amplify:
+# max(8, amplify // (4 * num_cpus)) keeps ~4 waves of map tasks at any
+# amplification without starving small runs (amp 256 @ 32 cpus still 8).
+REPS_PER_TASK = int(os.environ.get("RAYCDC_BENCH_REPS_PER_TASK", "0"))
+
+
+def _reps_per_task(amplify: int, num_cpus: int) -> int:
+    if REPS_PER_TASK:
+        return REPS_PER_TASK  # explicit env override
+    return max(8, amplify // (4 * num_cpus))
 
 
 def _sf_of(sf_dir: str) -> float:
@@ -82,7 +95,7 @@ def run_queries(sf_dir: str, num_cpus: int, amplify: int) -> dict:
         shutil.rmtree(lake, ignore_errors=True)
         t0 = time.perf_counter()
         lineage = replay(
-            amplified_changelog(sf_dir, amplify, reps_per_task=REPS_PER_TASK),
+            amplified_changelog(sf_dir, amplify, reps_per_task=_reps_per_task(amplify, num_cpus)),
             lake,
             spec,
         )
@@ -97,7 +110,7 @@ def run_queries(sf_dir: str, num_cpus: int, amplify: int) -> dict:
     # --- redelivery (idempotent no-op path) --------------------------------
     t0 = time.perf_counter()
     replay(
-        amplified_changelog(sf_dir, amplify, reps_per_task=REPS_PER_TASK), lake, spec
+        amplified_changelog(sf_dir, amplify, reps_per_task=_reps_per_task(amplify, num_cpus)), lake, spec
     )
     queries["cdc_redelivery_noop"] = time.perf_counter() - t0
     shutil.rmtree(lake, ignore_errors=True)
@@ -127,7 +140,7 @@ def run_queries(sf_dir: str, num_cpus: int, amplify: int) -> dict:
         shutil.rmtree(lake, ignore_errors=True)
         t0 = time.perf_counter()
         replay(
-            amplified_changelog(sf_dir, skew_amp, reps_per_task=REPS_PER_TASK),
+            amplified_changelog(sf_dir, skew_amp, reps_per_task=_reps_per_task(skew_amp, num_cpus)),
             lake,
             spec,
             projector=skewify,
@@ -317,7 +330,9 @@ def main() -> None:
             t0 = time.perf_counter()
             replay(
                 amplified_changelog(
-                    args.sf_dir, args.amplify, reps_per_task=REPS_PER_TASK
+                    args.sf_dir,
+                    args.amplify,
+                    reps_per_task=_reps_per_task(args.amplify, args.num_cpus),
                 ),
                 lake,
                 spec,
