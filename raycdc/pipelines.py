@@ -760,7 +760,11 @@ def q_text_langid(sf_dir: str):
 
 
 def q_text_fingerprints(sf_dir: str):
-    """Winnowing document fingerprints (rows-only check)."""
+    """Winnowing document fingerprints (Schleimer et al., SIGMOD'03).
+    ORACLE-EXACT since round 4: token FNV-1a as a recursive HUGEINT fold,
+    the 3-token shingle polynomial, sliding-window MIN via a bounded
+    self-join (short docs get one window — the kernel's clamp semantics),
+    DISTINCT mins per doc, and sign-masked (mod 2^63) min/max extremes."""
     from raycdc.text import fingerprints
 
     ds = ray.data.read_parquet(
@@ -4422,8 +4426,13 @@ FROM documents n LEFT JOIN agg a USING (doc_id)
 
 
 def q_dedup_simhash(sf_dir: str):
-    """SimHash near-dup candidate pairs, Hamming ≤ 3 (rows-only check;
-    properties verified in pytest against exact copies)."""
+    """SimHash near-dup candidate pairs, Hamming ≤ 3.  ORACLE-EXACT since
+    round 4: every stage is integer arithmetic DuckDB can replay — FNV-1a
+    token hashes as a recursive HUGEINT fold over (ASCII) characters, the
+    2-token shingle polynomial, per-doc distinct shingles, the 64-bit
+    sign-vote signature via an exact powers-of-two table (NEVER ``**`` —
+    DuckDB's power returns DOUBLE), the 4×16-bit chunk banding pigeonhole,
+    and bit_count(xor) for the final Hamming filter."""
     from raycdc.dedup import simhash_candidate_pairs, simhash_signatures
 
     ds = _corpus_with_exact_copies(sf_dir)
@@ -4431,6 +4440,72 @@ def q_dedup_simhash(sf_dir: str):
         simhash_signatures, batch_format="pyarrow", zero_copy_batch=True
     )
     return simhash_candidate_pairs(sigs, max_hamming=3, num_partitions=32)
+
+
+SQL_DEDUP_SIMHASH = f"""
+WITH RECURSIVE
+pw AS (
+    SELECT 0 AS b, CAST(1 AS HUGEINT) AS p
+    UNION ALL
+    SELECT b + 1, p * 2 FROM pw WHERE b < 63
+),
+corpus AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + {{dup_offset}} AS doc_id, text FROM documents
+),
+toks AS (
+    SELECT doc_id,
+           unnest(string_split(text, ' ')) AS tok,
+           generate_subscripts(string_split(text, ' '), 1) AS idx
+    FROM corpus
+),
+fnv AS (
+    SELECT doc_id, idx, tok, 1 AS pos,
+           CAST(14695981039346656037 AS HUGEINT) AS h
+    FROM toks
+    UNION ALL
+    SELECT doc_id, idx, tok, pos + 1,
+           ((xor(h, CAST(ord(substr(tok, pos, 1)) AS HUGEINT)) * 1099511628211)
+            % 18446744073709551616)
+    FROM fnv WHERE pos <= length(tok)
+),
+tok_h AS (SELECT doc_id, idx, h FROM fnv WHERE pos = length(tok) + 1),
+shingles AS (
+    SELECT DISTINCT a.doc_id,
+           ((a.h * 1099511628211) % 18446744073709551616 + b.h)
+             % 18446744073709551616 AS sh
+    FROM tok_h a JOIN tok_h b ON b.doc_id = a.doc_id AND b.idx = a.idx + 1
+),
+votes AS (
+    SELECT doc_id, pw.b,
+           SUM(CASE WHEN (sh // pw.p) % 2 = 1 THEN 1 ELSE -1 END) AS v
+    FROM shingles CROSS JOIN pw
+    GROUP BY doc_id, pw.b
+),
+sigs AS (
+    SELECT v.doc_id,
+           CAST(SUM(CASE WHEN v.v > 0 THEN pw.p ELSE 0 END) AS HUGEINT) AS sig
+    FROM votes v JOIN pw ON pw.b = v.b
+    GROUP BY v.doc_id
+),
+pairs AS (
+    SELECT a.doc_id AS a, b.doc_id AS b,
+           bit_count(xor(
+               CAST(CASE WHEN a.sig >= 9223372036854775808
+                    THEN a.sig - 18446744073709551616 ELSE a.sig END AS BIGINT),
+               CAST(CASE WHEN b.sig >= 9223372036854775808
+                    THEN b.sig - 18446744073709551616 ELSE b.sig END AS BIGINT)
+           )) AS hamming
+    FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+    WHERE ((a.sig % 65536 = b.sig % 65536)
+        OR ((a.sig // 65536) % 65536 = (b.sig // 65536) % 65536)
+        OR ((a.sig // 4294967296) % 65536 = (b.sig // 4294967296) % 65536)
+        OR ((a.sig // 281474976710656) % 65536
+            = (b.sig // 281474976710656) % 65536))
+)
+SELECT a, b, CAST(hamming AS BIGINT) AS hamming FROM pairs WHERE hamming <= 3
+""".replace("{dup_offset}", str(_DUP_OFFSET))
 
 
 # ---------------------------------------------------------------------------
@@ -5587,6 +5662,58 @@ GROUP BY b.doc_id, t.n_bytes
 """
 
 
+SQL_TEXT_FINGERPRINTS = """
+WITH RECURSIVE
+toks AS (
+    SELECT doc_id,
+           unnest(string_split(text, ' ')) AS tok,
+           generate_subscripts(string_split(text, ' '), 1) AS idx
+    FROM documents
+),
+fnv AS (
+    SELECT doc_id, idx, tok, 1 AS pos,
+           CAST(14695981039346656037 AS HUGEINT) AS h
+    FROM toks
+    UNION ALL
+    SELECT doc_id, idx, tok, pos + 1,
+           ((xor(h, CAST(ord(substr(tok, pos, 1)) AS HUGEINT)) * 1099511628211)
+            % 18446744073709551616)
+    FROM fnv WHERE pos <= length(tok)
+),
+tok_h AS (SELECT doc_id, idx, h FROM fnv WHERE pos = length(tok) + 1),
+sh AS (
+    SELECT a.doc_id, a.idx,
+           (((((a.h * 1099511628211) % 18446744073709551616 + b.h)
+              % 18446744073709551616) * 1099511628211
+              % 18446744073709551616 + c.h) % 18446744073709551616) AS s
+    FROM tok_h a
+    JOIN tok_h b ON b.doc_id = a.doc_id AND b.idx = a.idx + 1
+    JOIN tok_h c ON c.doc_id = a.doc_id AND c.idx = a.idx + 2
+),
+cnt AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+wins AS (
+    SELECT w.doc_id, w.idx, MIN(s2.s) AS wmin
+    FROM sh w JOIN cnt USING (doc_id)
+    JOIN sh s2 ON s2.doc_id = w.doc_id AND s2.idx BETWEEN w.idx AND w.idx + 3
+    WHERE w.idx <= greatest(cnt.n_sh - 3, 1)
+    GROUP BY w.doc_id, w.idx
+),
+prints AS (SELECT DISTINCT doc_id, wmin FROM wins),
+agg AS (
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_fingerprints,
+           CAST(MIN(wmin % 9223372036854775808) AS BIGINT) AS fp_min,
+           CAST(MAX(wmin % 9223372036854775808) AS BIGINT) AS fp_max
+    FROM prints GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(a.n_fingerprints, 0) AS n_fingerprints,
+       COALESCE(a.fp_min, 0) AS fp_min,
+       COALESCE(a.fp_max, 0) AS fp_max
+FROM documents d LEFT JOIN agg a USING (doc_id)
+"""
+
+
 # ---------------------------------------------------------------------------
 # trajectory: transition matrices, context trimming, sliding windows
 # (raycdc.trajectory — ordered per-conversation sequence analytics)
@@ -6067,6 +6194,8 @@ ORACLES: dict[str, str] = {
     "pack_docs": SQL_PACK_DOCS,
     "media_features": SQL_MEDIA_FEATURES,
     "cdc_extrema_view": _sql_cdc_extrema_view(),
+    "dedup_simhash": SQL_DEDUP_SIMHASH,
+    "text_fingerprints": SQL_TEXT_FINGERPRINTS,
     "cdc_tail_route": _sql_cdc_tail_route(),
     "cdc_point_in_time": SQL_CDC_POINT_IN_TIME,
     "cdc_colocated_join": _sql_cdc_colocated_join(),
