@@ -965,3 +965,180 @@ def knn_ivfpq(
     return exact.groupby("q_id", num_partitions=8).map_groups(
         final_topk, batch_format="pyarrow"
     )
+
+
+# ---------------------------------------------------------------------------
+# graph ANN — NSW-style beam search over per-list subgraphs
+
+
+def knn_graph(
+    ds: "ray.data.Dataset",
+    queries: np.ndarray,
+    query_ids: np.ndarray,
+    k: int = 5,
+    n_lists: int = 16,
+    nprobe: int = 2,
+    degree: int = 8,
+    beam: int = 16,
+    max_hops: int = 32,
+    train_sample: int = 10_000,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    num_partitions: int = 32,
+    max_list: int = 65_536,
+) -> "ray.data.Dataset":
+    """Graph ANN: navigable-small-world beam search (Malkov & Yashunin,
+    "Efficient and robust approximate nearest neighbor search using
+    HNSW graphs", arXiv 1603.09320 — the single-layer NSW core) run over
+    PER-LIST subgraphs so both build and search distribute:
+
+    * BUILD (one groupby on the coarse k-means list id): each list task
+      builds its own adjacency — every node links to its ``degree``
+      nearest in-list neighbors (one matmul; the NSW property that makes
+      greedy search converge) — and elects the node nearest the list
+      centroid as the ENTRY POINT.  The graph lives in the Dataset rows
+      ``(list, id, vec, neighbors)``; no driver-side index exists.
+    * SEARCH (same groupby): queries probe their ``nprobe`` nearest
+      lists; inside a list each query runs greedy BEAM search from the
+      entry point — expand the best unexpanded node's neighbors, keep
+      the ``beam`` best, stop when the beam stops improving — touching
+      ~``beam × degree × hops`` vectors instead of the whole list.
+    * A final tiny groupby ranks the gathered candidates per query.
+
+    Output adds ``n_scanned`` metadata per (query, list) pair via the
+    ``scan_stats`` companion column in the candidate rows — the honest
+    probe-cost ledger the recall-per-scanned-vector comparison against
+    :func:`knn_ivf` is pinned on (tests/test_knn_graph.py).
+
+    Scale shape vs the siblings: same single exchange as :func:`knn_ivf`;
+    the win is per-list CPU — O(beam·degree·hops) per query instead of
+    O(list size) — which is what matters when lists hold 10^6+ vectors.
+    Lists are capped at ``max_list`` (counted via ``metrics.CAPS``).
+    """
+    from raycdc.engine import _configure_shuffle
+
+    _configure_shuffle()
+    qn = _normalize(np.asarray(queries, np.float64))
+
+    sample_tbl = ds.limit(train_sample).select_columns([vec_col]).to_pandas()
+    sample = _normalize(np.stack(sample_tbl[vec_col].to_numpy()).astype(np.float64))
+    centroids = _kmeans(sample, n_lists)
+    q_lists = np.argsort(-(qn @ centroids.T), axis=1)[:, :nprobe]
+    ref = ray.put((qn, np.asarray(query_ids), q_lists, centroids))
+
+    def assign(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return t.append_column("nsw_list", pa.array([], pa.int64()))
+        m = _normalize(_to_matrix(t[vec_col]))
+        lists = np.argmax(m @ centroids.T, axis=1)
+        return t.append_column("nsw_list", pa.array(lists.astype(np.int64)))
+
+    _EMPTY = pa.table(
+        {
+            "q_id": pa.array([], pa.int64()),
+            id_col: pa.array([], pa.int64()),
+            "score": pa.array([], pa.float64()),
+            "n_scanned": pa.array([], pa.int64()),
+        }
+    )
+
+    def build_and_search(g: pa.Table) -> pa.Table:
+        if len(g) == 0:
+            return _EMPTY
+        q, qids, ql, cents = ray.get(ref)
+        lid = int(g["nsw_list"][0].as_py())
+        sel = np.flatnonzero((ql == lid).any(axis=1))
+        if not len(sel):
+            return _EMPTY
+        m = _normalize(_to_matrix(g[vec_col]))
+        ids = g[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(ids) > max_list:
+            from raycdc.metrics import CAPS
+
+            CAPS.record("knn_graph", len(ids), max_list)
+            m, ids = m[:max_list], ids[:max_list]
+        n = len(ids)
+        # ---- BUILD: degree-NN adjacency + centroid-nearest entry ----------
+        deg = min(degree, n - 1)
+        if deg <= 0:
+            # singleton list: the one node is every probing query's answer
+            rows_q = np.asarray(qids)[sel]
+            s = (q[sel] @ m.T).reshape(-1)
+            return pa.table(
+                {
+                    "q_id": pa.array(rows_q),
+                    id_col: pa.array(np.repeat(ids, len(sel))),
+                    "score": pa.array(s.astype(np.float64)),
+                    "n_scanned": pa.array(np.ones(len(sel), np.int64)),  # 1 row/query
+                }
+            )
+        sim = m @ m.T
+        np.fill_diagonal(sim, -np.inf)
+        nbrs = np.argpartition(-sim, deg - 1, axis=1)[:, :deg]  # (n, deg) local idx
+        entry = int(np.argmax(m @ cents[lid]))
+        # ---- SEARCH: greedy beam per probing query -------------------------
+        out_q, out_i, out_s, out_n = [], [], [], []
+        for qi in sel:
+            qv = q[qi]
+            visited = np.zeros(n, dtype=bool)
+            visited[entry] = True
+            scores = {entry: float(qv @ m[entry])}
+            beam_ids = [entry]
+            expanded: set[int] = set()
+            scanned = 1
+            for _ in range(max_hops):
+                # best beam node not yet expanded
+                cand = [b for b in beam_ids if b not in expanded]
+                if not cand:
+                    break
+                best = max(cand, key=lambda b: scores[b])
+                expanded.add(best)
+                new = nbrs[best][~visited[nbrs[best]]]
+                if len(new):
+                    visited[new] = True
+                    s_new = m[new] @ qv  # one small matvec per hop
+                    scanned += len(new)
+                    for j, sc in zip(new.tolist(), s_new.tolist()):
+                        scores[j] = sc
+                    beam_ids.extend(new.tolist())
+                # keep the beam best; stop when the frontier can't improve
+                beam_ids.sort(key=lambda b: -scores[b])
+                beam_ids = beam_ids[:beam]
+                if all(b in expanded for b in beam_ids):
+                    break
+            top = sorted(beam_ids, key=lambda b: -scores[b])[: min(k, len(beam_ids))]
+            out_q.append(np.full(len(top), qids[qi], np.int64))
+            out_i.append(ids[np.array(top, dtype=np.int64)])
+            out_s.append(np.array([scores[b] for b in top], np.float64))
+            # scan cost on the FIRST candidate row only, 0 on the rest —
+            # the final per-query total is then a plain SUM (attaching it
+            # to every row would double-count; summing distinct values
+            # would undercount when two lists scan the same count)
+            nvec = np.zeros(len(top), np.int64)
+            nvec[0] = scanned
+            out_n.append(nvec)
+        return pa.table(
+            {
+                "q_id": pa.array(np.concatenate(out_q)),
+                id_col: pa.array(np.concatenate(out_i)),
+                "score": pa.array(np.concatenate(out_s)),
+                "n_scanned": pa.array(np.concatenate(out_n)),
+            }
+        )
+
+    def final_topk(g: pa.Table) -> pa.Table:
+        g2 = g.drop_columns(["n_scanned"])
+        ranked = _rank_topk(g2, k, id_col, dedup=False)
+        # carry the query's total scan cost (sum over probed lists)
+        total = int(pa.compute.sum(g["n_scanned"]).as_py() or 0)
+        return ranked.append_column(
+            "n_scanned", pa.array(np.full(len(ranked), total, np.int64))
+        )
+
+    assigned = ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
+    cand = assigned.groupby("nsw_list", num_partitions=num_partitions).map_groups(
+        build_and_search, batch_format="pyarrow"
+    )
+    return cand.groupby("q_id", num_partitions=8).map_groups(
+        final_topk, batch_format="pyarrow"
+    )
