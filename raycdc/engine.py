@@ -1064,6 +1064,12 @@ def prune_segments(
             rows.append((p, "pruned"))
         else:
             _st(p).remove(p)
+            # invalidate the listing cache: a duplicate journal entry for
+            # this path must see the file as gone ("missing"), not hit a
+            # stale cached listing and raise on the second remove
+            d, _, name = p.rpartition("/")
+            if d in listed:
+                listed[d].discard(name)
             rows.append((p, "pruned"))
     path_c, st_c = zip(*rows) if rows else ((), ())
     return pa.table(
@@ -3258,6 +3264,13 @@ def maintain_extrema(
                 t = t.filter(
                     pc.is_in(t[group_col], value_set=ray.get(touched_ref))
                 )
+                # NULL values are ignored entirely (SQL MIN/MAX semantics;
+                # same policy as maintain_distinct): to_numpy would promote
+                # them to NaN and poison the reduceats / fail the integer
+                # cast back.  n_rows therefore counts NON-NULL-valued rows;
+                # a group whose surviving rows are all null-valued drops out
+                # of its partial and — if nothing else remains — tombstones.
+                t = t.filter(pc.is_valid(t[value_col]))
                 empty = pa.table(
                     {
                         group_col: pa.array([], t.schema.field(group_col).type),

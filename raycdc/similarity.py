@@ -888,14 +888,20 @@ def knn_ivfpq(
         return ray.data.from_arrow(_empty_candidates(id_col))
     cand_t = pa.concat_tables(cand_parts).combine_chunks()
     cand_ids = np.sort(np.unique(cand_t[id_col].to_numpy(zero_copy_only=False)))
-    # (sorted candidate ids, per-candidate query lists) broadcast once
+    # (sorted candidate ids, per-candidate query lists) broadcast once.
+    # qn/qid_arr are co-sorted by query id BEFORE the put: exact_scores maps
+    # candidate rows back to query vectors via np.searchsorted(qid_arr, ...),
+    # which silently picks the wrong row when ids arrive unsorted — sorting
+    # here makes the public API order-independent (ADVICE r4).
+    qid_arr = np.asarray(query_ids, dtype=np.int64)
+    qorder = np.argsort(qid_arr, kind="stable")
     pairs_ref = ray.put(
         (
             cand_ids,
             cand_t["q_id"].to_numpy(zero_copy_only=False).astype(np.int64),
             cand_t[id_col].to_numpy(zero_copy_only=False).astype(np.int64),
-            qn,
-            np.asarray(query_ids, dtype=np.int64),
+            qn[qorder],
+            qid_arr[qorder],
         )
     )
 

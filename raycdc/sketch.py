@@ -143,6 +143,15 @@ def matrix_to_binary(mat: np.ndarray) -> pa.Array:
     as a binary array of ``rows`` fixed-size blobs — built from buffers,
     no per-row ``tobytes`` loop."""
     rows, m = mat.shape
+    if (rows + 1) * m > np.iinfo(np.int32).max:
+        # binary() offsets are int32; past 2^31 bytes they would silently
+        # wrap and corrupt every blob boundary (ADVICE r4).  ~524k groups
+        # at p=12 — far above any bounded-groups view contract, so raising
+        # beats quietly switching to large_binary and changing the schema.
+        raise ValueError(
+            f"matrix_to_binary: {rows} rows x {m} bytes overflows int32 "
+            "binary offsets; fold in smaller partitions"
+        )
     data = pa.py_buffer(np.ascontiguousarray(mat).tobytes())
     offsets = pa.py_buffer(
         np.arange(0, (rows + 1) * m, m, dtype=np.int32).tobytes()
