@@ -4600,6 +4600,23 @@ def q_sim_knn_ivfpq(sf_dir: str):
     return out.select_columns(["q_id", "vec_id", "rank"])
 
 
+def q_sim_knn_graph(sf_dir: str):
+    """NSW graph ANN (blocked per-list adjacency build + lock-step beam
+    search; rows-only — recall-per-scanned-vector vs knn_ivf is pinned in
+    tests/test_knn_graph.py)."""
+    from raycdc.similarity import knn_graph
+
+    q, qids = _query_matrix(sf_dir)
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    out = knn_graph(
+        ds, q, qids, k=_TOP_K, n_lists=8, nprobe=3, degree=8, beam=16,
+        num_partitions=16,
+    )
+    return out.select_columns(["q_id", "vec_id", "rank"])
+
+
 def _embeddings_with_copies(sf_dir: str) -> "ray.data.Dataset":
     """embeddings + one slightly-perturbed near-copy per vector (the base
     vectors are near-orthogonal, so every near-dup is constructed)."""
@@ -6149,6 +6166,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "sim_knn_lsh": q_sim_knn_lsh,
     "sim_knn_ivf": q_sim_knn_ivf,
     "sim_knn_ivfpq": q_sim_knn_ivfpq,
+    "sim_knn_graph": q_sim_knn_graph,
     "embed_near_dup": q_embed_near_dup,
     "semantic_dedup": q_semantic_dedup,
     "media_meta": q_media_meta,

@@ -976,6 +976,11 @@ def knn_ivfpq(
 # ---------------------------------------------------------------------------
 # graph ANN — NSW-style beam search over per-list subgraphs
 
+# per-task byte budgets for knn_graph: adjacency-build row blocks and
+# per-query-chunk search state (scores f64 + visited/expanded bools)
+_ADJ_BLOCK_BYTES = 1 << 27  # 128 MB
+_SEARCH_CHUNK_BYTES = 1 << 26  # 64 MB
+
 
 def knn_graph(
     ds: "ray.data.Dataset",
@@ -1000,21 +1005,27 @@ def knn_graph(
 
     * BUILD (one groupby on the coarse k-means list id): each list task
       builds its own adjacency — every node links to its ``degree``
-      nearest in-list neighbors (one matmul; the NSW property that makes
-      greedy search converge) — and elects the node nearest the list
-      centroid as the ENTRY POINT.  The graph lives in the Dataset rows
-      ``(list, id, vec, neighbors)``; no driver-side index exists.
+      nearest in-list neighbors (the NSW property that makes greedy
+      search converge) — and elects ENTRY SEEDS: the centroid-nearest
+      node plus stride-spread nodes (a pure k-NN graph over clustered
+      data is disconnected across clusters, so multi-seed beams are what
+      reach every component).  The similarity matrix is computed in ROW
+      BLOCKS sized to a fixed byte budget (``_ADJ_BLOCK_BYTES``), so
+      peak build memory is O(block × n), never O(n²) — at the
+      ``max_list`` cap the full matrix would be ~34 GB; the blocked
+      build stays under ~128 MB per task.
     * SEARCH (same groupby): queries probe their ``nprobe`` nearest
-      lists; inside a list each query runs greedy BEAM search from the
-      entry point — expand the best unexpanded node's neighbors, keep
-      the ``beam`` best, stop when the beam stops improving — touching
-      ~``beam × degree × hops`` vectors instead of the whole list.
+      lists; inside a list ALL probing queries advance their greedy BEAM
+      searches in lock-step as numpy matrices (visited/score state per
+      query CHUNK, one gather+einsum per hop across every active query)
+      — no per-query Python loop — touching ~``beam × degree × hops``
+      vectors per query instead of the whole list.
     * A final tiny groupby ranks the gathered candidates per query.
 
-    Output adds ``n_scanned`` metadata per (query, list) pair via the
-    ``scan_stats`` companion column in the candidate rows — the honest
-    probe-cost ledger the recall-per-scanned-vector comparison against
-    :func:`knn_ivf` is pinned on (tests/test_knn_graph.py).
+    Output carries an ``n_scanned`` column — each query's total vectors
+    scored across its probed lists — the honest probe-cost ledger the
+    recall-per-scanned-vector comparison against :func:`knn_ivf` is
+    pinned on (tests/test_knn_graph.py).
 
     Scale shape vs the siblings: same single exchange as :func:`knn_ivf`;
     the win is per-list CPU — O(beam·degree·hops) per query instead of
@@ -1030,7 +1041,7 @@ def knn_graph(
     sample = _normalize(np.stack(sample_tbl[vec_col].to_numpy()).astype(np.float64))
     centroids = _kmeans(sample, n_lists)
     q_lists = np.argsort(-(qn @ centroids.T), axis=1)[:, :nprobe]
-    ref = ray.put((qn, np.asarray(query_ids), q_lists, centroids))
+    ref = ray.put((qn, np.asarray(query_ids, dtype=np.int64), q_lists, centroids))
 
     def assign(t: pa.Table) -> pa.Table:
         if len(t) == 0:
@@ -1078,56 +1089,110 @@ def knn_graph(
                     "n_scanned": pa.array(np.ones(len(sel), np.int64)),  # 1 row/query
                 }
             )
-        sim = m @ m.T
-        np.fill_diagonal(sim, -np.inf)
-        nbrs = np.argpartition(-sim, deg - 1, axis=1)[:, :deg]  # (n, deg) local idx
-        entry = int(np.argmax(m @ cents[lid]))
-        # ---- SEARCH: greedy beam per probing query -------------------------
+        # blocked adjacency: peak extra memory = blk × n float64, never n²
+        blk = max(1, _ADJ_BLOCK_BYTES // (8 * n))
+        nbrs = np.empty((n, deg), np.int64)
+        for i0 in range(0, n, blk):
+            i1 = min(i0 + blk, n)
+            s = m[i0:i1] @ m.T
+            s[np.arange(i1 - i0), np.arange(i0, i1)] = -np.inf  # no self-link
+            nbrs[i0:i1] = np.argpartition(-s, deg - 1, axis=1)[:, :deg]
+        # entry points: the centroid-nearest node PLUS stride-spread seeds —
+        # a pure k-NN graph over clustered data is DISCONNECTED across
+        # clusters (no long-range links), so single-entry greedy search
+        # would be trapped in the entry's component; seeding the beam from
+        # nodes spread across the list reaches every component for the
+        # cost of |seeds| extra scores per query
+        seeds = np.unique(
+            np.concatenate(
+                [
+                    [int(np.argmax(m @ cents[lid]))],
+                    np.linspace(0, n - 1, num=min(beam, n), dtype=np.int64),
+                ]
+            )
+        )
+        # ---- SEARCH: all probing queries advance in lock-step --------------
+        # per-query state is (scores, visited, expanded) over the n list
+        # nodes — chunk queries so state stays under a fixed byte budget
         out_q, out_i, out_s, out_n = [], [], [], []
-        for qi in sel:
-            qv = q[qi]
-            visited = np.zeros(n, dtype=bool)
-            visited[entry] = True
-            scores = {entry: float(qv @ m[entry])}
-            beam_ids = [entry]
-            expanded: set[int] = set()
-            scanned = 1
+        kk = min(k, beam)
+        qchunk = max(1, _SEARCH_CHUNK_BYTES // (10 * n))  # 8B score + 2B bools
+        for c0 in range(0, len(sel), qchunk):
+            qi = sel[c0 : c0 + qchunk]  # corpus-query indices in this chunk
+            nqc = len(qi)
+            qm = q[qi]  # (nqc, d)
+            rows_ix = np.arange(nqc)
+            scores = np.full((nqc, n), -np.inf)
+            visited = np.zeros((nqc, n), dtype=bool)
+            expanded = np.zeros((nqc, n), dtype=bool)
+            visited[:, seeds] = True
+            seed_sc = qm @ m[seeds].T  # (nqc, |seeds|)
+            scores[:, seeds] = seed_sc
+            beam_nodes = np.full((nqc, beam), -1, np.int64)
+            sorder = np.argsort(-seed_sc, axis=1)[:, :beam]
+            beam_nodes[:, : sorder.shape[1]] = seeds[sorder]
+            scanned = np.full(nqc, len(seeds), np.int64)
             for _ in range(max_hops):
-                # best beam node not yet expanded
-                cand = [b for b in beam_ids if b not in expanded]
-                if not cand:
-                    break
-                best = max(cand, key=lambda b: scores[b])
-                expanded.add(best)
-                new = nbrs[best][~visited[nbrs[best]]]
-                if len(new):
-                    visited[new] = True
-                    s_new = m[new] @ qv  # one small matvec per hop
-                    scanned += len(new)
-                    for j, sc in zip(new.tolist(), s_new.tolist()):
-                        scores[j] = sc
-                    beam_ids.extend(new.tolist())
-                # keep the beam best; stop when the frontier can't improve
-                beam_ids.sort(key=lambda b: -scores[b])
-                beam_ids = beam_ids[:beam]
-                if all(b in expanded for b in beam_ids):
-                    break
-            top = sorted(beam_ids, key=lambda b: -scores[b])[: min(k, len(beam_ids))]
-            out_q.append(np.full(len(top), qids[qi], np.int64))
-            out_i.append(ids[np.array(top, dtype=np.int64)])
-            out_s.append(np.array([scores[b] for b in top], np.float64))
+                bsafe = np.maximum(beam_nodes, 0)
+                bs = np.where(
+                    beam_nodes >= 0, scores[rows_ix[:, None], bsafe], -np.inf
+                )
+                bexp = np.where(
+                    beam_nodes >= 0, expanded[rows_ix[:, None], bsafe], True
+                )
+                cand_sc = np.where(bexp, -np.inf, bs)
+                best_slot = np.argmax(cand_sc, axis=1)
+                active = cand_sc[rows_ix, best_slot] > -np.inf
+                if not active.any():
+                    break  # every query's beam is fully expanded
+                ar = rows_ix[active]
+                bn = beam_nodes[ar, best_slot[active]]  # (na,) expand these
+                expanded[ar, bn] = True
+                nb = nbrs[bn]  # (na, deg)
+                newm = ~visited[ar[:, None], nb]
+                visited[ar[:, None], nb] = True
+                # one gather + einsum scores every (query, new-neighbor)
+                sm = np.einsum("ad,agd->ag", q[qi[active]], m[nb])
+                old = scores[ar[:, None], nb]
+                scores[ar[:, None], nb] = np.where(newm, sm, old)
+                scanned[ar] += newm.sum(axis=1)
+                # merge ONLY newly-visited neighbors into the beam: an
+                # already-visited neighbor is either in the beam or was
+                # dropped when it scored below the beam floor — the floor
+                # is monotone, so re-adding it could never help
+                nb_new = np.where(newm, nb, -1)
+                cand_nodes = np.concatenate([beam_nodes[ar], nb_new], axis=1)
+                cand_sc2 = np.where(
+                    cand_nodes >= 0,
+                    scores[ar[:, None], np.maximum(cand_nodes, 0)],
+                    -np.inf,
+                )
+                order = np.argsort(-cand_sc2, axis=1)[:, :beam]
+                beam_nodes[ar] = np.take_along_axis(cand_nodes, order, axis=1)
+            # emit per-query top-k from the final beams (vectorized)
+            bsafe = np.maximum(beam_nodes, 0)
+            bs = np.where(
+                beam_nodes >= 0, scores[rows_ix[:, None], bsafe], -np.inf
+            )
+            order = np.argsort(-bs, axis=1)[:, :kk]
+            top_sc = np.take_along_axis(bs, order, axis=1)
+            top_nd = np.take_along_axis(beam_nodes, order, axis=1)
+            valid = (top_sc > -np.inf).ravel()
             # scan cost on the FIRST candidate row only, 0 on the rest —
             # the final per-query total is then a plain SUM (attaching it
             # to every row would double-count; summing distinct values
             # would undercount when two lists scan the same count)
-            nvec = np.zeros(len(top), np.int64)
-            nvec[0] = scanned
-            out_n.append(nvec)
+            nmat = np.zeros((nqc, kk), np.int64)
+            nmat[:, 0] = scanned  # slot 0 (the entry point) is always valid
+            out_q.append(np.repeat(qids[qi], kk)[valid])
+            out_i.append(ids[np.maximum(top_nd.ravel(), 0)][valid])
+            out_s.append(top_sc.ravel()[valid])
+            out_n.append(nmat.ravel()[valid])
         return pa.table(
             {
-                "q_id": pa.array(np.concatenate(out_q)),
-                id_col: pa.array(np.concatenate(out_i)),
-                "score": pa.array(np.concatenate(out_s)),
+                "q_id": pa.array(np.concatenate(out_q).astype(np.int64)),
+                id_col: pa.array(np.concatenate(out_i).astype(np.int64)),
+                "score": pa.array(np.concatenate(out_s).astype(np.float64)),
                 "n_scanned": pa.array(np.concatenate(out_n)),
             }
         )
