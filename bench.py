@@ -53,10 +53,13 @@ AMPLIFY = int(os.environ.get("RAYCDC_BENCH_AMPLIFY", "256"))
 REPS_PER_TASK = int(os.environ.get("RAYCDC_BENCH_REPS_PER_TASK", "0"))
 
 
-def _reps_per_task(amplify: int, num_cpus: int) -> int:
+def _reps_per_task(amplify: int, num_cpus: int) -> int | None:
+    """None → library auto: the volume ÷ CPU-waves sizing now lives in
+    raycdc.changelog.amplified_changelog itself (round-5: engine-ified);
+    the env var remains ONLY as an explicit experiment override."""
     if REPS_PER_TASK:
         return REPS_PER_TASK  # explicit env override
-    return max(8, amplify // (4 * num_cpus))
+    return None
 
 
 def _sf_of(sf_dir: str) -> float:

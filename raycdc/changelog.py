@@ -268,7 +268,7 @@ def changelog_from_events(sf_dir: str) -> "ray.data.Dataset":
 
 
 def amplified_changelog(
-    sf_dir: str, factor: int, reps_per_task: int = 1
+    sf_dir: str, factor: int, reps_per_task: int | None = None
 ) -> "ray.data.Dataset":
     """Bench-scale changelog: the events-derived log replicated ``factor``
     times with disjoint lsn ranges and shifted versions.
@@ -279,9 +279,28 @@ def amplified_changelog(
     parallel.  Later replicas carry later (ts, lsn) so they win LWW; the
     merge therefore does real dedup work at every amplification level.
     Deterministic: no RNG.
+
+    ``reps_per_task=None`` (default) sizes map tasks from VOLUME ÷ CPU
+    waves: ``max(8, factor // (4 × cluster CPUs))`` — the round-4
+    endurance-ladder lesson promoted from the bench harness into the
+    library.  Each map task emits one pre-combined block, and the merge
+    exchange produces one sorted run per block, so a FIXED task size
+    lets the run count grow linearly with amplification until the
+    push-based sort's merge fan-in turns superlinear (measured: amp 4096
+    at a fixed 8 reps/task → 512+ runs → 73 s sort; volume-scaled →
+    128 tasks = 4 waves → 17.7 s end-to-end).  Sizing tasks to ~4 waves
+    of the cluster keeps the run count O(CPUs) at ANY amplification
+    without starving small runs.
     """
     import pyarrow.parquet as pq_
 
+    if reps_per_task is None:
+        cpus = (
+            int(ray.cluster_resources().get("CPU", 0) or 8)
+            if ray.is_initialized()
+            else 8
+        )
+        reps_per_task = max(8, factor // (4 * cpus))
     path = f"{sf_dir}/events.parquet"
     lsn_stride = pq_.read_metadata(path).num_rows
 

@@ -62,19 +62,39 @@ def _shuffle_parts(spec: TableSpec) -> int:
     return spec.shuffle_partitions or 2 * spec.num_partitions
 
 
+@ray.remote
+def _concat_blocks(*tables: pa.Table) -> pa.Table:
+    """Coalesce a group of small blocks into one (the too-many-blocks arm
+    of :func:`_ensure_parallel_input`); runs where the blocks live."""
+    return pa.concat_tables(tables).combine_chunks()
+
+
 def _ensure_parallel_input(ds: "ray.data.Dataset") -> "ray.data.Dataset":
-    """Split a large LOW-PARALLELISM in-memory input into enough blocks to
-    feed the cluster.
+    """Resize a pathological in-memory input's block count to fit the
+    cluster — too FEW blocks starves the map stage, too MANY turns the
+    merge exchange superlinear.
 
     Blocks are Ray Data's unit of parallelism: one WAL segment handed over
     as a single Arrow table (``from_arrow``, a CLI replay of one
     materialized dump) is ONE block, so the whole prepare stage — project,
     floor-prune, key, combine — runs as ONE task no matter how many CPUs
     the cluster has (measured: 4M events from one block replayed ~100×
-    slower than the same events from parallel derive tasks).  Lazy file
-    reads already shard into read tasks — ``num_blocks`` raises for those
-    and we leave them alone.  Small inputs stay untouched: a streaming
-    split only pays for itself when the serial prepare would dominate.
+    slower than the same events from parallel derive tasks).
+
+    The opposite failure is the round-4 endurance knee: the merge
+    exchange's push-based sort produces ONE SORTED RUN PER INPUT BLOCK,
+    and past ~hundreds of runs the reduce-side merge fan-in turns
+    superlinear (measured: 1024 runs → the 28 s sort became 73 s).  An
+    in-memory input fragmented into thousands of small blocks (a
+    segment-per-table CLI replay of a huge WAL) is therefore COALESCED
+    into ~4 waves × CPUs blocks by remote pairwise concats — one extra
+    copy pass, bounded per task, gated so normal inputs never pay it.
+
+    Lazy file reads already shard into read tasks — ``num_blocks`` raises
+    for those and we leave them alone (library producers size their own
+    tasks from volume: see :func:`raycdc.changelog.amplified_changelog`).
+    Small inputs stay untouched: a streaming split only pays for itself
+    when the serial prepare would dominate.
     """
     try:
         nblocks = ds.num_blocks()  # exact for in-memory/materialized only
@@ -90,6 +110,19 @@ def _ensure_parallel_input(ds: "ray.data.Dataset") -> "ray.data.Dataset":
         if ray.is_initialized()
         else 8
     )
+    run_budget = 4 * cpus  # ~4 waves of map tasks / sorted runs
+    if nblocks > 2 * run_budget:
+        # too MANY blocks: coalesce ref groups with remote concats (blocks
+        # never visit the driver; each task holds one group ≈ size/budget)
+        try:
+            refs = ds.to_arrow_refs()
+        except Exception:
+            return ds.repartition(run_budget, shuffle=False)
+        groups = [refs[i::run_budget] for i in range(run_budget)]
+        out = [_concat_blocks.remote(*g) for g in groups if g]
+        import ray.data
+
+        return ray.data.from_arrow_refs(out)
     # ~16 MiB per block amortizes dispatch; cap at 2 blocks per CPU
     want = min(cpus * 2, size // (16 << 20) + 1)
     if nblocks >= want or want <= 1:
