@@ -181,7 +181,13 @@ _DRIVER_WINDOW: list[str] = [
     "cdc_transcript_view",
     "cdc_point_in_time",
     "cdc_colocated_join",
-    "cdc_change_feed",
+    # cdc_extrema_view (the round-4 flagship: non-invertible MIN/MAX/COUNT
+    # view on the maintain_view skeleton — touched-group recompute from the
+    # pinned snapshot with partition pruning, hash-exact oracle) displaced
+    # cdc_change_feed: the change-feed path stays driver-covered INSIDE all
+    # three maintain_*_view queries (claim → feed → fold), and change_feed
+    # in isolation stays in the full gate
+    "cdc_extrema_view",
     "cdc_rollup_view",
     "cdc_snapshot_diff",
     # relational / window / temporal

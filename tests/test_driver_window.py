@@ -22,6 +22,9 @@ MUST_BE_IN_WINDOW = [
     "sim_knn",
     # CDC disaster recovery (round-3 continuation)
     "cdc_restore",
+    # incremental view family: the non-invertible hash-exact flagship
+    # (round-5: promoted into the window per VERDICT r4 #3)
+    "cdc_extrema_view",
     # the reference's production loop: tail + Router fan-out (round 4)
     "cdc_tail_route",
     # text / tokens / embeddings
