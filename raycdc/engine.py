@@ -574,6 +574,17 @@ def replay(
     else:
         lsn_floor = -1  # some partition never applied anything: no safe floor
 
+    # contextual run record per apply (the reference's contextual logger,
+    # handler.go:188-209 / bqloader.go:151-180): start + finish-with-
+    # lineage-summary; unconfigured loggers propagate at stdlib defaults
+    from raycdc.runlog import RunLog
+    from raycdc.runlog import lineage_summary as _lsum
+
+    rl = RunLog(
+        verb="replay", lake=lake_dir, policy=spec.merge_policy
+    )
+    rl.info("replay started", lsn_floor=lsn_floor)
+
     if salted == "auto" and spec.merge_policy != "lww":
         # auto mode PICKS the plan: for additive/history the only sound
         # plan is unsalted (the salted pre-merge would fold or drop rows
@@ -659,7 +670,9 @@ def replay(
         else []
     )
     if len(pdf) == 0 and not synth:
-        return S.LINEAGE_SCHEMA.empty_table()
+        empty = S.LINEAGE_SCHEMA.empty_table()
+        rl.finish("replay finished", salted=bool(salted), **_lsum(empty))
+        return empty
     lineage = (
         pa.Table.from_pandas(pdf, schema=S.LINEAGE_SCHEMA, preserve_index=False)
         if len(pdf)
@@ -673,6 +686,7 @@ def replay(
     if seen_parts:
         S.update_lake_schema(lake_dir, parts=sorted(seen_parts))
     S.write_snapshot(lake_dir)
+    rl.finish("replay finished", salted=bool(salted), **_lsum(lineage))
     return lineage
 
 
@@ -2627,11 +2641,22 @@ def maintain_view(
     Returns ``finish(lineage)`` when given, else the replay lineage
     (empty-feed refreshes return an empty lineage table).
     """
+    from raycdc.runlog import RunLog, lineage_summary
     from raycdc.storage import write_json_atomic
 
     spec = spec or TableSpec()
     from_snap, to_snap, st, pos_path = _claim_feed_snapshot(
         src_lake, view_lake, caller
+    )
+    # per-refresh contextual record (handler.go:188-209 shape): the claim
+    # id IS the feed's lsn, so the finish record links straight to the
+    # lineage rows the install wrote
+    rl = RunLog(
+        verb=caller,
+        src=src_lake,
+        view=view_lake,
+        claim=to_snap,
+        from_snapshot=from_snap,
     )
     if (
         steady is not None
@@ -2640,6 +2665,7 @@ def maintain_view(
         == S.read_snapshot(src_lake, to_snap)
     ):
         write_json_atomic(st, pos_path, {"snapshot": to_snap})
+        rl.finish("view refresh steady no-op")
         return steady()
     ctx = ViewContext(src_lake, view_lake, spec, from_snap, to_snap)
     feed = change_feed(src_lake, from_snap, to_snap, spec, include_old=include_old)
@@ -2650,12 +2676,14 @@ def maintain_view(
         # partition, pure overhead at steady state)
         write_json_atomic(st, pos_path, {"snapshot": to_snap})
         lineage = S.LINEAGE_SCHEMA.empty_table()
+        rl.finish("view refresh empty fold", **lineage_summary(lineage))
     else:
         lineage = replay(changes, view_lake, view_spec)
         # promote pending → consumed only after the apply landed; a crash
         # in between re-feeds under the SAME claimed lsn, which
         # checkpoints prune
         write_json_atomic(st, pos_path, {"snapshot": to_snap})
+        rl.finish("view refresh installed", **lineage_summary(lineage))
     return finish(lineage) if finish is not None else lineage
 
 
@@ -3611,6 +3639,10 @@ def restore_lake(
             "no per-partition checkpoint payloads) — only time-travel "
             "reads (read_lake(as_of=...)) are possible against it"
         )
+    from raycdc.runlog import RunLog
+
+    rl = RunLog(verb="restore", lake=lake_dir, as_of=as_of)
+    rl.info("restore started")
     snap_ckpts = {int(k): v for k, v in payload["checkpoints"].items()}
     cur_parts = set(S.read_all_checkpoints(lake_dir).keys())
     all_parts = sorted(set(snap_ckpts) | cur_parts)
@@ -3796,7 +3828,16 @@ def restore_lake(
     # and the coherent base for any REBUILT downstream view)
     S.write_snapshot(lake_dir)
     st.remove(S.restore_marker_file(lake_dir))
-    return lineage.sort_by([("part", "ascending")])
+    lineage = lineage.sort_by([("part", "ascending")])
+    by_status = {
+        s: int(
+            pc.sum(pc.cast(pc.equal(lineage["status"], s), "int64")).as_py()
+            or 0
+        )
+        for s in ("restored", "reset_empty", "noop")
+    }
+    rl.finish("restore finished", partitions=lineage.num_rows, **by_status)
+    return lineage
 
 
 def migrate_lake(
@@ -3830,6 +3871,10 @@ def migrate_lake(
     # migrating a half-rewound lake would launder its mixed rewound/tip
     # state into a fresh dir with NO marker — permanent, invisible
     _refuse_pending_restore(src_lake, "migrating it")
+    from raycdc.runlog import RunLog
+
+    rl = RunLog(verb="migrate", src=src_lake, dst=dst_lake)
+    rl.info("migrate started", num_partitions=spec.num_partitions)
     if spec.merge_policy != "lww":
         # the conservative floor is safe ONLY because LWW re-application is
         # idempotent; additive would SUM the (floor, old-max] overlap again
@@ -3922,4 +3967,9 @@ def migrate_lake(
     )
     S.update_lake_schema(dst_lake)
     S.write_spec_meta(dst_lake, spec)
+    rl.finish(
+        "migrate finished",
+        partitions=summary.num_rows,
+        rows=int(pc.sum(summary["rows"]).as_py() or 0),
+    )
     return summary

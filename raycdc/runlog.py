@@ -171,12 +171,13 @@ def lineage_summary(lineage) -> dict[str, Any]:
     (the Notifier's message content, notifier.go:69-80): partitions
     touched, rows applied, noop count."""
     if lineage is None or lineage.num_rows == 0:
-        return {"partitions": 0, "rows_applied": 0, "noops": 0}
+        return {"partitions": 0, "rows_in": 0, "rows_applied": 0, "noops": 0}
     import pyarrow.compute as pc
 
     statuses = lineage["status"]
     return {
         "partitions": lineage.num_rows,
+        "rows_in": int(pc.sum(lineage["rows_in"]).as_py() or 0),
         "rows_applied": int(pc.sum(lineage["rows_applied"]).as_py() or 0),
         "noops": int(
             pc.sum(pc.cast(pc.equal(statuses, "noop"), "int64")).as_py() or 0

@@ -92,13 +92,20 @@ def test_lineage_summary_folds_statuses():
     lin = pa.table(
         {
             "status": pa.array(["applied", "noop", "applied"]),
+            "rows_in": pa.array([12, 0, 6], pa.int64()),
             "rows_applied": pa.array([10, 0, 5], pa.int64()),
         }
     )
     s = lineage_summary(lin)
-    assert s == {"partitions": 3, "rows_applied": 15, "noops": 1}
+    assert s == {
+        "partitions": 3,
+        "rows_in": 18,
+        "rows_applied": 15,
+        "noops": 1,
+    }
     assert lineage_summary(None) == {
         "partitions": 0,
+        "rows_in": 0,
         "rows_applied": 0,
         "noops": 0,
     }
@@ -168,3 +175,122 @@ def test_failing_handler_logs_error_record(ray_session, tmp_path, caplog):
     assert errs and "boom" in errs[0].ctx["error"]
     done = [r for r in caplog.records if "router finished" in r.getMessage()]
     assert done[0].ctx["n_errors"] == 1
+
+
+# ---------------------------------------------------------------------------
+# round-5: the engine verbs emit contextual records (VERDICT r4 #4) —
+# replay / maintain_view / restore / migrate mirror handler.go:188-209
+
+
+def _caplog_records(caplog):
+    return [
+        (r.getMessage(), getattr(r, "ctx", {}))
+        for r in caplog.records
+        if r.name == LOGGER_NAME
+    ]
+
+
+def test_replay_emits_start_and_finish_records(ray_session, tmp_path, caplog):
+    from raycdc.changelog import synthetic_changelog
+    from raycdc.engine import replay
+    from raycdc.schema import TableSpec
+
+    caplog.set_level(logging.INFO, logger=LOGGER_NAME)
+    lake = str(tmp_path / "lake")
+    replay(
+        ray.data.from_arrow(synthetic_changelog(n_events=200, seed=91)),
+        lake,
+        TableSpec(num_partitions=4),
+    )
+    recs = _caplog_records(caplog)
+    msgs = [m for m, _ in recs]
+    assert "replay started" in msgs
+    fin = dict(recs)["replay finished"]
+    assert fin["verb"] == "replay" and fin["lake"] == lake
+    assert fin["rows_applied"] > 0 and "elapsed_s" in fin
+    assert fin["policy"] == "lww" and fin["salted"] is False
+
+
+def test_maintain_view_emits_refresh_records(ray_session, tmp_path, caplog):
+    from raycdc.changelog import synthetic_changelog
+    from raycdc.engine import maintain_rollup, replay
+    from raycdc.schema import TableSpec
+
+    caplog.set_level(logging.INFO, logger=LOGGER_NAME)
+    spec = TableSpec(num_partitions=4)
+    src, view = str(tmp_path / "src"), str(tmp_path / "view")
+    replay(
+        ray.data.from_arrow(synthetic_changelog(n_events=300, seed=92)),
+        src,
+        spec,
+    )
+    caplog.clear()
+    maintain_rollup(src, view, ("conv_id",), ("n",), spec=spec,
+                    derive=_count_derive)
+    recs = _caplog_records(caplog)
+    inst = [c for m, c in recs if m == "view refresh installed"]
+    assert inst, [m for m, _ in recs]
+    c = inst[0]
+    assert c["verb"] == "maintain_rollup"
+    assert c["src"] == src and c["view"] == view
+    assert c["claim"] is not None  # the feed lsn — links record to lineage
+    assert c["rows_applied"] > 0 and "elapsed_s" in c
+    # second refresh with no source change: steady / empty-fold record
+    caplog.clear()
+    maintain_rollup(src, view, ("conv_id",), ("n",), spec=spec,
+                    derive=_count_derive)
+    msgs = [m for m, _ in _caplog_records(caplog)]
+    assert (
+        "view refresh steady no-op" in msgs
+        or "view refresh empty fold" in msgs
+    )
+
+
+def _count_derive(t: pa.Table) -> pa.Table:
+    return pa.table({"n": pa.array([1] * len(t), pa.int64())})
+
+
+def test_restore_emits_records(ray_session, tmp_path, caplog):
+    from raycdc.changelog import synthetic_changelog
+    from raycdc.engine import replay, restore_lake
+    from raycdc.schema import TableSpec
+    from raycdc.sink import list_snapshots
+
+    caplog.set_level(logging.INFO, logger=LOGGER_NAME)
+    spec = TableSpec(num_partitions=4)
+    lake = str(tmp_path / "lake")
+    replay(
+        ray.data.from_arrow(synthetic_changelog(n_events=200, seed=93)),
+        lake,
+        spec,
+    )
+    snap = list_snapshots(lake)[-1]
+    caplog.clear()
+    restore_lake(lake, snap, spec)
+    recs = dict(_caplog_records(caplog))
+    assert "restore started" in recs
+    fin = recs["restore finished"]
+    assert fin["as_of"] == snap and fin["lake"] == lake
+    assert fin["partitions"] == fin["noop"]  # same-state restore: all noop
+    assert "elapsed_s" in fin
+
+
+def test_migrate_emits_records(ray_session, tmp_path, caplog):
+    from raycdc.changelog import synthetic_changelog
+    from raycdc.engine import migrate_lake, replay
+    from raycdc.schema import TableSpec
+
+    caplog.set_level(logging.INFO, logger=LOGGER_NAME)
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    replay(
+        ray.data.from_arrow(synthetic_changelog(n_events=200, seed=94)),
+        src,
+        TableSpec(num_partitions=4),
+    )
+    caplog.clear()
+    migrate_lake(src, dst, TableSpec(num_partitions=8))
+    recs = dict(_caplog_records(caplog))
+    fin = recs["migrate finished"]
+    assert fin["verb"] == "migrate" and fin["dst"] == dst
+    assert fin["rows"] > 0 and fin["partitions"] > 0
+    assert "elapsed_s" in fin
