@@ -102,6 +102,20 @@ def main(argv: list[str] | None = None) -> int:
         help="WAL self-retention: after every applying round delete "
         "journaled segment files past the newest N (see `prune`)",
     )
+    p_tail.add_argument(
+        "--follow",
+        action="store_true",
+        help="long-lived follower mode: idle rounds back the poll "
+        "interval off exponentially up to --max-interval (the "
+        "reference's redelivery loop as a daemon)",
+    )
+    p_tail.add_argument(
+        "--max-interval",
+        type=float,
+        default=60.0,
+        dest="max_interval",
+        help="backoff cap in seconds for --follow (default 60)",
+    )
 
     p_compact = sub.add_parser("compact", help="drop applied tombstones")
     p_compact.add_argument("--lake", required=True)
@@ -464,6 +478,7 @@ def main(argv: list[str] | None = None) -> int:
             on_round=report,
             sync_to=args.sync_to,
             prune_keep_last=args.prune_keep_last,
+            max_interval_s=args.max_interval if args.follow else None,
         )
         print(json.dumps({"segments_applied": total}))
     elif args.cmd == "diff":

@@ -1133,11 +1133,23 @@ def tail(
     on_round=None,
     sync_to: str | None = None,
     prune_keep_last: int | None = None,
+    max_interval_s: float | None = None,
+    sleep_fn=None,
     **replay_kwargs,
 ) -> int:
     """Continuous tailing loop: poll ``watch_dir``, apply new segments,
     sleep.  ``rounds=None`` runs until interrupted; returns total segments
-    applied.
+    applied.  This is the reference's GCF redelivery loop
+    (``/root/reference/bqloader.go:104-134``: one invocation per object
+    event, at-least-once) re-expressed as a LONG-LIVED follower — the
+    journal dedup inside :func:`tail_once` turns at-least-once arrival
+    into exactly-once apply across rounds.
+
+    ``max_interval_s``: FOLLOW-mode backoff — an idle round (no new
+    segments) doubles the sleep up to this cap; any applying round resets
+    it to ``interval_s``, so a quiet WAL costs near-zero polling while a
+    busy one is picked up at full cadence.  ``None`` keeps the fixed
+    interval.
 
     ``sync_to``: replica lake directory kept in lockstep — after every
     round that applied segments, :func:`sync_lake` copies the touched
@@ -1149,11 +1161,25 @@ def tail(
     the newest N, so an unattended tail never accumulates an unbounded
     WAL directory (read the prune docstring for what retention gives up:
     deep recovery becomes snapshot restore / dump bootstrap).
+
+    ``sleep_fn``: injectable sleeper (tests drive the backoff without
+    wall-clock waits); defaults to ``time.sleep``.
     """
     import time as _time
 
+    from raycdc.runlog import RunLog
+
+    sleep = sleep_fn or _time.sleep
+    rl = RunLog(verb="tail", watch=watch_dir, lake=lake_dir)
+    rl.info(
+        "tail follow started",
+        rounds=rounds,
+        interval_s=interval_s,
+        max_interval_s=max_interval_s,
+    )
     total = 0
     i = 0
+    cur = interval_s
     while rounds is None or i < rounds:
         new, lineage = tail_once(watch_dir, lake_dir, spec, **replay_kwargs)
         total += len(new)
@@ -1163,9 +1189,17 @@ def tail(
             prune_segments(lake_dir, keep_last=prune_keep_last)
         if on_round is not None:
             on_round(i, new, lineage)
+        if new:
+            cur = interval_s
+        else:
+            if max_interval_s is not None:
+                cur = min(cur * 2, max_interval_s)
+            # idle rounds log at debug: no spam on a quiet WAL
+            rl.debug("tail idle round", round=i, next_interval_s=cur)
         i += 1
         if rounds is None or i < rounds:
-            _time.sleep(interval_s)
+            sleep(cur)
+    rl.finish("tail follow finished", rounds_run=i, segments_applied=total)
     return total
 
 

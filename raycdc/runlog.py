@@ -128,6 +128,9 @@ class RunLog:
     def _emit(self, level: int, msg: str, **extra_ctx: Any) -> None:
         self._log.log(level, msg, extra={"ctx": {**self._ctx, **extra_ctx}})
 
+    def debug(self, msg: str, **ctx: Any) -> None:
+        self._emit(logging.DEBUG, msg, **ctx)
+
     def info(self, msg: str, **ctx: Any) -> None:
         self._emit(logging.INFO, msg, **ctx)
 

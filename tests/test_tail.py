@@ -171,3 +171,101 @@ def test_tail_sync_to_keeps_replica_in_lockstep(ray_session, tmp_path):
     assert total == 2 and seen == [1, 1, 0]
     expect = {k: r["text"] for k, r in python_lww_replay([log]).items()}
     assert lake_state(replica) == expect
+
+
+def test_tail_follow_backoff_and_concurrent_arrival(ray_session, tmp_path):
+    """Follow mode (VERDICT r4 #5): segments appearing BETWEEN rounds are
+    picked up exactly-once, idle rounds no-op and back the poll interval
+    off exponentially, and an applying round resets the backoff."""
+    watch = tmp_path / "wal"
+    watch.mkdir()
+    lake = str(tmp_path / "lake")
+    spec = TableSpec(num_partitions=2)
+    log = synthetic_changelog(n_events=400, seed=83)
+    head = log.filter(pc.less(log["lsn"], 200))
+    tail_t = log.filter(pc.greater_equal(log["lsn"], 200))
+    _write_seg(str(watch), "seg-000.parquet", head)
+
+    sleeps = []
+    rounds_seen = []
+
+    def on_round(i, new, lineage):
+        rounds_seen.append((i, len(new)))
+        if i == 3:
+            # a segment arrives mid-follow, between polls
+            _write_seg(str(watch), "seg-001.parquet", tail_t)
+
+    total = tail(
+        str(watch),
+        lake,
+        spec,
+        rounds=6,
+        interval_s=0.01,
+        max_interval_s=0.08,
+        sleep_fn=sleeps.append,
+        on_round=on_round,
+    )
+    assert total == 2
+    # round 0 applies seg-000; rounds 1-3 idle; round 4 picks up seg-001
+    # exactly once; round 5 idle again
+    assert rounds_seen == [(0, 1), (1, 0), (2, 0), (3, 0), (4, 1), (5, 0)]
+    # backoff: idle doubling 0.02, 0.04, 0.08 (capped), reset to 0.01 by
+    # the applying round, then one idle double again — sleeps happen
+    # after rounds 0..4
+    assert sleeps == [0.01, 0.02, 0.04, 0.08, 0.01]
+    # exactly-once across rounds: final state == one-shot LWW of the log
+    state = {
+        (r.conv_id, r.turn_idx): r.text
+        for r in read_lake(lake, spec).to_pandas().itertuples(index=False)
+    }
+    want = {k: r["text"] for k, r in python_lww_replay([log]).items()}
+    assert state == want
+    # a fresh follow over the same WAL is a full no-op
+    total2 = tail(
+        str(watch), lake, spec, rounds=2, interval_s=0.0,
+        max_interval_s=0.01, sleep_fn=sleeps.append,
+    )
+    assert total2 == 0
+
+
+def test_tail_follow_emits_runlog_records(ray_session, tmp_path, caplog):
+    import logging
+
+    from raycdc.runlog import LOGGER_NAME
+
+    caplog.set_level(logging.DEBUG, logger=LOGGER_NAME)
+    watch = tmp_path / "wal"
+    watch.mkdir()
+    lake = str(tmp_path / "lake")
+    spec = TableSpec(num_partitions=2)
+    _write_seg(str(watch), "seg-000.parquet", synthetic_changelog(n_events=100, seed=84))
+    tail(str(watch), lake, spec, rounds=3, interval_s=0.0,
+         max_interval_s=0.01, sleep_fn=lambda s: None)
+    recs = [
+        (r.getMessage(), getattr(r, "ctx", {}))
+        for r in caplog.records
+        if r.name == LOGGER_NAME
+    ]
+    msgs = [m for m, _ in recs]
+    assert "tail follow started" in msgs
+    assert msgs.count("tail idle round") == 2  # rounds 1 and 2 idle
+    fin = dict(recs)["tail follow finished"]
+    assert fin["segments_applied"] == 1 and fin["rounds_run"] == 3
+
+
+def test_tail_follow_cli_smoke(ray_session, tmp_path, capsys):
+    from raycdc.__main__ import main
+
+    watch = tmp_path / "wal"
+    watch.mkdir()
+    lake = str(tmp_path / "lake")
+    _write_seg(str(watch), "seg-000.parquet", synthetic_changelog(n_events=100, seed=85))
+    main(
+        [
+            "tail", "--watch", str(watch), "--lake", lake,
+            "--partitions", "2", "--rounds", "2", "--interval", "0.01",
+            "--follow", "--max-interval", "0.05",
+        ]
+    )
+    out = [json.loads(x) for x in capsys.readouterr().out.splitlines() if x.strip()]
+    assert out[-1]["segments_applied"] == 1
