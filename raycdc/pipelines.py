@@ -6361,4 +6361,6 @@ def bench_extras() -> dict[str, Callable[[str], Any]]:
         "text_embed_near_dup": lambda sf: q_text_embed_near_dup(sf).count(),
         "sim_knn_ivfpq": lambda sf: q_sim_knn_ivfpq(sf).count(),
         "cdc_extrema_view": lambda sf: q_cdc_extrema_view(sf).count(),
+        # round-5 addition: graph ANN (NSW beam search)
+        "sim_knn_graph": lambda sf: q_sim_knn_graph(sf).count(),
     }
