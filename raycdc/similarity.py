@@ -1183,7 +1183,7 @@ def knn_graph(
             # to every row would double-count; summing distinct values
             # would undercount when two lists scan the same count)
             nmat = np.zeros((nqc, kk), np.int64)
-            nmat[:, 0] = scanned  # slot 0 (the entry point) is always valid
+            nmat[:, 0] = scanned  # slot 0 (the best seed) is always valid
             out_q.append(np.repeat(qids[qi], kk)[valid])
             out_i.append(ids[np.maximum(top_nd.ravel(), 0)][valid])
             out_s.append(top_sc.ravel()[valid])
