@@ -61,6 +61,7 @@ _ENGINE_EXPORTS = (
     "maintain_distinct",
     "maintain_transcripts",
     "maintain_extrema",
+    "maintain_topk",
     "maintain_view",
     "ViewContext",
     "detect_hot_keys",

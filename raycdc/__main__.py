@@ -248,6 +248,19 @@ def main(argv: list[str] | None = None) -> int:
     p_ext.add_argument("--value", default="turn_idx", help="min/max column")
     p_ext.add_argument("--partitions", type=int, default=8)
 
+    p_topk = sub.add_parser(
+        "topk",
+        help="incrementally maintain a TOP-K-per-group view of a lake "
+        "(ordered non-invertible: a delete can promote a value the view "
+        "never stored — touched groups recompute with partition pruning)",
+    )
+    p_topk.add_argument("src", help="source lake dir")
+    p_topk.add_argument("dst", help="topk-view lake dir")
+    p_topk.add_argument("--group", default="conv_id", help="group column (must equal the source partition key)")
+    p_topk.add_argument("--order", default="turn_idx", help="ranking column (k largest kept)")
+    p_topk.add_argument("-k", type=int, default=3)
+    p_topk.add_argument("--partitions", type=int, default=8)
+
     p_roll = sub.add_parser(
         "rollup",
         help="incrementally maintain a SUM/COUNT-per-group aggregate view "
@@ -723,6 +736,19 @@ def main(argv: list[str] | None = None) -> int:
             args.dst,
             group_col=args.group,
             value_col=args.value,
+            spec=_lake_spec(args.src, 64),
+            num_partitions=args.partitions,
+        )
+        print(json.dumps({"applied_partitions": lin.num_rows}))
+    elif args.cmd == "topk":
+        from raycdc.engine import maintain_topk
+
+        lin = maintain_topk(
+            args.src,
+            args.dst,
+            group_col=args.group,
+            order_col=args.order,
+            k=args.k,
             spec=_lake_spec(args.src, 64),
             num_partitions=args.partitions,
         )

@@ -3507,6 +3507,258 @@ def maintain_extrema(
     )
 
 
+def maintain_topk(
+    src_lake: str,
+    view_lake: str,
+    group_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    k: int = 3,
+    spec: TableSpec | None = None,
+    num_partitions: int = 8,
+) -> pa.Table:
+    """Incrementally maintained TOP-K-per-group view — the ORDERED
+    non-invertible case on the :func:`maintain_view` skeleton (rounding
+    out the view family: sum = :func:`maintain_rollup`, distinct =
+    :func:`maintain_distinct`, min/max = :func:`maintain_extrema`,
+    documents = :func:`maintain_transcripts`): a delete can evict a
+    current top-k member and PROMOTE a value the view never stored, so
+    touched groups recompute from the pinned snapshot with partition
+    pruning (source ``partition_key == group_col`` validated, as in
+    extrema); untouched groups are never read.
+
+    View rows: ``(group_col, rank ∈ 1..k, <order_col>)`` — the k largest
+    ``order_col`` values per group, rank 1 = largest — in an LWW lake
+    keyed on ``(group_col, rank)``.  A group that shrinks below ``m < k``
+    live values gets DELETES for ranks ``m+1..k`` (stale rank rows must
+    not survive a shrink); a fully-deleted group gets deletes for every
+    rank.  Values sort as numerics (the segmented-lexsort kernel);
+    NULL values are ignored (SQL ``row_number`` oracle filters them
+    identically).  With duplicate values the (group, rank, value) rows
+    are still deterministic — the MULTISET of top-k values is unique
+    even when row attribution is not, which is what keeps the DuckDB
+    ``row_number() ... <= k`` oracle hash-exact.
+
+    Returns the replay lineage.  Exactly-once via the shared
+    pending-claim (crash-retry recomputes the SAME rows from the SAME
+    pinned snapshot; redelivery is checkpoint-pruned).
+    """
+    import numpy as np
+    import ray
+
+    from raycdc.partition import bucket_keys, hash_key_column
+
+    spec = spec or TableSpec()
+    if k < 1:
+        raise ValueError(f"maintain_topk: k must be >= 1, got {k}")
+    meta = S.read_spec_meta(src_lake) or {}
+    src_pk = meta.get("partition_key", spec.partition_key)
+    src_nparts = int(meta.get("num_partitions", spec.num_partitions))
+    if src_pk != group_col:
+        raise ValueError(
+            f"maintain_topk: source lake partitions by {src_pk!r}, "
+            f"but the view groups by {group_col!r} — partition pruning "
+            "would be unsound; repartition the source (engine.migrate_lake) "
+            "or group by its partition key"
+        )
+
+    def fold(feed, ctx: ViewContext):
+        def group_partials(t: pa.Table) -> pa.Table:
+            return pa.table({group_col: t[group_col].unique()})
+
+        parts = feed.map_batches(
+            group_partials, batch_format="pyarrow", zero_copy_batch=True
+        ).to_pandas()
+        touched = pa.array(parts[group_col].unique()) if len(parts) else None
+
+        reg = S.read_lake_schema(src_lake)
+        if reg is None:
+            raise FileNotFoundError(
+                f"maintain_topk: {src_lake} has no schema registry — "
+                "nothing has been applied to the source lake yet"
+            )
+        vtype = reg.field(order_col).type
+        gtype = reg.field(group_col).type
+        view_spec = TableSpec(
+            name="topk_view",
+            schema=pa.schema(
+                [
+                    pa.field(group_col, gtype),
+                    pa.field("rank", pa.int64()),
+                    pa.field(order_col, vtype),
+                ]
+            ),
+            key_cols=(group_col, "rank"),
+            version_cols=("ts", "lsn"),
+            partition_key=group_col,
+            num_partitions=num_partitions,
+            sort_cols=(group_col, "rank"),
+            merge_policy="lww",
+        )
+
+        _EMPTY_PARTIAL = pa.table(
+            {
+                group_col: pa.array([], gtype),
+                order_col: pa.array([], vtype),
+            }
+        )
+
+        def _segmented_topk(t: pa.Table):
+            """Sort (group asc, value desc) once, then one segmented rank
+            pass keeps each group's k largest — no per-group filters."""
+            t = t.take(
+                pc.sort_indices(
+                    t,
+                    sort_keys=[
+                        (group_col, "ascending"),
+                        (order_col, "descending"),
+                    ],
+                )
+            )
+            gv = t[group_col].combine_chunks()
+            neq = np.asarray(
+                pc.not_equal(gv.slice(1), gv.slice(0, len(gv) - 1))
+            )
+            starts = np.r_[0, np.flatnonzero(neq) + 1]
+            seg_id = np.zeros(len(gv), np.int64)
+            seg_id[starts[1:]] = 1
+            seg_id = np.cumsum(seg_id)
+            within = np.arange(len(gv)) - starts[seg_id]
+            return t, gv, within, within < k
+
+        def topk_partial(t: pa.Table) -> pa.Table:
+            t = t.filter(
+                pc.is_in(t[group_col], value_set=ray.get(touched_ref))
+            )
+            t = t.filter(pc.is_valid(t[order_col]))
+            if len(t) == 0:
+                return _EMPTY_PARTIAL.append_column(
+                    "__b", pa.array([], pa.int64())
+                )
+            t2, gv, _, keep = _segmented_topk(t.select([group_col, order_col]))
+            out = t2.filter(pa.array(keep))
+            return out.append_column(
+                "__b", bucket_keys(out, [group_col], num_partitions)
+            )
+
+        def combine_topk(g: pa.Table) -> pa.Table:
+            g = g.drop_columns(["__b"])
+            empty = pa.table(
+                {
+                    group_col: pa.array([], gtype),
+                    "rank": pa.array([], pa.int64()),
+                    order_col: pa.array([], vtype),
+                }
+            )
+            if len(g) == 0:
+                return empty
+            t2, gv, within, keep = _segmented_topk(g)
+            kept = t2.filter(pa.array(keep))
+            return pa.table(
+                {
+                    group_col: kept[group_col],
+                    "rank": pa.array((within[keep] + 1).astype(np.int64)),
+                    order_col: kept[order_col],
+                }
+            )
+
+        changes = None
+        gone = pa.array([], gtype)
+        short: pa.Table | None = None  # (group, live-rank-count) pairs
+        if touched is not None and len(touched):
+            touched_parts = np.unique(
+                hash_key_column(touched) % np.uint64(src_nparts)
+            ).astype(int)
+            state = read_lake(
+                src_lake,
+                spec,
+                columns=[group_col, order_col],
+                as_of=ctx.to_snap,
+                partitions=touched_parts.tolist(),
+            )
+            touched_ref = ray.put(touched)
+            combined = (
+                state.map_batches(
+                    topk_partial, batch_format="pyarrow", zero_copy_batch=True
+                )
+                .groupby("__b", num_partitions=num_partitions)
+                .map_groups(combine_topk, batch_format="pyarrow")
+                .materialize()
+            )
+            live = combined.select_columns([group_col, "rank"]).to_pandas()
+            if len(live):
+                counts = live.groupby(group_col)["rank"].max()
+                short = pa.table(
+                    {
+                        group_col: pa.array(counts.index, gtype),
+                        "m": pa.array(counts.values.astype(np.int64)),
+                    }
+                )
+                live_groups = pa.array(counts.index, gtype)
+            else:
+                live_groups = None
+            gone = (
+                touched.cast(gtype).filter(
+                    pc.invert(
+                        pc.is_in(touched.cast(gtype), value_set=live_groups)
+                    )
+                )
+                if live_groups is not None
+                else touched.cast(gtype)
+            )
+            changes = combined.map_batches(
+                lambda t: ctx.envelope(t, "insert", seg=True),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            )
+        # deletes: stale ranks of shrunken groups + all ranks of gone groups
+        del_g, del_r = [], []
+        if short is not None:
+            ms = short["m"].to_numpy()
+            sel = np.flatnonzero(ms < k)
+            if len(sel):
+                reps = (k - ms[sel]).astype(np.int64)
+                gval = short[group_col].take(pa.array(np.repeat(sel, reps)))
+                # ranks m_i+1..k per short group, fully vectorized
+                base = np.repeat(np.cumsum(np.r_[0, reps[:-1]]), reps)
+                ranks = (
+                    np.repeat(ms[sel], reps)
+                    + 1
+                    + (np.arange(int(reps.sum())) - base)
+                )
+                del_g.append(gval)
+                del_r.append(ranks.astype(np.int64))
+        if len(gone):
+            del_g.append(
+                gone.take(pa.array(np.repeat(np.arange(len(gone)), k)))
+            )
+            del_r.append(np.tile(np.arange(1, k + 1), len(gone)).astype(np.int64))
+        if del_g:
+            combined_g = pa.concat_arrays(
+                [g.combine_chunks() if isinstance(g, pa.ChunkedArray) else g for g in del_g]
+            )
+            del_payload = pa.table(
+                {
+                    group_col: combined_g,
+                    "rank": pa.array(np.concatenate(del_r)),
+                    order_col: pa.nulls(len(combined_g), vtype),
+                }
+            )
+            del_ds = ray.data.from_arrow(
+                ctx.envelope(del_payload, M.DELETE, seg=True)
+            )
+            changes = del_ds if changes is None else changes.union(del_ds)
+        return changes, view_spec
+
+    return maintain_view(
+        src_lake,
+        view_lake,
+        fold,
+        spec=spec,
+        caller="maintain_topk",
+        steady=S.LINEAGE_SCHEMA.empty_table,
+    )
+
+
 def sync_lake(
     src_lake: str,
     dst_lake: str,

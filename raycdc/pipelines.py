@@ -1477,6 +1477,77 @@ GROUP BY conv_id
 """
 
 
+_TOPK_VIEW_K = 3
+
+
+def q_cdc_topk_view(sf_dir: str):
+    """Incremental TOP-K-per-conversation view
+    (:func:`raycdc.engine.maintain_topk`, on the shared maintain_view
+    skeleton): the ORDERED non-invertible case — a delete can evict a
+    top-k member and promote a value the view never stored, so touched
+    conversations recompute from the pinned snapshot with partition
+    pruning.  Built from the half-log state, refreshed after the tail
+    replay; ORACLE recomputes row_number() <= k from scratch over the
+    full LWW state."""
+    import pyarrow.parquet as pq
+
+    from raycdc.changelog import changelog_from_events
+    from raycdc.engine import maintain_topk, read_lake, replay
+    from raycdc.schema import TableSpec
+
+    spec = TableSpec(num_partitions=16)
+    src = _scratch_path(sf_dir, "topk_src")
+    view = _scratch_path(sf_dir, "topk_view")
+    shutil.rmtree(src, ignore_errors=True)
+    shutil.rmtree(view, ignore_errors=True)
+    cut = pq.read_metadata(f"{sf_dir}/events.parquet").num_rows // 2
+    log = changelog_from_events(sf_dir)
+    kw = dict(
+        group_col="conv_id", order_col="turn_idx", k=_TOPK_VIEW_K, spec=spec
+    )
+    replay(
+        log.map_batches(
+            lambda t: t.filter(pc.less_equal(t["lsn"], cut)),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ),
+        src,
+        spec,
+    )
+    maintain_topk(src, view, **kw)
+    replay(log, src, spec)
+    maintain_topk(src, view, **kw)
+    return read_lake(view, TableSpec(num_partitions=8)).select_columns(
+        ["conv_id", "rank", "turn_idx"]
+    )
+
+
+def _sql_cdc_topk_view() -> str:
+    from raycdc.changelog import CHANGELOG_SQL
+
+    return f"""
+WITH {CHANGELOG_SQL.strip()},
+ranked AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY conv_id, turn_idx
+        ORDER BY ts DESC, lsn DESC
+    ) AS rn
+    FROM changelog
+),
+live AS (
+    SELECT conv_id, turn_idx FROM ranked
+    WHERE rn = 1 AND op <> 'delete' AND turn_idx IS NOT NULL
+)
+SELECT conv_id,
+       CAST(row_number() OVER (
+           PARTITION BY conv_id ORDER BY turn_idx DESC
+       ) AS BIGINT) AS rank,
+       turn_idx
+FROM live
+QUALIFY rank <= {_TOPK_VIEW_K}
+"""
+
+
 def q_cdc_transcript_view(sf_dir: str):
     """Incrementally maintained TRANSCRIPT view
     (:func:`raycdc.engine.maintain_transcripts`): a per-conversation
@@ -6078,6 +6149,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "cdc_tail_route": q_cdc_tail_route,
     "text_embed_near_dup": q_text_embed_near_dup,
     "cdc_extrema_view": q_cdc_extrema_view,
+    "cdc_topk_view": q_cdc_topk_view,
     "cdc_evolve": q_cdc_evolve,
     "cdc_additive_rollup": q_cdc_additive_rollup,
     "cdc_bootstrap": q_cdc_bootstrap,
@@ -6212,6 +6284,7 @@ ORACLES: dict[str, str] = {
     "pack_docs": SQL_PACK_DOCS,
     "media_features": SQL_MEDIA_FEATURES,
     "cdc_extrema_view": _sql_cdc_extrema_view(),
+    "cdc_topk_view": _sql_cdc_topk_view(),
     "dedup_simhash": SQL_DEDUP_SIMHASH,
     "text_fingerprints": SQL_TEXT_FINGERPRINTS,
     "cdc_tail_route": _sql_cdc_tail_route(),
@@ -6361,6 +6434,7 @@ def bench_extras() -> dict[str, Callable[[str], Any]]:
         "text_embed_near_dup": lambda sf: q_text_embed_near_dup(sf).count(),
         "sim_knn_ivfpq": lambda sf: q_sim_knn_ivfpq(sf).count(),
         "cdc_extrema_view": lambda sf: q_cdc_extrema_view(sf).count(),
+        "cdc_topk_view": lambda sf: q_cdc_topk_view(sf).count(),
         # round-5 addition: graph ANN (NSW beam search)
         "sim_knn_graph": lambda sf: q_sim_knn_graph(sf).count(),
     }
