@@ -233,6 +233,14 @@ def test_tail_follow_emits_runlog_records(ray_session, tmp_path, caplog):
 
     from raycdc.runlog import LOGGER_NAME
 
+    # a CLI test earlier in the session may have configure_logging'd the
+    # run logger (handler attached, propagate=False) — reset so caplog's
+    # root-logger handler sees the records
+    lg = logging.getLogger(LOGGER_NAME)
+    for h in list(lg.handlers):
+        lg.removeHandler(h)
+    lg.propagate = True
+    lg.setLevel(logging.NOTSET)
     caplog.set_level(logging.DEBUG, logger=LOGGER_NAME)
     watch = tmp_path / "wal"
     watch.mkdir()
