@@ -179,6 +179,22 @@ def diff_tagged(
         oi, ni = pa.array(old_i), pa.array(new_i)
         for c in value_cols:
             col = g[c].combine_chunks()
+            t = col.type
+            if (
+                pa.types.is_list(t)
+                or pa.types.is_large_list(t)
+                or pa.types.is_fixed_size_list(t)
+            ):
+                # no not_equal kernel for nested types: compare a
+                # vectorized per-row hash instead (embedding columns
+                # become CDC-able — see partition.nested_row_hash)
+                from raycdc.partition import nested_row_hash
+
+                h = nested_row_hash(col)
+                v = pc.is_valid(col).to_numpy(zero_copy_only=False)
+                va, vb = v[old_i], v[new_i]
+                diff_mask |= (va ^ vb) | (va & vb & (h[old_i] != h[new_i]))
+                continue
             a, b = col.take(oi), col.take(ni)
             neq = pc.fill_null(pc.not_equal(a, b), False)
             vd = pc.xor(pc.is_valid(a), pc.is_valid(b))

@@ -233,3 +233,87 @@ def key_codes(col) -> np.ndarray:
         .to_numpy(zero_copy_only=False)
         .astype(np.int64)
     )
+
+
+def _splitmix(h: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer over a uint64 array (the repo's standard
+    avalanche; see hash_key_column)."""
+    with np.errstate(over="ignore"):
+        h = (h ^ (h >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        h = (h ^ (h >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return h ^ (h >> np.uint64(31))
+
+
+def _value_bits(vals: np.ndarray) -> np.ndarray:
+    """Injective uint64 image of a primitive value array's BIT PATTERNS
+    (equality-preserving; never a lossy numeric cast)."""
+    v = np.ascontiguousarray(vals)
+    size = v.dtype.itemsize
+    if size == 8:
+        return v.view(np.uint64).copy()
+    if size == 4:
+        return v.view(np.uint32).astype(np.uint64)
+    if size == 2:
+        return v.view(np.uint16).astype(np.uint64)
+    if size == 1:
+        return v.view(np.uint8).astype(np.uint64)
+    raise TypeError(f"_value_bits: unsupported itemsize {size}")
+
+
+def nested_row_hash(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """Order-sensitive uint64 per-ROW hash of a nested column —
+    (fixed_size_)list of primitives — for EQUALITY comparison where
+    Arrow has no ``not_equal`` kernel (the snapshot-diff kernel's path
+    for embedding columns: two rows hash equal iff their element bit
+    patterns and length match, so vector columns become CDC-able).
+
+    One vectorized pass: element bits ⊕ position-salt → splitmix →
+    xor-reduce per row segment → fold in the row length.  Null ROWS get
+    an arbitrary stable value — callers mask them with validity (the
+    diff kernel compares ``is_valid`` separately).  Null ELEMENTS inside
+    a list hash as their NaN/fill bit pattern (a null float element and
+    a quiet-NaN element collide — acceptable for change detection).
+    """
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    t = col.type
+    if pa.types.is_fixed_size_list(t):
+        n = len(col)
+        width = t.list_size
+        if n == 0 or width == 0:
+            return np.full(n, np.uint64(width), np.uint64)
+        vals = col.flatten().to_numpy(zero_copy_only=False)
+        bits = _value_bits(vals)
+        pos = np.tile(np.arange(width, dtype=np.uint64), n)
+        h = _splitmix(bits ^ _splitmix(pos))
+        out = np.bitwise_xor.reduce(h.reshape(n, width), axis=1)
+        return _splitmix(out ^ np.uint64(width))
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        n = len(col)
+        if n == 0:
+            return np.zeros(0, np.uint64)
+        width_t = np.int64 if pa.types.is_large_list(t) else np.int32
+        offs = np.frombuffer(col.buffers()[1], dtype=width_t)[
+            col.offset : col.offset + n + 1
+        ].astype(np.int64)
+        lens = np.diff(offs)
+        out = np.zeros(n, np.uint64)
+        if offs[-1] > offs[0]:
+            vals = col.values.to_numpy(zero_copy_only=False)[
+                offs[0] : offs[-1]
+            ]
+            bits = _value_bits(vals)
+            row_of = np.repeat(np.arange(n), lens)
+            pos_in_row = (
+                np.arange(offs[0], offs[-1], dtype=np.int64)
+                - offs[:-1][row_of]
+            )
+            h = _splitmix(bits ^ _splitmix(pos_in_row.astype(np.uint64)))
+            nz = lens > 0
+            # reduceat spans nonempty start → next nonempty start: empty
+            # rows own no elements, so each span is exactly one row
+            out[nz] = np.bitwise_xor.reduceat(
+                h, (offs[:-1] - offs[0])[nz]
+            )
+        return _splitmix(out ^ lens.astype(np.uint64))
+    raise TypeError(f"nested_row_hash: unsupported type {t}")

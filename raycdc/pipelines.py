@@ -4671,6 +4671,82 @@ def q_sim_knn_ivfpq(sf_dir: str):
     return out.select_columns(["q_id", "vec_id", "rank"])
 
 
+def q_sim_knn_index(sf_dir: str):
+    """CDC × ANN composite: a vector LAKE built by exactly-once replay of
+    an embeddings changelog (head inserts, then a tail whose first rows
+    are LWW re-upserts), an IVF-PQ index lake incrementally maintained as
+    a VIEW of it (:func:`raycdc.similarity.maintain_vector_index` — the
+    second refresh feeds only the change), and top-k served from the
+    index (:func:`raycdc.similarity.knn_over_index`).  With nprobe =
+    n_lists and rerank ≥ corpus the search is EXACT, so the brute-force
+    cosine SQL oracle pins the whole composite hash-exactly."""
+    import pyarrow.parquet as pq
+
+    from raycdc.engine import replay
+    from raycdc.schema import TableSpec
+    from raycdc.similarity import knn_over_index, maintain_vector_index
+
+    emb = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).sort_by("vec_id")
+    n = emb.num_rows
+
+    def seg(tbl: pa.Table, lsn0: int) -> pa.Table:
+        rows = tbl.num_rows
+        import numpy as np
+
+        return pa.table(
+            {
+                "vec_id": tbl["vec_id"],
+                "embedding": tbl["embedding"],
+                "ts": pa.array(
+                    np.full(rows, 1_600_000_000_000_000, np.int64)
+                    + np.arange(lsn0, lsn0 + rows, dtype=np.int64),
+                    pa.timestamp("us"),
+                ),
+                "op": pa.array(["insert"] * rows),
+                "lsn": pa.array(np.arange(lsn0, lsn0 + rows, dtype=np.int64)),
+            }
+        )
+
+    spec = TableSpec(
+        name="vectors",
+        schema=pa.schema(
+            [
+                pa.field("vec_id", pa.int64()),
+                pa.field("embedding", emb.schema.field("embedding").type),
+                pa.field("ts", pa.timestamp("us")),
+            ]
+        ),
+        key_cols=("vec_id",),
+        version_cols=("ts", "lsn"),
+        partition_key="vec_id",
+        num_partitions=8,
+        sort_cols=("vec_id",),
+    )
+    src = _scratch_path(sf_dir, "vec_lake")
+    idx = _scratch_path(sf_dir, "ann_index")
+    shutil.rmtree(src, ignore_errors=True)
+    shutil.rmtree(idx, ignore_errors=True)
+    head, tail = emb.slice(0, n // 2), emb.slice(n // 2)
+    replay(ray.data.from_arrow(seg(head, 0)), src, spec)
+    maintain_vector_index(
+        src, idx, n_lists=8, m_sub=4, spec=spec, num_partitions=8
+    )
+    # tail segment re-upserts the first 50 head vectors (same value, newer
+    # version — the LWW update path) before the remaining inserts
+    upd = pa.concat_tables([head.slice(0, 50), tail])
+    replay(ray.data.from_arrow(seg(upd, n)), src, spec)
+    maintain_vector_index(
+        src, idx, n_lists=8, m_sub=4, spec=spec, num_partitions=8
+    )
+    q, qids = _query_matrix(sf_dir)
+    out = knn_over_index(
+        idx, src, q, qids, k=_TOP_K, nprobe=8, rerank=n + 64, spec=spec
+    )
+    return out.select_columns(["q_id", "vec_id", "rank"])
+
+
 def q_sim_knn_graph(sf_dir: str):
     """NSW graph ANN (blocked per-list adjacency build + lock-step beam
     search; rows-only — recall-per-scanned-vector vs knn_ivf is pinned in
@@ -6239,6 +6315,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "sim_knn_ivf": q_sim_knn_ivf,
     "sim_knn_ivfpq": q_sim_knn_ivfpq,
     "sim_knn_graph": q_sim_knn_graph,
+    "sim_knn_index": q_sim_knn_index,
     "embed_near_dup": q_embed_near_dup,
     "semantic_dedup": q_semantic_dedup,
     "media_meta": q_media_meta,
@@ -6285,6 +6362,7 @@ ORACLES: dict[str, str] = {
     "media_features": SQL_MEDIA_FEATURES,
     "cdc_extrema_view": _sql_cdc_extrema_view(),
     "cdc_topk_view": _sql_cdc_topk_view(),
+    "sim_knn_index": SQL_SIM_KNN,
     "dedup_simhash": SQL_DEDUP_SIMHASH,
     "text_fingerprints": SQL_TEXT_FINGERPRINTS,
     "cdc_tail_route": _sql_cdc_tail_route(),
@@ -6437,4 +6515,5 @@ def bench_extras() -> dict[str, Callable[[str], Any]]:
         "cdc_topk_view": lambda sf: q_cdc_topk_view(sf).count(),
         # round-5 addition: graph ANN (NSW beam search)
         "sim_knn_graph": lambda sf: q_sim_knn_graph(sf).count(),
+        "sim_knn_index": lambda sf: q_sim_knn_index(sf).count(),
     }

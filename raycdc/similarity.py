@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 import ray.data
@@ -829,6 +830,42 @@ def knn_ivfpq(
             }
         )
 
+    assigned = ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
+    cand = _adc_candidates(
+        assigned, ref, m_sub, rerank, id_col, num_partitions
+    )
+    return _exact_rerank(ds, cand, qn, query_ids, k, vec_col, id_col)
+
+
+def _codes_matrix(col, m_sub: int) -> np.ndarray:
+    """(rows, m_sub) uint8 view of a PQ-code column — fixed_size_list
+    (the in-flight encoding) or binary blobs (the index-lake encoding)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if pa.types.is_fixed_size_list(col.type):
+        return np.asarray(col.flatten(), dtype=np.uint8).reshape(
+            len(col), m_sub
+        )
+    from raycdc.sketch import registers_matrix
+
+    return registers_matrix(col, m_sub)
+
+
+def _adc_candidates(
+    assigned: "ray.data.Dataset",
+    ref,
+    m_sub: int,
+    rerank: int,
+    id_col: str,
+    num_partitions: int,
+) -> "ray.data.Dataset":
+    """Asymmetric-distance scan shared by :func:`knn_ivfpq` (in-flight
+    codes) and :func:`knn_over_index` (codes read from the index lake):
+    one groupby on ``ivf_list``; per list each probing query scores
+    candidates by LUT gathers and emits approximate top-``rerank``; a
+    tiny per-query groupby folds across probed lists.  ``ref`` broadcasts
+    ``(query_ids, q_lists, luts)``."""
+
     def scan_list(g: pa.Table) -> pa.Table:
         empty = pa.table(
             {
@@ -844,9 +881,7 @@ def knn_ivfpq(
         sel = np.flatnonzero((ql == lid).any(axis=1))
         if not len(sel):
             return empty
-        codes = np.asarray(
-            g["pq"].combine_chunks().flatten(), dtype=np.uint8
-        ).reshape(len(g), m_sub)
+        codes = _codes_matrix(g["pq"], m_sub)
         ids = g[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
         out_q, out_i, out_s = [], [], []
         depth = min(rerank, len(ids))
@@ -875,14 +910,28 @@ def knn_ivfpq(
         top = np.argpartition(-s, depth - 1)[:depth] if depth < len(s) else np.arange(len(s))
         return g.take(pa.array(np.sort(top)))
 
-    assigned = ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
-    cand = (
+    return (
         assigned.groupby("ivf_list", num_partitions=num_partitions)
         .map_groups(scan_list, batch_format="pyarrow")
         .groupby("q_id", num_partitions=8)
         .map_groups(approx_topk, batch_format="pyarrow")
     )
-    # ---- exact distributed rerank: candidates are tiny (≤ nq × rerank) --
+
+
+def _exact_rerank(
+    ds: "ray.data.Dataset",
+    cand: "ray.data.Dataset",
+    qn: np.ndarray,
+    query_ids,
+    k: int,
+    vec_col: str,
+    id_col: str,
+) -> "ray.data.Dataset":
+    """Exact distributed rerank shared by the compressed-index paths:
+    the approximate candidates (∝ queries × rerank, never ∝ corpus) are
+    broadcast; one pass over ``ds`` (any dataset carrying ``id_col`` +
+    ``vec_col``) computes exact cosines for nominated (query, id) pairs
+    only; a final tiny groupby ranks exact top-k."""
     cand_parts = [t for t in ray.get(cand.to_arrow_refs()) if t.num_rows]
     if not cand_parts:
         return ray.data.from_arrow(_empty_candidates(id_col))
@@ -1213,3 +1262,258 @@ def knn_graph(
     return cand.groupby("q_id", num_partitions=8).map_groups(
         final_topk, batch_format="pyarrow"
     )
+
+
+# ---------------------------------------------------------------------------
+# CDC × ANN: an incrementally-maintained compressed vector index LAKE
+
+_QUANTIZER_FILE = "_ann_quantizer.json"
+
+
+def _load_quantizer(index_lake: str):
+    """(centroids, codebooks, n_lists, m_sub) from the index lake's
+    persisted quantizer, or None before the first build."""
+    from raycdc.storage import get_storage, read_json
+
+    meta = read_json(get_storage(index_lake), f"{index_lake}/{_QUANTIZER_FILE}")
+    if meta is None:
+        return None
+    return (
+        np.asarray(meta["centroids"], np.float64),
+        np.asarray(meta["codebooks"], np.float64),
+        int(meta["n_lists"]),
+        int(meta["m_sub"]),
+    )
+
+
+def maintain_vector_index(
+    src_lake: str,
+    index_lake: str,
+    vec_col: str = "embedding",
+    key_col: str = "vec_id",
+    n_lists: int = 16,
+    m_sub: int = 4,
+    n_codes: int = 256,
+    train_sample: int = 10_000,
+    spec=None,
+    num_partitions: int = 8,
+):
+    """Incrementally maintained IVF-PQ index LAKE over a vector lake —
+    the CDC × similarity composite: the index is a VIEW of the vector
+    lake on the :func:`raycdc.engine.maintain_view` skeleton, refreshed
+    ∝ the change (new/updated vectors re-assign + re-encode, deleted
+    vectors tombstone out) instead of re-encoding the corpus per query
+    like :func:`knn_ivfpq` does.
+
+    * FIRST refresh: the coarse quantizer (cosine k-means) and PQ
+      codebooks (per-subspace L2 k-means) train on a bounded sample of
+      the pinned snapshot and PERSIST in the index lake
+      (``_ann_quantizer.json``, KB-scale).  Every later refresh reuses
+      them, so codes stay comparable across refreshes; re-train by
+      rebuilding into a fresh index dir (the :func:`migrate_lake`
+      convention for layout-affecting changes).
+    * LATER refreshes: a pure per-row map of the change feed — assign +
+      encode inserts/updates, tombstone deletes.  No recompute, no
+      shuffle; the index row is ``(key, ivf_list, pq)`` — m_sub bytes of
+      codes instead of d×4 of vector.
+    * Exactly-once via the shared pending-claim; a crash-retry re-derives
+      identical rows (the quantizer is pinned) and redelivery is
+      checkpoint-pruned.
+
+    Query with :func:`knn_over_index` — probes read the INDEX lake
+    (codes), the exact rerank reads only candidate rows of the SOURCE
+    lake.  Returns the replay lineage.
+    """
+    from raycdc import sink as _S
+    from raycdc.engine import maintain_view, read_lake
+    from raycdc.schema import TableSpec
+    from raycdc.sketch import matrix_to_binary
+    from raycdc.storage import get_storage, write_json_atomic
+
+    spec = spec or TableSpec()
+
+    def fold(feed, ctx):
+        quant = _load_quantizer(index_lake)
+        if quant is None:
+            sample_tbl = (
+                read_lake(
+                    src_lake, spec, columns=[vec_col], as_of=ctx.to_snap
+                )
+                .limit(train_sample)
+                .to_pandas()
+            )
+            if not len(sample_tbl):
+                return None, None  # empty source: position advances
+            sample = _normalize(
+                np.stack(sample_tbl[vec_col].to_numpy()).astype(np.float64)
+            )
+            d = sample.shape[1]
+            if d % m_sub:
+                raise ValueError(f"dim {d} not divisible by m_sub {m_sub}")
+            d_sub = d // m_sub
+            centroids = _kmeans(sample, n_lists)
+            codebooks = np.stack(
+                [
+                    _kmeans_l2(
+                        sample[:, j * d_sub : (j + 1) * d_sub],
+                        n_codes,
+                        seed=7 + j,
+                    )
+                    for j in range(m_sub)
+                ]
+            )
+            write_json_atomic(
+                get_storage(index_lake),
+                f"{index_lake}/{_QUANTIZER_FILE}",
+                {
+                    "centroids": centroids.tolist(),
+                    "codebooks": codebooks.tolist(),
+                    "n_lists": n_lists,
+                    "m_sub": m_sub,
+                },
+            )
+        else:
+            centroids, codebooks, _, _ = quant
+
+        reg = _S.read_lake_schema(src_lake)
+        if reg is None:
+            raise FileNotFoundError(
+                f"maintain_vector_index: {src_lake} has no schema registry"
+            )
+        ktype = reg.field(key_col).type
+        view_spec = TableSpec(
+            name="ann_index",
+            schema=pa.schema(
+                [
+                    pa.field(key_col, ktype),
+                    pa.field("ivf_list", pa.int64()),
+                    pa.field("pq", pa.binary()),
+                ]
+            ),
+            key_cols=(key_col,),
+            version_cols=("ts", "lsn"),
+            partition_key=key_col,
+            num_partitions=num_partitions,
+            sort_cols=(key_col,),
+            merge_policy="lww",
+        )
+        op_col = ctx.spec.op_col
+
+        def to_index_rows(t: pa.Table) -> pa.Table:
+            outs = []
+            op = pc.fill_null(t[op_col], "")
+            is_del = pc.equal(op, "delete")
+            live = t.filter(pc.invert(is_del))
+            dels = t.filter(is_del)
+            if len(live):
+                m = _normalize(_to_matrix(live[vec_col]))
+                lists = np.argmax(m @ centroids.T, axis=1).astype(np.int64)
+                codes = _pq_encode(m, codebooks)
+                outs.append(
+                    ctx.envelope(
+                        pa.table(
+                            {
+                                key_col: live[key_col],
+                                "ivf_list": pa.array(lists),
+                                "pq": matrix_to_binary(codes),
+                            }
+                        ),
+                        "insert",
+                        seg=True,
+                    )
+                )
+            if len(dels):
+                outs.append(
+                    ctx.envelope(
+                        pa.table(
+                            {
+                                key_col: dels[key_col],
+                                "ivf_list": pa.nulls(len(dels), pa.int64()),
+                                "pq": pa.nulls(len(dels), pa.binary()),
+                            }
+                        ),
+                        "delete",
+                        seg=True,
+                    )
+                )
+            if not outs:
+                return ctx.envelope(
+                    view_spec.schema.empty_table(), "insert", seg=True
+                )
+            return pa.concat_tables(outs)
+
+        changes = feed.map_batches(
+            to_index_rows, batch_format="pyarrow", zero_copy_batch=True
+        )
+        return changes, view_spec
+
+    from raycdc import sink as S_lin
+
+    return maintain_view(
+        src_lake,
+        index_lake,
+        fold,
+        spec=spec,
+        caller="maintain_vector_index",
+        steady=S_lin.LINEAGE_SCHEMA.empty_table,
+    )
+
+
+def knn_over_index(
+    index_lake: str,
+    src_lake: str,
+    queries: np.ndarray,
+    query_ids: np.ndarray,
+    k: int = 5,
+    nprobe: int = 4,
+    rerank: int | None = None,
+    vec_col: str = "embedding",
+    key_col: str = "vec_id",
+    spec=None,
+    index_partitions: int = 8,
+    num_partitions: int = 16,
+) -> "ray.data.Dataset":
+    """Top-k cosine search against the MAINTAINED index lake
+    (:func:`maintain_vector_index`): the ADC scan streams ``(key, list,
+    codes)`` rows from the index lake — m_sub bytes per vector, vectors
+    never re-encoded — and the exact rerank reads only the nominated
+    candidate rows of the SOURCE lake.  With ``nprobe = n_lists`` and
+    ``rerank`` ≥ the corpus this is EXACT top-k (probing every list +
+    exact rescoring loses nothing), which is what the hash-exact
+    ⊕sim_knn_index oracle pins; at scale, nprobe ≪ n_lists is the
+    approximate path with the same machinery.
+    """
+    from raycdc.engine import _configure_shuffle, read_lake
+    from raycdc.schema import TableSpec
+
+    _configure_shuffle()
+    quant = _load_quantizer(index_lake)
+    if quant is None:
+        raise FileNotFoundError(
+            f"knn_over_index: {index_lake} has no quantizer — run "
+            "maintain_vector_index first"
+        )
+    centroids, codebooks, n_lists, m_sub = quant
+    if rerank is None:
+        rerank = 4 * k
+    qn = _normalize(np.asarray(queries, np.float64))
+    d_sub = qn.shape[1] // m_sub
+    q_lists = np.argsort(-(qn @ centroids.T), axis=1)[:, : min(nprobe, n_lists)]
+    luts = np.stack(
+        [qn[:, j * d_sub : (j + 1) * d_sub] @ codebooks[j].T for j in range(m_sub)],
+        axis=1,
+    ).astype(np.float32)
+    ref = ray.put((np.asarray(query_ids, dtype=np.int64), q_lists, luts))
+
+    assigned = read_lake(
+        index_lake,
+        TableSpec(num_partitions=index_partitions),
+        columns=[key_col, "ivf_list", "pq"],
+    )
+    cand = _adc_candidates(
+        assigned, ref, m_sub, rerank, key_col, num_partitions
+    )
+    source = read_lake(
+        src_lake, spec or TableSpec(), columns=[key_col, vec_col]
+    )
+    return _exact_rerank(source, cand, qn, query_ids, k, vec_col, key_col)

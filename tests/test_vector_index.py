@@ -1,0 +1,207 @@
+"""CDC × ANN composite: maintain_vector_index (IVF-PQ index lake as an
+incrementally-maintained view of a vector lake) + knn_over_index, and the
+nested_row_hash kernel that makes embedding columns CDC-able."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray
+import ray.data
+
+import raycdc.similarity as S
+from raycdc.engine import read_lake, replay
+from raycdc.partition import nested_row_hash
+from raycdc.schema import TableSpec
+from raycdc.storage import get_storage, read_json
+
+
+# ---------------------------------------------------------------------------
+# nested_row_hash: the equality contract
+
+
+def test_nested_row_hash_equality_and_sensitivity():
+    a = pa.array([[1.0, 2.0], [1.0, 2.0], [2.0, 1.0], [1.0, 2.0, 0.0], []])
+    h = nested_row_hash(a)
+    assert h[0] == h[1]  # identical rows
+    assert h[0] != h[2]  # order-sensitive
+    assert h[0] != h[3]  # length-sensitive (trailing zero is a new row)
+    assert h[4] != h[0]  # empty row is its own value
+    b = pa.array([[], []])
+    hb = nested_row_hash(b)
+    assert hb[0] == hb[1]
+
+
+def test_nested_row_hash_fixed_size_list():
+    m = np.array([[1.5, -2.0], [1.5, -2.0], [1.5, -2.125]], np.float32)
+    a = pa.FixedSizeListArray.from_arrays(pa.array(m.reshape(-1)), 2)
+    h = nested_row_hash(a)
+    assert h[0] == h[1] and h[0] != h[2]
+
+
+def test_nested_row_hash_sliced_offsets():
+    a = pa.array([[9.0], [1.0, 2.0], [1.0, 2.0], [3.0]])
+    full = nested_row_hash(a)
+    sl = nested_row_hash(a.slice(1, 3))
+    assert np.array_equal(full[1:4], sl)
+
+
+def test_diff_tagged_handles_list_columns():
+    from raycdc.changelog import diff_tagged
+
+    old = pa.table(
+        {
+            "k": pa.array([1, 2, 3], pa.int64()),
+            "v": pa.array([[1.0, 2.0], [3.0], [4.0]]),
+            "__side": pa.array([0, 0, 0], pa.int8()),
+        }
+    )
+    new = pa.table(
+        {
+            "k": pa.array([2, 3, 4], pa.int64()),
+            "v": pa.array([[3.0], [4.5], [6.0]]),
+            "__side": pa.array([1, 1, 1], pa.int8()),
+        }
+    )
+    out = diff_tagged(
+        pa.concat_tables([old, new]), ("k",), ("v",)
+    ).to_pandas()
+    ops = dict(zip(out["k"], out["op"]))
+    # k=1 deleted, k=2 unchanged (no row), k=3 updated, k=4 inserted
+    assert ops == {1: "delete", 3: "update", 4: "insert"}
+
+
+# ---------------------------------------------------------------------------
+# the composite
+
+
+def _vec_spec(emb_type):
+    return TableSpec(
+        name="vectors",
+        schema=pa.schema(
+            [
+                pa.field("vec_id", pa.int64()),
+                pa.field("embedding", emb_type),
+                pa.field("ts", pa.timestamp("us")),
+            ]
+        ),
+        key_cols=("vec_id",),
+        version_cols=("ts", "lsn"),
+        partition_key="vec_id",
+        num_partitions=4,
+        sort_cols=("vec_id",),
+    )
+
+
+def _seg(ids, mat, lsn0, op="insert"):
+    n = len(ids)
+    return pa.table(
+        {
+            "vec_id": pa.array(np.asarray(ids, np.int64)),
+            "embedding": pa.array([list(map(float, r)) for r in mat]),
+            "ts": pa.array(
+                np.full(n, 1_600_000_000_000_000, np.int64)
+                + np.arange(lsn0, lsn0 + n, dtype=np.int64),
+                pa.timestamp("us"),
+            ),
+            "op": pa.array([op] * n),
+            "lsn": pa.array(np.arange(lsn0, lsn0 + n, dtype=np.int64)),
+        }
+    )
+
+
+@pytest.fixture()
+def vec_lake(ray_session, tmp_path):
+    rng = np.random.default_rng(21)
+    centers = rng.standard_normal((8, 16)) * 4
+    mat = centers[rng.integers(0, 8, 400)] + rng.standard_normal((400, 16))
+    spec = _vec_spec(pa.list_(pa.float64()))
+    src = str(tmp_path / "vecs")
+    idx = str(tmp_path / "index")
+    replay(
+        ray.data.from_arrow(_seg(np.arange(200), mat[:200], 0)), src, spec
+    )
+    S.maintain_vector_index(src, idx, n_lists=4, m_sub=4, spec=spec,
+                            num_partitions=4)
+    return src, idx, spec, mat
+
+
+def test_index_refresh_feeds_only_change(vec_lake):
+    src, idx, spec, mat = vec_lake
+    q1 = read_json(get_storage(idx), f"{idx}/{S._QUANTIZER_FILE}")
+    # second segment: 200 new vectors
+    lin = None
+    replay(
+        ray.data.from_arrow(_seg(np.arange(200, 400), mat[200:400], 500)),
+        src,
+        spec,
+    )
+    lin = S.maintain_vector_index(src, idx, n_lists=4, m_sub=4, spec=spec,
+                                  num_partitions=4)
+    import pyarrow.compute as pc
+
+    assert int(pc.sum(lin["rows_in"]).as_py()) == 200  # change, not corpus
+    # the quantizer did NOT retrain (codes stay comparable across refreshes)
+    q2 = read_json(get_storage(idx), f"{idx}/{S._QUANTIZER_FILE}")
+    assert q1 == q2
+    # steady refresh: empty
+    lin = S.maintain_vector_index(src, idx, n_lists=4, m_sub=4, spec=spec,
+                                  num_partitions=4)
+    assert lin.num_rows == 0
+
+
+def test_index_search_exact_at_full_probe(vec_lake):
+    src, idx, spec, mat = vec_lake
+    q, qids = mat[:5], np.arange(5)
+    got = (
+        S.knn_over_index(idx, src, q, qids, k=5, nprobe=4, rerank=512,
+                         spec=spec, index_partitions=4)
+        .to_pandas()
+        .sort_values(["q_id", "rank"])
+    )
+    vecs = read_lake(src, spec, columns=["vec_id", "embedding"])
+    brute = (
+        S.knn_brute_force(vecs, q, qids, k=5)
+        .to_pandas()
+        .sort_values(["q_id", "rank"])
+    )
+    cols = ["q_id", "vec_id", "rank"]
+    assert got[cols].reset_index(drop=True).equals(
+        brute[cols].reset_index(drop=True)
+    )
+
+
+def test_index_delete_removes_vector_from_results(vec_lake):
+    src, idx, spec, mat = vec_lake
+    # query with vector 7 itself: rank 1 must be 7 before the delete
+    q, qids = mat[7:8], np.array([7])
+    kw = dict(k=3, nprobe=4, rerank=512, spec=spec, index_partitions=4)
+    before = S.knn_over_index(idx, src, q, qids, **kw).to_pandas()
+    assert before[before["rank"] == 1]["vec_id"].iloc[0] == 7
+    replay(ray.data.from_arrow(_seg([7], mat[7:8], 900, op="delete")), src, spec)
+    S.maintain_vector_index(src, idx, n_lists=4, m_sub=4, spec=spec,
+                            num_partitions=4)
+    after = S.knn_over_index(idx, src, q, qids, **kw).to_pandas()
+    assert 7 not in set(after["vec_id"])
+
+
+def test_index_update_moves_vector(vec_lake):
+    src, idx, spec, mat = vec_lake
+    # move vector 11 on top of vector 42's embedding (tiny perturbation)
+    moved = mat[42] + 1e-6
+    replay(
+        ray.data.from_arrow(_seg([11], moved[None, :], 950)), src, spec
+    )
+    S.maintain_vector_index(src, idx, n_lists=4, m_sub=4, spec=spec,
+                            num_partitions=4)
+    q, qids = mat[42:43], np.array([42])
+    res = S.knn_over_index(idx, src, q, qids, k=2, nprobe=4, rerank=512,
+                           spec=spec, index_partitions=4).to_pandas()
+    assert set(res["vec_id"]) == {42, 11}
+
+
+def test_search_without_index_raises(ray_session, tmp_path):
+    with pytest.raises(FileNotFoundError, match="quantizer"):
+        S.knn_over_index(
+            str(tmp_path / "nope"), str(tmp_path / "nope2"),
+            np.zeros((1, 8)), np.array([0]),
+        )
