@@ -27,7 +27,9 @@ trajectory  ordered per-conversation analytics (transition matrices,
 audit       changelog observability (per-key churn, delivery-order stats)
 text        text analysis (langid, quality, tokens, fingerprints)
 dedup       exact / MinHash-LSH / SimHash / n-gram / embedding dedup
-similarity  cosine top-k ANN (brute-force, multi-probe LSH, IVF), embedding near-dup
+similarity  cosine top-k ANN (brute-force, multi-probe LSH, IVF, IVF-PQ,
+            NSW graph), embedding near-dup, CDC×ANN: incrementally
+            maintained IVF-PQ index lake + search over it
 multimodal  real WAV/BMP/Y4M codecs, spectrogram + dHash + acoustic
             fingerprint features, image/audio near-dup (lib-less formats
             stay stubbed behind NotImplementedError)
