@@ -205,3 +205,17 @@ def test_search_without_index_raises(ray_session, tmp_path):
             str(tmp_path / "nope"), str(tmp_path / "nope2"),
             np.zeros((1, 8)), np.array([0]),
         )
+
+
+def test_index_search_approximate_path_recall(vec_lake):
+    """nprobe < n_lists: the approximate path must keep most of the exact
+    top-k (clustered data ⇒ the true neighbors share the query's list)."""
+    src, idx, spec, mat = vec_lake
+    q, qids = mat[:10], np.arange(10)
+    exact = S.knn_over_index(idx, src, q, qids, k=5, nprobe=4, rerank=512,
+                             spec=spec, index_partitions=4).to_pandas()
+    approx = S.knn_over_index(idx, src, q, qids, k=5, nprobe=2, rerank=64,
+                              spec=spec, index_partitions=4).to_pandas()
+    e = set(zip(exact["q_id"], exact["vec_id"]))
+    a = set(zip(approx["q_id"], approx["vec_id"]))
+    assert len(e & a) / len(e) >= 0.6
