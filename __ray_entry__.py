@@ -240,7 +240,13 @@ _DRIVER_WINDOW: list[str] = [
     # graft's transcript axis; components-in-isolation stays in the full gate
     "conv_near_dedup",
     "decontaminate",
-    "sim_knn",
+    # sim_knn_index (round 5: the CDC×ANN composite — vector lake built by
+    # exactly-once replay, IVF-PQ index lake incrementally maintained as a
+    # view of it, top-k served from the index with exact rerank; nprobe =
+    # n_lists makes it exact, so it runs under the SAME brute-force cosine
+    # oracle) displaced sim_knn: identical oracle, strictly richer engine
+    # path; plain brute-force knn stays in the full gate
+    "sim_knn_index",
     # multimodal (oracle-hashed codecs + features)
     # audio_near_dup displaced media_spectrogram (the fingerprinter runs
     # the same WAV parse + framed FFT + peak-bin path AND adds the

@@ -1513,7 +1513,32 @@ def knn_over_index(
     cand = _adc_candidates(
         assigned, ref, m_sub, rerank, key_col, num_partitions
     )
+    # the exact rerank touches only candidate KEYS (≤ queries × rerank):
+    # prune the source read to their partitions — the lake layout is a
+    # pure function of the key, so candidate partitions are computable
+    # driver-side from the candidate ids alone
+    cand = cand.materialize()
+    src_spec = spec or TableSpec()
+    cand_tbls = [t for t in ray.get(cand.to_arrow_refs()) if t.num_rows]
+    src_parts = None
+    if cand_tbls:
+        from raycdc import sink as _S
+        from raycdc.partition import hash_key_column
+
+        meta = _S.read_spec_meta(src_lake) or {}
+        src_nparts = int(meta.get("num_partitions", src_spec.num_partitions))
+        cand_keys = pa.concat_tables(
+            [t.select([key_col]) for t in cand_tbls]
+        )[key_col].combine_chunks()
+        src_parts = (
+            np.unique(hash_key_column(cand_keys) % np.uint64(src_nparts))
+            .astype(int)
+            .tolist()
+        )
     source = read_lake(
-        src_lake, spec or TableSpec(), columns=[key_col, vec_col]
+        src_lake,
+        src_spec,
+        columns=[key_col, vec_col],
+        partitions=src_parts,
     )
     return _exact_rerank(source, cand, qn, query_ids, k, vec_col, key_col)

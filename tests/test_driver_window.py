@@ -19,7 +19,7 @@ MUST_BE_IN_WINDOW = [
     "dedup_minhash",
     "conv_near_dedup",
     "decontaminate",
-    "sim_knn",
+    "sim_knn_index",
     # CDC disaster recovery (round-3 continuation)
     "cdc_restore",
     # incremental view family: the non-invertible hash-exact flagship
