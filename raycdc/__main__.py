@@ -261,6 +261,20 @@ def main(argv: list[str] | None = None) -> int:
     p_topk.add_argument("-k", type=int, default=3)
     p_topk.add_argument("--partitions", type=int, default=8)
 
+    p_ann = sub.add_parser(
+        "ann-index",
+        help="incrementally maintain an IVF-PQ vector index lake as a view "
+        "of a vector lake (first run trains + persists the quantizer; "
+        "later runs re-encode only the change)",
+    )
+    p_ann.add_argument("src", help="vector lake dir")
+    p_ann.add_argument("dst", help="index lake dir")
+    p_ann.add_argument("--key", default="vec_id", help="key column (= source partition key)")
+    p_ann.add_argument("--vec", default="embedding", help="vector column")
+    p_ann.add_argument("--lists", type=int, default=16, dest="n_lists")
+    p_ann.add_argument("--msub", type=int, default=4, dest="m_sub")
+    p_ann.add_argument("--partitions", type=int, default=8)
+
     p_roll = sub.add_parser(
         "rollup",
         help="incrementally maintain a SUM/COUNT-per-group aggregate view "
@@ -736,6 +750,20 @@ def main(argv: list[str] | None = None) -> int:
             args.dst,
             group_col=args.group,
             value_col=args.value,
+            spec=_lake_spec(args.src, 64),
+            num_partitions=args.partitions,
+        )
+        print(json.dumps({"applied_partitions": lin.num_rows}))
+    elif args.cmd == "ann-index":
+        from raycdc.similarity import maintain_vector_index
+
+        lin = maintain_vector_index(
+            args.src,
+            args.dst,
+            vec_col=args.vec,
+            key_col=args.key,
+            n_lists=args.n_lists,
+            m_sub=args.m_sub,
             spec=_lake_spec(args.src, 64),
             num_partitions=args.partitions,
         )

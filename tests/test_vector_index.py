@@ -219,3 +219,20 @@ def test_index_search_approximate_path_recall(vec_lake):
     e = set(zip(exact["q_id"], exact["vec_id"]))
     a = set(zip(approx["q_id"], approx["vec_id"]))
     assert len(e & a) / len(e) >= 0.6
+
+
+def test_ann_index_cli_smoke(ray_session, tmp_path, capsys):
+    from raycdc.__main__ import main
+
+    rng = np.random.default_rng(31)
+    mat = rng.standard_normal((120, 16))
+    spec = _vec_spec(pa.list_(pa.float64()))
+    src = str(tmp_path / "vecs")
+    replay(ray.data.from_arrow(_seg(np.arange(120), mat, 0)), src, spec)
+    rc = main(
+        ["ann-index", src, str(tmp_path / "index"),
+         "--key", "vec_id", "--vec", "embedding",
+         "--lists", "4", "--msub", "4", "--partitions", "4"]
+    )
+    assert rc == 0
+    assert "applied_partitions" in capsys.readouterr().out
