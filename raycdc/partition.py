@@ -132,11 +132,7 @@ def hash_key_column(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
     if pa.types.is_string(t) or pa.types.is_large_string(t):
         return hash_strings(col)
     vals, valid = int64_values(col)
-    h = vals.view(np.uint64)
-    with np.errstate(over="ignore"):
-        h = (h ^ (h >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
-        h = (h ^ (h >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
-        h = h ^ (h >> np.uint64(31))
+    h = _splitmix(vals.view(np.uint64))
     if valid is not None:
         h[~valid] = 0
     return h
@@ -282,7 +278,14 @@ def nested_row_hash(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
         width = t.list_size
         if n == 0 or width == 0:
             return np.full(n, np.uint64(width), np.uint64)
-        vals = col.flatten().to_numpy(zero_copy_only=False)
+        # .values (NOT .flatten()): flatten DROPS null rows' slots and the
+        # reshape below would misalign every row after the first null; the
+        # raw child keeps one width-slot span per row.  Null rows hash
+        # whatever bits sit in their span — arbitrary but never consulted
+        # (callers compare validity separately, per the docstring).
+        vals = col.values.slice(col.offset * width, n * width).to_numpy(
+            zero_copy_only=False
+        )
         bits = _value_bits(vals)
         pos = np.tile(np.arange(width, dtype=np.uint64), n)
         h = _splitmix(bits ^ _splitmix(pos))

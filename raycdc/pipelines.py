@@ -1472,7 +1472,7 @@ SELECT conv_id,
        MAX(turn_idx) AS vmax,
        CAST(COUNT(*) AS BIGINT) AS n_rows
 FROM ranked
-WHERE rn = 1 AND op <> 'delete'
+WHERE rn = 1 AND op <> 'delete' AND turn_idx IS NOT NULL
 GROUP BY conv_id
 """
 

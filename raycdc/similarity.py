@@ -920,7 +920,7 @@ def _adc_candidates(
 
 def _exact_rerank(
     ds: "ray.data.Dataset",
-    cand: "ray.data.Dataset",
+    cand: "ray.data.Dataset | pa.Table",
     qn: np.ndarray,
     query_ids,
     k: int,
@@ -931,11 +931,18 @@ def _exact_rerank(
     the approximate candidates (∝ queries × rerank, never ∝ corpus) are
     broadcast; one pass over ``ds`` (any dataset carrying ``id_col`` +
     ``vec_col``) computes exact cosines for nominated (query, id) pairs
-    only; a final tiny groupby ranks exact top-k."""
-    cand_parts = [t for t in ray.get(cand.to_arrow_refs()) if t.num_rows]
-    if not cand_parts:
+    only; a final tiny groupby ranks exact top-k.  ``cand`` may arrive as
+    an already-collected Table (knn_over_index fetches once for its
+    partition pruning) or as a Dataset."""
+    if isinstance(cand, pa.Table):
+        cand_t = cand
+    else:
+        cand_parts = [t for t in ray.get(cand.to_arrow_refs()) if t.num_rows]
+        if not cand_parts:
+            return ray.data.from_arrow(_empty_candidates(id_col))
+        cand_t = pa.concat_tables(cand_parts).combine_chunks()
+    if cand_t.num_rows == 0:
         return ray.data.from_arrow(_empty_candidates(id_col))
-    cand_t = pa.concat_tables(cand_parts).combine_chunks()
     cand_ids = np.sort(np.unique(cand_t[id_col].to_numpy(zero_copy_only=False)))
     # (sorted candidate ids, per-candidate query lists) broadcast once.
     # qn/qid_arr are co-sorted by query id BEFORE the put: exact_scores maps
@@ -1516,22 +1523,30 @@ def knn_over_index(
     # the exact rerank touches only candidate KEYS (≤ queries × rerank):
     # prune the source read to their partitions — the lake layout is a
     # pure function of the key, so candidate partitions are computable
-    # driver-side from the candidate ids alone
-    cand = cand.materialize()
+    # driver-side from the candidate ids alone.  One driver fetch serves
+    # both the pruning and the rerank broadcast (cand_t passed through).
     src_spec = spec or TableSpec()
     cand_tbls = [t for t in ray.get(cand.to_arrow_refs()) if t.num_rows]
-    src_parts = None
-    if cand_tbls:
-        from raycdc import sink as _S
-        from raycdc.partition import hash_key_column
+    if not cand_tbls:
+        return ray.data.from_arrow(_empty_candidates(key_col))
+    cand_t = pa.concat_tables(cand_tbls).combine_chunks()
+    from raycdc import sink as _S
+    from raycdc.partition import hash_key_column
 
-        meta = _S.read_spec_meta(src_lake) or {}
+    meta = _S.read_spec_meta(src_lake) or {}
+    src_parts = None
+    if meta.get("partition_key", src_spec.partition_key) == key_col:
+        # pruning is only sound when the lake partitions BY the search
+        # key; a lake keyed elsewhere (legal for replay) falls back to a
+        # full — still column-pruned — read rather than silently missing
+        # candidates (the maintainers raise here because pruning is load-
+        # bearing for them; for search it is an optimization)
         src_nparts = int(meta.get("num_partitions", src_spec.num_partitions))
-        cand_keys = pa.concat_tables(
-            [t.select([key_col]) for t in cand_tbls]
-        )[key_col].combine_chunks()
         src_parts = (
-            np.unique(hash_key_column(cand_keys) % np.uint64(src_nparts))
+            np.unique(
+                hash_key_column(cand_t[key_col].combine_chunks())
+                % np.uint64(src_nparts)
+            )
             .astype(int)
             .tolist()
         )
@@ -1541,4 +1556,4 @@ def knn_over_index(
         columns=[key_col, vec_col],
         partitions=src_parts,
     )
-    return _exact_rerank(source, cand, qn, query_ids, k, vec_col, key_col)
+    return _exact_rerank(source, cand_t, qn, query_ids, k, vec_col, key_col)

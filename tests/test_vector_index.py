@@ -236,3 +236,101 @@ def test_ann_index_cli_smoke(ray_session, tmp_path, capsys):
     )
     assert rc == 0
     assert "applied_partitions" in capsys.readouterr().out
+
+
+def test_nested_row_hash_fixed_size_list_with_null_rows():
+    """flatten() drops null rows' slots — the kernel must use the raw
+    child so valid rows after a null still hash correctly (self-review
+    r5 finding: reshape misaligned and crashed)."""
+    a = pa.array(
+        [[1.0, 2.0], [None, 4.0], None, [5.0, 6.0], [1.0, 2.0]],
+        pa.list_(pa.float64(), 2),
+    )
+    h = nested_row_hash(a)
+    assert len(h) == 5
+    assert h[0] == h[4]  # identical valid rows, one beyond the null
+    assert h[0] != h[3]
+
+
+def test_diff_tagged_fixed_size_list_null_row():
+    from raycdc.changelog import diff_tagged
+
+    typ = pa.list_(pa.float64(), 2)
+    old = pa.table(
+        {
+            "k": pa.array([1, 2], pa.int64()),
+            "v": pa.array([[1.0, 2.0], None], typ),
+            "__side": pa.array([0, 0], pa.int8()),
+        }
+    )
+    new = pa.table(
+        {
+            "k": pa.array([1, 2], pa.int64()),
+            "v": pa.array([[1.0, 2.0], [3.0, 4.0]], typ),
+            "__side": pa.array([1, 1], pa.int8()),
+        }
+    )
+    out = diff_tagged(pa.concat_tables([old, new]), ("k",), ("v",)).to_pandas()
+    # k=1 unchanged; k=2 null -> value is an update
+    assert dict(zip(out["k"], out["op"])) == {2: "update"}
+
+
+def test_index_search_on_foreign_partition_key_falls_back(ray_session, tmp_path):
+    """A vector lake partitioned by a DIFFERENT key (legal for replay):
+    pruning by vec_id would read the wrong partitions, so the search
+    must fall back to an unpruned read and stay exact."""
+    rng = np.random.default_rng(33)
+    mat = rng.standard_normal((150, 16))
+    spec = TableSpec(
+        name="vectors",
+        schema=pa.schema(
+            [
+                pa.field("vec_id", pa.int64()),
+                pa.field("tenant", pa.string()),
+                pa.field("embedding", pa.list_(pa.float64())),
+                pa.field("ts", pa.timestamp("us")),
+            ]
+        ),
+        key_cols=("vec_id",),
+        version_cols=("ts", "lsn"),
+        partition_key="tenant",
+        num_partitions=4,
+        sort_cols=("vec_id",),
+    )
+    n = len(mat)
+    seg = pa.table(
+        {
+            "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+            "tenant": pa.array([f"t{i % 3}" for i in range(n)]),
+            "embedding": pa.array([list(map(float, r)) for r in mat]),
+            "ts": pa.array(
+                np.full(n, 1_600_000_000_000_000, np.int64)
+                + np.arange(n, dtype=np.int64),
+                pa.timestamp("us"),
+            ),
+            "op": pa.array(["insert"] * n),
+            "lsn": pa.array(np.arange(n, dtype=np.int64)),
+        }
+    )
+    src, idx = str(tmp_path / "vecs"), str(tmp_path / "index")
+    replay(ray.data.from_arrow(seg), src, spec)
+    # the index VIEW partitions by vec_id regardless of the source layout
+    S.maintain_vector_index(src, idx, n_lists=4, m_sub=4, spec=spec,
+                            num_partitions=4)
+    q, qids = mat[:4], np.arange(4)
+    got = (
+        S.knn_over_index(idx, src, q, qids, k=3, nprobe=4, rerank=256,
+                         spec=spec, index_partitions=4)
+        .to_pandas()
+        .sort_values(["q_id", "rank"])
+    )
+    vecs = read_lake(src, spec, columns=["vec_id", "embedding"])
+    brute = (
+        S.knn_brute_force(vecs, q, qids, k=3)
+        .to_pandas()
+        .sort_values(["q_id", "rank"])
+    )
+    cols = ["q_id", "vec_id", "rank"]
+    assert got[cols].reset_index(drop=True).equals(
+        brute[cols].reset_index(drop=True)
+    )
