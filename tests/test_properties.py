@@ -552,3 +552,101 @@ def test_strip_markup_equals_per_row_reference(texts):
         return _re.sub(r"\s+", " ", s).strip(" ")
 
     assert got == [ref(s) for s in texts]
+
+
+# ---------------------------------------------------------------------------
+# round-5 kernels
+
+
+@given(
+    st.lists(
+        st.one_of(
+            st.none(),
+            st.lists(
+                st.floats(allow_nan=False, width=64), max_size=6
+            ),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(max_examples=60, deadline=None)
+def test_nested_row_hash_is_a_pure_row_function(rows):
+    """h(row) depends only on the row's own elements: hashing the column
+    twice, hashing a doubled column, and hashing a slice all agree row
+    for row (no neighbor/offset leakage), and equal rows hash equal."""
+    from raycdc.partition import nested_row_hash
+
+    col = pa.array(rows, pa.list_(pa.float64()))
+    h1 = nested_row_hash(col)
+    h2 = nested_row_hash(col)
+    assert (h1 == h2).all()
+    doubled = nested_row_hash(pa.concat_arrays([col, col]))
+    assert (doubled[: len(rows)] == doubled[len(rows) :]).all()
+    assert (doubled[: len(rows)] == h1).all()
+    if len(rows) > 2:
+        sl = nested_row_hash(col.slice(1, len(rows) - 2))
+        assert (sl == h1[1 : len(rows) - 1]).all()
+    # equal rows agree; a mutated row disagrees (avalanche sanity)
+    for i, a in enumerate(rows):
+        for j, b in enumerate(rows):
+            if a is not None and a == b:
+                assert h1[i] == h1[j]
+
+
+@given(changelogs(), st.integers(1, 4))
+@settings(max_examples=20, deadline=None)
+def test_maintain_topk_matches_python_reference(log, k):
+    """TOP-K view over any synthetic changelog == the python top-k of the
+    LWW live state (per group: k largest turn_idx, rank 1 = largest)."""
+    import shutil as _sh
+    import tempfile as _tf
+
+    import ray
+    import ray.data
+
+    from raycdc.engine import maintain_topk, read_lake, replay
+
+    from .oracle import python_lww_replay
+
+    from raycdc.schema import TableSpec as _TS
+
+    if log.num_rows == 0:
+        return  # a never-applied source has no schema registry: the
+        # view refuses it by contract (pinned in test_maintain_view)
+    base = _tf.mkdtemp(prefix="raycdc_topk_prop_")
+    try:
+        spec = _TS(num_partitions=4)
+        src, view = f"{base}/src", f"{base}/view"
+        replay(ray.data.from_arrow(log), src, spec)
+        maintain_topk(src, view, group_col="conv_id", order_col="turn_idx",
+                      k=k, spec=spec, num_partitions=4)
+        parts = [
+            t
+            for t in ray.get(
+                read_lake(view, _TS(num_partitions=4)).to_arrow_refs()
+            )
+            if t.num_rows
+        ]
+        got = {}
+        if parts:
+            t = pa.concat_tables(parts)
+            got = {
+                (g, r): v
+                for g, r, v in zip(
+                    t["conv_id"].to_pylist(),
+                    t["rank"].to_pylist(),
+                    t["turn_idx"].to_pylist(),
+                )
+            }
+        by_conv = {}
+        for (conv, turn), _r in python_lww_replay([log]).items():
+            by_conv.setdefault(conv, []).append(turn)
+        want = {
+            (conv, i + 1): v
+            for conv, turns in by_conv.items()
+            for i, v in enumerate(sorted(turns, reverse=True)[:k])
+        }
+        assert got == want
+    finally:
+        _sh.rmtree(base, ignore_errors=True)
