@@ -51,6 +51,7 @@ _ENGINE_EXPORTS = (
     "tail",
     "tail_once",
     "prune_segments",
+    "expire_rows",
     "compact",
     "restore_lake",
     "migrate_lake",

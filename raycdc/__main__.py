@@ -117,6 +117,20 @@ def main(argv: list[str] | None = None) -> int:
         help="backoff cap in seconds for --follow (default 60)",
     )
 
+    p_exp = sub.add_parser(
+        "expire",
+        help="row-level retention: delete every live row older than a "
+        "cutoff timestamp, exactly-once (prune retires WAL files, "
+        "compact collects tombstones, expire retires data rows)",
+    )
+    p_exp.add_argument("--lake", required=True)
+    p_exp.add_argument(
+        "--older-than", required=True, dest="older_than",
+        help="ISO timestamp; live rows with ts strictly below it expire",
+    )
+    p_exp.add_argument("--ts-col", default="ts", dest="ts_col")
+    p_exp.add_argument("--partitions", type=int, default=64)
+
     p_compact = sub.add_parser("compact", help="drop applied tombstones")
     p_compact.add_argument("--lake", required=True)
     p_compact.add_argument("--partitions", type=int, default=64)
@@ -754,6 +768,27 @@ def main(argv: list[str] | None = None) -> int:
             num_partitions=args.partitions,
         )
         print(json.dumps({"applied_partitions": lin.num_rows}))
+    elif args.cmd == "expire":
+        from raycdc.engine import expire_rows
+
+        lin = expire_rows(
+            args.lake,
+            args.older_than,
+            spec=_lake_spec(args.lake, args.partitions),
+            ts_col=args.ts_col,
+        )
+        import pyarrow.compute as pc
+
+        print(
+            json.dumps(
+                {
+                    "partitions": lin.num_rows,
+                    "rows_deleted": int(
+                        pc.sum(lin["rows_applied"]).as_py() or 0
+                    ),
+                }
+            )
+        )
     elif args.cmd == "ann-index":
         from raycdc.similarity import maintain_vector_index
 

@@ -1266,6 +1266,90 @@ def hash_part(key_value: str, num_partitions: int) -> int:
     return int(h[0] % np.uint64(num_partitions))
 
 
+def expire_rows(
+    lake_dir: str,
+    cutoff,
+    spec: TableSpec | None = None,
+    ts_col: str = "ts",
+) -> pa.Table:
+    """ROW-level retention: every LIVE row whose ``ts_col`` is strictly
+    below ``cutoff`` becomes a delete event replayed into the lake
+    exactly-once — the TTL/GDPR verb completing the retention story
+    (:func:`prune_segments` retires WAL *files*, :func:`compact` collects
+    applied *tombstones*, this expires *data rows*).  The reference's
+    destination has no retention at all (load-and-replace keeps whatever
+    the last file carried, ``/root/reference/loader.go:33-60``); a lake
+    that is the system of record needs one.
+
+    Expiry is expressed IN the engine's own algebra — a derived delete
+    changelog fed to :func:`replay` — so it inherits every lake
+    guarantee: atomic per-partition publish, checkpoints, lineage rows,
+    snapshots (the pre-expiry snapshot stays time-travelable and
+    :func:`restore_lake` can undo an over-eager expiry).  Delete events
+    are stamped ``(ts = cutoff, lsn = global max_lsn + 1)``, which
+    LWW-dominates every expired row (its ts is < cutoff by selection);
+    a re-run finds no remaining live rows below the cutoff and no-ops,
+    and a crash-retry re-derives deletes only for the partitions that
+    have not applied yet — idempotent by construction, no new protocol.
+
+    LWW lakes only (additive deltas and history intervals have their own
+    retention semantics — resets and interval closes).  Returns the
+    replay lineage (empty when nothing expired).
+    """
+    import datetime as _dt
+
+    import numpy as np
+
+    spec = spec or TableSpec()
+    meta = S.read_spec_meta(lake_dir) or {}
+    if meta.get("merge_policy", spec.merge_policy) != "lww":
+        raise ValueError(
+            "expire_rows supports merge_policy='lww' only: additive lakes "
+            "expire by replaying reset deltas, history lakes by closing "
+            "intervals — both are ordinary changelogs, not TTL sweeps"
+        )
+    if isinstance(cutoff, str):
+        cutoff = _dt.datetime.fromisoformat(cutoff)
+    ckpts = S.read_all_checkpoints(lake_dir)
+    if not ckpts:
+        raise FileNotFoundError(f"no checkpoints under {lake_dir} — not a replayed lake")
+    next_lsn = max(int(c.get("max_lsn", -1)) for c in ckpts.values()) + 1
+
+    key_cols = tuple(meta.get("key_cols", spec.key_cols))
+    doomed = read_lake(lake_dir, spec, columns=[*key_cols, ts_col])
+
+    cutoff_us = int(
+        pa.scalar(cutoff, pa.timestamp("us")).cast(pa.int64()).as_py()
+    )
+
+    def to_deletes(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less(t[ts_col], pa.scalar(cutoff, t[ts_col].type)))
+        n = len(t)
+        cols = {}
+        for f in spec.schema:
+            if f.name in key_cols:
+                cols[f.name] = t[f.name]
+            elif f.name == ts_col:
+                # the delete's version: (cutoff, next_lsn) LWW-dominates
+                # every expired row (its own ts is < cutoff by selection)
+                cols[f.name] = pa.array(
+                    np.full(n, cutoff_us, np.int64)
+                ).cast(pa.timestamp("us")).cast(f.type)
+            else:
+                # non-key columns ride as nulls (the stored tombstone shape)
+                cols[f.name] = pa.nulls(n, f.type)
+        out = pa.table(cols)
+        out = out.append_column(spec.op_col, pa.array(["delete"] * n))
+        return out.append_column(
+            "lsn", pa.array(np.full(n, next_lsn, np.int64))
+        )
+
+    deletes = doomed.map_batches(
+        to_deletes, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return replay(deletes, lake_dir, spec)
+
+
 def compact(
     lake_dir: str,
     spec: TableSpec | None = None,

@@ -1477,6 +1477,63 @@ GROUP BY conv_id
 """
 
 
+def q_cdc_ttl_expire(sf_dir: str):
+    """Row-level retention (:func:`raycdc.engine.expire_rows`): replay the
+    full changelog into a lake, expire every live row whose ts is below
+    the data's midpoint instant (derived deletes through the ordinary
+    replay path — atomic, checkpointed, lineage'd), run expire a SECOND
+    time (must no-op: no live rows remain below the cutoff), and return
+    the surviving state.  ORACLE: the one-shot LWW live state filtered to
+    ts >= the same midpoint, computed in epoch-microsecond integer
+    arithmetic on both sides."""
+    import pyarrow.parquet as pq
+
+    from raycdc.changelog import changelog_from_events
+    from raycdc.engine import expire_rows, read_lake, replay
+    from raycdc.schema import TableSpec
+
+    spec = TableSpec(num_partitions=16)
+    lake = _scratch_path(sf_dir, "ttl_lake")
+    shutil.rmtree(lake, ignore_errors=True)
+    replay(changelog_from_events(sf_dir), lake, spec)
+    ts = pq.read_table(f"{sf_dir}/events.parquet", columns=["ts"])["ts"]
+    lo = pc.min(ts).cast(pa.int64()).as_py()
+    hi = pc.max(ts).cast(pa.int64()).as_py()
+    import datetime as dt
+
+    cutoff = dt.datetime(1970, 1, 1) + dt.timedelta(
+        microseconds=(lo + hi) // 2
+    )
+    expire_rows(lake, cutoff, spec)
+    expire_rows(lake, cutoff, spec)  # idempotence: second sweep no-ops
+    return read_lake(lake, spec).select_columns(
+        ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    )
+
+
+def _sql_cdc_ttl_expire() -> str:
+    from raycdc.changelog import CHANGELOG_SQL
+
+    return f"""
+WITH {CHANGELOG_SQL.strip()},
+ranked AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY conv_id, turn_idx
+        ORDER BY ts DESC, lsn DESC
+    ) AS rn
+    FROM changelog
+),
+cut AS (
+    SELECT make_timestamp(
+        (epoch_us(MIN(ts)) + epoch_us(MAX(ts))) // 2
+    ) AS cutoff FROM events
+)
+SELECT conv_id, turn_idx, role, text, tool, ts
+FROM ranked, cut
+WHERE rn = 1 AND op <> 'delete' AND ts >= cutoff
+"""
+
+
 _TOPK_VIEW_K = 3
 
 
@@ -6226,6 +6283,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "text_embed_near_dup": q_text_embed_near_dup,
     "cdc_extrema_view": q_cdc_extrema_view,
     "cdc_topk_view": q_cdc_topk_view,
+    "cdc_ttl_expire": q_cdc_ttl_expire,
     "cdc_evolve": q_cdc_evolve,
     "cdc_additive_rollup": q_cdc_additive_rollup,
     "cdc_bootstrap": q_cdc_bootstrap,
@@ -6362,6 +6420,7 @@ ORACLES: dict[str, str] = {
     "media_features": SQL_MEDIA_FEATURES,
     "cdc_extrema_view": _sql_cdc_extrema_view(),
     "cdc_topk_view": _sql_cdc_topk_view(),
+    "cdc_ttl_expire": _sql_cdc_ttl_expire(),
     "sim_knn_index": SQL_SIM_KNN,
     "dedup_simhash": SQL_DEDUP_SIMHASH,
     "text_fingerprints": SQL_TEXT_FINGERPRINTS,
@@ -6513,6 +6572,7 @@ def bench_extras() -> dict[str, Callable[[str], Any]]:
         "sim_knn_ivfpq": lambda sf: q_sim_knn_ivfpq(sf).count(),
         "cdc_extrema_view": lambda sf: q_cdc_extrema_view(sf).count(),
         "cdc_topk_view": lambda sf: q_cdc_topk_view(sf).count(),
+        "cdc_ttl_expire": lambda sf: q_cdc_ttl_expire(sf).count(),
         # round-5 addition: graph ANN (NSW beam search)
         "sim_knn_graph": lambda sf: q_sim_knn_graph(sf).count(),
         "sim_knn_index": lambda sf: q_sim_knn_index(sf).count(),
