@@ -1316,7 +1316,18 @@ def expire_rows(
     next_lsn = max(int(c.get("max_lsn", -1)) for c in ckpts.values()) + 1
 
     key_cols = tuple(meta.get("key_cols", spec.key_cols))
-    doomed = read_lake(lake_dir, spec, columns=[*key_cols, ts_col])
+    import pyarrow.dataset as _pds
+
+    # cutoff pushed into the parquet scan: row groups whose ts statistics
+    # sit entirely at-or-above the cutoff never leave storage — at scale a
+    # steady-cadence TTL sweep reads ∝ the expiring tail, not the lake
+    doomed = read_lake(
+        lake_dir,
+        spec,
+        columns=[*key_cols, ts_col],
+        predicate=_pds.field(ts_col)
+        < pa.scalar(cutoff, pa.timestamp("us")),
+    )
 
     cutoff_us = int(
         pa.scalar(cutoff, pa.timestamp("us")).cast(pa.int64()).as_py()
