@@ -783,8 +783,8 @@ def main(argv: list[str] | None = None) -> int:
             json.dumps(
                 {
                     "partitions": lin.num_rows,
-                    "rows_deleted": int(
-                        pc.sum(lin["rows_applied"]).as_py() or 0
+                    "rows_expired": int(
+                        pc.sum(lin["tombstones"]).as_py() or 0
                     ),
                 }
             )

@@ -1272,93 +1272,147 @@ def expire_rows(
     spec: TableSpec | None = None,
     ts_col: str = "ts",
 ) -> pa.Table:
-    """ROW-level retention: every LIVE row whose ``ts_col`` is strictly
-    below ``cutoff`` becomes a delete event replayed into the lake
-    exactly-once — the TTL/GDPR verb completing the retention story
-    (:func:`prune_segments` retires WAL *files*, :func:`compact` collects
-    applied *tombstones*, this expires *data rows*).  The reference's
-    destination has no retention at all (load-and-replace keeps whatever
-    the last file carried, ``/root/reference/loader.go:33-60``); a lake
-    that is the system of record needs one.
+    """ROW-level retention: rewrite each partition WITHOUT live rows whose
+    ``ts_col`` is strictly below ``cutoff`` — the TTL/GDPR verb completing
+    the retention story (:func:`prune_segments` retires WAL *files*,
+    :func:`compact` collects applied *tombstones*, this expires *data
+    rows*).  The reference's destination has no retention at all
+    (load-and-replace keeps whatever the last file carried,
+    ``/root/reference/loader.go:33-60``); a lake that is the system of
+    record needs one.
 
-    Expiry is expressed IN the engine's own algebra — a derived delete
-    changelog fed to :func:`replay` — so it inherits every lake
-    guarantee: atomic per-partition publish, checkpoints, lineage rows,
-    snapshots (the pre-expiry snapshot stays time-travelable and
-    :func:`restore_lake` can undo an over-eager expiry).  Delete events
-    are stamped ``(ts = cutoff, lsn = global max_lsn + 1)``, which
-    LWW-dominates every expired row (its ts is < cutoff by selection);
-    a re-run finds no remaining live rows below the cutoff and no-ops,
-    and a crash-retry re-derives deletes only for the partitions that
-    have not applied yet — idempotent by construction, no new protocol.
+    Mechanism: a compact-style atomic partition rewrite, NOT a derived
+    delete changelog — deliberately.  Tombstoning through :func:`replay`
+    would have to stamp the deletes at ``max_lsn + 1``, CONSUMING a
+    position in the source WAL's own lsn space: the next genuine event at
+    that position would be silently checkpoint-pruned (data loss — caught
+    by round-5 self-review).  The rewrite touches only the data file and
+    the checkpoint's row_count/content_hash/tombstone fields; ``max_lsn``
+    is UNCHANGED, so post-expiry ingest applies exactly-once at exactly
+    the positions the source emits.
 
-    LWW lakes only (additive deltas and history intervals have their own
-    retention semantics — resets and interval closes).  Returns the
-    replay lineage (empty when nothing expired).
+    Retention semantics under at-least-once delivery: a REDELIVERED copy
+    of an expired row (lsn at or below the checkpoint) is pruned by the
+    ordinary exactly-once filter — it stays expired with no tombstone
+    needed.  A genuinely NEW event (fresh lsn) carrying an event time
+    below the cutoff re-inserts — retention is a CADENCE, not a wall: the
+    next sweep expires it again.  Versions only move forward (the
+    pre-expiry snapshot stays time-travelable; :func:`restore_lake` can
+    undo an over-eager sweep).
+
+    LWW lakes only (additive deltas expire by replaying reset deltas,
+    history lakes by :func:`compact`'s retention watermark — both are
+    their own algebra).  The persisted layout (_spec.json) is
+    authoritative for partition count.  Returns one lineage row per
+    partition (``status ∈ {expired, noop}``; ``tombstones`` carries the
+    EXPIRED row count, mirroring compact's dropped-count convention).
     """
     import datetime as _dt
 
-    import numpy as np
+    import ray
 
     spec = spec or TableSpec()
+    _refuse_pending_restore(lake_dir, "expiring rows in it")
     meta = S.read_spec_meta(lake_dir) or {}
     if meta.get("merge_policy", spec.merge_policy) != "lww":
         raise ValueError(
             "expire_rows supports merge_policy='lww' only: additive lakes "
-            "expire by replaying reset deltas, history lakes by closing "
-            "intervals — both are ordinary changelogs, not TTL sweeps"
+            "expire by replaying reset deltas, history lakes by compact's "
+            "retention watermark — both are ordinary engine operations"
         )
     if isinstance(cutoff, str):
         cutoff = _dt.datetime.fromisoformat(cutoff)
-    ckpts = S.read_all_checkpoints(lake_dir)
-    if not ckpts:
-        raise FileNotFoundError(f"no checkpoints under {lake_dir} — not a replayed lake")
-    next_lsn = max(int(c.get("max_lsn", -1)) for c in ckpts.values()) + 1
-
-    key_cols = tuple(meta.get("key_cols", spec.key_cols))
-    import pyarrow.dataset as _pds
-
-    # cutoff pushed into the parquet scan: row groups whose ts statistics
-    # sit entirely at-or-above the cutoff never leave storage — at scale a
-    # steady-cadence TTL sweep reads ∝ the expiring tail, not the lake
-    doomed = read_lake(
-        lake_dir,
-        spec,
-        columns=[*key_cols, ts_col],
-        predicate=_pds.field(ts_col)
-        < pa.scalar(cutoff, pa.timestamp("us")),
-    )
-
-    cutoff_us = int(
-        pa.scalar(cutoff, pa.timestamp("us")).cast(pa.int64()).as_py()
-    )
-
-    def to_deletes(t: pa.Table) -> pa.Table:
-        t = t.filter(pc.less(t[ts_col], pa.scalar(cutoff, t[ts_col].type)))
-        n = len(t)
-        cols = {}
-        for f in spec.schema:
-            if f.name in key_cols:
-                cols[f.name] = t[f.name]
-            elif f.name == ts_col:
-                # the delete's version: (cutoff, next_lsn) LWW-dominates
-                # every expired row (its own ts is < cutoff by selection)
-                cols[f.name] = pa.array(
-                    np.full(n, cutoff_us, np.int64)
-                ).cast(pa.timestamp("us")).cast(f.type)
-            else:
-                # non-key columns ride as nulls (the stored tombstone shape)
-                cols[f.name] = pa.nulls(n, f.type)
-        out = pa.table(cols)
-        out = out.append_column(spec.op_col, pa.array(["delete"] * n))
-        return out.append_column(
-            "lsn", pa.array(np.full(n, next_lsn, np.int64))
+    if not S.read_all_checkpoints(lake_dir):
+        raise FileNotFoundError(
+            f"no checkpoints under {lake_dir} — not a replayed lake"
         )
+    op_col = spec.op_col
 
-    deletes = doomed.map_batches(
-        to_deletes, batch_format="pyarrow", zero_copy_batch=True
+    def expire_part(batch: pa.Table) -> pa.Table:
+        rows = []
+        for part in batch["id"].to_pylist():
+            part = int(part)
+            ckpt = S.read_checkpoint(lake_dir, part)
+            if ckpt is None:
+                continue
+            existing = S.read_partition(lake_dir, part)
+            if existing is None:
+                continue
+            n_before = len(existing)
+            is_live = pc.not_equal(
+                pc.fill_null(existing[op_col], ""), M.DELETE
+            )
+            doomed = pc.and_(
+                is_live,
+                pc.less(
+                    existing[ts_col],
+                    pa.scalar(cutoff, existing[ts_col].type),
+                ),
+            )
+            live = existing.filter(pc.invert(pc.fill_null(doomed, False)))
+            dropped = n_before - len(live)
+            chash = S.content_hash(live)
+            if dropped:
+                next_version = ckpt.get("version", 0) + 1
+                S.write_partition_atomic(
+                    live, lake_dir, part, version=next_version
+                )
+                remaining_tombs = int(
+                    pc.sum(
+                        pc.equal(pc.fill_null(live[op_col], ""), M.DELETE)
+                    ).as_py()
+                    or 0
+                )
+                S.write_checkpoint(
+                    lake_dir,
+                    part,
+                    {
+                        "max_lsn": ckpt["max_lsn"],  # WAL position untouched
+                        "row_count": len(live),
+                        "content_hash": chash,
+                        "version": next_version,
+                        "tombstones": remaining_tombs,
+                    },
+                )
+            rows.append(
+                {
+                    "part": part,
+                    "rows_in": n_before,
+                    "rows_applied": 0,
+                    "rows_skipped_ckpt": 0,
+                    "rows_total": len(live),
+                    "tombstones": dropped,
+                    "max_lsn": ckpt["max_lsn"],
+                    "content_hash": chash,
+                    "status": "expired" if dropped else "noop",
+                }
+            )
+        if not rows:
+            return S.LINEAGE_SCHEMA.empty_table()
+        return pa.Table.from_pylist(rows, schema=S.LINEAGE_SCHEMA)
+
+    nparts = int(meta.get("num_partitions", spec.num_partitions))
+    pdf = (
+        ray.data.range(nparts, override_num_blocks=min(nparts, 64))
+        .map_batches(expire_part, batch_format="pyarrow")
+        .to_pandas()
     )
-    return replay(deletes, lake_dir, spec)
+    if len(pdf) == 0:
+        return S.LINEAGE_SCHEMA.empty_table()
+    lineage = pa.Table.from_pandas(
+        pdf, schema=S.LINEAGE_SCHEMA, preserve_index=False
+    )
+    S.write_lineage(lake_dir, lineage)
+    S.write_snapshot(lake_dir)
+    from raycdc.runlog import RunLog
+
+    rl = RunLog(verb="expire", lake=lake_dir, cutoff=str(cutoff))
+    rl.finish(
+        "expire finished",
+        partitions=lineage.num_rows,
+        rows_expired=int(pc.sum(lineage["tombstones"]).as_py() or 0),
+    )
+    return lineage
 
 
 def compact(

@@ -1480,8 +1480,8 @@ GROUP BY conv_id
 def q_cdc_ttl_expire(sf_dir: str):
     """Row-level retention (:func:`raycdc.engine.expire_rows`): replay the
     full changelog into a lake, expire every live row whose ts is below
-    the data's midpoint instant (derived deletes through the ordinary
-    replay path — atomic, checkpointed, lineage'd), run expire a SECOND
+    the data's midpoint instant (a compact-style atomic partition rewrite
+    — checkpointed, lineage'd, WAL positions untouched), run expire a SECOND
     time (must no-op: no live rows remain below the cutoff), and return
     the surviving state.  ORACLE: the one-shot LWW live state filtered to
     ts >= the same midpoint, computed in epoch-microsecond integer

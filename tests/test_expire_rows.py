@@ -1,5 +1,8 @@
-"""Row-level retention (engine.expire_rows): TTL sweeps expressed as
-derived delete changelogs through the ordinary replay path."""
+"""Row-level retention (engine.expire_rows): TTL sweeps as compact-style
+partition rewrites — the checkpoint's WAL position is untouched, so
+post-expiry ingest applies exactly-once at exactly the positions the
+source emits (the round-5 self-review data-loss scenario is the
+regression test here)."""
 
 import datetime as dt
 
@@ -22,6 +25,11 @@ def _state(lake, spec):
     return {(r.conv_id, r.turn_idx): r.ts for r in pdf.itertuples(index=False)}
 
 
+def _mid_cutoff(live):
+    all_ts = sorted(r["ts"] for r in live.values())
+    return all_ts[len(all_ts) // 2]
+
+
 def test_expire_removes_only_older_rows_and_renoops(ray_session, tmp_path):
     spec = TableSpec(num_partitions=4)
     lake = str(tmp_path / "lake")
@@ -29,40 +37,74 @@ def test_expire_removes_only_older_rows_and_renoops(ray_session, tmp_path):
     replay(ray.data.from_arrow(log), lake, spec)
 
     live = python_lww_replay([log])
-    all_ts = sorted(r["ts"] for r in live.values())
-    cutoff = all_ts[len(all_ts) // 2]
+    cutoff = _mid_cutoff(live)
 
     lin = expire_rows(lake, cutoff, spec)
-    assert int(pc.sum(lin["rows_applied"]).as_py()) > 0
+    assert int(pc.sum(lin["tombstones"]).as_py()) > 0
     got = _state(lake, spec)
     want = {k: r["ts"] for k, r in live.items() if r["ts"] >= cutoff}
     assert got == want
 
-    # second sweep: nothing left below the cutoff — state unchanged and
-    # no partition applies rows
+    # second sweep: nothing left below the cutoff — all partitions noop
     lin2 = expire_rows(lake, cutoff, spec)
-    applied = int(pc.sum(lin2["rows_applied"]).as_py() or 0)
-    assert applied == 0
+    assert int(pc.sum(lin2["tombstones"]).as_py() or 0) == 0
+    assert set(lin2["status"].to_pylist()) <= {"noop"}
     assert _state(lake, spec) == want
 
 
-def test_expire_tombstones_cancel_late_redelivery(ray_session, tmp_path):
-    """An expired key's tombstone carries (cutoff, next_lsn): a LATE
-    redelivered insert of the expired row (old ts, old lsn) must lose LWW
-    and stay expired — retention survives at-least-once delivery."""
+def test_expire_consumes_no_wal_positions(ray_session, tmp_path):
+    """THE data-loss regression (round-5 self-review): after a sweep, the
+    source's NEXT genuine event — at lsn = old max + 1 — must apply.  A
+    tombstone-minting implementation stamped its deletes at that very
+    position and silently checkpoint-pruned the real event."""
     spec = TableSpec(num_partitions=4)
     lake = str(tmp_path / "lake")
     log = synthetic_changelog(n_events=300, seed=72)
     replay(ray.data.from_arrow(log), lake, spec)
     live = python_lww_replay([log])
-    all_ts = sorted(r["ts"] for r in live.values())
-    cutoff = all_ts[len(all_ts) // 2]
+    cutoff = _mid_cutoff(live)
+    expire_rows(lake, cutoff, spec)
+
+    max_lsn = int(pc.max(log["lsn"]).as_py())
+    nxt = pa.table(
+        {
+            "conv_id": pa.array(["brand-new-conv"]),
+            "turn_idx": pa.array([0], pa.int32()),
+            "role": pa.array(["user"]),
+            "text": pa.array(["the next real event"]),
+            "tool": pa.array([""]),
+            "ts": pa.array([dt.datetime(2030, 1, 1)], pa.timestamp("us")),
+            "op": pa.array(["insert"]),
+            "lsn": pa.array(np.array([max_lsn + 1], np.int64)),
+        }
+    )
+    lin = replay(ray.data.from_arrow(nxt), lake, spec)
+    assert int(pc.sum(lin["rows_applied"]).as_py()) == 1
+    assert ("brand-new-conv", 0) in _state(lake, spec)
+
+
+def test_expire_redelivery_stays_expired_fresh_event_is_cadence(
+    ray_session, tmp_path
+):
+    """At-least-once semantics: a REDELIVERED copy of an expired row
+    (lsn at or below the checkpoint) is exactly-once-pruned and stays
+    expired; a genuinely NEW event (fresh lsn) with an old event time
+    re-inserts, and the NEXT sweep expires it — retention is a cadence,
+    not a wall."""
+    spec = TableSpec(num_partitions=4)
+    lake = str(tmp_path / "lake")
+    log = synthetic_changelog(n_events=300, seed=73)
+    replay(ray.data.from_arrow(log), lake, spec)
+    live = python_lww_replay([log])
+    cutoff = _mid_cutoff(live)
     expire_rows(lake, cutoff, spec)
     want = {k: r["ts"] for k, r in live.items() if r["ts"] >= cutoff}
 
-    # full redelivery of the original log (checkpoint-pruned) PLUS a
-    # fresh segment re-inserting an expired key at its old event time
-    # with a NEW lsn (passes the checkpoint filter; loses LWW on ts)
+    # full redelivery of the original log: checkpoint-pruned, state fixed
+    replay(ray.data.from_arrow(log), lake, spec)
+    assert _state(lake, spec) == want
+
+    # a NEW event (fresh lsn) carrying a pre-cutoff event time re-inserts
     expired_key = next(k for k, r in live.items() if r["ts"] < cutoff)
     late = log.filter(
         pc.and_(
@@ -74,18 +116,24 @@ def test_expire_tombstones_cancel_late_redelivery(ray_session, tmp_path):
     late = late.set_column(
         late.schema.get_field_index("lsn"),
         "lsn",
-        pa.array(np.array([max_lsn + 100], np.int64)),
+        pa.array(np.array([max_lsn + 50], np.int64)),
     )
-    replay(ray.data.from_arrow(pa.concat_tables([log, late])), lake, spec)
-    assert _state(lake, spec) == want  # the expired key stayed expired
+    late = late.set_column(
+        late.schema.get_field_index("op"), "op", pa.array(["insert"])
+    )
+    replay(ray.data.from_arrow(late), lake, spec)
+    assert expired_key in _state(lake, spec)  # re-inserted (cadence)
+    expire_rows(lake, cutoff, spec)  # next sweep takes it out again
+    assert _state(lake, spec) == want
 
 
 def test_expire_refuses_non_lww(ray_session, tmp_path):
     spec = TableSpec(num_partitions=4, merge_policy="history")
     lake = str(tmp_path / "lake")
-    log = synthetic_changelog(n_events=100, seed=73)
-    # history replay requires ts-sorted per-key event order
-    order = pc.sort_indices(log, sort_keys=[("ts", "ascending"), ("lsn", "ascending")])
+    log = synthetic_changelog(n_events=100, seed=74)
+    order = pc.sort_indices(
+        log, sort_keys=[("ts", "ascending"), ("lsn", "ascending")]
+    )
     replay(ray.data.from_arrow(log.take(order)), lake, spec)
     with pytest.raises(ValueError, match="lww"):
         expire_rows(lake, dt.datetime(2030, 1, 1), spec)
@@ -96,6 +144,24 @@ def test_expire_unreplayed_lake_raises(ray_session, tmp_path):
         expire_rows(str(tmp_path / "nope"), dt.datetime(2030, 1, 1))
 
 
+def test_expire_versions_move_forward_snapshot_restorable(ray_session, tmp_path):
+    """The sweep publishes NEW versions: the pre-expiry snapshot stays
+    time-travelable and restore_lake undoes an over-eager sweep."""
+    from raycdc.engine import restore_lake
+    from raycdc.sink import list_snapshots
+
+    spec = TableSpec(num_partitions=4)
+    lake = str(tmp_path / "lake")
+    log = synthetic_changelog(n_events=300, seed=75)
+    replay(ray.data.from_arrow(log), lake, spec)
+    before = _state(lake, spec)
+    snap = list_snapshots(lake)[-1]
+    expire_rows(lake, dt.datetime(2200, 1, 1), spec)  # expires everything
+    assert _state(lake, spec) == {}
+    restore_lake(lake, snap, spec)
+    assert _state(lake, spec) == before
+
+
 def test_expire_cli_smoke(ray_session, tmp_path, capsys):
     import json
 
@@ -103,11 +169,11 @@ def test_expire_cli_smoke(ray_session, tmp_path, capsys):
 
     spec = TableSpec(num_partitions=4)
     lake = str(tmp_path / "lake")
-    log = synthetic_changelog(n_events=200, seed=74)
+    log = synthetic_changelog(n_events=200, seed=76)
     replay(ray.data.from_arrow(log), lake, spec)
     rc = main(["expire", "--lake", lake, "--older-than", "2200-01-01T00:00:00",
                "--partitions", "4"])
     assert rc == 0
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
-    assert out["rows_deleted"] > 0  # far-future cutoff expires everything
+    assert out["rows_expired"] > 0  # far-future cutoff expires everything
     assert _state(lake, spec) == {}

@@ -587,10 +587,16 @@ def test_nested_row_hash_is_a_pure_row_function(rows):
     if len(rows) > 2:
         sl = nested_row_hash(col.slice(1, len(rows) - 2))
         assert (sl == h1[1 : len(rows) - 1]).all()
-    # equal rows agree; a mutated row disagrees (avalanche sanity)
+    # BIT-PATTERN-equal rows agree (the kernel's documented contract is
+    # bit equality, so 0.0 vs -0.0 are DIFFERENT rows by design)
+    import numpy as _np
+
+    def bits(r):
+        return _np.asarray(r, _np.float64).tobytes()
+
     for i, a in enumerate(rows):
         for j, b in enumerate(rows):
-            if a is not None and a == b:
+            if a is not None and b is not None and bits(a) == bits(b):
                 assert h1[i] == h1[j]
 
 
@@ -621,13 +627,18 @@ def test_maintain_topk_matches_python_reference(log, k):
         replay(ray.data.from_arrow(log), src, spec)
         maintain_topk(src, view, group_col="conv_id", order_col="turn_idx",
                       k=k, spec=spec, num_partitions=4)
-        parts = [
-            t
-            for t in ray.get(
-                read_lake(view, _TS(num_partitions=4)).to_arrow_refs()
-            )
-            if t.num_rows
-        ]
+        try:
+            parts = [
+                t
+                for t in ray.get(
+                    read_lake(view, _TS(num_partitions=4)).to_arrow_refs()
+                )
+                if t.num_rows
+            ]
+        except FileNotFoundError:
+            # a tombstone-only source: the fold emitted nothing, so the
+            # view lake was never created — live state must be empty too
+            parts = []
         got = {}
         if parts:
             t = pa.concat_tables(parts)
