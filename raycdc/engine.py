@@ -1170,9 +1170,14 @@ def tail(
     from raycdc.runlog import RunLog
 
     sleep = sleep_fn or _time.sleep
-    rl = RunLog(verb="tail", watch=watch_dir, lake=lake_dir)
+    # follow mode ⇔ a backoff cap was given (the CLI's --follow mapping):
+    # a plain fixed-interval poll must not emit follow-lifecycle records
+    # — log consumers filter on them for the long-lived-follower feature
+    # (r5 review)
+    mode = "follow" if max_interval_s is not None else "poll"
+    rl = RunLog(verb="tail", mode=mode, watch=watch_dir, lake=lake_dir)
     rl.info(
-        "tail follow started",
+        f"tail {mode} started",
         rounds=rounds,
         interval_s=interval_s,
         max_interval_s=max_interval_s,
@@ -1199,7 +1204,9 @@ def tail(
         i += 1
         if rounds is None or i < rounds:
             sleep(cur)
-    rl.finish("tail follow finished", rounds_run=i, segments_applied=total)
+    rl.finish(
+        f"tail {mode} finished", rounds_run=i, segments_applied=total
+    )
     return total
 
 
@@ -1326,6 +1333,13 @@ def expire_rows(
         raise FileNotFoundError(
             f"no checkpoints under {lake_dir} — not a replayed lake"
         )
+    # RunLog opens BEFORE the sweep (same shape as replay/restore/
+    # migrate): elapsed_s measures the actual work, and a sweep that
+    # dies mid-way leaves a started record to correlate (r5 review)
+    from raycdc.runlog import RunLog
+
+    rl = RunLog(verb="expire", lake=lake_dir, cutoff=str(cutoff))
+    rl.info("expire started")
     op_col = spec.op_col
 
     def expire_part(batch: pa.Table) -> pa.Table:
@@ -1398,15 +1412,13 @@ def expire_rows(
         .to_pandas()
     )
     if len(pdf) == 0:
+        rl.finish("expire finished", partitions=0, rows_expired=0)
         return S.LINEAGE_SCHEMA.empty_table()
     lineage = pa.Table.from_pandas(
         pdf, schema=S.LINEAGE_SCHEMA, preserve_index=False
     )
     S.write_lineage(lake_dir, lineage)
     S.write_snapshot(lake_dir)
-    from raycdc.runlog import RunLog
-
-    rl = RunLog(verb="expire", lake=lake_dir, cutoff=str(cutoff))
     rl.finish(
         "expire finished",
         partitions=lineage.num_rows,
@@ -2783,6 +2795,57 @@ class ViewContext:
         return t
 
 
+def pin_view_params(view_lake: str, caller: str, params: dict) -> None:
+    """Pin the view-DEFINING parameters in the view lake itself
+    (``_view_params.json``): the first refresh writes them; every later
+    refresh must present identical values or is refused.
+
+    ``_spec.json`` protects the LAKE's physics (partition count, merge
+    policy — :func:`raycdc.sink.write_spec_meta`); this protects the
+    VIEW's semantics.  A refresh with a different ``k`` / HLL precision /
+    group column would not error — it would quietly install rows under a
+    contract the view's existing readers don't share (a ``k=3`` refresh
+    of a ``k=5`` top-k view leaves untouched groups at five rows; a
+    pruned register read under a different partition count finds no
+    existing registers and silently collapses estimates to the delta) —
+    exactly the corruption class the partition-key mismatch check
+    already refuses loudly, so this refuses the same way.  Values must
+    round-trip JSON (ints/strings/bools/None/lists); pass tuples as
+    lists.  Rebuild into a fresh view dir to change a pinned value (the
+    :func:`migrate_lake` convention for contract-affecting changes).
+    """
+    from raycdc.storage import get_storage, read_json, write_json_atomic
+
+    st = get_storage(view_lake)
+    path = os.path.join(view_lake, "_view_params.json")
+    existing = read_json(st, path)
+    if existing is None:
+        write_json_atomic(st, path, {"view_kind": caller, **params})
+        return
+    pinned_kind = existing.get("view_kind")
+    if pinned_kind is not None and pinned_kind != caller:
+        raise ValueError(
+            f"{caller}: {view_lake} is a {pinned_kind!r} view — refusing "
+            "to refresh it as a different view kind; use a fresh dir"
+        )
+    stale = {
+        key: (existing.get(key), val)
+        for key, val in params.items()
+        if existing.get(key) != val
+    }
+    if stale:
+        detail = "; ".join(
+            f"{key}: pinned {pinned!r}, got {got!r}"
+            for key, (pinned, got) in sorted(stale.items())
+        )
+        raise ValueError(
+            f"{caller}: view-defining parameters differ from the ones "
+            f"{view_lake} was built with ({detail}) — a mismatched "
+            "refresh would corrupt the view for its existing readers; "
+            "rebuild into a fresh view dir to change them"
+        )
+
+
 def maintain_view(
     src_lake: str,
     view_lake: str,
@@ -2920,6 +2983,15 @@ def maintain_rollup(
     group_cols = tuple(group_cols)
     value_cols = tuple(value_cols)
     op_col = spec.op_col
+    pin_view_params(
+        rollup_lake,
+        "maintain_rollup",
+        {
+            "group_cols": list(group_cols),
+            "value_cols": list(value_cols),
+            "num_partitions": num_partitions,
+        },
+    )
 
     roll_spec = TableSpec(
         name="rollup_view",
@@ -3047,6 +3119,21 @@ def maintain_distinct(
     import ray
 
     spec = spec or TableSpec()
+    # the pruned register read below computes touched partitions as
+    # hash(group) % num_partitions — if this refresh's count differed
+    # from the one the view was BUILT with, that read would silently
+    # find no existing registers and the installed estimates would
+    # collapse to the delta (r5 review); pinning refuses the mismatch
+    pin_view_params(
+        view_lake,
+        "maintain_distinct",
+        {
+            "group_col": group_col,
+            "value_col": value_col,
+            "p": p,
+            "num_partitions": num_partitions,
+        },
+    )
 
     _EMPTY_VIEW = pa.table(
         {
@@ -3131,13 +3218,12 @@ def maintain_distinct(
 
     def fold_bucket(t: pa.Table) -> pa.Table:
         # many groups per bucket: sort + segmented max-merge in one pass
+        from raycdc.partition import segment_starts
+
         t = t.take(pc.sort_indices(t["g"]))
         gv = t["g"].combine_chunks()
         mat = registers_matrix(t["regs"], m)
-        neq = np.asarray(
-            pc.not_equal(gv.slice(1), gv.slice(0, len(gv) - 1))
-        )
-        starts = np.r_[0, np.flatnonzero(neq) + 1]
+        starts = segment_starts(gv)
         merged = np.maximum.reduceat(mat, starts, axis=0)
         return pa.table(
             {"g": gv.take(pa.array(starts)), "regs": matrix_to_binary(merged)}
@@ -3328,6 +3414,20 @@ def maintain_transcripts(
             "would be unsound; repartition the source (engine.migrate_lake) "
             "or group by its partition key"
         )
+    pin_view_params(
+        view_lake,
+        "maintain_transcripts",
+        {
+            "group_col": group_col,
+            "order_col": order_col,
+            "text_col": text_col,
+            "sep": sep,
+            "role_col": role_col,
+            "role_value": role_value,
+            "num_partitions": num_partitions,
+        },
+    )
+
     def fold(feed, ctx: ViewContext):
         # distinct touched groups: per-batch unique partials, tiny driver
         # fold (∝ conversations changed this refresh, never ∝ the lake)
@@ -3465,7 +3565,7 @@ def maintain_extrema(
     import numpy as np
     import ray
 
-    from raycdc.partition import hash_key_column
+    from raycdc.partition import hash_key_column, segment_starts
 
     spec = spec or TableSpec()
     meta = S.read_spec_meta(src_lake) or {}
@@ -3478,6 +3578,15 @@ def maintain_extrema(
             "would be unsound; repartition the source (engine.migrate_lake) "
             "or group by its partition key"
         )
+    pin_view_params(
+        view_lake,
+        "maintain_extrema",
+        {
+            "group_col": group_col,
+            "value_col": value_col,
+            "num_partitions": num_partitions,
+        },
+    )
 
     def fold(feed, ctx: ViewContext):
         def group_partials(t: pa.Table) -> pa.Table:
@@ -3554,10 +3663,7 @@ def maintain_extrema(
                 t = t.take(pc.sort_indices(t[group_col]))
                 gv = t[group_col].combine_chunks()
                 vals = t[value_col].to_numpy(zero_copy_only=False)
-                neq = np.asarray(
-                    pc.not_equal(gv.slice(1), gv.slice(0, len(gv) - 1))
-                )
-                starts = np.r_[0, np.flatnonzero(neq) + 1]
+                starts = segment_starts(gv)
                 return pa.table(
                     {
                         group_col: gv.take(pa.array(starts)),
@@ -3578,10 +3684,7 @@ def maintain_extrema(
                 # same segmented pass over the partials
                 g = g.take(pc.sort_indices(g[group_col]))
                 gv = g[group_col].combine_chunks()
-                neq = np.asarray(
-                    pc.not_equal(gv.slice(1), gv.slice(0, len(gv) - 1))
-                )
-                starts = np.r_[0, np.flatnonzero(neq) + 1]
+                starts = segment_starts(gv)
                 vmin = np.minimum.reduceat(
                     g["vmin"].to_numpy(zero_copy_only=False), starts
                 )
@@ -3694,7 +3797,7 @@ def maintain_topk(
     import numpy as np
     import ray
 
-    from raycdc.partition import bucket_keys, hash_key_column
+    from raycdc.partition import bucket_keys, hash_key_column, segment_starts
 
     spec = spec or TableSpec()
     if k < 1:
@@ -3709,6 +3812,20 @@ def maintain_topk(
             "would be unsound; repartition the source (engine.migrate_lake) "
             "or group by its partition key"
         )
+    # k and order_col are as view-defining as the group column: a k=3
+    # refresh of a k=5 view would delete nothing above rank 3 in
+    # untouched groups — readers of the "top-3" view would still see
+    # five rows with no error (r5 review); pin and refuse instead
+    pin_view_params(
+        view_lake,
+        "maintain_topk",
+        {
+            "group_col": group_col,
+            "order_col": order_col,
+            "k": k,
+            "num_partitions": num_partitions,
+        },
+    )
 
     def fold(feed, ctx: ViewContext):
         def group_partials(t: pa.Table) -> pa.Table:
@@ -3764,10 +3881,7 @@ def maintain_topk(
                 )
             )
             gv = t[group_col].combine_chunks()
-            neq = np.asarray(
-                pc.not_equal(gv.slice(1), gv.slice(0, len(gv) - 1))
-            )
-            starts = np.r_[0, np.flatnonzero(neq) + 1]
+            starts = segment_starts(gv)
             seg_id = np.zeros(len(gv), np.int64)
             seg_id[starts[1:]] = 1
             seg_id = np.cumsum(seg_id)

@@ -209,6 +209,36 @@ def bucket_keys(
     return pa.array((h % np.uint64(num_buckets)).astype(np.int64))
 
 
+def segment_starts(sorted_keys: "pa.Array | pa.ChunkedArray") -> np.ndarray:
+    """Start index of every equal-key run in an ALREADY-SORTED key column
+    — the canonical boundary kernel behind the repo's "sort + segmented
+    reduceat" convention (CLAUDE.md): callers sort once, call this once,
+    then ``np.{minimum,maximum,add}.reduceat`` / ``xor.reduceat`` over
+    the starts instead of per-group filters.  One copy of the subtle
+    ``np.r_[0, flatnonzero(neq) + 1]`` construction instead of one per
+    view kernel (r5 review).
+
+    Returns int64 starts (``[0]`` first; empty input → empty array).
+    Null keys are refused loudly: ``pc.not_equal`` yields null for them,
+    which would silently merge or split runs depending on fill — the
+    repo's group keys are non-null by contract (null groups raise at the
+    view boundary)."""
+    if isinstance(sorted_keys, pa.ChunkedArray):
+        sorted_keys = sorted_keys.combine_chunks()
+    n = len(sorted_keys)
+    if n == 0:
+        return np.zeros(0, np.int64)
+    if sorted_keys.null_count:
+        raise ValueError(
+            "segment_starts: null keys are unsupported — fill or filter "
+            "them before segmenting"
+        )
+    neq = np.asarray(
+        pc.not_equal(sorted_keys.slice(1), sorted_keys.slice(0, n - 1))
+    )
+    return np.r_[0, np.flatnonzero(neq) + 1].astype(np.int64)
+
+
 def key_codes(col) -> np.ndarray:
     """Null-safe dense int64 codes for segmenting/sorting one key column
     inside a group kernel: dictionary codes for every type (order across
@@ -256,12 +286,58 @@ def _value_bits(vals: np.ndarray) -> np.ndarray:
     raise TypeError(f"_value_bits: unsupported itemsize {size}")
 
 
+def _child_bits(arr: pa.Array) -> np.ndarray:
+    """uint64 equality image of a list column's CHILD slice: primitive
+    children via their bit patterns (:func:`_value_bits`), string/binary
+    children via the vectorized FNV-1a column hash (:func:`hash_strings`
+    — so ``tags list<string>`` columns are CDC-able too; a null string
+    element spans zero value bytes and hashes like ``""`` — an
+    acceptable collision for change detection, same contract as null
+    float elements hashing as their fill pattern).  Deeper nesting and
+    null-bearing non-float children are refused with a NAMED error
+    instead of numpy's cryptic object-array TypeError (r5 review)."""
+    t = arr.type
+    if (
+        pa.types.is_string(t)
+        or pa.types.is_large_string(t)
+        or pa.types.is_binary(t)
+        or pa.types.is_large_binary(t)
+    ):
+        return hash_strings(arr)
+    if pa.types.is_nested(t):
+        raise TypeError(
+            f"nested_row_hash: child type {t} is unsupported — only "
+            "lists of primitives, strings or binary compare via the row "
+            "hash; flatten deeper nesting upstream"
+        )
+    if arr.null_count and not pa.types.is_floating(t):
+        # to_numpy would promote the WHOLE slice (int → float64, bool →
+        # object) to represent the nulls, so one null element would
+        # change the bit patterns — and hence the hashes — of every
+        # NEIGHBORING row in the slice: spurious diffs, not just a local
+        # collision.  Floats are safe (nulls keep a NaN fill pattern,
+        # the dtype never changes); everything else is refused by name.
+        raise TypeError(
+            f"nested_row_hash: child type {t} with null elements is "
+            "unsupported — fill or drop the null elements upstream "
+            "(null float elements are fine: they keep a NaN bit pattern)"
+        )
+    vals = arr.to_numpy(zero_copy_only=False)
+    if vals.dtype == object:
+        raise TypeError(
+            f"nested_row_hash: child type {t} materializes as Python "
+            "objects — only primitive, string or binary children hash"
+        )
+    return _value_bits(vals)
+
+
 def nested_row_hash(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
     """Order-sensitive uint64 per-ROW hash of a nested column —
-    (fixed_size_)list of primitives — for EQUALITY comparison where
-    Arrow has no ``not_equal`` kernel (the snapshot-diff kernel's path
-    for embedding columns: two rows hash equal iff their element bit
-    patterns and length match, so vector columns become CDC-able).
+    (fixed_size_)list of primitives, strings or binary — for EQUALITY
+    comparison where Arrow has no ``not_equal`` kernel (the
+    snapshot-diff kernel's path for embedding columns: two rows hash
+    equal iff their element bit patterns and length match, so vector
+    columns become CDC-able).
 
     One vectorized pass: element bits ⊕ position-salt → splitmix →
     xor-reduce per row segment → fold in the row length.  Null ROWS get
@@ -283,10 +359,7 @@ def nested_row_hash(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
         # raw child keeps one width-slot span per row.  Null rows hash
         # whatever bits sit in their span — arbitrary but never consulted
         # (callers compare validity separately, per the docstring).
-        vals = col.values.slice(col.offset * width, n * width).to_numpy(
-            zero_copy_only=False
-        )
-        bits = _value_bits(vals)
+        bits = _child_bits(col.values.slice(col.offset * width, n * width))
         pos = np.tile(np.arange(width, dtype=np.uint64), n)
         h = _splitmix(bits ^ _splitmix(pos))
         out = np.bitwise_xor.reduce(h.reshape(n, width), axis=1)
@@ -302,10 +375,9 @@ def nested_row_hash(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
         lens = np.diff(offs)
         out = np.zeros(n, np.uint64)
         if offs[-1] > offs[0]:
-            vals = col.values.to_numpy(zero_copy_only=False)[
-                offs[0] : offs[-1]
-            ]
-            bits = _value_bits(vals)
+            bits = _child_bits(
+                col.values.slice(int(offs[0]), int(offs[-1] - offs[0]))
+            )
             row_of = np.repeat(np.arange(n), lens)
             pos_in_row = (
                 np.arange(offs[0], offs[-1], dtype=np.int64)

@@ -2207,6 +2207,77 @@ WHERE role = 'assistant' AND len(ctx) > 0
 """
 
 
+def q_preference_pairs(sf_dir: str):
+    """Reward-ranked (chosen, rejected) pair mining — the DPO data-prep
+    op (:func:`raycdc.relational.preference_pairs`): per user, among the
+    scored 'purchase' candidates, the highest-``value`` event is chosen
+    and the lowest rejected (deterministic id tie-breaks), one training
+    pair per user with ≥ 2 candidates.  Oracle = two ``row_number()``
+    windows over the same candidate set.  Float convention: score/margin
+    floor-quantized on BOTH sides."""
+    import numpy as np
+
+    from raycdc.relational import preference_pairs
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "event_type", "value", "props"],
+    )
+
+    def cand(t: pa.Table) -> pa.Table:
+        return t.filter(pc.equal(t["event_type"], "purchase")).drop_columns(
+            ["event_type"]
+        )
+
+    out = preference_pairs(
+        ds.map_batches(cand, batch_format="pyarrow", zero_copy_batch=True),
+        group_col="user_id",
+        score_col="value",
+        id_col="event_id",
+        text_col="props",
+        num_partitions=16,
+    )
+
+    def quantize(t: pa.Table) -> pa.Table:
+        for c in ("chosen_score", "rejected_score", "margin"):
+            v = t[c].to_numpy(zero_copy_only=False)
+            t = t.set_column(
+                t.schema.get_field_index(c), c, pa.array(np.floor(v * 1e6) / 1e6)
+            )
+        return t
+
+    return out.map_batches(quantize, batch_format="pyarrow", zero_copy_batch=True)
+
+
+SQL_PREFERENCE_PAIRS = """
+WITH cand AS (
+    SELECT user_id, event_id, value, props FROM events
+    WHERE event_type = 'purchase' AND value IS NOT NULL
+), ranked AS (
+    SELECT user_id, event_id, value, props,
+           row_number() OVER (
+               PARTITION BY user_id ORDER BY value DESC, event_id ASC
+           ) AS rc,
+           row_number() OVER (
+               PARTITION BY user_id ORDER BY value ASC, event_id DESC
+           ) AS rr,
+           COUNT(*) OVER (PARTITION BY user_id) AS n
+    FROM cand
+), c AS (SELECT * FROM ranked WHERE rc = 1 AND n >= 2),
+   r AS (SELECT * FROM ranked WHERE rr = 1)
+SELECT c.user_id,
+       c.event_id AS chosen_id,
+       r.event_id AS rejected_id,
+       floor(c.value * 1e6) / 1e6 AS chosen_score,
+       floor(r.value * 1e6) / 1e6 AS rejected_score,
+       floor((c.value - r.value) * 1e6) / 1e6 AS margin,
+       CAST(c.n AS BIGINT) AS n_candidates,
+       c.props AS chosen_text,
+       r.props AS rejected_text
+FROM c JOIN r ON c.user_id = r.user_id
+"""
+
+
 def q_assemble_convs(sf_dir: str):
     """Transcript reconstruction: LWW final state of the events-derived
     changelog → one training document per conversation (turn texts joined
@@ -6341,6 +6412,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "turn_dedup": q_turn_dedup,
     "merge_turns": q_merge_turns,
     "sft_pairs": q_sft_pairs,
+    "preference_pairs": q_preference_pairs,
     "sketch_top_events": q_sketch_top_events,
     "token_vocab": q_token_vocab,
     "json_props_rollup": q_json_props_rollup,
@@ -6465,6 +6537,7 @@ ORACLES: dict[str, str] = {
     "turn_dedup": _sql_turn_dedup(),
     "merge_turns": _sql_merge_turns(),
     "sft_pairs": _sql_sft_pairs(),
+    "preference_pairs": SQL_PREFERENCE_PAIRS,
     "token_vocab": SQL_TOKEN_VOCAB,
     "json_props_rollup": SQL_JSON_PROPS_ROLLUP,
     "tfidf_docs": SQL_TFIDF_DOCS,

@@ -1961,3 +1961,107 @@ def ntile(
         .groupby("__bucket", num_partitions=num_partitions)
         .map_groups(assign, batch_format="pyarrow")
     )
+
+
+def preference_pairs(
+    ds: "ray.data.Dataset",
+    group_col: str,
+    score_col: str,
+    id_col: str,
+    text_col: str | None = None,
+    num_partitions: int = 64,
+) -> "ray.data.Dataset":
+    """Reward-ranked (chosen, rejected) pair mining — the DPO/RLHF
+    data-prep op: per group (a prompt, a user, a conversation), the
+    highest-scoring candidate becomes ``chosen`` and the lowest-scoring
+    becomes ``rejected``; groups with fewer than two scored candidates
+    yield nothing.  (The reference's transform layer is strictly per-row
+    — handler.go:100-130 — cross-candidate ranking is part of this
+    repo's training-data extension, like :func:`context_response_pairs`.)
+
+    Deterministic tie-breaks, exactly SQL-reproducible: chosen = first
+    under ``(score DESC, id ASC)``, rejected = first under ``(score ASC,
+    id DESC)`` — so equal-score groups still mine a stable (min-id,
+    max-id) pair with ``margin = 0``; filter on ``margin`` downstream
+    when only strict preferences should train.  Null scores are dropped
+    before ranking (SQL ORDER BY semantics vary per engine — removing
+    them makes both sides agree); null groups are refused by
+    :func:`raycdc.partition.segment_starts`.
+
+    Output: ``(group_col, chosen_id, rejected_id, chosen_score,
+    rejected_score, margin, n_candidates[, chosen_text,
+    rejected_text])``.  One group-bucketed exchange
+    (:func:`raycdc.partition.bucket_keys` — never one UDF call per
+    group); per bucket ONE sort + :func:`segment_starts`, chosen rows
+    are the segment heads and rejected rows the segment tails — no
+    per-group filters, no row loop.
+    """
+    from raycdc.engine import _configure_shuffle
+    from raycdc.partition import segment_starts
+
+    _configure_shuffle()
+    tag = _tag_bucket(group_col, num_partitions)
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["__bucket"])
+        fields = [
+            g.schema.field(group_col),
+            pa.field("chosen_id", pa.int64()),
+            pa.field("rejected_id", pa.int64()),
+            pa.field("chosen_score", pa.float64()),
+            pa.field("rejected_score", pa.float64()),
+            pa.field("margin", pa.float64()),
+            pa.field("n_candidates", pa.int64()),
+        ]
+        if text_col is not None:
+            fields += [
+                pa.field("chosen_text", pa.string()),
+                pa.field("rejected_text", pa.string()),
+            ]
+        out_schema = pa.schema(fields)
+        g = g.filter(pc.is_valid(g[score_col]))
+        if len(g) == 0:
+            return out_schema.empty_table()
+        g = g.take(
+            pc.sort_indices(
+                g,
+                sort_keys=[
+                    (group_col, "ascending"),
+                    (score_col, "descending"),
+                    (id_col, "ascending"),
+                ],
+            )
+        )
+        grp = g[group_col].combine_chunks()
+        starts = segment_starts(grp)
+        ends = np.r_[starts[1:], len(grp)] - 1
+        n_cand = (ends - starts + 1).astype(np.int64)
+        keep = n_cand >= 2
+        starts, ends, n_cand = starts[keep], ends[keep], n_cand[keep]
+        if not len(starts):
+            return out_schema.empty_table()
+        ids = g[id_col].combine_chunks().cast(pa.int64())
+        scores = g[score_col].combine_chunks().cast(pa.float64())
+        c_take, r_take = pa.array(starts), pa.array(ends)
+        c_score = scores.take(c_take).to_numpy(zero_copy_only=False)
+        r_score = scores.take(r_take).to_numpy(zero_copy_only=False)
+        cols = {
+            group_col: grp.take(c_take),
+            "chosen_id": ids.take(c_take),
+            "rejected_id": ids.take(r_take),
+            "chosen_score": pa.array(c_score),
+            "rejected_score": pa.array(r_score),
+            "margin": pa.array(c_score - r_score),
+            "n_candidates": pa.array(n_cand),
+        }
+        if text_col is not None:
+            txt = g[text_col].combine_chunks().cast(pa.string())
+            cols["chosen_text"] = txt.take(c_take)
+            cols["rejected_text"] = txt.take(r_take)
+        return pa.table(cols, schema=out_schema)
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__bucket", num_partitions=num_partitions)
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )

@@ -1338,6 +1338,25 @@ def maintain_vector_index(
     from raycdc.storage import get_storage, write_json_atomic
 
     spec = spec or TableSpec()
+    # the quantizer file already pins n_lists/m_sub across refreshes; the
+    # remaining view-defining args (which columns feed the index, the
+    # index layout) get the same protection via the shared param pin —
+    # a refresh indexing a different vec/key column would quietly mix
+    # incomparable codes into one index lake
+    from raycdc.engine import pin_view_params
+
+    pin_view_params(
+        index_lake,
+        "maintain_vector_index",
+        {
+            "vec_col": vec_col,
+            "key_col": key_col,
+            "n_lists": n_lists,
+            "m_sub": m_sub,
+            "n_codes": n_codes,
+            "num_partitions": num_partitions,
+        },
+    )
 
     def fold(feed, ctx):
         quant = _load_quantizer(index_lake)

@@ -1341,3 +1341,44 @@ def test_merge_adjacent_turns_all_null_run_and_single_roles(ray_session):
     # a run with zero non-null texts keeps a null transcript
     assert out.text.isna().tolist() == [True, False]
     assert out.n_merged.tolist() == [2, 1]
+
+
+def test_preference_pairs_semantics(ray_session):
+    import ray.data
+
+    from raycdc.relational import preference_pairs
+
+    t = pa.table(
+        {
+            "g": pa.array([1, 1, 1, 2, 2, 3, 4, 4, 4], pa.int64()),
+            "score": pa.array(
+                [5.0, 9.0, 1.0, 4.0, 4.0, 7.0, None, 2.0, 3.0]
+            ),
+            "id": pa.array([10, 11, 12, 20, 21, 30, 40, 41, 42], pa.int64()),
+            "txt": pa.array(list("abcdefghi")),
+        }
+    )
+    out = (
+        preference_pairs(
+            ray.data.from_arrow(t),
+            group_col="g",
+            score_col="score",
+            id_col="id",
+            text_col="txt",
+            num_partitions=4,
+        )
+        .to_pandas()
+        .set_index("g")
+        .sort_index()
+    )
+    # g=1: chosen id 11 (score 9), rejected id 12 (score 1), margin 8
+    assert out.loc[1, "chosen_id"] == 11 and out.loc[1, "rejected_id"] == 12
+    assert out.loc[1, "margin"] == 8.0 and out.loc[1, "n_candidates"] == 3
+    assert out.loc[1, "chosen_text"] == "b" and out.loc[1, "rejected_text"] == "c"
+    # g=2: equal scores -> deterministic (min-id chosen, max-id rejected)
+    assert out.loc[2, "chosen_id"] == 20 and out.loc[2, "rejected_id"] == 21
+    assert out.loc[2, "margin"] == 0.0
+    # g=3: single candidate -> no pair; g=4: null score dropped, 2 remain
+    assert 3 not in out.index
+    assert out.loc[4, "chosen_id"] == 42 and out.loc[4, "rejected_id"] == 41
+    assert out.loc[4, "n_candidates"] == 2

@@ -259,6 +259,16 @@ def test_tail_follow_emits_runlog_records(ray_session, tmp_path, caplog):
     assert msgs.count("tail idle round") == 2  # rounds 1 and 2 idle
     fin = dict(recs)["tail follow finished"]
     assert fin["segments_applied"] == 1 and fin["rounds_run"] == 3
+    # a plain fixed-interval poll (no backoff cap) must NOT claim
+    # follow-mode lifecycle records (r5 review)
+    caplog.clear()
+    tail(str(watch), lake, spec, rounds=1, interval_s=0.0,
+         sleep_fn=lambda s: None)
+    msgs2 = [
+        r.getMessage() for r in caplog.records if r.name == LOGGER_NAME
+    ]
+    assert "tail poll started" in msgs2 and "tail poll finished" in msgs2
+    assert not any("follow" in m for m in msgs2)
 
 
 def test_tail_follow_cli_smoke(ray_session, tmp_path, capsys):

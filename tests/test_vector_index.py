@@ -70,6 +70,66 @@ def test_diff_tagged_handles_list_columns():
     assert ops == {1: "delete", 3: "update", 4: "insert"}
 
 
+def test_nested_row_hash_string_children():
+    # list<string> columns (tags) are CDC-able too: child strings hash
+    # via the FNV column hash, order- and length-sensitive (r5 review —
+    # the old path raised a cryptic numpy object-array TypeError here)
+    a = pa.array([["x", "y"], ["x", "y"], ["y", "x"], ["x"], []])
+    h = nested_row_hash(a)
+    assert h[0] == h[1]
+    assert len({h[0], h[2], h[3], h[4]}) == 4
+    # hash is a function of BYTES, not offset width: large variants agree
+    b = pa.array(
+        [["x", "y"], ["y", "x"]], pa.large_list(pa.large_string())
+    )
+    hb = nested_row_hash(b)
+    assert hb[0] == h[0] and hb[1] == h[2]
+    # binary children and fixed-width string lists take the same path
+    d = pa.array([[b"ab"], [b"ab"], [b"ac"]], pa.list_(pa.binary()))
+    hd = nested_row_hash(d)
+    assert hd[0] == hd[1] and hd[0] != hd[2]
+    f = pa.array([["x", "y"], ["y", "x"]], pa.list_(pa.string(), 2))
+    hf = nested_row_hash(f)
+    assert hf[0] != hf[1]
+
+
+def test_nested_row_hash_named_refusals():
+    with pytest.raises(TypeError, match="flatten deeper nesting"):
+        nested_row_hash(pa.array([[[1]]]))
+    # an int child with a null element would float-promote the WHOLE
+    # slice and change neighboring rows' hashes — refused by name
+    with pytest.raises(TypeError, match="null elements"):
+        nested_row_hash(pa.array([[1, None], [2]], pa.list_(pa.int64())))
+    # null float elements are fine: NaN fill, dtype stable
+    hf = nested_row_hash(
+        pa.array([[1.0, None], [1.0, None], [2.0]], pa.list_(pa.float64()))
+    )
+    assert hf[0] == hf[1] and hf[0] != hf[2]
+
+
+def test_diff_tagged_string_list_column():
+    from raycdc.changelog import diff_tagged
+
+    old = pa.table(
+        {
+            "k": pa.array([1, 2], pa.int64()),
+            "tags": pa.array([["a", "b"], ["c"]]),
+            "__side": pa.array([0, 0], pa.int8()),
+        }
+    )
+    new = pa.table(
+        {
+            "k": pa.array([1, 2], pa.int64()),
+            "tags": pa.array([["a", "b"], ["c", "d"]]),
+            "__side": pa.array([1, 1], pa.int8()),
+        }
+    )
+    out = diff_tagged(
+        pa.concat_tables([old, new]), ("k",), ("tags",)
+    ).to_pandas()
+    assert dict(zip(out["k"], out["op"])) == {2: "update"}
+
+
 # ---------------------------------------------------------------------------
 # the composite
 
