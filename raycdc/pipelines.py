@@ -2278,6 +2278,113 @@ FROM c JOIN r ON c.user_id = r.user_id
 """
 
 
+def q_pack_masks(sf_dir: str):
+    """Loss-mask packing: the replayed LWW conversation state packed
+    into fixed-128-token training sequences with each TURN's
+    ``[span_start, span_end)`` interval and trained/masked flag —
+    conversations stay contiguous inside a pack
+    (:func:`raycdc.text.pack_groups`), non-assistant turns carry
+    ``masked=1`` so the trainer's loss mask falls out directly.  Oracle
+    = the pack_docs recursive-CTE next-fit over CONVERSATION totals +
+    one window sum for the within-conversation offsets.  Group key is
+    the numeric uid recovered from ``conv_id`` ('c<uid>') so the bucket
+    hash stays on the integer golden-ratio path both sides mirror."""
+    from raycdc.changelog import changelog_from_events
+    from raycdc.engine import merged_state
+    from raycdc.schema import TableSpec
+    from raycdc.text import pack_groups
+
+    final = merged_state(
+        changelog_from_events(sf_dir), TableSpec(num_partitions=16)
+    ).select_columns(["conv_id", "turn_idx", "role", "text"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        uid = pc.cast(pc.utf8_slice_codeunits(t["conv_id"], 1), pa.int64())
+        n_tok = pc.cast(
+            pc.list_value_length(pc.split_pattern(t["text"], " ")),
+            pa.int64(),
+        )
+        masked = pc.cast(
+            pc.not_equal(t["role"], "assistant"), pa.int64()
+        )
+        return pa.table(
+            {
+                "uid": uid,
+                "turn_idx": pc.cast(t["turn_idx"], pa.int64()),
+                "n_tokens": n_tok,
+                "masked": masked,
+            }
+        )
+
+    return pack_groups(
+        final.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
+        group_col="uid",
+        order_col="turn_idx",
+        len_col="n_tokens",
+        budget=128,
+        num_partitions=16,
+        keep_cols=("masked",),
+    )
+
+
+def _sql_pack_masks() -> str:
+    from raycdc.changelog import CHANGELOG_SQL
+
+    return f"""
+WITH RECURSIVE {CHANGELOG_SQL.strip()},
+ranked AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY conv_id, turn_idx
+        ORDER BY ts DESC, lsn DESC
+    ) AS rn
+    FROM changelog
+), turns AS (
+    SELECT CAST(substr(conv_id, 2) AS BIGINT) AS uid,
+           CAST(turn_idx AS BIGINT) AS turn_idx,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           CAST(role <> 'assistant' AS BIGINT) AS masked
+    FROM ranked WHERE rn = 1 AND op <> 'delete'
+), tot AS (
+    SELECT uid, CAST(SUM(n_tokens) AS BIGINT) AS total
+    FROM turns GROUP BY uid
+), bkt AS (
+    SELECT uid, total,
+        CAST((((CAST(uid AS HUGEINT) * 11400714819323198485)
+             % 18446744073709551616)
+             * 1099511628211) % 18446744073709551616 % 16 AS BIGINT) AS bucket
+    FROM tot
+), ord AS (
+    SELECT *, row_number() OVER (PARTITION BY bucket ORDER BY uid) AS rn
+    FROM bkt
+), rec AS (
+    SELECT bucket, rn, uid, total,
+           CAST(0 AS BIGINT) AS bin, CAST(0 AS BIGINT) AS pos,
+           total AS fill
+    FROM ord WHERE rn = 1
+    UNION ALL
+    SELECT o.bucket, o.rn, o.uid, o.total,
+        CASE WHEN r.fill + o.total > 128 THEN r.bin + 1 ELSE r.bin END,
+        CASE WHEN r.fill + o.total > 128 THEN CAST(0 AS BIGINT) ELSE r.fill END,
+        CASE WHEN r.fill + o.total > 128 THEN o.total
+             ELSE r.fill + o.total END
+    FROM rec r JOIN ord o ON o.bucket = r.bucket AND o.rn = r.rn + 1
+), spans AS (
+    SELECT t.uid, t.turn_idx, t.n_tokens, t.masked,
+           (r.bucket * 4294967296 + r.bin) AS pack_id,
+           r.pos + COALESCE(SUM(t.n_tokens) OVER (
+               PARTITION BY t.uid ORDER BY t.turn_idx
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ), 0) AS span_start
+    FROM turns t JOIN rec r ON r.uid = t.uid
+)
+SELECT uid, turn_idx, n_tokens, pack_id,
+       CAST(span_start AS BIGINT) AS span_start,
+       CAST(span_start + n_tokens AS BIGINT) AS span_end,
+       masked
+FROM spans
+"""
+
+
 def q_assemble_convs(sf_dir: str):
     """Transcript reconstruction: LWW final state of the events-derived
     changelog → one training document per conversation (turn texts joined
@@ -6406,6 +6513,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "text_strip_markup": q_text_strip_markup,
     "quality_gate": q_quality_gate,
     "pack_docs": q_pack_docs,
+    "pack_masks": q_pack_masks,
     "assemble_convs": q_assemble_convs,
     "conv_stats": q_conv_stats,
     "conv_integrity": q_conv_integrity,
@@ -6489,6 +6597,7 @@ ORACLES: dict[str, str] = {
     "cdc_history_lake": SQL_CDC_SCD2_HISTORY,
     "cdc_suppress_noops": SQL_CDC_SUPPRESS_NOOPS,
     "pack_docs": SQL_PACK_DOCS,
+    "pack_masks": _sql_pack_masks(),
     "media_features": SQL_MEDIA_FEATURES,
     "cdc_extrema_view": _sql_cdc_extrema_view(),
     "cdc_topk_view": _sql_cdc_topk_view(),

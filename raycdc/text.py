@@ -773,3 +773,128 @@ def pack_sequences(
         .groupby("__bucket", num_partitions=num_partitions)
         .map_groups(pack, batch_format="pyarrow")
     )
+
+
+def pack_groups(
+    ds,
+    group_col: str,
+    order_col: str,
+    len_col: str = "n_tokens",
+    budget: int = 2048,
+    num_partitions: int = 64,
+    pack_col: str = "pack_id",
+    keep_cols: "tuple[str, ...]" = (),
+):
+    """Pack GROUPS of rows (conversations of turns) into fixed-token-
+    budget training sequences, keeping each group contiguous, and emit
+    the PER-ROW token spans a trainer needs to build loss masks: each
+    turn row comes back with its pack and its ``[span_start, span_end)``
+    token interval inside the pack — carry a role/mask column through
+    ``keep_cols`` and the non-trained spans fall out directly.  The
+    group-aware sibling of :func:`pack_sequences` (which packs
+    independent documents and returns one row per document).
+
+    Same determinism contract: one hash-bucketed exchange on
+    ``group_col`` (a pack never spans buckets), next-fit over groups in
+    ``group_col`` order, ``pack_id = bucket << 32 | local_bin`` — a pure
+    function of the data, identical across block layouts and re-runs.
+    Groups longer than the budget get a solo pack (truncation is the
+    trainer's call).  Per bucket: ONE sort of (group, order), group
+    totals via ``np.add.reduceat`` over :func:`raycdc.partition.
+    segment_starts`, the same per-EMITTED-PACK ``searchsorted`` loop as
+    :func:`pack_sequences` over group totals, then spans come from two
+    cumsums — no per-row or per-group Python pass.
+
+    Output: ``group_col, order_col, len_col, pack_col, span_start,
+    span_end`` + ``keep_cols`` (passthrough).
+    """
+    from raycdc.engine import _configure_shuffle
+    from raycdc.partition import bucket_keys, segment_starts
+
+    _configure_shuffle()
+    if budget < 1:
+        raise ValueError("budget must be >= 1")
+
+    def tag(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "__bucket", bucket_keys(t, [group_col], num_partitions)
+        )
+
+    def pack(g: pa.Table) -> pa.Table:
+        out_schema = pa.schema(
+            [
+                g.schema.field(group_col),
+                pa.field(order_col, pa.int64()),
+                pa.field(len_col, pa.int64()),
+                pa.field(pack_col, pa.int64()),
+                pa.field("span_start", pa.int64()),
+                pa.field("span_end", pa.int64()),
+            ]
+            + [g.schema.field(c) for c in keep_cols]
+        )
+        n = len(g)
+        if n == 0:
+            return out_schema.empty_table()
+        bucket = int(g["__bucket"][0].as_py())
+        g = g.take(
+            pc.sort_indices(
+                g,
+                sort_keys=[
+                    (group_col, "ascending"),
+                    (order_col, "ascending"),
+                ],
+            )
+        )
+        grp = g[group_col].combine_chunks()
+        lens = g[len_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        if (lens < 0).any():
+            raise ValueError("negative sequence length")
+        starts = segment_starts(grp)
+        sizes = np.diff(np.append(starts, n))
+        totals = np.add.reduceat(lens, starts)
+        # next-fit over GROUP totals: one searchsorted per emitted pack
+        c = np.cumsum(totals)
+        n_groups = len(totals)
+        p_starts = []  # first group index of each pack
+        start = 0
+        base = 0
+        while start < n_groups:
+            end = int(np.searchsorted(c, base + budget, side="right"))
+            if end <= start:  # oversize group: solo pack
+                end = start + 1
+            p_starts.append(start)
+            base = c[end - 1]
+            start = end
+        p_starts_a = np.array(p_starts, dtype=np.int64)
+        p_sizes = np.diff(np.append(p_starts_a, n_groups))
+        # group-level pack assignment + each group's token offset in it
+        g_bin = np.repeat(np.arange(len(p_starts_a), dtype=np.int64), p_sizes)
+        pack_base = np.repeat(
+            np.where(p_starts_a > 0, c[p_starts_a - 1], 0), p_sizes
+        )
+        g_pos = c - totals - pack_base  # per group
+        # row-level spans: group pack offset + within-group token cumsum
+        c_rows = np.cumsum(lens)
+        within = c_rows - lens - np.repeat(
+            np.where(starts > 0, c_rows[starts - 1], 0), sizes
+        )
+        span_start = np.repeat(g_pos, sizes) + within
+        cols = {
+            group_col: grp,
+            order_col: g[order_col].combine_chunks().cast(pa.int64()),
+            len_col: pa.array(lens),
+            pack_col: pa.array(
+                (np.int64(bucket) << 32) | np.repeat(g_bin, sizes)
+            ),
+            "span_start": pa.array(span_start),
+            "span_end": pa.array(span_start + lens),
+        }
+        for ckey in keep_cols:
+            cols[ckey] = g[ckey].combine_chunks()
+        return pa.table(cols, schema=out_schema)
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__bucket", num_partitions=num_partitions)
+        .map_groups(pack, batch_format="pyarrow")
+    )

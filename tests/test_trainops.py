@@ -1534,3 +1534,76 @@ def test_bloom_build_and_semi_anti_join(ray_session):
     anti_ids = {r["doc_id"] for r in anti}
     assert anti_ids.isdisjoint(true_members)  # anti side is exact-safe
     assert kept_ids | anti_ids == {f"d{i}" for i in range(2000, 5000)}
+
+
+def test_pack_groups_invariants(ray_session):
+    """Group-contiguous packing with per-row spans (text.pack_groups):
+    every row exactly once; a group's rows are contiguous and in order
+    inside ONE pack; per-pack token sums within budget except solo
+    oversize groups; spans tile each pack without gaps; keep_cols pass
+    through; assignment is a pure function of the data."""
+    rng = np.random.default_rng(11)
+    rows = []
+    for g in range(60):
+        n_turns = int(rng.integers(1, 8))
+        for i in range(n_turns):
+            rows.append((g, i, int(rng.integers(1, 40)), int(i % 2)))
+    # one oversize conversation: must land in a solo pack
+    for i in range(10):
+        rows.append((99, i, 50, 0))
+    t = pa.table(
+        {
+            "uid": pa.array([r[0] for r in rows], pa.int64()),
+            "turn_idx": pa.array([r[1] for r in rows], pa.int64()),
+            "n_tokens": pa.array([r[2] for r in rows], pa.int64()),
+            "masked": pa.array([r[3] for r in rows], pa.int64()),
+        }
+    )
+
+    def run(ds):
+        return (
+            T.pack_groups(
+                ds,
+                group_col="uid",
+                order_col="turn_idx",
+                budget=128,
+                num_partitions=4,
+                keep_cols=("masked",),
+            )
+            .to_pandas()
+            .sort_values(["pack_id", "span_start"])
+            .reset_index(drop=True)
+        )
+
+    out = run(ray.data.from_arrow(t))
+    assert len(out) == len(rows)
+    # every (uid, turn) exactly once, masked passed through
+    key = list(zip(out["uid"], out["turn_idx"]))
+    assert sorted(key) == sorted((r[0], r[1]) for r in rows)
+    assert (out["masked"] == out["turn_idx"] % 2).loc[out.uid != 99].all()
+    # one pack per group, spans contiguous in turn order
+    per_group = out.groupby("uid")
+    assert (per_group["pack_id"].nunique() == 1).all()
+    for _, grp in per_group:
+        grp = grp.sort_values("turn_idx")
+        assert (grp["span_end"].to_numpy()[:-1]
+                == grp["span_start"].to_numpy()[1:]).all()
+    # pack budget respected except the solo oversize group
+    sums = out.groupby("pack_id")["n_tokens"].sum()
+    ngrp = out.groupby("pack_id")["uid"].nunique()
+    over = sums[sums > 128]
+    assert all(ngrp[p] == 1 for p in over.index)
+    assert int(out[out.uid == 99]["pack_id"].nunique()) == 1
+    # spans tile each pack: sorted spans start at 0 and abut
+    for _, grp in out.groupby("pack_id"):
+        s = grp.sort_values("span_start")
+        assert s["span_start"].iloc[0] == 0
+        assert (s["span_end"].to_numpy()[:-1]
+                == s["span_start"].to_numpy()[1:]).all()
+    # determinism across block layouts
+    out2 = run(
+        ray.data.from_arrow(t.slice(0, 77)).union(
+            ray.data.from_arrow(t.slice(77))
+        )
+    )
+    assert out.equals(out2)
