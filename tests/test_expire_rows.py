@@ -177,3 +177,101 @@ def test_expire_cli_smoke(ray_session, tmp_path, capsys):
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["rows_expired"] > 0  # far-future cutoff expires everything
     assert _state(lake, spec) == {}
+
+
+def test_expire_torn_sweep_checkpoint_is_commit_point(ray_session, tmp_path):
+    """Partial-failure drill: expire_part writes the new data file, THEN
+    the checkpoint — a crash between the two (simulated by installing a
+    next-version file without its checkpoint) must leave readers on the
+    OLD version (the checkpoint pointer IS the commit point), keep fsck
+    green, and a re-run of the sweep must overwrite the orphan atomically
+    and converge to the clean expired state."""
+    from raycdc import sink as S
+    from raycdc.engine import verify_lake
+
+    spec = TableSpec(num_partitions=2)
+    lake = str(tmp_path / "lake")
+    log = synthetic_changelog(n_events=400, seed=73, p_delete=0.1)
+    replay(ray.data.from_arrow(log), lake, spec)
+    live = python_lww_replay([log])
+    cutoff = _mid_cutoff(live)
+    before = _state(lake, spec)
+
+    # the torn window, at the partition the sweep would touch first
+    part = next(p for p in range(2) if S.read_partition(lake, p) is not None)
+    ckpt = S.read_checkpoint(lake, part)
+    existing = S.read_partition(lake, part)
+    torn = existing.slice(0, max(1, len(existing) // 2))
+    S.write_partition_atomic(
+        torn, lake, part, version=ckpt.get("version", 0) + 1
+    )
+
+    # readers still serve the checkpointed version — nothing half-expired
+    assert _state(lake, spec) == before
+    fsck = verify_lake(lake, spec)
+    assert set(fsck["status"].to_pylist()) <= {"ok"}
+
+    # the retry sweeps into the SAME next version (old ckpt + 1): the
+    # orphan file is atomically replaced, never merged with
+    lin = expire_rows(lake, cutoff, spec)
+    assert int(pc.sum(lin["tombstones"]).as_py()) > 0
+    want = {k: r["ts"] for k, r in live.items() if r["ts"] >= cutoff}
+    assert _state(lake, spec) == want
+    new_ckpt = S.read_checkpoint(lake, part)
+    assert new_ckpt["version"] == ckpt.get("version", 0) + 1
+    assert new_ckpt["max_lsn"] == ckpt["max_lsn"]
+    fsck2 = verify_lake(lake, spec)
+    assert set(fsck2["status"].to_pylist()) <= {"ok"}
+
+
+def test_expire_partial_sweep_then_full_converges(ray_session, tmp_path):
+    """Crash BETWEEN partitions: one partition fully swept (file +
+    checkpoint landed), the other untouched — the re-run must expire the
+    remaining partition and re-sweeping the done one must noop (its
+    doomed set is already empty)."""
+    from raycdc import sink as S
+
+    spec = TableSpec(num_partitions=2)
+    lake = str(tmp_path / "lake")
+    log = synthetic_changelog(n_events=400, seed=74)
+    replay(ray.data.from_arrow(log), lake, spec)
+    live = python_lww_replay([log])
+    cutoff = _mid_cutoff(live)
+
+    # complete the sweep for ONE partition by hand (the kernel's exact
+    # two writes), leaving the other partition pre-expiry
+    part = next(p for p in range(2) if S.read_partition(lake, p) is not None)
+    ckpt = S.read_checkpoint(lake, part)
+    existing = S.read_partition(lake, part)
+    doomed = pc.and_(
+        pc.not_equal(pc.fill_null(existing["op"], ""), "delete"),
+        pc.less(existing["ts"], pa.scalar(cutoff, existing["ts"].type)),
+    )
+    live_t = existing.filter(pc.invert(pc.fill_null(doomed, False)))
+    nv = ckpt.get("version", 0) + 1
+    S.write_partition_atomic(live_t, lake, part, version=nv)
+    S.write_checkpoint(
+        lake,
+        part,
+        {
+            "max_lsn": ckpt["max_lsn"],
+            "row_count": len(live_t),
+            "content_hash": S.content_hash(live_t),
+            "version": nv,
+            "tombstones": int(
+                pc.sum(
+                    pc.equal(pc.fill_null(live_t["op"], ""), "delete")
+                ).as_py()
+                or 0
+            ),
+        },
+    )
+
+    lin = expire_rows(lake, cutoff, spec)
+    by_part = {
+        int(p): s
+        for p, s in zip(lin["part"].to_pylist(), lin["status"].to_pylist())
+    }
+    assert by_part[part] == "noop"  # already swept: nothing doomed left
+    want = {k: r["ts"] for k, r in live.items() if r["ts"] >= cutoff}
+    assert _state(lake, spec) == want
