@@ -2476,6 +2476,48 @@ def q_pack_docs(sf_dir: str):
     return pack_sequences(counts, budget=256, num_partitions=16)
 
 
+def q_chunk_docs(sf_dir: str):
+    """Sliding token-window chunking for embedding/retrieval prep
+    (:func:`raycdc.text.chunk_tokens`): every document becomes
+    overlapping 64-token chunks at stride 48, tail chunk shorter, never
+    dropped.  Per-row — NO exchange, chunks stay in their producer's
+    block.  Oracle = ``generate_series`` starts + ``array_slice`` +
+    ``array_to_string`` over the same whitespace split."""
+    from raycdc.text import chunk_tokens
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return ds.map_batches(
+        lambda t: chunk_tokens(t, window=64, stride=48),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+SQL_CHUNK_DOCS = """
+WITH tok AS (
+    SELECT doc_id, string_split(text, ' ') AS toks,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+    FROM documents
+), s AS (
+    SELECT doc_id, toks, n,
+           unnest(generate_series(0, n - 1, 48)) AS start
+    FROM tok
+)
+SELECT doc_id,
+       CAST(start / 48 AS BIGINT) AS chunk_idx,
+       CAST(start AS BIGINT) AS tok_start,
+       CAST(least(start + 64, n) AS BIGINT) AS tok_end,
+       CAST(least(start + 64, n) - start AS BIGINT) AS n_tokens,
+       array_to_string(
+           array_slice(toks, CAST(start + 1 AS BIGINT), least(start + 64, n)),
+           ' '
+       ) AS chunk
+FROM s
+"""
+
+
 # next-fit packing mirrored in SQL: bucket = ((doc_id * golden) mod 2^64
 # * fnv_prime) mod 2^64 mod 16 (raycdc.partition.bucket_keys' numeric
 # path, HUGEINT arithmetic), then the per-bucket sequential reset as a
@@ -6514,6 +6556,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "quality_gate": q_quality_gate,
     "pack_docs": q_pack_docs,
     "pack_masks": q_pack_masks,
+    "chunk_docs": q_chunk_docs,
     "assemble_convs": q_assemble_convs,
     "conv_stats": q_conv_stats,
     "conv_integrity": q_conv_integrity,
@@ -6598,6 +6641,7 @@ ORACLES: dict[str, str] = {
     "cdc_suppress_noops": SQL_CDC_SUPPRESS_NOOPS,
     "pack_docs": SQL_PACK_DOCS,
     "pack_masks": _sql_pack_masks(),
+    "chunk_docs": SQL_CHUNK_DOCS,
     "media_features": SQL_MEDIA_FEATURES,
     "cdc_extrema_view": _sql_cdc_extrema_view(),
     "cdc_topk_view": _sql_cdc_topk_view(),

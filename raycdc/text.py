@@ -898,3 +898,93 @@ def pack_groups(
         .groupby("__bucket", num_partitions=num_partitions)
         .map_groups(pack, batch_format="pyarrow")
     )
+
+
+def chunk_tokens(
+    batch: pa.Table,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 64,
+    stride: int = 48,
+) -> pa.Table:
+    """Sliding token-window chunking — the context-window prep for
+    embedding / retrieval over long documents: each document becomes
+    ``ceil(n_tokens / stride)``-ish overlapping chunks of up to
+    ``window`` whitespace tokens, starts at every multiple of ``stride``
+    below the document's token count (the standard overflow-with-stride
+    contract; the tail chunk is shorter, never dropped).  Chunking is
+    per-row — NO exchange: call via ``map_batches`` and every chunk of a
+    document stays in its producer's block.
+
+    Whitespace tokens are ``split(' ')`` exactly (DuckDB
+    ``string_split`` semantics: consecutive spaces yield empty tokens,
+    the empty document yields one empty token → one empty chunk), so
+    the oracle can rebuild chunk text cell-for-cell with
+    ``array_slice + array_to_string``.  Vectorized: one split, then the
+    flat-gather construction (repeat + offset arithmetic over the token
+    value buffer, one ``take``, one ``pc.binary_join``) — no per-doc or
+    per-chunk Python pass.
+
+    Output: ``(id_col, chunk_idx, tok_start, tok_end, n_tokens,
+    chunk)``.
+    """
+    if window < 1 or stride < 1:
+        raise ValueError("window and stride must be >= 1")
+    out_schema = pa.schema(
+        [
+            batch.schema.field(id_col),
+            pa.field("chunk_idx", pa.int64()),
+            pa.field("tok_start", pa.int64()),
+            pa.field("tok_end", pa.int64()),
+            pa.field("n_tokens", pa.int64()),
+            pa.field("chunk", pa.string()),
+        ]
+    )
+    if len(batch) == 0:
+        return out_schema.empty_table()
+    toks = pc.split_pattern(batch[text_col], " ")
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    n = pc.list_value_length(toks).cast(pa.int64()).to_numpy(
+        zero_copy_only=False
+    )
+    # chunk starts per doc: 0, stride, 2*stride, ... < n  (n >= 1 always:
+    # split of "" is [""])
+    n_chunks = (n - 1) // stride + 1
+    doc_of = np.repeat(np.arange(len(batch), dtype=np.int64), n_chunks)
+    c_off = np.concatenate([[0], np.cumsum(n_chunks)])
+    chunk_idx = np.arange(int(c_off[-1]), dtype=np.int64) - np.repeat(
+        c_off[:-1], n_chunks
+    )
+    tok_start = chunk_idx * stride
+    tok_end = np.minimum(tok_start + window, n[doc_of])
+    lens = tok_end - tok_start
+    # flat token gather: flatten() respects slices and yields exactly
+    # the rows' tokens in order, so the per-doc bases are the cumsum of
+    # the row lengths (never the raw offsets buffer, which keeps the
+    # pre-slice positions); null text rows would desync this — the doc
+    # corpus contract is non-null text
+    flat = toks.flatten()
+    doc_off = np.concatenate([[0], np.cumsum(n)])[:-1]
+    flat_start = doc_off[doc_of] + tok_start
+    out_off = np.concatenate([[0], np.cumsum(lens)])
+    flat_idx = np.repeat(flat_start, lens) + (
+        np.arange(int(out_off[-1]), dtype=np.int64)
+        - np.repeat(out_off[:-1], lens)
+    )
+    chunk_lists = pa.ListArray.from_arrays(
+        pa.array(out_off, pa.int32()), flat.take(pa.array(flat_idx))
+    )
+    return pa.table(
+        {
+            id_col: batch[id_col].combine_chunks().take(pa.array(doc_of))
+            if isinstance(batch[id_col], pa.ChunkedArray)
+            else batch[id_col].take(pa.array(doc_of)),
+            "chunk_idx": pa.array(chunk_idx),
+            "tok_start": pa.array(tok_start),
+            "tok_end": pa.array(tok_end),
+            "n_tokens": pa.array(lens),
+            "chunk": pc.binary_join(chunk_lists, " "),
+        },
+        schema=out_schema,
+    )

@@ -1607,3 +1607,37 @@ def test_pack_groups_invariants(ray_session):
         )
     )
     assert out.equals(out2)
+
+
+def test_chunk_tokens_semantics():
+    """Sliding token-window chunking: overflow-with-stride starts, tail
+    chunk shorter never dropped, DuckDB string_split token semantics
+    (consecutive spaces = empty tokens; empty doc = one empty chunk)."""
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array(["a b c d e", "", "x  y"]),
+        }
+    )
+    out = T.chunk_tokens(t, window=3, stride=2).to_pandas()
+    got = list(
+        zip(out.doc_id, out.chunk_idx, out.tok_start, out.tok_end, out.chunk)
+    )
+    assert got == [
+        (1, 0, 0, 3, "a b c"),
+        (1, 1, 2, 5, "c d e"),
+        (1, 2, 4, 5, "e"),
+        (2, 0, 0, 1, ""),
+        (3, 0, 0, 3, "x  y"),
+        (3, 1, 2, 3, "y"),
+    ]
+    # sliced batch input must not desync the flat gather
+    out2 = T.chunk_tokens(t.slice(1), window=3, stride=2).to_pandas()
+    assert list(out2.doc_id) == [2, 3, 3]
+    assert list(out2.chunk) == ["", "x  y", "y"]
+    # chunks within a doc reconstruct the doc: stride==window tiles it
+    tiled = T.chunk_tokens(t, window=2, stride=2).to_pandas()
+    rec = " ".join(tiled[tiled.doc_id == 1].sort_values("chunk_idx").chunk)
+    assert rec == "a b c d e"
+    with pytest.raises(ValueError):
+        T.chunk_tokens(t, window=0, stride=2)
