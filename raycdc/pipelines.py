@@ -2476,6 +2476,55 @@ def q_pack_docs(sf_dir: str):
     return pack_sequences(counts, budget=256, num_partitions=16)
 
 
+def q_bigram_nll(sf_dir: str):
+    """Per-document bigram-LM NLL (:func:`raycdc.text.bigram_nll`):
+    conditional-probability fluency scoring, one exchange bucketed by
+    the CONDITIONING token so the pair count and the first-token
+    continuation count colocate.  Oracle = toks[i]/toks[i+1] lateral
+    pairs + two group-bys + the same MLE formula; nll floor-quantized
+    both sides."""
+    from raycdc.text import bigram_nll
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return bigram_nll(ds, num_partitions=16)
+
+
+SQL_BIGRAM_NLL = """
+WITH tok AS (
+    SELECT doc_id, string_split(text, ' ') AS toks,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+    FROM documents
+), s AS (
+    SELECT doc_id, toks, n, unnest(generate_series(1, n - 1)) AS i
+    FROM tok
+), pairs AS (
+    SELECT doc_id,
+           toks[CAST(i AS BIGINT)] AS w1,
+           toks[CAST(i + 1 AS BIGINT)] AS w2
+    FROM s
+), tfp AS (
+    SELECT doc_id, w1, w2, CAST(COUNT(*) AS BIGINT) AS tf
+    FROM pairs GROUP BY doc_id, w1, w2
+), cp AS (
+    SELECT w1, w2, CAST(SUM(tf) AS BIGINT) AS cnt_pair
+    FROM tfp GROUP BY w1, w2
+), cf AS (
+    SELECT w1, CAST(SUM(cnt_pair) AS BIGINT) AS cnt_first
+    FROM cp GROUP BY w1
+)
+SELECT t.doc_id,
+       CAST(SUM(t.tf) AS BIGINT) AS n_pairs,
+       floor(-SUM(t.tf * ln(c.cnt_pair / f.cnt_first)) / SUM(t.tf) * 1e6)
+           / 1e6 AS nll
+FROM tfp t
+JOIN cp c ON t.w1 = c.w1 AND t.w2 = c.w2
+JOIN cf f ON t.w1 = f.w1
+GROUP BY t.doc_id
+"""
+
+
 def q_chunk_docs(sf_dir: str):
     """Sliding token-window chunking for embedding/retrieval prep
     (:func:`raycdc.text.chunk_tokens`): every document becomes
@@ -6557,6 +6606,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "pack_docs": q_pack_docs,
     "pack_masks": q_pack_masks,
     "chunk_docs": q_chunk_docs,
+    "bigram_nll": q_bigram_nll,
     "assemble_convs": q_assemble_convs,
     "conv_stats": q_conv_stats,
     "conv_integrity": q_conv_integrity,
@@ -6642,6 +6692,7 @@ ORACLES: dict[str, str] = {
     "pack_docs": SQL_PACK_DOCS,
     "pack_masks": _sql_pack_masks(),
     "chunk_docs": SQL_CHUNK_DOCS,
+    "bigram_nll": SQL_BIGRAM_NLL,
     "media_features": SQL_MEDIA_FEATURES,
     "cdc_extrema_view": _sql_cdc_extrema_view(),
     "cdc_topk_view": _sql_cdc_topk_view(),

@@ -988,3 +988,177 @@ def chunk_tokens(
         },
         schema=out_schema,
     )
+
+
+def _pair_partials(
+    batch: pa.Table, text_col: str, id_col: str, num_partitions: int
+) -> pa.Table:
+    """One batch's ``(doc, w1, w2, tf)`` ADJACENT-token-pair rows,
+    bucket-tagged by the hash of the FIRST token — the map-side combine
+    of :func:`bigram_nll`.  Bucketing by the conditioning token is the
+    point: every pair ``(w1, ·)`` AND every other pair starting with
+    ``w1`` land in one group task, so the conditional's numerator
+    (pair count) and denominator (first-token continuation count)
+    colocate with zero extra exchange.  Tokens are ``split(' ')``
+    exactly (the :func:`chunk_tokens` / DuckDB ``string_split``
+    convention, empties kept) so adjacency is identical on both sides
+    of the oracle."""
+    import polars as pl
+
+    from raycdc.partition import bucket_keys
+
+    txt = batch[text_col]
+    if isinstance(txt, pa.ChunkedArray):
+        txt = txt.combine_chunks()
+    toks = pc.split_pattern(txt, " ")
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    n = pc.list_value_length(toks).cast(pa.int64()).to_numpy(
+        zero_copy_only=False
+    )
+    n_pairs = np.maximum(n - 1, 0)
+    total = int(n_pairs.sum())
+    out_schema = pa.schema(
+        [
+            batch.schema.field(id_col),
+            pa.field("w1", pa.string()),
+            pa.field("w2", pa.string()),
+            pa.field("tf", pa.int64()),
+            pa.field("__bucket", pa.int64()),
+        ]
+    )
+    if total == 0:
+        return out_schema.empty_table()
+    flat = toks.flatten()
+    doc_off = np.concatenate([[0], np.cumsum(n)])[:-1]
+    doc_of = np.repeat(np.arange(len(batch), dtype=np.int64), n_pairs)
+    p_off = np.concatenate([[0], np.cumsum(n_pairs)])
+    within = np.arange(total, dtype=np.int64) - np.repeat(
+        p_off[:-1], n_pairs
+    )
+    i1 = pa.array(doc_off[doc_of] + within)
+    ids = batch[id_col]
+    if isinstance(ids, pa.ChunkedArray):
+        ids = ids.combine_chunks()
+    pairs = pa.table(
+        {
+            id_col: ids.take(pa.array(doc_of)),
+            "w1": flat.take(i1).cast(pa.string()),
+            "w2": flat.take(pc.add(i1, 1)).cast(pa.string()),
+        }
+    )
+    agg = (
+        pl.from_arrow(pairs)
+        .group_by([id_col, "w1", "w2"])
+        .agg(pl.len().alias("tf"))
+        .to_arrow()
+    )
+    agg = pa.table(
+        {
+            id_col: agg[id_col].cast(batch.schema.field(id_col).type),
+            "w1": agg["w1"].cast(pa.string()),
+            "w2": agg["w2"].cast(pa.string()),
+            "tf": agg["tf"].cast(pa.int64()),
+        }
+    )
+    return agg.append_column(
+        "__bucket", bucket_keys(agg, ["w1"], num_partitions)
+    ).cast(out_schema)
+
+
+def bigram_nll(
+    ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_partitions: int = 16,
+):
+    """Per-document BIGRAM-LM negative log-likelihood per pair — the
+    conditional-probability upgrade of :func:`unigram_nll`: ``nll(doc) =
+    -(1/P) Σ tf · ln(count(w1,w2) / count(w1,·))`` with counts from the
+    corpus itself (MLE bigram model, no smoothing — every observed pair
+    has corpus support by construction, so the log never sees zero).
+    Ranks documents by local fluency: formulaic/templated text scores
+    low, shuffled-word soup scores high even when its unigrams are
+    common — exactly what the unigram proxy cannot see.
+
+    ONE token exchange, like :func:`tfidf` / :func:`unigram_nll` — but
+    bucketed by the CONDITIONING token, so the numerator (pair count)
+    and denominator (first-token continuation count) are computed inside
+    the same group task; per-doc partials then ride the tiny
+    ``(doc, Σ tf·ln p, Σ tf)`` exchange through
+    :func:`raycdc.relational.pre_aggregate`.  Documents with fewer than
+    two tokens have no pairs and yield no row (both sides of the oracle
+    drop them).  Score floor-quantized to 1e-6 (repo float convention).
+    """
+    import polars as pl
+
+    from raycdc.engine import _configure_shuffle
+    from raycdc.relational import pre_aggregate
+
+    _configure_shuffle()
+
+    def partial(batch: pa.Table) -> pa.Table:
+        return _pair_partials(batch, text_col, id_col, num_partitions)
+
+    def by_first_token(g: pa.Table) -> pa.Table:
+        df = pl.from_arrow(g.drop_columns(["__bucket"]))
+        tf = df.group_by([id_col, "w1", "w2"]).agg(pl.col("tf").sum())
+        cp = tf.group_by(["w1", "w2"]).agg(pl.col("tf").sum().alias("cnt_pair"))
+        cf = cp.group_by("w1").agg(pl.col("cnt_pair").sum().alias("cnt_first"))
+        joined = (
+            tf.join(cp, on=["w1", "w2"], how="inner")
+            .join(cf, on="w1", how="inner")
+            .to_arrow()
+        )
+        tf_np = joined["tf"].to_numpy().astype(np.float64)
+        num = joined["cnt_pair"].to_numpy().astype(np.float64)
+        den = joined["cnt_first"].to_numpy().astype(np.float64)
+        contrib = tf_np * np.log(num / den)
+        per_doc = (
+            pl.from_arrow(
+                pa.table(
+                    {
+                        id_col: joined[id_col],
+                        "sum_log": pa.array(contrib),
+                        "n_inst": joined["tf"].cast(pa.int64()),
+                    }
+                )
+            )
+            .group_by(id_col)
+            .agg(pl.col("sum_log").sum(), pl.col("n_inst").sum())
+            .to_arrow()
+        )
+        return pa.table(
+            {
+                id_col: per_doc[id_col].cast(g.schema.field(id_col).type),
+                "sum_log": per_doc["sum_log"],
+                "n_inst": per_doc["n_inst"].cast(pa.int64()),
+            }
+        )
+
+    partials = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__bucket", num_partitions=num_partitions)
+        .map_groups(by_first_token, batch_format="pyarrow")
+    )
+    totals = pre_aggregate(
+        partials,
+        key_cols=[id_col],
+        sum_cols=["sum_log", "n_inst"],
+        num_partitions=num_partitions,
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        sl = t["sum_log"].to_numpy(zero_copy_only=False)
+        n = t["n_inst"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table(
+            {
+                id_col: t[id_col],
+                "n_pairs": t["n_inst"].cast(pa.int64()),
+                "nll": pa.array(np.floor(-sl / n * 1e6) / 1e6),
+            }
+        )
+
+    return totals.map_batches(
+        finish, batch_format="pyarrow", zero_copy_batch=True
+    )

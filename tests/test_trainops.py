@@ -1641,3 +1641,34 @@ def test_chunk_tokens_semantics():
     assert rec == "a b c d e"
     with pytest.raises(ValueError):
         T.chunk_tokens(t, window=0, stride=2)
+
+
+def test_bigram_nll_semantics(ray_session):
+    """Bigram MLE NLL: hand-checkable on a tiny corpus; <2-token docs
+    drop out; repeated formulaic pairs score LOWER (more fluent) than a
+    unigram-identical shuffle."""
+    import math
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "text": pa.array(
+                ["a b a b a b", "b a b a a b", "solo", "a b"]
+            ),
+        }
+    )
+    out = (
+        T.bigram_nll(ray.data.from_arrow(t), num_partitions=4)
+        .to_pandas()
+        .set_index("doc_id")
+    )
+    assert 3 not in out.index  # one token: no pairs
+    # corpus pair counts: doc1 ab×3 ba×2, doc2 ba×2 ab×2 aa×1, doc4 ab×1
+    # cnt: ab=6, ba=4, aa=1; first 'a': 7, first 'b': 4
+    nll1 = -(3 * math.log(6 / 7) + 2 * math.log(4 / 4)) / 5
+    nll2 = -(2 * math.log(4 / 4) + 2 * math.log(6 / 7) + 1 * math.log(1 / 7)) / 5
+    assert out.loc[1, "nll"] == math.floor(nll1 * 1e6) / 1e6
+    assert out.loc[2, "nll"] == math.floor(nll2 * 1e6) / 1e6
+    assert out.loc[1, "n_pairs"] == 5 and out.loc[4, "n_pairs"] == 1
+    # the formulaic doc is more fluent than the one with the rare 'a a'
+    assert out.loc[1, "nll"] < out.loc[2, "nll"]
