@@ -62,6 +62,7 @@ _ENGINE_EXPORTS = (
     "sync_lake",
     "maintain_rollup",
     "maintain_distinct",
+    "maintain_digest",
     "maintain_transcripts",
     "maintain_extrema",
     "maintain_topk",

@@ -250,6 +250,23 @@ def main(argv: list[str] | None = None) -> int:
     p_distinct.add_argument("--value", required=True, help="counted column")
     p_distinct.add_argument("--partitions", type=int, default=4)
 
+    p_digest = sub.add_parser(
+        "digest",
+        help="incrementally maintain an approximate-quantile (t-digest) "
+        "view of a lake: per-group quantiles of VALUE ever inserted, "
+        "refreshed from the change feed (grow-only)",
+    )
+    p_digest.add_argument("src", help="source lake dir")
+    p_digest.add_argument("dst", help="digest-view lake dir")
+    p_digest.add_argument("--group", required=True, help="group column")
+    p_digest.add_argument("--value", required=True, help="sketched column")
+    p_digest.add_argument("--partitions", type=int, default=4)
+    p_digest.add_argument(
+        "--qs",
+        default="0.5,0.9,0.99",
+        help="comma-separated quantiles in (0,1)",
+    )
+
     p_ext = sub.add_parser(
         "extrema",
         help="incrementally maintain a MIN/MAX/COUNT-per-group view of a "
@@ -735,6 +752,19 @@ def main(argv: list[str] | None = None) -> int:
                 }
             )
         )
+    elif args.cmd == "digest":
+        from raycdc.engine import maintain_digest
+
+        est = maintain_digest(
+            args.src,
+            args.dst,
+            group_col=args.group,
+            value_col=args.value,
+            spec=_lake_spec(args.src, 64),
+            qs=tuple(float(q) for q in args.qs.split(",")),
+            num_partitions=args.partitions,
+        )
+        print(json.dumps(est.to_pylist()))
     elif args.cmd == "distinct":
         from raycdc.engine import maintain_distinct
 

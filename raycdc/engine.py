@@ -3350,6 +3350,332 @@ def maintain_distinct(
     )
 
 
+def maintain_digest(
+    src_lake: str,
+    view_lake: str,
+    group_col: str,
+    value_col: str,
+    spec: TableSpec | None = None,
+    delta: int = 200,
+    qs: "tuple[float, ...]" = (0.5, 0.9, 0.99),
+    num_partitions: int = 4,
+) -> pa.Table:
+    """Incrementally maintained APPROXIMATE-QUANTILE view: one t-digest
+    (:func:`raycdc.sketch.tdigest_cluster`, Dunning & Ertl 2019) per
+    group, kept fresh from the lake's own change feed — "the
+    distribution of ``value_col`` ever inserted per ``group_col``" for
+    the cost of the change.  The order-statistics sibling of
+    :func:`maintain_distinct` (HLL) on the same skeleton: GROW-ONLY (a
+    digest cannot decrement, deletes fold nothing — rebuild when
+    "currently live" is required), bounded-cardinality non-null groups
+    (the view is ``groups × O(δ)`` floats and folds on the driver; the
+    per-group clustering loop inside the kernels is over that same
+    bounded group set — the CLAUDE.md bounded-key exemption).
+
+    Exactly-once differs from distinct in ONE way worth stating: a
+    register max-merge is idempotent, a digest merge is NOT (re-merging
+    the same delta doubles its weight).  Correctness under crash-retry
+    rests entirely on the protocol's checkpoint layer: every refresh's
+    rows carry ``lsn = to-snapshot id``, so a view partition that
+    already applied them prunes the redelivery — the retry's
+    double-merged row for an already-applied group is only ever
+    ADDRESSED to a partition that will prune it, and partitions that
+    did not apply see a delta merged against their old, unmerged state.
+    (Pinned by the crash-window pytest.)
+
+    View rows: ``(group_col, digest: binary, n_values, q<mille>...)`` in
+    an LWW lake keyed on ``group_col`` — quantile columns are named per
+    mille (``q500, q900, q990`` for the default ``qs``).  Returns the
+    current per-group ``(n_values, quantiles...)`` estimates table.
+    """
+    import ray
+
+    from raycdc.sketch import tdigest_cluster, tdigest_merge, tdigest_quantile
+
+    spec = spec or TableSpec()
+    qs_t = tuple(float(q) for q in qs)
+    if not qs_t or any(not (0.0 < q < 1.0) for q in qs_t):
+        raise ValueError(f"maintain_digest: qs must be in (0, 1), got {qs!r}")
+    pin_view_params(
+        view_lake,
+        "maintain_digest",
+        {
+            "group_col": group_col,
+            "value_col": value_col,
+            "delta": delta,
+            "qs": list(qs_t),
+            "num_partitions": num_partitions,
+        },
+    )
+    q_cols = [f"q{int(round(q * 1000)):03d}" for q in qs_t]
+    if len(set(q_cols)) != len(q_cols):
+        raise ValueError(
+            f"maintain_digest: qs {qs!r} collide at per-mille resolution"
+        )
+    op_col = spec.op_col
+
+    import numpy as np
+
+    from raycdc.partition import bucket_keys, segment_starts
+
+    def _pack(means: np.ndarray, weights: np.ndarray) -> bytes:
+        return np.concatenate([means, weights]).astype(np.float64).tobytes()
+
+    def _unpack(blob) -> "tuple[np.ndarray, np.ndarray]":
+        a = np.frombuffer(blob, np.float64)
+        h = len(a) // 2
+        return a[:h], a[h:]
+
+    _EMPTY_VIEW = pa.table(
+        {
+            group_col: pa.array([], pa.string()),
+            "digest": pa.array([], pa.binary()),
+            "n_values": pa.array([], pa.int64()),
+            **{qc: pa.array([], pa.float64()) for qc in q_cols},
+            "lsn": pa.array([], pa.int64()),
+        }
+    )
+    _EMPTY_PARTIAL = pa.table(
+        {
+            "g": pa.array([], pa.string()),
+            "digest": pa.array([], pa.binary()),
+            "n": pa.array([], pa.int64()),
+            "b": pa.array([], pa.int64()),
+        }
+    )
+
+    def _read_view_cols(
+        columns: list[str], partitions: "list[int] | None" = None
+    ) -> pa.Table:
+        try:
+            view = read_lake(
+                view_lake,
+                TableSpec(num_partitions=num_partitions),
+                columns=columns,
+                partitions=partitions,
+            )
+        except FileNotFoundError:
+            return _EMPTY_VIEW.select(columns)
+        parts = [t for t in ray.get(view.to_arrow_refs()) if t.num_rows]
+        if not parts:
+            return _EMPTY_VIEW.select(columns)
+        return pa.concat_tables(parts).select(columns)
+
+    def partial(t: pa.Table) -> pa.Table:
+        # deletes fold nothing (grow-only); updates fold the NEW value
+        t = t.filter(
+            pc.not_equal(pc.fill_null(t[op_col], ""), M.DELETE)
+        ).select([group_col, value_col])
+        if t[group_col].null_count:
+            raise ValueError(
+                "maintain_digest: null group values are unsupported — "
+                "filter or fill them upstream"
+            )
+        t = t.filter(pc.is_valid(t[value_col]))
+        if len(t) == 0:
+            return _EMPTY_PARTIAL
+        gv = t[group_col].combine_chunks().cast(pa.string())
+        order = pc.sort_indices(gv)
+        gv = gv.take(order)
+        vals = (
+            t[value_col]
+            .combine_chunks()
+            .take(order)
+            .cast(pa.float64())
+            .to_numpy(zero_copy_only=False)
+        )
+        starts = segment_starts(gv)
+        ends = np.r_[starts[1:], len(gv)]
+        rows_g, rows_d, rows_n = [], [], []
+        for s, e in zip(starts, ends):  # bounded groups per contract
+            m, w = tdigest_cluster(vals[s:e], delta=delta)
+            rows_g.append(gv[int(s)].as_py())
+            rows_d.append(_pack(m, w))
+            rows_n.append(int(e - s))
+        out = pa.table(
+            {
+                "g": pa.array(rows_g, pa.string()),
+                "digest": pa.array(rows_d, pa.binary()),
+                "n": pa.array(rows_n, pa.int64()),
+            }
+        )
+        return out.append_column("b", bucket_keys(out, ["g"], num_partitions))
+
+    def fold_bucket(t: pa.Table) -> pa.Table:
+        t = t.take(pc.sort_indices(t["g"]))
+        gv = t["g"].combine_chunks()
+        starts = segment_starts(gv)
+        ends = np.r_[starts[1:], len(gv)]
+        n_arr = t["n"].to_numpy(zero_copy_only=False)
+        rows_g, rows_d, rows_n = [], [], []
+        for s, e in zip(starts, ends):
+            ds_ = [
+                _unpack(t["digest"][int(i)].as_py()) for i in range(s, e)
+            ]
+            m, w = tdigest_merge(ds_, delta=delta)
+            rows_g.append(gv[int(s)].as_py())
+            rows_d.append(_pack(m, w))
+            rows_n.append(int(n_arr[s:e].sum()))
+        return pa.table(
+            {
+                "g": pa.array(rows_g, pa.string()),
+                "digest": pa.array(rows_d, pa.binary()),
+                "n": pa.array(rows_n, pa.int64()),
+            }
+        )
+
+    view_spec = TableSpec(
+        name="digest_view",
+        schema=pa.schema(
+            [
+                pa.field(group_col, pa.string()),
+                pa.field("digest", pa.binary()),
+                pa.field("n_values", pa.int64()),
+            ]
+            + [pa.field(qc, pa.float64()) for qc in q_cols]
+            + [pa.field("ts", pa.timestamp("us"))]
+        ),
+        key_cols=(group_col,),
+        version_cols=("ts", "lsn"),
+        partition_key=group_col,
+        num_partitions=num_partitions,
+        sort_cols=(group_col,),
+        merge_policy="lww",
+    )
+    est: dict[str, tuple] = {}
+
+    def fold(feed, ctx: ViewContext):
+        merged_ds = (
+            feed.map_batches(
+                partial, batch_format="pyarrow", zero_copy_batch=True
+            )
+            .groupby("b", num_partitions=num_partitions)
+            .map_groups(fold_bucket, batch_format="pyarrow")
+        )
+        parts = [t for t in ray.get(merged_ds.to_arrow_refs()) if t.num_rows]
+        delta_t = (
+            pa.concat_tables(parts).combine_chunks()
+            if parts
+            else _EMPTY_PARTIAL.select(["g", "digest", "n"])
+        )
+        delta_groups: list[str] = delta_t["g"].to_pylist()
+        delta_ga = pa.array(delta_groups, pa.string())
+        merged: dict[str, tuple] = {
+            g: (_unpack(d), int(n))
+            for g, d, n in zip(
+                delta_groups,
+                delta_t["digest"].to_pylist(),
+                delta_t["n"].to_pylist(),
+            )
+        }
+        if delta_groups:
+            from raycdc.partition import hash_key_column
+
+            touched_parts = (
+                np.unique(
+                    hash_key_column(delta_ga) % np.uint64(num_partitions)
+                )
+                .astype(int)
+                .tolist()
+            )
+            cur = _read_view_cols(
+                [group_col, "digest", "n_values", "lsn"],
+                partitions=touched_parts,
+            )
+            if cur.num_rows:
+                cur = cur.filter(
+                    pc.is_in(cur[group_col], value_set=delta_ga)
+                )
+            for g, d, n, row_lsn in zip(
+                cur[group_col].to_pylist(),
+                cur["digest"].to_pylist(),
+                cur["n_values"].to_pylist(),
+                cur["lsn"].to_pylist(),
+            ):
+                if int(row_lsn) == int(ctx.to_snap):
+                    # crash-retry window: this group's stored row already
+                    # folded THIS claim's delta (every refresh stamps
+                    # lsn = to-snapshot id) — a second merge would
+                    # double its weight, the digest fold is not
+                    # idempotent.  Use the stored row verbatim; the
+                    # install below re-addresses it to partitions that
+                    # checkpoint-prune it (pinned by the crash drill in
+                    # tests/test_digest_view.py)
+                    merged[g] = (_unpack(d), int(n))
+                    continue
+                dm, dn = merged[g]
+                merged[g] = (
+                    tdigest_merge([dm, _unpack(d)], delta=delta),
+                    dn + int(n),
+                )
+        cur_light = _read_view_cols([group_col, "n_values", *q_cols])
+        if cur_light.num_rows:
+            unt = cur_light.filter(
+                pc.invert(
+                    pc.is_in(cur_light[group_col], value_set=delta_ga)
+                )
+            )
+            for row in unt.to_pylist():
+                est[row[group_col]] = (
+                    int(row["n_values"]),
+                    tuple(row[qc] for qc in q_cols),
+                )
+        groups = sorted(merged)
+        for g in groups:
+            (m, w), n = merged[g]
+            est[g] = (n, tuple(tdigest_quantile(m, w, qs_t).tolist()))
+        if not groups:
+            return None, None
+        out = ctx.envelope(
+            pa.table(
+                {
+                    group_col: pa.array(groups, pa.string()),
+                    "digest": pa.array(
+                        [_pack(*merged[g][0]) for g in groups], pa.binary()
+                    ),
+                    "n_values": pa.array(
+                        [merged[g][1] for g in groups], pa.int64()
+                    ),
+                    **{
+                        qc: pa.array(
+                            [est[g][1][qi] for g in groups], pa.float64()
+                        )
+                        for qi, qc in enumerate(q_cols)
+                    },
+                }
+            ),
+            "insert",
+        )
+        return ray.data.from_arrow(out), view_spec
+
+    def finish(_lineage: pa.Table) -> pa.Table:
+        groups_all = sorted(est)
+        return pa.table(
+            {
+                group_col: pa.array(groups_all, pa.string()),
+                "n_values": pa.array(
+                    [est[g][0] for g in groups_all], pa.int64()
+                ),
+                **{
+                    qc: pa.array(
+                        [est[g][1][qi] for g in groups_all], pa.float64()
+                    )
+                    for qi, qc in enumerate(q_cols)
+                },
+            }
+        )
+
+    return maintain_view(
+        src_lake,
+        view_lake,
+        fold,
+        spec=spec,
+        caller="maintain_digest",
+        steady=lambda: _read_view_cols([group_col, "n_values", *q_cols]),
+        finish=finish,
+    )
+
+
 def maintain_transcripts(
     src_lake: str,
     view_lake: str,

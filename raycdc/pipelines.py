@@ -1025,6 +1025,45 @@ def q_cdc_distinct_view(sf_dir: str):
     return est.sort_by([("role", "ascending")])
 
 
+def q_cdc_digest_view(sf_dir: str):
+    """Incrementally maintained APPROXIMATE-QUANTILE view
+    (:func:`raycdc.engine.maintain_digest`): per-role t-digest of the
+    turn index distribution, kept fresh across two refreshes.  The
+    non-idempotent-fold sibling of ⊕cdc_distinct_view — crash-retry
+    safety rests on the per-group claim check + view checkpoints
+    (pinned in tests/test_digest_view.py).  Rows-only (a t-digest
+    estimate is not SQL-expressible); exact n_values per group IS
+    asserted against SQL via the rows/schema compare."""
+    from raycdc.changelog import changelog_from_events
+    from raycdc.engine import maintain_digest, replay
+    from raycdc.schema import TableSpec
+
+    spec = TableSpec(num_partitions=16)
+    root = _scratch_path(sf_dir, "digest_view")
+    shutil.rmtree(root, ignore_errors=True)
+    src, view = os.path.join(root, "src"), os.path.join(root, "view")
+    log = changelog_from_events(sf_dir)
+    import pyarrow.parquet as _pq
+
+    cut = _pq.read_metadata(f"{sf_dir}/events.parquet").num_rows // 2
+    kw = dict(batch_format="pyarrow", zero_copy_batch=True)
+    replay(
+        log.map_batches(lambda t: t.filter(pc.less_equal(t["lsn"], cut)), **kw),
+        src,
+        spec,
+    )
+    maintain_digest(src, view, group_col="role", value_col="turn_idx", spec=spec)
+    replay(
+        log.map_batches(lambda t: t.filter(pc.greater(t["lsn"], cut)), **kw),
+        src,
+        spec,
+    )
+    est = maintain_digest(
+        src, view, group_col="role", value_col="turn_idx", spec=spec
+    )
+    return est.sort_by([("role", "ascending")])
+
+
 def q_cdc_enriched_replay(sf_dir: str):
     """Dimension enrichment INSIDE the exactly-once replay path: the
     replay's projector broadcast-joins every changelog batch against the
@@ -6558,6 +6597,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "cdc_bootstrap": q_cdc_bootstrap,
     "cdc_restore": q_cdc_restore,
     "cdc_distinct_view": q_cdc_distinct_view,
+    "cdc_digest_view": q_cdc_digest_view,
     "cdc_enriched_replay": q_cdc_enriched_replay,
     "cdc_scd2_history": q_cdc_scd2_history,
     "cdc_history_lake": q_cdc_history_lake,
