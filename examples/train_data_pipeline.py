@@ -110,6 +110,24 @@ def main() -> None:
     )
     n_packs = len(packs.select_columns(["pack_id"]).unique("pack_id"))
 
+    # 5b. fluency gate + retrieval chunks: bigram-LM NLL ranks local
+    # coherence (one conditioning-token exchange), chunk_tokens splits
+    # long docs into overlapping 64-token windows with ZERO exchange
+    from raycdc.text import bigram_nll, chunk_tokens
+
+    nll = bigram_nll(kept, num_partitions=8)
+    n_fluent = nll.map_batches(
+        lambda t: t.filter(pc.less(t["nll"], 8.0)),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).count()
+    chunks = kept.map_batches(
+        lambda t: chunk_tokens(t, window=64, stride=48),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    n_chunks = chunks.count()
+
     # 6. SEMANTIC layer, no model required: deterministic hashing-trick
     # embeddings (actor-pool stage, text dropped before the exchange) →
     # LSH-bucketed cosine near-dup pairs — the embedding-space sibling of
@@ -132,8 +150,10 @@ def main() -> None:
     print(f"after quality/lang gates: {n3}")
     print(f"kept-corpus tokens: {total_tokens} in {n_packs} packs of <=512")
     print(f"semantic near-dup pairs (cos>=0.9 on hashed embeddings): {n_sem_pairs}")
+    print(f"fluent docs (bigram nll < 8): {n_fluent}; retrieval chunks: {n_chunks}")
     print(f"distinct users (HLL ±{rse:.1%}): {n_users}")
     assert n0 >= n1 >= n2 >= n3 and total_tokens > 0 and n_packs > 0
+    assert n_chunks >= n3 and n_fluent > 0
     print("train_data_pipeline OK")
     ray.shutdown()
 
