@@ -6893,4 +6893,11 @@ def bench_extras() -> dict[str, Callable[[str], Any]]:
         # round-5 addition: graph ANN (NSW beam search)
         "sim_knn_graph": lambda sf: q_sim_knn_graph(sf).count(),
         "sim_knn_index": lambda sf: q_sim_knn_index(sf).count(),
+        # round-5 continuation: DPO pair mining, loss-mask packing,
+        # retrieval chunking, bigram fluency, t-digest quantile view
+        "preference_pairs": lambda sf: q_preference_pairs(sf).count(),
+        "pack_masks": lambda sf: q_pack_masks(sf).count(),
+        "chunk_docs": lambda sf: q_chunk_docs(sf).count(),
+        "bigram_nll": lambda sf: q_bigram_nll(sf).count(),
+        "cdc_digest_view": lambda sf: len(q_cdc_digest_view(sf)),
     }
