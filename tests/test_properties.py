@@ -661,3 +661,95 @@ def test_maintain_topk_matches_python_reference(log, k):
         assert got == want
     finally:
         _sh.rmtree(base, ignore_errors=True)
+
+
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.sampled_from("ab x"),  # spaces included: empty tokens
+            max_size=30,
+        ),
+        max_size=12,
+    ),
+    st.integers(1, 6),
+    st.integers(1, 6),
+)
+@settings(max_examples=120, deadline=None)
+def test_chunk_tokens_equals_per_row_reference(texts, window, stride):
+    """chunk_tokens over arbitrary text/window/stride == the obvious
+    python loop over str.split(' ') with overflow-with-stride starts."""
+    from raycdc.text import chunk_tokens
+
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    got = chunk_tokens(t, window=window, stride=stride).to_pylist()
+
+    expect = []
+    for i, txt in enumerate(texts):
+        toks = txt.split(" ")
+        for ci, start in enumerate(range(0, len(toks), stride)):
+            sub = toks[start : start + window]
+            expect.append(
+                {
+                    "doc_id": i,
+                    "chunk_idx": ci,
+                    "tok_start": start,
+                    "tok_end": start + len(sub),
+                    "n_tokens": len(sub),
+                    "chunk": " ".join(sub),
+                }
+            )
+    assert got == expect
+
+
+@given(changelogs())
+@settings(max_examples=15, deadline=None)
+def test_preference_pairs_matches_python_reference(log):
+    """preference_pairs over any (group, score, id) rows == the python
+    argmax/argmin with the documented tie-breaks (chosen: score desc, id
+    asc; rejected: score asc, id desc); <2-candidate groups vanish."""
+    import ray
+    import ray.data
+
+    from raycdc.relational import preference_pairs
+
+    if log.num_rows == 0:
+        return
+    # repurpose the changelog strategy: group=conv_id, score=turn_idx
+    # (ties guaranteed by the tiny domain), id=lsn (unique)
+    t = pa.table(
+        {
+            "g": log["conv_id"],
+            "score": log["turn_idx"].cast(pa.float64()),
+            "id": log["lsn"],
+        }
+    )
+    got = {
+        r["g"]: r
+        for r in preference_pairs(
+            ray.data.from_arrow(t),
+            group_col="g",
+            score_col="score",
+            id_col="id",
+            num_partitions=4,
+        ).to_pandas().to_dict("records")
+    }
+
+    rows_by_g: dict = {}
+    for r in t.to_pylist():
+        rows_by_g.setdefault(r["g"], []).append(r)
+    for g, rows in rows_by_g.items():
+        if len(rows) < 2:
+            assert g not in got
+            continue
+        chosen = min(rows, key=lambda r: (-r["score"], r["id"]))
+        rejected = min(rows, key=lambda r: (r["score"], -r["id"]))
+        assert got[g]["chosen_id"] == chosen["id"]
+        assert got[g]["rejected_id"] == rejected["id"]
+        assert got[g]["margin"] == chosen["score"] - rejected["score"]
+        assert got[g]["n_candidates"] == len(rows)
+    assert set(got) == {g for g, rows in rows_by_g.items() if len(rows) >= 2}
