@@ -3394,8 +3394,18 @@ def maintain_digest(
 
     spec = spec or TableSpec()
     qs_t = tuple(float(q) for q in qs)
+    # ALL argument validation must precede the pin: pinning an invalid
+    # qs/delta would poison a fresh view dir — the corrected retry
+    # would then be refused as a param mismatch (r5 review)
     if not qs_t or any(not (0.0 < q < 1.0) for q in qs_t):
         raise ValueError(f"maintain_digest: qs must be in (0, 1), got {qs!r}")
+    if delta < 1:
+        raise ValueError(f"maintain_digest: delta must be >= 1, got {delta}")
+    q_cols = [f"q{int(round(q * 1000)):03d}" for q in qs_t]
+    if len(set(q_cols)) != len(q_cols):
+        raise ValueError(
+            f"maintain_digest: qs {qs!r} collide at per-mille resolution"
+        )
     pin_view_params(
         view_lake,
         "maintain_digest",
@@ -3407,11 +3417,6 @@ def maintain_digest(
             "num_partitions": num_partitions,
         },
     )
-    q_cols = [f"q{int(round(q * 1000)):03d}" for q in qs_t]
-    if len(set(q_cols)) != len(q_cols):
-        raise ValueError(
-            f"maintain_digest: qs {qs!r} collide at per-mille resolution"
-        )
     op_col = spec.op_col
 
     import numpy as np

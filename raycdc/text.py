@@ -678,6 +678,28 @@ def strip_markup(
 # sequence packing (fixed token-budget training bins)
 
 
+def _next_fit(c: np.ndarray, budget: int) -> np.ndarray:
+    """First-item index of every next-fit pack over a CUMULATIVE-SUM
+    length array — the one copy of the packing boundary kernel shared by
+    :func:`pack_sequences` (items = documents) and :func:`pack_groups`
+    (items = whole groups); both SQL oracles mirror exactly this loop's
+    semantics, so a boundary fix must land here once (r5 review).  One
+    ``searchsorted`` per EMITTED pack; an item whose own size exceeds
+    the budget gets a solo pack (truncation is the trainer's call)."""
+    starts = []
+    start = 0
+    base = 0
+    n = len(c)
+    while start < n:
+        end = int(np.searchsorted(c, base + budget, side="right"))
+        if end <= start:  # oversize item: solo pack
+            end = start + 1
+        starts.append(start)
+        base = c[end - 1]
+        start = end
+    return np.array(starts, dtype=np.int64)
+
+
 def pack_sequences(
     ds,
     id_col: str = "doc_id",
@@ -740,17 +762,7 @@ def pack_sequences(
         order = pc.array_sort_indices(ids).to_numpy(zero_copy_only=False)
         lens_s = lens[order]
         c = np.cumsum(lens_s)
-        starts = []  # first row index of each pack
-        start = 0
-        base = 0
-        while start < n:
-            end = int(np.searchsorted(c, base + budget, side="right"))
-            if end <= start:  # oversize doc: solo pack
-                end = start + 1
-            starts.append(start)
-            base = c[end - 1]
-            start = end
-        starts_a = np.array(starts, dtype=np.int64)
+        starts_a = _next_fit(c, budget)
         sizes = np.diff(np.append(starts_a, n))
         local_bin = np.repeat(np.arange(len(starts_a), dtype=np.int64), sizes)
         pack_base = np.repeat(
@@ -855,17 +867,7 @@ def pack_groups(
         # next-fit over GROUP totals: one searchsorted per emitted pack
         c = np.cumsum(totals)
         n_groups = len(totals)
-        p_starts = []  # first group index of each pack
-        start = 0
-        base = 0
-        while start < n_groups:
-            end = int(np.searchsorted(c, base + budget, side="right"))
-            if end <= start:  # oversize group: solo pack
-                end = start + 1
-            p_starts.append(start)
-            base = c[end - 1]
-            start = end
-        p_starts_a = np.array(p_starts, dtype=np.int64)
+        p_starts_a = _next_fit(c, budget)
         p_sizes = np.diff(np.append(p_starts_a, n_groups))
         # group-level pack assignment + each group's token offset in it
         g_bin = np.repeat(np.arange(len(p_starts_a), dtype=np.int64), p_sizes)
@@ -926,10 +928,14 @@ def chunk_tokens(
     per-chunk Python pass.
 
     Output: ``(id_col, chunk_idx, tok_start, tok_end, n_tokens,
-    chunk)``.
+    chunk)``; ``chunk`` keeps the input text column's offset width
+    (``string`` in → ``string`` out, ``large_string`` in →
+    ``large_string`` out — the repo's both-offset-widths rule).
     """
     if window < 1 or stride < 1:
         raise ValueError("window and stride must be >= 1")
+    txt_type = batch.schema.field(text_col).type
+    large = pa.types.is_large_string(txt_type)
     out_schema = pa.schema(
         [
             batch.schema.field(id_col),
@@ -937,7 +943,7 @@ def chunk_tokens(
             pa.field("tok_start", pa.int64()),
             pa.field("tok_end", pa.int64()),
             pa.field("n_tokens", pa.int64()),
-            pa.field("chunk", pa.string()),
+            pa.field("chunk", pa.large_string() if large else pa.string()),
         ]
     )
     if len(batch) == 0:
@@ -972,19 +978,23 @@ def chunk_tokens(
         np.arange(int(out_off[-1]), dtype=np.int64)
         - np.repeat(out_off[:-1], lens)
     )
-    chunk_lists = pa.ListArray.from_arrays(
-        pa.array(out_off, pa.int32()), flat.take(pa.array(flat_idx))
+    # int64 list offsets: the gathered token count is ~window/stride ×
+    # the batch's input tokens, which can clear int32 on large blocks —
+    # and LargeListArray pairs with both string widths' join kernels
+    # (large_list<string> + str sep, large_list<large_string> +
+    # large_string sep — both probed; the mixed pairs have no kernel)
+    chunk_lists = pa.LargeListArray.from_arrays(
+        pa.array(out_off, pa.int64()), flat.take(pa.array(flat_idx))
     )
+    sep = pa.scalar(" ", pa.large_string()) if large else " "
     return pa.table(
         {
-            id_col: batch[id_col].combine_chunks().take(pa.array(doc_of))
-            if isinstance(batch[id_col], pa.ChunkedArray)
-            else batch[id_col].take(pa.array(doc_of)),
+            id_col: batch[id_col].take(pa.array(doc_of)),
             "chunk_idx": pa.array(chunk_idx),
             "tok_start": pa.array(tok_start),
             "tok_end": pa.array(tok_end),
             "n_tokens": pa.array(lens),
-            "chunk": pc.binary_join(chunk_lists, " "),
+            "chunk": pc.binary_join(chunk_lists, sep),
         },
         schema=out_schema,
     )

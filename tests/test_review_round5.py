@@ -68,3 +68,57 @@ def test_expire_runlog_opens_before_sweep(ray_session, tmp_path, caplog):
     # elapsed covers the sweep itself, not just the summary write
     assert fin["elapsed_s"] > 0.0
     assert fin["rows_expired"] > 0
+
+
+def test_chunk_tokens_large_string_and_offsets():
+    """chunk_tokens must honor the both-offset-widths rule: a
+    large_string text column chunks identically (large_string out), and
+    the gather uses int64 list offsets (r5 review — the int32 path had
+    no kernel for the large child and overflowed on big blocks)."""
+    from raycdc.text import chunk_tokens
+
+    texts = ["a b c d e", "", "x  y"]
+    t_small = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    t_large = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array(texts, pa.large_string()),
+        }
+    )
+    small = chunk_tokens(t_small, window=3, stride=2)
+    big = chunk_tokens(t_large, window=3, stride=2)
+    assert small.schema.field("chunk").type == pa.string()
+    assert big.schema.field("chunk").type == pa.large_string()
+    assert big.to_pydict() == small.to_pydict()
+
+
+def test_digest_invalid_args_do_not_poison_view_dir(ray_session, tmp_path):
+    """Argument validation precedes the param pin: a rejected call must
+    leave a fresh view dir reusable with corrected args (r5 review)."""
+    import ray
+    import ray.data
+
+    from raycdc.changelog import synthetic_changelog
+    from raycdc.engine import maintain_digest, replay
+    from raycdc.schema import TableSpec
+
+    spec = TableSpec(num_partitions=2)
+    src, view = str(tmp_path / "src"), str(tmp_path / "view")
+    replay(
+        ray.data.from_arrow(synthetic_changelog(n_events=100, seed=95)),
+        src,
+        spec,
+    )
+    with pytest.raises(ValueError, match="collide"):
+        maintain_digest(src, view, "role", "turn_idx", spec=spec,
+                        qs=(0.5, 0.5001))
+    with pytest.raises(ValueError, match="delta"):
+        maintain_digest(src, view, "role", "turn_idx", spec=spec, delta=0)
+    # corrected retry on the SAME dir succeeds — nothing was pinned
+    est = maintain_digest(src, view, "role", "turn_idx", spec=spec)
+    assert est.num_rows > 0
