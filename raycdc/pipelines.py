@@ -4007,6 +4007,116 @@ FROM d WHERE op IS NOT NULL
 """
 
 
+def q_drift_report(sf_dir: str):
+    """Distribution-DRIFT report between two dataset versions — the
+    monitoring pass a training pipeline runs before swapping corpus
+    snapshots: per event class, exact q50/q90 of the value distribution
+    in each version plus the deltas (two deterministic versions derived
+    from events: the new one drops keys %7 and shifts %3 keys' cents by
+    +25).  Two :func:`raycdc.relational.group_quantiles` passes (exact,
+    one bucketed exchange each) + a driver-side join of the TINY
+    per-class results — the only materialized table is bounded by the
+    class count.  Oracle = two quantile_cont group-bys joined."""
+    import numpy as np
+
+    from raycdc.relational import group_quantiles
+
+    base = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "event_type", "value"],
+    )
+
+    def old_snap(t: pa.Table) -> pa.Table:
+        vc = np.floor(t["value"].to_numpy(zero_copy_only=False) * 100)
+        return pa.table(
+            {
+                "event_type": t["event_type"],
+                "vc": pa.array(vc.astype(np.int64)),
+            }
+        )
+
+    def new_snap(t: pa.Table) -> pa.Table:
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        keep = eid % 7 != 0
+        t = t.filter(pa.array(keep))
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        vc = np.floor(t["value"].to_numpy(zero_copy_only=False) * 100)
+        vc = vc + np.where(eid % 3 == 0, 25, 0)
+        return pa.table(
+            {
+                "event_type": t["event_type"],
+                "vc": pa.array(vc.astype(np.int64)),
+            }
+        )
+
+    kw = dict(batch_format="pyarrow", zero_copy_batch=True)
+    qkw = dict(
+        group_col="event_type",
+        value_col="vc",
+        qs=(0.5, 0.9),
+        num_partitions=8,
+    )
+    qa = group_quantiles(
+        base.map_batches(old_snap, **kw), aliases=("q50_old", "q90_old"), **qkw
+    )
+    qb = group_quantiles(
+        base.map_batches(new_snap, **kw), aliases=("q50_new", "q90_new"), **qkw
+    )
+    import ray as _ray
+
+    ta = pa.concat_tables(
+        [t for t in _ray.get(qa.to_arrow_refs()) if t.num_rows]
+    ).combine_chunks()
+    tb = pa.concat_tables(
+        [t for t in _ray.get(qb.to_arrow_refs()) if t.num_rows]
+    ).combine_chunks()
+    j = ta.join(tb, keys="event_type", join_type="inner")
+    cols = {"event_type": j["event_type"]}
+    vals = {
+        c: j[c].to_numpy(zero_copy_only=False)
+        for c in ("q50_old", "q90_old", "q50_new", "q90_new")
+    }
+    for c, v in vals.items():
+        cols[c] = pa.array(np.floor(v * 1e6) / 1e6)
+    cols["d50"] = pa.array(
+        np.floor((vals["q50_new"] - vals["q50_old"]) * 1e6) / 1e6
+    )
+    cols["d90"] = pa.array(
+        np.floor((vals["q90_new"] - vals["q90_old"]) * 1e6) / 1e6
+    )
+    return pa.table(cols)
+
+
+SQL_DRIFT_REPORT = """
+WITH old_snap AS (
+    SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS vc FROM events
+), new_snap AS (
+    SELECT event_type,
+           CAST(floor(value * 100) AS BIGINT)
+               + CASE WHEN event_id % 3 = 0 THEN 25 ELSE 0 END AS vc
+    FROM events WHERE event_id % 7 <> 0
+), a AS (
+    SELECT event_type,
+           quantile_cont(vc, 0.5) AS q50_old,
+           quantile_cont(vc, 0.9) AS q90_old
+    FROM old_snap GROUP BY event_type
+), b AS (
+    SELECT event_type,
+           quantile_cont(vc, 0.5) AS q50_new,
+           quantile_cont(vc, 0.9) AS q90_new
+    FROM new_snap GROUP BY event_type
+)
+SELECT a.event_type,
+       floor(q50_old * 1e6) / 1e6 AS q50_old,
+       floor(q90_old * 1e6) / 1e6 AS q90_old,
+       floor(q50_new * 1e6) / 1e6 AS q50_new,
+       floor(q90_new * 1e6) / 1e6 AS q90_new,
+       floor((q50_new - q50_old) * 1e6) / 1e6 AS d50,
+       floor((q90_new - q90_old) * 1e6) / 1e6 AS d90
+FROM a JOIN b ON a.event_type = b.event_type
+"""
+
+
 def q_dedup_exact(sf_dir: str):
     """Exact dedup: hash-partition on text hash, min doc_id per distinct
     text, over a corpus where every doc has one exact copy."""
@@ -6626,6 +6736,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "running_value": q_running_value,
     "rolling_value": q_rolling_value,
     "quantiles_value": q_quantiles_value,
+    "drift_report": q_drift_report,
     "sketch_users": q_sketch_users,
     "sketch_quantiles": q_sketch_quantiles,
     "stratified_sample": q_stratified_sample,
@@ -6762,6 +6873,7 @@ ORACLES: dict[str, str] = {
     "running_value": SQL_RUNNING_VALUE,
     "rolling_value": SQL_ROLLING_VALUE,
     "quantiles_value": SQL_QUANTILES_VALUE,
+    "drift_report": SQL_DRIFT_REPORT,
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
     "sample_quota": SQL_SAMPLE_QUOTA,
     "anti_join_customers": SQL_ANTI_JOIN_CUSTOMERS,

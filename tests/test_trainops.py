@@ -1672,3 +1672,22 @@ def test_bigram_nll_semantics(ray_session):
     assert out.loc[1, "n_pairs"] == 5 and out.loc[4, "n_pairs"] == 1
     # the formulaic doc is more fluent than the one with the rare 'a a'
     assert out.loc[1, "nll"] < out.loc[2, "nll"]
+
+
+def test_drift_report_semantics(ray_session):
+    """Drift report: the injected +25-cent shift on 1/3 of keys moves
+    per-class quantiles by a bounded, non-negative amount."""
+    from raycdc.pipelines import q_drift_report
+
+    t = q_drift_report("/root/testdata/sf0.001").to_pandas()
+    assert set(t.columns) == {
+        "event_type", "q50_old", "q90_old", "q50_new", "q90_new",
+        "d50", "d90",
+    }
+    assert len(t) == 5  # the five event classes
+    # deltas are the PRE-quantization differences on both sides (0.9
+    # interpolation yields non-representable fractions, so floor(a-b)
+    # and floor(a)-floor(b) differ in the last quantized digit);
+    # value-exactness itself is pinned by the DuckDB oracle
+    assert ((t["d50"] - (t["q50_new"] - t["q50_old"])).abs() <= 2e-6).all()
+    assert ((t["d90"] - (t["q90_new"] - t["q90_old"])).abs() <= 2e-6).all()
