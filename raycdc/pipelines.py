@@ -2564,6 +2564,69 @@ GROUP BY t.doc_id
 """
 
 
+def q_bigram_nll_ref(sf_dir: str):
+    """Reference-corpus bigram scoring (:func:`raycdc.text.
+    bigram_nll_ref`, the CCNet-style quality filter): every document
+    scored under the Lidstone-smoothed bigram model of the ENGLISH
+    subset — model and data separated, both corpora's pairs in ONE
+    conditioning-token exchange.  Oracle = ref counts (cp/cf with the
+    per-w1 continuation count) LEFT JOINed onto candidate pairs with
+    the same smoothing CASE."""
+    from raycdc.text import bigram_nll_ref
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    ref = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    ).map_batches(
+        lambda t: t.filter(pc.equal(t["lang"], "en")).drop_columns(["lang"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return bigram_nll_ref(ds, ref, alpha=1.0, num_partitions=16)
+
+
+SQL_BIGRAM_NLL_REF = """
+WITH tok AS (
+    SELECT doc_id, string_split(text, ' ') AS toks,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n, lang
+    FROM documents
+), s AS (
+    SELECT doc_id, toks, n, lang, unnest(generate_series(1, n - 1)) AS i
+    FROM tok
+), pairs AS (
+    SELECT doc_id, lang,
+           toks[CAST(i AS BIGINT)] AS w1,
+           toks[CAST(i + 1 AS BIGINT)] AS w2
+    FROM s
+), cp AS (
+    SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS cnt_pair
+    FROM pairs WHERE lang = 'en' GROUP BY w1, w2
+), cf AS (
+    SELECT w1, CAST(SUM(cnt_pair) AS BIGINT) AS cnt_first,
+           CAST(COUNT(*) AS BIGINT) AS k
+    FROM cp GROUP BY w1
+), tfp AS (
+    SELECT doc_id, w1, w2, CAST(COUNT(*) AS BIGINT) AS tf
+    FROM pairs GROUP BY doc_id, w1, w2
+), scored AS (
+    SELECT t.doc_id, t.tf,
+           CASE WHEN f.w1 IS NULL THEN 1.0 / 2.0
+                ELSE (coalesce(c.cnt_pair, 0) + 1.0)
+                     / (f.cnt_first + 1.0 * (f.k + 1))
+           END AS p
+    FROM tfp t
+    LEFT JOIN cp c ON t.w1 = c.w1 AND t.w2 = c.w2
+    LEFT JOIN cf f ON t.w1 = f.w1
+)
+SELECT doc_id,
+       CAST(SUM(tf) AS BIGINT) AS n_pairs,
+       floor(-SUM(tf * ln(p)) / SUM(tf) * 1e6) / 1e6 AS nll
+FROM scored GROUP BY doc_id
+"""
+
+
 def q_chunk_docs(sf_dir: str):
     """Sliding token-window chunking for embedding/retrieval prep
     (:func:`raycdc.text.chunk_tokens`): every document becomes
@@ -6758,6 +6821,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "pack_masks": q_pack_masks,
     "chunk_docs": q_chunk_docs,
     "bigram_nll": q_bigram_nll,
+    "bigram_nll_ref": q_bigram_nll_ref,
     "assemble_convs": q_assemble_convs,
     "conv_stats": q_conv_stats,
     "conv_integrity": q_conv_integrity,
@@ -6844,6 +6908,7 @@ ORACLES: dict[str, str] = {
     "pack_masks": _sql_pack_masks(),
     "chunk_docs": SQL_CHUNK_DOCS,
     "bigram_nll": SQL_BIGRAM_NLL,
+    "bigram_nll_ref": SQL_BIGRAM_NLL_REF,
     "media_features": SQL_MEDIA_FEATURES,
     "cdc_extrema_view": _sql_cdc_extrema_view(),
     "cdc_topk_view": _sql_cdc_topk_view(),

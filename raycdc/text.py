@@ -1172,3 +1172,144 @@ def bigram_nll(
     return totals.map_batches(
         finish, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+def bigram_nll_ref(
+    ds,
+    ref,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 1.0,
+    num_partitions: int = 16,
+):
+    """Per-document bigram NLL scored against a REFERENCE corpus — the
+    CCNet-style quality filter: train the (smoothed) bigram model on a
+    clean corpus (``ref``), score every candidate document by how
+    plausible its adjacent-token transitions are under that model.
+    :func:`bigram_nll` self-scores; this separates model and data, which
+    is what decontamination-adjacent filtering actually wants.
+
+    Smoothing is Lidstone PER CONDITIONING TOKEN — chosen precisely
+    because it is bucket-local: ``p(w2|w1) = (cnt(w1,w2) + α) /
+    (cnt(w1,·) + α·(K(w1) + 1))`` where ``K(w1)`` is the number of
+    distinct continuations of ``w1`` in the reference (the ``+ 1``
+    reserves unseen mass), and a pair whose ``w1`` never occurs in the
+    reference contributes the fixed OOV penalty ``ln(α / (1 + α))``.
+    Every term is computable inside ONE group task because the exchange
+    buckets BOTH corpora's pairs by the conditioning token — reference
+    counts and candidate contributions colocate, zero extra shuffle,
+    and the whole formula is SQL-mirrorable for the oracle.
+
+    Output: ``(id_col, n_pairs, nll)`` for the CANDIDATE corpus;
+    documents with fewer than two tokens yield no row.  Score
+    floor-quantized to 1e-6.
+    """
+    import polars as pl
+
+    from raycdc.engine import _configure_shuffle
+    from raycdc.relational import pre_aggregate
+
+    _configure_shuffle()
+    if alpha <= 0:
+        raise ValueError(f"bigram_nll_ref: alpha must be > 0, got {alpha}")
+
+    def score_partial(batch: pa.Table) -> pa.Table:
+        t = _pair_partials(batch, text_col, id_col, num_partitions)
+        return t.append_column(
+            "__ref", pa.array(np.zeros(len(t), dtype=np.int8))
+        )
+
+    def ref_partial(batch: pa.Table) -> pa.Table:
+        t = _pair_partials(batch, text_col, id_col, num_partitions)
+        return t.append_column(
+            "__ref", pa.array(np.ones(len(t), dtype=np.int8))
+        )
+
+    def by_first_token(g: pa.Table) -> pa.Table:
+        df = pl.from_arrow(g.drop_columns(["__bucket"]))
+        refs = df.filter(pl.col("__ref") == 1)
+        cand = df.filter(pl.col("__ref") == 0)
+        out_schema = pa.table(
+            {
+                id_col: g[id_col].slice(0, 0),
+                "sum_log": pa.array([], pa.float64()),
+                "n_inst": pa.array([], pa.int64()),
+            }
+        ).schema
+        if len(cand) == 0:
+            return out_schema.empty_table()
+        cp = refs.group_by(["w1", "w2"]).agg(
+            pl.col("tf").sum().alias("cnt_pair")
+        )
+        cf = cp.group_by("w1").agg(
+            pl.col("cnt_pair").sum().alias("cnt_first"),
+            pl.len().alias("k"),
+        )
+        tf = cand.group_by([id_col, "w1", "w2"]).agg(pl.col("tf").sum())
+        joined = (
+            tf.join(cp, on=["w1", "w2"], how="left")
+            .join(cf, on="w1", how="left")
+            .to_arrow()
+        )
+        tf_np = joined["tf"].to_numpy().astype(np.float64)
+        num = joined["cnt_pair"].to_numpy(zero_copy_only=False)
+        den = joined["cnt_first"].to_numpy(zero_copy_only=False)
+        k = joined["k"].to_numpy(zero_copy_only=False)
+        seen_w1 = ~np.isnan(den.astype(np.float64))
+        num = np.nan_to_num(num.astype(np.float64), nan=0.0)
+        den = np.nan_to_num(den.astype(np.float64), nan=0.0)
+        k = np.nan_to_num(k.astype(np.float64), nan=0.0)
+        p = np.where(
+            seen_w1,
+            (num + alpha) / (den + alpha * (k + 1.0)),
+            alpha / (1.0 + alpha),
+        )
+        contrib = tf_np * np.log(p)
+        per_doc = (
+            pl.from_arrow(
+                pa.table(
+                    {
+                        id_col: joined[id_col],
+                        "sum_log": pa.array(contrib),
+                        "n_inst": joined["tf"].cast(pa.int64()),
+                    }
+                )
+            )
+            .group_by(id_col)
+            .agg(pl.col("sum_log").sum(), pl.col("n_inst").sum())
+            .to_arrow()
+        )
+        return pa.table(
+            {
+                id_col: per_doc[id_col].cast(g.schema.field(id_col).type),
+                "sum_log": per_doc["sum_log"],
+                "n_inst": per_doc["n_inst"].cast(pa.int64()),
+            }
+        )
+
+    kw = dict(batch_format="pyarrow", zero_copy_batch=True)
+    tagged = ds.map_batches(score_partial, **kw).union(
+        ref.map_batches(ref_partial, **kw)
+    )
+    partials = tagged.groupby("__bucket", num_partitions=num_partitions).map_groups(
+        by_first_token, batch_format="pyarrow"
+    )
+    totals = pre_aggregate(
+        partials,
+        key_cols=[id_col],
+        sum_cols=["sum_log", "n_inst"],
+        num_partitions=num_partitions,
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        sl = t["sum_log"].to_numpy(zero_copy_only=False)
+        n = t["n_inst"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table(
+            {
+                id_col: t[id_col],
+                "n_pairs": t["n_inst"].cast(pa.int64()),
+                "nll": pa.array(np.floor(-sl / n * 1e6) / 1e6),
+            }
+        )
+
+    return totals.map_batches(finish, **kw)

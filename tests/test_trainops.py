@@ -1691,3 +1691,44 @@ def test_drift_report_semantics(ray_session):
     # value-exactness itself is pinned by the DuckDB oracle
     assert ((t["d50"] - (t["q50_new"] - t["q50_old"])).abs() <= 2e-6).all()
     assert ((t["d90"] - (t["q90_new"] - t["q90_old"])).abs() <= 2e-6).all()
+
+
+def test_bigram_nll_ref_semantics(ray_session):
+    """Reference-scored bigram NLL: in-model docs score better than
+    out-of-vocabulary docs; hand-check the smoothing on a tiny model."""
+    import math
+
+    ref = pa.table(
+        {
+            "doc_id": pa.array([10, 11], pa.int64()),
+            "text": pa.array(["a b a b", "a b a c"]),
+        }
+    )
+    cand = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array(["a b a b", "z z z", "a"]),
+        }
+    )
+    out = (
+        T.bigram_nll_ref(
+            ray.data.from_arrow(cand),
+            ray.data.from_arrow(ref),
+            alpha=1.0,
+            num_partitions=4,
+        )
+        .to_pandas()
+        .set_index("doc_id")
+    )
+    # ref pairs: ab×3, ba×2, ac×1 -> cnt_first(a)=4, k(a)=2;
+    # cnt_first(b)=2, k(b)=1
+    p_ab = (3 + 1) / (4 + 1 * (2 + 1))  # 4/7
+    p_ba = (2 + 1) / (2 + 1 * (1 + 1))  # 3/4
+    nll1 = -(2 * math.log(p_ab) + 1 * math.log(p_ba)) / 3
+    assert out.loc[1, "nll"] == math.floor(nll1 * 1e6) / 1e6
+    # doc 2: every pair has OOV w1 -> fixed penalty ln(1/2)
+    assert out.loc[2, "nll"] == math.floor(-math.log(0.5) * 1e6) / 1e6
+    # one-token doc: no pairs, no row
+    assert 3 not in out.index
+    # in-model text is more plausible than OOV soup
+    assert out.loc[1, "nll"] < out.loc[2, "nll"]
