@@ -215,7 +215,13 @@ _DRIVER_WINDOW: list[str] = [
     # text_normalize (still in the full gate): the graft's transcript axis
     # outranks a three-kernel string cleanup
     "sft_pairs",
-    "token_vocab",
+    # pack_masks (round-5 continuation: the transcripts-axis packing
+    # composite — replay → LWW conversation state → group-contiguous
+    # fixed-budget packing with per-turn loss-mask spans, hash-exact
+    # recursive-CTE oracle) displaced token_vocab: the window lacked the
+    # packing family entirely, and token counting stays driver-covered
+    # inside tfidf_docs/quality_gate; token_vocab stays in the full gate
+    "pack_masks",
     "tfidf_docs",
     "assemble_convs",
     "embed_centroids",

@@ -32,7 +32,7 @@ MUST_BE_IN_WINDOW = [
     "text_repetition",
     "text_redact",
     "sft_pairs",
-    "token_vocab",
+    "pack_masks",
     "tfidf_docs",
     "assemble_convs",
     "embed_centroids",
