@@ -2858,8 +2858,11 @@ def maintain_view(
 ):
     """THE incremental-view-maintenance skeleton — claim → feed → fold →
     install → promote — shared by :func:`maintain_rollup`,
-    :func:`maintain_distinct` and :func:`maintain_transcripts`, and open
-    to user-defined views: a new view costs a ``fold`` function, not a
+    :func:`maintain_distinct`, :func:`maintain_digest`,
+    :func:`maintain_transcripts`, :func:`maintain_extrema`,
+    :func:`maintain_topk` and
+    :func:`raycdc.similarity.maintain_vector_index`, and open to
+    user-defined views: a new view costs a ``fold`` function, not a
     re-implementation of the exactly-once protocol.  (The reference's
     whole design is pluggable closures around a fixed pipeline —
     /root/reference/handler.go:20-58; this is that shape for views.)

@@ -394,3 +394,67 @@ def test_index_search_on_foreign_partition_key_falls_back(ray_session, tmp_path)
     assert got[cols].reset_index(drop=True).equals(
         brute[cols].reset_index(drop=True)
     )
+
+
+def test_index_promote_crash_retry_converges(ray_session, tmp_path):
+    """Crash drill for the CDC×ANN view: the FIRST refresh completes its
+    install (quantizer persisted + index rows landed) but the position
+    promote is lost — the retry must reuse the SAME persisted quantizer
+    (codes stay comparable), re-derive identical rows under the same
+    claim, and converge to a run that never crashed."""
+    import raycdc.storage as storage_mod
+    from raycdc.storage import get_storage, read_json
+
+    rng = np.random.default_rng(31)
+    mat = rng.standard_normal((120, 8))
+    spec = _vec_spec(pa.list_(pa.float64()))
+    src_a, idx_a = str(tmp_path / "va"), str(tmp_path / "ia")
+    src_b, idx_b = str(tmp_path / "vb"), str(tmp_path / "ib")
+    for src in (src_a, src_b):
+        replay(ray.data.from_arrow(_seg(np.arange(120), mat, 0)), src, spec)
+
+    kw = dict(n_lists=4, m_sub=4, spec=spec, num_partitions=4)
+    S.maintain_vector_index(src_b, idx_b, **kw)  # control, clean
+
+    real = storage_mod.write_json_atomic
+    state = {"armed": True}
+
+    def flaky(st, path, payload):
+        if (
+            state["armed"]
+            and path.endswith("_feed_pos.json")
+            and "pending" not in payload
+        ):
+            state["armed"] = False
+            raise OSError("injected: promote write lost")
+        return real(st, path, payload)
+
+    storage_mod.write_json_atomic = flaky
+    try:
+        with pytest.raises(OSError, match="injected"):
+            S.maintain_vector_index(src_a, idx_a, **kw)
+    finally:
+        storage_mod.write_json_atomic = real
+
+    q_crashed = read_json(get_storage(idx_a), f"{idx_a}/{S._QUANTIZER_FILE}")
+    assert q_crashed is not None  # persisted before the crash
+    S.maintain_vector_index(src_a, idx_a, **kw)  # retry
+    q_after = read_json(get_storage(idx_a), f"{idx_a}/{S._QUANTIZER_FILE}")
+    assert q_after == q_crashed  # reused, never retrained
+
+    # both indexes serve identical exact results at full probe
+    q, qids = mat[:4], np.arange(4)
+    skw = dict(k=3, nprobe=4, rerank=256, spec=spec, index_partitions=4)
+    ra = (
+        S.knn_over_index(idx_a, src_a, q, qids, **skw)
+        .to_pandas()
+        .sort_values(["q_id", "rank"])
+        .reset_index(drop=True)
+    )
+    rb = (
+        S.knn_over_index(idx_b, src_b, q, qids, **skw)
+        .to_pandas()
+        .sort_values(["q_id", "rank"])
+        .reset_index(drop=True)
+    )
+    assert ra.equals(rb)
