@@ -53,6 +53,7 @@ _ENGINE_EXPORTS = (
     "prune_segments",
     "expire_rows",
     "compact",
+    "export_lake",
     "restore_lake",
     "migrate_lake",
     "bootstrap",

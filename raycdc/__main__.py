@@ -250,6 +250,25 @@ def main(argv: list[str] | None = None) -> int:
     p_distinct.add_argument("--value", required=True, help="counted column")
     p_distinct.add_argument("--partitions", type=int, default=4)
 
+    p_export = sub.add_parser(
+        "export",
+        help="sharded trainer-facing export of the lake's live state: "
+        "one atomic jsonl/parquet shard per partition with marker-based "
+        "resume (re-runs skip up-to-date shards)",
+    )
+    p_export.add_argument("src", help="source lake dir")
+    p_export.add_argument("out", help="output shard dir")
+    p_export.add_argument(
+        "--format", choices=("jsonl", "parquet"), default="jsonl"
+    )
+    p_export.add_argument(
+        "--columns", default=None, help="comma-separated column prune"
+    )
+    p_export.add_argument(
+        "--overwrite", action="store_true",
+        help="ignore existing markers (full re-export)",
+    )
+
     p_digest = sub.add_parser(
         "digest",
         help="incrementally maintain an approximate-quantile (t-digest) "
@@ -749,6 +768,33 @@ def main(argv: list[str] | None = None) -> int:
                     "refreshed": statuses.count("refreshed"),
                     "noop": statuses.count("noop"),
                     "rows_total": int(sum(lin["rows_total"].to_pylist())),
+                }
+            )
+        )
+    elif args.cmd == "export":
+        import pyarrow.compute as _pcc
+
+        from raycdc.engine import export_lake
+
+        lin = export_lake(
+            args.src,
+            args.out,
+            spec=_lake_spec(args.src, 64),
+            format=args.format,
+            columns=args.columns.split(",") if args.columns else None,
+            overwrite=args.overwrite,
+        )
+        print(
+            json.dumps(
+                {
+                    "partitions": lin.num_rows,
+                    "rows": int(_pcc.sum(lin["rows"]).as_py() or 0),
+                    "statuses": {
+                        s: lin.filter(
+                            _pcc.equal(lin["status"], s)
+                        ).num_rows
+                        for s in set(lin["status"].to_pylist())
+                    },
                 }
             )
         )

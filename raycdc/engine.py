@@ -1427,6 +1427,157 @@ def expire_rows(
     return lineage
 
 
+def export_lake(
+    lake_dir: str,
+    out_dir: str,
+    spec: TableSpec | None = None,
+    format: str = "jsonl",
+    columns: "list[str] | None" = None,
+    overwrite: bool = False,
+) -> pa.Table:
+    """Trainer-facing SHARDED export of the lake's live state — the last
+    step of a training-data pipeline: the curated lake leaves as the
+    files a training job actually consumes.  One shard per lake
+    partition under deterministic names (``part-00042.jsonl`` /
+    ``.parquet``), written ATOMICALLY and published by a sidecar marker
+    (``_done-00042.json`` recording the partition's checkpoint version
+    / max_lsn / row count) — exactly the brief's resumable-output
+    contract: a re-run skips every shard whose marker still matches the
+    partition's CURRENT checkpoint, re-exports stale or missing ones,
+    and a crash between data and marker re-exports that one shard (the
+    data write is a temp+rename, so readers never see a torn file).
+
+    Distributed: one Ray task per partition; each task reads ONLY its
+    partition (tombstones filtered, ``columns`` pruned at the file
+    read) and writes ONE shard — nothing is materialized on the driver.
+    ``overwrite=True`` ignores existing markers (full re-export).
+    JSONL rows serialize via pandas' C writer (the one inherently
+    row-oriented step in the pipeline, vectorized as a whole-table
+    call).  Returns ``(part, rows, status ∈ {exported, skipped,
+    empty})`` per partition.
+
+    The reference's Loader ships whole tables to a warehouse per file
+    event (``/root/reference/loader.go:33-60``); this is that final
+    hand-off generalized to resumable shard publication.
+    """
+    import numpy as np
+    import ray
+
+    from raycdc.storage import get_storage, read_json, write_json_atomic
+
+    if format not in ("jsonl", "parquet"):
+        raise ValueError(
+            f"export_lake: format must be 'jsonl' or 'parquet', got {format!r}"
+        )
+    spec = spec or TableSpec()
+    _refuse_pending_restore(lake_dir, "exporting it")
+    meta = S.read_spec_meta(lake_dir) or {}
+    nparts = int(meta.get("num_partitions", spec.num_partitions))
+    op_col = spec.op_col
+    if not S.read_all_checkpoints(lake_dir):
+        raise FileNotFoundError(
+            f"no checkpoints under {lake_dir} — not a replayed lake"
+        )
+    from raycdc.runlog import RunLog
+
+    rl = RunLog(verb="export", lake=lake_dir, out=out_dir, format=format)
+    rl.info("export started", num_partitions=nparts, overwrite=overwrite)
+    ext = "jsonl" if format == "jsonl" else "parquet"
+
+    def export_part(batch: pa.Table) -> pa.Table:
+        import io
+
+        st = get_storage(out_dir)
+        rows = []
+        for part in batch["id"].to_pylist():
+            part = int(part)
+            ckpt = S.read_checkpoint(lake_dir, part)
+            if ckpt is None:
+                rows.append({"part": part, "rows": 0, "status": "empty"})
+                continue
+            marker_path = os.path.join(out_dir, f"_done-{part:05d}.json")
+            shard_path = os.path.join(out_dir, f"part-{part:05d}.{ext}")
+            want = {
+                "version": ckpt.get("version", 0),
+                "max_lsn": ckpt.get("max_lsn"),
+                "format": format,
+                "columns": columns,
+            }
+            if not overwrite:
+                marker = read_json(st, marker_path)
+                if (
+                    marker is not None
+                    and {k: marker.get(k) for k in want} == want
+                    and st.exists(shard_path)
+                ):
+                    rows.append(
+                        {
+                            "part": part,
+                            "rows": int(marker.get("rows", 0)),
+                            "status": "skipped",
+                        }
+                    )
+                    continue
+            read_cols = None
+            if columns is not None:
+                read_cols = list(dict.fromkeys([*columns, op_col]))
+            t = S.read_partition(lake_dir, part, columns=read_cols)
+            if t is None:
+                rows.append({"part": part, "rows": 0, "status": "empty"})
+                continue
+            if op_col in t.column_names:
+                t = t.filter(
+                    pc.not_equal(pc.fill_null(t[op_col], ""), M.DELETE)
+                )
+                if columns is None or op_col not in columns:
+                    t = t.drop_columns([op_col])
+            if columns is not None:
+                t = t.select([c for c in columns if c in t.column_names])
+            if format == "jsonl":
+                # pandas' lines writer already terminates with a newline
+                payload = (
+                    t.to_pandas()
+                    .to_json(orient="records", lines=True, date_format="iso")
+                    .encode()
+                )
+            else:
+                import pyarrow.parquet as pq
+
+                sink_buf = io.BytesIO()
+                pq.write_table(t, sink_buf, compression="zstd")
+                payload = sink_buf.getvalue()
+            # data first (temp+rename atomic), marker second: a crash in
+            # between leaves a markerless shard the re-run re-exports
+            st.write_bytes_atomic(shard_path, payload)
+            write_json_atomic(st, marker_path, {**want, "rows": len(t)})
+            rows.append({"part": part, "rows": len(t), "status": "exported"})
+        if not rows:
+            return pa.table(
+                {
+                    "part": pa.array([], pa.int64()),
+                    "rows": pa.array([], pa.int64()),
+                    "status": pa.array([], pa.string()),
+                }
+            )
+        return pa.Table.from_pylist(rows)
+
+    pdf = (
+        ray.data.range(nparts, override_num_blocks=min(nparts, 64))
+        .map_batches(export_part, batch_format="pyarrow")
+        .to_pandas()
+    )
+    out = pa.Table.from_pandas(pdf, preserve_index=False)
+    by_status = dict(
+        zip(*np.unique(pdf["status"].to_numpy(), return_counts=True))
+    ) if len(pdf) else {}
+    rl.finish(
+        "export finished",
+        **{f"n_{k}": int(v) for k, v in by_status.items()},
+        rows_total=int(pdf["rows"].sum()) if len(pdf) else 0,
+    )
+    return out
+
+
 def compact(
     lake_dir: str,
     spec: TableSpec | None = None,

@@ -1025,6 +1025,66 @@ def q_cdc_distinct_view(sf_dir: str):
     return est.sort_by([("role", "ascending")])
 
 
+def q_cdc_export(sf_dir: str):
+    """The trainer hand-off round-trip, oracle-pinned end to end:
+    replay → :func:`raycdc.engine.export_lake` (atomic jsonl shards,
+    marker-based resume — the SECOND export in-query must skip every
+    shard) → read the shards back.  The returned rows are the exported
+    files' contents, so the hash compare pins the whole publication
+    path, not just the lake."""
+    from raycdc.changelog import changelog_from_events
+    from raycdc.engine import export_lake, replay
+    from raycdc.schema import TableSpec
+
+    spec = TableSpec(num_partitions=16)
+    root = _scratch_path(sf_dir, "export")
+    shutil.rmtree(root, ignore_errors=True)
+    lake, out = os.path.join(root, "lake"), os.path.join(root, "shards")
+    replay(changelog_from_events(sf_dir), lake, spec)
+    export_lake(lake, out, spec, format="jsonl",
+                columns=["conv_id", "turn_idx", "role", "text"])
+    # resume contract exercised in-query: the second run must not
+    # rewrite a single up-to-date shard
+    lin2 = export_lake(lake, out, spec, format="jsonl",
+                       columns=["conv_id", "turn_idx", "role", "text"])
+    statuses = set(lin2["status"].to_pylist())
+    if not statuses <= {"skipped", "empty"}:
+        raise AssertionError(f"resume re-exported shards: {statuses}")
+    ds = ray.data.read_json(
+        [os.path.join(out, f) for f in sorted(os.listdir(out))
+         if f.startswith("part-")]
+    )
+
+    def norm(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "conv_id": t["conv_id"].cast(pa.string()),
+                "turn_idx": t["turn_idx"].cast(pa.int64()),
+                "role": t["role"].cast(pa.string()),
+                "text": t["text"].cast(pa.string()),
+            }
+        )
+
+    return ds.map_batches(norm, batch_format="pyarrow")
+
+
+def _sql_cdc_export() -> str:
+    from raycdc.changelog import CHANGELOG_SQL
+
+    return f"""
+WITH {CHANGELOG_SQL.strip()},
+ranked AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY conv_id, turn_idx
+        ORDER BY ts DESC, lsn DESC
+    ) AS rn
+    FROM changelog
+)
+SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx, role, text
+FROM ranked WHERE rn = 1 AND op <> 'delete'
+"""
+
+
 def q_cdc_digest_view(sf_dir: str):
     """Incrementally maintained APPROXIMATE-QUANTILE view
     (:func:`raycdc.engine.maintain_digest`): per-role t-digest of the
@@ -6771,6 +6831,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "cdc_restore": q_cdc_restore,
     "cdc_distinct_view": q_cdc_distinct_view,
     "cdc_digest_view": q_cdc_digest_view,
+    "cdc_export": q_cdc_export,
     "cdc_enriched_replay": q_cdc_enriched_replay,
     "cdc_scd2_history": q_cdc_scd2_history,
     "cdc_history_lake": q_cdc_history_lake,
@@ -6911,6 +6972,7 @@ ORACLES: dict[str, str] = {
     "bigram_nll_ref": SQL_BIGRAM_NLL_REF,
     "media_features": SQL_MEDIA_FEATURES,
     "cdc_extrema_view": _sql_cdc_extrema_view(),
+    "cdc_export": _sql_cdc_export(),
     "cdc_topk_view": _sql_cdc_topk_view(),
     "cdc_ttl_expire": _sql_cdc_ttl_expire(),
     "sim_knn_index": SQL_SIM_KNN,

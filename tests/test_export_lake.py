@@ -1,0 +1,144 @@
+"""Trainer-facing sharded export (engine.export_lake): one atomic shard
+per lake partition with marker-based resume — the brief's resumable
+output contract (a failed run skips finished partitions; stale shards
+re-export when the lake advances)."""
+
+import json
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pytest
+import ray.data
+
+from raycdc.changelog import synthetic_changelog
+from raycdc.engine import export_lake, read_lake, replay
+from raycdc.schema import TableSpec
+
+from .oracle import python_lww_replay
+
+
+def _statuses(t: pa.Table) -> dict:
+    return {
+        int(p): s for p, s in zip(t["part"].to_pylist(), t["status"].to_pylist())
+    }
+
+
+@pytest.fixture()
+def lake(ray_session, tmp_path):
+    spec = TableSpec(num_partitions=4)
+    lk = str(tmp_path / "lake")
+    log = synthetic_changelog(n_events=400, seed=81, p_delete=0.1)
+    replay(ray.data.from_arrow(log), lk, spec)
+    return lk, spec, log, tmp_path
+
+
+def test_export_jsonl_roundtrip_and_resume(lake):
+    lk, spec, log, tmp = lake
+    out = str(tmp / "out")
+    lin = export_lake(lk, out, spec, format="jsonl")
+    st = _statuses(lin)
+    assert "exported" in st.values()
+
+    # shard contents == the live LWW state (keys + texts round-trip)
+    live = python_lww_replay([log])
+    got = {}
+    import glob
+    import os
+
+    for p in sorted(glob.glob(os.path.join(out, "part-*.jsonl"))):
+        for line in open(p):
+            r = json.loads(line)
+            got[(r["conv_id"], r["turn_idx"])] = r["text"]
+    assert got == {k: v["text"] for k, v in live.items()}
+    # tombstones are NOT exported
+    assert all("op" not in json.loads(line) for line in open(p))
+
+    # second run: everything skipped, bytes untouched
+    mtimes = {
+        p: os.path.getmtime(p)
+        for p in glob.glob(os.path.join(out, "part-*.jsonl"))
+    }
+    lin2 = export_lake(lk, out, spec, format="jsonl")
+    assert set(_statuses(lin2).values()) <= {"skipped", "empty"}
+    assert mtimes == {
+        p: os.path.getmtime(p)
+        for p in glob.glob(os.path.join(out, "part-*.jsonl"))
+    }
+
+
+def test_export_crash_window_and_staleness(lake):
+    lk, spec, log, tmp = lake
+    out = str(tmp / "out")
+    export_lake(lk, out, spec, format="jsonl")
+
+    import glob
+    import os
+
+    # crash window: data landed, marker lost -> exactly that shard redoes
+    markers = sorted(glob.glob(os.path.join(out, "_done-*.json")))
+    lost = markers[0]
+    part = int(lost.split("-")[-1].split(".")[0])
+    os.remove(lost)
+    lin = export_lake(lk, out, spec, format="jsonl")
+    st = _statuses(lin)
+    assert st[part] == "exported"
+    assert all(
+        v in ("skipped", "empty") for p, v in st.items() if p != part
+    )
+
+    # lake advances: only the touched partitions re-export
+    more = synthetic_changelog(n_events=80, seed=82)
+    more = pa.Table.from_pydict(
+        {
+            **{c: more[c] for c in more.column_names if c != "lsn"},
+            "lsn": pc.add(more["lsn"], 10_000),
+        },
+        schema=more.schema,
+    )
+    replay(ray.data.from_arrow(more), lk, spec)
+    lin3 = export_lake(lk, out, spec, format="jsonl")
+    st3 = _statuses(lin3)
+    assert "exported" in st3.values()
+    # and the shards again mirror the (new) live state
+    live = python_lww_replay([log, more])
+    got = {}
+    for p in sorted(glob.glob(os.path.join(out, "part-*.jsonl"))):
+        for line in open(p):
+            r = json.loads(line)
+            got[(r["conv_id"], r["turn_idx"])] = r["text"]
+    assert got == {k: v["text"] for k, v in live.items()}
+
+
+def test_export_parquet_and_column_pruning(lake):
+    lk, spec, log, tmp = lake
+    out = str(tmp / "outp")
+    export_lake(lk, out, spec, format="parquet", columns=["conv_id", "turn_idx"])
+
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    shards = sorted(glob.glob(os.path.join(out, "part-*.parquet")))
+    assert shards
+    t = pa.concat_tables([pq.read_table(p) for p in shards])
+    assert t.column_names == ["conv_id", "turn_idx"]
+    live = python_lww_replay([log])
+    assert sorted(
+        zip(t["conv_id"].to_pylist(), t["turn_idx"].to_pylist())
+    ) == sorted(live)
+
+    # changing the requested columns invalidates the markers
+    lin = export_lake(lk, out, spec, format="parquet", columns=["conv_id"])
+    assert "exported" in _statuses(lin).values()
+    with pytest.raises(ValueError, match="format"):
+        export_lake(lk, out, spec, format="csv")
+
+
+def test_export_cli_smoke(lake, capsys):
+    lk, spec, log, tmp = lake
+    from raycdc.__main__ import main
+
+    assert main(["export", lk, str(tmp / "cli_out")]) == 0
+    out = capsys.readouterr().out
+    assert '"exported"' in out or "exported" in out
