@@ -7139,4 +7139,5 @@ def bench_extras() -> dict[str, Callable[[str], Any]]:
         "chunk_docs": lambda sf: q_chunk_docs(sf).count(),
         "bigram_nll": lambda sf: q_bigram_nll(sf).count(),
         "cdc_digest_view": lambda sf: len(q_cdc_digest_view(sf)),
+        "cdc_export": lambda sf: q_cdc_export(sf).count(),
     }
