@@ -268,6 +268,11 @@ def main(argv: list[str] | None = None) -> int:
         "--overwrite", action="store_true",
         help="ignore existing markers (full re-export)",
     )
+    p_export.add_argument(
+        "--as-of", type=int, default=None, dest="as_of",
+        help="export a PINNED snapshot id (reproducible shards even "
+        "after the lake advances)",
+    )
 
     p_digest = sub.add_parser(
         "digest",
@@ -783,6 +788,7 @@ def main(argv: list[str] | None = None) -> int:
             format=args.format,
             columns=args.columns.split(",") if args.columns else None,
             overwrite=args.overwrite,
+            as_of=args.as_of,
         )
         print(
             json.dumps(

@@ -1434,6 +1434,7 @@ def export_lake(
     format: str = "jsonl",
     columns: "list[str] | None" = None,
     overwrite: bool = False,
+    as_of: "int | None" = None,
 ) -> pa.Table:
     """Trainer-facing SHARDED export of the lake's live state — the last
     step of a training-data pipeline: the curated lake leaves as the
@@ -1455,6 +1456,16 @@ def export_lake(
     row-oriented step in the pipeline, vectorized as a whole-table
     call).  Returns ``(part, rows, status ∈ {exported, skipped,
     empty})`` per partition.
+
+    ``as_of`` exports a PINNED snapshot id instead of the current state
+    — the reproducible-training-run contract: re-exporting the same
+    ``as_of`` yields byte-identical shards even after the lake has
+    advanced, because the snapshot's per-partition versions are read
+    (time travel) and recorded in the markers.  Mixing states in one
+    out dir is refused: markers pin the ``as_of`` they were written
+    under.  After every run a ``_manifest.json`` is published (source,
+    snapshot, params, shard count, total rows) — the dataset card a
+    trainer reads before consuming the shards.
 
     The reference's Loader ships whole tables to a warehouse per file
     event (``/root/reference/loader.go:33-60``); this is that final
@@ -1478,10 +1489,39 @@ def export_lake(
         raise FileNotFoundError(
             f"no checkpoints under {lake_dir} — not a replayed lake"
         )
+    snap_versions: "dict[int, int] | None" = None
+    if as_of is not None:
+        snap_versions = S.read_snapshot(lake_dir, as_of)
+        if snap_versions is None:
+            raise FileNotFoundError(
+                f"export_lake: no snapshot {as_of} under {lake_dir}"
+            )
+    out_st = get_storage(out_dir)
+    manifest_path = os.path.join(out_dir, "_manifest.json")
+    prev_manifest = read_json(out_st, manifest_path)
+    if (
+        prev_manifest is not None
+        and not overwrite
+        and prev_manifest.get("as_of") != as_of
+    ):
+        # a shard dir holds ONE dataset version: silently mixing a pinned
+        # snapshot's shards with current-state shards would hand the
+        # trainer a state that never existed
+        raise ValueError(
+            f"export_lake: {out_dir} holds an export of "
+            f"as_of={prev_manifest.get('as_of')!r}, refusing "
+            f"as_of={as_of!r} into the same dir — use a fresh dir or "
+            "overwrite=True"
+        )
     from raycdc.runlog import RunLog
 
     rl = RunLog(verb="export", lake=lake_dir, out=out_dir, format=format)
-    rl.info("export started", num_partitions=nparts, overwrite=overwrite)
+    rl.info(
+        "export started",
+        num_partitions=nparts,
+        overwrite=overwrite,
+        as_of=as_of,
+    )
     ext = "jsonl" if format == "jsonl" else "parquet"
 
     def export_part(batch: pa.Table) -> pa.Table:
@@ -1491,18 +1531,38 @@ def export_lake(
         rows = []
         for part in batch["id"].to_pylist():
             part = int(part)
-            ckpt = S.read_checkpoint(lake_dir, part)
-            if ckpt is None:
-                rows.append({"part": part, "rows": 0, "status": "empty"})
-                continue
+            if snap_versions is not None:
+                v = snap_versions.get(part)
+                if v is None or v < 0:
+                    rows.append(
+                        {"part": part, "rows": 0, "status": "empty"}
+                    )
+                    continue
+                want = {
+                    "version": v,
+                    "max_lsn": None,
+                    "format": format,
+                    "columns": columns,
+                    "as_of": as_of,
+                }
+                read_version = v
+            else:
+                ckpt = S.read_checkpoint(lake_dir, part)
+                if ckpt is None:
+                    rows.append(
+                        {"part": part, "rows": 0, "status": "empty"}
+                    )
+                    continue
+                want = {
+                    "version": ckpt.get("version", 0),
+                    "max_lsn": ckpt.get("max_lsn"),
+                    "format": format,
+                    "columns": columns,
+                    "as_of": None,
+                }
+                read_version = None
             marker_path = os.path.join(out_dir, f"_done-{part:05d}.json")
             shard_path = os.path.join(out_dir, f"part-{part:05d}.{ext}")
-            want = {
-                "version": ckpt.get("version", 0),
-                "max_lsn": ckpt.get("max_lsn"),
-                "format": format,
-                "columns": columns,
-            }
             if not overwrite:
                 marker = read_json(st, marker_path)
                 if (
@@ -1521,8 +1581,19 @@ def export_lake(
             read_cols = None
             if columns is not None:
                 read_cols = list(dict.fromkeys([*columns, op_col]))
-            t = S.read_partition(lake_dir, part, columns=read_cols)
+            t = S.read_partition(
+                lake_dir, part, version=read_version, columns=read_cols
+            )
             if t is None:
+                if read_version is not None:
+                    # a snapshot promises EXACTLY this version: a missing
+                    # file (over-eager vacuum) must not silently export
+                    # a smaller dataset (read_lake's as_of contract)
+                    raise FileNotFoundError(
+                        f"export_lake: snapshot {as_of} names version "
+                        f"{read_version} of partition {part}, but its "
+                        "data file is gone (vacuumed?)"
+                    )
                 rows.append({"part": part, "rows": 0, "status": "empty"})
                 continue
             if op_col in t.column_names:
@@ -1570,6 +1641,24 @@ def export_lake(
     by_status = dict(
         zip(*np.unique(pdf["status"].to_numpy(), return_counts=True))
     ) if len(pdf) else {}
+    reg = S.read_lake_schema(lake_dir)
+    # the dataset card: what a trainer reads before touching the shards.
+    # Written LAST (after every shard's data+marker landed), atomically —
+    # a manifest therefore never describes a half-published export
+    write_json_atomic(
+        out_st,
+        manifest_path,
+        {
+            "source": lake_dir,
+            "as_of": as_of,
+            "format": format,
+            "columns": columns,
+            "num_partitions": nparts,
+            "shards": int((pdf["status"] != "empty").sum()) if len(pdf) else 0,
+            "rows_total": int(pdf["rows"].sum()) if len(pdf) else 0,
+            "schema": list(reg.names) if reg is not None else None,
+        },
+    )
     rl.finish(
         "export finished",
         **{f"n_{k}": int(v) for k, v in by_status.items()},

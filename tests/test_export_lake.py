@@ -142,3 +142,49 @@ def test_export_cli_smoke(lake, capsys):
     assert main(["export", lk, str(tmp / "cli_out")]) == 0
     out = capsys.readouterr().out
     assert '"exported"' in out or "exported" in out
+
+
+def test_export_as_of_reproducible_and_manifest(lake):
+    """Snapshot-pinned export: re-exporting the same as_of after the lake
+    advanced yields byte-identical shards (the reproducible-training-run
+    contract); mixing dataset versions in one dir is refused; the
+    manifest describes the finished export."""
+    import glob
+    import os
+
+    from raycdc import sink as S
+
+    lk, spec, log, tmp = lake
+    snap = S.write_snapshot(lk)
+    out = str(tmp / "pinned")
+    export_lake(lk, out, spec, format="jsonl", as_of=snap,
+                columns=["conv_id", "turn_idx", "text"])
+    shards = sorted(glob.glob(os.path.join(out, "part-*.jsonl")))
+    bytes_before = {p: open(p, "rb").read() for p in shards}
+    man = json.load(open(os.path.join(out, "_manifest.json")))
+    assert man["as_of"] == snap and man["rows_total"] > 0
+    assert man["columns"] == ["conv_id", "turn_idx", "text"]
+
+    # the lake advances...
+    more = synthetic_changelog(n_events=120, seed=83)
+    more = pa.Table.from_pydict(
+        {
+            **{c: more[c] for c in more.column_names if c != "lsn"},
+            "lsn": pc.add(more["lsn"], 20_000),
+        },
+        schema=more.schema,
+    )
+    replay(ray.data.from_arrow(more), lk, spec)
+
+    # ...but the pinned export is bit-stable: everything skipped
+    lin = export_lake(lk, out, spec, format="jsonl", as_of=snap,
+                      columns=["conv_id", "turn_idx", "text"])
+    assert set(_statuses(lin).values()) <= {"skipped", "empty"}
+    assert bytes_before == {p: open(p, "rb").read() for p in shards}
+
+    # mixing versions in one dir is refused by the manifest guard
+    with pytest.raises(ValueError, match="fresh dir"):
+        export_lake(lk, out, spec, format="jsonl",
+                    columns=["conv_id", "turn_idx", "text"])
+    with pytest.raises(FileNotFoundError, match="no snapshot"):
+        export_lake(lk, str(tmp / "nope"), spec, as_of=987654)
