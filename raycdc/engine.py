@@ -1461,9 +1461,12 @@ def export_lake(
     — the reproducible-training-run contract: re-exporting the same
     ``as_of`` yields byte-identical shards even after the lake has
     advanced, because the snapshot's per-partition versions are read
-    (time travel) and recorded in the markers.  Mixing states in one
-    out dir is refused: markers pin the ``as_of`` they were written
-    under.  After every run a ``_manifest.json`` is published (source,
+    (time travel) and recorded in the markers.  One dataset per dir:
+    re-exporting with a different ``as_of``/``format``/``columns`` is
+    refused unless ``overwrite=True``, which first clears every shard
+    and marker of the previous configuration (stale files must never
+    sit next to the new ones).  After every run a ``_manifest.json`` is
+    published (source,
     snapshot, params, shard count, total rows) — the dataset card a
     trainer reads before consuming the shards.
 
@@ -1482,6 +1485,14 @@ def export_lake(
         )
     spec = spec or TableSpec()
     _refuse_pending_restore(lake_dir, "exporting it")
+    if S.bootstrap_pending(lake_dir):
+        # same guard as replay/feed/lookup: a half-bootstrapped lake has
+        # real checkpoints for SOME partitions — exporting it would
+        # publish a "finished" manifest over a partial dataset
+        raise RuntimeError(
+            f"lake {lake_dir} has an unfinished bootstrap — export would "
+            "hand the trainer a partial dataset"
+        )
     meta = S.read_spec_meta(lake_dir) or {}
     nparts = int(meta.get("num_partitions", spec.num_partitions))
     op_col = spec.op_col
@@ -1499,20 +1510,26 @@ def export_lake(
     out_st = get_storage(out_dir)
     manifest_path = os.path.join(out_dir, "_manifest.json")
     prev_manifest = read_json(out_st, manifest_path)
-    if (
-        prev_manifest is not None
-        and not overwrite
-        and prev_manifest.get("as_of") != as_of
-    ):
-        # a shard dir holds ONE dataset version: silently mixing a pinned
-        # snapshot's shards with current-state shards would hand the
-        # trainer a state that never existed
-        raise ValueError(
-            f"export_lake: {out_dir} holds an export of "
-            f"as_of={prev_manifest.get('as_of')!r}, refusing "
-            f"as_of={as_of!r} into the same dir — use a fresh dir or "
-            "overwrite=True"
-        )
+    run_params = {"as_of": as_of, "format": format, "columns": columns}
+    if prev_manifest is not None:
+        prev_params = {k: prev_manifest.get(k) for k in run_params}
+        if prev_params != run_params and not overwrite:
+            # a shard dir holds ONE dataset: a different snapshot would
+            # mix states that never coexisted; a different format would
+            # leave part-*.jsonl AND part-*.parquet side by side (a
+            # trainer globbing part-* reads the data twice); a different
+            # projection strands stale wider shards under fresh markers
+            raise ValueError(
+                f"export_lake: {out_dir} holds an export with "
+                f"{prev_params}, refusing {run_params} into the same "
+                "dir — use a fresh dir or overwrite=True"
+            )
+    if overwrite:
+        # clean slate: stale shards from a previous configuration must
+        # not survive next to the new ones
+        for name in list(out_st.listdir(out_dir)) if out_st.exists(out_dir) else []:
+            if name.startswith(("part-", "_done-")):
+                out_st.remove(os.path.join(out_dir, name))
     from raycdc.runlog import RunLog
 
     rl = RunLog(verb="export", lake=lake_dir, out=out_dir, format=format)
@@ -1531,12 +1548,23 @@ def export_lake(
         rows = []
         for part in batch["id"].to_pylist():
             part = int(part)
+            marker_path = os.path.join(out_dir, f"_done-{part:05d}.json")
+            shard_path = os.path.join(out_dir, f"part-{part:05d}.{ext}")
+
+            def _empty(part=part, marker_path=marker_path, shard_path=shard_path):
+                # an empty partition must not leave a STALE shard from an
+                # earlier run in the dataset dir (r5 review): readers
+                # glob part-* and would consume rows this export never
+                # produced
+                for p in (shard_path, marker_path):
+                    if st.exists(p):
+                        st.remove(p)
+                rows.append({"part": part, "rows": 0, "status": "empty"})
+
             if snap_versions is not None:
                 v = snap_versions.get(part)
                 if v is None or v < 0:
-                    rows.append(
-                        {"part": part, "rows": 0, "status": "empty"}
-                    )
+                    _empty()
                     continue
                 want = {
                     "version": v,
@@ -1549,9 +1577,7 @@ def export_lake(
             else:
                 ckpt = S.read_checkpoint(lake_dir, part)
                 if ckpt is None:
-                    rows.append(
-                        {"part": part, "rows": 0, "status": "empty"}
-                    )
+                    _empty()
                     continue
                 want = {
                     "version": ckpt.get("version", 0),
@@ -1561,14 +1587,13 @@ def export_lake(
                     "as_of": None,
                 }
                 read_version = None
-            marker_path = os.path.join(out_dir, f"_done-{part:05d}.json")
-            shard_path = os.path.join(out_dir, f"part-{part:05d}.{ext}")
             if not overwrite:
                 marker = read_json(st, marker_path)
-                if (
-                    marker is not None
-                    and {k: marker.get(k) for k in want} == want
-                    and st.exists(shard_path)
+                if marker is not None and {
+                    k: marker.get(k) for k in want
+                } == want and (
+                    int(marker.get("rows", 0)) == 0
+                    or st.exists(shard_path)
                 ):
                     rows.append(
                         {
@@ -1581,6 +1606,10 @@ def export_lake(
             read_cols = None
             if columns is not None:
                 read_cols = list(dict.fromkeys([*columns, op_col]))
+            # per-partition snapshot semantics mirror read_lake's as_of
+            # branch (engine.read_lake): v < 0 = bootstrap's empty
+            # marker, a missing pinned file raises — keep the two in
+            # lockstep when the snapshot representation changes
             t = S.read_partition(
                 lake_dir, part, version=read_version, columns=read_cols
             )
@@ -1594,7 +1623,7 @@ def export_lake(
                         f"{read_version} of partition {part}, but its "
                         "data file is gone (vacuumed?)"
                     )
-                rows.append({"part": part, "rows": 0, "status": "empty"})
+                _empty()
                 continue
             if op_col in t.column_names:
                 t = t.filter(
@@ -1604,11 +1633,32 @@ def export_lake(
                     t = t.drop_columns([op_col])
             if columns is not None:
                 t = t.select([c for c in columns if c in t.column_names])
+            if len(t) == 0:
+                # fully-tombstoned partition: pandas' lines writer emits
+                # a lone blank line for a 0-row frame, which crashes
+                # line-oriented consumers (r5 review) — publish a
+                # rows=0 MARKER and no shard instead; stale shards from
+                # an earlier state are removed
+                if st.exists(shard_path):
+                    st.remove(shard_path)
+                write_json_atomic(st, marker_path, {**want, "rows": 0})
+                rows.append({"part": part, "rows": 0, "status": "empty"})
+                continue
             if format == "jsonl":
-                # pandas' lines writer already terminates with a newline
+                # pandas' lines writer already terminates with a newline;
+                # double_precision=15 (the writer's hard cap) keeps 15
+                # significant digits — the default 10 silently truncated
+                # (r5 review).  15 is one digit short of bit-exact for
+                # worst-case doubles: export format="parquet" when float
+                # columns must round-trip exactly (documented contract)
                 payload = (
                     t.to_pandas()
-                    .to_json(orient="records", lines=True, date_format="iso")
+                    .to_json(
+                        orient="records",
+                        lines=True,
+                        date_format="iso",
+                        double_precision=15,
+                    )
                     .encode()
                 )
             else:
@@ -1642,6 +1692,16 @@ def export_lake(
         zip(*np.unique(pdf["status"].to_numpy(), return_counts=True))
     ) if len(pdf) else {}
     reg = S.read_lake_schema(lake_dir)
+    # schema = the EXPORTED projection (the shards' actual columns),
+    # never the raw lake schema: the op column is filtered out and
+    # `columns` prunes — a card naming columns no shard carries would
+    # mislead its one reader (r5 review)
+    if columns is not None:
+        shard_schema = list(columns)
+    elif reg is not None:
+        shard_schema = [c for c in reg.names if c != op_col]
+    else:
+        shard_schema = None
     # the dataset card: what a trainer reads before touching the shards.
     # Written LAST (after every shard's data+marker landed), atomically —
     # a manifest therefore never describes a half-published export
@@ -1654,9 +1714,9 @@ def export_lake(
             "format": format,
             "columns": columns,
             "num_partitions": nparts,
-            "shards": int((pdf["status"] != "empty").sum()) if len(pdf) else 0,
+            "shards": int((pdf["rows"] > 0).sum()) if len(pdf) else 0,
             "rows_total": int(pdf["rows"].sum()) if len(pdf) else 0,
-            "schema": list(reg.names) if reg is not None else None,
+            "schema": shard_schema,
         },
     )
     rl.finish(

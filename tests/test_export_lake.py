@@ -128,9 +128,18 @@ def test_export_parquet_and_column_pruning(lake):
         zip(t["conv_id"].to_pylist(), t["turn_idx"].to_pylist())
     ) == sorted(live)
 
-    # changing the requested columns invalidates the markers
-    lin = export_lake(lk, out, spec, format="parquet", columns=["conv_id"])
+    # changing the requested projection is refused (one dataset per
+    # dir); overwrite=True re-exports under the new projection
+    with pytest.raises(ValueError, match="fresh dir"):
+        export_lake(lk, out, spec, format="parquet", columns=["conv_id"])
+    lin = export_lake(lk, out, spec, format="parquet", columns=["conv_id"],
+                      overwrite=True)
     assert "exported" in _statuses(lin).values()
+    t1 = pa.concat_tables(
+        [pq.read_table(p_) for p_ in
+         sorted(glob.glob(os.path.join(out, "part-*.parquet")))]
+    )
+    assert t1.column_names == ["conv_id"]
     with pytest.raises(ValueError, match="format"):
         export_lake(lk, out, spec, format="csv")
 
@@ -188,3 +197,132 @@ def test_export_as_of_reproducible_and_manifest(lake):
                     columns=["conv_id", "turn_idx", "text"])
     with pytest.raises(FileNotFoundError, match="no snapshot"):
         export_lake(lk, str(tmp / "nope"), spec, as_of=987654)
+
+
+def test_export_empty_partition_and_format_guards(ray_session, tmp_path):
+    """r5 review regressions: a fully-tombstoned partition publishes a
+    rows=0 marker and NO shard (a blank-line jsonl shard crashes
+    line-oriented readers) and resumes as skipped; a format change into
+    the same dir is refused (old-format shards would sit next to new
+    ones); overwrite=True clears the stale configuration's files."""
+    import datetime as dt
+    import glob
+    import os
+
+    spec = TableSpec(num_partitions=2)
+    lk = str(tmp_path / "lake")
+    n = 40
+    t = pa.table(
+        {
+            "conv_id": pa.array([f"c{i % 6}" for i in range(n)]),
+            "turn_idx": pa.array([i % 5 for i in range(n)], pa.int32()),
+            "role": pa.array(["user"] * n),
+            "text": pa.array(["x"] * n),
+            "tool": pa.array([""] * n),
+            "ts": pa.array(
+                [dt.datetime(2024, 1, 1, second=i % 60) for i in range(n)],
+                pa.timestamp("us"),
+            ),
+            "op": pa.array(["insert"] * n),
+            "lsn": pa.array(range(n), type=pa.int64()),
+        }
+    )
+    replay(ray.data.from_arrow(t), lk, spec)
+    # tombstone EVERYTHING: live state empty, both partitions checkpointed
+    dels = t.set_column(
+        t.schema.get_field_index("op"), "op", pa.array(["delete"] * n)
+    ).set_column(
+        t.schema.get_field_index("lsn"),
+        "lsn",
+        pa.array(range(n, 2 * n), type=pa.int64()),
+    ).set_column(
+        t.schema.get_field_index("ts"),
+        "ts",
+        pa.array(
+            [dt.datetime(2024, 1, 2, second=i % 60) for i in range(n)],
+            pa.timestamp("us"),
+        ),
+    )
+    replay(ray.data.from_arrow(dels), lk, spec)
+
+    out = str(tmp_path / "out")
+    lin = export_lake(lk, out, spec, format="jsonl")
+    assert set(lin["status"].to_pylist()) <= {"empty"}
+    assert glob.glob(os.path.join(out, "part-*")) == []  # NO blank shards
+    assert glob.glob(os.path.join(out, "_done-*"))  # markers exist
+    # resume: the empty result is remembered, nothing re-reads as export
+    lin2 = export_lake(lk, out, spec, format="jsonl")
+    assert set(lin2["status"].to_pylist()) <= {"skipped", "empty"}
+
+    # format change refused; overwrite clears the old configuration
+    with pytest.raises(ValueError, match="fresh dir"):
+        export_lake(lk, out, spec, format="parquet")
+    export_lake(lk, out, spec, format="parquet", overwrite=True)
+    assert glob.glob(os.path.join(out, "part-*.jsonl")) == []
+
+
+def test_export_refuses_pending_bootstrap(ray_session, tmp_path):
+    from raycdc import sink as S
+
+    spec = TableSpec(num_partitions=2)
+    lk = str(tmp_path / "lake")
+    replay(
+        ray.data.from_arrow(synthetic_changelog(n_events=50, seed=84)),
+        lk,
+        spec,
+    )
+    from raycdc.storage import get_storage, write_json_atomic
+
+    write_json_atomic(
+        get_storage(lk), S.bootstrap_marker_file(lk), {"pending": True}
+    )
+    with pytest.raises(RuntimeError, match="unfinished bootstrap"):
+        export_lake(lk, str(tmp_path / "o"), spec)
+
+
+def test_export_jsonl_float_roundtrip(ray_session, tmp_path):
+    """double_precision=15 (the pandas writer's cap): float columns keep
+    15 significant digits through the jsonl hand-off — the default 10
+    silently truncated (r5 review); parquet is the bit-exact path."""
+    import datetime as dt
+    import glob
+    import os
+
+    x = 0.12345678901234567
+    spec = TableSpec(
+        name="scores",
+        schema=pa.schema(
+            [
+                pa.field("conv_id", pa.string()),
+                pa.field("turn_idx", pa.int64()),
+                pa.field("score", pa.float64()),
+            ]
+        ),
+        key_cols=("conv_id", "turn_idx"),
+        version_cols=("ts", "lsn"),
+        partition_key="conv_id",
+        num_partitions=2,
+        sort_cols=("conv_id", "turn_idx"),
+    )
+    t = pa.table(
+        {
+            "conv_id": pa.array(["a", "b"]),
+            "turn_idx": pa.array([0, 0], pa.int64()),
+            "score": pa.array([x, 2.0]),
+            "ts": pa.array([dt.datetime(2024, 1, 1)] * 2, pa.timestamp("us")),
+            "op": pa.array(["insert"] * 2),
+            "lsn": pa.array([0, 1], pa.int64()),
+        }
+    )
+    lk = str(tmp_path / "lake")
+    replay(ray.data.from_arrow(t), lk, spec)
+    out = str(tmp_path / "out")
+    export_lake(lk, out, spec, format="jsonl")
+    got = {}
+    for p in glob.glob(os.path.join(out, "part-*.jsonl")):
+        for line in open(p):
+            r = json.loads(line)
+            got[r["conv_id"]] = r["score"]
+    # 15 significant digits (the writer's cap); parquet is bit-exact
+    assert abs(got["a"] - x) <= abs(x) * 1e-14 and got["a"] != round(x, 10)
+    assert got["b"] == 2.0
