@@ -146,8 +146,13 @@ def main(argv: list[str] | None = None) -> int:
         help="fsck: audit each partition's file against its checkpoint "
         "and the layout invariants (read-only)",
     )
-    p_verify.add_argument("--lake", required=True)
+    p_verify.add_argument("--lake", default=None)
     p_verify.add_argument("--partitions", type=int, default=64)
+    p_verify.add_argument(
+        "--export-dir", default=None, dest="export_dir",
+        help="fsck an export_lake shard dir instead of a lake "
+        "(markers vs shards vs manifest; exit 3 on any defect)",
+    )
 
     p_repair = sub.add_parser(
         "repair",
@@ -684,6 +689,26 @@ def main(argv: list[str] | None = None) -> int:
             )
         )
     elif args.cmd == "verify":
+        if args.export_dir is not None:
+            from raycdc.engine import verify_export
+
+            rep = verify_export(args.export_dir)
+            bad_rows = [
+                r for r in rep.to_pylist() if r["status"] != "ok"
+            ]
+            print(
+                json.dumps(
+                    {
+                        "items": rep.num_rows,
+                        "ok": rep.num_rows - len(bad_rows),
+                        "defects": bad_rows,
+                    }
+                )
+            )
+            return 3 if bad_rows else 0
+        if args.lake is None:
+            print("verify: one of --lake / --export-dir is required")
+            return 2
         from raycdc.engine import verify_lake
 
         spec = _lake_spec(args.lake, args.partitions)

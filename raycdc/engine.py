@@ -1727,6 +1727,136 @@ def export_lake(
     return out
 
 
+def verify_export(out_dir: str) -> pa.Table:
+    """Shard-dir fsck — the :func:`verify_lake` counterpart for an
+    :func:`export_lake` output: audit what a trainer is about to consume
+    WITHOUT trusting the manifest.  Checks, per shard set:
+
+    - a manifest exists and every marker's params match it (no mixed
+      configurations survived a partial overwrite);
+    - every marker with ``rows > 0`` has its shard file, every shard
+      file has a marker (a markerless shard = a crashed export that
+      must be re-run, a stray shard = rows the export never produced);
+    - per-shard recount: jsonl line counts / parquet row counts equal
+      the marker's ``rows`` (one read per shard, driver-light — shard
+      dirs are one file per lake partition);
+    - the manifest's ``rows_total``/``shards`` equal the marker sums.
+
+    Returns one row per finding ``(item, status, detail)`` — ``status
+    == 'ok'`` rows for clean items; anything else is a defect.  Read-
+    only; the CLI exits 3 on any non-ok row (the :func:`verify_lake`
+    convention).
+    """
+    from raycdc.storage import get_storage, read_json
+
+    st = get_storage(out_dir)
+    rows: list[tuple[str, str, str]] = []
+
+    def add(item: str, status: str, detail: str = "") -> None:
+        rows.append((item, status, detail))
+
+    manifest = read_json(st, os.path.join(out_dir, "_manifest.json"))
+    if manifest is None:
+        add("_manifest.json", "missing", "no manifest — export never finished")
+        return pa.table(
+            {
+                "item": pa.array([r[0] for r in rows]),
+                "status": pa.array([r[1] for r in rows]),
+                "detail": pa.array([r[2] for r in rows]),
+            }
+        )
+    add("_manifest.json", "ok")
+    names = sorted(st.listdir(out_dir))
+    markers = {
+        int(n.split("-")[1].split(".")[0]): n
+        for n in names
+        if n.startswith("_done-")
+    }
+    shard_lists: dict[int, list[str]] = {}
+    for n in names:
+        if n.startswith("part-"):
+            shard_lists.setdefault(
+                int(n.split("-")[1].split(".")[0]), []
+            ).append(n)
+    shards: dict[int, str] = {}
+    for part, lst in shard_lists.items():
+        if len(lst) > 1:
+            # two files claiming one partition (e.g. a stale format's
+            # shard next to the new one): a trainer globbing part-*
+            # would double-read — exactly what the manifest guard
+            # prevents going forward; flag anything that predates it
+            add(
+                " / ".join(sorted(lst)),
+                "duplicate",
+                "multiple shard files for one partition",
+            )
+        shards[part] = sorted(lst)[0]
+    man_params = {k: manifest.get(k) for k in ("as_of", "format", "columns")}
+    total_rows = 0
+    n_nonempty = 0
+    for part, mname in sorted(markers.items()):
+        marker = read_json(st, os.path.join(out_dir, mname))
+        if marker is None:
+            add(mname, "unreadable")
+            continue
+        got_params = {k: marker.get(k) for k in man_params}
+        if got_params != man_params:
+            add(
+                mname,
+                "mixed-config",
+                f"marker {got_params} vs manifest {man_params}",
+            )
+            continue
+        m_rows = int(marker.get("rows", 0))
+        total_rows += m_rows
+        if m_rows == 0:
+            if part in shards:
+                add(shards[part], "stray", "marker says rows=0")
+            else:
+                add(mname, "ok")
+            continue
+        n_nonempty += 1
+        if part not in shards:
+            add(mname, "shard-missing", f"marker claims {m_rows} rows")
+            continue
+        path = os.path.join(out_dir, shards[part])
+        if manifest.get("format") == "jsonl":
+            actual = st.read_bytes(path).count(b"\n")
+        else:
+            actual = st.read_parquet(path).num_rows
+        if actual != m_rows:
+            add(
+                shards[part],
+                "row-mismatch",
+                f"marker {m_rows} vs file {actual}",
+            )
+        else:
+            add(shards[part], "ok")
+    for part, sname in sorted(shards.items()):
+        if part not in markers:
+            add(sname, "orphan", "shard without marker (crashed export?)")
+    if int(manifest.get("rows_total", -1)) != total_rows:
+        add(
+            "_manifest.json",
+            "total-mismatch",
+            f"manifest rows_total {manifest.get('rows_total')} vs "
+            f"marker sum {total_rows}",
+        )
+    if int(manifest.get("shards", -1)) != n_nonempty:
+        add(
+            "_manifest.json",
+            "shards-mismatch",
+            f"manifest shards {manifest.get('shards')} vs {n_nonempty}",
+        )
+    return pa.table(
+        {
+            "item": pa.array([r[0] for r in rows]),
+            "status": pa.array([r[1] for r in rows]),
+            "detail": pa.array([r[2] for r in rows]),
+        }
+    )
+
+
 def compact(
     lake_dir: str,
     spec: TableSpec | None = None,

@@ -326,3 +326,66 @@ def test_export_jsonl_float_roundtrip(ray_session, tmp_path):
     # 15 significant digits (the writer's cap); parquet is bit-exact
     assert abs(got["a"] - x) <= abs(x) * 1e-14 and got["a"] != round(x, 10)
     assert got["b"] == 2.0
+
+
+def test_verify_export_clean_and_defects(lake, capsys):
+    """Shard-dir fsck (engine.verify_export): clean export all-ok; a
+    deleted shard, a stray file, and a doctored manifest each surface as
+    named defects; the CLI exits 3 on any of them."""
+    import glob
+    import os
+
+    from raycdc.engine import verify_export
+
+    lk, spec, log, tmp = lake
+    out = str(tmp / "out")
+    export_lake(lk, out, spec, format="jsonl")
+    rep = verify_export(out)
+    assert set(rep["status"].to_pylist()) == {"ok"}
+
+    from raycdc.__main__ import main
+
+    assert main(["verify", "--export-dir", out]) == 0
+    capsys.readouterr()
+
+    # marker present, shard gone -> shard-missing
+    shard = sorted(glob.glob(os.path.join(out, "part-*.jsonl")))[0]
+    os.rename(shard, os.path.join(out, "bak"))
+    rep = verify_export(out)
+    assert "shard-missing" in rep["status"].to_pylist()
+    assert main(["verify", "--export-dir", out]) == 3
+    capsys.readouterr()
+    os.rename(os.path.join(out, "bak"), shard)
+
+    # a second shard file claiming the same partition -> duplicate
+    dup = shard.replace(".jsonl", ".parquet")
+    open(dup, "wb").write(b"junk")
+    rep = verify_export(out)
+    assert "duplicate" in rep["status"].to_pylist()
+    os.remove(dup)
+
+    # stray shard without a marker -> orphan
+    stray = os.path.join(out, "part-09999.jsonl")
+    open(stray, "w").write('{"x": 1}\n')
+    rep = verify_export(out)
+    assert "orphan" in rep["status"].to_pylist()
+    os.remove(stray)
+
+    # doctored shard -> row-mismatch against its marker
+    with open(shard, "a") as f:
+        f.write('{"conv_id": "zz", "turn_idx": 0}\n')
+    rep = verify_export(out)
+    statuses = rep["status"].to_pylist()
+    assert "row-mismatch" in statuses
+
+    # doctored manifest totals -> total-mismatch
+    man_p = os.path.join(out, "_manifest.json")
+    man = json.load(open(man_p))
+    man["rows_total"] += 7
+    json.dump(man, open(man_p, "w"))
+    rep = verify_export(out)
+    assert "total-mismatch" in rep["status"].to_pylist()
+
+    # no manifest at all -> single 'missing' finding
+    rep = verify_export(str(tmp / "never_exported"))
+    assert rep["status"].to_pylist() == ["missing"]
