@@ -389,3 +389,42 @@ def test_verify_export_clean_and_defects(lake, capsys):
     # no manifest at all -> single 'missing' finding
     rep = verify_export(str(tmp / "never_exported"))
     assert rep["status"].to_pylist() == ["missing"]
+
+
+def test_export_concurrent_exporters_converge(lake):
+    """Two exporters racing on one out dir (a retried job overlapping a
+    stuck one) must converge to a clean verified dir: shard writes are
+    temp+rename atomic and markers idempotent, so interleaved runs can
+    only ever publish identical bytes."""
+    import threading
+
+    from raycdc.engine import verify_export
+
+    lk, spec, log, tmp = lake
+    out = str(tmp / "race_out")
+    errs: list = []
+
+    def run():
+        try:
+            export_lake(lk, out, spec, format="jsonl")
+        except Exception as e:  # pragma: no cover - failure surface
+            errs.append(e)
+
+    ts = [threading.Thread(target=run) for _ in range(2)]
+    for t_ in ts:
+        t_.start()
+    for t_ in ts:
+        t_.join()
+    assert errs == []
+    rep = verify_export(out)
+    assert set(rep["status"].to_pylist()) == {"ok"}
+    live = python_lww_replay([log])
+    import glob
+    import os
+
+    got = {}
+    for p in sorted(glob.glob(os.path.join(out, "part-*.jsonl"))):
+        for line in open(p):
+            r = json.loads(line)
+            got[(r["conv_id"], r["turn_idx"])] = r["text"]
+    assert got == {k: v["text"] for k, v in live.items()}
