@@ -485,6 +485,27 @@ def main(argv: list[str] | None = None) -> int:
 
         print(json.dumps(storage_census(args.lake)))
         return 0
+    if args.cmd == "verify" and args.export_dir is not None:
+        # shard-dir fsck touches only files — same pre-Ray dispatch as
+        # show --du (r5 review: the post-init branch paid a full local
+        # cluster startup and leaked the session on return)
+        from raycdc.engine import verify_export
+
+        rep = verify_export(args.export_dir)
+        bad_rows = [r for r in rep.to_pylist() if r["status"] != "ok"]
+        print(
+            json.dumps(
+                {
+                    "items": rep.num_rows,
+                    "ok": rep.num_rows - len(bad_rows),
+                    "defects": bad_rows,
+                }
+            )
+        )
+        return 3 if bad_rows else 0
+    if args.cmd == "verify" and args.lake is None:
+        print("verify: one of --lake / --export-dir is required")
+        return 2
     owns_ray = _ray_init(args.num_cpus)
 
     import ray
@@ -689,26 +710,6 @@ def main(argv: list[str] | None = None) -> int:
             )
         )
     elif args.cmd == "verify":
-        if args.export_dir is not None:
-            from raycdc.engine import verify_export
-
-            rep = verify_export(args.export_dir)
-            bad_rows = [
-                r for r in rep.to_pylist() if r["status"] != "ok"
-            ]
-            print(
-                json.dumps(
-                    {
-                        "items": rep.num_rows,
-                        "ok": rep.num_rows - len(bad_rows),
-                        "defects": bad_rows,
-                    }
-                )
-            )
-            return 3 if bad_rows else 0
-        if args.lake is None:
-            print("verify: one of --lake / --export-dir is required")
-            return 2
         from raycdc.engine import verify_lake
 
         spec = _lake_spec(args.lake, args.partitions)

@@ -1529,7 +1529,10 @@ def export_lake(
         # not survive next to the new ones
         for name in list(out_st.listdir(out_dir)) if out_st.exists(out_dir) else []:
             if name.startswith(("part-", "_done-")):
-                out_st.remove(os.path.join(out_dir, name))
+                try:
+                    out_st.remove(os.path.join(out_dir, name))
+                except FileNotFoundError:
+                    pass
     from raycdc.runlog import RunLog
 
     rl = RunLog(verb="export", lake=lake_dir, out=out_dir, format=format)
@@ -1555,10 +1558,15 @@ def export_lake(
                 # an empty partition must not leave a STALE shard from an
                 # earlier run in the dataset dir (r5 review): readers
                 # glob part-* and would consume rows this export never
-                # produced
+                # produced.  remove tolerates a concurrent exporter
+                # having already cleaned it (exists→remove is TOCTOU
+                # under the documented racing-retry scenario)
                 for p in (shard_path, marker_path):
-                    if st.exists(p):
-                        st.remove(p)
+                    try:
+                        if st.exists(p):
+                            st.remove(p)
+                    except FileNotFoundError:
+                        pass
                 rows.append({"part": part, "rows": 0, "status": "empty"})
 
             if snap_versions is not None:
@@ -1638,9 +1646,13 @@ def export_lake(
                 # a lone blank line for a 0-row frame, which crashes
                 # line-oriented consumers (r5 review) — publish a
                 # rows=0 MARKER and no shard instead; stale shards from
-                # an earlier state are removed
-                if st.exists(shard_path):
-                    st.remove(shard_path)
+                # an earlier state are removed (tolerating a concurrent
+                # exporter's identical cleanup)
+                try:
+                    if st.exists(shard_path):
+                        st.remove(shard_path)
+                except FileNotFoundError:
+                    pass
                 write_json_atomic(st, marker_path, {**want, "rows": 0})
                 rows.append({"part": part, "rows": 0, "status": "empty"})
                 continue
@@ -1755,9 +1767,7 @@ def verify_export(out_dir: str) -> pa.Table:
     def add(item: str, status: str, detail: str = "") -> None:
         rows.append((item, status, detail))
 
-    manifest = read_json(st, os.path.join(out_dir, "_manifest.json"))
-    if manifest is None:
-        add("_manifest.json", "missing", "no manifest — export never finished")
+    def report() -> pa.Table:
         return pa.table(
             {
                 "item": pa.array([r[0] for r in rows]),
@@ -1765,19 +1775,48 @@ def verify_export(out_dir: str) -> pa.Table:
                 "detail": pa.array([r[2] for r in rows]),
             }
         )
+
+    def read_json_or_flag(name: str) -> "dict | None":
+        # a fsck built to audit defective dirs must not crash on the
+        # corruption it audits (r5 review): a truncated/garbage JSON
+        # file is a finding, not an exception
+        try:
+            return read_json(st, os.path.join(out_dir, name))
+        except Exception as exc:
+            add(name, "unreadable", str(exc)[:120])
+            return None
+
+    if not st.exists(os.path.join(out_dir, "_manifest.json")):
+        add("_manifest.json", "missing", "no manifest — export never finished")
+        return report()
+    manifest = read_json_or_flag("_manifest.json")
+    if manifest is None:
+        return report()
     add("_manifest.json", "ok")
     names = sorted(st.listdir(out_dir))
-    markers = {
-        int(n.split("-")[1].split(".")[0]): n
-        for n in names
-        if n.startswith("_done-")
-    }
+
+    def part_of(name: str) -> "int | None":
+        try:
+            return int(name.split("-")[1].split(".")[0])
+        except (IndexError, ValueError):
+            # foreign tooling / manual backups leave non-numeric names —
+            # a finding, never a crash (r5 review)
+            add(name, "stray", "unparseable shard/marker name")
+            return None
+
+    markers: dict[int, str] = {}
+    for n in names:
+        if n.startswith("_done-"):
+            p = part_of(n)
+            if p is not None:
+                markers[p] = n
     shard_lists: dict[int, list[str]] = {}
     for n in names:
         if n.startswith("part-"):
-            shard_lists.setdefault(
-                int(n.split("-")[1].split(".")[0]), []
-            ).append(n)
+            p = part_of(n)
+            if p is not None:
+                shard_lists.setdefault(p, []).append(n)
+    fmt_ext = ".jsonl" if manifest.get("format") == "jsonl" else ".parquet"
     shards: dict[int, str] = {}
     for part, lst in shard_lists.items():
         if len(lst) > 1:
@@ -1790,14 +1829,23 @@ def verify_export(out_dir: str) -> pa.Table:
                 "duplicate",
                 "multiple shard files for one partition",
             )
-        shards[part] = sorted(lst)[0]
+        # recount the shard matching the MANIFEST's format — counting a
+        # stale other-format file would crash the reader (r5 review)
+        matching = [n for n in sorted(lst) if n.endswith(fmt_ext)]
+        if matching:
+            shards[part] = matching[0]
+        else:
+            add(
+                sorted(lst)[0],
+                "format-mismatch",
+                f"no {fmt_ext} shard for this partition",
+            )
     man_params = {k: manifest.get(k) for k in ("as_of", "format", "columns")}
     total_rows = 0
     n_nonempty = 0
     for part, mname in sorted(markers.items()):
-        marker = read_json(st, os.path.join(out_dir, mname))
+        marker = read_json_or_flag(mname)
         if marker is None:
-            add(mname, "unreadable")
             continue
         got_params = {k: marker.get(k) for k in man_params}
         if got_params != man_params:
@@ -1820,10 +1868,14 @@ def verify_export(out_dir: str) -> pa.Table:
             add(mname, "shard-missing", f"marker claims {m_rows} rows")
             continue
         path = os.path.join(out_dir, shards[part])
-        if manifest.get("format") == "jsonl":
-            actual = st.read_bytes(path).count(b"\n")
-        else:
-            actual = st.read_parquet(path).num_rows
+        try:
+            if manifest.get("format") == "jsonl":
+                actual = st.read_bytes(path).count(b"\n")
+            else:
+                actual = st.read_parquet(path).num_rows
+        except Exception as exc:
+            add(shards[part], "unreadable", str(exc)[:120])
+            continue
         if actual != m_rows:
             add(
                 shards[part],
@@ -1848,13 +1900,7 @@ def verify_export(out_dir: str) -> pa.Table:
             "shards-mismatch",
             f"manifest shards {manifest.get('shards')} vs {n_nonempty}",
         )
-    return pa.table(
-        {
-            "item": pa.array([r[0] for r in rows]),
-            "status": pa.array([r[1] for r in rows]),
-            "detail": pa.array([r[2] for r in rows]),
-        }
-    )
+    return report()
 
 
 def compact(

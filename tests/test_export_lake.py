@@ -401,7 +401,38 @@ def test_export_concurrent_exporters_converge(lake):
     from raycdc.engine import verify_export
 
     lk, spec, log, tmp = lake
+    # tombstone one conversation wholesale so at least one partition
+    # exercises the empty-path stale-shard cleanup (the TOCTOU branch —
+    # r5 review: the race only bites where both racers remove)
+    import datetime as dt
+
+    conv = log["conv_id"][0].as_py()
+    doomed = log.filter(pc.equal(log["conv_id"], conv))
+    dels = pa.table(
+        {
+            "conv_id": doomed["conv_id"],
+            "turn_idx": doomed["turn_idx"],
+            "role": doomed["role"],
+            "text": doomed["text"],
+            "tool": doomed["tool"],
+            "ts": pa.array(
+                [dt.datetime(2030, 1, 1)] * len(doomed), pa.timestamp("us")
+            ),
+            "op": pa.array(["delete"] * len(doomed)),
+            "lsn": pc.add(doomed["lsn"], 50_000),
+            "seg_id": doomed["seg_id"],
+        },
+        schema=log.schema,
+    )
+    replay(ray.data.from_arrow(dels), lk, spec)
     out = str(tmp / "race_out")
+    # seed a stale shard state so the empty partition has something to
+    # clean concurrently
+    export_lake(lk, out, spec, format="jsonl")
+    import glob as _g
+    import os as _o
+    for mk in _g.glob(_o.path.join(out, "_done-*.json")):
+        _o.remove(mk)  # force both racers down the re-export/clean path
     errs: list = []
 
     def run():
@@ -418,7 +449,7 @@ def test_export_concurrent_exporters_converge(lake):
     assert errs == []
     rep = verify_export(out)
     assert set(rep["status"].to_pylist()) == {"ok"}
-    live = python_lww_replay([log])
+    live = python_lww_replay([log, dels])
     import glob
     import os
 
@@ -428,3 +459,32 @@ def test_export_concurrent_exporters_converge(lake):
             r = json.loads(line)
             got[(r["conv_id"], r["turn_idx"])] = r["text"]
     assert got == {k: v["text"] for k, v in live.items()}
+
+
+def test_verify_export_tolerates_corruption(lake):
+    """The fsck must FLAG corruption, never crash on it (r5 review):
+    garbage marker JSON, a stale other-format shard next to the real
+    one, and unparseable filenames all surface as defect rows."""
+    import glob
+    import os
+
+    from raycdc.engine import verify_export
+
+    lk, spec, log, tmp = lake
+    out = str(tmp / "outc")
+    export_lake(lk, out, spec, format="jsonl")
+
+    marker = sorted(glob.glob(os.path.join(out, "_done-*.json")))[0]
+    open(marker, "w").write("{truncated")
+    shard = sorted(glob.glob(os.path.join(out, "part-*.jsonl")))[0]
+    open(shard.replace(".jsonl", ".parquet"), "wb").write(b"junk")
+    open(os.path.join(out, "part-old.bak"), "w").write("x")
+
+    rep = verify_export(out)
+    statuses = rep["status"].to_pylist()
+    assert "unreadable" in statuses  # garbage marker flagged, no crash
+    assert "duplicate" in statuses  # stale-format file next to real one
+    assert "stray" in statuses  # unparseable name flagged
+    # and the recount ran against the MANIFEST's format, not the junk
+    items = dict(zip(rep["item"].to_pylist(), statuses))
+    assert items.get(os.path.basename(shard)) in ("ok", None)
