@@ -753,3 +753,80 @@ def test_preference_pairs_matches_python_reference(log):
         assert got[g]["margin"] == chosen["score"] - rejected["score"]
         assert got[g]["n_candidates"] == len(rows)
     assert set(got) == {g for g, rows in rows_by_g.items() if len(rows) >= 2}
+
+
+@given(changelogs())
+@settings(max_examples=12, deadline=None)
+def test_pack_groups_matches_python_reference(log):
+    """pack_groups over arbitrary (group, order, len) rows == the plain
+    python next-fit over per-group totals in group order within each
+    bucket, with per-row spans from running offsets."""
+    import ray
+    import ray.data
+
+    from raycdc.partition import bucket_keys
+    from raycdc.text import pack_groups
+
+    if log.num_rows == 0:
+        return
+    # unique (group, order) rows with a deterministic small length
+    seen = set()
+    g_l, o_l, n_l = [], [], []
+    for r in log.to_pylist():
+        key = (r["conv_id"], r["turn_idx"])
+        if key in seen:
+            continue
+        seen.add(key)
+        g_l.append(r["conv_id"])
+        o_l.append(r["turn_idx"])
+        n_l.append((r["lsn"] % 7) + 1)
+    t = pa.table(
+        {
+            "g": pa.array(g_l),
+            "o": pa.array(o_l, pa.int64()),
+            "n_tokens": pa.array(n_l, pa.int64()),
+        }
+    )
+    budget, nparts = 10, 4
+    got = (
+        pack_groups(
+            ray.data.from_arrow(t),
+            group_col="g",
+            order_col="o",
+            budget=budget,
+            num_partitions=nparts,
+        )
+        .to_pandas()
+        .set_index(["g", "o"])
+        .sort_index()
+    )
+
+    buckets = bucket_keys(t, ["g"], nparts).to_pylist()
+    rows = sorted(zip(buckets, g_l, o_l, n_l))
+    expect = {}
+    from itertools import groupby as _gb
+
+    for b, brows_it in _gb(rows, key=lambda r: r[0]):
+        brows = list(brows_it)
+        # group totals in group order
+        totals = []
+        for g, grows_it in _gb(brows, key=lambda r: r[1]):
+            grows = list(grows_it)
+            totals.append((g, sum(r[3] for r in grows), grows))
+        bin_id, fill = 0, 0
+        for g, total, grows in totals:
+            if fill and fill + total > budget:
+                bin_id, fill = bin_id + 1, 0
+            pos = fill
+            for _, _, o, n in grows:
+                expect[(g, o)] = ((b << 32) | bin_id, pos, pos + n)
+                pos += n
+            fill += total
+    for key, (pid, s_, e_) in expect.items():
+        row = got.loc[key]
+        assert (
+            int(row["pack_id"]),
+            int(row["span_start"]),
+            int(row["span_end"]),
+        ) == (pid, s_, e_), key
+    assert len(got) == len(expect)
