@@ -323,6 +323,8 @@ GROUP BY seg_id
         "cdc_replay_salted": lww_final,
         "cdc_replay_actors": lww_final,
         "cdc_sync_replica": lww_final,
+        # compact+vacuum must preserve exactly the live LWW state
+        "cdc_compact": lww_final,
         "cdc_lineage": lineage,
         **pipeline_oracles,
     }

@@ -938,6 +938,55 @@ def q_cdc_bootstrap(sf_dir: str):
     )
 
 
+def q_cdc_compact(sf_dir: str):
+    """Tombstone GC + version vacuum under the oracle: replay the full
+    changelog, :func:`raycdc.engine.compact` with a watermark above all
+    event time (every applied delete drops), then :func:`raycdc.sink.
+    vacuum` the superseded partition-file versions — the lake's steady-
+    state maintenance pair, hash-pinned: the live state after both must
+    equal one-shot LWW over the log (the ``cdc_replay`` oracle), and
+    the query asserts in-line that compact actually removed tombstones
+    and vacuum actually removed files (a no-op pair would silently pass
+    the state compare)."""
+    import datetime as dt
+
+    from raycdc.changelog import changelog_from_events
+    from raycdc.engine import compact, read_lake, replay
+    from raycdc.schema import TableSpec
+    from raycdc.sink import vacuum
+
+    import pyarrow.parquet as _pq
+
+    spec = TableSpec(num_partitions=16)
+    lake = _scratch_path(sf_dir, "compact_lake")
+    shutil.rmtree(lake, ignore_errors=True)
+    log = changelog_from_events(sf_dir)
+    # two applies: every touched partition accumulates superseded file
+    # versions, so the vacuum below has real garbage to collect
+    cut = _pq.read_metadata(f"{sf_dir}/events.parquet").num_rows // 2
+    kw = dict(batch_format="pyarrow", zero_copy_batch=True)
+    replay(
+        log.map_batches(lambda t: t.filter(pc.less_equal(t["lsn"], cut)), **kw),
+        lake,
+        spec,
+    )
+    replay(
+        log.map_batches(lambda t: t.filter(pc.greater(t["lsn"], cut)), **kw),
+        lake,
+        spec,
+    )
+    lin = compact(lake, spec, watermark=dt.datetime(2100, 1, 1))
+    dropped = int(pc.sum(lin["tombstones"]).as_py() or 0)
+    if dropped <= 0:
+        raise AssertionError("compact dropped no tombstones — dead drill")
+    removed = vacuum(lake)
+    if removed <= 0:
+        raise AssertionError("vacuum removed no files — dead drill")
+    return read_lake(lake, spec).select_columns(
+        ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    )
+
+
 def q_cdc_restore(sf_dir: str):
     """Disaster-recovery drill under the oracle
     (:func:`raycdc.engine.restore_lake`): replay the WAL head, snapshot,
@@ -6828,6 +6877,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "cdc_evolve": q_cdc_evolve,
     "cdc_additive_rollup": q_cdc_additive_rollup,
     "cdc_bootstrap": q_cdc_bootstrap,
+    "cdc_compact": q_cdc_compact,
     "cdc_restore": q_cdc_restore,
     "cdc_distinct_view": q_cdc_distinct_view,
     "cdc_digest_view": q_cdc_digest_view,
