@@ -325,6 +325,8 @@ GROUP BY seg_id
         "cdc_sync_replica": lww_final,
         # compact+vacuum must preserve exactly the live LWW state
         "cdc_compact": lww_final,
+        # re-layout + continued ingest must land on the same LWW state
+        "cdc_migrate": lww_final,
         "cdc_lineage": lineage,
         **pipeline_oracles,
     }

@@ -987,6 +987,42 @@ def q_cdc_compact(sf_dir: str):
     )
 
 
+def q_cdc_migrate(sf_dir: str):
+    """Lake re-layout under the oracle (:func:`raycdc.engine.
+    migrate_lake`): replay into a 16-partition lake, migrate it into a
+    FRESH 8-partition layout (the escape hatch for the layout-purity
+    contract — changing the count in place would orphan rows), then
+    keep ingesting INTO THE MIGRATED lake: the post-migration tail must
+    apply exactly-once against the carried-over checkpoint floors.
+    Final live state must hash-match one-shot LWW over the whole log."""
+    import pyarrow.parquet as _pq
+
+    from raycdc.changelog import changelog_from_events
+    from raycdc.engine import migrate_lake, read_lake, replay
+    from raycdc.schema import TableSpec
+
+    spec16 = TableSpec(num_partitions=16)
+    spec8 = TableSpec(num_partitions=8)
+    root = _scratch_path(sf_dir, "migrate")
+    shutil.rmtree(root, ignore_errors=True)
+    src, dst = os.path.join(root, "src16"), os.path.join(root, "dst8")
+    log = changelog_from_events(sf_dir)
+    cut = _pq.read_metadata(f"{sf_dir}/events.parquet").num_rows // 2
+    kw = dict(batch_format="pyarrow", zero_copy_batch=True)
+    replay(
+        log.map_batches(lambda t: t.filter(pc.less_equal(t["lsn"], cut)), **kw),
+        src,
+        spec16,
+    )
+    migrate_lake(src, dst, spec8)
+    # the migrated lake is a first-class continuation target: the tail
+    # (plus a redelivered overlap of the head) applies exactly-once
+    replay(log, dst, spec8)
+    return read_lake(dst, spec8).select_columns(
+        ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    )
+
+
 def q_cdc_restore(sf_dir: str):
     """Disaster-recovery drill under the oracle
     (:func:`raycdc.engine.restore_lake`): replay the WAL head, snapshot,
@@ -6878,6 +6914,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "cdc_additive_rollup": q_cdc_additive_rollup,
     "cdc_bootstrap": q_cdc_bootstrap,
     "cdc_compact": q_cdc_compact,
+    "cdc_migrate": q_cdc_migrate,
     "cdc_restore": q_cdc_restore,
     "cdc_distinct_view": q_cdc_distinct_view,
     "cdc_digest_view": q_cdc_digest_view,
